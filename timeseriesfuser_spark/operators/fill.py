@@ -1,0 +1,117 @@
+"""Scalable forward fill (last observation carried forward) over a global
+time order.
+
+Semantics ≈ reference ``_forward_fill_dataframe`` + its cross-chunk seeding
+(/root/reference/timeseriesfuser/core.py:1034-1072): every null takes the
+most recent non-null value of its column in ``order_by`` order, across the
+whole stream.
+
+The naive Spark spelling — ``F.last(c, ignorenulls=True)`` over
+``Window.orderBy(ts)`` with no partitionBy — funnels ALL rows through one
+task and cannot scale. This module implements the standard two-pass
+range-bucketed scheme (SURVEY.md §4.3.1):
+
+  1. assign each row a *data-derived* range-bucket id (quantile boundaries
+     of the leading order column, computed once driver-side and embedded as
+     literals); LOCF *within* each bucket via a window partitioned on the
+     bucket id (parallel across buckets);
+  2. per bucket, the last non-null value of each column (one tiny row per
+     bucket — the distributed analogue of the reference's ``last_row_vals``
+     carry at core.py:1043-1071); a prefix scan over this bucket-count-sized
+     table yields each bucket's carry-in, broadcast-joined back to patch
+     leading nulls.
+
+The bucket id is a pure function of the row (NOT ``spark_partition_id``
+after a repartition, which is evaluated independently per plan branch and
+can disagree under AQE coalescing — observed as a wrong-carry bug). Pass 2's
+window runs over #buckets rows, not data rows, so no single-task stage is
+proportional to input size — safe at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_PID = "__ff_bucket"
+
+
+def _bucket_col(first_order_col: str, bounds: List[float]) -> Column:
+    """#{b in bounds : b <= x} — a deterministic range-bucket id.
+
+    O(len(bounds)) per row but JVM-side and codegen'd; bounds is at most a
+    few hundred entries.
+    """
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    x = F.col(first_order_col).cast("double")
+    return F.aggregate(
+        arr, F.lit(0), lambda acc, b: acc + F.when(x >= b, 1).otherwise(0)
+    )
+
+
+def forward_fill(
+    df: DataFrame,
+    order_by: Sequence[str],
+    cols: Sequence[str],
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """LOCF-fill ``cols`` in global ``order_by`` order.
+
+    ``order_by`` should be a total order (include tiebreakers, e.g.
+    ``["__timestamp", "__src_id", "__seq"]``). Range buckets split on the
+    *first* order column only; rows tied on it stay in one bucket, where the
+    within-bucket window applies the full tuple order.
+    """
+    cols = [c for c in cols if c in df.columns]
+    if not cols:
+        return df
+    order_cols = [F.col(c) for c in order_by]
+    n = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    # Driver-side quantile sketch → bucket boundaries (one pass, embedded as
+    # literals so every plan branch sees identical bucket assignment).
+    if n > 1:
+        qs = [i / n for i in range(1, n)]
+        bounds = sorted(set(df.stat.approxQuantile(order_by[0], qs, 1.0 / (4 * n))))
+    else:
+        bounds = []
+    part = df.withColumn(_PID, _bucket_col(order_by[0], bounds) if bounds else F.lit(0))
+
+    # Pass 1: within-bucket LOCF (parallel; partitionBy bounds each task).
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = part.select(
+        *[c for c in part.columns if c not in cols],
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in cols],
+    )
+
+    # Per-bucket last non-null of each col: max_by over rows where the col
+    # is non-null (null ordering key ⇒ row ignored by max_by).
+    order_struct = F.struct(*order_cols)
+    seeds = part.groupBy(_PID).agg(
+        *[
+            F.max_by(F.col(c), F.when(F.col(c).isNotNull(), order_struct)).alias(c)
+            for c in cols
+        ]
+    )
+    # Prefix scan over #buckets rows (tiny, single task by design):
+    # carry(pid) = last non-null among buckets strictly before pid.
+    wseed = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    carry = seeds.select(
+        _PID,
+        *[F.last(F.col(c), ignorenulls=True).over(wseed).alias(f"__carry_{c}") for c in cols],
+    )
+
+    out = filled.join(F.broadcast(carry), _PID, "left")
+    out = out.select(
+        *[c for c in filled.columns if c not in cols and c != _PID],
+        *[F.coalesce(F.col(c), F.col(f"__carry_{c}")).alias(c) for c in cols],
+    )
+    # Restore original column order.
+    return out.select(*[c for c in df.columns])

@@ -1,0 +1,168 @@
+"""Interval resampling: last-observation-per-interval with gap fill.
+
+Semantics (reference BatchEveryIntervalHandler.process/finalize,
+/root/reference/timeseriesfuser/classes.py:589-637,666-688 — verified
+against tests/integration/test_batchinterval_handler.py and
+test_batchinterval_fill.py):
+
+- grid points at ``offset + k*step`` (epoch ms); an event's *label* is the
+  next grid point strictly after its timestamp — the last observation
+  strictly before a boundary wins it, and an event exactly ON a boundary
+  counts toward the next interval;
+- every boundary from ``label(min_ts)`` to the end boundary is emitted;
+  boundaries with no events are *blank*: all value columns null except
+  ``ffill_keys``, which carry the previous event's value (even if that value
+  was null — carry is per-event, not last-non-null);
+- end boundary: with ``process_batch_end=True`` the final partial interval
+  is flushed (label of the max event) *unless* the final event sits exactly
+  on a boundary, in which case it is dropped (classes.py:627-637); with
+  ``False`` the partial interval is dropped.
+
+Physical plan (SURVEY.md §2.6 T3): partial-aggregated ``max_by`` per bucket
+(map-side combine, one shuffle on (keys, bucket)) + a two-level
+sequence/explode time spine (bounded per-row array size, re-shuffled between
+levels so no task materializes the whole spine) + left join + windowed carry
+(per-key window, or the two-pass range-partitioned fill for the global
+case). No single-task stage proportional to data size.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from timeseriesfuser_spark.intervals import boundary_label_col, interval_to_ms
+from timeseriesfuser_spark.operators.fill import forward_fill
+from timeseriesfuser_spark.sources.readers import SEQ_COL, SRC_ID_COL, TS_COL
+
+_BUCKET = "__bucket"
+_ROW = "__row"
+_CARRY = "__carry"
+_SPINE_CHUNK = 8192  # boundaries per inner sequence array
+
+
+def resample_last_interval(
+    df: DataFrame,
+    interval: str,
+    *,
+    ts_col: str = TS_COL,
+    keys: Sequence[str] = (),
+    value_cols: Optional[Sequence[str]] = None,
+    ffill_keys: Sequence[str] = (),
+    tiebreak_cols: Optional[Sequence[str]] = None,
+    process_batch_end: bool = True,
+    gap_fill: bool = True,
+    offset_ms: int = 0,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Resample to a fixed grid; output has ``ts_col`` = boundary label,
+    ``keys``, and ``value_cols`` (last event per interval; blanks gap-filled
+    per ``ffill_keys``)."""
+    step = interval_to_ms(interval)
+    keys = list(keys)
+    if tiebreak_cols is None:
+        tiebreak_cols = [c for c in (SRC_ID_COL, SEQ_COL) if c in df.columns]
+    if value_cols is None:
+        value_cols = [
+            c
+            for c in df.columns
+            if c not in {ts_col, *keys, SRC_ID_COL, SEQ_COL}
+        ]
+    value_cols = list(value_cols)
+    missing = [k for k in ffill_keys if k not in value_cols]
+    if missing:
+        raise ValueError(f"ffill_keys not in value columns: {missing}")
+
+    ts = F.col(ts_col)
+    bucketed = df.withColumn(_BUCKET, boundary_label_col(ts, step, offset_ms))
+
+    # Last event per (keys, bucket): single max_by of the whole row struct so
+    # all columns come from ONE row (ties broken by ts, then arrival order).
+    order_key = F.struct(ts, *[F.col(c) for c in tiebreak_cols])
+    row_struct = F.struct(*[F.col(c) for c in value_cols])
+    buckets = bucketed.groupBy(*keys, _BUCKET).agg(
+        F.max_by(row_struct, order_key).alias(_ROW)
+    )
+
+    if not gap_fill:
+        out_cols = [F.col(_BUCKET).alias(ts_col)] + [F.col(k) for k in keys]
+        out_cols += [F.col(_ROW)[c].alias(c) for c in value_cols]
+        return buckets.select(*out_cols)
+
+    # --- time spine ----------------------------------------------------- #
+    pmod_end = F.pmod(F.max(ts) - F.lit(offset_ms), F.lit(step))
+    floor_end = (F.max(ts) - pmod_end).cast("long")
+    if process_batch_end:
+        bmax = F.when(pmod_end == 0, floor_end).otherwise(floor_end + F.lit(step))
+    else:
+        bmax = floor_end
+    bounds = df.groupBy(*keys).agg(
+        boundary_label_col(F.min(ts), step, offset_ms).alias("__bmin"),
+        bmax.alias("__bmax"),
+    )
+
+    chunk_ms = step * _SPINE_CHUNK
+    empty = F.array().cast(T.ArrayType(T.LongType()))
+    chunks = bounds.select(
+        *keys,
+        "__bmax",
+        F.explode(
+            F.when(
+                F.col("__bmin") <= F.col("__bmax"),
+                F.sequence(F.col("__bmin"), F.col("__bmax"), F.lit(chunk_ms)),
+            ).otherwise(empty)
+        ).alias("__chunk"),
+    )
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    # Spread chunks before the inner explode so no single task generates the
+    # whole spine for a long-lived key.
+    chunks = chunks.repartition(n, *(keys + ["__chunk"]))
+    spine = chunks.select(
+        *keys,
+        F.explode(
+            F.sequence(
+                F.col("__chunk"),
+                F.least(F.col("__chunk") + F.lit(chunk_ms - step), F.col("__bmax")),
+                F.lit(step),
+            )
+        ).alias(_BUCKET),
+    )
+
+    joined = spine.join(buckets, on=keys + [_BUCKET], how="left")
+
+    out_cols: List[F.Column] = [F.col(_BUCKET).alias(ts_col)] + [F.col(k) for k in keys]
+    ffill_keys = list(ffill_keys)
+    if ffill_keys:
+        blank = F.col(_ROW).isNull()
+        carry_src = F.when(
+            ~blank, F.struct(*[F.col(_ROW)[k].alias(k) for k in ffill_keys])
+        )
+        joined = joined.withColumn(_CARRY, carry_src)
+        if keys:
+            w = (
+                Window.partitionBy(*keys)
+                .orderBy(_BUCKET)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            joined = joined.withColumn(_CARRY, F.last(_CARRY, ignorenulls=True).over(w))
+        else:
+            joined = forward_fill(joined, [_BUCKET], [_CARRY])
+        for c in value_cols:
+            if c in ffill_keys:
+                out_cols.append(
+                    F.when(F.col(_ROW).isNull(), F.col(_CARRY)[c])
+                    .otherwise(F.col(_ROW)[c])
+                    .alias(c)
+                )
+            else:
+                out_cols.append(F.col(_ROW)[c].alias(c))
+    else:
+        out_cols += [F.col(_ROW)[c].alias(c) for c in value_cols]
+
+    return joined.select(*out_cols)

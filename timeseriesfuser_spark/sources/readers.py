@@ -1,0 +1,165 @@
+"""Source readers: CSV (plain/gzip) and Parquet directories → normalized
+DataFrames with a canonical ``__timestamp`` epoch-ms axis.
+
+Replaces the reference's imperative per-file machinery
+(/root/reference/timeseriesfuser/datasources.py:97-440): Spark reads a whole
+directory glob in one scan (mixed .csv/.csv.gz handled natively, so the
+compression autodetect at datasources.py:320-337 is unnecessary), schema is
+enforced by the reader, and global ordering comes from the engine's sort —
+filename sort keys (datasources.py:189-212) are irrelevant.
+
+Normalization per source (reference core.py:320-351, 942-970):
+  1. drop ``remove_cols``;
+  2. convert the timestamp column to epoch-ms LongType ``__timestamp``
+     (user ``ts_converter`` Column->Column if given, preserving the original
+     as ``__{ts_col}``; native TimestampType via ``unix_millis``; numerics
+     cast to long);
+  3. tag ``__src_id`` (≈ exsym_lookup, core.py:134-143,340) and a
+     per-source arrival sequence ``__seq`` for deterministic tie-breaking
+     (SURVEY.md §4.3: Spark's sort is not stable).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import replace
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from timeseriesfuser_spark.config import SourceConfig, normalize_schema
+
+TS_COL = "__timestamp"
+SRC_ID_COL = "__src_id"
+SEQ_COL = "__seq"
+INTERNAL_COLS = (TS_COL, SRC_ID_COL, SEQ_COL)
+
+
+def _read_raw(spark: SparkSession, src: SourceConfig) -> DataFrame:
+    if src.df is not None:
+        return src.df
+    if src.fmt == "parquet":
+        df = spark.read.parquet(src.path)
+        declared = normalize_schema(src.schema, src.columns or df.columns)
+        if declared is not None:
+            # Cast-through semantics ≈ ParquetSrc force_schema
+            # (datasources.py:369-396).
+            by_name = {f.name: f.dataType for f in declared.fields}
+            df = df.select(
+                *[
+                    F.col(c).cast(by_name[c]).alias(c) if c in by_name else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        return df
+    # CSV: resolve positional schemas against the header, then re-read with
+    # the declared StructType so malformed values fail loudly (the reference
+    # stresses declaring dtypes — docs/README.md "Datatypes").
+    reader = spark.read.option("header", "true")
+    for k, v in src.csv_options.items():
+        reader = reader.option(k, v)
+    columns = src.columns
+    if columns is None and src.schema is not None and not hasattr(src.schema, "fields"):
+        if not hasattr(src.schema, "items"):  # positional list: sniff header
+            columns = reader.csv(src.path).columns
+    declared = normalize_schema(src.schema, columns)
+    if declared is not None:
+        return reader.schema(declared).csv(src.path)
+    return reader.option("inferSchema", "true").csv(src.path)
+
+
+def build_source_df(spark: SparkSession, src: SourceConfig, src_id: int) -> DataFrame:
+    """Read + normalize one source (see module docstring)."""
+    df = _read_raw(spark, src)
+    drop = [c for c in src.remove_cols if c in df.columns]
+    if drop:
+        df = df.drop(*drop)
+    if src.ts_col not in df.columns:
+        raise ValueError(
+            f"Source {src.name!r}: timestamp column {src.ts_col!r} not in {df.columns}"
+        )
+
+    ts = F.col(src.ts_col)
+    if src.ts_converter is not None:
+        # Preserve the original column as __{ts_col} (core.py:942-946).
+        df = df.withColumn(f"__{src.ts_col}", ts)
+        ts_ms = src.ts_converter(ts).cast(T.LongType())
+    else:
+        dtype = dict(df.dtypes)[src.ts_col]
+        if dtype.startswith("timestamp"):
+            ts_ms = F.unix_millis(ts)
+        else:
+            ts_ms = ts.cast(T.LongType())
+    df = df.withColumn(TS_COL, ts_ms)
+    if src.ts_col != TS_COL:
+        df = df.drop(src.ts_col)
+
+    # __seq: arrival order within the source (file listing order × row order)
+    # — monotonically_increasing_id is deterministic for a fixed file layout
+    # and never collides across partitions; used only as a sort tiebreaker.
+    return df.withColumn(SRC_ID_COL, F.lit(src_id).cast("int")).withColumn(
+        SEQ_COL, F.monotonically_increasing_id()
+    )
+
+
+_EXTS = {"csv": (".csv", ".csv.gz", ".csv.zip"), "parquet": (".parquet",)}
+
+
+def list_source_files(src: SourceConfig) -> List[str]:
+    """Chronologically ordered file list (reference FilesSrc.sort_data,
+    datasources.py:189-212): sort by ``int(re.findall(regex, name)[idx])``,
+    falling back to lexicographic when the key doesn't parse."""
+    if os.path.isfile(src.path):
+        return [src.path]
+    names = [n for n in os.listdir(src.path) if n.endswith(_EXTS[src.fmt])]
+
+    def key(n: str):
+        try:
+            return (0, int(re.findall(src.file_sort_regex, n)[src.file_sort_idx]), n)
+        except (IndexError, ValueError):
+            return (1, 0, n)
+
+    return [os.path.join(src.path, n) for n in sorted(names, key=key)]
+
+
+def probe_source_window(spark: SparkSession, src: SourceConfig) -> Tuple[int, int]:
+    """Per-source processing window: (first row of the chronologically first
+    file, last row of the last file), in epoch ms after ts normalization.
+
+    ≈ reference _get_global_proc_start_end_from_files (core.py:738-872,
+    datasources.py:266-292): deliberately row-position-based, NOT min/max —
+    out-of-order rows before the first row / after the last row fall outside
+    the window and are dropped, matching the reference's replay semantics.
+
+    Cost: two single-file scans with limit/tail — negligible at any scale.
+    For prebuilt-DataFrame or non-local sources there is no file order, so
+    min/max of the timestamp axis is used instead.
+    """
+    if src.df is not None or not os.path.exists(src.path):
+        df = build_source_df(spark, src, 0)
+        row = df.agg(F.min(TS_COL).alias("a"), F.max(TS_COL).alias("b")).head()
+        return row["a"], row["b"]
+    files = list_source_files(src)
+    if not files:
+        raise FileNotFoundError(f"Source {src.name!r}: no {src.fmt} files in {src.path}")
+    first_df = build_source_df(spark, replace(src, path=files[0]), 0)
+    first = first_df.select(TS_COL).head(1)[0][0]
+    last_df = (
+        first_df
+        if len(files) == 1
+        else build_source_df(spark, replace(src, path=files[-1]), 0)
+    )
+    last = last_df.select(TS_COL).tail(1)[0][0]
+    return first, last
+
+
+def iso_string_to_epoch_ms(col):
+    """Canonical ts_converter: ISO-8601 string → epoch ms.
+
+    ≈ the reference's canonical convert_timestamp_function example
+    (examples/demo_spread_trades_memecoin.py:21-27:
+    str.strptime(Datetime).dt.epoch('ms'))."""
+    return F.unix_millis(F.to_timestamp(col))
