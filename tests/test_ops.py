@@ -1,0 +1,105 @@
+"""Sanity tests for the extension ops (dedup / text / similarity) on small
+planted-duplicate data. Full engine-vs-DuckDB parity is covered by
+tests/test_entry_oracle.py which exercises the driver's own compare."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from timeseriesfuser_spark.ops.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from timeseriesfuser_spark.ops.similarity import cosine_topk
+from timeseriesfuser_spark.ops.text import doc_fingerprint, language_id, text_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    far = "completely different words about spark engines and shuffle planning"
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),  # exact dup of 1
+            Row(doc_id=3, text=near),  # near dup of 1
+            Row(doc_id=4, text=far),
+            Row(doc_id=5, text="short text"),
+        ]
+    )
+
+
+def test_exact_duplicates(docs):
+    out = {r["canonical_id"]: r["n_copies"] for r in exact_duplicates(docs).collect()}
+    assert out[1] == 2 and out[3] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_finds_planted_pair(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any({a, b} & {4, 5} for a, b in pairs)
+
+
+def test_minhash_lsh_finds_planted_pair(docs):
+    got = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in got
+    assert not any({a, b} & {4, 5} for a, b in got)
+
+
+def test_simhash_exact_dup_zero_hamming(docs):
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs).collect()}
+    assert got.get((1, 2)) == 0
+
+
+def test_text_stats_counts(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="The cat, the hat! x2")])
+    r = text_stats(df).collect()[0]
+    # tokens: the cat the hat x2; stopwords: the×2 (+a? no); punct: , !
+    assert r["n_tokens"] == 5
+    assert r["n_stopwords"] == 2
+    assert r["n_punct"] == 2
+    assert r["n_bpe_tokens"] == 8  # The cat , the hat ! x 2
+    assert abs(r["stopword_ratio"] - 0.4) < 1e-12
+
+
+def test_language_id_votes(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat is in the hat and it is fine"),
+            Row(doc_id=2, text="el gato que vive en la casa y los perros"),
+        ]
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert out == {1: "en", 2: "es"}
+
+
+def test_doc_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Hello   World again\tnow"),
+            Row(doc_id=2, text="hello world AGAIN now"),
+        ]
+    )
+    fps = [r["fp_md5"] for r in doc_fingerprint(df).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.9, 0.1, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=4, embedding=[0.0, 0.0, 1.0]),
+    ]
+    corpus = spark.createDataFrame(rows)
+    queries = corpus.filter(F.col("vec_id") == 1)
+    out = cosine_topk(corpus, queries, k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [2, 3]
+    assert out[0]["cosine"] > 0.99

@@ -1,0 +1,274 @@
+"""Deduplication operators: exact, n-gram Jaccard (inverted index),
+MinHash+LSH, SimHash.
+
+Scale design (the 100 TB bar):
+
+- *exact*: one hash-groupBy — partial aggregation map-side, single shuffle.
+- *n-gram Jaccard*: inverted-index self-join on shingles (the classic
+  all-pairs similarity join). Exact, but join fan-out grows with shingle
+  document frequency — the scale path for web-corpus near-dup is MinHash.
+- *MinHash+LSH*: signatures via one groupBy over exploded shingles; banding
+  turns candidate generation into an equi-join on (band, band-key); exact
+  Jaccard verification only on candidates. Tunable recall via
+  (num_hashes, bands).
+- *SimHash*: bit-vote aggregation + pigeonhole banding on hash chunks.
+
+Determinism: every hash is derived from md5 (``md5_hash64``: first 15 hex
+chars → int64), so signatures, buckets and verdicts are reproducible in any
+engine with an md5 function — which is what makes a DuckDB oracle possible.
+No Python UDFs anywhere; everything stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from timeseriesfuser_spark.ops import text as _text
+
+
+def md5_hash64(col: Column, seed: Optional[int] = None) -> Column:
+    """Deterministic 60-bit non-negative hash: int(md5(seed⊕value)[:15], 16).
+
+    Engine-portable (md5 + hex-parse exist in Spark and DuckDB), unlike
+    xxhash64 which is Spark-specific.
+    """
+    s = F.concat(F.lit(f"{seed}\x1f"), col) if seed is not None else col
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def tokens_array(text_col: str) -> Column:
+    return F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(_text.WORD_RE), F.lit(0)
+    )
+
+
+def shingle_array(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined)."""
+    toks = tokens_array(text_col)
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams)
+
+
+def exact_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = False,
+) -> DataFrame:
+    """Exact-duplicate groups by content hash.
+
+    Returns (content_hash, n_copies, canonical_id): one row per distinct
+    content, canonical = min id. ``normalize=True`` hashes the
+    whitespace-collapsed lowercase text instead of the raw bytes.
+    """
+    c = F.col(text_col)
+    if normalize:
+        c = F.regexp_replace(F.trim(F.lower(c)), "\\s+", " ")
+    return (
+        df.select(F.md5(c).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def shingles_df(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Exploded (id, shingle) inverted-index relation."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_array(text_col, n)).alias("sh"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact near-duplicate pairs: word-``n``-gram Jaccard ≥ ``threshold``.
+
+    Inverted-index join: pairs sharing ≥1 shingle → intersection counts →
+    |A∪B| = |A|+|B|−|A∩B|. Output (id_a, id_b, intersection, union_size,
+    jaccard), id_a < id_b. jaccard is one int/int division → oracle-exact.
+    """
+    sh = shingles_df(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn("union_size", F.col("sz_a") + F.col("sz_b") - F.col("intersection"))
+        .withColumn(
+            "jaccard", F.col("intersection").cast("double") / F.col("union_size")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "intersection", "union_size", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signatures: h_i(doc) = min over shingles of md5_hash64(i⊕s).
+
+    One explode + one groupBy (partial agg map-side) — scales linearly."""
+    sh = shingles_df(df, id_col, text_col, n)
+    return sh.groupBy("id").agg(
+        *[
+            F.min(md5_hash64(F.col("sh"), seed=i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding; candidates sharing ≥1 band bucket
+    are (optionally) verified with exact Jaccard ≥ ``threshold``.
+
+    With r = num_hashes/bands rows per band, the LSH S-curve crosses ~50%
+    recall at s ≈ (1/bands)^(1/r); defaults (32,8→r=4) target s≈0.6.
+    Probabilistic recall — candidate *generation* may miss pairs; the
+    verification step has no false positives.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_rows = [
+        sig.select(
+            F.col("id"),
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"h{b * r + j}") for j in range(r)])
+            ).alias("bkey"),
+        )
+        for b in range(bands)
+    ]
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionByName(br)
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    sh = shingles_df(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    ea = sh.withColumnsRenamed({"id": "id_a", "sh": "shk"})
+    eb = sh.withColumnsRenamed({"id": "id_b", "sh": "shk"})
+    inter = (
+        cand.join(ea, "id_a")
+        .join(eb, ["id_b", "shk"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn("union_size", F.col("sz_a") + F.col("sz_b") - F.col("intersection"))
+        .withColumn(
+            "jaccard", F.col("intersection").cast("double") / F.col("union_size")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def simhash_col(text_col: str, bits: int = 32) -> Column:
+    """SimHash over word tokens: per bit, sign of Σ±1 votes from each
+    distinct token's hash. Returned as a long with ``bits`` significant bits.
+    """
+    toks = F.array_distinct(tokens_array(text_col))
+    hashes = F.transform(toks, lambda t: md5_hash64(t))
+
+    def vote(i: int):
+        mask = 1 << i
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
+
+    bit_votes = [
+        F.aggregate(hashes, F.lit(0).cast("long"), vote(i)) for i in range(bits)
+    ]
+    out = F.lit(0).cast("long")
+    for i, v in enumerate(bit_votes):
+        out = out + F.when(v > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole blocking: split the ``bits``-bit hash into max_hamming+1
+    chunks; any pair within the distance budget agrees on ≥1 whole chunk →
+    equi-join per chunk, then verify with bit_count(xor).
+    """
+    nchunks = max_hamming + 1
+    chunk = bits // nchunks
+    sig = df.select(F.col(id_col).alias("id"), simhash_col(text_col, bits).alias("sh"))
+    parts = []
+    for c in range(nchunks):
+        width = chunk if c < nchunks - 1 else bits - chunk * (nchunks - 1)
+        mask = ((1 << width) - 1) << (c * chunk)
+        parts.append(
+            sig.select(
+                "id",
+                "sh",
+                F.lit(c).alias("chunk"),
+                F.col("sh").bitwiseAND(F.lit(mask)).alias("ckey"),
+            )
+        )
+    blocks = parts[0]
+    for p in parts[1:]:
+        blocks = blocks.unionByName(p)
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.ckey") == F.col("b.ckey")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

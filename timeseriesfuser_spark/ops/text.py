@@ -1,0 +1,148 @@
+"""Text analysis operators for training-data pipelines: tokenization,
+quality scoring, language ID, document fingerprinting.
+
+All pure JVM-side column expressions (whole-stage codegen, no UDFs), and all
+arithmetic is integer-count-based with at most one final division — so a SQL
+oracle (DuckDB) reproduces values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Word tokens: lowercase alnum runs. Kept regex-dialect-neutral (identical
+# semantics in Java regex and DuckDB's RE2).
+WORD_RE = "[a-z0-9]+"
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum symbol.
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+# Small stopword sets for the n-gram/stopword language-ID heuristic.
+LANG_STOPWORDS: Dict[str, Sequence[str]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "los", "las", "un"),
+    "fr": ("le", "la", "les", "et", "des", "un", "une", "est"),
+    "zh": ("的", "了", "是", "在", "我", "有", "和", "不"),
+}
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens_col(text: Column, pattern: str = WORD_RE) -> Column:
+    """Array of word tokens (lowercased)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(0))
+
+
+def _tokens(text_col: str, pattern: str = WORD_RE) -> Column:
+    return tokens_col(F.col(text_col), pattern)
+
+
+def text_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+    stopwords: Sequence[str] = EN_STOPWORDS,
+) -> DataFrame:
+    """Per-document quality metrics.
+
+    Columns: n_chars_actual, n_tokens (word tokens), n_bpe_tokens (BPE-ish
+    pre-tokenizer count), n_punct, n_stopwords, avg_token_len,
+    stopword_ratio, punct_ratio, quality_score ∈ [0,1].
+
+    quality_score = (2*stopword_hits + alpha_tokens) / (3*n_tokens): a
+    crude length/stopword composite — high when text has natural-language
+    function-word density (what a pretraining quality filter gates on).
+    Exactly one integer/integer division per ratio → oracle-exact.
+    """
+    toks = _tokens(text_col)
+    sw = F.array([F.lit(s) for s in stopwords])
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("^[a-z]+$"))
+    ).cast("long")
+    n_bpe = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), F.lit(0))
+    ).cast("long")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit("[^a-zA-Z0-9\\s]"), F.lit(0))
+    ).cast("long")
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_chars = F.length(F.col(text_col)).cast("long")
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(
+        *id_cols,
+        n_chars.alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        safe(tok_chars, n_tokens).alias("avg_token_len"),
+        safe(n_stop, n_tokens).alias("stopword_ratio"),
+        safe(n_punct, n_chars).alias("punct_ratio"),
+        safe(2 * n_stop + n_alpha, 3 * n_tokens).alias("quality_score"),
+    )
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+    stopword_sets: Dict[str, Sequence[str]] = LANG_STOPWORDS,
+) -> DataFrame:
+    """Stopword-vote language ID: count token hits per language's stopword
+    set; predict the argmax (ties broken alphabetically by language code —
+    deterministic). Emits per-language vote counts + ``lang_pred``."""
+    toks = _tokens(text_col)
+    langs = sorted(stopword_sets)
+
+    def hits(words: Sequence[str]) -> Column:
+        arr = F.array([F.lit(s) for s in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+    votes = {lang: hits(stopword_sets[lang]) for lang in langs}
+    # argmax with alphabetical tie-break: strictly-greater against all
+    # earlier languages, greater-or-equal against later ones.
+    pred = F.lit(langs[0])
+    best = votes[langs[0]]
+    for lang in langs[1:]:
+        cond = votes[lang] > best
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        best = F.when(cond, votes[lang]).otherwise(best)
+    return df.select(
+        *id_cols,
+        *[votes[lang].alias(f"votes_{lang}") for lang in langs],
+        pred.alias("lang_pred"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Deterministic document fingerprints:
+
+    - ``fp_md5``: md5 of the whitespace-normalized lowercase text (exact
+      content identity up to whitespace/case);
+    - ``fp_minshingle``: the minimum md5 over word-3-gram shingles — a
+      1-hash MinHash usable as a cheap near-dup blocking key.
+
+    Both reproducible in ANSI SQL (md5 + min over unnested shingles).
+    """
+    from timeseriesfuser_spark.ops.dedup import shingle_array, md5_hash64
+
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
+    sh = shingle_array(text_col, 3)
+    return df.select(
+        *id_cols,
+        F.md5(norm).alias("fp_md5"),
+        F.array_min(F.transform(sh, lambda s: md5_hash64(s))).alias("fp_minshingle"),
+    )
