@@ -1,0 +1,866 @@
+"""Driver-contract query registry: every implemented operator exposed as a
+named (Spark query, DuckDB oracle SQL) pair over the /root/testdata tables.
+
+Each Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame; the
+paired oracle is ANSI-ish SQL DuckDB runs on the same parquet registered as
+views. The pairs are value-hash comparable because every computation here is
+engine-portable-deterministic:
+
+- integer/count arithmetic wherever possible (cents for money, quantized
+  embeddings, md5-derived 60-bit hashes);
+- at most a short fixed chain of IEEE double ops applied to *exact* integer
+  inputs at the end (one division, sqrt of exact ints) — bit-identical in
+  any IEEE-754 engine;
+- never an order-dependent float accumulation;
+- all integer outputs cast to long/BIGINT on both sides, ties broken by
+  explicit unique keys.
+
+Query name → SURVEY.md §2 operator ids covered is noted on each entry.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timeseriesfuser_spark.config import FuserConfig, SourceConfig
+from timeseriesfuser_spark.intervals import (
+    boundary_label_col,
+    floor_boundary_col,
+    interval_to_ms,
+)
+from timeseriesfuser_spark.operators.fill import forward_fill
+from timeseriesfuser_spark.operators.fuse import TimeSeriesFuser
+from timeseriesfuser_spark.operators.resample import resample_last_interval
+from timeseriesfuser_spark.ops import dedup as D
+from timeseriesfuser_spark.ops import similarity as S
+from timeseriesfuser_spark.ops import text as X
+from timeseriesfuser_spark.timeutils import coerce_to_epoch_ms
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Session TZ must be UTC for unix_millis to agree with DuckDB epoch_ms.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects
+    # unless mapped to a long (of nanoseconds).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with `ts` normalized to epoch-ms long (DuckDB epoch_ms twin).
+
+    The nanos→ms conversion must be integer division (`DIV`): epoch-nanos
+    exceed 2^53, so a double round-trip would corrupt low bits.
+    """
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ts_ms = F.expr("ts DIV 1000000")
+    else:
+        ts_ms = F.unix_millis("ts")
+    return ev.withColumn("ts", ts_ms.cast("long"))
+
+
+# The DuckDB twin of ops.dedup.md5_hash64 (60-bit md5-derived hash).
+def _sql_hash64(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+# Distinct word-3-gram shingles of `text` (DuckDB list comprehension); the
+# twin of ops.dedup.shingle_array(text, 3).
+_SHINGLES = (
+    "list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk)-1)])"
+)
+_SHINGLE_REL = f"""
+    SELECT doc_id AS id, unnest({_SHINGLES}) AS sh
+    FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+"""
+
+
+# --------------------------------------------------------------------------- #
+# Core engine: fuse / window / resample / fill  (SURVEY §2.1-2.6)
+# --------------------------------------------------------------------------- #
+
+_CLICK_TYPES = ("click", "view")
+_IN_CLICKS = "event_type IN ('click', 'view')"
+
+
+def _event_sources(spark: SparkSession, sf_dir: str):
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type").isin(*_CLICK_TYPES)).select(
+        "ts", "event_id", "user_id", "value"
+    )
+    txns = ev.filter(~F.col("event_type").isin(*_CLICK_TYPES)).select(
+        "ts", "event_id", "user_id", "value"
+    )
+    return (
+        SourceConfig(name="clicks", df=clicks, ts_col="ts"),
+        SourceConfig(name="txns", df=txns, ts_col="ts"),
+    )
+
+
+@register(
+    "fuse_merge",
+    oracle=f"""
+    SELECT epoch_ms(ts) AS __timestamp, event_id, user_id,
+           CASE WHEN {_IN_CLICKS} THEN value END AS "value||clicks",
+           CASE WHEN NOT {_IN_CLICKS} THEN value END AS "value||txns"
+    FROM events
+    """,
+)
+def q_fuse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J4/W5 + P2/P3 + F1: k-way chronological merge as diagonal union
+    with collision renaming (`value` -> `value||<src>`), shared merge_cols,
+    ts normalized to epoch-ms (ref core.py:353-637, 297-318)."""
+    s1, s2 = _event_sources(spark, sf_dir)
+    fuser = TimeSeriesFuser(
+        [s1, s2],
+        FuserConfig(merge_cols=("event_id", "user_id"), remove_internal_cols=True),
+    )
+    return fuser.fused(spark)
+
+
+_W_LO = coerce_to_epoch_ms("2024-01-10T00:00:00Z")
+_W_HI = coerce_to_epoch_ms("2024-01-20T00:00:00Z")
+
+
+@register(
+    "fuse_window_filter",
+    oracle=f"""
+    SELECT epoch_ms(ts) AS __timestamp, event_id, user_id,
+           CASE WHEN {_IN_CLICKS} THEN value END AS "value||clicks",
+           CASE WHEN NOT {_IN_CLICKS} THEN value END AS "value||txns"
+    FROM events
+    WHERE epoch_ms(ts) BETWEEN {_W_LO} AND {_W_HI}
+    """,
+)
+def q_fuse_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 + F2: procstart/procend window predicate with polymorphic time
+    coercion (ISO-8601 'Z' strings; ref core.py:145-213, helpers.py:52-95)."""
+    s1, s2 = _event_sources(spark, sf_dir)
+    fuser = TimeSeriesFuser(
+        [s1, s2],
+        FuserConfig(
+            procstart="2024-01-10T00:00:00Z",
+            procend="2024-01-20T00:00:00Z",
+            merge_cols=("event_id", "user_id"),
+            remove_internal_cols=True,
+        ),
+    )
+    return fuser.fused(spark)
+
+
+_M1 = interval_to_ms("1m")
+_H1 = interval_to_ms("1h")
+
+
+@register(
+    "resample_1m_global",
+    oracle=f"""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, value, event_type FROM events),
+    lab AS (SELECT (t // {_M1} + 1) * {_M1} AS b, t, event_id, value, event_type FROM ev),
+    buckets AS (
+        SELECT b,
+               max_by(value, t * 1000000 + event_id) AS lv,
+               max_by(event_type, t * 1000000 + event_id) AS le
+        FROM lab GROUP BY b
+    ),
+    ext AS (SELECT min(t) AS mn, max(t) AS mx FROM ev),
+    bounds AS (SELECT (mn // {_M1} + 1) * {_M1} AS bmin,
+                      CASE WHEN mx % {_M1} = 0 THEN mx
+                           ELSE (mx // {_M1} + 1) * {_M1} END AS bmax
+               FROM ext),
+    spine AS (SELECT unnest(generate_series(bmin, bmax, {_M1})) AS b FROM bounds),
+    j AS (SELECT s.b AS b, bu.lv, bu.le, bu.b IS NOT NULL AS hit
+          FROM spine s LEFT JOIN buckets bu USING (b)),
+    c AS (SELECT b, lv, le, hit,
+                 (last_value(CASE WHEN hit THEN {{'v': lv}} END IGNORE NULLS)
+                    OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v AS cv
+          FROM j)
+    SELECT b AS __timestamp,
+           CASE WHEN hit THEN lv ELSE cv END AS value,
+           le AS event_type
+    FROM c
+    """,
+)
+def q_resample_1m_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1-T4/A2/W2: interval resample to a 1-minute grid — last event
+    strictly before each boundary wins, empty boundaries gap-filled with
+    `value` carried forward, `event_type` left null (ref classes.py:589-637)."""
+    ev = _events(spark, sf_dir).select(
+        F.col("ts").alias("__timestamp"), "event_id", "value", "event_type"
+    )
+    return resample_last_interval(
+        ev,
+        "1m",
+        value_cols=["value", "event_type"],
+        ffill_keys=["value"],
+        tiebreak_cols=["event_id"],
+    )
+
+
+@register(
+    "resample_keys_1h",
+    oracle=f"""
+    SELECT (epoch_ms(ts) // {_H1} + 1) * {_H1} AS __timestamp,
+           event_type,
+           max_by(value, epoch_ms(ts) * 1000000 + event_id) AS value,
+           max_by(user_id, epoch_ms(ts) * 1000000 + event_id) AS user_id
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_resample_keys_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/T3 keyed variant: last-value-per-interval per event_type, no gap
+    fill — one partial-aggregated shuffle on (key, bucket)."""
+    ev = _events(spark, sf_dir).select(
+        F.col("ts").alias("__timestamp"),
+        "event_id",
+        "event_type",
+        "value",
+        "user_id",
+    )
+    return resample_last_interval(
+        ev,
+        "1h",
+        keys=["event_type"],
+        value_cols=["value", "user_id"],
+        tiebreak_cols=["event_id"],
+        gap_fill=False,
+    )
+
+
+_MASK = "CASE WHEN event_type IN ('view', 'error') THEN NULL ELSE value END"
+
+
+@register(
+    "forward_fill_global",
+    oracle=f"""
+    SELECT event_id,
+           last_value({_MASK} IGNORE NULLS) OVER (
+               ORDER BY epoch_ms(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_filled
+    FROM events
+    """,
+)
+def q_forward_fill_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: global-order LOCF via the two-pass range-bucketed scheme
+    (ref core.py:1034-1072; SURVEY §4.3.1) — values masked to null for
+    view/error events, then carried forward in (ts, event_id) order."""
+    ev = _events(spark, sf_dir).select(
+        F.col("ts").alias("__timestamp"),
+        "event_id",
+        F.when(F.col("event_type").isin("view", "error"), F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value_filled"),
+    )
+    filled = forward_fill(ev, ["__timestamp", "event_id"], ["value_filled"])
+    return filled.select("event_id", "value_filled")
+
+
+@register(
+    "source_window_bounds",
+    oracle="""
+    SELECT event_type,
+           min(epoch_ms(ts)) AS first_ts,
+           max(epoch_ms(ts)) AS last_ts,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q_source_window_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/S4/S5/W3: per-source processing-window bounds (first/last ts) —
+    the distributed analogue of the reference's file head/tail probes
+    (core.py:145-213, 738-872)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_LABEL_IVS = ["100l", "10s", "5m", "2h", "1d"]
+
+
+def _label_sql() -> str:
+    cols = []
+    for iv in _LABEL_IVS:
+        step = interval_to_ms(iv)
+        cols.append(f"(epoch_ms(ts) // {step} + 1) * {step} AS label_{iv}")
+    cols.append(f"(epoch_ms(ts) // {interval_to_ms('5m')}) * {interval_to_ms('5m')} AS floor_5m")
+    return "SELECT event_id, " + ", ".join(cols) + " FROM events"
+
+
+@register("interval_labels", oracle=_label_sql())
+def q_interval_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2: interval parsing + next/floor boundary labels for every unit
+    (l/s/m/h/d) as integer epoch-ms math (ref classes.py:708-801)."""
+    ev = _events(spark, sf_dir)
+    ts = F.col("ts")
+    cols = [F.col("event_id")]
+    for iv in _LABEL_IVS:
+        cols.append(boundary_label_col(ts, interval_to_ms(iv)).alias(f"label_{iv}"))
+    cols.append(floor_boundary_col(ts, interval_to_ms("5m")).alias("floor_5m"))
+    return ev.select(*cols)
+
+
+_GAP = 30 * 60 * 1000
+
+
+@register(
+    "sessionize_30m",
+    oracle=f"""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, user_id FROM events),
+    flagged AS (
+        SELECT user_id, t, event_id,
+               CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > {_GAP}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    sess AS (
+        SELECT user_id, t, event_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, session_idx,
+           min(t) AS session_start, max(t) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def q_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-flavored extension: gap-based sessionization (30-min
+    inactivity splits a session). Window ops partition by user — no global
+    single-task stage; the standard scalable idiom."""
+    ev = _events(spark, sf_dir).select(
+        F.col("ts").alias("t"), "event_id", "user_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    lag_t = F.lag("t").over(w)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(lag_t.isNull() | (F.col("t") - lag_t > _GAP), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.min("t").alias("session_start"),
+        F.max("t").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Relational analytics (engine generality; joins/agg/topk beyond reference)
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "tpch_q1_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS sum_disc_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE) / 1000000 AS sum_charge,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*) AS avg_price,
+           CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary. Money is summed in exact integer cents
+    (order-independent) and converted to double once at the end, so the
+    result is bit-identical to the oracle; a naive double SUM would drift
+    with Spark's reduction order."""
+    l = _t(spark, sf_dir, "lineitem")
+    qc = F.round(F.col("l_quantity")).cast("long")
+    epc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    tc = F.round(F.col("l_tax") * 100).cast("long")
+    cnt = F.count(F.lit(1))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qc).cast("double").alias("sum_qty"),
+            (F.sum(epc).cast("double") / 100).alias("sum_base_price"),
+            (F.sum(epc * (100 - dc)).cast("double") / 10000).alias("sum_disc_price"),
+            (F.sum(epc * (100 - dc) * (100 + tc)).cast("double") / 1000000).alias(
+                "sum_charge"
+            ),
+            (F.sum(qc).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(epc).cast("double") / 100 / cnt).alias("avg_price"),
+            (F.sum(dc).cast("double") / 100 / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window / top-k per group with fully deterministic tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "revenue_per_nation",
+    oracle="""
+    SELECT n.n_name,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg with explicit broadcast of the small dimensions — on a
+    cluster the fact table never shuffles for these joins."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents).cast("double") / 100).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Dedup suite (documents)
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS canonical_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash-groupBy, map-side partial agg, single shuffle."""
+    return D.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+_JT = 0.5
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_REL}),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS intersection
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, intersection,
+           sa.sz + sb.sz - intersection AS union_size,
+           CAST(intersection AS DOUBLE) / (sa.sz + sb.sz - intersection) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(intersection AS DOUBLE) / (sa.sz + sb.sz - intersection) >= {_JT}
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join."""
+    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=_JT)
+
+
+_NH, _NB = 16, 4  # 16 hashes, 4 bands of r=4
+_MT = 0.4
+
+
+def _minhash_sql() -> str:
+    r = _NH // _NB
+    mins = ", ".join(
+        f"min({_sql_hash64(f'concat({i}, chr(31), sh)')}) AS h{i}" for i in range(_NH)
+    )
+    bands = "\n        UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"h{b * r + j}" for j in range(r))
+        + ")) AS bkey FROM sig"
+        for b in range(_NB)
+    )
+    return f"""
+    WITH sh AS ({_SHINGLE_REL}),
+    sig AS (SELECT id, {mins} FROM sh GROUP BY id),
+    bands AS ({bands}),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+        SELECT id_a, id_b, count(*) AS intersection
+        FROM cand
+        JOIN sh sa ON sa.id = cand.id_a
+        JOIN sh sb ON sb.id = cand.id_b AND sb.sh = sa.sh
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b,
+           CAST(intersection AS DOUBLE) / (sa.sz + sb.sz - intersection) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(intersection AS DOUBLE) / (sa.sz + sb.sz - intersection) >= {_MT}
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_sql())
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: signatures in one groupBy, banding equi-join for
+    candidates, exact-Jaccard verification — the web-corpus scale path."""
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_NH,
+        bands=_NB,
+        threshold=_MT,
+    )
+
+
+_SB, _SHAM = 32, 3
+
+
+def _simhash_sql() -> str:
+    hash_list = (
+        "list_transform(list_distinct(tk), t -> "
+        + _sql_hash64("t")
+        + ")"
+    )
+    bit_terms = []
+    for i in range(_SB):
+        mask = 1 << i
+        vote = (
+            f"list_aggregate(list_transform(hs, h -> CASE WHEN h & {mask} != 0 "
+            f"THEN 1 ELSE -1 END), 'sum')"
+        )
+        bit_terms.append(f"CASE WHEN {vote} > 0 THEN CAST({mask} AS BIGINT) ELSE 0 END")
+    sim = " + ".join(bit_terms)
+    nchunks = _SHAM + 1
+    chunk = _SB // nchunks
+    parts = []
+    for c in range(nchunks):
+        width = chunk if c < nchunks - 1 else _SB - chunk * (nchunks - 1)
+        mask = ((1 << width) - 1) << (c * chunk)
+        parts.append(f"SELECT id, sim, {c} AS chunk, sim & {mask} AS ckey FROM sig")
+    blocks = "\n        UNION ALL ".join(parts)
+    return f"""
+    WITH hv AS (SELECT doc_id AS id, {hash_list} AS hs
+                FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)),
+    sig AS (SELECT id, {sim} AS sim FROM hv),
+    blocks AS ({blocks})
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+    FROM blocks a
+    JOIN blocks b ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.id < b.id
+    WHERE bit_count(xor(a.sim, b.sim)) <= {_SHAM}
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_sql())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: bit-vote fingerprints + pigeonhole chunk blocking."""
+    out = D.simhash_pairs(
+        _t(spark, sf_dir, "documents"), bits=_SB, max_hamming=_SHAM
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+# --------------------------------------------------------------------------- #
+# Text analysis (documents)
+# --------------------------------------------------------------------------- #
+
+_SW = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it']"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars_actual,
+                 CAST(len(tk) AS BIGINT) AS n_tokens,
+                 CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+                 CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_punct,
+                 CAST(len(list_filter(tk, t -> list_contains({_SW}, t))) AS BIGINT) AS n_stopwords,
+                 CAST(len(list_filter(tk, t -> regexp_full_match(t, '[a-z]+'))) AS BIGINT) AS n_alpha,
+                 CAST(list_aggregate([length(t) FOR t IN tk] || [0], 'sum') AS BIGINT) AS tok_chars
+          FROM d)
+    SELECT doc_id, n_chars_actual, n_tokens, n_bpe_tokens, n_punct, n_stopwords,
+           CASE WHEN n_tokens > 0 THEN CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS avg_token_len,
+           CASE WHEN n_tokens > 0 THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN n_chars_actual > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars_actual AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+           CASE WHEN 3 * n_tokens > 0 THEN CAST(2 * n_stopwords + n_alpha AS DOUBLE) / CAST(3 * n_tokens AS DOUBLE) ELSE 0.0 END AS quality_score
+    FROM m
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metrics: token/BPE/punct/stopword counts + composite score."""
+    return X.text_stats(_t(spark, sf_dir, "documents"))
+
+
+def _langid_sql() -> str:
+    langs = sorted(X.LANG_STOPWORDS)
+    votes = []
+    for lang in langs:
+        arr = "[" + ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS[lang]) + "]"
+        votes.append(
+            f"CAST(len(list_filter(tk, t -> list_contains({arr}, t))) AS BIGINT) AS votes_{lang}"
+        )
+    mx = "greatest(" + ", ".join(f"votes_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN votes_{lang} = {mx} THEN '{lang}'" for lang in langs
+    ) + " END"
+    vote_cols = ", ".join(f"votes_{lang}" for lang in langs)
+    return f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    v AS (SELECT doc_id, {', '.join(votes)} FROM d)
+    SELECT doc_id, {vote_cols}, {pred} AS lang_pred FROM v
+    """
+
+
+@register("lang_id", oracle=_langid_sql())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (argmax, alphabetical tie-break)."""
+    return X.language_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp_md5,
+           list_aggregate(list_transform({_SHINGLES}, s -> {_sql_hash64('s')}), 'min') AS fp_minshingle
+    FROM (SELECT doc_id, text, {_TOKS} AS tk FROM documents)
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fingerprints: normalized-md5 + min-shingle hash."""
+    return X.doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------- #
+# Similarity search (embeddings)
+# --------------------------------------------------------------------------- #
+
+_QV = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+_DOT = "list_aggregate([qa.v[i] * qb.v[i] FOR i IN range(1, len(qa.v) + 1)], 'sum')"
+_NORM = "list_aggregate([x * x FOR x IN v], 'sum')"
+
+
+@register(
+    "similarity_topk",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+    nv AS (SELECT vec_id, v, {_NORM} AS n FROM vecs),
+    q AS (SELECT vec_id AS query_id, v, n FROM nv WHERE vec_id < 10),
+    pairs AS (
+        SELECT qa.query_id, qb.vec_id AS neighbor_id,
+               CASE WHEN qa.n > 0 AND qb.n > 0
+                    THEN round(CAST({_DOT} AS DOUBLE) / (sqrt(qa.n) * sqrt(qb.n)), 6)
+                    ELSE 0.0 END AS cosine
+        FROM q qa JOIN nv qb ON qa.query_id != qb.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn AS rank
+    FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM pairs
+    ) WHERE rn <= 5
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (broadcast query side): the ANN
+    correctness baseline. Integer-quantized dot/norms → engine-exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.cosine_topk(emb, queries, k=5, id_col="vec_id", vec_col="embedding")
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_NC, _NP = 16, 4
+
+
+@register(
+    "similarity_ivf",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+    nv AS (SELECT vec_id, v, {_NORM} AS n FROM vecs),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv, n AS cn FROM nv
+              ORDER BY vec_id LIMIT {_NC}),
+    c_assign AS (
+        SELECT vec_id AS neighbor_id, v, n, centroid_id
+        FROM (
+            SELECT nv.vec_id, nv.v, nv.n, cents.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY nv.vec_id
+                       ORDER BY CASE WHEN cents.cn > 0 AND nv.n > 0
+                                     THEN CAST(list_aggregate([nv.v[i] * cents.cv[i] FOR i IN range(1, len(nv.v) + 1)], 'sum') AS DOUBLE)
+                                          / (sqrt(nv.n) * sqrt(cents.cn))
+                                     ELSE 0.0 END DESC, cents.centroid_id) AS rk
+            FROM nv CROSS JOIN cents
+        ) WHERE rk <= 1
+    ),
+    q_probe AS (
+        SELECT vec_id AS query_id, v, n, centroid_id
+        FROM (
+            SELECT nv.vec_id, nv.v, nv.n, cents.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY nv.vec_id
+                       ORDER BY CASE WHEN cents.cn > 0 AND nv.n > 0
+                                     THEN CAST(list_aggregate([nv.v[i] * cents.cv[i] FOR i IN range(1, len(nv.v) + 1)], 'sum') AS DOUBLE)
+                                          / (sqrt(nv.n) * sqrt(cents.cn))
+                                     ELSE 0.0 END DESC, cents.centroid_id) AS rk
+            FROM nv CROSS JOIN cents
+            WHERE nv.vec_id < 10
+        ) WHERE rk <= {_NP}
+    ),
+    pairs AS (
+        SELECT DISTINCT qa.query_id, qb.neighbor_id,
+               CASE WHEN qa.n > 0 AND qb.n > 0
+                    THEN round(CAST(list_aggregate([qa.v[i] * qb.v[i] FOR i IN range(1, len(qa.v) + 1)], 'sum') AS DOUBLE)
+                               / (sqrt(qa.n) * sqrt(qb.n)), 6)
+                    ELSE 0.0 END AS cosine
+        FROM q_probe qa JOIN c_assign qb USING (centroid_id)
+        WHERE qa.query_id != qb.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn AS rank
+    FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM pairs
+    ) WHERE rn <= 5
+    """,
+)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-k: probe nprobe nearest inverted
+    lists only — the corpus-side work drops by ~nprobe/n_centroids."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.ivf_cosine_topk(
+        emb, queries, k=5, n_centroids=_NC, nprobe=_NP,
+        id_col="vec_id", vec_col="embedding",
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_NDT = 0.25
+
+
+@register(
+    "embedding_neardup",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, label, {_QV} AS v FROM embeddings),
+    nv AS (SELECT vec_id, label, v, {_NORM} AS n FROM vecs)
+    SELECT qa.vec_id AS id_a, qb.vec_id AS id_b,
+           CAST(qa.label AS BIGINT) AS label,
+           round(CAST(list_aggregate([qa.v[i] * qb.v[i] FOR i IN range(1, len(qa.v) + 1)], 'sum') AS DOUBLE)
+                 / (sqrt(qa.n) * sqrt(qb.n)), 6) AS cosine
+    FROM nv qa JOIN nv qb ON qa.label = qb.label AND qa.vec_id < qb.vec_id
+    WHERE qa.n > 0 AND qb.n > 0
+      AND round(CAST(list_aggregate([qa.v[i] * qb.v[i] FOR i IN range(1, len(qa.v) + 1)], 'sum') AS DOUBLE)
+                / (sqrt(qa.n) * sqrt(qb.n)), 6) >= {_NDT}
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked on `label` (the cluster
+    assignment) so the pair space is per-block, not corpus²."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label"),
+        S.quantized(F.col("embedding")).alias("v"),
+    ).withColumn("n", S._sq_norm(F.col("v")))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dot = S._dot(F.col("a.v"), F.col("b.v"))
+    cos = F.round(
+        dot.cast("double") / (F.sqrt(F.col("a.n")) * F.sqrt(F.col("b.n"))), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter((F.col("a.n") > 0) & (F.col("b.n") > 0))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= _NDT)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.label").alias("label"),
+            "cosine",
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """Driver smoke entry: the fused chronological stream at sf0.001."""
+    return q_fuse_merge(spark, "/root/testdata/sf0.001")
