@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline contract queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is fully executed (noop sink — no driver collect, no disk
+write) so the measured time is plan + shuffle + compute, the same work a
+cluster would do.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+from timeseriesfuser_spark import contract
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: every family (fuse, resample, fill, sessions, relational,
+# dedup, text, similarity), weighted toward the ones with real data volume.
+HEADLINE = [
+    "fuse_merge",
+    "resample_1m_global",
+    "resample_keys_1h",
+    "forward_fill_global",
+    "sessionize_30m",
+    "tpch_q1_pricing",
+    "top_orders_per_priority",
+    "revenue_per_nation",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "similarity_topk",
+    "embedding_neardup",
+]
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("timeseriesfuser_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/reader paths so per-query times measure the query, not
+    # session startup (excluded from per-query numbers either way).
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = contract.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

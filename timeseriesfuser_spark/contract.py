@@ -830,7 +830,9 @@ _NDT = 0.25
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked on `label` (the cluster
     assignment) so the pair space is per-block, not corpus²."""
-    emb = _t(spark, sf_dir, "embeddings").select(
+    from timeseriesfuser_spark.ops.util import spread_small_input
+
+    emb = spread_small_input(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("label").cast("long").alias("label"),
         S.quantized(F.col("embedding")).alias("v"),
     ).withColumn("n", S._sq_norm(F.col("v")))

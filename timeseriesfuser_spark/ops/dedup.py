@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from timeseriesfuser_spark.ops import text as _text
+from timeseriesfuser_spark.ops.util import spread_small_input
 
 
 def md5_hash64(col: Column, seed: Optional[int] = None) -> Column:
@@ -82,6 +83,7 @@ def exact_duplicates(
 
 def shingles_df(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Exploded (id, shingle) inverted-index relation."""
+    df = spread_small_input(df)
     return df.select(
         F.col(id_col).alias("id"),
         F.explode(shingle_array(text_col, n)).alias("sh"),
@@ -163,19 +165,23 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    band_rows = [
-        sig.select(
-            F.col("id"),
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(",", *[F.col(f"h{b * r + j}") for j in range(r)])
-            ).alias("bkey"),
-        )
-        for b in range(bands)
-    ]
-    buckets = band_rows[0]
-    for br in band_rows[1:]:
-        buckets = buckets.unionByName(br)
+    # One row per (id, band) via a single explode — NOT a union of per-band
+    # selects, which would make Catalyst duplicate the whole signature
+    # aggregation `bands` times.
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(",", *[F.col(f"h{b * r + j}") for j in range(r)])
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("id", F.explode(band_arr).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
     a, b_ = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
@@ -207,12 +213,14 @@ def minhash_lsh_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
-def simhash_col(text_col: str, bits: int = 32) -> Column:
-    """SimHash over word tokens: per bit, sign of Σ±1 votes from each
-    distinct token's hash. Returned as a long with ``bits`` significant bits.
+def simhash_from_hashes(hashes: Column, bits: int = 32) -> Column:
+    """SimHash from a precomputed array of token hashes: per bit, sign of
+    Σ±1 votes. Returned as a long with ``bits`` significant bits.
+
+    Takes the hash array as a *column reference* so the md5 per token is
+    computed once, not once per bit (the ``bits`` aggregates below would
+    otherwise each re-evaluate it).
     """
-    toks = F.array_distinct(tokens_array(text_col))
-    hashes = F.transform(toks, lambda t: md5_hash64(t))
 
     def vote(i: int):
         mask = 1 << i
@@ -227,6 +235,20 @@ def simhash_col(text_col: str, bits: int = 32) -> Column:
     for i, v in enumerate(bit_votes):
         out = out + F.when(v > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return out
+
+
+def token_hashes(text_col: str) -> Column:
+    """Array of md5-derived hashes of the distinct word tokens."""
+    return F.transform(
+        F.array_distinct(tokens_array(text_col)), lambda t: md5_hash64(t)
+    )
+
+
+def simhash_col(text_col: str, bits: int = 32) -> Column:
+    """SimHash over word tokens (single-expression form; prefer the
+    two-step token_hashes → simhash_from_hashes inside operators so the
+    hash array is materialized once)."""
+    return simhash_from_hashes(token_hashes(text_col), bits)
 
 
 def simhash_pairs(
@@ -244,22 +266,27 @@ def simhash_pairs(
     """
     nchunks = max_hamming + 1
     chunk = bits // nchunks
-    sig = df.select(F.col(id_col).alias("id"), simhash_col(text_col, bits).alias("sh"))
-    parts = []
+    # Two projection steps (token hashes, then simhash) so each md5 runs
+    # once; one explode for the chunk blocks so the simhash aggregation is
+    # not duplicated per chunk by plan branching.
+    sig = (
+        spread_small_input(df)
+        .select(F.col(id_col).alias("id"), token_hashes(text_col).alias("__th"))
+        .select("id", simhash_from_hashes(F.col("__th"), bits).alias("sh"))
+    )
+    chunk_structs = []
     for c in range(nchunks):
         width = chunk if c < nchunks - 1 else bits - chunk * (nchunks - 1)
         mask = ((1 << width) - 1) << (c * chunk)
-        parts.append(
-            sig.select(
-                "id",
-                "sh",
+        chunk_structs.append(
+            F.struct(
                 F.lit(c).alias("chunk"),
                 F.col("sh").bitwiseAND(F.lit(mask)).alias("ckey"),
             )
         )
-    blocks = parts[0]
-    for p in parts[1:]:
-        blocks = blocks.unionByName(p)
+    blocks = sig.select(
+        "id", "sh", F.explode(F.array(*chunk_structs)).alias("cc")
+    ).select("id", "sh", F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey"))
     a, b = blocks.alias("a"), blocks.alias("b")
     return (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.ckey") == F.col("b.ckey")))

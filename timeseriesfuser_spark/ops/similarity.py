@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from timeseriesfuser_spark.ops.util import spread_small_input
+
 
 def quantized(vec: Column, scale: int = 1000) -> Column:
     """array<float> → array<long> via round(x*scale)."""
@@ -61,7 +63,7 @@ def cosine_topk(
     excluded. Ties broken by neighbor id — fully deterministic.
     The query side is broadcast: no shuffle of the corpus.
     """
-    c = corpus.select(
+    c = spread_small_input(corpus).select(
         F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col), scale).alias("__cv")
     ).withColumn("__cn", _sq_norm(F.col("__cv")))
     q = queries.select(
@@ -131,7 +133,7 @@ def ivf_cosine_topk(
             .drop("__ccos", "__crk", "__ctv", "__ctn")
         )
 
-    c = corpus.select(
+    c = spread_small_input(corpus).select(
         F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col), scale).alias("__cv")
     ).withColumn("__n", _sq_norm(F.col("__cv")))
     c_assigned = nearest(c, "neighbor_id", "__cv", 1).withColumnRenamed("__n", "__cn")

@@ -13,6 +13,8 @@ from typing import Dict, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from timeseriesfuser_spark.ops.util import spread_small_input
+
 # Word tokens: lowercase alnum runs. Kept regex-dialect-neutral (identical
 # semantics in Java regex and DuckDB's RE2).
 WORD_RE = "[a-z0-9]+"
@@ -57,6 +59,7 @@ def text_stats(
     function-word density (what a pretraining quality filter gates on).
     Exactly one integer/integer division per ratio → oracle-exact.
     """
+    df = spread_small_input(df)
     toks = _tokens(text_col)
     sw = F.array([F.lit(s) for s in stopwords])
     n_tokens = F.size(toks).cast("long")
@@ -100,6 +103,7 @@ def language_id(
     """Stopword-vote language ID: count token hits per language's stopword
     set; predict the argmax (ties broken alphabetically by language code —
     deterministic). Emits per-language vote counts + ``lang_pred``."""
+    df = spread_small_input(df)
     toks = _tokens(text_col)
     langs = sorted(stopword_sets)
 
@@ -139,6 +143,7 @@ def doc_fingerprint(
     """
     from timeseriesfuser_spark.ops.dedup import shingle_array, md5_hash64
 
+    df = spread_small_input(df)
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
     sh = shingle_array(text_col, 3)
     return df.select(
