@@ -1,0 +1,107 @@
+"""Structured Streaming surface tests: file stream source -> watermarked
+resample -> memory/foreachBatch sinks, availableNow trigger (bounded)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesfuser_spark.config import SourceConfig
+from timeseriesfuser_spark.operators.resample import resample_last_interval
+from timeseriesfuser_spark.replay import CollectHandler
+from timeseriesfuser_spark.streaming import (
+    fuse_streams,
+    replay_stream_to_handler,
+    resample_stream,
+    stream_source,
+)
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    """Two parquet 'arrival' files of a toy tick stream."""
+    rows1 = [(1000 * i, float(i), "a") for i in range(0, 50)]
+    rows2 = [(1000 * i, float(i), "b") for i in range(50, 100)]
+    d = tmp_path / "ticks"
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(rows, "ts long, price double, tag string").coalesce(
+            1
+        ).write.mode("append").parquet(str(d))
+    return str(d)
+
+
+def _src(stream_dir):
+    return SourceConfig(
+        name="ticks",
+        path=stream_dir,
+        fmt="parquet",
+        schema={"ts": int, "price": float, "tag": str},
+        ts_col="ts",
+    )
+
+
+def test_stream_resample_matches_batch(spark, stream_dir, tmp_path):
+    src = _src(stream_dir)
+    stream = stream_source(spark, src, 0)
+    assert stream.isStreaming
+    agg = resample_stream(stream, "10s", value_cols=["price", "tag"])
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("resampled")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["__timestamp"]: r["price"]
+        for r in spark.sql("select * from resampled").collect()
+    }
+
+    # Batch twin: same buckets, gap_fill irrelevant (no gaps in this data).
+    batch = spark.read.parquet(stream_dir).select(
+        F.col("ts").alias("__timestamp"), "price", "tag"
+    )
+    want_df = resample_last_interval(
+        batch, "10s", value_cols=["price", "tag"], tiebreak_cols=[], gap_fill=False
+    )
+    want = {r["__timestamp"]: r["price"] for r in want_df.collect()}
+    # Append mode withholds the final open window until the watermark passes
+    # its end — the streaming analogue of the reference's process_batch_end
+    # finalize flush (classes.py:627-637): the partial interval is emitted
+    # only at end-of-data in batch, never mid-stream.
+    last = max(want)
+    assert got == {k: v for k, v in want.items() if k != last}
+    assert len(got) == 9
+
+
+def test_fuse_streams_union(spark, stream_dir, tmp_path):
+    src = _src(stream_dir)
+    s1 = stream_source(spark, src, 0)
+    s2 = stream_source(spark, src, 1).withColumnRenamed("price", "other")
+    fused = fuse_streams([s1, s2])
+    assert set(["price", "other", "__timestamp"]).issubset(fused.columns)
+    q = (
+        fused.writeStream.format("memory")
+        .queryName("fused")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("select count(*) c from fused").collect()[0]["c"]
+    assert n == 200  # 100 rows from each side
+
+
+def test_replay_stream_to_handler(spark, stream_dir, tmp_path):
+    src = _src(stream_dir)
+    stream = stream_source(spark, src, 0)
+    h = CollectHandler()
+    q = replay_stream_to_handler(
+        stream, h, checkpoint_dir=str(tmp_path / "ckpt3")
+    )
+    q.awaitTermination(120)
+    assert len(h.rows) == 100
+    ts = [r["__timestamp"] for r in h.rows]
+    # ordered within each micro-batch (single batch under availableNow here
+    # covers the whole directory)
+    assert ts == sorted(ts)

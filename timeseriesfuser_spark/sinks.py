@@ -1,0 +1,96 @@
+"""Batched file sinks + results surface.
+
+≈ reference BatchHandler file output (classes.py:454-534): rolling
+``output-N`` files every ``save_every_n_batch`` rows, optional accumulated
+FULLDATA file at finalize, csv / csv.gz / parquet formats, and a results
+dict (classes.py:434-441, core.py:874-914).
+
+Spark-first: the rolling-file behavior is ``maxRecordsPerFile`` on a single
+distributed write — no driver-side buffering, any number of executors write
+in parallel. The reference's per-row append loop exists because it streams
+on one node; here the "batching" is a property of the committed files.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class SinkResult:
+    """≈ BatchHandler.get_results() (classes.py:434-441)."""
+
+    output_path: Optional[str] = None
+    fulldata_path: Optional[str] = None
+    rows: Optional[int] = None
+    files: list = field(default_factory=list)
+
+    def as_dict(self) -> dict:
+        return {
+            "output_path": self.output_path,
+            "fulldata_path": self.fulldata_path,
+            "rows": self.rows,
+            "files": list(self.files),
+        }
+
+
+def _writer(df: DataFrame, fmt: str, compress: bool):
+    w = df.write.mode("overwrite")
+    if fmt == "csv":
+        w = w.option("header", "true")
+        if compress:
+            w = w.option("compression", "gzip")
+    elif fmt == "parquet":
+        # snappy default matches the reference's parquet output
+        # (classes.py:529-534).
+        pass
+    else:
+        raise ValueError(f"Unsupported sink format: {fmt!r}")
+    return w
+
+
+def write_batched(
+    df: DataFrame,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    rows_per_file: Optional[int] = None,
+    compress: bool = False,
+    fulldata: bool = False,
+    fulldata_name: str = "FULLDATA",
+    count_rows: bool = False,
+) -> SinkResult:
+    """Write ``df`` as rolling batch files (+ optional single FULLDATA file).
+
+    ``rows_per_file`` ≈ save_every_n_batch (classes.py:480-490): each
+    committed file holds at most that many rows. ``fulldata=True`` also
+    writes one consolidated file set under ``<path>/<fulldata_name>``
+    (classes.py:516-527 accumulates and writes FULLDATA at finalize).
+    """
+    out_dir = os.path.join(path, "batches")
+    w = _writer(df, fmt, compress)
+    if rows_per_file:
+        w = w.option("maxRecordsPerFile", rows_per_file)
+    getattr(w, fmt)(out_dir)
+
+    result = SinkResult(output_path=out_dir)
+    if fulldata:
+        fd_dir = os.path.join(path, fulldata_name)
+        # coalesce(1) mirrors the reference's single accumulated file; for
+        # huge outputs prefer fulldata=False and treat the batch dir as the
+        # dataset (single-file consolidation is inherently one task).
+        getattr(_writer(df.coalesce(1), fmt, compress), fmt)(fd_dir)
+        result.fulldata_path = fd_dir
+    if count_rows:
+        result.rows = df.count()
+    ext = {"parquet": ".parquet", "csv": ".csv"}[fmt]
+    result.files = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith((ext, ext + ".gz"))
+    )
+    return result

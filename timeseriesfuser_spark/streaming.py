@@ -1,0 +1,176 @@
+"""Structured Streaming surface: live (non-replay) versions of the engine's
+operators.
+
+The reference is a *batch replay* engine that simulates a live stream
+(SURVEY.md §2.8); this module is the genuinely-streaming counterpart built
+on Structured Streaming:
+
+- :func:`stream_source` — ``readStream`` over a growing directory of
+  files, normalized to the same epoch-ms ``__timestamp`` axis as the batch
+  readers (so batch and streaming share operator code);
+- :func:`fuse_streams` — the chronological merge: diagonal union of N
+  streams; within each micro-batch, event-time ordering is applied by the
+  sink (a total pre-sort is meaningless on an unbounded stream);
+- :func:`resample_stream` — T3's streaming twin: watermarked tumbling
+  buckets with last-event-per-bucket (``max_by`` on the (ts, seq) order
+  key), late rows beyond the watermark dropped — the reference drops
+  late/out-of-order rows too (core.py:446-459, docs "Preparing data");
+- :func:`replay_stream_to_handler` — foreachBatch bridge delivering each
+  micro-batch, sorted by event time, to a row-level Handler (T6's
+  streaming twin).
+
+Gap *filling* (the blank-boundary emission of batch resample) is
+intentionally absent here: emitting rows for intervals with no events
+requires a timer/clock source, which Structured Streaming only offers via
+``applyInPandasWithState`` timeouts — and timeouts fire on *processing*
+time, making output nondeterministic. The deterministic route is: stream
+the bucketed lasts, run the batch gap-fill on the stored result.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from timeseriesfuser_spark.config import SourceConfig, normalize_schema
+from timeseriesfuser_spark.intervals import interval_to_ms
+from timeseriesfuser_spark.sources.readers import SRC_ID_COL, TS_COL
+
+
+def stream_source(
+    spark: SparkSession,
+    src: SourceConfig,
+    src_id: int = 0,
+    *,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """``readStream`` twin of sources.readers.build_source_df.
+
+    Streaming file sources require a declared schema (no inference) — the
+    reference documents the same stance for its readers (docs "Datatypes").
+    """
+    declared = normalize_schema(src.schema, src.columns)
+    if declared is None:
+        raise ValueError(
+            f"Source {src.name!r}: streaming requires a declared schema"
+        )
+    reader = spark.readStream.schema(declared)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if src.fmt == "parquet":
+        df = reader.parquet(src.path)
+    else:
+        reader = reader.option("header", "true")
+        for k, v in src.csv_options.items():
+            reader = reader.option(k, v)
+        df = reader.csv(src.path)
+
+    drop = [c for c in src.remove_cols if c in df.columns]
+    if drop:
+        df = df.drop(*drop)
+    ts = F.col(src.ts_col)
+    if src.ts_converter is not None:
+        df = df.withColumn(f"__{src.ts_col}", ts)
+        ts_ms = src.ts_converter(ts).cast(T.LongType())
+    elif dict(df.dtypes)[src.ts_col].startswith("timestamp"):
+        ts_ms = F.unix_millis(ts)
+    else:
+        ts_ms = ts.cast(T.LongType())
+    df = df.withColumn(TS_COL, ts_ms)
+    if src.ts_col != TS_COL:
+        df = df.drop(src.ts_col)
+    return df.withColumn(SRC_ID_COL, F.lit(src_id).cast("int"))
+
+
+def fuse_streams(streams: Sequence[DataFrame]) -> DataFrame:
+    """Diagonal union of normalized streams (J1's streaming twin). Column
+    collision renaming must be applied before calling (config layer)."""
+    out = streams[0]
+    for s in streams[1:]:
+        out = out.unionByName(s, allowMissingColumns=True)
+    return out
+
+
+def resample_stream(
+    df: DataFrame,
+    interval: str,
+    *,
+    keys: Sequence[str] = (),
+    value_cols: Optional[Sequence[str]] = None,
+    watermark: str = "0 seconds",
+    ts_col: str = TS_COL,
+    tiebreak_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Watermarked tumbling-bucket last-value aggregation (T3, streaming).
+
+    Output schema matches batch ``resample_last_interval(..., gap_fill=
+    False)``: boundary label in ``ts_col`` (epoch ms; the grid point the
+    bucket is emitted at — next boundary strictly after each event), keys,
+    last-event values. Event-time watermark bounds state; rows later than
+    the watermark are dropped (the reference's late-data semantics).
+    """
+    step = interval_to_ms(interval)
+    keys = list(keys)
+    if value_cols is None:
+        value_cols = [
+            c for c in df.columns if c not in {ts_col, SRC_ID_COL, *keys}
+        ]
+    if tiebreak_cols is None:
+        tiebreak_cols = [c for c in (SRC_ID_COL,) if c in df.columns]
+    event_time = F.timestamp_millis(F.col(ts_col))
+    wdf = df.withColumn("__evt", event_time).withWatermark("__evt", watermark)
+    order_key = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak_cols])
+    win = F.window("__evt", f"{step} milliseconds")
+    agg = (
+        wdf.groupBy(*keys, win)
+        .agg(
+            *[
+                F.max_by(F.struct(*[F.col(c) for c in value_cols]), order_key).alias(
+                    "__row"
+                )
+            ]
+        )
+        .select(
+            # window end == next boundary strictly after every event in the
+            # bucket == the batch resampler's emission label.
+            F.unix_millis(F.col("window.end")).alias(ts_col),
+            *keys,
+            *[F.col("__row")[c].alias(c) for c in value_cols],
+        )
+    )
+    return agg
+
+
+def replay_stream_to_handler(
+    df: DataFrame,
+    handler,
+    *,
+    ts_col: str = TS_COL,
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """foreachBatch bridge: deliver each micro-batch to a row-level
+    Handler, sorted by event time within the batch (T6 streaming twin).
+
+    Cross-batch ordering is governed by the source's file ordering +
+    watermarking, as in any streaming system. Returns the StreamingQuery;
+    callers ``awaitTermination()``.
+    """
+    from timeseriesfuser_spark.replay import BaseHandler  # noqa: F401
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.orderBy(ts_col).collect()
+        for row in rows:
+            msg = row.asDict()
+            ts = msg.pop(ts_col)
+            handler.process(ts, msg)
+
+    writer = df.writeStream.foreachBatch(_sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
