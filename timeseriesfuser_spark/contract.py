@@ -861,6 +861,103 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# Multimodal + streaming surfaces
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'image' AS media_type,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha256
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checkable slice: binary media column →
+    Arrow-batched mapInPandas → per-item byte length + sha256. The binary
+    payload never leaves the executors."""
+    from timeseriesfuser_spark.ops.multimodal import extract_features, text_to_media
+    from timeseriesfuser_spark.ops.util import spread_small_input
+
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
+    media = text_to_media(docs, "doc_id", "text")
+    return extract_features(media).select(
+        "media_id", "media_type", "n_bytes", "content_sha256"
+    )
+
+
+@register("multimodal_features")  # deliberately no oracle: numpy feature
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal pipeline incl. the deterministic fake decode +
+    16-dim feature vector (not SQL-expressible → driver rows-only check;
+    determinism is asserted in tests/test_sinks_replay.py)."""
+    from timeseriesfuser_spark.ops.multimodal import extract_features, text_to_media
+    from timeseriesfuser_spark.ops.util import spread_small_input
+
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
+    return extract_features(text_to_media(docs, "doc_id", "text"))
+
+
+@register(
+    "streaming_resample_1h",
+    oracle=f"""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, event_type, value FROM events)
+    SELECT (t // {_H1} + 1) * {_H1} AS __timestamp,
+           event_type,
+           max_by(value, t * 1000000 + event_id) AS value
+    FROM ev
+    GROUP BY 1, 2
+    HAVING __timestamp <= (SELECT max(t) FROM ev)
+    """,
+)
+def q_streaming_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming T3: availableNow file stream → watermarked
+    tumbling last-value buckets → memory sink. Append mode emits exactly
+    the windows whose end <= final watermark (= max event time with 0s
+    delay) — the oracle's HAVING clause states that contract."""
+    import tempfile
+    import uuid
+
+    from timeseriesfuser_spark.streaming import resample_stream
+
+    # Normalize exactly like the batch path (nanos → ms integer division).
+    schema = _t(spark, sf_dir, "events").schema
+    # File streams need a directory; glob-filter to the events table only.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        ts_ms = F.expr("ts DIV 1000000")
+    else:
+        ts_ms = F.unix_millis("ts")
+    ev = stream.select(
+        ts_ms.cast("long").alias("__timestamp"), "event_id", "event_type", "value"
+    )
+    agg = resample_stream(
+        ev, "1h", keys=["event_type"], value_cols=["value"],
+        tiebreak_cols=["event_id"],
+    )
+    name = f"sr_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="tsf_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------- #
 
 
 def flagship(spark: SparkSession) -> DataFrame:
