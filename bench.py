@@ -73,6 +73,9 @@ def main() -> None:
         fn = contract.QUERIES[name]
         best = float("inf")
         for _ in range(runs):
+            # Clear persisted intermediates so no run sees another run's
+            # cache (ops may persist multiply-consumed relations).
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -534,9 +534,14 @@ _MT = 0.4
 
 
 def _minhash_sql() -> str:
+    from timeseriesfuser_spark.ops.dedup import MINHASH_MASK
+
     r = _NH // _NB
+    # Kirsch-Mitzenmacher double hashing, the Spark side's twin: one md5
+    # per shingle, h_i = (h1 + i*h2) & (2^52-1) — overflow-free in both
+    # engines.
     mins = ", ".join(
-        f"min({_sql_hash64(f'concat({i}, chr(31), sh)')}) AS h{i}" for i in range(_NH)
+        f"min((h1 + {i} * h2) & {MINHASH_MASK}) AS h{i}" for i in range(_NH)
     )
     bands = "\n        UNION ALL ".join(
         f"SELECT id, {b} AS band, md5(concat_ws(',', "
@@ -546,7 +551,11 @@ def _minhash_sql() -> str:
     )
     return f"""
     WITH sh AS ({_SHINGLE_REL}),
-    sig AS (SELECT id, {mins} FROM sh GROUP BY id),
+    hh AS (SELECT id,
+                  CAST(concat('0x', substr(md5(sh), 1, 13)) AS BIGINT) AS h1,
+                  CAST(concat('0x', substr(md5(sh), 14, 13)) AS BIGINT) AS h2
+           FROM sh),
+    sig AS (SELECT id, {mins} FROM hh GROUP BY id),
     bands AS ({bands}),
     cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b

@@ -90,12 +90,29 @@ def shingles_df(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
     )
 
 
+def _maybe_cache(df: DataFrame, cache: bool) -> DataFrame:
+    """Persist a multiply-consumed intermediate (MEMORY_AND_DISK, spills).
+
+    Same stance as Spark MLlib's LSH: the shingle/signature relations feed
+    several joins of one output plan, and Catalyst re-executes plan
+    branches rather than sharing them. Spark evicts LRU under pressure;
+    pass ``cache=False`` to trade recomputation for zero cache footprint
+    (e.g. when the exploded relation is too big even for disk).
+    """
+    if cache:
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    cache: bool = True,
 ) -> DataFrame:
     """Exact near-duplicate pairs: word-``n``-gram Jaccard ≥ ``threshold``.
 
@@ -103,7 +120,7 @@ def ngram_jaccard_pairs(
     |A∪B| = |A|+|B|−|A∩B|. Output (id_a, id_b, intersection, union_size,
     jaccard), id_a < id_b. jaccard is one int/int division → oracle-exact.
     """
-    sh = shingles_df(df, id_col, text_col, n)
+    sh = _maybe_cache(shingles_df(df, id_col, text_col, n), cache)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -124,6 +141,22 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "intersection", "union_size", "jaccard")
 
 
+MINHASH_MASK = (1 << 52) - 1
+
+
+def _double_hash_cols(sh: Column) -> tuple:
+    """One md5 per shingle → two 52-bit halves (h1, h2) for
+    Kirsch-Mitzenmacher double hashing: h_i = (h1 + i*h2) & (2^52-1).
+
+    i*h2 ≤ 63·2^52 < 2^58 — never overflows int64, so the arithmetic is
+    identical in any engine (DuckDB raises on BIGINT overflow; Spark wraps;
+    staying under 2^63 sidesteps both)."""
+    hx = F.md5(sh)
+    h1 = F.conv(F.substring(hx, 1, 13), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hx, 14, 13), 16, 10).cast("long")
+    return h1, h2
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -131,13 +164,23 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 32,
 ) -> DataFrame:
-    """MinHash signatures: h_i(doc) = min over shingles of md5_hash64(i⊕s).
+    """MinHash signatures: h_i(doc) = min over shingles of the i-th
+    double-hash (one md5 per shingle, not one per hash function).
 
     One explode + one groupBy (partial agg map-side) — scales linearly."""
-    sh = shingles_df(df, id_col, text_col, n)
-    return sh.groupBy("id").agg(
+    return _minhash_signatures_from(shingles_df(df, id_col, text_col, n), num_hashes)
+
+
+def _minhash_signatures_from(sh: DataFrame, num_hashes: int) -> DataFrame:
+    h1, h2 = _double_hash_cols(F.col("sh"))
+    hashed = sh.select("id", h1.alias("__h1"), h2.alias("__h2"))
+    return hashed.groupBy("id").agg(
         *[
-            F.min(md5_hash64(F.col("sh"), seed=i)).alias(f"h{i}")
+            F.min(
+                (F.col("__h1") + F.lit(i) * F.col("__h2")).bitwiseAND(
+                    F.lit(MINHASH_MASK)
+                )
+            ).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -152,6 +195,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     verify: bool = True,
+    cache: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding; candidates sharing ≥1 band bucket
     are (optionally) verified with exact Jaccard ≥ ``threshold``.
@@ -164,7 +208,8 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sh = _maybe_cache(shingles_df(df, id_col, text_col, n), cache)
+    sig = _minhash_signatures_from(sh, num_hashes)
     # One row per (id, band) via a single explode — NOT a union of per-band
     # selects, which would make Catalyst duplicate the whole signature
     # aggregation `bands` times.
@@ -179,8 +224,11 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sig.select("id", F.explode(band_arr).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    buckets = _maybe_cache(
+        sig.select("id", F.explode(band_arr).alias("bb")).select(
+            "id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+        ),
+        cache,
     )
     a, b_ = buckets.alias("a"), buckets.alias("b")
     cand = (
@@ -191,7 +239,6 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    sh = shingles_df(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     ea = sh.withColumnsRenamed({"id": "id_a", "sh": "shk"})
     eb = sh.withColumnsRenamed({"id": "id_b", "sh": "shk"})
@@ -257,6 +304,7 @@ def simhash_pairs(
     text_col: str = "text",
     bits: int = 32,
     max_hamming: int = 3,
+    cache: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -266,13 +314,32 @@ def simhash_pairs(
     """
     nchunks = max_hamming + 1
     chunk = bits // nchunks
-    # Two projection steps (token hashes, then simhash) so each md5 runs
-    # once; one explode for the chunk blocks so the simhash aggregation is
-    # not duplicated per chunk by plan branching.
-    sig = (
-        spread_small_input(df)
-        .select(F.col(id_col).alias("id"), token_hashes(text_col).alias("__th"))
-        .select("id", simhash_from_hashes(F.col("__th"), bits).alias("sh"))
+    # Vote computation as explode → codegen'd hash-aggregate (one pass,
+    # map-side partial, vectorized) rather than `bits` interpreted
+    # higher-order-function passes over a per-row array.
+    toks = spread_small_input(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens_array(text_col))).alias("__t"),
+    )
+    hv = toks.select("id", md5_hash64(F.col("__t")).alias("__h"))
+    votes = hv.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("__h").bitwiseAND(F.lit(1 << i)) != 0, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    # Token-less docs drop out of the explode; re-attach with simhash 0
+    # (the value the all-zero vote vector produces).
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    sig = ids.join(votes.select("id", sim.alias("sh")), "id", "left").select(
+        "id", F.coalesce(F.col("sh"), F.lit(0).cast("long")).alias("sh")
     )
     chunk_structs = []
     for c in range(nchunks):
@@ -284,9 +351,14 @@ def simhash_pairs(
                 F.col("sh").bitwiseAND(F.lit(mask)).alias("ckey"),
             )
         )
-    blocks = sig.select(
-        "id", "sh", F.explode(F.array(*chunk_structs)).alias("cc")
-    ).select("id", "sh", F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey"))
+    blocks = _maybe_cache(
+        sig.select(
+            "id", "sh", F.explode(F.array(*chunk_structs)).alias("cc")
+        ).select(
+            "id", "sh", F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey")
+        ),
+        cache,
+    )
     a, b = blocks.alias("a"), blocks.alias("b")
     return (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.ckey") == F.col("b.ckey")))
