@@ -127,6 +127,13 @@ class TimeSeriesFuser:
         user_end = None if cfg.procend is None else coerce_to_epoch_ms(cfg.procend)
         if not cfg.derive_window:
             return list(self.sources), user_start, user_end
+        if all(s.df is not None for s in self.sources):
+            # DataFrame-backed sources have no file order, so their probe is
+            # min/max — which can never exclude a row. The derived global
+            # window therefore contains every row by construction and
+            # clamping to the user bounds alone is result-identical. Skip
+            # the probe jobs (two full-scan aggregations per source).
+            return list(self.sources), user_start, user_end
 
         kept, starts, ends = [], [], []
         for src in self.sources:
