@@ -100,6 +100,50 @@ def test_golden_multi_overlap_drop_merge_1m(spark):
     assert_frames_equal(out, want)
 
 
+def test_golden_parquet_iso_conversion_100ms(spark):
+    """Parquet sources whose timestamp is an ISO-8601 *string*, converted via
+    a user ts_converter (F1) — reference
+    test_core_multi_overlapping_parquet_time_conversion.py:19-89, which
+    asserts the same verification frame on its columns."""
+    from timeseriesfuser_spark.sources.readers import iso_string_to_epoch_ms
+
+    mk = lambda name, kind, schema: SourceConfig(
+        name=name,
+        path=f"{REF}/full_tests/sourcedata/{kind}/binance/MEME-USDT-PQ",
+        fmt="parquet",
+        schema=schema,
+        ts_col="str_iso_timestamp",
+        ts_converter=iso_string_to_epoch_ms,
+        file_sort_idx=0,
+    )
+    trades = mk(
+        "trades_meme", "trades",
+        {"Price": float, "Quantity": float, "TradeID": int, "RecTimestamp": int,
+         "Syn_id": int, "Batch_uid": int, "CRC": int},
+    )
+    spread = mk(
+        "bidask_meme", "spread",
+        {"bid": float, "ask": float, "bid_size": float, "ask_size": float,
+         "Syn_id": int, "Batch_uid": int},
+    )
+    fuser = TimeSeriesFuser(
+        [trades, spread],
+        procstart=ts_ms(2023, 11, 4, 13, 48),
+        procend=ts_ms(2023, 11, 6),
+        forward_fill=True,
+    )
+    out = resample_last_interval(fuser.fused(spark), "100l", ffill_keys=["Price"])
+    want = spark.read.parquet(f"{REF}/verification/multi_overlap_millis.parquet")
+    # The reference test selects the golden's columns (the preserved
+    # __str_iso_timestamp copies and per-source renames are extra).
+    out = out.select(
+        *[c for c in want.columns if c in out.columns],
+        *[F.col(c).alias(c.split("||")[0]) for c in out.columns
+          if "||" in c and c.split("||")[0] in want.columns],
+    )
+    assert_frames_equal(out, want)
+
+
 def test_golden_single_source_10s(spark):
     eth = SourceConfig(
         name="trades_eth",

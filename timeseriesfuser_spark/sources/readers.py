@@ -38,23 +38,62 @@ SEQ_COL = "__seq"
 INTERNAL_COLS = (TS_COL, SRC_ID_COL, SEQ_COL)
 
 
+def _cast_to_declared(df: DataFrame, declared: T.StructType) -> DataFrame:
+    """Cast-through semantics ≈ ParquetSrc force_schema
+    (datasources.py:369-396)."""
+    by_name = {f.name: f.dataType for f in declared.fields}
+    return df.select(
+        *[
+            F.col(c).cast(by_name[c]).alias(c) if c in by_name else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def _read_parquet_schema_groups(
+    spark: SparkSession, src: SourceConfig, declared: T.StructType
+) -> DataFrame:
+    """Parquet read that survives *mixed physical schemas* within one
+    directory (e.g. a column stored as DOUBLE in one file and INT64 in the
+    next — present in the reference's own fixtures): group files by footer
+    schema (driver-side pyarrow metadata reads, no data IO), one vectorized
+    Spark scan per group, cast each group to the declared schema, union.
+
+    A homogeneous directory (the normal case at scale) yields exactly one
+    group — identical plan to a plain directory scan."""
+    files = list_source_files(src) if os.path.isdir(src.path) else [src.path]
+    try:
+        import pyarrow.parquet as pq
+
+        groups: dict = {}
+        for f in files:
+            key = tuple(str(t) for t in pq.read_schema(f).types)
+            groups.setdefault(key, []).append(f)
+    except Exception:  # non-local paths etc. — fall back to one scan
+        groups = {"all": files}
+    frames = [
+        _cast_to_declared(spark.read.parquet(*fs), declared)
+        for fs in groups.values()
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr, allowMissingColumns=True)
+    return out
+
+
 def _read_raw(spark: SparkSession, src: SourceConfig) -> DataFrame:
     if src.df is not None:
         return src.df
     if src.fmt == "parquet":
-        df = spark.read.parquet(src.path)
-        declared = normalize_schema(src.schema, src.columns or df.columns)
-        if declared is not None:
-            # Cast-through semantics ≈ ParquetSrc force_schema
-            # (datasources.py:369-396).
-            by_name = {f.name: f.dataType for f in declared.fields}
-            df = df.select(
-                *[
-                    F.col(c).cast(by_name[c]).alias(c) if c in by_name else F.col(c)
-                    for c in df.columns
-                ]
+        declared = normalize_schema(src.schema, src.columns)
+        if declared is None and src.schema is not None:
+            # positional list: resolve names against one footer
+            declared = normalize_schema(
+                src.schema, spark.read.parquet(src.path).columns
             )
-        return df
+        if declared is not None:
+            return _read_parquet_schema_groups(spark, src, declared)
+        return spark.read.parquet(src.path)
     # CSV: resolve positional schemas against the header, then re-read with
     # the declared StructType so malformed values fail loudly (the reference
     # stresses declaring dtypes — docs/README.md "Datatypes").
