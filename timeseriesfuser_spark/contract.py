@@ -870,6 +870,49 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_user",
+    oracle="""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, user_id, event_type, value FROM events),
+    l AS (SELECT t AS __timestamp, event_id, user_id, value FROM ev
+          WHERE event_type IN ('click', 'view')),
+    r AS (SELECT user_id, t AS __timestamp, value AS txn_value
+          FROM (SELECT user_id, t, value,
+                       row_number() OVER (PARTITION BY user_id, t
+                                          ORDER BY event_id DESC) AS rn
+                FROM ev WHERE event_type NOT IN ('click', 'view'))
+          WHERE rn = 1)
+    SELECT l.__timestamp, l.event_id, l.user_id, l.value,
+           r.__timestamp AS __timestamp_right, r.txn_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.__timestamp >= r.__timestamp
+    """,
+)
+def q_asof_join_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (extension; SURVEY §2.3 notes it as the join formulation
+    of the reference's union+ffill): each click/view event joined to the
+    user's latest at-or-before transaction. Single shuffle on the key +
+    window — not a quadratic range join. Oracle = DuckDB's native ASOF."""
+    from timeseriesfuser_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type").isin(*_CLICK_TYPES)).select(
+        F.col("ts").alias("__timestamp"), "event_id", "user_id", "value"
+    )
+    rw = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    right = (
+        ev.filter(~F.col("event_type").isin(*_CLICK_TYPES))
+        .withColumn("__rn", F.row_number().over(rw))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("ts").alias("__timestamp"),
+            "user_id",
+            F.col("value").alias("txn_value"),
+        )
+    )
+    return asof_join(left, right, keys=["user_id"], right_cols=["txn_value"])
+
+
+@register(
     "json_props_agg",
     oracle="""
     SELECT event_type,

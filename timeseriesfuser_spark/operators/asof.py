@@ -1,0 +1,112 @@
+"""As-of join: for each left row, the most recent right row at or before
+its timestamp (optionally within a tolerance, optionally per key).
+
+The reference computes its merged wide stream as union + forward-fill
+(SURVEY.md §2.3: "what a financial user would often build with an as-of
+join"); this operator is the direct join formulation, offered as an
+extension because pipelines frequently want it stand-alone (trade →
+prevailing quote, event → latest model snapshot, etc.).
+
+Physical strategy — the union trick, not a range join:
+
+    tag left rows (side=1) and right rows (side=0) → one diagonal union →
+    per-key window ordered by (ts, side, seq): last non-null right-payload
+    carried forward → keep left rows.
+
+This is a single shuffle on (keys) + a window — the same cost class as the
+engine's forward fill, and it reuses the scalable two-pass LOCF when no
+partition keys are given (a keyless global as-of join). A naive
+`left.join(right, right.ts <= left.ts).groupBy(max)` is a range join that
+explodes quadratically; Spark has no native as-of join operator.
+
+Determinism: ties (right.ts == left.ts) resolve to the right row — "at or
+before" — via the side ordering; equal right timestamps resolve by the
+right row's arrival sequence (last wins), matching the engine's
+last-observation convention.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timeseriesfuser_spark.operators.fill import forward_fill
+
+_SIDE = "__asof_side"
+_SEQ = "__asof_seq"
+_PAYLOAD = "__asof_payload"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    ts_col: str = "__timestamp",
+    keys: Sequence[str] = (),
+    right_cols: Optional[Sequence[str]] = None,
+    tolerance_ms: Optional[int] = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join on ``ts_col`` (and equality on ``keys``).
+
+    Every left row gains the latest right row with ``right.ts <= left.ts``
+    (same key); ``tolerance_ms`` drops matches older than
+    ``left.ts - tolerance_ms``. Right columns that collide with left ones
+    are suffixed. The right row's timestamp is exposed as
+    ``{ts_col}{suffix}``.
+    """
+    keys = list(keys)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c != ts_col and c not in keys]
+    right_cols = list(right_cols)
+
+    # Payload struct: the right row's values + its ts (for tolerance +
+    # exposure). Null payload on left-side rows; window carries it forward.
+    r = right.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(0).alias(_SIDE),
+        F.monotonically_increasing_id().alias(_SEQ),
+        F.struct(
+            F.col(ts_col).alias("__rts"), *[F.col(c) for c in right_cols]
+        ).alias(_PAYLOAD),
+    )
+    l = left.select(
+        "*",
+        F.lit(1).alias(_SIDE),
+        F.monotonically_increasing_id().alias(_SEQ),
+        F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    order = [ts_col, _SIDE, _SEQ]
+    if keys:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*[F.col(c) for c in order])
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = unioned.withColumn(
+            _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
+        )
+    else:
+        # Keyless global as-of join → scalable two-pass LOCF, no
+        # single-task window.
+        filled = forward_fill(unioned, order, [_PAYLOAD])
+
+    out = filled.filter(F.col(_SIDE) == 1)
+    payload = F.col(_PAYLOAD)
+    if tolerance_ms is not None:
+        payload = F.when(
+            payload["__rts"] >= F.col(ts_col) - F.lit(tolerance_ms), payload
+        )
+    left_names = set(left.columns)
+    proj = [F.col(c) for c in left.columns]
+    proj.append(payload["__rts"].alias(f"{ts_col}{suffix}"))
+    for c in right_cols:
+        name = f"{c}{suffix}" if c in left_names else c
+        proj.append(payload[c].alias(name))
+    return out.select(*proj)
