@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Scale validation: run the core operators on synthesized data 10-100x the
+sf0.1 bench size and measure throughput scaling.
+
+Generates deterministic data with spark.range (no files, no driver
+materialization) so the measured time is pure operator cost. Results are
+recorded in SCALE.md. Usage:
+
+    python scale_check.py [rows_millions ...]   # default: 1 10 30
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from timeseriesfuser_spark.operators.fill import forward_fill
+from timeseriesfuser_spark.operators.resample import resample_last_interval
+from timeseriesfuser_spark.operators.asof import asof_join
+
+CPUS = 32
+DAY_MS = 86_400_000
+
+
+def synth_events(spark, n: int):
+    """Deterministic events-like stream: n rows over ~n/3472 days (same
+    density as the sf tables: ~100k rows / 30 days ≈ 3472 rows/day)."""
+    span_ms = max(1, n * 26_000)  # ~26s between events, like sf0.1
+    return (
+        spark.range(0, n, 1, CPUS)
+        .select(
+            F.col("id").alias("event_id"),
+            # pseudo-random but deterministic arrival times, globally unsorted
+            (
+                F.lit(1_700_000_000_000)
+                + (F.col("id") * 2654435761 % F.lit(span_ms))
+            ).alias("__timestamp"),
+            (F.col("id") % 10_000).alias("user_id"),
+            (F.pmod(F.hash(F.col("id")), 1000) / 10.0).alias("value"),
+            F.when(F.col("id") % 3 == 0, F.lit(None))
+            .otherwise(F.pmod(F.hash(F.col("id") + 1), 1000) / 10.0)
+            .alias("sparse_value"),
+        )
+    )
+
+
+def run(spark, n: int) -> dict:
+    ev = synth_events(spark, n)
+    out = {"rows": n}
+
+    def t(name, df):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        out[name] = round(dt, 2)
+        out[f"{name}_mrows_s"] = round(n / dt / 1e6, 2)
+        print(f"#   {name}: {dt:.2f}s  ({n/dt/1e6:.2f} M rows/s)", file=sys.stderr)
+
+    # global chronological sort (the fuse output order)
+    t("global_sort", ev.orderBy("__timestamp", "event_id"))
+    # interval resample with gap fill + ffill (global grid)
+    t(
+        "resample_1m",
+        resample_last_interval(
+            ev.select("__timestamp", "event_id", "value"),
+            "1m",
+            value_cols=["value"],
+            ffill_keys=["value"],
+            tiebreak_cols=["event_id"],
+        ),
+    )
+    # global two-pass LOCF on a 1/3-null column
+    t(
+        "forward_fill",
+        forward_fill(ev, ["__timestamp", "event_id"], ["sparse_value"]),
+    )
+    # per-user sessionize-style window
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("__timestamp", "event_id")
+    t(
+        "user_window",
+        ev.withColumn("prev", F.lag("__timestamp").over(w)),
+    )
+    # keyed as-of join: events against 1/10-size reference stream
+    right = (
+        spark.range(0, max(n // 10, 1), 1, CPUS)
+        .select(
+            (
+                F.lit(1_700_000_000_000)
+                + (F.col("id") * 2246822519 % F.lit(max(1, n * 26_000)))
+            ).alias("__timestamp"),
+            (F.col("id") % 10_000).alias("user_id"),
+            (F.pmod(F.hash(F.col("id") + 2), 1000) / 10.0).alias("ref_value"),
+        )
+    )
+    t(
+        "asof_join",
+        asof_join(ev.select("__timestamp", "event_id", "user_id", "value"), right,
+                  keys=["user_id"], right_cols=["ref_value"]),
+    )
+    return out
+
+
+def main():
+    sizes = [int(float(a) * 1e6) for a in (sys.argv[1:] or ["1", "10", "30"])]
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("tsf_scale_check")
+        .config("spark.sql.shuffle.partitions", str(CPUS * 4))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    results = []
+    for n in sizes:
+        print(f"# n={n:,}", file=sys.stderr)
+        results.append(run(spark, n))
+    print(json.dumps(results))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

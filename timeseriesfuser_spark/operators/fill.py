@@ -34,9 +34,28 @@ from typing import List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 _PID = "__ff_bucket"
+
+
+def _lit_of(value, dtype: T.DataType) -> Column:
+    """Typed literal for a collected value (atomics + nested structs)."""
+    if value is None:
+        return F.lit(None).cast(dtype)
+    if isinstance(dtype, T.StructType):
+        return F.struct(
+            *[
+                _lit_of(value[f.name], f.dataType).alias(f.name)
+                for f in dtype.fields
+            ]
+        )
+    if isinstance(dtype, T.ArrayType):
+        return F.array(
+            *[_lit_of(v, dtype.elementType) for v in value]
+        ).cast(dtype)
+    return F.lit(value).cast(dtype)
 
 
 def _bucket_col(first_order_col: str, bounds: List[float]) -> Column:
@@ -92,7 +111,14 @@ def forward_fill(
     )
 
     # Per-bucket last non-null of each col: max_by over rows where the col
-    # is non-null (null ordering key ⇒ row ignored by max_by).
+    # is non-null (null ordering key ⇒ row ignored by max_by). This is a
+    # separate tiny job (#buckets result rows); its prefix scan —
+    # carry(pid) = last non-null among buckets strictly before pid — runs
+    # driver-side in plain Python, the exact distributed analogue of the
+    # reference's last_row_vals carry dict (core.py:1043-1071). Collecting
+    # also severs plan lineage: the carry joins back as a LocalRelation,
+    # keeping the final plan a single chain (a window-over-shared-subplan
+    # formulation tripped an optimizer ATTRIBUTE_NOT_FOUND bug).
     order_struct = F.struct(*order_cols)
     seeds = part.groupBy(_PID).agg(
         *[
@@ -100,18 +126,34 @@ def forward_fill(
             for c in cols
         ]
     )
-    # Prefix scan over #buckets rows (tiny, single task by design):
-    # carry(pid) = last non-null among buckets strictly before pid.
-    wseed = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-    carry = seeds.select(
-        _PID,
-        *[F.last(F.col(c), ignorenulls=True).over(wseed).alias(f"__carry_{c}") for c in cols],
-    )
+    seed_rows = sorted(seeds.collect(), key=lambda r: r[_PID])
+    # carry[pid][c] = last non-null of c among buckets strictly before pid.
+    running = {c: None for c in cols}
+    carry: dict = {}
+    for r in seed_rows:
+        carry[r[_PID]] = dict(running)
+        for c in cols:
+            if r[c] is not None:
+                running[c] = r[c]
 
-    out = filled.join(F.broadcast(carry), _PID, "left")
-    out = out.select(
-        *[c for c in filled.columns if c not in cols and c != _PID],
-        *[F.coalesce(F.col(c), F.col(f"__carry_{c}")).alias(c) for c in cols],
-    )
-    # Restore original column order.
-    return out.select(*[c for c in df.columns])
+    # Patch leading nulls via a literal lookup array indexed by bucket id —
+    # a pure projection: no join, no broadcast, no shared subplan. Bucket
+    # ids are contiguous 0..len(bounds), so the array has at most
+    # #buckets+1 entries.
+    n_buckets = len(bounds) + 1
+    out_cols = []
+    for c in df.columns:
+        if c not in cols:
+            out_cols.append(F.col(c))
+            continue
+        dtype = df.schema[c].dataType
+        lut = F.array(
+            *[
+                _lit_of(carry.get(pid, {}).get(c), dtype)
+                for pid in range(n_buckets)
+            ]
+        )
+        out_cols.append(
+            F.coalesce(F.col(c), F.element_at(lut, F.col(_PID) + 1)).alias(c)
+        )
+    return filled.select(*out_cols)
