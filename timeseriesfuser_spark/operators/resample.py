@@ -58,10 +58,25 @@ def resample_last_interval(
     gap_fill: bool = True,
     offset_ms: int = 0,
     num_partitions: Optional[int] = None,
+    tz: Optional[str] = None,
 ) -> DataFrame:
     """Resample to a fixed grid; output has ``ts_col`` = boundary label,
     ``keys``, and ``value_cols`` (last event per interval; blanks gap-filled
-    per ``ffill_keys``)."""
+    per ``ffill_keys``).
+
+    ``tz``: for day intervals only — boundaries are local midnights in that
+    timezone, DST-correct (reference classes.py:787-795), instead of fixed
+    24h UTC steps.
+    """
+    if tz is not None:
+        if not interval.strip().endswith("d"):
+            raise ValueError("tz is only meaningful for day ('d') intervals")
+        return _resample_day_tz(
+            df, interval, tz,
+            ts_col=ts_col, keys=keys, value_cols=value_cols,
+            ffill_keys=ffill_keys, tiebreak_cols=tiebreak_cols,
+            process_batch_end=process_batch_end, gap_fill=gap_fill,
+        )
     step = interval_to_ms(interval)
     keys = list(keys)
     if tiebreak_cols is None:
@@ -135,8 +150,22 @@ def resample_last_interval(
     )
 
     joined = spine.join(buckets, on=keys + [_BUCKET], how="left")
+    return _gap_fill_tail(joined, ts_col, keys, value_cols, ffill_keys)
 
-    out_cols: List[F.Column] = [F.col(_BUCKET).alias(ts_col)] + [F.col(k) for k in keys]
+
+def _gap_fill_tail(
+    joined: DataFrame,
+    ts_col: str,
+    keys: List[str],
+    value_cols: Sequence[str],
+    ffill_keys: Sequence[str],
+) -> DataFrame:
+    """Shared gap-fill projection: blank boundaries carry only the
+    ``ffill_keys`` of the previous event (even a null value is carried —
+    the carry struct marks event presence, not non-nullness)."""
+    out_cols: List[F.Column] = [F.col(_BUCKET).alias(ts_col)] + [
+        F.col(k) for k in keys
+    ]
     ffill_keys = list(ffill_keys)
     if ffill_keys:
         blank = F.col(_ROW).isNull()
@@ -166,3 +195,76 @@ def resample_last_interval(
         out_cols += [F.col(_ROW)[c].alias(c) for c in value_cols]
 
     return joined.select(*out_cols)
+
+
+def _resample_day_tz(
+    df: DataFrame,
+    interval: str,
+    tz: str,
+    *,
+    ts_col: str,
+    keys: Sequence[str],
+    value_cols: Optional[Sequence[str]],
+    ffill_keys: Sequence[str],
+    tiebreak_cols: Optional[Sequence[str]],
+    process_batch_end: bool,
+    gap_fill: bool,
+) -> DataFrame:
+    """Day-interval resample with boundaries at local midnight in ``tz``.
+
+    DST makes the step non-constant, so labels use the timezone-aware
+    column math (intervals.day_boundary_label_col) and the spine is
+    generated driver-side by stepping zoneinfo midnights — a day grid has
+    #keys × #days rows, small by nature (a 100-year global grid is 36,525
+    rows). Semantics otherwise identical to the fixed-grid path
+    (reference classes.py:787-795)."""
+    from timeseriesfuser_spark.intervals import (
+        day_boundary_label_col,
+        next_boundary_ms,
+    )
+
+    days = int(interval.strip()[:-1])
+    keys = list(keys)
+    if tiebreak_cols is None:
+        tiebreak_cols = [c for c in (SRC_ID_COL, SEQ_COL) if c in df.columns]
+    if value_cols is None:
+        value_cols = [
+            c for c in df.columns if c not in {ts_col, *keys, SRC_ID_COL, SEQ_COL}
+        ]
+    value_cols = list(value_cols)
+
+    ts = F.col(ts_col)
+    bucketed = df.withColumn(_BUCKET, day_boundary_label_col(ts, days, tz))
+    order_key = F.struct(ts, *[F.col(c) for c in tiebreak_cols])
+    row_struct = F.struct(*[F.col(c) for c in value_cols])
+    buckets = bucketed.groupBy(*keys, _BUCKET).agg(
+        F.max_by(row_struct, order_key).alias(_ROW)
+    )
+    if not gap_fill:
+        out_cols = [F.col(_BUCKET).alias(ts_col)] + [F.col(k) for k in keys]
+        out_cols += [F.col(_ROW)[c].alias(c) for c in value_cols]
+        return buckets.select(*out_cols)
+
+    bounds = df.groupBy(*keys).agg(
+        F.min(ts).alias("__mn"), F.max(ts).alias("__mx")
+    ).collect()
+    spine_rows = []
+    for r in bounds:
+        mn, mx = r["__mn"], r["__mx"]
+        bs: List[int] = []
+        b = next_boundary_ms(mn, interval, tz=tz)
+        while b <= mx:
+            bs.append(b)
+            b = next_boundary_ms(b, interval, tz=tz)
+        # b is now the first boundary strictly after mx (= label of mx)
+        if process_batch_end and (not bs or bs[-1] != mx):
+            bs.append(b)
+        key_vals = {k: r[k] for k in keys}
+        spine_rows.extend({**key_vals, _BUCKET: x} for x in bs)
+    spine_schema = T.StructType(
+        [df.schema[k] for k in keys] + [T.StructField(_BUCKET, T.LongType(), False)]
+    )
+    spine = df.sparkSession.createDataFrame(spine_rows, spine_schema)
+
+    joined = spine.join(buckets, on=keys + [_BUCKET], how="left")
+    return _gap_fill_tail(joined, ts_col, keys, value_cols, ffill_keys)
