@@ -115,6 +115,11 @@ class FuserConfig:
     procstart: object = None  # coerced via timeutils.coerce_to_epoch_ms
     procend: object = None
     secondary_sort_col: Optional[str] = None
+    # P5 (reference core.py:446-459): when one source's files overlap
+    # slightly, rows already emitted are dropped on replay via the
+    # secondary-sort sequence id. The batch equivalent: keep one row per
+    # (source, secondary_sort_col) value. Requires secondary_sort_col.
+    drop_late_duplicates: bool = False
     forward_fill: bool = False
     rename_identical: bool = True  # core.py:43 rename_identi_cols
     merge_cols: Sequence[str] = field(default_factory=tuple)  # core.py:44 merge_col_names

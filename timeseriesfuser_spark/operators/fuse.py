@@ -187,6 +187,15 @@ class TimeSeriesFuser:
         if end is not None:
             merged = merged.filter(F.col(TS_COL) <= F.lit(end))
 
+        if cfg.drop_late_duplicates:
+            if not cfg.secondary_sort_col:
+                raise ValueError("drop_late_duplicates requires secondary_sort_col")
+            # P5 parity (core.py:446-459): one row per (source, sequence id)
+            # — overlapping file tails re-deliver the same sequence ids and
+            # the replay filter drops them; dropDuplicates is the batch
+            # equivalent (keyed shuffle, partial-agg map-side).
+            merged = merged.dropDuplicates([SRC_ID_COL, cfg.secondary_sort_col])
+
         if cfg.forward_fill:
             fill_cols = [c for c in merged.columns if c not in (TS_COL, *INTERNAL_COLS)]
             merged = forward_fill(merged, self.sort_cols(), fill_cols)
