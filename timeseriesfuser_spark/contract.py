@@ -870,6 +870,72 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q3_shipping",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: three-way join (dimension sides
+    broadcast) + exact integer-cents revenue."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    epc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(epc * (100 - dc)).cast("double") / 10000).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN value >= 100 THEN 10
+                     WHEN value < 0 THEN -1
+                     ELSE CAST(floor(value / 10) AS BIGINT) END AS BIGINT) AS bucket,
+           count(*) AS n,
+           min(value) AS lo,
+           max(value) AS hi
+    FROM events GROUP BY 1
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of a measure — one partial-aggregated
+    shuffle; the building block for distribution profiling at scale."""
+    ev = _events(spark, sf_dir)
+    v = F.col("value")
+    bucket = (
+        F.when(v >= 100, F.lit(10))
+        .when(v < 0, F.lit(-1))
+        .otherwise(F.floor(v / 10))
+        .cast("long")
+    )
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
+@register(
     "asof_join_user",
     oracle="""
     WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, user_id, event_type, value FROM events),
