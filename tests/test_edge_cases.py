@@ -1,0 +1,107 @@
+"""Edge-case hardening: ties, empties, all-null columns, degenerate grids."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from timeseriesfuser_spark.config import FuserConfig, SourceConfig
+from timeseriesfuser_spark.operators.fill import forward_fill
+from timeseriesfuser_spark.operators.fuse import TimeSeriesFuser
+from timeseriesfuser_spark.operators.resample import resample_last_interval
+from timeseriesfuser_spark.replay import CollectHandler, replay
+
+
+def test_resample_tie_on_same_millisecond(spark):
+    # two events share a millisecond: the higher seq wins, deterministically
+    rows = [
+        Row(__timestamp=5, seq=1, v="first"),
+        Row(__timestamp=5, seq=2, v="second"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = resample_last_interval(
+        df, "10l", value_cols=["v"], tiebreak_cols=["seq"]
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["__timestamp"] == 10 and out[0]["v"] == "second"
+
+
+def test_resample_single_bucket_and_on_boundary_drop(spark):
+    # all events inside one bucket; final event exactly on a boundary
+    rows = [Row(__timestamp=3, v=1.0), Row(__timestamp=10, v=2.0)]
+    out = resample_last_interval(
+        spark.createDataFrame(rows), "10l", value_cols=["v"], tiebreak_cols=[]
+    ).orderBy("__timestamp").collect()
+    # boundary 10 won by v=1.0 (strictly before); v=2.0 at 10 belongs to
+    # bucket 20 but is the final event ON a boundary -> dropped
+    assert [(r["__timestamp"], r["v"]) for r in out] == [(10, 1.0)]
+
+
+def test_resample_empty_input(spark):
+    df = spark.createDataFrame([], "__timestamp long, v double")
+    out = resample_last_interval(df, "10l", value_cols=["v"], tiebreak_cols=[])
+    assert out.count() == 0
+
+
+def test_forward_fill_all_null_column(spark):
+    rows = [Row(__timestamp=i, v=None) for i in range(5)]
+    df = spark.createDataFrame(rows, "__timestamp long, v double")
+    out = forward_fill(df, ["__timestamp"], ["v"]).collect()
+    assert all(r["v"] is None for r in out)
+
+
+def test_forward_fill_none_leading(spark):
+    rows = [
+        Row(__timestamp=0, v=None),
+        Row(__timestamp=1, v=1.5),
+        Row(__timestamp=2, v=None),
+    ]
+    df = spark.createDataFrame(rows, "__timestamp long, v double")
+    got = {r["__timestamp"]: r["v"] for r in forward_fill(df, ["__timestamp"], ["v"]).collect()}
+    assert got == {0: None, 1: 1.5, 2: 1.5}
+
+
+def test_fuse_source_outside_window_warns_and_drops(spark):
+    t0 = 1_700_000_000_000
+    early = SourceConfig(
+        name="early",
+        df=spark.createDataFrame([Row(ts=t0 + 100, v=1.0)]),
+        ts_col="ts",
+    )
+    late = SourceConfig(
+        name="late",
+        df=spark.createDataFrame([Row(ts=t0 + 999_999, w=2.0)]),
+        ts_col="ts",
+    )
+    # file-less sources skip probing; the window filter handles exclusion
+    fuser = TimeSeriesFuser(
+        [early, late],
+        FuserConfig(procstart=t0, procend=t0 + 500, derive_window=False),
+    )
+    out = fuser.fused(spark)
+    assert out.count() == 1
+    assert out.collect()[0]["v"] == 1.0
+
+
+def test_replay_empty_dataframe(spark):
+    df = spark.createDataFrame([], "__timestamp long, v double")
+    h = CollectHandler()
+    status = replay(df, h)
+    assert status.status == "COMPLETED" and status.rows == 0
+    assert h.get_results() == []
+
+
+def test_resample_null_value_carried_by_ffill(spark):
+    # the carry propagates the previous EVENT's value even when that value
+    # is null (carry marks presence, not non-nullness)
+    rows = [
+        Row(__timestamp=5, v=None, tag="a"),
+        Row(__timestamp=35, v=2.0, tag="b"),
+    ]
+    df = spark.createDataFrame(rows, "__timestamp long, v double, tag string")
+    out = resample_last_interval(
+        df, "10l", value_cols=["v", "tag"], ffill_keys=["v"], tiebreak_cols=[]
+    ).orderBy("__timestamp").collect()
+    got = [(r["__timestamp"], r["v"], r["tag"]) for r in out]
+    # bucket 10: event@5 (v null); buckets 20,30 blank -> carry v=None;
+    # bucket 40: event@35
+    assert got == [(10, None, "a"), (20, None, None), (30, None, None), (40, 2.0, "b")]
