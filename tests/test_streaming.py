@@ -80,6 +80,10 @@ def test_fuse_streams_union(spark, stream_dir, tmp_path):
     s2 = stream_source(spark, src, 1).withColumnRenamed("price", "other")
     fused = fuse_streams([s1, s2])
     assert set(["price", "other", "__timestamp"]).issubset(fused.columns)
+    # collision renaming, batch-parity: same column in both streams
+    s3 = stream_source(spark, src, 2)
+    renamed = fuse_streams([s1, s3], names=["a", "b"], merge_cols=["tag"])
+    assert {"price||a", "price||b", "tag"}.issubset(set(renamed.columns))
     q = (
         fused.writeStream.format("memory")
         .queryName("fused")

@@ -42,6 +42,26 @@ from timeseriesfuser_spark.sources.readers import (
 from timeseriesfuser_spark.timeutils import coerce_to_epoch_ms
 
 
+def compute_collision_renames(
+    named_columns: Sequence[Tuple[str, Sequence[str]]],
+    *,
+    exempt: set,
+    sep: str = "||",
+) -> Dict[str, Dict[str, str]]:
+    """Per-source {old: new} rename maps for columns appearing in more than
+    one source (reference core.py:297-318). Shared by the batch fuser and
+    the streaming fuse."""
+    counts: Counter = Counter()
+    for _, cols in named_columns:
+        counts.update(c for c in cols if c not in exempt)
+    return {
+        name: {
+            c: f"{c}{sep}{name}" for c in cols if c not in exempt and counts[c] > 1
+        }
+        for name, cols in named_columns
+    }
+
+
 class TimeSeriesFuser:
     """Fuses N sources into one chronologically ordered event stream.
 
@@ -79,19 +99,11 @@ class TimeSeriesFuser:
         """Per-source {old: new} for columns colliding across sources."""
         if not self.config.rename_identical:
             return {s.name: {} for s, _ in frames}
-        exempt = self._exempt_cols()
-        counts: Counter = Counter()
-        for _, df in frames:
-            counts.update(c for c in df.columns if c not in exempt)
-        sep = self.config.separator
-        return {
-            src.name: {
-                c: f"{c}{sep}{src.name}"
-                for c in df.columns
-                if c not in exempt and counts[c] > 1
-            }
-            for src, df in frames
-        }
+        return compute_collision_renames(
+            [(s.name, df.columns) for s, df in frames],
+            exempt=self._exempt_cols(),
+            sep=self.config.separator,
+        )
 
     def rename_maps(self, spark: SparkSession) -> Dict[str, Dict[str, str]]:
         if self._rename_maps is None:

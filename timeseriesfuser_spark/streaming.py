@@ -85,9 +85,34 @@ def stream_source(
     return df.withColumn(SRC_ID_COL, F.lit(src_id).cast("int"))
 
 
-def fuse_streams(streams: Sequence[DataFrame]) -> DataFrame:
-    """Diagonal union of normalized streams (J1's streaming twin). Column
-    collision renaming must be applied before calling (config layer)."""
+def fuse_streams(
+    streams: Sequence[DataFrame],
+    *,
+    names: Optional[Sequence[str]] = None,
+    rename_identical: bool = True,
+    merge_cols: Sequence[str] = (),
+    separator: str = "||",
+) -> DataFrame:
+    """Diagonal union of normalized streams (J1's streaming twin), with the
+    same column-collision renaming as the batch fuser when ``names`` are
+    given (``price`` -> ``price||<name>``; ``merge_cols`` and internal
+    columns exempt)."""
+    streams = list(streams)
+    if names is not None and rename_identical:
+        from timeseriesfuser_spark.operators.fuse import compute_collision_renames
+
+        if len(names) != len(streams):
+            raise ValueError("names must match streams 1:1")
+        exempt = {TS_COL, SRC_ID_COL, *merge_cols}
+        maps = compute_collision_renames(
+            [(n, s.columns) for n, s in zip(names, streams)],
+            exempt=exempt,
+            sep=separator,
+        )
+        streams = [
+            s.withColumnsRenamed(maps[n]) if maps[n] else s
+            for n, s in zip(names, streams)
+        ]
     out = streams[0]
     for s in streams[1:]:
         out = out.unionByName(s, allowMissingColumns=True)
