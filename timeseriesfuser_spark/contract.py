@@ -590,7 +590,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SB, _SHAM = 32, 3
+_SB, _SHAM = 48, 3
 
 
 def _simhash_sql() -> str:
