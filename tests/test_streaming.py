@@ -96,6 +96,59 @@ def test_fuse_streams_union(spark, stream_dir, tmp_path):
     assert n == 200  # 100 rows from each side
 
 
+def test_sessionize_stream_state_survives_restart(spark, tmp_path):
+    """Open sessions live in the checkpointed state store: a later file
+    closes a session opened in a previous query run."""
+    from timeseriesfuser_spark.streaming import sessionize_stream
+
+    d = tmp_path / "sess"
+    ckpt = str(tmp_path / "ckpt_sess")
+    schema = "ts long, user_id long"
+    GAP = 10_000
+
+    def run(name):
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(str(d))
+            .withColumnRenamed("ts", "__timestamp")
+        )
+        out = sessionize_stream(stream, GAP, keys=["user_id"])
+        got = []
+
+        # memory sink cannot recover from a checkpoint; foreachBatch can.
+        def sink(batch_df, batch_id):
+            got.extend(batch_df.collect())
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        return got
+
+    # batch 1: one session per user, still open at end of data
+    spark.createDataFrame(
+        [(1000 * i, 7) for i in range(3)] + [(1000 * i, 8) for i in range(2)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    assert run("sess_run1") == []  # nothing closed yet
+
+    # batch 2: user 7 returns after a big gap -> closes its first session
+    spark.createDataFrame([(100_000, 7)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    rows = run("sess_run2")
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["user_id"], r["session_start"], r["session_end"], r["n_events"]) == (
+        7, 0, 2000, 3,
+    )
+
+
 def test_replay_stream_to_handler(spark, stream_dir, tmp_path):
     src = _src(stream_dir)
     stream = stream_source(spark, src, 0)

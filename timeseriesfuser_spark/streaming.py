@@ -169,6 +169,84 @@ def resample_stream(
     return agg
 
 
+def sessionize_stream(
+    df: DataFrame,
+    gap_ms: int,
+    *,
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = TS_COL,
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): gap-based
+    sessionization with state carried across micro-batches and restarts.
+
+    Emits a row per *closed* session — a session closes when a later event
+    for the same key arrives more than ``gap_ms`` after its end. The open
+    session per key lives in the state store (checkpointed; survives query
+    restarts). This is the streaming twin of the batch `sessionize` window
+    query; the batch form emits open sessions too, the stream by
+    construction cannot until they close.
+
+    State is O(#active keys), Arrow-batched per group — the scalable shape
+    for custom stateful ops the built-in windows can't express.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keys = list(keys)
+    key_fields = [T.StructField(k, T.LongType(), True) for k in keys]
+    out_schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("session_start", T.LongType(), True),
+            T.StructField("session_end", T.LongType(), True),
+            T.StructField("n_events", T.LongType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start", T.LongType(), True),
+            T.StructField("end", T.LongType(), True),
+            T.StructField("n", T.LongType(), True),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.extend(int(t) for t in pdf[ts_col])
+        ts_all.sort()
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start = end = None
+            n = 0
+        closed = []
+        for t in ts_all:
+            if start is None:
+                start = end = t
+                n = 1
+            elif t - end > gap_ms:
+                closed.append((start, end, n))
+                start, end, n = t, t, 1
+            else:
+                end = t
+                n += 1
+        state.update((start, end, n))
+        out = pd.DataFrame(
+            [
+                {**dict(zip(keys, key)), "session_start": s, "session_end": e,
+                 "n_events": c}
+                for s, e, c in closed
+            ],
+            columns=[f.name for f in out_schema.fields],
+        )
+        yield out
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def replay_stream_to_handler(
     df: DataFrame,
     handler,
