@@ -97,10 +97,13 @@ def resample_last_interval(
 
     # Last event per (keys, bucket): single max_by of the whole row struct so
     # all columns come from ONE row (ties broken by ts, then arrival order).
+    # __maxts rides along so the spine bounds derive from THIS aggregate —
+    # one scan of the input, not two.
     order_key = F.struct(ts, *[F.col(c) for c in tiebreak_cols])
     row_struct = F.struct(*[F.col(c) for c in value_cols])
     buckets = bucketed.groupBy(*keys, _BUCKET).agg(
-        F.max_by(row_struct, order_key).alias(_ROW)
+        F.max_by(row_struct, order_key).alias(_ROW),
+        F.max(ts).alias("__maxts"),
     )
 
     if not gap_fill:
@@ -108,17 +111,20 @@ def resample_last_interval(
         out_cols += [F.col(_ROW)[c].alias(c) for c in value_cols]
         return buckets.select(*out_cols)
 
-    # --- time spine ----------------------------------------------------- #
-    pmod_end = F.pmod(F.max(ts) - F.lit(offset_ms), F.lit(step))
-    floor_end = (F.max(ts) - pmod_end).cast("long")
+    # --- time spine (bounds from the tiny buckets relation) -------------- #
+    mx = F.max("__maxts")
+    pmod_end = F.pmod(mx - F.lit(offset_ms), F.lit(step))
+    floor_end = (mx - pmod_end).cast("long")
     if process_batch_end:
         bmax = F.when(pmod_end == 0, floor_end).otherwise(floor_end + F.lit(step))
     else:
         bmax = floor_end
-    bounds = df.groupBy(*keys).agg(
-        boundary_label_col(F.min(ts), step, offset_ms).alias("__bmin"),
+    # min bucket label == label(min ts): the label is monotone in ts.
+    bounds = buckets.groupBy(*keys).agg(
+        F.min(_BUCKET).alias("__bmin"),
         bmax.alias("__bmax"),
     )
+    buckets = buckets.drop("__maxts")
 
     chunk_ms = step * _SPINE_CHUNK
     empty = F.array().cast(T.ArrayType(T.LongType()))
