@@ -1,0 +1,59 @@
+"""Physical-plan quality gates: these lock in the properties that make the
+engine scale — filter pushdown to the parquet scan, column pruning,
+broadcast joins for small dimensions, partial aggregation. A regression
+here is a performance bug even when results stay correct."""
+
+import pytest
+
+from timeseriesfuser_spark import contract
+
+SF = "/root/testdata/sf0.001"
+
+
+def formatted_plan(df):
+    jdf = df._jdf
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return jdf.queryExecution().explainString(mode)
+
+
+def test_tpch_q1_pushdown_and_pruning(spark):
+    plan = formatted_plan(contract.QUERIES["tpch_q1_pricing"](spark, SF))
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # pruned read schema: the unused key columns must NOT be scanned
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_extendedprice" in read_schema
+    # partial aggregation (map-side combine) around one exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_revenue_per_nation_broadcasts_dimensions(spark):
+    plan = formatted_plan(contract.QUERIES["revenue_per_nation"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_fuse_window_filter_pushes_down(spark):
+    plan = formatted_plan(contract.QUERIES["fuse_window_filter"](spark, SF))
+    # the epoch-ms window must reach the scans as a timestamp predicate
+    # (events reads as nanos-long: pushed as a long-range filter on ts)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(ts)" in plan or "GreaterThanOrEqual(ts" in plan
+
+
+def test_similarity_topk_broadcasts_queries(spark):
+    plan = formatted_plan(contract.QUERIES["similarity_topk"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_resample_no_global_single_partition_window(spark):
+    """The resample plan must not contain a Window over an empty
+    partitionBy on the raw event stream (the non-scalable formulation).
+    Window nodes may appear only over the bucketed/spine relations."""
+    plan = formatted_plan(contract.QUERIES["resample_1m_global"](spark, SF))
+    # the only Sort allowed without partition keys is inside the tiny
+    # carry/window over spine rows; events themselves are aggregated via
+    # hash, never globally sorted here
+    assert "max_by" in plan or "HashAggregate" in plan
