@@ -91,6 +91,79 @@ def cosine_topk(
     )
 
 
+def _best_centroid_expr(vec: Column, norm: Column, centroids: list) -> Column:
+    """Index of the nearest centroid (max cosine; ties → lowest index) as a
+    single JVM expression over literal centroid arrays — no join, no
+    shuffle, evaluated inside codegen per row."""
+    best_idx = F.lit(0)
+    best_cos = F.lit(float("-inf"))
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        cn = sum(float(x) * float(x) for x in c)
+        dot = F.aggregate(
+            F.zip_with(vec.cast("array<double>"), carr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cos = F.when(
+            (norm > 0) & (F.lit(cn) > 0),
+            dot / (F.sqrt(norm.cast("double")) * F.lit(cn**0.5)),
+        ).otherwise(F.lit(0.0))
+        better = cos > best_cos
+        best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
+        best_cos = F.when(better, cos).otherwise(best_cos)
+    return best_idx
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> list:
+    """Deterministic distributed k-means (Lloyd) over quantized vectors.
+
+    - init: the ``k`` lowest-id vectors (reproducible, no RNG);
+    - assign: nearest centroid by cosine via literal-centroid expressions
+      (codegen, no shuffle); ties break to the lowest index;
+    - update: per-cluster mean — one partial-aggregated groupBy per
+      iteration; k x dim doubles collected to the driver (tiny).
+
+    Returns the centroid list for :func:`ivf_cosine_topk`'s ``centroids``
+    parameter. Empty clusters keep their previous centroid.
+    """
+    q = df.select(
+        F.col(id_col).alias("id"), quantized(F.col(vec_col), scale).alias("v")
+    ).withColumn("n", _sq_norm(F.col("v")))
+    init = [
+        [float(x) for x in r["v"]]
+        for r in q.orderBy("id").limit(k).collect()
+    ]
+    centroids = init
+    dim = len(init[0])
+    for _ in range(iters):
+        assigned = q.withColumn(
+            "c", _best_centroid_expr(F.col("v"), F.col("n"), centroids)
+        )
+        sums = assigned.groupBy("c").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[
+                F.sum(F.col("v")[i]).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        got = {r["c"]: r for r in sums.collect()}
+        centroids = [
+            [got[i][f"s{d}"] / got[i]["cnt"] for d in range(dim)]
+            if i in got
+            else centroids[i]
+            for i in range(k)
+        ]
+    return centroids
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -100,29 +173,53 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    centroids: Optional[list] = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` nearest inverted lists.
 
-    Centroid selection here is a deterministic stub (the ``n_centroids``
-    lowest-id vectors) so results are reproducible without an iterative
-    training job; production would fit k-means (e.g. via mapInPandas over a
-    sample) and pass the fitted centroids in — the plan shape is identical.
+    ``centroids``: a fitted centroid list (e.g. from :func:`kmeans_fit`).
+    When omitted, a deterministic stub (the ``n_centroids`` lowest-id
+    vectors) is used so results are reproducible without a training job —
+    the plan shape is identical either way.
     """
-    cents = (
-        corpus.orderBy(F.col(id_col))
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"),
-            quantized(F.col(vec_col), scale).alias("__ctv"),
+    if centroids is not None:
+        spark = corpus.sparkSession
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "centroid_id int, __ctv array<double>",
+        ).withColumn(
+            "__ctn",
+            F.aggregate(F.col("__ctv"), F.lit(0.0), lambda a, x: a + x * x),
         )
-        .withColumn("__ctn", _sq_norm(F.col("__ctv")))
-    )
+    else:
+        cents = (
+            corpus.orderBy(F.col(id_col))
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"),
+                quantized(F.col(vec_col), scale).alias("__ctv"),
+            )
+            .withColumn("__ctn", _sq_norm(F.col("__ctv")))
+        )
 
     def nearest(df: DataFrame, idname: str, vecname: str, keep: int) -> DataFrame:
-        dot = _dot(F.col(vecname), F.col("__ctv"))
+        if centroids is not None:
+            # double centroids: float dot (exact — quantized products stay
+            # far below 2^53)
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vecname).cast("array<double>"),
+                    F.col("__ctv"),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        else:
+            dot = _dot(F.col(vecname), F.col("__ctv")).cast("double")
         cos = F.when(
             (F.col("__ctn") > 0) & (F.col("__n") > 0),
-            dot.cast("double") / (F.sqrt(F.col("__n")) * F.sqrt(F.col("__ctn"))),
+            dot / (F.sqrt(F.col("__n")) * F.sqrt(F.col("__ctn"))),
         ).otherwise(F.lit(0.0))
         w = Window.partitionBy(idname).orderBy(F.desc("__ccos"), F.asc("centroid_id"))
         return (
