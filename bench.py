@@ -68,7 +68,7 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 
     times: dict[str, float] = {}
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name in HEADLINE:
         fn = contract.QUERIES[name]
         best = float("inf")
