@@ -18,10 +18,10 @@ def emb(spark):
 
 
 def test_kmeans_deterministic(spark, emb):
-    a = kmeans_fit(emb, k=8, iters=3)
-    b = kmeans_fit(emb, k=8, iters=3)
+    a = kmeans_fit(emb, k=4, iters=2)
+    b = kmeans_fit(emb, k=4, iters=2)
     assert a == b
-    assert len(a) == 8 and len(a[0]) == 64
+    assert len(a) == 4 and len(a[0]) == 64
 
 
 def recall(got_df, want_df):
