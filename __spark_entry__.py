@@ -11,11 +11,16 @@ query sits next to its oracle and its scale notes.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from timeseriesfuser_spark import contract
+# Defensive: make the package importable regardless of the caller's cwd.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from timeseriesfuser_spark import contract  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
