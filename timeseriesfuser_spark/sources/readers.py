@@ -94,9 +94,12 @@ def _read_raw(spark: SparkSession, src: SourceConfig) -> DataFrame:
         if declared is not None:
             return _read_parquet_schema_groups(spark, src, declared)
         return spark.read.parquet(src.path)
-    # CSV: resolve positional schemas against the header, then re-read with
-    # the declared StructType so malformed values fail loudly (the reference
-    # stresses declaring dtypes — docs/README.md "Datatypes").
+    # CSV: resolve positional schemas against the header and read with the
+    # declared StructType. PERMISSIVE (cells that do not parse as the
+    # declared type become null) is the parity-correct default: the
+    # reference's own fixtures carry unparseable cells that its cast
+    # semantics null out (e.g. the all-null TradeID in the golden outputs).
+    # Pass csv_options={"mode": "FAILFAST"} to fail loudly instead.
     reader = spark.read.option("header", "true")
     for k, v in src.csv_options.items():
         reader = reader.option(k, v)
