@@ -978,6 +978,47 @@ def q_asof_join_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(left, right, keys=["user_id"], right_cols=["txn_value"])
 
 
+_ROLL = 6 * 86_400_000  # 6 days back + current = 7-day window
+
+
+@register(
+    "rolling_7d_stats",
+    oracle=f"""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS vc
+                FROM events)
+    SELECT event_id,
+           CAST(sum(vc) OVER w AS DOUBLE) / 100 AS roll_sum,
+           count(*) OVER w AS roll_n,
+           CAST(sum(vc) OVER w AS DOUBLE) / 100 / count(*) OVER w AS roll_avg
+    FROM ev
+    WINDOW w AS (PARTITION BY event_type ORDER BY t
+                 RANGE BETWEEN {_ROLL} PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_7d_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling window: per-type 7-day trailing sum/count/avg.
+    Values summed as exact integer cents inside the frame, one double
+    division at the end — frame-order-independent, so oracle-exact."""
+    ev = _events(spark, sf_dir).select(
+        "ts", "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts")
+        .rangeBetween(-_ROLL, 0)
+    )
+    roll_sum_c = F.sum("vc").over(w)
+    roll_n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        (roll_sum_c.cast("double") / 100).alias("roll_sum"),
+        roll_n.alias("roll_n"),
+        (roll_sum_c.cast("double") / 100 / roll_n).alias("roll_avg"),
+    )
+
+
 @register(
     "json_props_agg",
     oracle="""
