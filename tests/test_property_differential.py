@@ -53,6 +53,47 @@ def test_resample_handler_vs_vectorized(spark, rows, step, ffill):
     assert got == want
 
 
+pair_streams = st.tuples(
+    st.lists(
+        st.tuples(st.integers(0, 200), st.sampled_from(["a", "b"])),
+        min_size=1, max_size=15, unique_by=lambda t: t,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 200), st.sampled_from(["a", "b"]), st.integers(0, 99)),
+        min_size=0, max_size=15, unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+
+
+@given(data=pair_streams, tol=st.sampled_from([None, 30]))
+@SETTINGS
+def test_asof_join_vs_naive_quadratic(spark, data, tol):
+    from timeseriesfuser_spark.operators.asof import asof_join
+
+    lrows, rrows = data
+    left = spark.createDataFrame(
+        [Row(__timestamp=t, k=k) for t, k in lrows], "__timestamp long, k string"
+    )
+    right = spark.createDataFrame(
+        [Row(__timestamp=t, k=k, rv=v) for t, k, v in rrows],
+        "__timestamp long, k string, rv long",
+    )
+    got = {
+        (r["k"], r["__timestamp"]): r["rv"]
+        for r in asof_join(left, right, keys=["k"], tolerance_ms=tol).collect()
+    }
+    # naive python reference: latest right at-or-before, same key, in window
+    want = {}
+    for lt, lk in lrows:
+        best = None
+        for rt, rk, rv in rrows:
+            if rk == lk and rt <= lt and (tol is None or lt - rt <= tol):
+                if best is None or rt > best[0]:
+                    best = (rt, rv)
+        want[(lk, lt)] = best[1] if best else None
+    assert got == want
+
+
 @given(rows=stream, nulls=st.sets(st.integers(0, 400)))
 @SETTINGS
 def test_forward_fill_vs_naive_window(spark, rows, nulls):
