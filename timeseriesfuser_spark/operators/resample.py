@@ -111,6 +111,13 @@ def resample_last_interval(
         out_cols += [F.col(_ROW)[c].alias(c) for c in value_cols]
         return buckets.select(*out_cols)
 
+    # The buckets relation (<= one row per non-empty interval) feeds three
+    # plan branches below (bounds -> spine, the spine join, and the carry
+    # fill); persist it so the input aggregation runs once.
+    from pyspark import StorageLevel
+
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+
     # --- time spine (bounds from the tiny buckets relation) -------------- #
     mx = F.max("__maxts")
     pmod_end = F.pmod(mx - F.lit(offset_ms), F.lit(step))
