@@ -51,6 +51,17 @@ def assert_parity(sdf: pd.DataFrame, ddf: pd.DataFrame, name: str):
             else:
                 ok = a == b
             assert ok, f"{name}: col {c} row {i}: spark={a!r} duckdb={b!r}"
+            # Driver's value-hash is type-sensitive: 99111 != 99111.0 there.
+            # Mirror it so int-vs-float drift (DuckDB HUGEINT -> float64)
+            # fails locally too, not just in CORRECTNESS_r{N}.
+            if a is not None and b is not None and not (
+                isinstance(a, float) and math.isnan(a)
+            ):
+                assert type(a) is type(b), (
+                    f"{name}: col {c} row {i}: dtype drift "
+                    f"spark={type(a).__name__}({a!r}) "
+                    f"duckdb={type(b).__name__}({b!r})"
+                )
 
 
 QUERIES = entry_mod.queries()

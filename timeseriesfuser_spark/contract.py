@@ -338,8 +338,12 @@ _GAP = 30 * 60 * 1000
     ),
     sess AS (
         SELECT user_id, t, event_id,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+               -- CAST: DuckDB sum(INT) is HUGEINT -> pandas float64; the
+               -- driver's value-hash is type-sensitive (same fix as
+               -- tpch_q1_pricing).
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_idx
         FROM flagged
     )
     SELECT user_id, session_idx,
@@ -1024,7 +1028,7 @@ def q_rolling_7d_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(props ->> 'k' AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
            min(CAST(props ->> 'k' AS BIGINT)) AS min_k,
            max(CAST(props ->> 'k' AS BIGINT)) AS max_k,
            CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS DOUBLE) / count(*) AS avg_k
@@ -1079,12 +1083,25 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal pipeline incl. the deterministic fake decode +
     16-dim feature vector (not SQL-expressible → driver rows-only check;
-    determinism is asserted in tests/test_sinks_replay.py)."""
+    determinism is asserted in tests/test_sinks_replay.py).
+
+    The typed ``array<float>`` API lives in ``ops.multimodal``; the driver
+    surface serializes the vector to a string because the harness
+    canonicalizer sorts columns and Python lists are unhashable
+    (CORRECTNESS_r01 err). Fixed 4-decimal formatting keeps the string
+    deterministic across float-repr differences."""
     from timeseriesfuser_spark.ops.multimodal import extract_features, text_to_media
     from timeseriesfuser_spark.ops.util import spread_small_input
 
     docs = spread_small_input(_t(spark, sf_dir, "documents"))
-    return extract_features(text_to_media(docs, "doc_id", "text"))
+    feats = extract_features(text_to_media(docs, "doc_id", "text"))
+    return feats.withColumn(
+        "features",
+        F.concat_ws(
+            ",",
+            F.transform("features", lambda x: F.format_string("%.4f", x)),
+        ),
+    )
 
 
 @register(
