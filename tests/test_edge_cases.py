@@ -25,15 +25,16 @@ def test_resample_tie_on_same_millisecond(spark):
     assert out[0]["__timestamp"] == 10 and out[0]["v"] == "second"
 
 
-def test_resample_single_bucket_and_on_boundary_drop(spark):
+def test_resample_single_bucket_and_on_boundary_flush(spark):
     # all events inside one bucket; final event exactly on a boundary
     rows = [Row(__timestamp=3, v=1.0), Row(__timestamp=10, v=2.0)]
     out = resample_last_interval(
         spark.createDataFrame(rows), "10l", value_cols=["v"], tiebreak_cols=[]
     ).orderBy("__timestamp").collect()
     # boundary 10 won by v=1.0 (strictly before); v=2.0 at 10 belongs to
-    # bucket 20 but is the final event ON a boundary -> dropped
-    assert [(r["__timestamp"], r["v"]) for r in out] == [(10, 1.0)]
+    # bucket 20, flushed by the unconditional finalize (reference
+    # classes.py:627-637 — its on-boundary guard never fires)
+    assert [(r["__timestamp"], r["v"]) for r in out] == [(10, 1.0), (20, 2.0)]
 
 
 def test_resample_empty_input(spark):

@@ -87,13 +87,19 @@ def test_process_batch_end_false_drops_partial(spark):
     assert [r[1] for r in got] == ["A", None, None, None, None]
 
 
-def test_final_event_exactly_on_boundary_dropped_on_finalize(spark):
+def test_final_event_exactly_on_boundary_flushes_at_next(spark):
     rows = [(T0 + 100, "A", None), (T0 + 2000, "B", None)]
     out = resample_last_interval(mk(spark, rows), "1s")
     got = out_rows(out)
-    # B sits exactly on T0+2000 → belongs to interval T0+3000, which is never
-    # flushed (classes.py:627-637). Output = boundaries 1,2 with A then blank.
-    assert got == [(T0 + 1000, "A", None), (T0 + 2000, None, None)]
+    # B sits exactly on T0+2000 → belongs to interval T0+3000; finalize
+    # ALWAYS flushes the final partial interval (the reference's guard at
+    # classes.py:634 can never fire). Boundary T0+2000 itself is blank —
+    # B is not strictly before it.
+    assert got == [
+        (T0 + 1000, "A", None),
+        (T0 + 2000, None, None),
+        (T0 + 3000, "B", None),
+    ]
 
 
 def test_keyed_resample_independent_spines(spark):

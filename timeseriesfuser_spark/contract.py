@@ -184,8 +184,7 @@ _H1 = interval_to_ms("1h")
     ),
     ext AS (SELECT min(t) AS mn, max(t) AS mx FROM ev),
     bounds AS (SELECT (mn // {_M1} + 1) * {_M1} AS bmin,
-                      CASE WHEN mx % {_M1} = 0 THEN mx
-                           ELSE (mx // {_M1} + 1) * {_M1} END AS bmax
+                      (mx // {_M1} + 1) * {_M1} AS bmax
                FROM ext),
     spine AS (SELECT unnest(generate_series(bmin, bmax, {_M1})) AS b FROM bounds),
     j AS (SELECT s.b AS b, bu.lv, bu.le, bu.b IS NOT NULL AS hit

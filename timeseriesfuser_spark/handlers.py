@@ -16,9 +16,12 @@ Semantics (verified against the reference's own interval tests):
   stamped at the boundary; further empty boundaries up to the event's own
   boundary emit blanks where only ``ffill_keys`` carry the previous
   event's values (classes.py:589-625);
-- ``finalize()`` flushes the final partial interval iff
-  ``process_batch_end`` and the last event is not exactly on a boundary
-  (classes.py:627-637).
+- ``finalize()`` flushes the final partial interval whenever
+  ``process_batch_end`` is set — ALWAYS, including when the last event
+  sits exactly on a boundary (it then emits at boundary+step). The
+  reference's guard ``(next_batch_ts - current_ts) > 0``
+  (classes.py:634) is tautological: ``process()`` always leaves
+  ``next_batch_ts`` strictly greater than the last event's ts.
 """
 
 from __future__ import annotations
@@ -83,12 +86,9 @@ class BatchEveryIntervalHandler(BaseHandler):
         self._prev_ts = ts
 
     def finalize(self) -> None:
-        if (
-            self.process_batch_end
-            and self._prev_msg is not None
-            and self._next_ts is not None
-            and self._prev_ts != self._next_ts - self.step
-        ):
+        # Unconditional when process_batch_end: the reference's on-boundary
+        # guard (classes.py:634) can never fire — see module docstring.
+        if self.process_batch_end and self._prev_msg is not None:
             self._emit(self._next_ts, self._prev_msg)
 
     def get_results(self) -> List[Dict[str, Any]]:

@@ -14,9 +14,18 @@ test_batchinterval_fill.py):
   ``ffill_keys``, which carry the previous event's value (even if that value
   was null — carry is per-event, not last-non-null);
 - end boundary: with ``process_batch_end=True`` the final partial interval
-  is flushed (label of the max event) *unless* the final event sits exactly
-  on a boundary, in which case it is dropped (classes.py:627-637); with
-  ``False`` the partial interval is dropped.
+  is ALWAYS flushed at ``label(max_ts)`` — including when the final event
+  sits exactly on a boundary (its label is then boundary+step). The
+  reference's finalize guard ``(next_batch_ts - current_ts) > 0``
+  (classes.py:634) is tautological: ``process()`` always leaves
+  ``next_batch_ts`` strictly greater than the last event's ts, so the
+  reference emits unconditionally. With ``False`` the partial interval is
+  dropped (spine ends at the last boundary <= max_ts);
+- day ('d') grids anchor at the FIRST EVENT's local midnight
+  (classes.py:787-795 + _initialize_timing), not the epoch. For '1d' the
+  two grids coincide (every midnight is a grid point), so the epoch
+  fast path below applies; 'Nd' with N>1 and all tz grids route through
+  the anchored-day path.
 
 Physical plan (SURVEY.md §2.6 T3): partial-aggregated ``max_by`` per bucket
 (map-side combine, one shuffle on (keys, bucket)) + a two-level
@@ -42,6 +51,7 @@ from timeseriesfuser_spark.sources.readers import SEQ_COL, SRC_ID_COL, TS_COL
 _BUCKET = "__bucket"
 _ROW = "__row"
 _CARRY = "__carry"
+_ANCHOR = "__day_anchor"
 _SPINE_CHUNK = 8192  # boundaries per inner sequence array
 
 
@@ -68,11 +78,22 @@ def resample_last_interval(
     timezone, DST-correct (reference classes.py:787-795), instead of fixed
     24h UTC steps.
     """
+    iv = interval.strip()
     if tz is not None:
-        if not interval.strip().endswith("d"):
+        if not iv.endswith("d"):
             raise ValueError("tz is only meaningful for day ('d') intervals")
+        if offset_ms:
+            raise ValueError("offset_ms is not supported on tz day grids")
+    if iv.endswith("d") and offset_ms == 0 and (
+        tz is not None or int(iv[:-1]) > 1
+    ):
+        # Day grids anchor at the first event's midnight (reference
+        # classes.py:787-795). '1d' without tz is grid-identical to the
+        # epoch-anchored fast path and stays below; 'Nd' (N>1) and tz
+        # grids need the anchored path. An explicit offset_ms opts into
+        # the epoch(+offset) grid instead.
         return _resample_day_tz(
-            df, interval, tz,
+            df, interval, tz or "UTC",
             ts_col=ts_col, keys=keys, value_cols=value_cols,
             ffill_keys=ffill_keys, tiebreak_cols=tiebreak_cols,
             process_batch_end=process_batch_end, gap_fill=gap_fill,
@@ -123,7 +144,10 @@ def resample_last_interval(
     pmod_end = F.pmod(mx - F.lit(offset_ms), F.lit(step))
     floor_end = (mx - pmod_end).cast("long")
     if process_batch_end:
-        bmax = F.when(pmod_end == 0, floor_end).otherwise(floor_end + F.lit(step))
+        # label(mx) = floor_end + step in BOTH the on-boundary and
+        # mid-interval cases: the final partial interval is always flushed
+        # (reference finalize, classes.py:627-637 — see module docstring).
+        bmax = floor_end + F.lit(step)
     else:
         bmax = floor_end
     # min bucket label == label(min ts): the label is monotone in ts.
@@ -223,18 +247,28 @@ def _resample_day_tz(
     process_batch_end: bool,
     gap_fill: bool,
 ) -> DataFrame:
-    """Day-interval resample with boundaries at local midnight in ``tz``.
+    """Day-interval resample on a grid of local midnights in ``tz``,
+    anchored at each key's FIRST event (reference classes.py:787-795 +
+    _initialize_timing: the first boundary is the first event's own local
+    midnight + N days; every later boundary steps N days). Events and the
+    spine are bucketed against the SAME anchored grid — grid dates
+    ``anchor + k*N`` — so no bucket can miss the spine join.
 
-    DST makes the step non-constant, so labels use the timezone-aware
-    column math (intervals.day_boundary_label_col) and the spine is
-    generated driver-side by stepping zoneinfo midnights — a day grid has
-    #keys × #days rows, small by nature (a 100-year global grid is 36,525
-    rows). Semantics otherwise identical to the fixed-grid path
-    (reference classes.py:787-795)."""
-    from timeseriesfuser_spark.intervals import (
-        day_boundary_label_col,
-        next_boundary_ms,
-    )
+    Documented deviation: the reference's boundary generator steps a fixed
+    N*24h in *milliseconds*, so after a DST shift its boundaries drift off
+    local midnight; we re-anchor every grid point at true local midnight
+    (the reference's stated intent: "the interval boundary will be
+    midnight in that timezone").
+
+    Scale: the grid is per-key *dates* — #keys x #days/N rows (a 100-year
+    global grid is 36,525 rows) — so the per-key bounds collect and the
+    driver-built spine are tiny by construction. Event labeling is
+    columnar (datediff against a broadcast per-key anchor date, JVM-side,
+    whole-stage codegen); buckets join the spine on (keys, grid DATE), and
+    the date converts to epoch-ms once, in one Spark expression, after the
+    join — driver zoneinfo math never has to bit-match Spark tz math."""
+    from datetime import datetime, timedelta
+    from zoneinfo import ZoneInfo
 
     days = int(interval.strip()[:-1])
     keys = list(keys)
@@ -245,39 +279,90 @@ def _resample_day_tz(
             c for c in df.columns if c not in {ts_col, *keys, SRC_ID_COL, SEQ_COL}
         ]
     value_cols = list(value_cols)
+    missing = [k for k in ffill_keys if k not in value_cols]
+    if missing:
+        raise ValueError(f"ffill_keys not in value columns: {missing}")
 
+    tzi = ZoneInfo(tz)
     ts = F.col(ts_col)
-    bucketed = df.withColumn(_BUCKET, day_boundary_label_col(ts, days, tz))
+    ss = df.sparkSession
+
+    # Per-key stream bounds: one row per key, tiny by construction.
+    bounds = df.groupBy(*keys).agg(
+        F.min(ts).alias("__mn"), F.max(ts).alias("__mx")
+    ).collect()
+
+    def _local_date(ms: int):
+        return datetime.fromtimestamp(ms / 1000.0, tz=tzi).date()
+
+    spine_rows: List[dict] = []
+    anchor_rows: List[dict] = []
+    for r in bounds:
+        if r["__mn"] is None:  # keyless agg over empty input: one null row
+            continue
+        anchor = _local_date(r["__mn"])
+        mx_date = _local_date(r["__mx"])
+        key_vals = {k: r[k] for k in keys}
+        anchor_rows.append({**key_vals, _ANCHOR: anchor})
+        # Grid midnights <= mx are exactly grid dates <= mx's local date
+        # (midnight(d) <= mx iff d <= mx_date); these are the boundaries
+        # crossed by some event. label(mx) = first grid date after, always
+        # appended under process_batch_end (final partial flush — see
+        # module docstring; a boundary-sitting mx still emits, at +N days).
+        grid = []
+        d = anchor + timedelta(days=days)
+        while d <= mx_date:
+            grid.append(d)
+            d += timedelta(days=days)
+        if process_batch_end:
+            grid.append(d)
+        spine_rows.extend({**key_vals, _BUCKET: g} for g in grid)
+
+    key_fields = [df.schema[k] for k in keys]
+    anchors = ss.createDataFrame(
+        anchor_rows,
+        T.StructType(key_fields + [T.StructField(_ANCHOR, T.DateType(), False)]),
+    )
+
+    # Columnar event labels on the anchored grid: the smallest grid date
+    # strictly after the event. (floor(diff/N)+1)*N > diff for any diff>=0,
+    # and a later date's local midnight is after any instant of an earlier
+    # date, so the label is strictly greater even for an event exactly ON
+    # a grid midnight (its local date IS the grid date -> next grid point).
+    if keys:
+        labeled = df.join(F.broadcast(anchors), on=keys, how="inner")
+    else:
+        labeled = df.crossJoin(F.broadcast(anchors))
+    local_date = F.to_date(F.from_utc_timestamp(F.timestamp_millis(ts), tz))
+    step_days = (
+        (F.floor(F.datediff(local_date, F.col(_ANCHOR)) / F.lit(days)) + 1)
+        * F.lit(days)
+    ).cast("int")
+    bucketed = labeled.withColumn(
+        _BUCKET, F.date_add(F.col(_ANCHOR), step_days)
+    ).drop(_ANCHOR)
+
     order_key = F.struct(ts, *[F.col(c) for c in tiebreak_cols])
     row_struct = F.struct(*[F.col(c) for c in value_cols])
     buckets = bucketed.groupBy(*keys, _BUCKET).agg(
         F.max_by(row_struct, order_key).alias(_ROW)
     )
+
+    # Grid date -> epoch ms of local midnight, applied uniformly after the
+    # join (session tz is UTC per package requirement; see conftest).
+    bucket_ms = F.unix_millis(
+        F.to_utc_timestamp(F.col(_BUCKET).cast("timestamp"), tz)
+    ).cast("long")
+
     if not gap_fill:
-        out_cols = [F.col(_BUCKET).alias(ts_col)] + [F.col(k) for k in keys]
+        out_cols = [bucket_ms.alias(ts_col)] + [F.col(k) for k in keys]
         out_cols += [F.col(_ROW)[c].alias(c) for c in value_cols]
         return buckets.select(*out_cols)
 
-    bounds = df.groupBy(*keys).agg(
-        F.min(ts).alias("__mn"), F.max(ts).alias("__mx")
-    ).collect()
-    spine_rows = []
-    for r in bounds:
-        mn, mx = r["__mn"], r["__mx"]
-        bs: List[int] = []
-        b = next_boundary_ms(mn, interval, tz=tz)
-        while b <= mx:
-            bs.append(b)
-            b = next_boundary_ms(b, interval, tz=tz)
-        # b is now the first boundary strictly after mx (= label of mx)
-        if process_batch_end and (not bs or bs[-1] != mx):
-            bs.append(b)
-        key_vals = {k: r[k] for k in keys}
-        spine_rows.extend({**key_vals, _BUCKET: x} for x in bs)
-    spine_schema = T.StructType(
-        [df.schema[k] for k in keys] + [T.StructField(_BUCKET, T.LongType(), False)]
+    spine = ss.createDataFrame(
+        spine_rows,
+        T.StructType(key_fields + [T.StructField(_BUCKET, T.DateType(), False)]),
     )
-    spine = df.sparkSession.createDataFrame(spine_rows, spine_schema)
-
     joined = spine.join(buckets, on=keys + [_BUCKET], how="left")
+    joined = joined.withColumn(_BUCKET, bucket_ms)
     return _gap_fill_tail(joined, ts_col, keys, value_cols, ffill_keys)
