@@ -96,6 +96,12 @@ class SourceConfig:
     # last file) — the merge itself is a global sort, indifferent to files.
     file_sort_regex: str = r"\d+"
     file_sort_idx: int = -1
+    # P6 malformed-file guards (reference _check_transform_headers_on_load,
+    # core.py:949-989): before reading, assert every local CSV file's header
+    # contains the declared columns, has the declared column count, and is in
+    # the declared order — naming the offending file. Driver-side one-line
+    # reads, O(#files); disable for very large file counts.
+    validate_headers: bool = True
 
     def __post_init__(self) -> None:
         if self.path is None and self.df is None:

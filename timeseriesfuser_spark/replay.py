@@ -21,6 +21,7 @@ from dataclasses import dataclass
 from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from timeseriesfuser_spark.sources.readers import SEQ_COL, SRC_ID_COL, TS_COL
 
@@ -62,6 +63,57 @@ class CallbackHandler(BaseHandler):
         self.fn(ts, msg)
 
 
+class RoutingHandler(BaseHandler):
+    """Fan one replayed stream out to several handlers.
+
+    ≈ the reference's ``distribute_to_event_handlers`` override point
+    (classes.py:279-286) and the per-event ``_process_func`` dispatch the
+    Fuser drives it through (core.py:1083-1098): a consumer with one
+    handler per instrument/source plugs the same multi-handler setup in
+    here.
+
+    ``routes`` maps a routing key to a handler. The key is taken from
+    ``msg[key_col]`` (default: the ``__src_id`` source tag — replay with
+    ``remove_internal_cols=False`` to keep it) or computed by a custom
+    ``key(ts, msg)``. Unrouted events go to ``default`` (dropped when
+    None). ``finalize``/``get_results`` fan out to every route (results
+    keyed like ``routes``).
+    """
+
+    def __init__(
+        self,
+        routes: Dict[Any, BaseHandler],
+        *,
+        key_col: str = SRC_ID_COL,
+        key: Optional[Callable[[int, Dict[str, Any]], Any]] = None,
+        default: Optional[BaseHandler] = None,
+        drop_key_col: bool = False,
+    ) -> None:
+        self.routes = dict(routes)
+        self.key_col = key_col
+        self.key = key
+        self.default = default
+        self.drop_key_col = drop_key_col
+
+    def process(self, ts: int, msg: Dict[str, Any]) -> None:
+        k = self.key(ts, msg) if self.key is not None else msg.get(self.key_col)
+        handler = self.routes.get(k, self.default)
+        if handler is None:
+            return
+        if self.drop_key_col and self.key is None:
+            msg = {c: v for c, v in msg.items() if c != self.key_col}
+        handler.process(ts, msg)
+
+    def finalize(self) -> None:
+        for handler in self.routes.values():
+            handler.finalize()
+        if self.default is not None:
+            self.default.finalize()
+
+    def get_results(self) -> Dict[Any, Any]:
+        return {k: h.get_results() for k, h in self.routes.items()}
+
+
 @dataclass
 class ReplayStatus:
     """≈ ReplayStatusObj (classes.py:690-705)."""
@@ -75,7 +127,11 @@ class ReplayStatus:
 
 class StopFlag:
     """Cooperative cancellation ≈ stop_tsf (core.py:123-132): checked per
-    row; also cancels the Spark job group backing the iterator."""
+    row; :func:`replay` runs its jobs in a dedicated Spark job group and
+    cancels it on stop, so prefetched partition jobs are killed rather than
+    left running. ``handler.finalize()`` IS still invoked on a stop — the
+    reference's ``stop_tsf`` does exactly that (core.py:131) before the
+    loop observes the flag and returns FORCESTOP."""
 
     def __init__(self) -> None:
         self._stop = False
@@ -113,17 +169,35 @@ def replay(
     status = ReplayStatus(status="COMPLETED")
     n = 0
     first_ts = last_ts = None
-    for row in ordered.toLocalIterator(prefetchPartitions=True):
-        if stop:
-            status.status = "FORCESTOP"
-            break
-        msg = row.asDict()
-        ts = msg.pop(ts_col)
-        if first_ts is None:
-            first_ts = ts
-        last_ts = ts
-        handler.process(ts, msg)
-        n += 1
+    # Dedicated job group so a stop can cancel the iterator's prefetched
+    # partition jobs (no stragglers), matching the "exit cleanly" intent of
+    # stop_tsf (core.py:123-132). Thread-local: concurrent replays on other
+    # threads keep their own groups.
+    sc = df.sparkSession.sparkContext
+    group = f"tsf-replay-{time.monotonic_ns():x}"
+    sc.setJobGroup(group, "timeseriesfuser_spark replay", interruptOnCancel=True)
+    it = ordered.toLocalIterator(prefetchPartitions=True)
+    try:
+        for row in it:
+            if stop:
+                status.status = "FORCESTOP"
+                break
+            msg = row.asDict()
+            ts = msg.pop(ts_col)
+            if first_ts is None:
+                first_ts = ts
+            last_ts = ts
+            handler.process(ts, msg)
+            n += 1
+    finally:
+        it.close()
+        if status.status == "FORCESTOP":
+            sc.cancelJobGroup(group)
+        if hasattr(sc, "clearJobGroup"):
+            sc.clearJobGroup()
+        else:  # pragma: no cover - older pyspark
+            sc.setLocalProperty("spark.jobGroup.id", None)
+    # Reference stop_tsf finalizes on stop too (core.py:131).
     handler.finalize()
     status.start_ts, status.end_ts = first_ts, last_ts
     status.rows = n
@@ -141,16 +215,49 @@ def foreach_batch(
     """Vectorized replay: deliver Arrow record batches, in order, to ``fn``.
 
     ≈ the reference's 1M-row emission chunks (core.py:364) without the
-    per-row dict conversion — the chunk crosses the JVM↔Python boundary
+    per-row dict conversion — each chunk crosses the JVM↔Python boundary
     once as Arrow. Returns total rows delivered.
 
-    Note: materializes the result on the driver (like the reference's
-    FULLDATA accumulation); for unbounded outputs use :func:`replay` whose
-    iterator holds one partition at a time.
+    Driver memory is bounded by ~``batch_size`` rows: when the input
+    exceeds one batch, the time axis is cut into quantile ranges (a
+    sketch pass — no global-window stage), and each range is pulled as
+    Arrow independently; equal timestamps never straddle a cut, so
+    ordering is preserved across chunks. One pathological timestamp
+    carrying most of the data can still oversize a single range — the
+    same caveat as any value-range chunking.
     """
-    ordered = df.orderBy(ts_col)
+    import math
+
+    from pyspark import StorageLevel
+
+    src = df.persist(StorageLevel.MEMORY_AND_DISK)
     total = 0
-    for batch in ordered.toArrow().to_batches(max_chunksize=batch_size):
-        fn(batch)
-        total += batch.num_rows
-    return total
+    try:
+        n = src.count()
+        nchunks = max(1, math.ceil(n / batch_size))
+        if nchunks == 1:
+            for batch in src.orderBy(ts_col).toArrow().to_batches(
+                max_chunksize=batch_size
+            ):
+                fn(batch)
+                total += batch.num_rows
+            return total
+        qs = [i / nchunks for i in range(1, nchunks)]
+        cuts = sorted(set(src.approxQuantile(ts_col, qs, 0.001)))
+        edges = [None, *cuts, None]
+        ts = F.col(ts_col)
+        for lo, hi in zip(edges, edges[1:]):
+            if lo is None:
+                # first range also carries any null ts (they sort first)
+                cond = ts.isNull() | (ts <= F.lit(int(hi)))
+            elif hi is None:
+                cond = ts > F.lit(int(lo))
+            else:
+                cond = (ts > F.lit(int(lo))) & (ts <= F.lit(int(hi)))
+            chunk = src.filter(cond).orderBy(ts_col)
+            for batch in chunk.toArrow().to_batches(max_chunksize=batch_size):
+                fn(batch)
+                total += batch.num_rows
+        return total
+    finally:
+        src.unpersist()

@@ -103,14 +103,145 @@ def _read_raw(spark: SparkSession, src: SourceConfig) -> DataFrame:
     reader = spark.read.option("header", "true")
     for k, v in src.csv_options.items():
         reader = reader.option(k, v)
+    sep = str(src.csv_options.get("sep", src.csv_options.get("delimiter", ",")))
+
+    # Local paths: resolve the EXPLICIT file list (chronological order) so a
+    # stray file in the directory is never silently parsed, and zip archives
+    # get the decompressing reader (Spark's CSV codec path has no zip).
+    local = os.path.exists(src.path)
+    files = list_source_files(src) if local else [src.path]
+    if local and not files:
+        raise FileNotFoundError(
+            f"Source {src.name!r}: no csv, csv.gz, or zip files found in {src.path}"
+        )
+    zipped = local and any(f.endswith(".zip") for f in files)
+
     columns = src.columns
     if columns is None and src.schema is not None and not hasattr(src.schema, "fields"):
         if not hasattr(src.schema, "items"):  # positional list: sniff header
-            columns = reader.csv(src.path).columns
+            columns = (
+                _csv_header(files[0], sep) if local else reader.csv(src.path).columns
+            )
     declared = normalize_schema(src.schema, columns)
+    if local and src.validate_headers and declared is not None:
+        validate_csv_headers(files, [f.name for f in declared.fields], sep=sep)
+    if zipped:
+        if declared is None:
+            raise ValueError(
+                f"Source {src.name!r}: .zip CSV sources need a declared "
+                "schema (Spark cannot infer through the archive reader)"
+            )
+        return _read_csv_zip(spark, files, declared, src.csv_options)
+    target = files if local else src.path
     if declared is not None:
-        return reader.schema(declared).csv(src.path)
-    return reader.option("inferSchema", "true").csv(src.path)
+        return reader.schema(declared).csv(target)
+    return reader.option("inferSchema", "true").csv(target)
+
+
+def _csv_header(path: str, sep: str = ",") -> List[str]:
+    """Driver-side read of one header line (plain / .gz / .zip member)."""
+    import csv as _csv
+    import gzip
+    import io
+    import zipfile
+
+    if path.endswith(".gz"):
+        with gzip.open(path, "rt", encoding="utf-8", newline="") as fh:
+            return next(_csv.reader(fh, delimiter=sep))
+    if path.endswith(".zip"):
+        with zipfile.ZipFile(path) as zf:
+            member = next(
+                (n for n in zf.namelist() if n.lower().endswith(".csv")), None
+            )
+            if member is None:
+                raise RuntimeError(f"source [{path}]: no .csv member in archive")
+            with zf.open(member) as raw:
+                fh = io.TextIOWrapper(raw, encoding="utf-8", newline="")
+                return next(_csv.reader(fh, delimiter=sep))
+    with open(path, "rt", encoding="utf-8", newline="") as fh:
+        return next(_csv.reader(fh, delimiter=sep))
+
+
+def validate_csv_headers(
+    files: List[str], expected: List[str], *, sep: str = ","
+) -> None:
+    """P6 malformed-file guard ≈ reference _check_transform_headers_on_load
+    + _check_column_order (core.py:949-989): every file's header must
+    contain the declared columns (superset), match the declared column
+    count, and be in the declared order — the order check matters here
+    because Spark's CSV reader binds a user schema POSITIONALLY
+    (enforceSchema), so a reordered file would misparse silently."""
+    for f in files:
+        hdr = _csv_header(f, sep)
+        if len(hdr) != len(expected):
+            raise RuntimeError(
+                f"source [{f}] seems to be in the wrong format. Number of "
+                f"columns does not match: expected {len(expected)} "
+                f"{expected}, found {len(hdr)} {hdr}"
+            )
+        if not all(c in hdr for c in expected):
+            raise RuntimeError(
+                f"source [{f}] seems to be in the wrong format. Headers do "
+                f"not match\n...should contain: {expected}\n"
+                f"...instead contains: {hdr}"
+            )
+        if hdr != list(expected):
+            raise ValueError(
+                f"source [{f}]: column order is incorrect. "
+                f"Expected: {list(expected)}, got: {hdr}"
+            )
+
+
+def _read_csv_zip(
+    spark: SparkSession, files: List[str], declared: T.StructType, csv_options
+) -> DataFrame:
+    """Zipped CSV sources (reference reads these natively,
+    datasources.py:273,328-337). Spark's CSV datasource decompresses gzip
+    codecs but not zip archives, so: one ``binaryFile`` row per archive →
+    members decompressed and split into data lines inside an Arrow-batched
+    ``mapInPandas`` (bounded batches, headers skipped) → ``from_csv`` does
+    the actual parsing JVM-side with the SAME parser/options semantics as
+    the plain path. Parallelism = #archives; archive bytes never reach the
+    driver."""
+    import pandas as pd  # noqa: F401 (executor-side)
+
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in declared.fields
+    )
+    opts = {k: str(v) for k, v in csv_options.items() if k != "header"}
+
+    def _lines(it):
+        import io
+        import zipfile
+
+        import pandas as pd
+
+        for pdf in it:
+            for content in pdf["content"]:
+                with zipfile.ZipFile(io.BytesIO(bytes(content))) as zf:
+                    for m in zf.namelist():
+                        if not m.lower().endswith(".csv"):
+                            continue
+                        with zf.open(m) as raw:
+                            txt = io.TextIOWrapper(
+                                raw, encoding="utf-8", newline=""
+                            )
+                            buf: List[str] = []
+                            for i, line in enumerate(txt):
+                                if i == 0:
+                                    continue  # header (validated upstream)
+                                line = line.rstrip("\r\n")
+                                if line:
+                                    buf.append(line)
+                                if len(buf) >= 10_000:
+                                    yield pd.DataFrame({"__line": buf})
+                                    buf = []
+                            if buf:
+                                yield pd.DataFrame({"__line": buf})
+
+    bin_df = spark.read.format("binaryFile").load(files).select("content")
+    lines = bin_df.mapInPandas(_lines, schema="__line string")
+    return lines.select(F.from_csv("__line", ddl, opts).alias("__r")).select("__r.*")
 
 
 def build_source_df(spark: SparkSession, src: SourceConfig, src_id: int) -> DataFrame:
@@ -147,16 +278,30 @@ def build_source_df(spark: SparkSession, src: SourceConfig, src_id: int) -> Data
     )
 
 
-_EXTS = {"csv": (".csv", ".csv.gz", ".csv.zip"), "parquet": (".parquet",)}
+_EXTS = {"csv": (".csv", ".csv.gz", ".zip"), "parquet": (".parquet",)}
 
 
 def list_source_files(src: SourceConfig) -> List[str]:
     """Chronologically ordered file list (reference FilesSrc.sort_data,
     datasources.py:189-212): sort by ``int(re.findall(regex, name)[idx])``,
-    falling back to lexicographic when the key doesn't parse."""
+    falling back to lexicographic when the key doesn't parse.
+
+    CSV directories must be compression-homogeneous (reference
+    _check_compression, datasources.py:320-337): mixing .csv / .csv.gz /
+    .zip in one source is rejected loudly."""
     if os.path.isfile(src.path):
         return [src.path]
     names = [n for n in os.listdir(src.path) if n.endswith(_EXTS[src.fmt])]
+    if src.fmt == "csv":
+        kinds = {
+            ".zip" if n.endswith(".zip") else ".csv.gz" if n.endswith(".gz") else ".csv"
+            for n in names
+        }
+        if len(kinds) > 1:
+            raise RuntimeError(
+                f"More than one compression file type found in {src.path}: "
+                f"{sorted(kinds)}"
+            )
 
     def key(n: str):
         try:
