@@ -204,11 +204,25 @@ def minhash_lsh_pairs(
     recall at s ≈ (1/bands)^(1/r); defaults (32,8→r=4) target s≈0.6.
     Probabilistic recall — candidate *generation* may miss pairs; the
     verification step has no false positives.
+
+    Verification joins the candidate pairs against a *doc-level* shingle
+    ARRAY relation (one row per doc) and computes |A∩B| via
+    ``array_intersect`` in codegen — two joins on a doc-count-sized
+    relation instead of three shuffles of the exploded shingle relation.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sh = _maybe_cache(shingles_df(df, id_col, text_col, n), cache)
+    # Doc-level sorted shingle arrays: the single multiply-consumed
+    # relation (signature explode + both verify sides).
+    darr = _maybe_cache(
+        spread_small_input(df).select(
+            F.col(id_col).alias("id"),
+            F.array_sort(shingle_array(text_col, n)).alias("shs"),
+        ),
+        cache,
+    )
+    sh = darr.select("id", F.explode("shs").alias("sh"))
     sig = _minhash_signatures_from(sh, num_hashes)
     # One row per (id, band) via a single explode — NOT a union of per-band
     # selects, which would make Catalyst duplicate the whole signature
@@ -239,19 +253,18 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    ea = sh.withColumnsRenamed({"id": "id_a", "sh": "shk"})
-    eb = sh.withColumnsRenamed({"id": "id_b", "sh": "shk"})
-    inter = (
-        cand.join(ea, "id_a")
-        .join(eb, ["id_b", "shk"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("intersection"))
-    )
+    ja = darr.select(F.col("id").alias("id_a"), F.col("shs").alias("__shs_a"))
+    jb = darr.select(F.col("id").alias("id_b"), F.col("shs").alias("__shs_b"))
     out = (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
-        .withColumn("union_size", F.col("sz_a") + F.col("sz_b") - F.col("intersection"))
+        cand.join(ja, "id_a")
+        .join(jb, "id_b")
+        .withColumn(
+            "intersection", F.size(F.array_intersect("__shs_a", "__shs_b"))
+        )
+        .withColumn(
+            "union_size",
+            F.size("__shs_a") + F.size("__shs_b") - F.col("intersection"),
+        )
         .withColumn(
             "jaccard", F.col("intersection").cast("double") / F.col("union_size")
         )
@@ -316,41 +329,45 @@ def simhash_pairs(
     chunk = bits // nchunks
     # Vote computation as explode → codegen'd hash-aggregate (one pass,
     # map-side partial, vectorized) rather than `bits` interpreted
-    # higher-order-function passes over a per-row array.
+    # higher-order-function passes over a per-row array. Votes are kept in
+    # branch-free arithmetic form: S_i = Σ bit_i(h); the ±1 vote sum is
+    # positive iff 2·S_i > token count.
     toks = spread_small_input(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens_array(text_col))).alias("__t"),
     )
     hv = toks.select("id", md5_hash64(F.col("__t")).alias("__h"))
     votes = hv.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__cnt"),
         *[
-            F.sum(
-                F.when(
-                    F.col("__h").bitwiseAND(F.lit(1 << i)) != 0, F.lit(1)
-                ).otherwise(F.lit(-1))
-            ).alias(f"v{i}")
+            F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))).alias(
+                f"s{i}"
+            )
             for i in range(bits)
-        ]
+        ],
     )
     sim = F.lit(0).cast("long")
     for i in range(bits):
-        sim = sim + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = sim + F.when(
+            2 * F.col(f"s{i}") > F.col("__cnt"), F.lit(1 << i)
+        ).otherwise(F.lit(0))
     # Token-less docs drop out of the explode; re-attach with simhash 0
     # (the value the all-zero vote vector produces).
     ids = df.select(F.col(id_col).alias("id")).distinct()
     sig = ids.join(votes.select("id", sim.alias("sh")), "id", "left").select(
         "id", F.coalesce(F.col("sh"), F.lit(0).cast("long")).alias("sh")
     )
-    chunk_structs = []
+    masks = []
     for c in range(nchunks):
         width = chunk if c < nchunks - 1 else bits - chunk * (nchunks - 1)
-        mask = ((1 << width) - 1) << (c * chunk)
-        chunk_structs.append(
-            F.struct(
-                F.lit(c).alias("chunk"),
-                F.col("sh").bitwiseAND(F.lit(mask)).alias("ckey"),
-            )
+        masks.append(((1 << width) - 1) << (c * chunk))
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.col("sh").bitwiseAND(F.lit(masks[c])).alias("ckey"),
         )
+        for c in range(nchunks)
+    ]
     blocks = _maybe_cache(
         sig.select(
             "id", "sh", F.explode(F.array(*chunk_structs)).alias("cc")
@@ -360,14 +377,24 @@ def simhash_pairs(
         cache,
     )
     a, b = blocks.alias("a"), blocks.alias("b")
+    xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+    # Emit each pair only at its FIRST agreeing chunk (all lower-chunk
+    # masks differ) — a cheap bitwise filter in the join's codegen instead
+    # of a global distinct, which at corpus scale would shuffle the entire
+    # candidate-pair relation a second time.
+    first_chunk = F.lit(True)
+    for c in range(1, nchunks):
+        cond = F.lit(True)
+        for c2 in range(c):
+            cond = cond & (xor.bitwiseAND(F.lit(masks[c2])) != 0)
+        first_chunk = F.when(F.col("a.chunk") == c, cond).otherwise(first_chunk)
     return (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.ckey") == F.col("b.ckey")))
-        .filter(F.col("a.id") < F.col("b.id"))
+        .filter((F.col("a.id") < F.col("b.id")) & first_chunk)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
