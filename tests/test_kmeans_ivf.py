@@ -40,3 +40,35 @@ def test_trained_ivf_recall_properties(spark, emb):
     # probing ALL lists degenerates to exact search: recall must be 1.0
     full = ivf_cosine_topk(emb, queries, k=5, nprobe=8, centroids=cents)
     assert recall(full, exact) == 1.0
+
+
+def test_assign_nearest_tiebreak_lowest_index(spark):
+    from timeseriesfuser_spark.ops.similarity import _assign_nearest, _sq_norm
+
+    # two identical centroids: ties must resolve to the lower index
+    q = spark.createDataFrame(
+        [(1, [3, 4]), (2, [4, 3])], "id long, v array<long>"
+    ).withColumn("n", _sq_norm(F.col("v")))
+    got = {r["id"]: r["c"] for r in
+           _assign_nearest(q, [[3.0, 4.0], [3.0, 4.0], [4.0, 3.0]]).collect()}
+    assert got[1] == 0  # exact match exists twice -> index 0 wins
+    assert got[2] == 2
+
+
+def test_kmeans_larger_k_dim(spark):
+    # k x dim well past where literal-centroid codegen would blow up:
+    # the broadcast-join assignment must stay linear in plan size.
+    vecs = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (F.pmod(F.xxhash64(F.col("id") * 64 + i), F.lit(2000))
+                       - 1000).cast("float") / 1000.0,
+        ).alias("embedding"),
+    )
+    cents = kmeans_fit(vecs, k=32, iters=2)
+    assert len(cents) == 32 and len(cents[0]) == 64
+    out = ivf_cosine_topk(
+        vecs, vecs.limit(5), k=3, nprobe=4, centroids=cents
+    )
+    assert out.count() == 15

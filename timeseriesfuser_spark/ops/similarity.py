@@ -91,28 +91,45 @@ def cosine_topk(
     )
 
 
-def _best_centroid_expr(vec: Column, norm: Column, centroids: list) -> Column:
-    """Index of the nearest centroid (max cosine; ties → lowest index) as a
-    single JVM expression over literal centroid arrays — no join, no
-    shuffle, evaluated inside codegen per row."""
-    best_idx = F.lit(0)
-    best_cos = F.lit(float("-inf"))
-    for i, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        cn = sum(float(x) * float(x) for x in c)
-        dot = F.aggregate(
-            F.zip_with(vec.cast("array<double>"), carr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+def _assign_nearest(q: DataFrame, centroids: list) -> DataFrame:
+    """Add column ``c``: index of the nearest centroid by cosine (ties →
+    lowest index), via a broadcast centroid join + ``min_by``.
+
+    Scales in k×dim: the centroid table is broadcast DATA (one row per
+    centroid), not inlined literal expressions — k=256, dim=768 is ~1.5 MB
+    broadcast and a plain 256-way nested-loop probe per row, where
+    literal-array codegen would generate megabytes of Java source.
+    ``q`` must have columns (id, v array<long>, n long).
+    """
+    spark = q.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c], float(sum(x * x for x in c)))
+         for i, c in enumerate(centroids)],
+        "c int, __ctv array<double>, __ctn double",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v").cast("array<double>"), F.col("__ctv"),
+                   lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.when(
+        (F.col("n") > 0) & (F.col("__ctn") > 0),
+        dot / (F.sqrt(F.col("n").cast("double")) * F.sqrt(F.col("__ctn"))),
+    ).otherwise(F.lit(0.0))
+    return (
+        q.join(F.broadcast(cents))
+        .withColumn("__ccos", cos)
+        .groupBy("id")
+        .agg(
+            F.first("v").alias("v"),
+            F.first("n").alias("n"),
+            # lexicographic min of (-cos, c): highest cosine, ties → lowest
+            # centroid index — matches a strict argmax scanned in index order
+            F.min_by("c", F.struct((-F.col("__ccos")).alias("nc"),
+                                   F.col("c").alias("ci"))).alias("c"),
         )
-        cos = F.when(
-            (norm > 0) & (F.lit(cn) > 0),
-            dot / (F.sqrt(norm.cast("double")) * F.lit(cn**0.5)),
-        ).otherwise(F.lit(0.0))
-        better = cos > best_cos
-        best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
-        best_cos = F.when(better, cos).otherwise(best_cos)
-    return best_idx
+    )
 
 
 def kmeans_fit(
@@ -126,10 +143,13 @@ def kmeans_fit(
     """Deterministic distributed k-means (Lloyd) over quantized vectors.
 
     - init: the ``k`` lowest-id vectors (reproducible, no RNG);
-    - assign: nearest centroid by cosine via literal-centroid expressions
-      (codegen, no shuffle); ties break to the lowest index;
-    - update: per-cluster mean — one partial-aggregated groupBy per
-      iteration; k x dim doubles collected to the driver (tiny).
+    - assign: nearest centroid by cosine via a broadcast centroid join
+      (:func:`_assign_nearest` — scales to k=256, dim=768 where literal
+      centroid expressions would blow up codegen); ties break to the
+      lowest index;
+    - update: per-cluster element sums via ``posexplode`` → one
+      partial-aggregated groupBy per iteration; k×dim sums collected to
+      the driver (fixed size, not data-proportional).
 
     Returns the centroid list for :func:`ivf_cosine_topk`'s ``centroids``
     parameter. Empty clusters keep their previous centroid.
@@ -144,20 +164,21 @@ def kmeans_fit(
     centroids = init
     dim = len(init[0])
     for _ in range(iters):
-        assigned = q.withColumn(
-            "c", _best_centroid_expr(F.col("v"), F.col("n"), centroids)
+        assigned = _assign_nearest(q, centroids)
+        # integer element sums (exact, order-independent) + counts
+        sums = (
+            assigned.select("c", F.posexplode("v").alias("pos", "x"))
+            .groupBy("c", "pos")
+            .agg(F.sum("x").alias("s"))
         )
-        sums = assigned.groupBy("c").agg(
-            F.count(F.lit(1)).alias("cnt"),
-            *[
-                F.sum(F.col("v")[i]).alias(f"s{i}")
-                for i in range(dim)
-            ],
-        )
-        got = {r["c"]: r for r in sums.collect()}
+        cnts = {r["c"]: r["cnt"] for r in
+                assigned.groupBy("c").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        acc = {}
+        for r in sums.collect():
+            acc.setdefault(r["c"], [0] * dim)[r["pos"]] = r["s"]
         centroids = [
-            [got[i][f"s{d}"] / got[i]["cnt"] for d in range(dim)]
-            if i in got
+            [acc[i][d] / cnts[i] for d in range(dim)]
+            if i in cnts
             else centroids[i]
             for i in range(k)
         ]
