@@ -103,3 +103,39 @@ def test_cosine_topk_exact(spark):
     out = cosine_topk(corpus, queries, k=2).collect()
     assert [r["neighbor_id"] for r in out] == [2, 3]
     assert out[0]["cosine"] > 0.99
+
+
+def test_repetition_stats_hand_computed(spark):
+    from timeseriesfuser_spark.ops.text import repetition_stats
+
+    rows = [
+        # 4 lines, "dup" twice: dup_line_frac = (4-3)/4; line chars:
+        # dup(3)*2 + alpha(5) + beta(4) = 15, distinct = 12 -> 3/15
+        Row(doc_id=1, text="dup\nalpha\nbeta\ndup"),
+        # "ab ab ab": 2-gram "ab ab" x2 -> top2 = 2*5=10 over 8 chars
+        Row(doc_id=2, text="ab ab ab"),
+        Row(doc_id=3, text="all unique words here"),
+        Row(doc_id=4, text=""),
+    ]
+    out = {r["doc_id"]: r for r in
+           repetition_stats(spark.createDataFrame(rows)).collect()}
+    assert out[1]["dup_line_frac"] == 0.25
+    assert out[1]["dup_line_char_frac"] == 3 / 15
+    assert out[2]["top2gram_char_frac"] == 10 / 8
+    assert out[3]["dup_line_frac"] == 0.0
+    assert out[3]["top2gram_char_frac"] == 0.0
+    assert out[3]["top3gram_char_frac"] == 0.0
+    assert out[4]["dup_line_frac"] == 0.0
+    assert out[4]["dup_line_char_frac"] == 0.0
+
+
+def test_token_frequencies_counts(spark):
+    from timeseriesfuser_spark.ops.text import token_frequencies
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="spark spark flink"),
+        Row(doc_id=2, text="spark beam"),
+    ])
+    got = {r["token"]: (r["term_freq"], r["doc_freq"])
+           for r in token_frequencies(df).collect()}
+    assert got == {"spark": (3, 2), "flink": (1, 1), "beam": (1, 1)}

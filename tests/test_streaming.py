@@ -162,3 +162,50 @@ def test_replay_stream_to_handler(spark, stream_dir, tmp_path):
     # ordered within each micro-batch (single batch under availableNow here
     # covers the whole directory)
     assert ts == sorted(ts)
+
+
+def test_dedup_stream_first_occurrence_wins(spark, tmp_path):
+    from timeseriesfuser_spark.streaming import dedup_stream
+
+    d = tmp_path / "docs"
+    rows1 = [(1_000_000 + 1000 * i, f"doc {i % 5}") for i in range(10)]
+    rows2 = [(2_000_000 + 1000 * i, f"doc {i % 5}") for i in range(10)]
+    for rows in [rows1, rows2]:
+        spark.createDataFrame(rows, "ts long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(str(d))
+    src = SourceConfig(
+        name="docs", path=str(d), fmt="parquet",
+        schema={"ts": int, "text": str}, ts_col="ts",
+    )
+    from timeseriesfuser_spark.streaming import stream_source
+
+    stream = stream_source(spark, src, 0)
+    out = dedup_stream(stream, text_col="text", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("deduped")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select text, __timestamp from deduped").collect()
+    # exactly one survivor per distinct content (first PROCESSED occurrence
+    # wins — processing order, not event-time order, as in any streaming
+    # dedup; file arrival order governs which copy that is)
+    assert sorted(r["text"] for r in got) == [f"doc {i}" for i in range(5)]
+
+
+def test_dedup_stream_key_cols_and_validation(spark, tmp_path):
+    from timeseriesfuser_spark.streaming import dedup_stream
+
+    batch = spark.createDataFrame(
+        [(1000, "x"), (2000, "x"), (3000, "y")], "ts long, k string"
+    ).withColumnRenamed("ts", "__timestamp")
+    # batch DataFrames work too (dropDuplicates path, no watermark)
+    out = dedup_stream(batch, key_cols=["k"], watermark=None)
+    assert out.count() == 2
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup_stream(batch, key_cols=["k"], text_col="k")
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup_stream(batch)

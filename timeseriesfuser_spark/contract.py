@@ -714,6 +714,77 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.doc_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _ngram_all_sql(n: int) -> str:
+    """ALL word n-grams with multiplicities (twin of ops.text.ngram_all_col)."""
+    return f"[array_to_string(tk[i:i+{n - 1}], ' ') FOR i IN range(1, len(tk) - {n - 2})]"
+
+
+def _repetition_sql() -> str:
+    tops = []
+    for n in (2, 3):
+        tops.append(f"""
+    g{n} AS (SELECT doc_id, unnest({_ngram_all_sql(n)}) AS g
+             FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)),
+    pg{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY doc_id, g),
+    top{n} AS (SELECT doc_id, max(c * length(g)) AS m FROM pg{n}
+               WHERE c >= 2 GROUP BY doc_id)""")
+    return f"""
+    WITH lines AS (
+        SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM documents
+    ),
+    pl AS (SELECT doc_id, ln, count(*) AS c FROM lines GROUP BY doc_id, ln),
+    ls AS (
+        SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct,
+               sum(length(ln) * c) AS line_chars, sum(length(ln)) AS distinct_chars
+        FROM pl GROUP BY doc_id
+    ),{','.join(tops)}
+    SELECT d.doc_id,
+           CASE WHEN ls.n_lines > 0
+                THEN CAST(ls.n_lines - ls.n_distinct AS DOUBLE) / ls.n_lines
+                ELSE 0.0 END AS dup_line_frac,
+           CASE WHEN ls.line_chars > 0
+                THEN CAST(ls.line_chars - ls.distinct_chars AS DOUBLE) / ls.line_chars
+                ELSE 0.0 END AS dup_line_char_frac,
+           CASE WHEN top2.m IS NOT NULL AND length(d.text) > 0
+                THEN CAST(top2.m AS DOUBLE) / length(d.text)
+                ELSE 0.0 END AS top2gram_char_frac,
+           CASE WHEN top3.m IS NOT NULL AND length(d.text) > 0
+                THEN CAST(top3.m AS DOUBLE) / length(d.text)
+                ELSE 0.0 END AS top3gram_char_frac
+    FROM documents d
+    LEFT JOIN ls ON ls.doc_id = d.doc_id
+    LEFT JOIN top2 ON top2.doc_id = d.doc_id
+    LEFT JOIN top3 ON top3.doc_id = d.doc_id
+    """
+
+
+@register("repetition_stats", oracle=_repetition_sql())
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-line fractions + top
+    repeated-n-gram character mass (ops.text.repetition_stats)."""
+    return X.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_frequencies",
+    oracle=f"""
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS term_freq,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY term_freq DESC, token
+    LIMIT 100
+    """,
+)
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-100 tokens by term frequency with
+    document frequency (ops.text.token_frequencies) — the word-count shape
+    feeding vocab/BPE construction."""
+    out = X.token_frequencies(_t(spark, sf_dir, "documents"))
+    return out.orderBy(F.desc("term_freq"), F.asc("token")).limit(100)
+
+
 # --------------------------------------------------------------------------- #
 # Similarity search (embeddings)
 # --------------------------------------------------------------------------- #

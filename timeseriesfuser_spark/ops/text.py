@@ -127,6 +127,128 @@ def language_id(
     )
 
 
+def ngram_all_col(text: Column, n: int) -> Column:
+    """ALL word n-grams (space-joined), duplicates preserved — unlike
+    ``ops.dedup.shingle_array`` which dedups for set semantics. Repetition
+    metrics need the multiplicities."""
+    toks = tokens_col(text)
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+    ngram_ns: Sequence[int] = (2, 3),
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, §A1.1): the
+    filters a pretraining pipeline uses to drop boilerplate/spam docs.
+
+    - ``dup_line_frac``: (lines − distinct lines) / lines;
+    - ``dup_line_char_frac``: chars in repeated line occurrences / line
+      chars (first occurrence of each line not counted);
+    - ``top{n}gram_char_frac`` per n in ``ngram_ns``: max over repeated
+      n-grams of occurrences×gram_length, / total text chars; 0.0 when no
+      n-gram repeats. (Deterministic without a tie-break rule: the
+      *product* is maximized directly, not "chars of the most frequent
+      gram".)
+
+    Scale: one explode + two-level groupBy per signal family (map-side
+    partial aggs, no windows); everything joins back on the doc id. All
+    counts integer; one division per emitted fraction → oracle-exact.
+    """
+    base = _maybe_persist(
+        spread_small_input(df).select(
+            *id_cols, F.col(text_col).alias("__text")
+        )
+    )
+    key = list(id_cols)
+    n_chars_df = base.select(
+        *key, F.length("__text").cast("long").alias("__nc")
+    )
+
+    lines = base.select(*key, F.explode(F.split(F.col("__text"), "\n")).alias("__ln"))
+    per_line = lines.groupBy(*key, "__ln").agg(F.count(F.lit(1)).alias("__c"))
+    line_stats = per_line.groupBy(*key).agg(
+        F.sum("__c").alias("__n_lines"),
+        F.count(F.lit(1)).alias("__n_distinct"),
+        F.sum(F.length("__ln") * F.col("__c")).alias("__line_chars"),
+        F.sum(F.length("__ln")).alias("__distinct_chars"),
+    )
+
+    out = n_chars_df.join(line_stats, key, "left")
+    safe = lambda num, den: F.when(
+        den > 0, num.cast("double") / den.cast("double")
+    ).otherwise(F.lit(0.0))
+    out = out.select(
+        *key,
+        "__nc",
+        safe(
+            F.col("__n_lines") - F.col("__n_distinct"), F.col("__n_lines")
+        ).alias("dup_line_frac"),
+        safe(
+            F.col("__line_chars") - F.col("__distinct_chars"),
+            F.col("__line_chars"),
+        ).alias("dup_line_char_frac"),
+    )
+
+    for n in ngram_ns:
+        grams = base.select(
+            *key, F.explode(ngram_all_col(F.col("__text"), n)).alias("__g")
+        )
+        per_gram = grams.groupBy(*key, "__g").agg(F.count(F.lit(1)).alias("__c"))
+        top = (
+            per_gram.filter(F.col("__c") >= 2)
+            .groupBy(*key)
+            .agg(
+                F.max(F.col("__c") * F.length("__g")).alias(f"__top{n}")
+            )
+        )
+        out = out.join(top, key, "left").withColumn(
+            f"top{n}gram_char_frac",
+            F.when(
+                F.col(f"__top{n}").isNotNull() & (F.col("__nc") > 0),
+                F.col(f"__top{n}").cast("double") / F.col("__nc").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        ).drop(f"__top{n}")
+    return out.drop("__nc")
+
+
+def _maybe_persist(df: DataFrame) -> DataFrame:
+    """Persist a relation consumed by several plan branches (Catalyst
+    re-executes branches; see ops.dedup._maybe_cache)."""
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def token_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = WORD_RE,
+) -> DataFrame:
+    """Corpus-level token statistics: (token, term_freq, doc_freq) — the
+    input to vocabulary construction / BPE seeding and contamination
+    checks.
+
+    The classic word-count shape: one explode + one groupBy with map-side
+    partial aggregation; ``doc_freq`` via count(distinct id), which Spark
+    plans as a two-phase aggregate — no data-proportional driver state.
+    """
+    toks = spread_small_input(df).select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens_col(F.col(text_col), pattern)).alias("token"),
+    )
+    return toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("term_freq"),
+        F.countDistinct("__id").alias("doc_freq"),
+    )
+
+
 def doc_fingerprint(
     df: DataFrame,
     text_col: str = "text",

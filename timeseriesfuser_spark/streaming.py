@@ -247,6 +247,50 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    df: DataFrame,
+    *,
+    key_cols: Optional[Sequence[str]] = None,
+    text_col: Optional[str] = None,
+    normalize: bool = False,
+    watermark: Optional[str] = "10 minutes",
+    ts_col: str = TS_COL,
+) -> DataFrame:
+    """Streaming exact dedup: the first *processed* occurrence of each
+    content key wins (ops.dedup.exact_duplicates' live twin — the
+    ingest-time guard an LLM-data pipeline puts in front of its raw
+    feed). "First" is processing order — source arrival order, not event
+    time — as in any streaming dedup.
+
+    Key = ``md5(text_col)`` (optionally whitespace/case-normalized, same
+    as the batch op) or explicit ``key_cols``. With a ``watermark``, uses
+    ``dropDuplicatesWithinWatermark`` so the dedup state store holds only
+    keys younger than the watermark horizon — bounded state at
+    firehose scale; duplicates farther apart in event time than the
+    horizon are NOT caught (that is the documented trade; run the batch op
+    for a full-history pass). ``watermark=None`` keeps exact all-history
+    dedup with state growing per distinct key.
+
+    Adds ``__event_time`` (timestamp from epoch-ms ``ts_col``) and
+    ``__content_hash`` when hashing text.
+    """
+    if (key_cols is None) == (text_col is None):
+        raise ValueError("exactly one of key_cols / text_col is required")
+    out = df.withColumn("__event_time", F.timestamp_millis(F.col(ts_col)))
+    if text_col is not None:
+        c = F.col(text_col)
+        if normalize:
+            c = F.regexp_replace(F.trim(F.lower(c)), "\\s+", " ")
+        out = out.withColumn("__content_hash", F.md5(c))
+        keys = ["__content_hash"]
+    else:
+        keys = list(key_cols)
+    if watermark is not None:
+        out = out.withWatermark("__event_time", watermark)
+        return out.dropDuplicatesWithinWatermark(keys)
+    return out.dropDuplicates(keys)
+
+
 def replay_stream_to_handler(
     df: DataFrame,
     handler,
