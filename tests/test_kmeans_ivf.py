@@ -72,3 +72,33 @@ def test_kmeans_larger_k_dim(spark):
         vecs, vecs.limit(5), k=3, nprobe=4, centroids=cents
     )
     assert out.count() == 15
+
+
+def test_srp_neardup_planted(spark):
+    import math
+
+    from timeseriesfuser_spark.ops.similarity import (
+        srp_neardup_pairs,
+        srp_signatures,
+    )
+
+    base = [math.sin(i * 0.7) for i in range(16)]
+    near = [x + (0.01 if i == 0 else 0.0) for i, x in enumerate(base)]
+    far = [math.cos(i * 1.3) for i in range(16)]
+    emb = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, [-x for x in base])],
+        "vec_id long, embedding array<float>",
+    )
+    got = srp_neardup_pairs(emb, threshold=0.9, planes=16, max_hamming=2)
+    rows = got.collect()
+    # only the planted near-pair survives; the negated vector (cos = -1)
+    # and the unrelated one are excluded
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    assert rows[0]["cosine"] > 0.999
+    assert rows[0]["hamming"] == 0  # identical sign pattern
+
+    # signatures deterministic across invocations (md5-derived planes)
+    s1 = {r["id"]: r["sh"] for r in srp_signatures(emb).collect()}
+    s2 = {r["id"]: r["sh"] for r in srp_signatures(emb).collect()}
+    assert s1 == s2
+    assert s1[1] == s1[2]  # near-dup -> same 16-bit signature

@@ -943,6 +943,36 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SRP_P = 16
+
+
+@register(
+    "srp_signatures",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+    planes AS (
+        SELECT CAST(p AS INT) AS p,
+               [({_sql_hash64("p || ':' || i")} % 2001) - 1000
+                FOR i IN range(0, 64)] AS parr
+        FROM range({_SRP_P}) t(p)
+    )
+    SELECT vecs.vec_id AS id,
+           CAST(sum(CASE WHEN list_aggregate(
+                       [vecs.v[i] * planes.parr[i] FOR i IN range(1, len(vecs.v) + 1)],
+                       'sum') >= 0
+                    THEN (CAST(1 AS BIGINT) << planes.p) ELSE 0 END) AS BIGINT) AS sh
+    FROM vecs CROSS JOIN planes
+    GROUP BY vecs.vec_id
+    """,
+)
+def q_srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH bit signatures over the embedding
+    column (ops.similarity.srp_signatures): the deterministic md5-derived
+    hyperplanes make the 16-bit sketch reproducible in ANSI SQL — the
+    blocking key for srp_neardup_pairs, the embedding near-dup scale path."""
+    return S.srp_signatures(_t(spark, sf_dir, "embeddings"), planes=_SRP_P)
+
+
 @register(
     "tpch_q3_shipping",
     oracle="""

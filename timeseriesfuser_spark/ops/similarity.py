@@ -91,6 +91,168 @@ def cosine_topk(
     )
 
 
+def srp_plane_component(p: Column, i: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1000, 1000]:
+    (md5-hash64 of "p:i") % 2001 − 1000. Engine-portable (md5 + hex parse
+    + modulo on a non-negative value), so a SQL oracle generates the SAME
+    planes — no RNG, no state to ship."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(p.cast("string"), F.lit(":"), i.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % 2001 - 1000
+
+
+def _srp_signatures_from(v: DataFrame, planes: int, dim: int) -> DataFrame:
+    """(id, sh): ``planes``-bit SRP signature from a (id, v array<long>)
+    relation — one broadcast plane join + one groupBy (map-side partial)."""
+    spark = v.sparkSession
+    plane_df = spark.range(planes).select(
+        F.col("id").cast("int").alias("p"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: srp_plane_component(F.col("id"), i),
+        ).alias("parr"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("parr"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        v.join(F.broadcast(plane_df))
+        .select(
+            "id",
+            F.when(dot >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bit"),
+        )
+        .groupBy("id")
+        .agg(F.sum("bit").alias("sh"))
+    )
+
+
+def srp_signatures(
+    df: DataFrame,
+    planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Public signature surface: (id, sh) SRP bit signatures — usable as a
+    compact sketch column (store once, block repeatedly) and directly
+    SQL-oracle-checkable since planes are md5-derived."""
+    v = df.select(
+        F.col(id_col).alias("id"), quantized(F.col(vec_col), scale).alias("v")
+    )
+    dim_row = v.select(F.size("v").alias("d")).first()
+    if dim_row is None:
+        return df.sparkSession.createDataFrame([], "id long, sh long")
+    return _srp_signatures_from(v, planes, dim_row["d"])
+
+
+def srp_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.85,
+    planes: int = 16,
+    max_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    cache: bool = True,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via signed-random-projection LSH —
+    the blocked scale path for embedding-cosine near-dup (the brute-force
+    twin is an all-pairs self-join).
+
+    Signatures: bit p = sign(v · plane_p) over ``planes`` deterministic
+    hyperplanes (:func:`srp_plane_component`); two vectors' signature
+    hamming distance estimates their angle (Charikar 2002). Candidates =
+    pairs agreeing on ≥1 of ``max_hamming+1`` signature chunks (the same
+    pigeonhole guarantee as SimHash: hamming ≤ max_hamming ⟹ some chunk
+    equal), emitted at their first agreeing chunk (no distinct shuffle),
+    then verified with exact quantized cosine ≥ ``threshold``.
+
+    Scale: one broadcast plane join + one groupBy for signatures; the
+    candidate join touches only chunk-bucket collisions, never the corpus
+    square. Output (id_a, id_b, hamming, cosine), id_a < id_b.
+    """
+    spark = df.sparkSession
+    v = _maybe_cache(
+        spread_small_input(df).select(
+            F.col(id_col).alias("id"), quantized(F.col(vec_col), scale).alias("v")
+        ).withColumn("n", _sq_norm(F.col("v"))),
+        cache,
+    )
+    dim_row = v.select(F.size("v").alias("d")).first()
+    if dim_row is None:
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, hamming int, cosine double"
+        )
+    sig = _srp_signatures_from(v, planes, dim_row["d"])
+    nchunks = max_hamming + 1
+    chunk = planes // nchunks
+    masks = []
+    for c in range(nchunks):
+        width = chunk if c < nchunks - 1 else planes - chunk * (nchunks - 1)
+        masks.append(((1 << width) - 1) << (c * chunk))
+    structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.col("sh").bitwiseAND(F.lit(masks[c])).alias("ckey"),
+        )
+        for c in range(nchunks)
+    ]
+    blocks = _maybe_cache(
+        sig.select("id", "sh", F.explode(F.array(*structs)).alias("cc")).select(
+            "id", "sh", F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey")
+        ),
+        cache,
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+    first_chunk = F.lit(True)
+    for c in range(1, nchunks):
+        cond = F.lit(True)
+        for c2 in range(c):
+            cond = cond & (xor.bitwiseAND(F.lit(masks[c2])) != 0)
+        first_chunk = F.when(F.col("a.chunk") == c, cond).otherwise(first_chunk)
+    cand = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.ckey") == F.col("b.ckey")))
+        .filter((F.col("a.id") < F.col("b.id")) & first_chunk)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(xor).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    ja = v.select(F.col("id").alias("id_a"), F.col("v").alias("__va"), F.col("n").alias("__na"))
+    jb = v.select(F.col("id").alias("id_b"), F.col("v").alias("__vb"), F.col("n").alias("__nb"))
+    cos = F.round(
+        F.when(
+            (F.col("__na") > 0) & (F.col("__nb") > 0),
+            _dot(F.col("__va"), F.col("__vb")).cast("double")
+            / (F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb"))),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        cand.join(ja, "id_a")
+        .join(jb, "id_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "hamming", "cosine")
+    )
+
+
+def _maybe_cache(df: DataFrame, cache: bool) -> DataFrame:
+    from timeseriesfuser_spark.ops.dedup import _maybe_cache as _mc
+
+    return _mc(df, cache)
+
+
 def _assign_nearest(q: DataFrame, centroids: list) -> DataFrame:
     """Add column ``c``: index of the nearest centroid by cosine (ties →
     lowest index), via a broadcast centroid join + ``min_by``.
