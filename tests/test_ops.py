@@ -139,3 +139,22 @@ def test_token_frequencies_counts(spark):
     got = {r["token"]: (r["term_freq"], r["doc_freq"])
            for r in token_frequencies(df).collect()}
     assert got == {"spark": (3, 2), "flink": (1, 1), "beam": (1, 1)}
+
+
+def test_contamination_check_hand_computed(spark):
+    from timeseriesfuser_spark.ops.text import contamination_check
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta gamma delta"),   # grams: ab g, b g d
+        Row(doc_id=2, text="alpha beta gamma epsilon"),
+        Row(doc_id=3, text="unrelated words entirely different"),
+        Row(doc_id=4, text="too short"),                # < 3 tokens
+    ])
+    bench = docs.filter(F.col("doc_id") == 1)
+    out = {r["doc_id"]: r for r in contamination_check(docs, bench, n=3).collect()}
+    assert out[1]["contamination_frac"] == 1.0          # benchmark itself
+    # doc 2 shares "alpha beta gamma" of its 2 grams
+    assert out[2]["n_ngrams"] == 2 and out[2]["n_contaminated"] == 1
+    assert out[2]["contamination_frac"] == 0.5
+    assert out[3]["n_contaminated"] == 0 and out[3]["contamination_frac"] == 0.0
+    assert out[4]["n_ngrams"] == 0 and out[4]["contamination_frac"] == 0.0

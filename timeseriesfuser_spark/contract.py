@@ -758,6 +758,43 @@ def _repetition_sql() -> str:
     """
 
 
+@register(
+    "contamination_check",
+    oracle=f"""
+    WITH bg AS (
+        SELECT DISTINCT unnest({_SHINGLES}) AS g
+        FROM (SELECT {_TOKS} AS tk FROM documents WHERE doc_id < 10)
+    ),
+    dg AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS g
+        FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+    ),
+    pd AS (
+        SELECT dg.doc_id,
+               CAST(count(*) AS BIGINT) AS n_ngrams,
+               CAST(sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_contaminated
+        FROM dg LEFT JOIN bg ON dg.g = bg.g
+        GROUP BY dg.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(pd.n_ngrams, CAST(0 AS BIGINT)) AS n_ngrams,
+           COALESCE(pd.n_contaminated, CAST(0 AS BIGINT)) AS n_contaminated,
+           CASE WHEN pd.n_ngrams > 0
+                THEN CAST(pd.n_contaminated AS DOUBLE) / pd.n_ngrams
+                ELSE 0.0 END AS contamination_frac
+    FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+    """,
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination signal: distinct word-3-gram overlap of
+    each document against a broadcast 'benchmark' sample (docs 0-9 here) —
+    ops.text.contamination_check, the GPT-3-style n-gram overlap rule."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 10)
+    return X.contamination_check(docs, bench, n=3)
+
+
 @register("repetition_stats", oracle=_repetition_sql())
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: duplicate-line fractions + top

@@ -249,6 +249,69 @@ def token_frequencies(
     )
 
 
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+    bench_text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark contamination: per document, the fraction of its distinct
+    word ``n``-grams that appear anywhere in ``benchmark`` — the n-gram
+    overlap rule pretraining pipelines use to decontaminate training data
+    against eval sets (GPT-3 appendix C uses 13-grams; pick ``n`` to
+    match your benchmark's length scale).
+
+    Columns: ``n_ngrams`` (distinct n-grams in the doc), ``n_contaminated``
+    (those present in the benchmark), ``contamination_frac``. Docs shorter
+    than ``n`` tokens have 0 n-grams and frac 0.0.
+
+    Scale: the benchmark's distinct n-gram set is usually eval-set-sized —
+    broadcast it (default) so the corpus never shuffles; set
+    ``broadcast_benchmark=False`` for a giant benchmark and the join
+    becomes a shuffle equi-join on the n-gram string. One explode +
+    count-distinct aggregate per side; integer counts, one division.
+    """
+    from timeseriesfuser_spark.ops.dedup import shingle_array
+
+    key = list(id_cols)
+    doc_grams = spread_small_input(df).select(
+        *key, F.explode(shingle_array(text_col, n)).alias("__g")
+    )
+    bench_grams = (
+        benchmark.select(F.explode(shingle_array(bench_text_col, n)).alias("__g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    per_doc = (
+        doc_grams.join(bench_grams, "__g", "left")
+        .groupBy(*key)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+    )
+    # re-attach docs with < n tokens (no shingles -> dropped by the explode)
+    out = df.select(*key).join(per_doc, key, "left")
+    return out.select(
+        *key,
+        F.coalesce(F.col("n_ngrams"), F.lit(0).cast("long")).alias("n_ngrams"),
+        F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")).alias(
+            "n_contaminated"
+        ),
+        F.when(
+            F.col("n_ngrams") > 0,
+            F.col("n_contaminated").cast("double") / F.col("n_ngrams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contamination_frac"),
+    )
+
+
 def doc_fingerprint(
     df: DataFrame,
     text_col: str = "text",
