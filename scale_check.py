@@ -107,8 +107,72 @@ def run(spark, n: int) -> dict:
     return out
 
 
+def synth_docs(spark, n: int):
+    """Deterministic document corpus: ~40 words/doc from a 10k vocab; every
+    20th doc is an exact duplicate of its predecessor (each content ≤ 2
+    copies, so candidate joins stay pair-bounded, like a real near-dup
+    corpus after upstream URL dedup)."""
+    seed = F.when(
+        (F.col("id") % 20 == 1) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    word = lambda j: F.concat(
+        F.lit("w"), F.pmod(F.hash(F.col("__seed") * 40 + j), 10_000).cast("string")
+    )
+    return (
+        spark.range(0, n, 1, CPUS)
+        .withColumn("__seed", seed)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(F.sequence(F.lit(0), F.lit(39)), word),
+            ).alias("text"),
+        )
+    )
+
+
+def run_docs(spark, n: int) -> dict:
+    """Text/dedup operator scaling on a synthesized corpus."""
+    from timeseriesfuser_spark.ops.dedup import (
+        exact_duplicates,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from timeseriesfuser_spark.ops.text import (
+        repetition_stats,
+        text_stats,
+        token_frequencies,
+    )
+
+    docs = synth_docs(spark, n)
+    out = {"docs": n}
+
+    def t(name, df):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        out[name] = round(dt, 2)
+        out[f"{name}_mdocs_s"] = round(n / dt / 1e6, 2)
+        print(f"#   {name}: {dt:.2f}s  ({n/dt/1e6:.2f} M docs/s)", file=sys.stderr)
+
+    t("exact_dedup", exact_duplicates(docs))
+    t("text_stats", text_stats(docs))
+    t("token_frequencies", token_frequencies(docs))
+    t("repetition_stats", repetition_stats(docs))
+    t("minhash_lsh", minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.5))
+    t("simhash", simhash_pairs(docs, bits=48, max_hamming=3))
+    return out
+
+
 def main():
-    sizes = [int(float(a) * 1e6) for a in (sys.argv[1:] or ["1", "10", "30"])]
+    args = sys.argv[1:]
+    if args and args[0] == "--docs":
+        sizes = [int(float(a) * 1e6) for a in (args[1:] or ["1"])]
+        runner = run_docs
+    else:
+        sizes = [int(float(a) * 1e6) for a in (args or ["1", "10", "30"])]
+        runner = run
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("tsf_scale_check")
@@ -123,7 +187,7 @@ def main():
     results = []
     for n in sizes:
         print(f"# n={n:,}", file=sys.stderr)
-        results.append(run(spark, n))
+        results.append(runner(spark, n))
     print(json.dumps(results))
     spark.stop()
 
