@@ -158,3 +158,23 @@ def test_contamination_check_hand_computed(spark):
     assert out[2]["contamination_frac"] == 0.5
     assert out[3]["n_contaminated"] == 0 and out[3]["contamination_frac"] == 0.0
     assert out[4]["n_ngrams"] == 0 and out[4]["contamination_frac"] == 0.0
+
+
+def test_quality_filter_rules_and_reason(spark):
+    from timeseriesfuser_spark.ops.text import quality_filter
+
+    good = "the quick brown value of data is great and more " * 8  # 80 toks
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=good),
+        Row(doc_id=2, text="too short"),                       # token_count
+        Row(doc_id=3, text=("x123 " * 60) + "the who of"),      # alpha_frac
+        Row(doc_id=4, text="word " * 60),                       # stopwords
+    ])
+    out = {r["doc_id"]: r for r in quality_filter(docs).collect()}
+    assert out[1]["keep"] is True and out[1]["drop_reason"] is None
+    assert out[2]["keep"] is False and out[2]["drop_reason"] == "token_count"
+    assert out[3]["keep"] is False and out[3]["drop_reason"] == "alpha_frac"
+    assert out[4]["keep"] is False and out[4]["drop_reason"] == "stopwords"
+    # rule booleans line up with the verdict
+    assert out[2]["ok_token_count"] is False
+    assert out[4]["ok_stopwords"] is False and out[4]["ok_alpha_frac"] is True

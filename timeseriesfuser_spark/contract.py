@@ -759,6 +759,55 @@ def _repetition_sql() -> str:
 
 
 @register(
+    "quality_filter",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),
+    m AS (
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(list_aggregate(list_transform(tk, t -> length(t)), 'sum'), 0) AS BIGINT) AS tok_chars,
+               CAST(len(list_filter(tk, t -> regexp_matches(t, '^[a-z]+$'))) AS BIGINT) AS n_alpha,
+               CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_punct,
+               CAST(len(list_intersect(list_distinct(tk), {_SW})) AS BIGINT) AS n_stop_distinct
+        FROM d
+    ),
+    r AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_tokens > 0 THEN CAST(tok_chars AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len,
+               CASE WHEN n_tokens > 0 THEN CAST(n_punct AS DOUBLE) / n_tokens ELSE 0.0 END AS punct_token_ratio,
+               CASE WHEN n_tokens > 0 THEN CAST(n_alpha AS DOUBLE) / n_tokens ELSE 0.0 END AS alpha_token_frac,
+               n_stop_distinct
+        FROM m
+    )
+    SELECT doc_id, n_tokens, mean_token_len, punct_token_ratio,
+           alpha_token_frac, n_stop_distinct,
+           (n_tokens >= 50 AND n_tokens <= 100000) AS ok_token_count,
+           (mean_token_len >= 3.0 AND mean_token_len <= 10.0) AS ok_mean_token_len,
+           (punct_token_ratio <= 0.5) AS ok_punct_ratio,
+           (alpha_token_frac >= 0.8) AS ok_alpha_frac,
+           (n_stop_distinct >= 2) AS ok_stopwords,
+           ((n_tokens >= 50 AND n_tokens <= 100000)
+            AND (mean_token_len >= 3.0 AND mean_token_len <= 10.0)
+            AND (punct_token_ratio <= 0.5)
+            AND (alpha_token_frac >= 0.8)
+            AND (n_stop_distinct >= 2)) AS keep,
+           CASE WHEN NOT (n_tokens >= 50 AND n_tokens <= 100000) THEN 'token_count'
+                WHEN NOT (mean_token_len >= 3.0 AND mean_token_len <= 10.0) THEN 'mean_token_len'
+                WHEN NOT (punct_token_ratio <= 0.5) THEN 'punct_ratio'
+                WHEN NOT (alpha_token_frac >= 0.8) THEN 'alpha_frac'
+                WHEN NOT (n_stop_distinct >= 2) THEN 'stopwords'
+                ELSE NULL END AS drop_reason
+    FROM r
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate (ops.text.quality_filter,
+    paper defaults): per-rule booleans + keep + first-failing-rule
+    drop_reason."""
+    return X.quality_filter(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "contamination_check",
     oracle=f"""
     WITH bg AS (

@@ -249,6 +249,89 @@ def token_frequencies(
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+    *,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 10.0,
+    max_punct_token_ratio: float = 0.5,
+    min_alpha_token_frac: float = 0.8,
+    min_distinct_stopwords: int = 2,
+    stopwords: Sequence[str] = EN_STOPWORDS,
+) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021 §A1.1): the
+    composite keep/drop rule a pretraining pipeline applies after the
+    per-signal metrics. Emits the rule inputs, a boolean per rule, the
+    final ``keep``, and ``drop_reason`` (the FIRST failing rule, in the
+    documented order — deterministic).
+
+    Rules (defaults follow the paper; tune per corpus):
+      token_count ∈ [min_tokens, max_tokens];
+      mean token length ∈ [min_mean_token_len, max_mean_token_len];
+      punctuation-to-token ratio ≤ max_punct_token_ratio;
+      fraction of purely-alphabetic tokens ≥ min_alpha_token_frac;
+      distinct stopword hits ≥ min_distinct_stopwords.
+
+    Pure column expressions over one pass of the text (whole-stage
+    codegen); ratios are single divisions of integer counts → a SQL
+    oracle reproduces bit-for-bit.
+    """
+    df = spread_small_input(df)
+    toks = _tokens(text_col)
+    sw = F.array([F.lit(s) for s in stopwords])
+    n_tokens = F.size(toks).cast("long")
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("long")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit("[^a-zA-Z0-9\\s]"), F.lit(0))
+    ).cast("long")
+    n_stop_distinct = F.size(
+        F.array_intersect(F.array_distinct(toks), sw)
+    ).cast("long")
+    mean_len = F.when(
+        n_tokens > 0, tok_chars.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_tokens > 0, n_alpha.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_tokens > 0, n_punct.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+
+    rules = [
+        ("token_count", (n_tokens >= min_tokens) & (n_tokens <= max_tokens)),
+        (
+            "mean_token_len",
+            (mean_len >= min_mean_token_len) & (mean_len <= max_mean_token_len),
+        ),
+        ("punct_ratio", punct_ratio <= max_punct_token_ratio),
+        ("alpha_frac", alpha_frac >= min_alpha_token_frac),
+        ("stopwords", n_stop_distinct >= min_distinct_stopwords),
+    ]
+    keep = F.lit(True)
+    reason = F.lit(None).cast("string")
+    for name, ok in rules:
+        reason = F.when(reason.isNull() & ~ok, F.lit(name)).otherwise(reason)
+        keep = keep & ok
+    return df.select(
+        *id_cols,
+        n_tokens.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        punct_ratio.alias("punct_token_ratio"),
+        alpha_frac.alias("alpha_token_frac"),
+        n_stop_distinct.alias("n_stop_distinct"),
+        *[ok.alias(f"ok_{name}") for name, ok in rules],
+        keep.alias("keep"),
+        reason.alias("drop_reason"),
+    )
+
+
 def contamination_check(
     df: DataFrame,
     benchmark: DataFrame,
