@@ -57,3 +57,40 @@ def test_resample_no_global_single_partition_window(spark):
     # carry/window over spine rows; events themselves are aggregated via
     # hash, never globally sorted here
     assert "max_by" in plan or "HashAggregate" in plan
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    plan = formatted_plan(contract.QUERIES["contamination_check"](spark, SF))
+    # the benchmark n-gram set must broadcast; the corpus never shuffles
+    # for the probe join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_simhash_no_distinct_shuffle(spark):
+    """Candidate pairs are emitted at their first agreeing chunk via a
+    bitwise filter — a global distinct over the pair relation (second
+    shuffle of the full candidate set) must NOT reappear."""
+    plan = formatted_plan(contract.QUERIES["dedup_simhash"](spark, SF))
+    import re
+
+    # distinct over (id_a, id_b, hamming) would plan as HashAggregate with
+    # the pair columns as grouping keys and no aggregate functions
+    assert not re.search(r"HashAggregate.*[Kk]eys.*id_a.*id_b", plan)
+
+
+def test_srp_signature_single_aggregate(spark):
+    plan = formatted_plan(contract.QUERIES["srp_signatures"](spark, SF))
+    # one broadcast plane join + one two-phase aggregate, nothing else
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # small-input spread repartition + the one aggregate exchange; a
+    # second data shuffle (join re-partitioning etc.) must not appear
+    assert plan.count("+- Exchange") <= 2
+
+
+def test_quality_filter_stays_in_codegen(spark):
+    plan = formatted_plan(contract.QUERIES["quality_filter"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # pure per-row pass: no aggregate, no join, and the only exchange is
+    # the small-input spread repartition
+    assert "HashAggregate" not in plan and "Join" not in plan
+    assert plan.count("+- Exchange") <= 1
