@@ -759,6 +759,53 @@ def _repetition_sql() -> str:
 
 
 @register(
+    "corpus_length_stats",
+    oracle=f"""
+    WITH l AS ({_langid_sql()}),
+    t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents)
+    SELECT l.lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(t.n_tokens) AS BIGINT) AS min_tokens,
+           quantile_cont(t.n_tokens, 0.25) AS q25_tokens,
+           quantile_cont(t.n_tokens, 0.5) AS median_tokens,
+           quantile_cont(t.n_tokens, 0.75) AS q75_tokens,
+           CAST(max(t.n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(t.n_tokens) AS DOUBLE) / count(*) AS avg_tokens
+    FROM l JOIN t USING (doc_id)
+    GROUP BY l.lang_pred
+    """,
+)
+def q_corpus_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution per predicted language: exact
+    interpolated quartiles (Spark `percentile` ≡ DuckDB `quantile_cont`,
+    both linear interpolation — deterministic on integer token counts),
+    composed from language_id + a token-count aggregate. The per-group
+    exact percentile sorts only within a (language) group — the shuffle
+    keys on language, never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    lang = X.language_id(docs).select("doc_id", "lang_pred")
+    toks = docs.select(
+        "doc_id",
+        F.size(X.tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return (
+        lang.join(toks, "doc_id")
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.expr("percentile(n_tokens, 0.25)").alias("q25_tokens"),
+            F.expr("percentile(n_tokens, 0.5)").alias("median_tokens"),
+            F.expr("percentile(n_tokens, 0.75)").alias("q75_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            (
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_tokens"),
+        )
+    )
+
+
+@register(
     "quality_filter",
     oracle=f"""
     WITH d AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),
