@@ -178,3 +178,20 @@ def test_quality_filter_rules_and_reason(spark):
     # rule booleans line up with the verdict
     assert out[2]["ok_token_count"] is False
     assert out[4]["ok_stopwords"] is False and out[4]["ok_alpha_frac"] is True
+
+
+def test_pii_scrub_planted(spark):
+    from timeseriesfuser_spark.ops.text import pii_scrub
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="contact bob.smith+x@ex-ample.org or 10.0.0.1"),
+        Row(doc_id=2, text="call +1 (555) 123-4567 now"),
+        Row(doc_id=3, text="nothing sensitive here"),
+    ])
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_ip"] == 1
+    assert out[1]["text_redacted"] == "contact <EMAIL> or <IP>"
+    assert out[2]["n_phone"] == 1
+    assert out[2]["text_redacted"] == "call <PHONE> now"
+    assert out[3]["text_redacted"] == "nothing sensitive here"
+    assert out[3]["n_email"] == out[3]["n_ip"] == out[3]["n_phone"] == 0

@@ -759,6 +759,90 @@ def _repetition_sql() -> str:
 
 
 @register(
+    "source_quality_rollup",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, md5(text) AS h, {_TOKS} AS tk, text FROM documents
+    ),
+    m AS (
+        SELECT source, h,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(tk, t -> list_contains({_SW}, t))) AS BIGINT) AS n_stop,
+               CASE WHEN len(tk) >= 50 THEN 1 ELSE 0 END AS keep
+        FROM d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+           CAST(count(*) - count(DISTINCT h) AS DOUBLE) / count(*) AS dup_frac,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_stop) AS DOUBLE) / sum(n_tokens) AS stopword_token_frac,
+           CAST(sum(keep) AS DOUBLE) / count(*) AS keep_frac
+    FROM m
+    GROUP BY source
+    """,
+)
+def q_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-crawl-source health rollup — the "which feeds are worth
+    keeping" report: doc count, exact-dup fraction (distinct content
+    hashes), token volume, corpus-level stopword density, and the
+    fraction passing a minimum-length gate. Every emitted ratio is one
+    division of integer sums, so the aggregate is order-independent and
+    oracle-exact (double sums would not be)."""
+    toks = X.tokens_col(F.col("text"))
+    sw = F.array([F.lit(s) for s in X.EN_STOPWORDS])
+    m = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.md5(F.col("text")).alias("h"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        .cast("long")
+        .alias("n_stop"),
+        F.when(F.size(toks) >= 50, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_distinct"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct("h")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_frac"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_stop").cast("double") / F.sum("n_tokens").cast("double")).alias(
+            "stopword_token_frac"
+        ),
+        (F.sum("keep").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "keep_frac"
+        ),
+    )
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{X.PII_PATTERNS["email"]}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{X.PII_PATTERNS["ip"]}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(text, '{X.PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{X.PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+               '{X.PII_PATTERNS["ip"]}', '<IP>', 'g'),
+               '{X.PII_PATTERNS["phone"]}', '<PHONE>', 'g')) AS redacted_md5
+    FROM documents
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub counts + md5 of the fully-redacted text — the hash makes
+    the oracle verify the redaction TRANSFORMATION on every doc, not just
+    the (possibly zero) match counts (ops.text.pii_scrub)."""
+    out = X.pii_scrub(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_email", "n_ip", "n_phone",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+@register(
     "corpus_length_stats",
     oracle=f"""
     WITH l AS ({_langid_sql()}),

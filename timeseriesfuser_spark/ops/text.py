@@ -249,6 +249,48 @@ def token_frequencies(
     )
 
 
+# PII patterns, kept dialect-neutral (identical in Java regex and RE2):
+# character classes, bounded repetition, non-capturing groups, \b only.
+PII_PATTERNS: Dict[str, str] = {
+    # order matters: emails first (their local part contains dots/digits a
+    # later pattern could nibble), then IPs, then phone-like digit runs.
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ip": "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b",
+    "phone": "\\+?[0-9][0-9()\\- ]{7,}[0-9]",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+    patterns: Dict[str, str] = PII_PATTERNS,
+) -> DataFrame:
+    """PII detection + redaction (the C4/RefinedWeb-style scrub step):
+    per document, a match count per pattern (on the raw text) and the
+    text with each match replaced by ``<NAME>`` placeholders, applied in
+    the dict's order.
+
+    Pure ``regexp_count``/``regexp_replace`` expressions — whole-stage
+    codegen, linear per-row work, no shuffle. Patterns are restricted to
+    the Java-regex ∩ RE2 dialect so a DuckDB oracle reruns them verbatim.
+    """
+    df = spread_small_input(df)
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(p)).cast("long").alias(f"n_{name}")
+        for name, p in patterns.items()
+    ]
+    redacted = c
+    for name, p in patterns.items():
+        redacted = F.regexp_replace(redacted, p, f"<{name.upper()}>")
+    return df.select(
+        *id_cols,
+        *counts,
+        redacted.alias("text_redacted"),
+    )
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",
