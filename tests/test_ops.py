@@ -58,6 +58,22 @@ def test_simhash_exact_dup_zero_hamming(docs):
     assert got.get((1, 2)) == 0
 
 
+def test_simhash_tokenless_docs_pair_at_zero(spark):
+    # Docs with no word tokens land at simhash 0 (kept via explode_outer's
+    # null-token row — null votes produce all-zero bits) and pair with each
+    # other, never with real-content docs.
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=""),
+            Row(doc_id=2, text="!!! ???"),
+            Row(doc_id=3, text="the quick brown fox jumps over the lazy dog"),
+        ]
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(df).collect()}
+    assert got.get((1, 2)) == 0
+    assert not any(3 in p for p in got)
+
+
 def test_text_stats_counts(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="The cat, the hat! x2")])
     r = text_stats(df).collect()[0]

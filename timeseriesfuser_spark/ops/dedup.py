@@ -332,9 +332,14 @@ def simhash_pairs(
     # higher-order-function passes over a per-row array. Votes are kept in
     # branch-free arithmetic form: S_i = Σ bit_i(h); the ±1 vote sum is
     # positive iff 2·S_i > token count.
+    #
+    # explode_outer keeps token-less docs as a single null-token row: the
+    # null hash makes every S_i null, `2·null > cnt` is null → bit 0, so
+    # those docs land at simhash 0 without a separate ids-distinct +
+    # left-join pass over the input (which cost an extra scan + shuffle).
     toks = spread_small_input(df).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(tokens_array(text_col))).alias("__t"),
+        F.explode_outer(F.array_distinct(tokens_array(text_col))).alias("__t"),
     )
     hv = toks.select("id", md5_hash64(F.col("__t")).alias("__h"))
     votes = hv.groupBy("id").agg(
@@ -351,12 +356,7 @@ def simhash_pairs(
         sim = sim + F.when(
             2 * F.col(f"s{i}") > F.col("__cnt"), F.lit(1 << i)
         ).otherwise(F.lit(0))
-    # Token-less docs drop out of the explode; re-attach with simhash 0
-    # (the value the all-zero vote vector produces).
-    ids = df.select(F.col(id_col).alias("id")).distinct()
-    sig = ids.join(votes.select("id", sim.alias("sh")), "id", "left").select(
-        "id", F.coalesce(F.col("sh"), F.lit(0).cast("long")).alias("sh")
-    )
+    sig = votes.select("id", sim.alias("sh"))
     masks = []
     for c in range(nchunks):
         width = chunk if c < nchunks - 1 else bits - chunk * (nchunks - 1)
