@@ -36,6 +36,8 @@ from timeseriesfuser_spark.operators.fill import forward_fill
 from timeseriesfuser_spark.operators.fuse import TimeSeriesFuser
 from timeseriesfuser_spark.operators.resample import resample_last_interval
 from timeseriesfuser_spark.ops import dedup as D
+from timeseriesfuser_spark.ops import packing as P
+from timeseriesfuser_spark.ops import sampling as SA
 from timeseriesfuser_spark.ops import similarity as S
 from timeseriesfuser_spark.ops import text as X
 from timeseriesfuser_spark.timeutils import coerce_to_epoch_ms
@@ -1000,6 +1002,150 @@ def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeding vocab/BPE construction."""
     out = X.token_frequencies(_t(spark, sf_dir, "documents"))
     return out.orderBy(F.desc("term_freq"), F.asc("token")).limit(100)
+
+
+@register(
+    "token_rarity",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    f AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY token),
+    per AS (
+        SELECT tk.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(f.tf) AS BIGINT) AS sum_corpus_tf,
+               CAST(sum(CASE WHEN f.tf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        FROM tk JOIN f USING (token)
+        GROUP BY tk.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(per.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+           COALESCE(per.sum_corpus_tf, CAST(0 AS BIGINT)) AS sum_corpus_tf,
+           CASE WHEN per.n_tokens > 0
+                THEN CAST(per.sum_corpus_tf AS DOUBLE) / CAST(per.n_tokens AS DOUBLE)
+                ELSE 0.0 END AS mean_token_tf,
+           COALESCE(per.n_rare, CAST(0 AS BIGINT)) AS n_rare,
+           CASE WHEN per.n_tokens > 0
+                THEN CAST(per.n_rare AS DOUBLE) / CAST(per.n_tokens AS DOUBLE)
+                ELSE 0.0 END AS rare_frac
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    """,
+)
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-free perplexity proxy (ops.text.token_rarity): each document
+    scored by the corpus frequency of its own tokens — mean corpus term
+    frequency + rare-token fraction, the CCNet-style quality bucket signal
+    computable without a language model. Frequency table broadcast so the
+    exploded token relation never shuffles on the Zipf-skewed token key."""
+    return X.token_rarity(_t(spark, sf_dir, "documents"), rare_threshold=2)
+
+
+# Per-source sampling rates used by the stratified-sample query: sources
+# src0..src19; src<N> keeps 20/40/60/80% by N mod 4 — exercising several
+# distinct rates plus determinism across engines.
+_SAMPLE_RATES = {f"src{i}": (200_000 + (i % 4) * 200_000) / 1e6 for i in range(20)}
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, source,
+               {_sql_hash64("concat(source, ':', CAST(doc_id AS VARCHAR))")} % 1000000 AS hash_ppm,
+               CAST(200000 + (CAST(substr(source, 4) AS BIGINT) % 4) * 200000 AS BIGINT) AS rate_ppm
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(hash_ppm AS BIGINT) AS hash_ppm, rate_ppm
+    FROM s WHERE hash_ppm < rate_ppm
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based per-source sampling
+    (ops.sampling.stratified_sample): md5(source:doc_id) mod 1e6 under a
+    per-source ppm rate. Pure projection + filter — no shuffle; the verdict
+    for a row is stable under corpus growth and nested across rates."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return SA.stratified_sample(docs, _SAMPLE_RATES)
+
+
+@register(
+    "mixing_weights",
+    oracle=f"""
+    WITH per AS (
+        SELECT source AS stratum,
+               CAST((CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS BIGINT) AS share,
+               CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens
+        FROM documents GROUP BY source
+    ),
+    k AS (SELECT CAST(sum(share) AS BIGINT) AS kk FROM per),
+    c AS (
+        SELECT per.*, k.kk,
+               CASE WHEN share > 0
+                    THEN CAST(total_tokens * k.kk AS DOUBLE) / CAST(share AS DOUBLE)
+                    END AS capacity
+        FROM per, k
+    ),
+    t AS (SELECT min(capacity) AS tstar FROM c)
+    SELECT stratum AS source, total_tokens, share,
+           CAST(share AS DOUBLE) / CAST(kk AS DOUBLE) AS target_weight,
+           capacity,
+           CASE WHEN share > 0
+                THEN (CAST(share AS DOUBLE) * t.tstar) / CAST(kk * total_tokens AS DOUBLE)
+                ELSE 0.0 END AS sample_rate,
+           (CASE WHEN share > 0
+                 THEN (CAST(share AS DOUBLE) * t.tstar) / CAST(kk * total_tokens AS DOUBLE)
+                 ELSE 0.0 END) * CAST(total_tokens AS DOUBLE) AS expected_tokens
+    FROM c, t
+    """,
+)
+def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing rates (ops.sampling.mixing_weights): per-source token
+    totals + integer target shares (src<N> gets share N%4+1) → the largest
+    downsample-only corpus hitting the target mixture, and each source's
+    sampling rate (1.0 for the binding source). All doubles are fixed
+    chains on exact integer counts — engine-reproducible."""
+    shares = {f"src{i}": i % 4 + 1 for i in range(20)}
+    return SA.mixing_weights(_t(spark, sf_dir, "documents"), shares)
+
+
+_PACK_BUDGET = 256
+
+
+@register(
+    "sequence_pack",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+    ),
+    o AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(sum(n_tokens) OVER
+                   (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS start_offset
+        FROM t
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(start_offset // {_PACK_BUDGET} AS BIGINT) AS bin_first,
+           CAST(CASE WHEN n_tokens > 0
+                     THEN (start_offset + n_tokens - 1) // {_PACK_BUDGET}
+                     ELSE start_offset // {_PACK_BUDGET} END AS BIGINT) AS bin_last,
+           CAST(start_offset % {_PACK_BUDGET} AS BIGINT) AS offset_in_bin,
+           CAST(CASE WHEN n_tokens > 0
+                     THEN (start_offset + n_tokens - 1) // {_PACK_BUDGET}
+                          - start_offset // {_PACK_BUDGET} + 1
+                     ELSE 0 END AS BIGINT) AS n_bins
+    FROM o
+    """,
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (ops.packing.sequence_pack): each
+    document's span of fixed-256-token training sequences under the global
+    doc_id concat order. The global prefix sum is the two-pass
+    range-bucketed scheme (bucketed window + literal per-bucket carry) —
+    no global-order single-task window; the SQL twin is the plain window
+    cumsum."""
+    return P.sequence_pack(
+        _t(spark, sf_dir, "documents"), budget=_PACK_BUDGET
+    )
 
 
 # --------------------------------------------------------------------------- #

@@ -1,0 +1,149 @@
+"""Sequence packing for LLM pretraining: global token offsets and
+concat-and-chunk bin assignment.
+
+The standard pretraining data layout concatenates all documents in a fixed
+order and slices the token stream into fixed-length training sequences
+("concat-and-chunk", documents may span sequence boundaries). The core
+primitive is an exact global prefix sum of per-document token counts in
+corpus order — which Spark's window functions only express as
+``sum() OVER (ORDER BY ...)`` with no partitioning: a single-task stage that
+cannot scale.
+
+``token_offsets`` instead runs the two-pass range-bucketed prefix sum
+(same scheme as ``operators.fill``, SURVEY.md §4.3.1):
+
+  1. bucket rows by data-derived quantile ranges of the order column;
+     within-bucket running sums via a window *partitioned* on the bucket id
+     (parallel, bounded tasks);
+  2. per-bucket totals (one tiny row per bucket) are collected and turned
+     into a literal prefix-offset lookup — O(#buckets) driver work, never
+     data-proportional.
+
+``sequence_pack`` derives the chunk assignment from the offsets with pure
+integer arithmetic: everything is oracle-reproducible from a plain SQL
+window cumsum.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timeseriesfuser_spark.operators.fill import _bucket_col
+from timeseriesfuser_spark.ops.text import tokens_col
+
+_PB = "__pk_bucket"
+
+
+def token_offsets(
+    df: DataFrame,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: Optional[str] = None,
+    num_buckets: Optional[int] = None,
+) -> DataFrame:
+    """Exclusive/inclusive global token offsets in ``order_col`` order.
+
+    ``order_col`` must be a unique total order (document ids). Token counts
+    come from ``count_col`` if given, else from the word tokenizer over
+    ``text_col``. Adds ``n_tokens``, ``start_offset`` (tokens strictly
+    before this doc), ``end_offset`` (= start + n).
+
+    No global-order window: prefix sums are composed from within-bucket
+    window sums plus a literal per-bucket carry (see module docstring), so
+    every task's work is bounded by its bucket — safe at 100 TB.
+    """
+    spark = df.sparkSession
+    n = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    nt = (
+        F.col(count_col).cast("long")
+        if count_col
+        else F.size(tokens_col(F.col(text_col))).cast("long")
+    )
+    base = df.withColumn("n_tokens", nt)
+    if n > 1:
+        qs = [i / n for i in range(1, n)]
+        bounds = sorted(
+            set(base.stat.approxQuantile(order_col, qs, 1.0 / (4 * n)))
+        )
+    else:
+        bounds = []
+    part = base.withColumn(
+        _PB, _bucket_col(order_col, bounds) if bounds else F.lit(0)
+    )
+    # Pass 2 first: per-bucket totals → prefix offsets (#buckets rows).
+    totals = {
+        r[_PB]: r["t"]
+        for r in part.groupBy(_PB).agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    n_buckets = len(bounds) + 1
+    off, running = [], 0
+    for b in range(n_buckets):
+        off.append(running)
+        running += totals.get(b, 0) or 0
+    lut = F.array(*[F.lit(int(v)).cast("long") for v in off])
+    # Pass 1: within-bucket inclusive running sum (parallel across buckets).
+    w = (
+        Window.partitionBy(_PB)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = part.withColumn(
+        "end_offset", F.sum("n_tokens").over(w) + F.element_at(lut, F.col(_PB) + 1)
+    )
+    return out.withColumn(
+        "start_offset", F.col("end_offset") - F.col("n_tokens")
+    ).drop(_PB)
+
+
+def sequence_pack(
+    df: DataFrame,
+    budget: int,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: Optional[str] = None,
+    id_cols: Sequence[str] = ("doc_id",),
+    num_buckets: Optional[int] = None,
+) -> DataFrame:
+    """Concat-and-chunk packing: assign each document its span of
+    fixed-``budget`` training sequences.
+
+    Emits per document: ``n_tokens``, ``start_offset``, ``bin_first``/
+    ``bin_last`` (the first/last training sequence the doc's tokens land
+    in), ``offset_in_bin`` (position of the doc's first token inside
+    ``bin_first``), ``n_bins`` (sequences touched; 0 for empty docs).
+    Document order — and therefore the packing — is exactly ``order_col``
+    ascending.
+
+    All integer arithmetic on top of ``token_offsets``; the SQL twin is a
+    window cumsum + integer division.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    offs = token_offsets(
+        df,
+        order_col=order_col,
+        text_col=text_col,
+        count_col=count_col,
+        num_buckets=num_buckets,
+    )
+    start, nt = F.col("start_offset"), F.col("n_tokens")
+    bin_first = F.expr(f"start_offset DIV {int(budget)}")
+    bin_last = F.when(
+        nt > 0, F.expr(f"(end_offset - 1) DIV {int(budget)}")
+    ).otherwise(bin_first)
+    return offs.select(
+        *id_cols,
+        "n_tokens",
+        "start_offset",
+        bin_first.alias("bin_first"),
+        bin_last.alias("bin_last"),
+        F.pmod(start, F.lit(int(budget))).cast("long").alias("offset_in_bin"),
+        F.when(nt > 0, bin_last - bin_first + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_bins"),
+    )

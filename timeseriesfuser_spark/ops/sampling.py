@@ -1,0 +1,140 @@
+"""Deterministic corpus sampling for dataset mixing: hash-based stratified
+sampling and domain-mixing rate computation.
+
+These are the two halves of the "data mixture" step of a pretraining
+pipeline: decide a per-source sampling rate from target mixture weights
+(``mixing_weights``), then apply it reproducibly (``stratified_sample``).
+
+Scale design: ``stratified_sample`` is a pure projection + filter — no
+shuffle, no state, embarrassingly parallel at any size, and the keep/drop
+decision for a row never changes as the corpus grows (hash of the row's own
+identity, not a running count). ``mixing_weights`` aggregates to one row per
+stratum (map-side partial agg) and all subsequent arithmetic runs on that
+stratum-count-sized relation.
+
+Determinism: the sample decision is ``md5``-derived (see
+``ops.dedup.md5_hash64``) and every emitted ratio is a fixed short chain of
+IEEE double ops on exact integer inputs — reproducible bit-for-bit in any
+engine with md5, which is what makes the DuckDB oracles possible.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from timeseriesfuser_spark.ops.dedup import md5_hash64
+from timeseriesfuser_spark.ops.text import tokens_col
+
+PPM = 1_000_000
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    keep_only: bool = True,
+) -> DataFrame:
+    """Reproducible per-stratum Bernoulli sampling.
+
+    A row is kept iff ``md5(stratum:id) mod 1e6 < rate_ppm(stratum)`` —
+    the standard hash-based sampler: deterministic across runs/engines
+    (unlike ``df.sample``), stable under corpus growth (a row's verdict
+    depends only on its own identity), and *nested*: the rate-0.3 sample
+    is a strict subset of the rate-0.6 sample, so mixture rates can be
+    tuned without resampling everything.
+
+    ``rates`` maps stratum value → keep probability in [0, 1]; strata not
+    listed get ``default_rate``. Emits ``hash_ppm``/``rate_ppm`` alongside
+    the input columns; ``keep_only=False`` returns all rows plus a ``keep``
+    flag instead of filtering.
+    """
+    rate_ppm = F.lit(int(round(default_rate * PPM)))
+    for value, rate in sorted(rates.items()):
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {value!r} not in [0, 1]: {rate}")
+        rate_ppm = F.when(
+            F.col(strata_col) == value, F.lit(int(round(rate * PPM)))
+        ).otherwise(rate_ppm)
+    h = md5_hash64(
+        F.concat_ws(":", F.col(strata_col), F.col(id_col).cast("string"))
+    )
+    out = df.withColumns(
+        {
+            "hash_ppm": F.pmod(h, F.lit(PPM)).cast("long"),
+            "rate_ppm": rate_ppm.cast("long"),
+        }
+    )
+    keep = F.col("hash_ppm") < F.col("rate_ppm")
+    if keep_only:
+        return out.filter(keep)
+    return out.withColumn("keep", keep)
+
+
+def mixing_weights(
+    df: DataFrame,
+    weight_shares: Dict[str, int],
+    strata_col: str = "source",
+    text_col: str = "text",
+    default_share: int = 0,
+) -> DataFrame:
+    """Per-stratum sampling rates that realize a target mixture by token
+    share — the "domain reweighting" step (the arithmetic behind e.g. The
+    Pile / DoReMi-style fixed mixtures, minus the learned part).
+
+    ``weight_shares`` gives integer target shares k_s (relative weights;
+    only ratios matter). With T_s = stratum token count and K = Σ k_s over
+    strata present, the largest downsample-only total is
+    ``tstar = min_s(T_s·K / k_s)``; each stratum then keeps
+    ``rate_s = k_s·tstar / (K·T_s)`` of its tokens (==1 for the binding
+    stratum). Emits per stratum: ``total_tokens``, ``share`` (k_s),
+    ``target_weight``, ``capacity``, ``sample_rate``, ``expected_tokens``.
+
+    Integer token counts and shares; every double is a fixed chain on
+    exact ints (one product then one division), so the output is
+    engine-reproducible. Strata with share 0 get rate 0 and don't bound
+    ``tstar``.
+    """
+    share = F.lit(int(default_share))
+    for value, k in sorted(weight_shares.items()):
+        if k < 0:
+            raise ValueError(f"share for {value!r} negative: {k}")
+        share = F.when(F.col(strata_col) == value, F.lit(int(k))).otherwise(share)
+    per = (
+        df.select(
+            F.col(strata_col).alias("stratum"),
+            share.alias("share"),
+            F.size(tokens_col(F.col(text_col))).cast("long").alias("__nt"),
+        )
+        .groupBy("stratum", "share")
+        .agg(F.sum("__nt").alias("total_tokens"))
+    )
+    tot = per.agg(F.sum("share").cast("long").alias("__K"))
+    per = per.crossJoin(F.broadcast(tot))
+    capacity = F.when(
+        F.col("share") > 0,
+        (F.col("total_tokens") * F.col("__K")).cast("double")
+        / F.col("share").cast("double"),
+    )
+    per = per.withColumn("capacity", capacity)
+    tstar = per.agg(F.min("capacity").alias("__tstar"))
+    per = per.crossJoin(F.broadcast(tstar))
+    rate = F.when(F.col("share") > 0,
+        (F.col("share").cast("double") * F.col("__tstar"))
+        / (F.col("__K") * F.col("total_tokens")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return per.select(
+        F.col("stratum").alias(strata_col),
+        "total_tokens",
+        "share",
+        (F.col("share").cast("double") / F.col("__K").cast("double")).alias(
+            "target_weight"
+        ),
+        "capacity",
+        rate.alias("sample_rate"),
+        (rate * F.col("total_tokens").cast("double")).alias("expected_tokens"),
+    )

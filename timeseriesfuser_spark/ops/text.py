@@ -249,6 +249,71 @@ def token_frequencies(
     )
 
 
+def token_rarity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+    rare_threshold: int = 2,
+    freq: "DataFrame | None" = None,
+    broadcast_freq: bool = True,
+) -> DataFrame:
+    """Per-document corpus-frequency rarity profile — the LM-free stand-in
+    for perplexity filtering (CCNet buckets documents by LM score; with no
+    model in the loop, mean corpus term frequency of a doc's tokens is the
+    classic proxy: boilerplate scores common, gibberish scores rare).
+
+    Columns: ``n_tokens`` (with repeats), ``sum_corpus_tf`` (Σ corpus
+    term_freq over the doc's tokens — exact BIGINT), ``mean_token_tf``,
+    ``n_rare`` (tokens whose corpus term_freq ≤ ``rare_threshold``),
+    ``rare_frac``. Pass a precomputed ``freq`` relation
+    ((token, term_freq), e.g. from ``token_frequencies`` of a larger
+    corpus) to score against an external vocabulary; tokens absent from it
+    count as frequency 0 (rare).
+
+    Scale: one explode + one equi-join on token + one groupBy. The
+    frequency table is vocabulary-sized (≪ corpus) — broadcast by default
+    so the exploded relation never shuffles on the Zipf-skewed token key;
+    ``broadcast_freq=False`` falls back to a shuffle join for a giant
+    external vocabulary (expect skew on stopword tokens; salt if needed).
+    All counts integer; one division per ratio → oracle-exact.
+    """
+    key = list(id_cols)
+    if freq is None:
+        freq = token_frequencies(df, text_col=text_col, id_col=key[0])
+    f = freq.select("token", F.col("term_freq").cast("long").alias("__tf"))
+    if broadcast_freq:
+        f = F.broadcast(f)
+    toks = spread_small_input(df).select(
+        *key, F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    tf = F.coalesce(F.col("__tf"), F.lit(0).cast("long"))
+    per = (
+        toks.join(f, "token", "left")
+        .groupBy(*key)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(tf).alias("sum_corpus_tf"),
+            F.sum(F.when(tf <= rare_threshold, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+    )
+    out = df.select(*key).join(per, key, "left")
+    z = F.lit(0).cast("long")
+    n = F.coalesce(F.col("n_tokens"), z)
+    safe = lambda num: F.when(
+        n > 0, num.cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        *key,
+        n.alias("n_tokens"),
+        F.coalesce(F.col("sum_corpus_tf"), z).alias("sum_corpus_tf"),
+        safe(F.coalesce(F.col("sum_corpus_tf"), z)).alias("mean_token_tf"),
+        F.coalesce(F.col("n_rare"), z).alias("n_rare"),
+        safe(F.coalesce(F.col("n_rare"), z)).alias("rare_frac"),
+    )
+
+
 # PII patterns, kept dialect-neutral (identical in Java regex and RE2):
 # character classes, bounded repetition, non-capturing groups, \b only.
 PII_PATTERNS: Dict[str, str] = {
