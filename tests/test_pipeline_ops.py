@@ -8,7 +8,8 @@ from pyspark.sql import functions as F
 
 from timeseriesfuser_spark.ops.packing import sequence_pack, token_offsets
 from timeseriesfuser_spark.ops.sampling import mixing_weights, stratified_sample
-from timeseriesfuser_spark.ops.text import token_rarity
+from timeseriesfuser_spark.ops.similarity import assign_to_centroids
+from timeseriesfuser_spark.ops.text import line_dedup, token_rarity
 
 
 def test_token_rarity_counts(spark):
@@ -129,6 +130,53 @@ def test_sequence_pack_spans(spark):
     assert out[2]["offset_in_bin"] == 5
     assert (out[3]["n_bins"], out[3]["bin_first"]) == (0, 1)
     assert (out[4]["bin_first"], out[4]["bin_last"], out[4]["n_bins"]) == (1, 2, 2)
+
+
+def test_line_dedup_strips_boilerplate(spark):
+    footer = "all rights reserved"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"unique one\n{footer}\nunique two"),
+            Row(doc_id=2, text=f"other text\n{footer}"),
+            Row(doc_id=3, text=f"{footer}"),
+            Row(doc_id=4, text="nothing shared here"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df, min_doc_count=3).collect()}
+    assert out[1]["text_dedup"] == "unique one\nunique two"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 2)
+    assert out[2]["text_dedup"] == "other text"
+    assert out[3]["text_dedup"] == ""  # doc entirely boilerplate
+    assert out[4]["text_dedup"] == "nothing shared here"
+
+
+def test_line_dedup_threshold_counts_distinct_docs(spark):
+    # A line repeated 5x inside ONE doc has doc frequency 1 — not dropped.
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="\n".join(["echo"] * 5)),
+            Row(doc_id=2, text="solo"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df, min_doc_count=2).collect()}
+    assert out[1]["n_kept"] == 5
+
+
+def test_assign_to_centroids_exact_and_tiebreak(spark):
+    cents = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[0.0, 0.0]), Row(vec_id=1, embedding=[2.0, 0.0])]
+    )
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=10, embedding=[0.1, 0.0]),   # -> 0
+            Row(vec_id=11, embedding=[1.9, 0.1]),   # -> 1
+            Row(vec_id=12, embedding=[1.0, 0.0]),   # equidistant -> lowest id 0
+        ]
+    )
+    out = {r["id"]: r for r in assign_to_centroids(vecs, cents).collect()}
+    assert out[10]["cluster_id"] == 0 and out[10]["d2"] == 100 * 100
+    assert out[11]["cluster_id"] == 1
+    assert out[12]["cluster_id"] == 0 and out[12]["d2"] == 1000 * 1000
 
 
 def test_sequence_pack_rejects_bad_budget(spark):

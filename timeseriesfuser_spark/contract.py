@@ -95,6 +95,9 @@ _SHINGLE_REL = f"""
     FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
 """
 
+# Quantized embedding (DuckDB twin of ops.similarity.quantized, scale 1000).
+_QV = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
 
 # --------------------------------------------------------------------------- #
 # Core engine: fuse / window / resample / fill  (SURVEY §2.1-2.6)
@@ -1107,6 +1110,112 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.mixing_weights(_t(spark, sf_dir, "documents"), shares)
 
 
+# line_dedup demo corpus: the raw documents are single-line bags of words,
+# so the query deterministically re-lines each doc (8 tokens per line) and
+# appends a constant boilerplate footer to every doc — which the operator
+# must then detect (doc frequency 100+) and strip from all of them. Both
+# engines build the same input expression, so the check is end-to-end.
+_LD_FOOTER = "copyright 2024 example corp all rights reserved"
+_LD_MIN_DF = 100
+
+
+@register(
+    "line_dedup",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, split(text, ' ') AS tk FROM documents),
+    built AS (
+        SELECT doc_id,
+               concat(
+                   array_to_string(
+                       [array_to_string(tk[g*8+1 : g*8+8], ' ')
+                        FOR g IN range(0, (len(tk)+7)//8)],
+                       chr(10)),
+                   chr(10), '{_LD_FOOTER}') AS text
+        FROM base
+    ),
+    l AS (
+        SELECT doc_id, u.pos AS pos, u.ln AS ln
+        FROM (SELECT doc_id, split(text, chr(10)) AS ls FROM built),
+             unnest([{{'pos': i, 'ln': ls[i]}} FOR i IN range(1, len(ls)+1)]) AS t(u)
+    ),
+    b AS (SELECT ln FROM l GROUP BY ln HAVING count(DISTINCT doc_id) >= {_LD_MIN_DF}),
+    m AS (SELECT l.doc_id, l.pos, l.ln, (b.ln IS NOT NULL) AS dropped
+          FROM l LEFT JOIN b USING (ln))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(CASE WHEN NOT dropped THEN ln END,
+                                   chr(10) ORDER BY pos), '')) AS dedup_md5
+    FROM m GROUP BY doc_id
+    """,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate line removal (ops.text.line_dedup): drop lines present
+    in ≥N distinct docs, reassemble survivors in order. Input lines are
+    built deterministically (8-token lines + a constant footer on every
+    doc); the footer must be stripped corpus-wide. Compared via md5 of the
+    reassembled text — byte-exact reassembly in both engines."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("__tk")
+    )
+    ng = F.expr("(size(__tk) + 7) DIV 8").cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), ng - 1),
+        lambda g: F.concat_ws(" ", F.slice(F.col("__tk"), g * 8 + 1, 8)),
+    )
+    built = d.select(
+        "doc_id",
+        F.concat(
+            F.concat_ws("\n", lines), F.lit("\n"), F.lit(_LD_FOOTER)
+        ).alias("text"),
+    )
+    out = X.line_dedup(built, min_doc_count=_LD_MIN_DF)
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5("text_dedup").alias("dedup_md5")
+    )
+
+
+@register(
+    "embedding_clusters",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+    d AS (
+        SELECT q.vec_id, c.cid,
+               CAST(list_aggregate(
+                   [(q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) FOR i IN range(1, len(q.v)+1)],
+                   'sum') AS BIGINT) AS d2
+        FROM q, c
+    ),
+    m AS (SELECT vec_id, min(d2 * 16 + cid) AS mk FROM d GROUP BY vec_id),
+    a AS (SELECT vec_id, CAST(mk % 16 AS BIGINT) AS cluster_id,
+                 CAST(mk // 16 AS BIGINT) AS d2 FROM m)
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+           CAST(max(vec_id) AS BIGINT) AS max_vec_id,
+           CAST(sum(d2) AS BIGINT) AS sum_d2
+    FROM a GROUP BY cluster_id
+    """,
+)
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-centroid clustering rollup
+    (ops.similarity.assign_to_centroids): the 8 lowest-id vectors act as
+    centroids; every vector is assigned by integer squared-L2 on quantized
+    embeddings (ties → lowest centroid id), centroids broadcast so the
+    corpus never shuffles. Per-cluster size, id range, and exact total
+    distortion."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    a = S.assign_to_centroids(emb, cents)
+    return a.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("id").alias("min_vec_id"),
+        F.max("id").alias("max_vec_id"),
+        F.sum("d2").alias("sum_d2"),
+    )
+
+
 _PACK_BUDGET = 256
 
 
@@ -1152,7 +1261,6 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search (embeddings)
 # --------------------------------------------------------------------------- #
 
-_QV = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 _DOT = "list_aggregate([qa.v[i] * qb.v[i] FOR i IN range(1, len(qa.v) + 1)], 'sum')"
 _NORM = "list_aggregate([x * x FOR x IN v], 'sum')"
 

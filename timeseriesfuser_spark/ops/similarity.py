@@ -253,6 +253,56 @@ def _maybe_cache(df: DataFrame, cache: bool) -> DataFrame:
     return _mc(df, cache)
 
 
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "vec_id",
+    cent_vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Exact nearest-centroid assignment: squared L2 over quantized
+    integer vectors, ties → lowest centroid id. Returns one row per input
+    vector: (id, cluster_id, d2).
+
+    The clustering counterpart of :func:`_assign_nearest` with a
+    *DataFrame* centroid relation and fully integer arithmetic — the
+    distance and the argmin are exact, so a SQL oracle reproduces the
+    assignment bit-for-bit (cosine-based assignment would hinge on sqrt
+    rounding). Centroids are broadcast: the corpus side never shuffles,
+    per-row work is k probes, k×dim broadcast bytes — same scale posture
+    as the k-means assignment step.
+    """
+    q = df.select(
+        F.col(id_col).alias("id"), quantized(F.col(vec_col), scale).alias("__v")
+    )
+    c = centroids.select(
+        F.col(cent_id_col).alias("cid"),
+        quantized(F.col(cent_vec_col), scale).alias("__cv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("__cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        q.join(F.broadcast(c))
+        .withColumn("__d2", d2)
+        .groupBy("id")
+        .agg(
+            F.min(
+                F.struct(F.col("__d2").alias("d2"), F.col("cid").alias("cid"))
+            ).alias("__m")
+        )
+    )
+    return best.select(
+        "id",
+        F.col("__m.cid").alias("cluster_id"),
+        F.col("__m.d2").alias("d2"),
+    )
+
+
 def _assign_nearest(q: DataFrame, centroids: list) -> DataFrame:
     """Add column ``c``: index of the nearest centroid by cosine (ties →
     lowest index), via a broadcast centroid join + ``min_by``.

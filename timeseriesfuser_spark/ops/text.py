@@ -249,6 +249,68 @@ def token_frequencies(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+    min_doc_count: int = 5,
+    sep: str = "\n",
+    broadcast_boilerplate: bool = True,
+) -> DataFrame:
+    """Cross-document duplicate-line removal — the CCNet/RefinedWeb
+    boilerplate scrub: any line appearing in ≥ ``min_doc_count`` distinct
+    documents (nav bars, cookie banners, copyright footers) is dropped
+    from every document; surviving lines are reassembled in their
+    original order.
+
+    Emits: id columns, ``n_lines``, ``n_kept``, ``text_dedup``. Unlike
+    CCNet's keep-first-occurrence rule (order-dependent, serial), the
+    threshold rule is order-free and deterministic — drop/keep for a line
+    depends only on its corpus-wide distinct-doc count.
+
+    Scale: one posexplode; the boilerplate set (lines over the threshold)
+    is by construction ≪ the line relation — broadcast it (default) so
+    the line relation never shuffles on the skewed line key; reassembly
+    is a per-doc groupBy with ``collect_list``+``array_sort`` (bounded by
+    a document's own line count). All counts integer; the reassembled
+    text is byte-deterministic → oracle-exact via md5.
+    """
+    import re as _re
+
+    key = list(id_cols)
+    lines = spread_small_input(df).select(
+        *key,
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "__pos", "__ln"
+        ),
+    )
+    lines = _maybe_persist(lines)
+    boiler = (
+        lines.groupBy("__ln")
+        .agg(F.countDistinct(*key).alias("__df"))
+        .filter(F.col("__df") >= min_doc_count)
+        .select("__ln", F.lit(True).alias("__drop"))
+    )
+    if broadcast_boilerplate:
+        boiler = F.broadcast(boiler)
+    marked = lines.join(boiler, "__ln", "left")
+    kept_struct = F.when(
+        F.col("__drop").isNull(), F.struct("__pos", "__ln")
+    )  # collect_list skips nulls -> dropped lines vanish
+    return marked.groupBy(*key).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("__drop").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["__ln"]
+            ),
+        ).alias("text_dedup"),
+    )
+
+
 def token_rarity(
     df: DataFrame,
     text_col: str = "text",
