@@ -65,20 +65,32 @@ def main() -> None:
 
     # Warm the JVM/reader paths so per-query times measure the query, not
     # session startup (excluded from per-query numbers either way).
-    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    try:
+        spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
+        print(f"# warm-up failed: {exc}", file=sys.stderr)
 
+    # Per-query failure isolation: one broken query must cost one entry in
+    # "errors", never the whole benchmark (BENCH_r02 died with zero numbers
+    # because the first query threw).
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name in HEADLINE:
         fn = contract.QUERIES[name]
         best = float("inf")
-        for _ in range(runs):
-            # Clear persisted intermediates so no run sees another run's
-            # cache (ops may persist multiply-consumed relations).
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(runs):
+                # Clear persisted intermediates so no run sees another run's
+                # cache (ops may persist multiply-consumed relations).
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — record and keep measuring
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         # min-of-N: steady-state per-query time (first run pays one-off
         # codegen/classload warm-up that a long-lived cluster amortizes).
         times[name] = round(best, 3)
@@ -97,6 +109,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "errors": errors,
                 "sf": sf_val,
             }
         )

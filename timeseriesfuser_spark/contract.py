@@ -40,7 +40,7 @@ from timeseriesfuser_spark.ops import packing as P
 from timeseriesfuser_spark.ops import sampling as SA
 from timeseriesfuser_spark.ops import similarity as S
 from timeseriesfuser_spark.ops import text as X
-from timeseriesfuser_spark.timeutils import coerce_to_epoch_ms
+from timeseriesfuser_spark.timeutils import coerce_to_epoch_ms, ts_epoch_ms_col
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: Dict[str, str] = {}
@@ -72,11 +72,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceed 2^53, so a double round-trip would corrupt low bits.
     """
     ev = _t(spark, sf_dir, "events")
-    if dict(ev.dtypes)["ts"] == "bigint":
-        ts_ms = F.expr("ts DIV 1000000")
-    else:
-        ts_ms = F.unix_millis("ts")
-    return ev.withColumn("ts", ts_ms.cast("long"))
+    return ev.withColumn("ts", ts_epoch_ms_col(ev, "ts"))
 
 
 # The DuckDB twin of ops.dedup.md5_hash64 (60-bit md5-derived hash).
@@ -1650,11 +1646,36 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")  # deliberately no oracle: numpy feature
+@register(
+    "multimodal_features",
+    # The fake decode is sha256-derived (digest doubled to 64 bytes, 16
+    # means of 4-byte blocks — so block i ≥ 8 repeats block i-8), which
+    # DuckDB replicates from the hex digest: byte j of the digest is hex
+    # chars [2j+1, 2j+2]. Each mean of four uint8s is an exact multiple of
+    # 0.25, so float32 (Spark) and double (DuckDB) agree bit-for-bit and
+    # '%.4f' formatting is engine-portable.
+    oracle="""
+    SELECT doc_id AS media_id,
+           'image' AS media_type,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha256,
+           array_to_string(
+             [printf('%.4f',
+                (CAST(concat('0x', substr(sha256(text), 8*(i%8)+1, 2)) AS BIGINT)
+               + CAST(concat('0x', substr(sha256(text), 8*(i%8)+3, 2)) AS BIGINT)
+               + CAST(concat('0x', substr(sha256(text), 8*(i%8)+5, 2)) AS BIGINT)
+               + CAST(concat('0x', substr(sha256(text), 8*(i%8)+7, 2)) AS BIGINT)
+                ) / 4.0)
+              FOR i IN range(16)], ',') AS features
+    FROM documents
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal pipeline incl. the deterministic fake decode +
-    16-dim feature vector (not SQL-expressible → driver rows-only check;
-    determinism is asserted in tests/test_sinks_replay.py).
+    16-dim feature vector. The fake features derive purely from sha256 of
+    the payload bytes, so the DuckDB oracle reproduces them exactly (see
+    oracle comment); determinism across runs is additionally asserted in
+    tests/test_sinks_replay.py.
 
     The typed ``array<float>`` API lives in ``ops.multimodal``; the driver
     surface serializes the vector to a string because the harness
@@ -1705,10 +1726,7 @@ def q_streaming_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        ts_ms = F.expr("ts DIV 1000000")
-    else:
-        ts_ms = F.unix_millis("ts")
+    ts_ms = ts_epoch_ms_col(stream, "ts")
     ev = stream.select(
         ts_ms.cast("long").alias("__timestamp"), "event_id", "event_type", "value"
     )

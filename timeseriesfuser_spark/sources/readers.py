@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from timeseriesfuser_spark.config import SourceConfig, normalize_schema
+from timeseriesfuser_spark.timeutils import ts_epoch_ms_col
 
 TS_COL = "__timestamp"
 SRC_ID_COL = "__src_id"
@@ -261,11 +262,7 @@ def build_source_df(spark: SparkSession, src: SourceConfig, src_id: int) -> Data
         df = df.withColumn(f"__{src.ts_col}", ts)
         ts_ms = src.ts_converter(ts).cast(T.LongType())
     else:
-        dtype = dict(df.dtypes)[src.ts_col]
-        if dtype.startswith("timestamp"):
-            ts_ms = F.unix_millis(ts)
-        else:
-            ts_ms = ts.cast(T.LongType())
+        ts_ms = ts_epoch_ms_col(df, src.ts_col, int_epoch="ms")
     df = df.withColumn(TS_COL, ts_ms)
     if src.ts_col != TS_COL:
         df = df.drop(src.ts_col)

@@ -38,6 +38,7 @@ from pyspark.sql import types as T
 from timeseriesfuser_spark.config import SourceConfig, normalize_schema
 from timeseriesfuser_spark.intervals import interval_to_ms
 from timeseriesfuser_spark.sources.readers import SRC_ID_COL, TS_COL
+from timeseriesfuser_spark.timeutils import ts_epoch_ms_col
 
 
 def stream_source(
@@ -75,10 +76,8 @@ def stream_source(
     if src.ts_converter is not None:
         df = df.withColumn(f"__{src.ts_col}", ts)
         ts_ms = src.ts_converter(ts).cast(T.LongType())
-    elif dict(df.dtypes)[src.ts_col].startswith("timestamp"):
-        ts_ms = F.unix_millis(ts)
     else:
-        ts_ms = ts.cast(T.LongType())
+        ts_ms = ts_epoch_ms_col(df, src.ts_col, int_epoch="ms")
     df = df.withColumn(TS_COL, ts_ms)
     if src.ts_col != TS_COL:
         df = df.drop(src.ts_col)
@@ -305,15 +304,25 @@ def replay_stream_to_handler(
     Cross-batch ordering is governed by the source's file ordering +
     watermarking, as in any streaming system. Returns the StreamingQuery;
     callers ``awaitTermination()``.
+
+    Driver memory per micro-batch is bounded by ONE partition of the
+    sorted batch, not the whole batch: the sort is a distributed
+    range-partitioned exchange and ``toLocalIterator`` pulls partitions
+    one at a time in time order (same mechanism as ``replay.replay``).
+    Additionally cap batch size at the source with ``maxFilesPerTrigger``
+    (see ``read_stream_source``) for firehose directories.
     """
     from timeseriesfuser_spark.replay import BaseHandler  # noqa: F401
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.orderBy(ts_col).collect()
-        for row in rows:
-            msg = row.asDict()
-            ts = msg.pop(ts_col)
-            handler.process(ts, msg)
+        it = batch_df.orderBy(ts_col).toLocalIterator(prefetchPartitions=True)
+        try:
+            for row in it:
+                msg = row.asDict()
+                ts = msg.pop(ts_col)
+                handler.process(ts, msg)
+        finally:
+            it.close()
 
     writer = df.writeStream.foreachBatch(_sink)
     if checkpoint_dir:

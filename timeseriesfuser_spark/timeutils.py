@@ -69,6 +69,44 @@ def coerce_to_epoch_ms(value) -> int:
     )
 
 
+def ts_epoch_ms_col(df, col: str, *, int_epoch: str = "heuristic"):
+    """Spark Column normalizing ``df[col]`` to epoch-milliseconds long.
+
+    The column twin of :func:`coerce_to_epoch_ms`, tolerant of every dtype
+    the testdata has shipped across rounds:
+
+    - ``timestamp`` (LTZ) → ``unix_millis``;
+    - ``timestamp_ntz`` → cast to TIMESTAMP first (callers pin the session
+      TZ to UTC, so the wall-clock is interpreted as UTC — matching DuckDB's
+      ``epoch_ms`` on the same naive value), then ``unix_millis``;
+    - ``date`` → midnight UTC;
+    - integer epochs: with ``int_epoch="heuristic"``, a per-row magnitude
+      CASE picks the unit — ≥1e17 nanoseconds, ≥1e14 microseconds, ≥1e11
+      milliseconds, else seconds (each band spans years 1973–5138). All
+      divisions are integer ``DIV`` (epoch-nanos exceed 2^53; a double
+      round-trip would corrupt low bits). With ``int_epoch="ms"`` integers
+      pass through unchanged (the source-reader contract: numeric ts
+      columns are already milliseconds unless a ts_converter says else).
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes)[col]
+    c = F.col(col)
+    if dtype == "timestamp":
+        return F.unix_millis(c).cast("long")
+    if dtype in ("timestamp_ntz", "date"):
+        return F.unix_millis(c.cast("timestamp")).cast("long")
+    if int_epoch == "ms":
+        return c.cast("long")
+    q = f"`{col}`"
+    return F.expr(
+        f"CASE WHEN abs({q}) >= 100000000000000000 THEN {q} DIV 1000000 "
+        f"WHEN abs({q}) >= 100000000000000 THEN {q} DIV 1000 "
+        f"WHEN abs({q}) >= 100000000000 THEN CAST({q} AS BIGINT) "
+        f"ELSE {q} * 1000 END"
+    ).cast("long")
+
+
 def iso_utc(epoch_ms: int | None) -> str | None:
     """Epoch ms → ISO-8601 UTC string; None-safe.
 
