@@ -144,17 +144,62 @@ def ngram_jaccard_pairs(
 MINHASH_MASK = (1 << 52) - 1
 
 
-def _double_hash_cols(sh: Column) -> tuple:
-    """One md5 per shingle → two 52-bit halves (h1, h2) for
-    Kirsch-Mitzenmacher double hashing: h_i = (h1 + i*h2) & (2^52-1).
+def _double_hash_structs(shs_col) -> Column:
+    """``array<struct<h1,h2>>``: one md5 per shingle, split into two 52-bit
+    halves for Kirsch-Mitzenmacher double hashing. Materialize this as a
+    projected column so the md5 runs once per shingle, not once per hash
+    function."""
+    return F.transform(
+        shs_col,
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(F.md5(s), 14, 13), 16, 10).cast("long").alias("h2"),
+        ),
+    )
 
-    i*h2 ≤ 63·2^52 < 2^58 — never overflows int64, so the arithmetic is
-    identical in any engine (DuckDB raises on BIGINT overflow; Spark wraps;
-    staying under 2^63 sidesteps both)."""
-    hx = F.md5(sh)
-    h1 = F.conv(F.substring(hx, 1, 13), 16, 10).cast("long")
-    h2 = F.conv(F.substring(hx, 14, 13), 16, 10).cast("long")
-    return h1, h2
+
+def _minhash_col(hs, i: int) -> Column:
+    """h_i = min over shingles of (h1 + i*h2) & (2^52-1) over a *bound*
+    double-hash array (a lambda variable — see ``_band_keys_col``).
+
+    i*h2 ≤ 63·2^52 < 2^58 never overflows int64, so the arithmetic is
+    identical in any engine (DuckDB raises on BIGINT overflow, Spark
+    wraps; staying under 2^63 sidesteps both)."""
+    return F.array_min(
+        F.transform(
+            hs,
+            lambda x: (x["h1"] + F.lit(i) * x["h2"]).bitwiseAND(F.lit(MINHASH_MASK)),
+        )
+    )
+
+
+def _band_keys_col(shs_col, num_hashes: int, bands: int) -> Column:
+    """All LSH band keys of one document as a per-row ``array<string>`` —
+    MinHash signatures need NO explode and NO aggregation shuffle, just
+    this projection.
+
+    The double-hash array is bound through a single-element ``transform``
+    lambda: Catalyst's projection collapse would otherwise inline the
+    md5-per-shingle expression into every one of the ``num_hashes`` min
+    terms (recomputing each shingle's md5 ``num_hashes`` times); a lambda
+    variable is evaluated once per row, then referenced."""
+    r = num_hashes // bands
+
+    def keys(hs):
+        return F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        ",", *[_minhash_col(hs, b * r + j) for j in range(r)]
+                    )
+                )
+                for b in range(bands)
+            ]
+        )
+
+    return F.element_at(
+        F.transform(F.array(_double_hash_structs(shs_col)), keys), 1
+    )
 
 
 def minhash_signatures(
@@ -167,13 +212,17 @@ def minhash_signatures(
     """MinHash signatures: h_i(doc) = min over shingles of the i-th
     double-hash (one md5 per shingle, not one per hash function).
 
-    One explode + one groupBy (partial agg map-side) — scales linearly."""
-    return _minhash_signatures_from(shingles_df(df, id_col, text_col, n), num_hashes)
-
-
-def _minhash_signatures_from(sh: DataFrame, num_hashes: int) -> DataFrame:
-    h1, h2 = _double_hash_cols(F.col("sh"))
-    hashed = sh.select("id", h1.alias("__h1"), h2.alias("__h2"))
+    One explode + one groupBy (partial agg map-side) — scales linearly.
+    This wide (id, h0..h{k-1}) surface keeps the hash computation in a
+    vectorized aggregate; the LSH path below never materializes it,
+    using the per-row ``_band_keys_col`` projection instead."""
+    sh = shingles_df(df, id_col, text_col, n)
+    hx = F.md5(F.col("sh"))
+    hashed = sh.select(
+        "id",
+        F.conv(F.substring(hx, 1, 13), 16, 10).cast("long").alias("__h1"),
+        F.conv(F.substring(hx, 14, 13), 16, 10).cast("long").alias("__h2"),
+    )
     return hashed.groupBy("id").agg(
         *[
             F.min(
@@ -209,12 +258,21 @@ def minhash_lsh_pairs(
     ARRAY relation (one row per doc) and computes |A∩B| via
     ``array_intersect`` in codegen — two joins on a doc-count-sized
     relation instead of three shuffles of the exploded shingle relation.
+
+    Shuffle inventory (the 100 TB budget): signatures are per-row
+    expressions (zero shuffles — see ``_minhash_col``); candidate
+    generation is ONE equi-join on (band, bkey) with pair dedup done by a
+    bitwise "first shared band" predicate inside the join (no global
+    ``distinct`` re-shuffle of the pair relation); verification is two
+    joins on doc ids. Hot buckets (floods of identical docs) fan out k²
+    in the join as in any LSH — AQE skew-join splits them; run
+    ``exact_duplicates`` first to collapse identical content.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     # Doc-level sorted shingle arrays: the single multiply-consumed
-    # relation (signature explode + both verify sides).
+    # relation (signature projection + both verify sides).
     darr = _maybe_cache(
         spread_small_input(df).select(
             F.col(id_col).alias("id"),
@@ -222,34 +280,33 @@ def minhash_lsh_pairs(
         ),
         cache,
     )
-    sh = darr.select("id", F.explode("shs").alias("sh"))
-    sig = _minhash_signatures_from(sh, num_hashes)
-    # One row per (id, band) via a single explode — NOT a union of per-band
-    # selects, which would make Catalyst duplicate the whole signature
-    # aggregation `bands` times.
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(",", *[F.col(f"h{b * r + j}") for j in range(r)])
-                ).alias("bkey"),
-            )
-            for b in range(bands)
-        ]
-    )
+    # All band keys as one per-row array column (md5 over the band's r
+    # signature values, same formula as the oracle SQL); kept alongside
+    # each bucket row so the join can test earlier bands without a
+    # second lookup.
     buckets = _maybe_cache(
-        sig.select("id", F.explode(band_arr).alias("bb")).select(
-            "id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
-        ),
+        darr.filter(F.size("shs") > 0)
+        .select("id", _band_keys_col(F.col("shs"), num_hashes, bands).alias("__bk"))
+        .select("id", "__bk", F.posexplode("__bk").alias("band", "bkey")),
         cache,
     )
     a, b_ = buckets.alias("a"), buckets.alias("b")
+    # Emit each pair only at its FIRST shared band: a codegen predicate in
+    # the join replaces the global distinct (which would re-shuffle the
+    # whole candidate relation). Exact: if two docs share band c' < c they
+    # necessarily co-occur in that bucket too, so exactly one band emits.
+    no_earlier_band = ~F.exists(
+        F.slice(
+            F.zip_with(F.col("a.__bk"), F.col("b.__bk"), lambda p, q: p == q),
+            F.lit(1),
+            F.col("a.band"),
+        ),
+        lambda e: e,
+    )
     cand = (
         a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
-        .filter(F.col("a.id") < F.col("b.id"))
+        .filter((F.col("a.id") < F.col("b.id")) & no_earlier_band)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
     if not verify:
         return cand
