@@ -384,36 +384,30 @@ def simhash_pairs(
     """
     nchunks = max_hamming + 1
     chunk = bits // nchunks
-    # Vote computation as explode → codegen'd hash-aggregate (one pass,
-    # map-side partial, vectorized) rather than `bits` interpreted
-    # higher-order-function passes over a per-row array. Votes are kept in
-    # branch-free arithmetic form: S_i = Σ bit_i(h); the ±1 vote sum is
-    # positive iff 2·S_i > token count.
-    #
-    # explode_outer keeps token-less docs as a single null-token row: the
-    # null hash makes every S_i null, `2·null > cnt` is null → bit 0, so
-    # those docs land at simhash 0 without a separate ids-distinct +
-    # left-join pass over the input (which cost an extra scan + shuffle).
-    toks = spread_small_input(df).select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(F.array_distinct(tokens_array(text_col))).alias("__t"),
-    )
-    hv = toks.select("id", md5_hash64(F.col("__t")).alias("__h"))
-    votes = hv.groupBy("id").agg(
-        F.count(F.lit(1)).alias("__cnt"),
-        *[
-            F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))).alias(
-                f"s{i}"
+    # The signature is a pure per-row projection: the token-hash array is
+    # bound once through a single-element transform lambda (same
+    # projection-collapse defense as ``_band_keys_col``), then each bit's
+    # ±1 vote sum is one array pass in branch-free form — S_i = Σ bit_i(h),
+    # vote positive iff 2·S_i > token count. No explode, no votes shuffle;
+    # token-less docs have an empty hash array → every S_i = 0 → sim 0.
+    def sim_of(hs):
+        cnt = F.size(hs)
+        out = F.lit(0).cast("long")
+        for i in range(bits):
+            s_i = F.aggregate(
+                hs,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)),
             )
-            for i in range(bits)
-        ],
+            out = out + F.when(2 * s_i > cnt, F.lit(1 << i)).otherwise(F.lit(0))
+        return out
+
+    sig = spread_small_input(df).select(
+        F.col(id_col).alias("id"),
+        F.element_at(
+            F.transform(F.array(token_hashes(text_col)), sim_of), 1
+        ).alias("sh"),
     )
-    sim = F.lit(0).cast("long")
-    for i in range(bits):
-        sim = sim + F.when(
-            2 * F.col(f"s{i}") > F.col("__cnt"), F.lit(1 << i)
-        ).otherwise(F.lit(0))
-    sig = votes.select("id", sim.alias("sh"))
     masks = []
     for c in range(nchunks):
         width = chunk if c < nchunks - 1 else bits - chunk * (nchunks - 1)
