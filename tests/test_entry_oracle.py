@@ -71,7 +71,9 @@ ORACLES = entry_mod.oracle_sql()
 def test_every_query_has_oracle_or_is_flagged():
     missing = [k for k in QUERIES if k not in ORACLES]
     # Non-SQL-expressible ops may omit oracles; keep the list explicit.
-    assert missing == ["multimodal_features"], f"queries without oracle: {missing}"
+    # (Currently every registered query has one — multimodal_features
+    # gained a sha256-replicating oracle in round 3.)
+    assert missing == [], f"queries without oracle: {missing}"
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -211,3 +211,31 @@ def test_pii_scrub_planted(spark):
     assert out[2]["text_redacted"] == "call <PHONE> now"
     assert out[3]["text_redacted"] == "nothing sensitive here"
     assert out[3]["n_email"] == out[3]["n_ip"] == out[3]["n_phone"] == 0
+
+
+def test_connected_components_toy(spark):
+    from timeseriesfuser_spark.ops.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (6, 7), (7, 1)], "id_a long, id_b long"
+    )  # {1,2,3,5,6,7} all one component via 7-1; 4 is a singleton
+    ids = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(edges, all_ids=ids).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 1, 6: 1, 7: 1}
+
+
+def test_neardup_clusters_covers_corpus(docs):
+    from timeseriesfuser_spark.ops.dedup import neardup_clusters
+
+    out = neardup_clusters(docs, num_hashes=16, bands=4, threshold=0.4)
+    rows = out.collect()
+    assert len(rows) == docs.count()  # every doc labeled exactly once
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m["doc_id"] for m in members)  # canonical min id
+        assert all(m["cluster_size"] == len(members) for m in members)

@@ -584,9 +584,47 @@ def _minhash_sql() -> str:
 
 @register("dedup_minhash_lsh", oracle=_minhash_sql())
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup: signatures in one groupBy, banding equi-join for
-    candidates, exact-Jaccard verification — the web-corpus scale path."""
+    """MinHash+LSH near-dup: per-row band keys (zero signature shuffles),
+    banding equi-join with first-shared-band pair dedup, exact-Jaccard
+    verification — the web-corpus scale path."""
     return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_NH,
+        bands=_NB,
+        threshold=_MT,
+    )
+
+
+@register(
+    "dedup_clusters",
+    # Component labels via DuckDB's recursive CTE: reach(x, r) holds every
+    # (node, label-of-some-component-member); min(r) per node is the
+    # component min — the same fixpoint the Spark min-label propagation
+    # converges to.
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_sql()}),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.v, reach.r FROM edges e JOIN reach ON reach.id = e.u
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    cnt AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+    SELECT comp.doc_id, comp.cluster_id, cnt.cluster_size
+    FROM comp JOIN cnt USING (cluster_id)
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH pairs → distributed connected
+    components (min-label propagation over the edge subgraph only) →
+    (doc_id, cluster_id = canonical min id, cluster_size). The step a real
+    dedup pipeline runs after pair generation to pick survivors."""
+    return D.neardup_clusters(
         _t(spark, sf_dir, "documents"),
         num_hashes=_NH,
         bands=_NB,

@@ -449,3 +449,100 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    all_ids: Optional[DataFrame] = None,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    (id, cluster_id) where cluster_id = min id in the component.
+
+    Scale design: iteration runs only over the nodes that appear in an
+    edge — for dedup workloads that subgraph is a small fraction of the
+    corpus, so each round shuffles edge-sized relations, never the corpus.
+    Nodes outside every edge are singletons attached with one final
+    left join against ``all_ids`` (pass the full id relation to include
+    them; omit it to label edge-nodes only). Convergence is detected with
+    a one-scalar action per round (labels only decrease, so the label sum
+    is strictly monotone until fixpoint); near-dup components are shallow
+    cliques, converging in a handful of rounds, and ``max_iterations``
+    bounds adversarial chains.
+    """
+    from pyspark import StorageLevel
+
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # decimal sum: immune to int64 overflow however large ids × nodes get
+    prev = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
+    for _ in range(max_iterations):
+        nbr = (
+            sym.join(
+                labels.select(F.col("id").alias("dst"), "lbl"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("lbl").alias("__nbr"))
+        )
+        new = (
+            labels.join(nbr.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("__nbr", "lbl")).alias("lbl"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cur = new.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
+        labels.unpersist()
+        labels = new
+        if cur == prev:
+            break
+        prev = cur
+    out = labels.select("id", F.col("lbl").alias("cluster_id"))
+    if all_ids is not None:
+        ids = all_ids.select(F.col(all_ids.columns[0]).cast("long").alias("id"))
+        out = ids.join(out, "id", "left").select(
+            "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+        )
+    sym.unpersist()
+    return out
+
+
+def neardup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH pairs → connected
+    components → (doc_id, cluster_id, cluster_size). cluster_id is the
+    min doc id of the component (the canonical survivor a dedup pass
+    keeps); singletons are their own cluster of size 1."""
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands,
+        threshold=threshold,
+    ).select("id_a", "id_b")
+    comp = connected_components(
+        pairs, all_ids=df.select(id_col), max_iterations=max_iterations
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select(
+        F.col("id").alias(id_col), "cluster_id", "cluster_size"
+    )
