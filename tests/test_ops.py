@@ -239,3 +239,21 @@ def test_neardup_clusters_covers_corpus(docs):
     for cid, members in by_cluster.items():
         assert cid == min(m["doc_id"] for m in members)  # canonical min id
         assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def test_tfidf_top_terms_ranks_distinctive_token(spark):
+    from timeseriesfuser_spark.ops.text import tfidf_top_terms
+
+    rows = [
+        (1, "zebra zebra zebra common common"),
+        (2, "common common other other other"),
+        (3, "common other filler filler words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(docs, k=2)
+    got = {r["doc_id"]: r for r in out.filter("token = 'zebra'").collect()}
+    # 'zebra' appears only in doc 1 (df=1, tf=3) -> its top keyword
+    assert set(got) == {1}
+    assert (got[1]["tf"], got[1]["df"], got[1]["score"]) == (3, 1, 3_000_000)
+    per_doc = out.groupBy("doc_id").count().collect()
+    assert all(r["count"] <= 2 for r in per_doc)

@@ -632,6 +632,32 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tfidf_keywords",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY doc_id, token),
+    dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf, dfr.df,
+               tf.tf * 1000000 // dfr.df AS score
+        FROM tf JOIN dfr USING (token)
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, token
+        ) AS rk FROM scored
+    )
+    SELECT doc_id, token, tf, df, score FROM ranked WHERE rk <= 5
+    """,
+)
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per doc by integer tf-idf rank (score =
+    tf·1e6 DIV df — rank-equivalent to tf·idf within one corpus, exact in
+    any engine). Keyword extraction for corpus exploration/routing."""
+    return X.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
 _SB, _SHAM = 48, 3
 
 

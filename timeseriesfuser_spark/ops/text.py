@@ -588,3 +588,46 @@ def doc_fingerprint(
         F.md5(norm).alias("fp_md5"),
         F.array_min(F.transform(sh, lambda s: md5_hash64(s))).alias("fp_minshingle"),
     )
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    scale: int = 1_000_000,
+    broadcast_df: bool = True,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf rank:
+    (id, token, tf, df, score), score = tf·scale DIV df.
+
+    The integer score is rank-equivalent to tf/df (and, within one corpus,
+    to tf·N/df — the corpus-size factor is constant per ranking) but stays
+    engine-exact: no log/float, no int64 overflow at any corpus size
+    (tf ≤ doc length, so score ≤ doc_len·scale). Ties break on token text,
+    so the top-k set is deterministic.
+
+    Scale: one explode + groupBy for per-doc tf (partial agg map-side),
+    one vocabulary-sized groupBy for df — broadcast back onto the tf
+    relation so nothing shuffles on the Zipf-skewed token key (same stance
+    as ``token_rarity``; pass ``broadcast_df=False`` for an open
+    vocabulary) — then a per-doc row_number window (docs have bounded
+    length, so no skewed partition)."""
+    from pyspark.sql.window import Window
+
+    toks = spread_small_input(df).select(
+        F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("token")
+    )
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.persist()
+    dfr = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if broadcast_df:
+        dfr = F.broadcast(dfr)
+    scored = tf.join(dfr, "token").withColumn(
+        "score", F.expr(f"tf * {scale} DIV df")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(F.col("id").alias(id_col), "token", "tf", "df", "score")
+    )
