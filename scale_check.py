@@ -141,6 +141,7 @@ def run_docs(spark, n: int) -> dict:
     from timeseriesfuser_spark.ops.text import (
         repetition_stats,
         text_stats,
+        tfidf_top_terms,
         token_frequencies,
     )
 
@@ -162,6 +163,24 @@ def run_docs(spark, n: int) -> dict:
     t("repetition_stats", repetition_stats(docs))
     t("minhash_lsh", minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.5))
     t("simhash", simhash_pairs(docs, bits=48, max_hamming=3))
+    t("tfidf_keywords", tfidf_top_terms(docs, k=5))
+
+    # neardup_clusters runs its label-propagation actions during the call
+    # itself (driver loop, scalar per round), so time build + execute.
+    from timeseriesfuser_spark.ops.dedup import neardup_clusters
+
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    neardup_clusters(docs, num_hashes=16, bands=4, threshold=0.5).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    out["neardup_clusters"] = round(dt, 2)
+    out["neardup_clusters_mdocs_s"] = round(n / dt / 1e6, 2)
+    print(
+        f"#   neardup_clusters: {dt:.2f}s  ({n/dt/1e6:.2f} M docs/s)",
+        file=sys.stderr,
+    )
     return out
 
 

@@ -94,3 +94,38 @@ def test_quality_filter_stays_in_codegen(spark):
     # the small-input spread repartition
     assert "HashAggregate" not in plan and "Join" not in plan
     assert plan.count("+- Exchange") <= 1
+
+
+def test_minhash_signature_is_projection_not_aggregate(spark):
+    """The LSH band keys must be a per-row projection (bound lambda over
+    the shingle md5 array) — no explode + groupBy signature stage, and no
+    global distinct of the candidate pairs (first-shared-band predicate
+    dedups inside the join)."""
+    from timeseriesfuser_spark.ops import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cand = D.minhash_lsh_pairs(docs, verify=False, cache=False)
+    plan = formatted_plan(cand)
+    assert "HashAggregate" not in plan  # neither signature agg nor distinct
+    assert "Generate" in plan  # the single posexplode into band rows
+
+
+def test_tfidf_broadcasts_vocabulary(spark):
+    from timeseriesfuser_spark.ops.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = formatted_plan(tfidf_top_terms(docs, k=5))
+    assert "BroadcastHashJoin" in plan  # df relation onto tf, not a shuffle
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_connected_components_never_shuffles_corpus(spark):
+    """Only edge-subgraph relations enter the iteration; the corpus joins
+    once at the end. With zero edges the loop exits after one round."""
+    from timeseriesfuser_spark.ops.dedup import connected_components
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    ids = spark.range(100).withColumnRenamed("id", "doc_id")
+    out = connected_components(edges, all_ids=ids)
+    assert out.count() == 100
+    assert out.filter("id != cluster_id").count() == 0
