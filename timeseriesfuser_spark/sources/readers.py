@@ -95,6 +95,26 @@ def _read_raw(spark: SparkSession, src: SourceConfig) -> DataFrame:
         if declared is not None:
             return _read_parquet_schema_groups(spark, src, declared)
         return spark.read.parquet(src.path)
+    if src.fmt == "json":
+        # JSONL (one object per line, Spark's default JSON mode; .gz
+        # transparently decompressed). Same PERMISSIVE-with-declared-schema
+        # stance as CSV: mistyped fields null out, opt into FAILFAST via
+        # csv_options. Schema inference only when no schema is declared —
+        # at scale the inference pass is a full extra read; declare one.
+        reader = spark.read
+        for k, v in src.csv_options.items():
+            reader = reader.option(k, v)
+        local = os.path.exists(src.path)
+        files = list_source_files(src) if local else [src.path]
+        if local and not files:
+            raise FileNotFoundError(
+                f"Source {src.name!r}: no .json(l)[.gz] files found in {src.path}"
+            )
+        declared = normalize_schema(src.schema, src.columns)
+        target = files if local else src.path
+        if declared is not None:
+            return reader.schema(declared).json(target)
+        return reader.json(target)
     # CSV: resolve positional schemas against the header and read with the
     # declared StructType. PERMISSIVE (cells that do not parse as the
     # declared type become null) is the parity-correct default: the
@@ -275,7 +295,11 @@ def build_source_df(spark: SparkSession, src: SourceConfig, src_id: int) -> Data
     )
 
 
-_EXTS = {"csv": (".csv", ".csv.gz", ".zip"), "parquet": (".parquet",)}
+_EXTS = {
+    "csv": (".csv", ".csv.gz", ".zip"),
+    "parquet": (".parquet",),
+    "json": (".json", ".jsonl", ".json.gz", ".jsonl.gz"),
+}
 
 
 def list_source_files(src: SourceConfig) -> List[str]:

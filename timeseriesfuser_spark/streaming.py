@@ -63,6 +63,10 @@ def stream_source(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if src.fmt == "parquet":
         df = reader.parquet(src.path)
+    elif src.fmt == "json":
+        for k, v in src.csv_options.items():
+            reader = reader.option(k, v)
+        df = reader.json(src.path)
     else:
         reader = reader.option("header", "true")
         for k, v in src.csv_options.items():
