@@ -197,3 +197,26 @@ def test_sequence_pack_no_global_order_window(spark):
     )
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from timeseriesfuser_spark.ops.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "solo"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0,3,6,9 → windows of 4,4,4,1 tokens
+    got = sorted((r["chunk_start"], r["n_tokens"], r["chunk_text"]) for r in by_doc[1])
+    assert got == [
+        (0, 4, "t0 t1 t2 t3"),
+        (3, 4, "t3 t4 t5 t6"),
+        (6, 4, "t6 t7 t8 t9"),
+        (9, 1, "t9"),
+    ]
+    assert [(r["chunk_start"], r["chunk_text"]) for r in by_doc[2]] == [(0, "solo")]
+    assert 3 not in by_doc  # token-less docs emit nothing

@@ -633,6 +633,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunks",
+    # Sliding windows of 32 tokens every 24: starts 0,24,48,… while < the
+    # token count; chunk key = token offset (no ordinality required).
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(len(t[s+1 : s+32]) AS BIGINT) AS n_tokens,
+           array_to_string(t[s+1 : s+32], ' ') AS chunk_text
+    FROM tk, unnest(range(0, len(t), 24)) AS u(s)
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window doc chunking (32-token windows, stride 24) — the
+    RAG/context-prep step; pure projection + explode, zero shuffles."""
+    return P.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=32, stride=24
+    )
+
+
+@register(
     "tfidf_keywords",
     oracle=f"""
     WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),

@@ -147,3 +147,53 @@ def sequence_pack(
         .cast("long")
         .alias("n_bins"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG / context-window prep
+    step): each doc's token stream is cut into windows of ``chunk_size``
+    tokens starting every ``stride`` tokens (overlap = chunk_size−stride).
+
+    Output (id, chunk_start, n_tokens, chunk_text): one row per window,
+    chunk_start = token offset (also the stable chunk key — no ordinality
+    column needed), windows start at 0, stride, 2·stride, … while < the
+    doc's token count; token-less docs emit no rows. The whole operator is
+    a per-row projection + one explode — zero shuffles at any corpus size.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+
+    # Bind the token array once per row (single-element transform lambda):
+    # referencing the tokenizer expression directly from the per-chunk
+    # lambda would re-run the regex once per window.
+    def windows(tk):
+        starts = F.when(
+            F.size(tk) > 0,
+            F.sequence(F.lit(0), F.size(tk) - 1, F.lit(stride)),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                s.cast("long").alias("chunk_start"),
+                F.slice(tk, s + 1, chunk_size).alias("__ctoks"),
+            ),
+        )
+
+    chunks = F.element_at(
+        F.transform(F.array(tokens_col(F.col(text_col))), windows), 1
+    )
+    ex = df.select(
+        F.col(id_col), F.explode(chunks).alias("__c")
+    )
+    return ex.select(
+        id_col,
+        F.col("__c.chunk_start").alias("chunk_start"),
+        F.size("__c.__ctoks").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.col("__c.__ctoks")).alias("chunk_text"),
+    )
