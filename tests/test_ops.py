@@ -257,3 +257,20 @@ def test_tfidf_top_terms_ranks_distinctive_token(spark):
     assert (got[1]["tf"], got[1]["df"], got[1]["score"]) == (3, 1, 3_000_000)
     per_doc = out.groupBy("doc_id").count().collect()
     assert all(r["count"] <= 2 for r in per_doc)
+
+
+def test_adaptive_signature_paths_agree(docs):
+    """The per-row-projection and explode+aggregate signature strategies
+    must produce byte-identical pairs — force each via small_input_bytes."""
+    from timeseriesfuser_spark.ops.dedup import minhash_lsh_pairs, simhash_pairs
+
+    big = 1 << 60  # everything counts as small -> per-row path
+    for fn, kw in [
+        (minhash_lsh_pairs, dict(num_hashes=16, bands=4, threshold=0.4)),
+        (simhash_pairs, dict(bits=48, max_hamming=3)),
+    ]:
+        perrow = {tuple(sorted(r.asDict().items()))
+                  for r in fn(docs, small_input_bytes=big, **kw).collect()}
+        vector = {tuple(sorted(r.asDict().items()))
+                  for r in fn(docs, small_input_bytes=0, **kw).collect()}
+        assert perrow == vector and len(perrow) > 0

