@@ -131,11 +131,12 @@ def synth_docs(spark, n: int):
     )
 
 
-def run_docs(spark, n: int) -> dict:
-    """Text/dedup operator scaling on a synthesized corpus."""
+def _docs_ops(spark, n: int) -> dict:
+    """name -> thunk building (and, for iterative ops, running) the op."""
     from timeseriesfuser_spark.ops.dedup import (
         exact_duplicates,
         minhash_lsh_pairs,
+        neardup_clusters,
         simhash_pairs,
     )
     from timeseriesfuser_spark.ops.text import (
@@ -146,52 +147,74 @@ def run_docs(spark, n: int) -> dict:
     )
 
     docs = synth_docs(spark, n)
-    out = {"docs": n}
+    return {
+        "exact_dedup": lambda: exact_duplicates(docs),
+        "text_stats": lambda: text_stats(docs),
+        "token_frequencies": lambda: token_frequencies(docs),
+        "repetition_stats": lambda: repetition_stats(docs),
+        "minhash_lsh": lambda: minhash_lsh_pairs(
+            docs, num_hashes=16, bands=4, threshold=0.5
+        ),
+        "simhash": lambda: simhash_pairs(docs, bits=48, max_hamming=3),
+        "tfidf_keywords": lambda: tfidf_top_terms(docs, k=5),
+        "neardup_clusters": lambda: neardup_clusters(
+            docs, num_hashes=16, bands=4, threshold=0.5
+        ),
+    }
 
-    def t(name, df):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
+
+def run_docs_one(spark, name: str, n: int) -> float:
+    """One operator, one measurement (the thunk may itself run driver
+    actions — iterative ops, eager persists — so time the whole thing)."""
+    thunk = _docs_ops(spark, n)[name]
+    t0 = time.perf_counter()
+    thunk().write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def run_docs(n: int) -> dict:
+    """Text/dedup operator scaling, each operator in its OWN subprocess
+    JVM: sequential same-JVM measurement is unreliable here — the
+    string-heavy text ops leave the heap in a state that makes a
+    following MinHash run 3-5x slower (reproduced; survives clearCache
+    and System.gc), so per-op isolation is the only honest protocol.
+    """
+    import subprocess
+
+    out = {"docs": n}
+    for name in [
+        "exact_dedup", "text_stats", "token_frequencies", "repetition_stats",
+        "minhash_lsh", "simhash", "tfidf_keywords", "neardup_clusters",
+    ]:
+        r = subprocess.run(
+            [sys.executable, __file__, "--docs-one", name, str(n)],
+            capture_output=True, text=True,
+        )
+        line = (r.stdout.strip().splitlines() or ["?"])[-1]
+        try:
+            dt = float(line)
+        except ValueError:
+            print(f"#   {name}: FAILED {r.stderr[-300:]}", file=sys.stderr)
+            continue
         out[name] = round(dt, 2)
         out[f"{name}_mdocs_s"] = round(n / dt / 1e6, 2)
         print(f"#   {name}: {dt:.2f}s  ({n/dt/1e6:.2f} M docs/s)", file=sys.stderr)
-
-    t("exact_dedup", exact_duplicates(docs))
-    t("text_stats", text_stats(docs))
-    t("token_frequencies", token_frequencies(docs))
-    t("repetition_stats", repetition_stats(docs))
-    t("minhash_lsh", minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.5))
-    t("simhash", simhash_pairs(docs, bits=48, max_hamming=3))
-    t("tfidf_keywords", tfidf_top_terms(docs, k=5))
-
-    # neardup_clusters runs its label-propagation actions during the call
-    # itself (driver loop, scalar per round), so time build + execute.
-    from timeseriesfuser_spark.ops.dedup import neardup_clusters
-
-    spark.catalog.clearCache()
-    t0 = time.perf_counter()
-    neardup_clusters(docs, num_hashes=16, bands=4, threshold=0.5).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    dt = time.perf_counter() - t0
-    out["neardup_clusters"] = round(dt, 2)
-    out["neardup_clusters_mdocs_s"] = round(n / dt / 1e6, 2)
-    print(
-        f"#   neardup_clusters: {dt:.2f}s  ({n/dt/1e6:.2f} M docs/s)",
-        file=sys.stderr,
-    )
     return out
 
 
 def main():
     args = sys.argv[1:]
-    if args and args[0] == "--docs":
+    docs_one = args and args[0] == "--docs-one"
+    docs_mode = args and args[0] == "--docs"
+    if docs_mode:
+        # subprocess-per-op protocol: no shared SparkSession here
         sizes = [int(float(a) * 1e6) for a in (args[1:] or ["1"])]
-        runner = run_docs
-    else:
-        sizes = [int(float(a) * 1e6) for a in (args or ["1", "10", "30"])]
-        runner = run
+        results = []
+        for n in sizes:
+            print(f"# n={n:,}", file=sys.stderr)
+            results.append(run_docs(n))
+        print(json.dumps(results))
+        return
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("tsf_scale_check")
@@ -203,10 +226,16 @@ def main():
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if docs_one:
+        name, n = args[1], int(args[2])
+        print(run_docs_one(spark, name, n))
+        spark.stop()
+        return
+    sizes = [int(float(a) * 1e6) for a in (args or ["1", "10", "30"])]
     results = []
     for n in sizes:
         print(f"# n={n:,}", file=sys.stderr)
-        results.append(runner(spark, n))
+        results.append(run(spark, n))
     print(json.dumps(results))
     spark.stop()
 

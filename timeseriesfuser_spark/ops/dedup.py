@@ -95,18 +95,26 @@ def shingles_df(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
 
 
 def _maybe_cache(df: DataFrame, cache: bool) -> DataFrame:
-    """Persist a multiply-consumed intermediate (MEMORY_AND_DISK, spills).
+    """Persist a multiply-consumed intermediate (MEMORY_AND_DISK, spills)
+    and materialize it EAGERLY (one count job).
 
     Same stance as Spark MLlib's LSH: the shingle/signature relations feed
     several joins of one output plan, and Catalyst re-executes plan
-    branches rather than sharing them. Spark evicts LRU under pressure;
-    pass ``cache=False`` to trade recomputation for zero cache footprint
-    (e.g. when the exploded relation is too big even for disk).
+    branches rather than sharing them. The eager count matters as much as
+    the persist: when the final action's independent stages (both join
+    sides, both verify sides) race against a persist that has no blocks
+    yet, each stage recomputes the full relation concurrently — measured
+    as a flaky 5x blowup (40s → 200s+) on a 1M-doc MinHash. Spark evicts
+    LRU under pressure; pass ``cache=False`` to trade recomputation for
+    zero cache footprint (e.g. when the exploded relation is too big even
+    for disk).
     """
     if cache:
         from pyspark import StorageLevel
 
-        return df.persist(StorageLevel.MEMORY_AND_DISK)
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        return df
     return df
 
 
@@ -297,12 +305,15 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     perrow = _use_perrow_signatures(df, small_input_bytes)
-    # Doc-level sorted shingle arrays: the single multiply-consumed
-    # relation (signature input + both verify sides).
+    # Doc-level shingle arrays: the single multiply-consumed relation
+    # (signature input + both verify sides). Deliberately unsorted:
+    # MinHash mins, per-shingle md5 and array_intersect are all
+    # order-free, and array_sort measured +60% on the shingle-build
+    # stage at 1M docs.
     darr = _maybe_cache(
         spread_small_input(df).select(
             F.col(id_col).alias("id"),
-            F.array_sort(shingle_array(text_col, n)).alias("shs"),
+            shingle_array(text_col, n).alias("shs"),
         ),
         cache,
     )
