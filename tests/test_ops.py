@@ -274,3 +274,15 @@ def test_adaptive_signature_paths_agree(docs):
         vector = {tuple(sorted(r.asDict().items()))
                   for r in fn(docs, small_input_bytes=0, **kw).collect()}
         assert perrow == vector and len(perrow) > 0
+
+
+def test_connected_components_long_chain(spark):
+    """A 12-node path graph needs multiple propagation rounds — pins the
+    iteration loop (not just one-hop neighborhoods)."""
+    from timeseriesfuser_spark.ops.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {i: 1 for i in range(1, 13)}

@@ -586,11 +586,18 @@ def connected_components(
     )
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    # Each round MUST cut lineage (eager localCheckpoint): carrying the
+    # plan forward nests one join+aggregate deeper per round, and
+    # re-optimizing that tower OOMs the driver after ~10 rounds (GraphX
+    # uses periodic checkpointing for exactly this). localCheckpoint is
+    # executor-local — on a cluster that can't tolerate executor loss
+    # mid-loop, switch to reliable checkpoint(dir); the relations are
+    # edge-subgraph-sized either way.
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     # decimal sum: immune to int64 overflow however large ids × nodes get
     prev = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
@@ -608,10 +615,9 @@ def connected_components(
                 "id",
                 F.least(F.col("lbl"), F.coalesce("__nbr", "lbl")).alias("lbl"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         cur = new.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
-        labels.unpersist()
         labels = new
         if cur == prev:
             break
