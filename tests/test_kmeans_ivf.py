@@ -102,3 +102,27 @@ def test_srp_neardup_planted(spark):
     s2 = {r["id"]: r["sh"] for r in srp_signatures(emb).collect()}
     assert s1 == s2
     assert s1[1] == s1[2]  # near-dup -> same 16-bit signature
+
+
+def test_rp_project_matches_manual_dot(spark):
+    from timeseriesfuser_spark.ops.similarity import rp_project, srp_plane_component
+    import pyspark.sql.functions as F
+
+    vecs = spark.createDataFrame(
+        [(1, [0.5, -0.25, 1.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["id"]: r["proj"] for r in rp_project(vecs, out_dim=4).collect()}
+    # plane components recomputed driver-side via the same Column expr
+    comps = spark.range(1).select(
+        *[
+            srp_plane_component(F.lit(p), F.lit(i)).alias(f"c_{p}_{i}")
+            for p in range(4)
+            for i in range(3)
+        ]
+    ).first()
+    q1 = [500, -250, 1000]
+    want1 = [sum(q1[i] * comps[f"c_{p}_{i}"] for i in range(3)) for p in range(4)]
+    assert out[1] == want1
+    assert out[2] == [0, 0, 0, 0]
+    assert all(len(v) == 4 for v in out.values())

@@ -1526,6 +1526,44 @@ def q_srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rp_projection",
+    # Same md5-derived planes as srp_signatures, but keeping the integer
+    # dot products (JL compression) instead of their signs; serialized to
+    # a string because the harness canonicalizer can't hash lists.
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+    planes AS (
+        SELECT CAST(p AS INT) AS p,
+               [({_sql_hash64("p || ':' || i")} % 2001) - 1000
+                FOR i IN range(0, 64)] AS parr
+        FROM range(16) t(p)
+    ),
+    dots AS (
+        SELECT vecs.vec_id, planes.p,
+               CAST(list_aggregate(
+                   [vecs.v[i] * planes.parr[i] FOR i IN range(1, len(vecs.v) + 1)],
+                   'sum') AS BIGINT) AS c
+        FROM vecs CROSS JOIN planes
+    )
+    SELECT vec_id, array_to_string(list(c ORDER BY p), ',') AS proj
+    FROM dots GROUP BY vec_id
+    """,
+)
+def q_rp_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection embedding compression (ops.similarity.rp_project):
+    16 integer dot products per vector against the deterministic
+    md5-derived hyperplanes — the JL-style coarse representation for
+    compressed-space ANN/clustering."""
+    out = S.rp_project(_t(spark, sf_dir, "embeddings"), out_dim=16)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.concat_ws(",", F.transform("proj", lambda x: x.cast("string"))).alias(
+            "proj"
+        ),
+    )
+
+
+@register(
     "tpch_q3_shipping",
     oracle="""
     SELECT l.l_orderkey,

@@ -494,3 +494,54 @@ def ivf_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def rp_project(
+    df: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style random-projection compression:
+    (id, proj array<long>) where proj_p = v · plane_p over ``out_dim``
+    md5-derived integer hyperplanes (:func:`srp_plane_component`) — the
+    embedding-compression twin of ``srp_signatures`` that keeps the real
+    dot products instead of their signs (for downstream coarse ANN /
+    clustering in the compressed space). All-integer → engine-exact.
+
+    Scale: one broadcast plane join (out_dim tiny rows) + one groupBy
+    (map-side partial agg); the corpus never shuffles on anything but its
+    own id. Output array ordered by plane index.
+    """
+    v = df.select(
+        F.col(id_col).alias("id"), quantized(F.col(vec_col), scale).alias("v")
+    )
+    dim_row = v.select(F.size("v").alias("d")).first()
+    if dim_row is None:
+        return df.sparkSession.createDataFrame([], "id long, proj array<bigint>")
+    dim = dim_row["d"]
+    spark = df.sparkSession
+    plane_df = spark.range(out_dim).select(
+        F.col("id").cast("int").alias("p"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: srp_plane_component(F.col("id"), i),
+        ).alias("parr"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("parr"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        v.join(F.broadcast(plane_df))
+        .select("id", F.col("p"), dot.alias("__c"))
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "__c"))),
+                lambda x: x["__c"],
+            ).alias("proj")
+        )
+    )
