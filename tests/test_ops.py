@@ -286,3 +286,22 @@ def test_connected_components_long_chain(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in connected_components(edges).collect()}
     assert got == {i: 1 for i in range(1, 13)}
+
+
+def test_minhash_between_finds_cross_pairs_only(spark):
+    from timeseriesfuser_spark.ops.dedup import minhash_lsh_pairs_between
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    new = spark.createDataFrame(
+        [(101, base), (102, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(1, base), (2, "another unrelated reference document text")],
+        "doc_id long, text string",
+    )
+    got = {(r["new_id"], r["ref_id"]): r["jaccard"]
+           for r in minhash_lsh_pairs_between(new, ref, num_hashes=16, bands=4,
+                                              threshold=0.5).collect()}
+    assert (101, 1) in got and got[(101, 1)] == 1.0
+    assert all(k == (101, 1) for k in got)

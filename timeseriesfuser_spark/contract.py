@@ -86,10 +86,14 @@ _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 _SHINGLES = (
     "list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk)-1)])"
 )
-_SHINGLE_REL = f"""
+def _shingle_rel(table: str = "documents") -> str:
+    return f"""
     SELECT doc_id AS id, unnest({_SHINGLES}) AS sh
-    FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+    FROM (SELECT doc_id, {_TOKS} AS tk FROM {table})
 """
+
+
+_SHINGLE_REL = _shingle_rel()
 
 # Quantized embedding (DuckDB twin of ops.similarity.quantized, scale 1000).
 _QV = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
@@ -580,6 +584,72 @@ def _minhash_sql() -> str:
     JOIN sizes sb ON sb.id = id_b
     WHERE CAST(intersection AS DOUBLE) / (sa.sz + sb.sz - intersection) >= {_MT}
     """
+
+
+def _minhash_between_sql() -> str:
+    """Cross-corpus twin of :func:`_minhash_sql`: odd doc_ids are the
+    'new shard', even the 'reference corpus'."""
+    from timeseriesfuser_spark.ops.dedup import MINHASH_MASK
+
+    r = _NH // _NB
+    mins = ", ".join(
+        f"min((h1 + {i} * h2) & {MINHASH_MASK}) AS h{i}" for i in range(_NH)
+    )
+
+    def side(tag: str, pred: str) -> str:
+        bands = "\n        UNION ALL ".join(
+            f"SELECT id, {b} AS band, md5(concat_ws(',', "
+            + ", ".join(f"h{b * r + j}" for j in range(r))
+            + f")) AS bkey FROM sig{tag}"
+            for b in range(_NB)
+        )
+        return f"""
+    sh{tag} AS ({_shingle_rel(f"(SELECT * FROM documents WHERE {pred})")}),
+    hh{tag} AS (SELECT id,
+                  CAST(concat('0x', substr(md5(sh), 1, 13)) AS BIGINT) AS h1,
+                  CAST(concat('0x', substr(md5(sh), 14, 13)) AS BIGINT) AS h2
+           FROM sh{tag}),
+    sig{tag} AS (SELECT id, {mins} FROM hh{tag} GROUP BY id),
+    bands{tag} AS ({bands}),
+    sizes{tag} AS (SELECT id, count(*) AS sz FROM sh{tag} GROUP BY id)"""
+
+    return f"""
+    WITH {side('n', 'doc_id % 2 = 1')},
+    {side('r', 'doc_id % 2 = 0')},
+    cand AS (
+        SELECT DISTINCT a.id AS new_id, b.id AS ref_id
+        FROM bandsn a JOIN bandsr b ON a.band = b.band AND a.bkey = b.bkey
+    ),
+    inter AS (
+        SELECT new_id, ref_id, count(*) AS intersection
+        FROM cand
+        JOIN shn sa ON sa.id = cand.new_id
+        JOIN shr sb ON sb.id = cand.ref_id AND sb.sh = sa.sh
+        GROUP BY new_id, ref_id
+    )
+    SELECT new_id, ref_id,
+           CAST(intersection AS DOUBLE) / (sa.sz + sb.sz - intersection) AS jaccard
+    FROM inter
+    JOIN sizesn sa ON sa.id = new_id
+    JOIN sizesr sb ON sb.id = ref_id
+    WHERE CAST(intersection AS DOUBLE) / (sa.sz + sb.sz - intersection) >= {_MT}
+    """
+
+
+@register("cross_corpus_dedup", oracle=_minhash_between_sql())
+def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the odd-doc_id 'new shard' checked against
+    the even-doc_id 'reference corpus' via the asymmetric MinHash-LSH join
+    (ops.dedup.minhash_lsh_pairs_between) — shared buckets only, never
+    |new| x |ref|."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs_between(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        num_hashes=_NH,
+        bands=_NB,
+        threshold=_MT,
+    )
 
 
 @register("dedup_minhash_lsh", oracle=_minhash_sql())

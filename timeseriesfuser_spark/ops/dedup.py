@@ -265,51 +265,29 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def _banded_relation(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
-    threshold: float = 0.5,
-    verify: bool = True,
-    cache: bool = True,
-    small_input_bytes: int = SMALL_INPUT_BYTES,
-) -> DataFrame:
-    """Near-dup pairs via MinHash banding; candidates sharing ≥1 band bucket
-    are (optionally) verified with exact Jaccard ≥ ``threshold``.
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    cache: bool,
+    small_input_bytes: int,
+):
+    """(darr, buckets) for one corpus: the doc-level shingle-array
+    relation and its (id, __bk, band, bkey) banding rows — the shared
+    machinery of the self-join and cross-corpus MinHash variants.
 
-    With r = num_hashes/bands rows per band, the LSH S-curve crosses ~50%
-    recall at s ≈ (1/bands)^(1/r); defaults (32,8→r=4) target s≈0.6.
-    Probabilistic recall — candidate *generation* may miss pairs; the
-    verification step has no false positives.
-
-    Verification joins the candidate pairs against a *doc-level* shingle
-    ARRAY relation (one row per doc) and computes |A∩B| via
-    ``array_intersect`` in codegen — two joins on a doc-count-sized
-    relation instead of three shuffles of the exploded shingle relation.
-
-    Shuffle inventory (the 100 TB budget): signature strategy is adaptive
-    (``_use_perrow_signatures``) — per-row projection (zero shuffles) on
-    small inputs, explode + codegen hash-aggregate (one shuffle) on large
-    ones; candidate generation is ONE equi-join on (band, bkey) with pair
-    dedup done by a bitwise "first shared band" predicate inside the join
-    (no global ``distinct`` re-shuffle of the pair relation);
-    verification is two joins on doc ids. Hot buckets (floods of
-    identical docs) fan out k² in the join as in any LSH — AQE skew-join
-    splits them; run ``exact_duplicates`` first to collapse identical
-    content.
+    Shingle arrays are deliberately unsorted: MinHash mins, per-shingle
+    md5 and array_intersect are all order-free, and array_sort measured
+    +60% on the shingle-build stage at 1M docs. Band keys ride along as
+    one per-row array (``__bk``) so joins can test earlier bands without
+    a second lookup.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    perrow = _use_perrow_signatures(df, small_input_bytes)
-    # Doc-level shingle arrays: the single multiply-consumed relation
-    # (signature input + both verify sides). Deliberately unsorted:
-    # MinHash mins, per-shingle md5 and array_intersect are all
-    # order-free, and array_sort measured +60% on the shingle-build
-    # stage at 1M docs.
     darr = _maybe_cache(
         spread_small_input(df).select(
             F.col(id_col).alias("id"),
@@ -318,11 +296,7 @@ def minhash_lsh_pairs(
         cache,
     )
     nonempty = darr.filter(F.size("shs") > 0)
-    # All band keys as one per-row array column (md5 over the band's r
-    # signature values, same formula as the oracle SQL); kept alongside
-    # each bucket row so the join can test earlier bands without a
-    # second lookup.
-    if perrow:
+    if _use_perrow_signatures(df, small_input_bytes):
         keyed = nonempty.select(
             "id", _band_keys_col(F.col("shs"), num_hashes, bands).alias("__bk")
         )
@@ -360,6 +334,48 @@ def minhash_lsh_pairs(
     buckets = _maybe_cache(
         keyed.select("id", "__bk", F.posexplode("__bk").alias("band", "bkey")),
         cache,
+    )
+    return darr, buckets
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    verify: bool = True,
+    cache: bool = True,
+    small_input_bytes: int = SMALL_INPUT_BYTES,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding; candidates sharing ≥1 band bucket
+    are (optionally) verified with exact Jaccard ≥ ``threshold``.
+
+    With r = num_hashes/bands rows per band, the LSH S-curve crosses ~50%
+    recall at s ≈ (1/bands)^(1/r); defaults (32,8→r=4) target s≈0.6.
+    Probabilistic recall — candidate *generation* may miss pairs; the
+    verification step has no false positives.
+
+    Verification joins the candidate pairs against a *doc-level* shingle
+    ARRAY relation (one row per doc) and computes |A∩B| via
+    ``array_intersect`` in codegen — two joins on a doc-count-sized
+    relation instead of three shuffles of the exploded shingle relation.
+
+    Shuffle inventory (the 100 TB budget): signature strategy is adaptive
+    (``_use_perrow_signatures``) — per-row projection (zero shuffles) on
+    small inputs, explode + codegen hash-aggregate (one shuffle) on large
+    ones; candidate generation is ONE equi-join on (band, bkey) with pair
+    dedup done by a bitwise "first shared band" predicate inside the join
+    (no global ``distinct`` re-shuffle of the pair relation);
+    verification is two joins on doc ids. Hot buckets (floods of
+    identical docs) fan out k² in the join as in any LSH — AQE skew-join
+    splits them; run ``exact_duplicates`` first to collapse identical
+    content.
+    """
+    darr, buckets = _banded_relation(
+        df, id_col, text_col, n, num_hashes, bands, cache, small_input_bytes
     )
     a, b_ = buckets.alias("a"), buckets.alias("b")
     # Emit each pair only at its FIRST shared band: a codegen predicate in
@@ -399,6 +415,79 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return out.select("id_a", "id_b", "jaccard")
+
+
+def minhash_lsh_pairs_between(
+    df_new: DataFrame,
+    df_ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    verify: bool = True,
+    cache: bool = True,
+    small_input_bytes: int = SMALL_INPUT_BYTES,
+) -> DataFrame:
+    """Cross-corpus near-dup pairs: every ``df_new`` document that MinHash-
+    collides with a ``df_ref`` document (incremental-ingest dedup — each
+    new crawl shard checked against the accumulated corpus without ever
+    re-pairing the corpus with itself).
+
+    Output (new_id, ref_id, jaccard). Same banding, first-shared-band
+    dedup and exact-Jaccard verify as :func:`minhash_lsh_pairs`; ids may
+    overlap between the two inputs (no id-ordering constraint — a doc
+    present in both sides pairs with itself at jaccard 1.0, the signal an
+    ingest pipeline wants). Scale: the ref side's banding relation is
+    computed once and is reusable across shards when persisted by the
+    caller; the join only ever touches shared buckets, never
+    |new| × |ref|.
+    """
+    darr_n, buckets_n = _banded_relation(
+        df_new, id_col, text_col, n, num_hashes, bands, cache, small_input_bytes
+    )
+    darr_r, buckets_r = _banded_relation(
+        df_ref, id_col, text_col, n, num_hashes, bands, cache, small_input_bytes
+    )
+    a, b_ = buckets_n.alias("a"), buckets_r.alias("b")
+    no_earlier_band = ~F.exists(
+        F.slice(
+            F.zip_with(F.col("a.__bk"), F.col("b.__bk"), lambda p, q: p == q),
+            F.lit(1),
+            F.col("a.band"),
+        ),
+        lambda e: e,
+    )
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey")),
+        )
+        .filter(no_earlier_band)
+        .select(F.col("a.id").alias("new_id"), F.col("b.id").alias("ref_id"))
+    )
+    if not verify:
+        return cand
+    ja = darr_n.select(F.col("id").alias("new_id"), F.col("shs").alias("__shs_a"))
+    jb = darr_r.select(F.col("id").alias("ref_id"), F.col("shs").alias("__shs_b"))
+    out = (
+        cand.join(ja, "new_id")
+        .join(jb, "ref_id")
+        .withColumn(
+            "intersection", F.size(F.array_intersect("__shs_a", "__shs_b"))
+        )
+        .withColumn(
+            "union_size",
+            F.size("__shs_a") + F.size("__shs_b") - F.col("intersection"),
+        )
+        .withColumn(
+            "jaccard", F.col("intersection").cast("double") / F.col("union_size")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("new_id", "ref_id", "jaccard")
 
 
 def simhash_from_hashes(hashes: Column, bits: int = 32) -> Column:
