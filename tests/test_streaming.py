@@ -243,3 +243,27 @@ def test_replay_stream_large_batch_partitionwise(spark, tmp_path):
     q.awaitTermination(240)
     assert h.count == n
     assert h.ordered
+
+
+def test_stream_source_jsonl(spark, tmp_path):
+    import json as _json
+
+    d = tmp_path / "jstream"; d.mkdir()
+    rows = [{"ts": 1_700_000_000_000 + i * 1000, "price": float(i)} for i in range(20)]
+    (d / "part-1.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+    src = SourceConfig(
+        name="j", path=str(d), fmt="json",
+        schema={"ts": int, "price": float}, ts_col="ts",
+    )
+    stream = stream_source(spark, src, 0)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory").queryName("jsonl_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_j"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from jsonl_mem").collect()
+    assert len(got) == 20
+    assert {r["__timestamp"] for r in got} == {1_700_000_000_000 + i * 1000 for i in range(20)}
