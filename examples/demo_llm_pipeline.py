@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""End-to-end LLM training-data pipeline demo over the synthetic
+documents/embeddings tables: quality gate → exact dedup → near-dup
+clustering (MinHash-LSH + connected components) → contamination check →
+tf-idf keywords → stratified sample → sliding-window chunking → sequence
+packing, plus embedding-side ANN and compression. Run:
+
+    python examples/demo_llm_pipeline.py [sf_dir]   # default sf0.01
+"""
+
+import os
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from timeseriesfuser_spark.ops import dedup as D  # noqa: E402
+from timeseriesfuser_spark.ops import packing as P  # noqa: E402
+from timeseriesfuser_spark.ops import sampling as SA  # noqa: E402
+from timeseriesfuser_spark.ops import similarity as S  # noqa: E402
+from timeseriesfuser_spark.ops import text as X  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("tsf_llm_pipeline_demo")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n0 = docs.count()
+    print(f"corpus: {n0} docs")
+
+    # 1. Quality gate (Gopher-style composite rules).
+    kept = X.quality_filter(docs).filter("keep")
+    print(f"quality gate: {kept.count()}/{n0} pass")
+
+    # 2. Exact dedup: collapse identical content, keep min-id canonical.
+    groups = D.exact_duplicates(docs)
+    n_unique = groups.count()
+    print(f"exact dedup: {n_unique} distinct contents")
+
+    # 3. Near-dup clustering: LSH pairs -> connected components ->
+    #    keep one survivor per cluster (the min id).
+    clusters = D.neardup_clusters(docs, num_hashes=16, bands=4, threshold=0.4)
+    survivors = clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+    print(f"near-dup clustering: {survivors.count()} survivors "
+          f"({clusters.filter('cluster_size > 1').count()} docs in non-trivial clusters)")
+
+    # 4. Benchmark contamination: n-gram overlap vs a held-out set
+    #    (here: the 5 longest docs stand in for a benchmark).
+    bench = docs.orderBy(F.desc("n_chars")).limit(5).select("doc_id", "text")
+    contam = X.contamination_check(docs, bench)
+    print(f"contamination: {contam.filter('contamination_frac >= 0.8').count()} "
+          "docs heavily overlapping the benchmark")
+
+    # 5. Per-doc keywords for corpus exploration.
+    X.tfidf_top_terms(docs, k=3).show(6, truncate=60)
+
+    # 6. Deterministic stratified sample by language.
+    sample = SA.stratified_sample(docs, {"en": 0.25}, strata_col="lang", default_rate=0.25)
+    print(f"stratified 25% sample: {sample.count()} docs")
+
+    # 7. Context-window prep: sliding 32-token chunks, then packed
+    #    sequences from global token offsets.
+    chunks = P.chunk_documents(docs, chunk_size=32, stride=24)
+    print(f"chunking: {chunks.count()} windows")
+    packed = P.sequence_pack(docs, budget=512)
+    packed.select("doc_id", "n_tokens", "start_offset", "bin_first",
+                  "offset_in_bin", "n_bins").show(4)
+
+    # 8. Embedding side: ANN top-k and JL compression.
+    queries = emb.limit(3)
+    S.cosine_topk(emb, queries, k=3).show(9)
+    S.rp_project(emb, out_dim=8).show(3, truncate=60)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

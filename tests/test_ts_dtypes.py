@@ -63,3 +63,27 @@ def test_nanos_survive_exactly(spark):
     df = spark.createDataFrame([(ns,)], "ts long")
     (row,) = df.select(ts_epoch_ms_col(df, "ts").alias("ms")).collect()
     assert row["ms"] == 1704067201234
+
+
+def test_epoch_unit_heuristic_roundtrip_property(spark):
+    """Property: for any instant in 1973–2260 and any epoch unit the
+    driver might ship, ts_epoch_ms_col recovers the same epoch-ms (up to
+    the unit's own precision)."""
+    from hypothesis import given, settings, strategies as st
+
+    cases = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=100_000_000_000, max_value=9_150_000_000_000),
+           st.sampled_from(["s", "ms", "us", "ns"]))
+    def collect(ms, unit):
+        mult = {"s": 1, "ms": 1, "us": 1_000, "ns": 1_000_000}[unit]
+        raw = (ms // 1000) if unit == "s" else ms * mult
+        want = (ms // 1000) * 1000 if unit == "s" else ms
+        cases.append((raw, want))
+
+    collect()
+    df = spark.createDataFrame([(r,) for r, _ in cases], "ts long")
+    got = [r["ms"] for r in
+           df.select(ts_epoch_ms_col(df, "ts").alias("ms")).collect()]
+    assert got == [w for _, w in cases]
