@@ -9,28 +9,46 @@ arithmetic wherever floats would drift — see each module's notes).
 """
 
 from timeseriesfuser_spark.ops.dedup import (
+    connected_components,
     exact_duplicates,
-    ngram_jaccard_pairs,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_between,
+    neardup_clusters,
+    ngram_jaccard_pairs,
     simhash_pairs,
 )
+from timeseriesfuser_spark.ops.packing import chunk_documents, sequence_pack
 from timeseriesfuser_spark.ops.text import (
-    tokens_col,
-    text_stats,
-    language_id,
     doc_fingerprint,
+    language_id,
+    text_stats,
+    tfidf_top_terms,
+    tokens_col,
 )
-from timeseriesfuser_spark.ops.similarity import cosine_topk, ivf_cosine_topk
+from timeseriesfuser_spark.ops.similarity import (
+    cosine_topk,
+    ivf_cosine_topk,
+    rp_project,
+    srp_signatures,
+)
 
 __all__ = [
-    "exact_duplicates",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "simhash_pairs",
-    "tokens_col",
-    "text_stats",
-    "language_id",
-    "doc_fingerprint",
+    "chunk_documents",
+    "connected_components",
     "cosine_topk",
+    "doc_fingerprint",
+    "exact_duplicates",
     "ivf_cosine_topk",
+    "language_id",
+    "minhash_lsh_pairs",
+    "minhash_lsh_pairs_between",
+    "neardup_clusters",
+    "ngram_jaccard_pairs",
+    "rp_project",
+    "sequence_pack",
+    "simhash_pairs",
+    "srp_signatures",
+    "text_stats",
+    "tfidf_top_terms",
+    "tokens_col",
 ]
