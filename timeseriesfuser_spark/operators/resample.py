@@ -134,10 +134,14 @@ def resample_last_interval(
 
     # The buckets relation (<= one row per non-empty interval) feeds three
     # plan branches below (bounds -> spine, the spine join, and the carry
-    # fill); persist it so the input aggregation runs once.
+    # fill); persist AND materialize it so the input aggregation runs
+    # once — independent stages of the final action racing an
+    # un-materialized persist each recompute it (see ops.dedup._maybe_cache
+    # for the measured blowup).
     from pyspark import StorageLevel
 
     buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    buckets.count()
 
     # --- time spine (bounds from the tiny buckets relation) -------------- #
     mx = F.max("__maxts")
