@@ -1889,6 +1889,39 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_H1GAP = 3_600_000
+
+
+@register(
+    "gap_report",
+    oracle=f"""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_type FROM events)
+    SELECT event_type,
+           CAST(min(t) AS BIGINT) AS first_ts,
+           CAST(max(t) AS BIGINT) AS last_ts,
+           CAST(max(t) // {_H1GAP} - min(t) // {_H1GAP} + 1 AS BIGINT) AS n_buckets,
+           CAST(count(DISTINCT t // {_H1GAP}) AS BIGINT) AS n_present,
+           CAST(max(t) // {_H1GAP} - min(t) // {_H1GAP} + 1
+                - count(DISTINCT t // {_H1GAP}) AS BIGINT) AS n_gaps
+    FROM ev GROUP BY event_type
+    """,
+)
+def q_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-completeness monitoring (A1/T2 composition): per key, how many
+    1h grid intervals in the key's own [first, last] span contain no
+    events. One groupBy with a count-distinct — integer bucket math only."""
+    ev = _events(spark, sf_dir)
+    b = F.expr(f"ts DIV {_H1GAP}")
+    span = F.max(b) - F.min(b) + F.lit(1)
+    return ev.groupBy("event_type").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        span.cast("long").alias("n_buckets"),
+        F.count_distinct(b).alias("n_present"),
+        (span - F.count_distinct(b)).cast("long").alias("n_gaps"),
+    )
+
+
 @register(
     "streaming_resample_1h",
     oracle=f"""
