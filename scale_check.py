@@ -146,9 +146,18 @@ def _docs_ops(spark, n: int) -> dict:
         token_frequencies,
     )
 
+    from timeseriesfuser_spark.ops.dedup import minhash_lsh_pairs_between
+    from timeseriesfuser_spark.ops.packing import chunk_documents
+
     docs = synth_docs(spark, n)
     return {
         "exact_dedup": lambda: exact_duplicates(docs),
+        "doc_chunks": lambda: chunk_documents(docs, chunk_size=32, stride=24),
+        "cross_corpus": lambda: minhash_lsh_pairs_between(
+            docs.filter("doc_id % 2 = 1"),
+            docs.filter("doc_id % 2 = 0"),
+            num_hashes=16, bands=4, threshold=0.5,
+        ),
         "text_stats": lambda: text_stats(docs),
         "token_frequencies": lambda: token_frequencies(docs),
         "repetition_stats": lambda: repetition_stats(docs),
@@ -185,6 +194,7 @@ def run_docs(n: int) -> dict:
     for name in [
         "exact_dedup", "text_stats", "token_frequencies", "repetition_stats",
         "minhash_lsh", "simhash", "tfidf_keywords", "neardup_clusters",
+        "doc_chunks", "cross_corpus",
     ]:
         r = subprocess.run(
             [sys.executable, __file__, "--docs-one", name, str(n)],
