@@ -40,6 +40,7 @@ from timeseriesfuser_spark.ops import packing as P
 from timeseriesfuser_spark.ops import sampling as SA
 from timeseriesfuser_spark.ops import similarity as S
 from timeseriesfuser_spark.ops import text as X
+from timeseriesfuser_spark.ops import timeseries as TS
 from timeseriesfuser_spark.timeutils import coerce_to_epoch_ms, ts_epoch_ms_col
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1920,6 +1921,97 @@ def q_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(b).alias("n_present"),
         (span - F.count_distinct(b)).cast("long").alias("n_gaps"),
     )
+
+
+@register(
+    "ohlc_1h",
+    oracle=f"""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, event_type, value FROM events),
+    r AS (SELECT event_type, CAST((t // {_H1GAP}) * {_H1GAP} AS BIGINT) AS bar_ts,
+                 t, event_id, value FROM ev),
+    o AS (SELECT *,
+                 row_number() OVER (PARTITION BY event_type, bar_ts
+                                    ORDER BY t, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, bar_ts
+                                    ORDER BY t DESC, event_id DESC) AS rn_d
+          FROM r)
+    SELECT event_type, bar_ts,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM o GROUP BY event_type, bar_ts
+    """,
+)
+def q_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, 1h) OHLC candlestick bars (ops.timeseries.ohlc_bars):
+    open/close picked by min_by/max_by on a (ts, event_id) struct key — one
+    hash-agg shuffle, no per-bucket window. The oracle states the same
+    semantics with row_number because DuckDB's arg_min can't take a
+    composite key. A2/T1/T2 generalized to candlestick shape."""
+    return TS.ohlc_bars(_events(spark, sf_dir), "1h")
+
+
+_D1 = 86_400_000
+
+
+@register(
+    "vwap_1d",
+    oracle=f"""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       CAST(props ->> 'k' AS BIGINT) AS w
+                FROM events)
+    SELECT event_type,
+           CAST((t // {_D1}) * {_D1} AS BIGINT) AS bar_ts,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents * w) AS BIGINT) AS pw_cents,
+           CAST(sum(w) AS BIGINT) AS sum_weight,
+           CASE WHEN sum(w) > 0
+                THEN CAST(sum(cents * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+           END AS vwap_cents
+    FROM ev GROUP BY event_type, bar_ts
+    """,
+)
+def q_vwap_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily VWAP-style weighted-average bars (ops.timeseries.vwap_bars):
+    price = cent-quantized value, weight = the integer JSON prop `k`. Exact
+    integer numerator/denominator, one final double division. Single
+    hash-agg, map-side combinable."""
+    ev = _events(spark, sf_dir).withColumn(
+        "weight", F.get_json_object("props", "$.k").cast("long")
+    )
+    return TS.vwap_bars(ev, "1d")
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, user_id, event_type
+                FROM events),
+    s AS (SELECT event_type AS next_type,
+                 lag(event_type) OVER w AS prev_type,
+                 t - lag(t) OVER w AS gap_ms
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+    SELECT prev_type, next_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(gap_ms) AS BIGINT) AS min_gap_ms,
+           CAST(max(gap_ms) AS BIGINT) AS max_gap_ms,
+           CAST(sum(gap_ms) AS BIGINT) AS sum_gap_ms,
+           CAST(sum(gap_ms) AS DOUBLE) / count(*) AS avg_gap_ms
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences
+    (ops.timeseries.event_transitions): lag window partitioned by user
+    (small per-user partitions — embarrassingly parallel at any scale),
+    then a hash-agg on the tiny (prev, next) key space. Gap stats are
+    exact-integer with one final division."""
+    return TS.event_transitions(_events(spark, sf_dir))
 
 
 @register(

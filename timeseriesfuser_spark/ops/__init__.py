@@ -31,12 +31,18 @@ from timeseriesfuser_spark.ops.similarity import (
     rp_project,
     srp_signatures,
 )
+from timeseriesfuser_spark.ops.timeseries import (
+    event_transitions,
+    ohlc_bars,
+    vwap_bars,
+)
 
 __all__ = [
     "chunk_documents",
     "connected_components",
     "cosine_topk",
     "doc_fingerprint",
+    "event_transitions",
     "exact_duplicates",
     "ivf_cosine_topk",
     "language_id",
@@ -44,6 +50,7 @@ __all__ = [
     "minhash_lsh_pairs_between",
     "neardup_clusters",
     "ngram_jaccard_pairs",
+    "ohlc_bars",
     "rp_project",
     "sequence_pack",
     "simhash_pairs",
@@ -51,4 +58,5 @@ __all__ = [
     "text_stats",
     "tfidf_top_terms",
     "tokens_col",
+    "vwap_bars",
 ]

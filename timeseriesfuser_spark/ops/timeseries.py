@@ -1,0 +1,144 @@
+"""Time-series analytics operators over the fused event stream: OHLC bars,
+weighted-average (VWAP-style) bars, and event-sequence transition stats.
+
+These generalize the reference's resample surface (last-value-per-interval,
+classes.py:589-625) to the aggregate shapes a market-data / clickstream user
+actually materializes from the merged stream: per-interval candlesticks,
+volume-weighted averages, and Markov transition counts.
+
+Scale design (the whole point):
+
+- Every operator is ONE hash aggregation on (key, bucket) — map-side partial
+  aggregation applies, no global sort, no whole-table window. `open`/`close`
+  are
+  selected via ``min_by``/``max_by`` with a (ts, seq) struct ordering key, so
+  a bar needs no per-bucket row_number window.
+- `event_transitions` uses a window partitioned BY USER (millions of small
+  partitions — embarrassingly parallel), never a global-order window.
+- All sums are exact integers (value quantized to cents, weights are ints);
+  at most one final double division — so a SQL oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timeseriesfuser_spark.intervals import floor_boundary_col, interval_to_ms
+
+
+def _cents(value_col: str) -> F.Column:
+    # HALF_UP round matches DuckDB round(); exact-int thereafter.
+    return F.round(F.col(value_col) * 100).cast("long")
+
+
+def ohlc_bars(
+    df: DataFrame,
+    interval: str = "1h",
+    *,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Per-(key, interval) OHLC candlestick bars.
+
+    ``open``/``close`` are the value at the chronologically first/last event
+    of the bucket, ties broken by ``seq_col`` (deterministic — Spark's sort
+    is not stable, the reference relies on Polars stable order; see
+    SURVEY.md §4.3). ``sum_cents`` is the exact integer sum of the
+    cent-quantized value (an order-independent aggregate; a raw double sum
+    would be accumulation-order-dependent and never oracle-matchable).
+
+    One shuffle: hash partition on (key, bucket) with map-side partial agg.
+    ``min_by``/``max_by`` take a (ts, seq) struct ordering key, so there is
+    no per-bucket window/row_number pass. At 100 TB the bucket count is
+    |keys| × |intervals| — the output, not the input, bounds the shuffle.
+    """
+    step = interval_to_ms(interval)
+    order_key = F.struct(F.col(ts_col), F.col(seq_col))
+    bar = df.withColumn("bar_ts", floor_boundary_col(F.col(ts_col), step))
+    return bar.groupBy(*key_cols, "bar_ts").agg(
+        F.min_by(F.col(value_col), order_key).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(F.col(value_col), order_key).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_cents(value_col)).alias("sum_cents"),
+    )
+
+
+def vwap_bars(
+    df: DataFrame,
+    interval: str = "1d",
+    *,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Weighted-average (VWAP-style) bars: sum(price·weight)/sum(weight).
+
+    Exact integer numerator (cents × integer weight) and denominator; ONE
+    double division at the end → bit-identical in any IEEE engine. Zero
+    total weight yields NULL (SQL semantics both sides).
+
+    Same single hash-agg shape as :func:`ohlc_bars`.
+    """
+    step = interval_to_ms(interval)
+    w = F.col(weight_col).cast("long")
+    bar = df.withColumn("bar_ts", floor_boundary_col(F.col(ts_col), step))
+    out = bar.groupBy(*key_cols, "bar_ts").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_cents(value_col) * w).alias("pw_cents"),
+        F.sum(w).alias("sum_weight"),
+    )
+    return out.withColumn(
+        "vwap_cents",
+        F.when(
+            F.col("sum_weight") > 0,
+            F.col("pw_cents").cast("double") / F.col("sum_weight").cast("double"),
+        ),
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Markov transition stats over each user's chronological event sequence.
+
+    For every consecutive (prev_type → next_type) pair within a user's
+    stream: occurrence count and exact min/sum of the inter-event gap (ms),
+    plus avg_gap_ms (one exact-int division). The first event of each user
+    has no predecessor and is excluded.
+
+    The lag window is partitioned by user — at 100 TB that is hundreds of
+    millions of SMALL partitions, which parallelizes perfectly (this is the
+    sanctioned per-key window shape; the anti-pattern is a partitionBy-less
+    global window). The follow-up aggregation is a hash-agg on the tiny
+    (prev, next) key space.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, seq_col)
+    steps = df.select(
+        F.col(ts_col).alias("__ts"),
+        F.col(user_col).alias("__user"),
+        F.col(type_col).alias("next_type"),
+        F.lag(type_col).over(w).alias("prev_type"),
+        (F.col(ts_col) - F.lag(ts_col).over(w)).alias("gap_ms"),
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = F.count(F.lit(1))
+    return steps.groupBy("prev_type", "next_type").agg(
+        cnt.alias("n"),
+        F.min("gap_ms").alias("min_gap_ms"),
+        F.max("gap_ms").alias("max_gap_ms"),
+        F.sum("gap_ms").alias("sum_gap_ms"),
+        (F.sum("gap_ms").cast("double") / cnt).alias("avg_gap_ms"),
+    )
