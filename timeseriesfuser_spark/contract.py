@@ -1924,6 +1924,145 @@ def q_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_novelty",
+    oracle=f"""
+    WITH s AS ({_SHINGLE_REL}),
+    o AS (SELECT id, min(id) OVER (PARTITION BY sh) AS first_id FROM s),
+    a AS (SELECT id, count(*) AS n_shingles,
+                 sum(CASE WHEN first_id = id THEN 1 ELSE 0 END) AS n_novel
+          FROM o GROUP BY id)
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(a.n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN COALESCE(a.n_shingles, 0) > 0
+                THEN CAST(a.n_novel AS DOUBLE) / CAST(a.n_shingles AS DOUBLE)
+           END AS novelty
+    FROM documents d LEFT JOIN a ON a.id = d.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram novelty (ops.dedup.ngram_novelty): fraction of each
+    doc's distinct 3-gram shingles first seen in that doc (owner = lowest
+    doc_id). First-owner via a min window partitioned by shingle — one
+    shuffle on the shingle key, no self-join."""
+    return D.ngram_novelty(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_verdicts",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_sql()}),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.v, reach.r FROM edges e JOIN reach ON reach.id = e.u
+    ),
+    comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+    ex AS (SELECT doc_id AS id,
+                  min(doc_id) OVER (PARTITION BY md5(text)) AS ec
+           FROM documents)
+    SELECT ex.id AS doc_id,
+           CASE WHEN ex.ec != ex.id THEN 'exact_dup'
+                WHEN comp.cluster_id != ex.id THEN 'near_dup'
+                ELSE 'keep' END AS verdict,
+           (CASE WHEN ex.ec != ex.id THEN 'exact_dup'
+                 WHEN comp.cluster_id != ex.id THEN 'near_dup'
+                 ELSE 'keep' END = 'keep') AS keep,
+           CAST(CASE WHEN ex.ec != ex.id THEN ex.ec
+                     ELSE comp.cluster_id END AS BIGINT) AS canonical_id
+    FROM ex JOIN comp ON comp.id = ex.id
+    """,
+)
+def q_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized per-doc keep/drop decision (ops.dedup.dedup_verdicts):
+    exact content-hash dedup composed with MinHash-LSH near-dup clustering;
+    survivor = lowest id, exact-dup reason takes precedence."""
+    return D.dedup_verdicts(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_NH,
+        bands=_NB,
+        threshold=_MT,
+    )
+
+
+_SEM_TAU = 0.3
+
+
+@register(
+    "semantic_dedup",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+    nv AS (SELECT vec_id, v, {_NORM} AS n FROM q),
+    c AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+    d AS (
+        SELECT nv.vec_id, c.cid,
+               CAST(list_aggregate(
+                   [(nv.v[i]-c.cv[i])*(nv.v[i]-c.cv[i]) FOR i IN range(1, len(nv.v)+1)],
+                   'sum') AS BIGINT) AS d2
+        FROM nv, c
+    ),
+    m AS (SELECT vec_id, CAST(min(d2 * 16 + cid) % 16 AS BIGINT) AS cl
+          FROM d GROUP BY vec_id),
+    wv AS (SELECT m.vec_id, m.cl, nv.v, nv.n FROM m JOIN nv USING (vec_id)),
+    p AS (
+        SELECT qa.cl AS cluster_id, qa.vec_id AS keep_id, qb.vec_id AS drop_id,
+               CASE WHEN qa.n > 0 AND qb.n > 0
+                    THEN round(CAST({_DOT} AS DOUBLE)
+                               / (sqrt(qa.n) * sqrt(qb.n)), 6)
+                    ELSE 0.0 END AS cosine
+        FROM wv qa JOIN wv qb ON qa.cl = qb.cl AND qa.vec_id < qb.vec_id
+    )
+    SELECT cluster_id, keep_id, drop_id, cosine FROM p
+    WHERE cosine >= {_SEM_TAU}
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs
+    (ops.similarity.semantic_dedup_pairs): exact-integer nearest-centroid
+    blocking (8 lowest-id vectors as centroids), then pairwise quantized
+    cosine ONLY within each cluster — never corpus^2. Survivor = lower id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    return S.semantic_dedup_pairs(emb, cents, threshold=_SEM_TAU)
+
+
+@register(
+    "embedding_quantize",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+    w AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS amax FROM q),
+    e AS (SELECT vec_id, amax, len(v) AS nd,
+                 CASE WHEN amax > 0
+                      THEN list_transform(v, x ->
+                          CAST(round((CAST(x AS DOUBLE) * 127.0) / amax) AS BIGINT))
+                      ELSE list_transform(v, x -> CAST(0 AS BIGINT))
+                 END AS q8
+          FROM w)
+    SELECT vec_id,
+           CAST(nd AS BIGINT) AS n_dims,
+           CAST(amax AS BIGINT) AS amax_q,
+           CAST(list_aggregate(q8, 'sum') AS BIGINT) AS sum_q8,
+           CAST(list_aggregate([x*x FOR x IN q8], 'sum') AS BIGINT) AS sum_sq_q8,
+           CAST(len(list_filter(q8, x -> abs(x) = 127)) AS BIGINT) AS n_saturated,
+           array_to_string(q8, ',') AS q8_csv
+    FROM e
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization
+    (ops.similarity.quantize_int8): the billion-scale ANN storage format.
+    Exact-int amax over the scale-quantized vector, one double divide +
+    round per element → oracle-exact. Pure projection, zero shuffle."""
+    return S.quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
     "ohlc_1h",
     oracle=f"""
     WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, event_type, value FROM events),

@@ -10,11 +10,13 @@ arithmetic wherever floats would drift — see each module's notes).
 
 from timeseriesfuser_spark.ops.dedup import (
     connected_components,
+    dedup_verdicts,
     exact_duplicates,
     minhash_lsh_pairs,
     minhash_lsh_pairs_between,
     neardup_clusters,
     ngram_jaccard_pairs,
+    ngram_novelty,
     simhash_pairs,
 )
 from timeseriesfuser_spark.ops.packing import chunk_documents, sequence_pack
@@ -28,7 +30,9 @@ from timeseriesfuser_spark.ops.text import (
 from timeseriesfuser_spark.ops.similarity import (
     cosine_topk,
     ivf_cosine_topk,
+    quantize_int8,
     rp_project,
+    semantic_dedup_pairs,
     srp_signatures,
 )
 from timeseriesfuser_spark.ops.timeseries import (
@@ -41,6 +45,7 @@ __all__ = [
     "chunk_documents",
     "connected_components",
     "cosine_topk",
+    "dedup_verdicts",
     "doc_fingerprint",
     "event_transitions",
     "exact_duplicates",
@@ -50,8 +55,11 @@ __all__ = [
     "minhash_lsh_pairs_between",
     "neardup_clusters",
     "ngram_jaccard_pairs",
+    "ngram_novelty",
     "ohlc_bars",
+    "quantize_int8",
     "rp_project",
+    "semantic_dedup_pairs",
     "sequence_pack",
     "simhash_pairs",
     "srp_signatures",

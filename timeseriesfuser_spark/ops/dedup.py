@@ -746,3 +746,103 @@ def neardup_clusters(
     return comp.join(sizes, "cluster_id").select(
         F.col("id").alias(id_col), "cluster_id", "cluster_size"
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty vs the whole corpus (RefinedWeb-style
+    repetition diagnostics): a shingle is "owned" by the lowest doc_id that
+    contains it; a document's novelty is the fraction of its distinct
+    shingles it owns.
+
+    Output: (id, n_shingles, n_novel, novelty) with novelty = one exact-int
+    division (NULL for shingle-less docs).
+
+    Scale: first-owner is a ``min`` window partitioned BY SHINGLE over the
+    exploded relation — one shuffle on the shingle key, no self-join, then
+    a hash-agg back on doc id. Common shingles make big partitions but the
+    unordered min window is a streaming aggregate (no sort buffer blowup);
+    the Zipf head is bounded by document frequency, the same exposure as
+    the inverted-index join, without its fan-out.
+    """
+    from pyspark.sql.window import Window
+
+    shs = shingles_df(df, id_col, text_col, n)
+    owned = shs.withColumn(
+        "__first", F.min("id").over(Window.partitionBy("sh"))
+    )
+    per_doc = owned.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("__first") == F.col("id"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+        F.when(
+            F.col("n_shingles") > 0,
+            F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"),
+        ).alias("novelty"),
+    )
+
+
+def dedup_verdicts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """The final per-document keep/drop decision a dedup pipeline
+    materializes: exact-duplicate check (content hash, keep lowest id)
+    composed with near-duplicate clustering (MinHash-LSH + connected
+    components, keep the cluster's lowest id).
+
+    Output: (id, verdict in {'exact_dup','near_dup','keep'}, keep bool,
+    canonical_id = the survivor this doc defers to, own id when kept).
+    Exact-dup takes precedence in the reason; survivors of both checks are
+    'keep'.
+
+    Scale: one content-hash groupBy + co-partitioned join back, plus the
+    LSH/CC machinery of :func:`neardup_clusters` (edge-subgraph-bounded).
+    No new shuffle shapes beyond those two paths.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__h")
+    )
+    canon = hashed.groupBy("__h").agg(F.min("id").alias("__exact_canon"))
+    exact = hashed.join(canon, "__h").select("id", "__exact_canon")
+
+    clusters = neardup_clusters(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, max_iterations=max_iterations,
+    ).select(F.col(id_col).alias("id"), "cluster_id")
+
+    j = exact.join(clusters, "id", "left")
+    verdict = (
+        F.when(F.col("__exact_canon") != F.col("id"), F.lit("exact_dup"))
+        .when(
+            F.coalesce(F.col("cluster_id"), F.col("id")) != F.col("id"),
+            F.lit("near_dup"),
+        )
+        .otherwise(F.lit("keep"))
+    )
+    canonical = F.when(
+        F.col("__exact_canon") != F.col("id"), F.col("__exact_canon")
+    ).otherwise(F.coalesce(F.col("cluster_id"), F.col("id")))
+    return j.select(
+        F.col("id").alias(id_col),
+        verdict.alias("verdict"),
+        (verdict == "keep").alias("keep"),
+        canonical.cast("long").alias("canonical_id"),
+    )

@@ -545,3 +545,115 @@ def rp_project(
             ).alias("proj")
         )
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "vec_id",
+    cent_vec_col: str = "embedding",
+    scale: int = 1000,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: cluster-blocked
+    pairwise cosine (Abbas et al. 2023's recipe — k-means partition, then
+    all-pairs only WITHIN each cluster).
+
+    Output: (cluster_id, keep_id, drop_id, cosine) for every within-cluster
+    pair with cosine >= threshold; keep = lower id (the deterministic
+    survivor convention used across the dedup ops).
+
+    Scale: the corpus never does an all-pairs join — candidate generation
+    cost is sum over clusters of |c|^2, bounded by the centroid count k
+    (pick k ~ N/target_cluster_size; SemDeDup used 11k clusters for LAION).
+    Two shuffles of the corpus (centroid argmin groupBy, cluster-key
+    self-join); centroids broadcast. Skew = the largest cluster, an
+    inherent property of the method, controlled by k.
+    """
+    a = assign_to_centroids(
+        df, centroids,
+        id_col=id_col, vec_col=vec_col,
+        cent_id_col=cent_id_col, cent_vec_col=cent_vec_col,
+        scale=scale,
+    ).select("id", "cluster_id")
+    v = df.select(
+        F.col(id_col).alias("id"), quantized(F.col(vec_col), scale).alias("__v")
+    ).withColumn("__n", _sq_norm(F.col("__v")))
+    withv = _maybe_cache(a.join(v, "id"), True)
+
+    x, y = withv.alias("x"), withv.alias("y")
+    dot = _dot(F.col("x.__v"), F.col("y.__v"))
+    cos = F.when(
+        (F.col("x.__n") > 0) & (F.col("y.__n") > 0),
+        dot.cast("double") / (F.sqrt(F.col("x.__n")) * F.sqrt(F.col("y.__n"))),
+    ).otherwise(F.lit(0.0))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return (
+        x.join(
+            y,
+            (F.col("x.cluster_id") == F.col("y.cluster_id"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("x.cluster_id").alias("cluster_id"),
+            F.col("x.id").alias("keep_id"),
+            F.col("y.id").alias("drop_id"),
+            "cosine",
+        )
+    )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the storage/serving format
+    for billion-scale ANN indexes): q_i = round(v_i * 127 / amax(v)).
+
+    Works on the scale-quantized integer vector (round(x*1000)) so `amax`
+    is an exact integer; the per-element math is then one multiply, one
+    divide, one round on exact-int inputs — bit-identical in any IEEE
+    engine, hence SQL-oracle-checkable. All-zero vectors quantize to zeros.
+
+    Output per vector: n_dims, amax_q (int amax of the quantized vector),
+    exact int checksums (sum_q8, sum_sq_q8), saturation count (|q8|=127),
+    and the int8 codes serialized as a CSV string (driver-canonicalizable).
+    Pure per-row projection: NO shuffle at any scale.
+    """
+    qv = quantized(F.col(vec_col), scale)
+    amax = F.array_max(F.transform(qv, lambda x: F.abs(x)))
+    q8 = F.when(
+        amax > 0,
+        F.transform(qv, lambda x: F.round((x.cast("double") * 127.0) / amax).cast("long")),
+    ).otherwise(F.transform(qv, lambda x: F.lit(0).cast("long")))
+    out = df.select(
+        F.col(id_col),
+        F.size(qv).cast("long").alias("n_dims"),
+        amax.cast("long").alias("amax_q"),
+        q8.alias("__q8"),
+    )
+    return out.select(
+        id_col,
+        "n_dims",
+        "amax_q",
+        F.aggregate("__q8", F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_q8"),
+        F.aggregate("__q8", F.lit(0).cast("long"), lambda a, x: a + x * x).alias(
+            "sum_sq_q8"
+        ),
+        F.aggregate(
+            "__q8",
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.when(F.abs(x) == 127, 1).otherwise(0),
+        ).alias("n_saturated"),
+        F.concat_ws(",", F.transform("__q8", lambda x: x.cast("string"))).alias(
+            "q8_csv"
+        ),
+    )
