@@ -81,7 +81,7 @@ class SourceConfig:
 
     name: str
     path: Optional[str] = None
-    fmt: str = "parquet"  # 'parquet' | 'csv' | 'json' (JSONL)
+    fmt: str = "parquet"  # 'parquet' | 'csv' | 'json' (JSONL) | 'orc'
     schema: object = None
     columns: Optional[Sequence[str]] = None  # names for positional schema lists
     ts_col: str = "Timestamp"
@@ -106,7 +106,7 @@ class SourceConfig:
     def __post_init__(self) -> None:
         if self.path is None and self.df is None:
             raise ValueError(f"Source {self.name!r}: need path or df")
-        if self.fmt not in ("parquet", "csv", "json"):
+        if self.fmt not in ("parquet", "csv", "json", "orc"):
             raise ValueError(f"Source {self.name!r}: unsupported fmt {self.fmt!r}")
         if not self.header and self.fmt == "csv":
             # Reference parity: headerless CSV is explicitly unsupported

@@ -2153,6 +2153,60 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.event_transitions(_events(spark, sf_dir))
 
 
+_SLIDE_L, _SLIDE_S = 3_600_000, 900_000
+
+
+@register(
+    "sliding_1h_15m",
+    oracle=f"""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events),
+    w AS (SELECT event_type, cents,
+                 unnest(generate_series(t - t % {_SLIDE_S} - {_SLIDE_L - _SLIDE_S},
+                                        t - t % {_SLIDE_S}, {_SLIDE_S}))
+                   AS window_start
+          FROM ev)
+    SELECT event_type,
+           CAST(window_start AS BIGINT) AS window_start,
+           CAST(window_start + {_SLIDE_L} AS BIGINT) AS window_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM w GROUP BY event_type, window_start
+    """,
+)
+def q_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (ops.timeseries.sliding_counts): 1h
+    windows every 15m — the batch twin of streaming F.window(ts, 1h, 15m),
+    via a constant L/S=4 sequence+explode then ONE hash-agg on
+    (key, window_start); map-side partial agg absorbs the fan-out."""
+    return TS.sliding_counts(_events(spark, sf_dir), "1h", "15m")
+
+
+_SHUF_SHARDS = 8
+
+
+@register(
+    "epoch_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_sql_hash64("concat('epoch0:', CAST(doc_id AS VARCHAR))")}
+                % {_SHUF_SHARDS} AS BIGINT) AS shard,
+           CAST({_sql_hash64("concat('epoch0:', CAST(doc_id AS VARCHAR))")}
+                AS BIGINT) AS rank
+    FROM documents
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (ops.sampling.epoch_shuffle): md5-derived
+    60-bit rank + shard per doc — a reproducible global permutation with no
+    RNG state; the op itself is a zero-shuffle projection (the permutation
+    is realized by the shard-partitioned write)."""
+    return SA.epoch_shuffle(
+        _t(spark, sf_dir, "documents"), n_shards=_SHUF_SHARDS
+    )
+
+
 @register(
     "streaming_resample_1h",
     oracle=f"""

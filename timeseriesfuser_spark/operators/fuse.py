@@ -152,7 +152,11 @@ class TimeSeriesFuser:
             first, last = probe_source_window(spark, src)
             s = first if user_start is None else max(user_start, first)
             e = last if user_end is None else min(user_end, last)
-            if s >= e:
+            # Strict: a degenerate single-instant source (first == last —
+            # e.g. a one-row file) still has data; the reference's overlap
+            # test special-cases exactly this (core.py:991-1032). Only an
+            # empty intersection (s > e) drops the source.
+            if s > e:
                 import warnings
 
                 warnings.warn(

@@ -138,3 +138,33 @@ def mixing_weights(
         rate.alias("sample_rate"),
         (rate * F.col("total_tokens").cast("double")).alias("expected_tokens"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    n_shards: int = 8,
+    seed: str = "epoch0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-epoch shuffle + shard assignment: every row
+    gets a pseudorandom 60-bit rank (md5 of ``seed:id``) and a shard
+    (``rank % n_shards``). Reading each shard ordered by ``rank`` yields a
+    reproducible global permutation — change ``seed`` per epoch for a fresh
+    one; no RNG state, no driver coordination.
+
+    Output: (id, shard, rank). Pure projection, NO shuffle: the expensive
+    part of "shuffling" a 100 TB corpus is the shard-partitioned write
+    (``df.repartition(n_shards, 'shard')`` + sortWithinPartitions('rank')),
+    which this op deliberately leaves to the sink so the assignment itself
+    stays free.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    rank = md5_hash64(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    return df.select(
+        F.col(id_col),
+        (rank % n_shards).cast("long").alias("shard"),
+        rank.alias("rank"),
+    )

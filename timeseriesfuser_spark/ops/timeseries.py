@@ -142,3 +142,46 @@ def event_transitions(
         F.sum("gap_ms").alias("sum_gap_ms"),
         (F.sum("gap_ms").cast("double") / cnt).alias("avg_gap_ms"),
     )
+
+
+def sliding_counts(
+    df: DataFrame,
+    length: str = "1h",
+    slide: str = "15m",
+    *,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Sliding-window (hopping) aggregation: for every grid point `ws` on
+    the ``slide`` grid, count/sum over events in ``[ws, ws + length)``.
+
+    Batch twin of Structured Streaming's ``F.window(ts, length, slide)``,
+    expressed in engine-portable integer arithmetic: each event belongs to
+    exactly ``length/slide`` windows, enumerated with a bounded
+    sequence+explode (fan-out is the constant L/S, typically 2-8 — NOT data
+    dependent), then one hash-agg on (key, window_start). Map-side partial
+    aggregation absorbs the fan-out before the shuffle.
+    """
+    L, S = interval_to_ms(length), interval_to_ms(slide)
+    if L % S != 0:
+        raise ValueError(f"length {length!r} must be a multiple of slide {slide!r}")
+    t = F.col(ts_col)
+    # floor-to-grid via pmod (negative-safe): last window start <= t, first
+    # window start > t - L.
+    last_ws = t - F.pmod(t, F.lit(S))
+    first_ws = last_ws - F.lit(L - S)
+    win = df.withColumn(
+        "window_start", F.explode(F.sequence(first_ws, last_ws, F.lit(S)))
+    )
+    out = win.groupBy(*key_cols, "window_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_cents(value_col)).alias("sum_cents"),
+    )
+    return out.select(
+        *key_cols,
+        F.col("window_start").cast("long").alias("window_start"),
+        (F.col("window_start") + F.lit(L)).cast("long").alias("window_end"),
+        "n_events",
+        "sum_cents",
+    )

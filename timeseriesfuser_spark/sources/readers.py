@@ -95,6 +95,25 @@ def _read_raw(spark: SparkSession, src: SourceConfig) -> DataFrame:
         if declared is not None:
             return _read_parquet_schema_groups(spark, src, declared)
         return spark.read.parquet(src.path)
+    if src.fmt == "orc":
+        # ORC: same columnar stance as parquet (vectorized scan, footer
+        # stats pushdown). Declared schemas use cast-through semantics
+        # (≈ ParquetSrc force_schema); mixed-physical-schema directories
+        # are not special-cased — ORC readers resolve by name.
+        files = (
+            list_source_files(src)
+            if os.path.exists(src.path) and os.path.isdir(src.path)
+            else [src.path]
+        )
+        if not files:
+            raise FileNotFoundError(
+                f"Source {src.name!r}: no .orc files found in {src.path}"
+            )
+        df = spark.read.orc(*files)
+        declared = normalize_schema(src.schema, src.columns or df.columns)
+        if declared is not None:
+            return _cast_to_declared(df, declared)
+        return df
     if src.fmt == "json":
         # JSONL (one object per line, Spark's default JSON mode; .gz
         # transparently decompressed). Same PERMISSIVE-with-declared-schema
@@ -299,6 +318,7 @@ _EXTS = {
     "csv": (".csv", ".csv.gz", ".zip"),
     "parquet": (".parquet",),
     "json": (".json", ".jsonl", ".json.gz", ".jsonl.gz"),
+    "orc": (".orc",),
 }
 
 

@@ -172,6 +172,45 @@ def resample_stream(
     return agg
 
 
+def sliding_stream(
+    df: DataFrame,
+    length: str = "1h",
+    slide: str = "15m",
+    *,
+    keys: Sequence[str] = (),
+    value_col: str = "value",
+    watermark: str = "0 seconds",
+    ts_col: str = TS_COL,
+) -> DataFrame:
+    """Watermarked hopping-window counts: the streaming twin of
+    ``ops.timeseries.sliding_counts`` via ``F.window(evt, length, slide)``.
+
+    Output schema matches the batch op: (keys..., window_start, window_end,
+    n_events, sum_cents), epoch-ms longs. State is bounded by the watermark
+    (each event lives in L/S windows; Spark expires windows whose end <
+    watermark)."""
+    L = interval_to_ms(length)
+    S = interval_to_ms(slide)
+    if L % S != 0:
+        raise ValueError(f"length {length!r} must be a multiple of slide {slide!r}")
+    wdf = df.withColumn(
+        "__evt", F.timestamp_millis(F.col(ts_col))
+    ).withWatermark("__evt", watermark)
+    win = F.window("__evt", f"{L} milliseconds", f"{S} milliseconds")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    agg = wdf.groupBy(*keys, win).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("sum_cents"),
+    )
+    return agg.select(
+        *keys,
+        F.unix_millis(F.col("window.start")).alias("window_start"),
+        F.unix_millis(F.col("window.end")).alias("window_end"),
+        "n_events",
+        "sum_cents",
+    )
+
+
 def sessionize_stream(
     df: DataFrame,
     gap_ms: int,
