@@ -104,6 +104,34 @@ def run(spark, n: int) -> dict:
         asof_join(ev.select("__timestamp", "event_id", "user_id", "value"), right,
                   keys=["user_id"], right_cols=["ref_value"]),
     )
+
+    # round-4 time-series analytics (one hash-agg each; transitions adds a
+    # per-user window)
+    from timeseriesfuser_spark.ops.timeseries import (
+        event_transitions,
+        ohlc_bars,
+        sliding_counts,
+    )
+
+    evk = ev.withColumn(
+        "etype",
+        F.concat(F.lit("t"), F.pmod(F.hash("event_id"), 5).cast("string")),
+    )
+    t(
+        "ohlc_1h",
+        ohlc_bars(evk, "1h", ts_col="__timestamp", key_cols=("etype",),
+                  value_col="value", seq_col="event_id"),
+    )
+    t(
+        "sliding_1h15m",
+        sliding_counts(evk, "1h", "15m", ts_col="__timestamp",
+                       key_cols=("etype",), value_col="value"),
+    )
+    t(
+        "transitions",
+        event_transitions(evk, ts_col="__timestamp", user_col="user_id",
+                          type_col="etype", seq_col="event_id"),
+    )
     return out
 
 
@@ -146,12 +174,15 @@ def _docs_ops(spark, n: int) -> dict:
         token_frequencies,
     )
 
-    from timeseriesfuser_spark.ops.dedup import minhash_lsh_pairs_between
+    from timeseriesfuser_spark.ops.dedup import minhash_lsh_pairs_between, ngram_novelty
     from timeseriesfuser_spark.ops.packing import chunk_documents
+    from timeseriesfuser_spark.ops.sampling import epoch_shuffle
 
     docs = synth_docs(spark, n)
     return {
         "exact_dedup": lambda: exact_duplicates(docs),
+        "ngram_novelty": lambda: ngram_novelty(docs),
+        "epoch_shuffle": lambda: epoch_shuffle(docs),
         "doc_chunks": lambda: chunk_documents(docs, chunk_size=32, stride=24),
         "cross_corpus": lambda: minhash_lsh_pairs_between(
             docs.filter("doc_id % 2 = 1"),
@@ -194,7 +225,7 @@ def run_docs(n: int) -> dict:
     for name in [
         "exact_dedup", "text_stats", "token_frequencies", "repetition_stats",
         "minhash_lsh", "simhash", "tfidf_keywords", "neardup_clusters",
-        "doc_chunks", "cross_corpus",
+        "doc_chunks", "cross_corpus", "ngram_novelty", "epoch_shuffle",
     ]:
         r = subprocess.run(
             [sys.executable, __file__, "--docs-one", name, str(n)],
