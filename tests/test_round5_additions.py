@@ -1,0 +1,266 @@
+"""Unit tests for the round-5 operators: interval join, rolling z-score
+anomalies, bigram LM scoring, hashed classifier, passage dedup, PQ codes,
+length-bucketed batching."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from timeseriesfuser_spark.operators.rangejoin import interval_join
+from timeseriesfuser_spark.ops import dedup as D
+from timeseriesfuser_spark.ops import lm as LM
+from timeseriesfuser_spark.ops import packing as P
+from timeseriesfuser_spark.ops import similarity as S
+from timeseriesfuser_spark.ops import timeseries as TS
+
+
+# --------------------------------------------------------------------------- #
+# interval_join
+# --------------------------------------------------------------------------- #
+
+
+def _pts(spark):
+    return spark.createDataFrame(
+        [
+            Row(k=1, pid=1, ts=100),
+            Row(k=1, pid=2, ts=200),   # == start: inclusive
+            Row(k=1, pid=3, ts=299),   # end-1: inclusive
+            Row(k=1, pid=4, ts=300),   # == end: exclusive
+            Row(k=2, pid=5, ts=250),   # right ts, wrong key
+            Row(k=1, pid=6, ts=5000),  # matches nothing
+        ]
+    )
+
+
+def _ivs(spark):
+    return spark.createDataFrame(
+        [
+            Row(k=1, iid=10, s=200, e=300),
+            Row(k=1, iid=11, s=0, e=1000),   # spans many chunks
+            Row(k=1, iid=12, s=400, e=400),  # empty interval
+            Row(k=2, iid=13, s=9000, e=9100),
+        ]
+    )
+
+
+def test_interval_join_semantics(spark):
+    out = interval_join(
+        _pts(spark),
+        _ivs(spark).withColumnRenamed("s", "start_ms").withColumnRenamed("e", "end_ms"),
+        point_ts="ts",
+        keys=["k"],
+        chunk_ms=100,
+    )
+    got = {(r["iid"], r["pid"]) for r in out.collect()}
+    assert got == {
+        (10, 2), (10, 3),           # [200,300) contains 200, 299 — not 300
+        (11, 1), (11, 2), (11, 3), (11, 4),  # [0,1000)
+    }
+
+
+def test_interval_join_left_keeps_unmatched(spark):
+    out = interval_join(
+        _pts(spark),
+        _ivs(spark).withColumnRenamed("s", "start_ms").withColumnRenamed("e", "end_ms"),
+        point_ts="ts",
+        keys=["k"],
+        chunk_ms=100,
+        how="left",
+    )
+    rows = out.collect()
+    unmatched = {r["pid"] for r in rows if r["iid"] is None}
+    assert unmatched == {5, 6}
+    assert len(rows) == 6 + 2  # 6 matches + 2 null-extended points
+
+
+def test_interval_join_is_equi_join(spark):
+    out = interval_join(
+        _pts(spark),
+        _ivs(spark).withColumnRenamed("s", "start_ms").withColumnRenamed("e", "end_ms"),
+        point_ts="ts",
+        keys=["k"],
+        chunk_ms=100,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_rejects_column_overlap(spark):
+    with pytest.raises(ValueError, match="both sides"):
+        interval_join(
+            _pts(spark),
+            _pts(spark),
+            point_ts="ts",
+            keys=["k"],
+        )
+
+
+# --------------------------------------------------------------------------- #
+# rolling_anomalies
+# --------------------------------------------------------------------------- #
+
+
+def test_rolling_anomalies_flags_spike(spark):
+    rows = [Row(user_id=1, ts=i * 1000, event_id=i, value=10.0) for i in range(8)]
+    rows.append(Row(user_id=1, ts=9000, event_id=9, value=500.0))  # spike
+    df = spark.createDataFrame(rows)
+    out = TS.rolling_anomalies(df, lookback=5, min_points=3, k=3).collect()
+    by_id = {r["event_id"]: r for r in out}
+    assert by_id[9]["is_anomaly"] is True
+    # constant baseline, constant value → no anomaly
+    assert all(not by_id[i]["is_anomaly"] for i in range(8))
+    # fewer than min_points of history → never flagged
+    assert by_id[0]["is_anomaly"] is False and by_id[2]["is_anomaly"] is False
+    assert by_id[0]["mean_cents"] is None
+
+
+def test_rolling_anomalies_zero_variance_spike(spark):
+    # constant baseline then a jump: var==0 → zscore NULL but flag True
+    rows = [Row(user_id=1, ts=i * 1000, event_id=i, value=5.0) for i in range(5)]
+    rows.append(Row(user_id=1, ts=6000, event_id=6, value=6.0))
+    df = spark.createDataFrame(rows)
+    out = {r["event_id"]: r for r in
+           TS.rolling_anomalies(df, lookback=5, min_points=3, k=3).collect()}
+    assert out[6]["is_anomaly"] is True
+    assert out[6]["zscore"] is None
+
+
+# --------------------------------------------------------------------------- #
+# bigram LM + hashed classifier
+# --------------------------------------------------------------------------- #
+
+
+def test_bigram_lm_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b"),
+            Row(doc_id=2, text="a b c"),
+            Row(doc_id=3, text="z"),  # no bigrams
+        ]
+    )
+    out = {r["doc_id"]: r for r in LM.bigram_lm_score(df).collect()}
+    # corpus bigrams: d1: (a b),(b a),(a b); d2: (a b),(b c)
+    # c2: (a b)=3, (b a)=1, (b c)=1 ; c1: a=3, b=2
+    # ppm: (a b) = 3e6 DIV 3 = 1_000_000; (b a) = 1e6 DIV 2 = 500_000;
+    #      (b c) = 500_000
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["sum_ppm"] == 1_000_000 + 500_000 + 1_000_000
+    assert out[1]["min_ppm"] == 500_000
+    assert out[2]["sum_ppm"] == 1_000_000 + 500_000
+    assert out[3]["n_bigrams"] == 0 and out[3]["sum_ppm"] is None
+
+
+def test_hashed_classifier_zero_shuffle(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="hello world"),
+                                Row(doc_id=2, text="")])
+    out = LM.hashed_classifier_score(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_tokens"] == 2
+    assert rows[2]["n_tokens"] == 0 and rows[2]["sum_weight"] == 0
+    assert rows[2]["logit"] is None and rows[2]["label_keep"] is False
+
+
+def test_hashed_classifier_weight_range(spark):
+    df = spark.createDataFrame([Row(doc_id=i, text=f"tok{i}") for i in range(50)])
+    rows = LM.hashed_classifier_score(df, span=100).collect()
+    assert all(-100 <= r["sum_weight"] <= 100 for r in rows)
+
+
+# --------------------------------------------------------------------------- #
+# passage dedup
+# --------------------------------------------------------------------------- #
+
+
+def test_passage_dedup_planted(spark):
+    common = " ".join(f"w{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=common + " unique one here now"),
+            Row(doc_id=2, text=common + " other tail entirely different"),
+            Row(doc_id=3, text="completely fresh words nobody repeats"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in
+           D.passage_dedup(df, passage_tokens=8, max_dup_ppm=400_000).collect()}
+    # docs 1 and 2 share their first 8-token passage; doc 1 owns it
+    assert out[1]["n_dup_passages"] == 0
+    assert out[2]["n_dup_passages"] == 1 and out[2]["n_passages"] == 2
+    assert out[2]["dup_ppm"] == 500_000 and out[2]["keep"] is False
+    assert out[3]["n_dup_passages"] == 0 and out[3]["keep"] is True
+
+
+# --------------------------------------------------------------------------- #
+# PQ codes
+# --------------------------------------------------------------------------- #
+
+
+def test_pq_codes_seeds_self_code(spark):
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=i, embedding=[float(i), float(-i), 2.0 * i, i + 0.5])
+            for i in range(6)
+        ]
+    )
+    out = {r["vec_id"]: r for r in S.pq_codes(df, m=2, k=4).collect()}
+    # the 4 seed vectors quantize to themselves: zero error, own code
+    for i in range(4):
+        assert out[i]["sq_err"] == 0
+        assert out[i]["pq"] == f"{i}-{i}"
+    # non-seeds pick the nearest seed (vec 4 is closest to seed 3)
+    assert out[4]["pq"] == "3-3" and out[4]["sq_err"] > 0
+
+
+def test_pq_codes_dim_not_divisible(spark):
+    df = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 2.0, 3.0])])
+    with pytest.raises(ValueError, match="not divisible"):
+        S.pq_codes(df, m=2, k=1)
+
+
+# --------------------------------------------------------------------------- #
+# length-bucketed batches
+# --------------------------------------------------------------------------- #
+
+
+def test_length_batches_invariants(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["w"] * (5 + i % 40))) for i in range(200)]
+    )
+    out = P.length_bucketed_batches(
+        df, band_tokens=10, batch_size=8, n_shards=4
+    ).collect()
+    assert len(out) == 200
+    for r in out:
+        assert r["band"] == r["n_tokens"] // 10
+        assert 0 <= r["shard"] < 4
+        assert 0 <= r["pos_in_batch"] < 8
+    # every batch except possibly the last per (band, shard) is full
+    from collections import defaultdict
+
+    sizes = defaultdict(int)
+    maxb = {}
+    for r in out:
+        key = (r["band"], r["shard"])
+        sizes[(key, r["batch_in_shard"])] += 1
+        maxb[key] = max(maxb.get(key, -1), r["batch_in_shard"])
+    for (key, b), n in sizes.items():
+        if b < maxb[key]:
+            assert n == 8, f"non-final batch {key}/{b} has {n} rows"
+        else:
+            assert 1 <= n <= 8
+
+
+def test_length_batches_epoch_reshuffles(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["w"] * 20)) for i in range(64)]
+    )
+    e0 = {r["doc_id"]: (r["shard"], r["batch_in_shard"], r["pos_in_batch"])
+          for r in P.length_bucketed_batches(df, epoch=0).collect()}
+    e1 = {r["doc_id"]: (r["shard"], r["batch_in_shard"], r["pos_in_batch"])
+          for r in P.length_bucketed_batches(df, epoch=1).collect()}
+    assert e0 != e1  # different epoch → different permutation
+    # determinism: same epoch twice is identical
+    e0b = {r["doc_id"]: (r["shard"], r["batch_in_shard"], r["pos_in_batch"])
+           for r in P.length_bucketed_batches(df, epoch=0).collect()}
+    assert e0 == e0b

@@ -2266,3 +2266,300 @@ def q_streaming_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: the fused chronological stream at sf0.001."""
     return q_fuse_merge(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------- #
+# Round-5 additions: range join, anomaly flags, LM scoring, passage dedup,
+# hashed classifier, PQ codes, length-bucketed batching
+# --------------------------------------------------------------------------- #
+
+_PROMO_MS = 7_200_000
+
+
+@register(
+    "interval_join_2h",
+    oracle=f"""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, user_id, event_type, value
+                FROM events),
+    promo AS (SELECT user_id, event_id AS promo_id, t AS start_ms,
+                     t + {_PROMO_MS} AS end_ms
+              FROM ev WHERE event_type = 'purchase'),
+    pts AS (SELECT user_id, event_id, t, value FROM ev
+            WHERE event_type IN ('click', 'view'))
+    SELECT p.promo_id, c.user_id, c.event_id,
+           CAST(c.t AS BIGINT) AS ts,
+           CAST(c.t - p.start_ms AS BIGINT) AS offset_ms
+    FROM promo p JOIN pts c
+      ON c.user_id = p.user_id AND c.t >= p.start_ms AND c.t < p.end_ms
+    """,
+)
+def q_interval_join_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via epoch-chunked equi-join
+    (operators.rangejoin.interval_join): every click/view landing inside a
+    [purchase, purchase+2h) per-user window. The generalization of the
+    reference's single-interval window predicate (core.py:353-420) to a
+    TABLE of intervals; the plan is a hash equi-join on (user, chunk) —
+    never a BroadcastNestedLoop/cartesian (gated in test_plan_quality)."""
+    from timeseriesfuser_spark.operators.rangejoin import interval_join
+
+    ev = _events(spark, sf_dir)
+    promo = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("promo_id"),
+        F.col("ts").alias("start_ms"),
+        (F.col("ts") + _PROMO_MS).alias("end_ms"),
+    )
+    pts = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = interval_join(pts, promo, keys=["user_id"], chunk_ms=_PROMO_MS)
+    return out.select(
+        "promo_id",
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("ts"),
+        (F.col("ts") - F.col("start_ms")).cast("long").alias("offset_ms"),
+    )
+
+
+_ZK, _ZMIN, _ZLOOK = 3, 3, 10
+
+
+@register(
+    "rolling_zscore",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events),
+    w AS (SELECT user_id, ts, event_id, cents,
+                 count(cents) OVER win AS n_base,
+                 sum(cents) OVER win AS sum_base,
+                 sum(cents * cents) OVER win AS sumsq_base
+          FROM ev
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {_ZLOOK} PRECEDING AND 1 PRECEDING))
+    SELECT user_id, ts, event_id, cents,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(sum_base AS BIGINT) AS sum_base,
+           CAST(sumsq_base AS BIGINT) AS sumsq_base,
+           CASE WHEN n_base >= {_ZMIN}
+                THEN CAST(sum_base AS DOUBLE) / n_base END AS mean_cents,
+           CASE WHEN n_base >= {_ZMIN}
+                THEN sqrt(CAST(n_base * sumsq_base - sum_base * sum_base AS DOUBLE)
+                          / CAST(n_base * (n_base - 1) AS DOUBLE)) END AS std_cents,
+           CASE WHEN n_base >= {_ZMIN}
+                 AND n_base * sumsq_base - sum_base * sum_base > 0
+                THEN (CAST(n_base * cents - sum_base AS DOUBLE) / n_base)
+                     / sqrt(CAST(n_base * sumsq_base - sum_base * sum_base AS DOUBLE)
+                            / CAST(n_base * (n_base - 1) AS DOUBLE))
+           END AS zscore,
+           (n_base >= {_ZMIN}
+            AND (n_base * cents - sum_base) * (n_base * cents - sum_base)
+                * (n_base - 1)
+                > {_ZK * _ZK} * n_base
+                  * (n_base * sumsq_base - sum_base * sum_base)) AS is_anomaly
+    FROM w
+    """,
+)
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly flags (ops.timeseries.
+    rolling_anomalies): per-user 10-event baseline; the anomaly DECISION is
+    the exact integer inequality (n·x−S)²·(n−1) > k²·n·(nQ−S²) — no float
+    threshold — so the flag is oracle-bit-identical. One per-key window,
+    no other shuffle."""
+    return TS.rolling_anomalies(
+        _events(spark, sf_dir), lookback=_ZLOOK, min_points=_ZMIN, k=_ZK
+    )
+
+
+@register(
+    "bigram_lm",
+    oracle="""
+    WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                FROM documents),
+    bg AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS bg
+           FROM tk),
+    c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+    c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM bg GROUP BY 1),
+    model AS (SELECT bg, CAST(c2 * 1000000 // c1 AS BIGINT) AS ppm
+              FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1),
+    per AS (SELECT b.doc_id, count(*) AS nb, sum(m.ppm) AS sp, min(m.ppm) AS mp
+            FROM bg b JOIN model m USING (bg) GROUP BY b.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+           CAST(sp AS BIGINT) AS sum_ppm,
+           CAST(mp AS BIGINT) AS min_ppm,
+           CASE WHEN nb > 0 THEN CAST(sp AS DOUBLE) / nb END AS avg_ppm
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM likelihood proxy (ops.lm.bigram_lm_score): KenLM-
+    style quality axis — P(w2|w1) = c2/c1 stored integer-exact in ppm;
+    per-doc Σ/min/avg over bigram occurrences. Model build = two word-count
+    aggs; scoring = broadcast model join (shuffle-join fallback for
+    web-scale vocabularies)."""
+    from timeseriesfuser_spark.ops import lm as LM
+
+    return LM.bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+_QC_BUCKETS, _QC_SPAN = 1 << 20, 1000
+
+
+@register(
+    "quality_classifier",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                FROM documents),
+    t AS (SELECT doc_id, unnest(tk) AS tok FROM tk),
+    w AS (SELECT doc_id,
+                 {_sql_hash64("concat('17', chr(31), tok)")} % {_QC_BUCKETS} AS bucket
+          FROM t),
+    ws AS (SELECT doc_id,
+                  {_sql_hash64("concat('qw:', CAST(bucket AS VARCHAR))")}
+                    % {2 * _QC_SPAN + 1} - {_QC_SPAN} AS wt
+           FROM w),
+    per AS (SELECT doc_id, count(*) AS n, sum(wt) AS s FROM ws GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(s, 0) AS BIGINT) AS sum_weight,
+           CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / n END AS logit,
+           (coalesce(s, 0) > 0) AS label_keep
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality scorer (ops.lm.
+    hashed_classifier_score): token → 2^20 feature buckets → md5-derived
+    bucket weight; logit = mean weight, keep-decision integer-exact.
+    Pure projection — ZERO shuffles (the per-doc sum runs inside the row
+    via F.aggregate)."""
+    from timeseriesfuser_spark.ops import lm as LM
+
+    return LM.hashed_classifier_score(
+        _t(spark, sf_dir, "documents"), n_buckets=_QC_BUCKETS, span=_QC_SPAN
+    )
+
+
+_PASS_TOK, _PASS_MAXPPM = 16, 500_000
+
+
+@register(
+    "passage_dedup",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                FROM documents),
+    p AS (SELECT doc_id,
+                 unnest([struct_pack(cs := s,
+                                     pt := array_to_string(tk[s+1:s+{_PASS_TOK}], ' '))
+                         FOR s IN range(0, len(tk), {_PASS_TOK})],
+                        recursive := true)
+          FROM tk),
+    h AS (SELECT doc_id, cs, {_sql_hash64("pt")} AS hh FROM p),
+    f AS (SELECT doc_id, cs,
+                 row_number() OVER (PARTITION BY hh ORDER BY doc_id, cs) AS rn
+          FROM h),
+    per AS (SELECT doc_id, count(*) AS np,
+                   sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS nd
+            FROM f GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(np AS BIGINT) AS n_passages,
+           CAST(nd AS BIGINT) AS n_dup_passages,
+           CAST(1000000 * nd // np AS BIGINT) AS dup_ppm,
+           (1000000 * nd // np <= {_PASS_MAXPPM}) AS keep
+    FROM per
+    """,
+)
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (ops.dedup.passage_dedup): RefinedWeb-
+    style — non-overlapping 16-token passages, corpus-wide first-occurrence
+    ownership (min(struct) window on the passage hash), per-doc dup ratio
+    and keep gate. Zero-shuffle chunking + one hash-key window + one
+    hash-agg."""
+    return D.passage_dedup(
+        _t(spark, sf_dir, "documents"),
+        passage_tokens=_PASS_TOK,
+        max_dup_ppm=_PASS_MAXPPM,
+    )
+
+
+_PQ_M, _PQ_K, _PQ_DSUB = 4, 16, 16
+
+
+@register(
+    "pq_codes",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+    seeds AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS code
+              FROM q ORDER BY vec_id LIMIT {_PQ_K}),
+    cb AS (SELECT code,
+                  unnest([struct_pack(sub := j,
+                                      csv := v[j*{_PQ_DSUB}+1:(j+1)*{_PQ_DSUB}])
+                          FOR j IN range(0, {_PQ_M})], recursive := true)
+           FROM seeds),
+    ex AS (SELECT vec_id,
+                  unnest([struct_pack(sub := j,
+                                      sv := v[j*{_PQ_DSUB}+1:(j+1)*{_PQ_DSUB}])
+                          FOR j IN range(0, {_PQ_M})], recursive := true)
+           FROM q),
+    d AS (SELECT e.vec_id, e.sub, cb.code,
+                 CAST(list_aggregate(
+                     [(e.sv[i] - cb.csv[i]) * (e.sv[i] - cb.csv[i])
+                      FOR i IN range(1, len(e.sv) + 1)], 'sum') AS BIGINT) AS d2
+          FROM ex e JOIN cb ON e.sub = cb.sub),
+    best AS (SELECT vec_id, sub, code, d2,
+                    row_number() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY d2, code) AS rn
+             FROM d)
+    SELECT vec_id,
+           array_to_string(list(CAST(code AS VARCHAR) ORDER BY sub), '-') AS pq,
+           CAST(sum(d2) AS BIGINT) AS sq_err
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (ops.similarity.pq_codes): 64-dim
+    vectors → 4 subspaces × 16-entry codebooks (deterministic lowest-id
+    seeds, integer squared-L2 argmin). The broadcast-codebook plan: corpus
+    fans out ×4, probes 16 entries, never shuffles on a data key."""
+    return S.pq_codes(
+        _t(spark, sf_dir, "embeddings"), m=_PQ_M, k=_PQ_K
+    )
+
+
+_LB_BAND, _LB_BATCH, _LB_SHARDS = 16, 8, 4
+
+
+@register(
+    "length_batches",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id,
+                       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+                FROM documents),
+    r AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(n_tokens // {_LB_BAND} AS BIGINT) AS band,
+                 {_sql_hash64("concat('lb0:', CAST(doc_id AS VARCHAR))")} AS rk
+          FROM tk),
+    s AS (SELECT *, CAST(rk % {_LB_SHARDS} AS BIGINT) AS shard FROM r),
+    w AS (SELECT doc_id, n_tokens, band, shard,
+                 row_number() OVER (PARTITION BY band, shard
+                                    ORDER BY rk, doc_id) - 1 AS rn
+          FROM s)
+    SELECT doc_id, n_tokens, band, shard,
+           CAST(rn // {_LB_BATCH} AS BIGINT) AS batch_in_shard,
+           CAST(rn % {_LB_BATCH} AS BIGINT) AS pos_in_batch
+    FROM w
+    """,
+)
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment (ops.packing.
+    length_bucketed_batches): similar-length docs share padded batches;
+    md5-rank epoch shuffle; batches cut per (band, shard) so window
+    partitions are data/|bands·shards| — each shard is one writer task."""
+    return P.length_bucketed_batches(
+        _t(spark, sf_dir, "documents"),
+        band_tokens=_LB_BAND,
+        batch_size=_LB_BATCH,
+        n_shards=_LB_SHARDS,
+    )

@@ -17,9 +17,15 @@ from timeseriesfuser_spark.ops.dedup import (
     neardup_clusters,
     ngram_jaccard_pairs,
     ngram_novelty,
+    passage_dedup,
     simhash_pairs,
 )
-from timeseriesfuser_spark.ops.packing import chunk_documents, sequence_pack
+from timeseriesfuser_spark.ops.lm import bigram_lm_score, hashed_classifier_score
+from timeseriesfuser_spark.ops.packing import (
+    chunk_documents,
+    length_bucketed_batches,
+    sequence_pack,
+)
 from timeseriesfuser_spark.ops.text import (
     doc_fingerprint,
     language_id,
@@ -30,6 +36,7 @@ from timeseriesfuser_spark.ops.text import (
 from timeseriesfuser_spark.ops.similarity import (
     cosine_topk,
     ivf_cosine_topk,
+    pq_codes,
     quantize_int8,
     rp_project,
     semantic_dedup_pairs,
@@ -38,11 +45,18 @@ from timeseriesfuser_spark.ops.similarity import (
 from timeseriesfuser_spark.ops.timeseries import (
     event_transitions,
     ohlc_bars,
+    rolling_anomalies,
     vwap_bars,
 )
 
 __all__ = [
+    "bigram_lm_score",
     "chunk_documents",
+    "hashed_classifier_score",
+    "length_bucketed_batches",
+    "passage_dedup",
+    "pq_codes",
+    "rolling_anomalies",
     "connected_components",
     "cosine_topk",
     "dedup_verdicts",

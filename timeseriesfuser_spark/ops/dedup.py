@@ -846,3 +846,69 @@ def dedup_verdicts(
         (verdict == "keep").alias("keep"),
         canonical.cast("long").alias("canonical_id"),
     )
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_tokens: int = 32,
+    max_dup_ppm: int = 500_000,
+) -> DataFrame:
+    """Passage-level exact dedup (RefinedWeb/MassiveText style): cut each
+    document into non-overlapping ``passage_tokens``-token passages, hash
+    them, and mark every passage that already occurred anywhere in the
+    corpus (first occurrence = lowest (doc_id, chunk_start)) as duplicated.
+
+    Output per document that has ≥1 token: ``n_passages``,
+    ``n_dup_passages``, ``dup_ppm`` (exact-int parts-per-million) and
+    ``keep`` = dup_ppm ≤ ``max_dup_ppm`` — the document-level gate a
+    pretraining pipeline applies ("drop docs that are mostly copied
+    passages"). Token-less docs emit no row (they have no passages), the
+    same convention as ``chunk_documents``.
+
+    Scale: chunking is the zero-shuffle projection+explode of
+    ``packing.chunk_documents``; first-occurrence is an unordered
+    ``min(struct)`` window partitioned BY PASSAGE HASH (streaming
+    aggregate — the same Zipf-head exposure as ``ngram_novelty``, bounded
+    by passage document-frequency); then one hash-agg back on doc id.
+    No self-join, no global window.
+    """
+    from pyspark.sql.window import Window
+
+    from timeseriesfuser_spark.ops.packing import chunk_documents
+
+    p = chunk_documents(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        chunk_size=passage_tokens,
+        stride=passage_tokens,
+    )
+    d = p.select(
+        F.col(id_col).alias("id"),
+        "chunk_start",
+        md5_hash64(F.col("chunk_text")).alias("__h"),
+    )
+    pos = F.struct(F.col("id"), F.col("chunk_start"))
+    first = F.min(pos).over(Window.partitionBy("__h"))
+    flagged = d.select("id", (pos != first).alias("__dup"))
+    n = F.count(F.lit(1))
+    ndup = F.sum(F.col("__dup").cast("long"))
+    return (
+        flagged.groupBy("id")
+        .agg(
+            n.cast("long").alias("n_passages"),
+            ndup.cast("long").alias("n_dup_passages"),
+            F.expr("1000000 * sum(CAST(__dup AS LONG)) DIV count(1)")
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_passages",
+            "n_dup_passages",
+            "dup_ppm",
+            (F.col("dup_ppm") <= int(max_dup_ppm)).alias("keep"),
+        )
+    )

@@ -1,0 +1,169 @@
+"""Corpus language-model scoring: bigram-LM likelihood proxy and a
+fastText-style hashed linear quality classifier.
+
+The standard pretraining-data quality stack scores documents with (a) a
+KenLM-ish n-gram model trained on the corpus (or a trusted corpus) —
+low-likelihood docs are gibberish/boilerplate — and (b) a cheap linear
+classifier over hashed bag-of-words features (fastText's architecture).
+Both are expressed here as pure DataFrame plans with exact-integer
+arithmetic so a SQL oracle matches bit-for-bit.
+
+Scale design
+------------
+
+``bigram_lm_score``: two aggregations over the exploded bigram relation
+build the model (bigram counts + left-unigram counts — classic word-count
+shape, map-side combinable); the per-bigram conditional probability (in
+ppm, integer) is attached back by an equi-join. The model relation is
+broadcast when it fits (``broadcast=True``, right for per-domain or
+trusted-corpus models); for an open-web-scale bigram vocabulary pass
+``broadcast=False`` and it becomes a shuffled hash join on the bigram key
+— the Zipf-skewed head is absorbed by AQE skew splitting since the model
+side is one row per key.
+
+``hashed_classifier_score`` is pure projection — per-token weights are
+md5-derived on the fly (exactly how a served fastText model hashes OOV
+buckets), so there is NO weight table, no join, no shuffle of any kind.
+Swapping in real trained weights = one broadcast join against a (bucket,
+weight) relation; the plan shape is otherwise identical.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from timeseriesfuser_spark.ops.dedup import md5_hash64
+from timeseriesfuser_spark.ops.text import tokens_col
+
+_PPM = 1_000_000
+
+
+def bigram_array(text: Column) -> Column:
+    """Ordered (non-distinct) word-bigram strings "w1 w2" of ``text``."""
+    tk = tokens_col(text)
+    starts = F.when(
+        F.size(tk) >= 2, F.sequence(F.lit(1), F.size(tk) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(tk, i, 2)))
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_cols: Sequence[str] = ("doc_id",),
+    text_col: str = "text",
+    *,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Score every document under the corpus's own bigram model.
+
+    For each bigram occurrence (w1, w2) the conditional probability
+    P(w2|w1) is estimated as ``c2(w1,w2) / c1(w1)`` where c2 counts the
+    bigram corpus-wide and c1 counts w1 as a bigram-left (so the estimate
+    is a proper conditional: Σ_w2 P(w2|w1) = 1). Stored integer-exact in
+    parts-per-million: ``ppm = c2 * 1e6 DIV c1``.
+
+    Output per doc: ``n_bigrams``, ``sum_ppm`` (Σ over bigram OCCURRENCES
+    — exact int), ``min_ppm`` (the rarest transition), and ``avg_ppm`` =
+    one final double division. Docs with < 2 tokens emit n_bigrams = 0 and
+    null scores. Low sum/avg ⇒ improbable word transitions ⇒ gibberish —
+    the decision axis a KenLM perplexity filter uses.
+    """
+    ids = [F.col(c) for c in id_cols]
+    bg = df.select(
+        *ids, F.explode_outer(bigram_array(F.col(text_col))).alias("bg")
+    )
+    # Model: bigram counts and left-unigram counts, joined into one
+    # (bigram -> ppm) relation. w1 = prefix of the joined string (cheaper
+    # than re-tokenizing; tokens contain no spaces by construction).
+    w1 = F.substring_index(F.col("bg"), " ", 1)
+    c2 = bg.filter(F.col("bg").isNotNull()).groupBy("bg").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    c1 = (
+        bg.filter(F.col("bg").isNotNull())
+        .groupBy(w1.alias("w1"))
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    model = c2.join(
+        c1, F.substring_index(c2["bg"], " ", 1) == c1["w1"], "inner"
+    ).select(
+        c2["bg"].alias("__mbg"),
+        F.expr("c2 * 1000000 DIV c1").cast("long").alias("__ppm"),
+    )
+    if broadcast:
+        model = F.broadcast(model)
+    scored = bg.join(model, bg["bg"] == model["__mbg"], "left")
+    n = F.count(F.col("bg"))
+    out = scored.groupBy(*id_cols).agg(
+        n.cast("long").alias("n_bigrams"),
+        F.sum("__ppm").alias("sum_ppm"),
+        F.min("__ppm").alias("min_ppm"),
+        F.when(n > 0, F.sum("__ppm").cast("double") / n).alias("avg_ppm"),
+    )
+    return out
+
+
+def token_weight(tok: Column, *, n_buckets: int = 1 << 20, span: int = 1000) -> Column:
+    """Deterministic per-token classifier weight in [-span, span].
+
+    The token is hashed into ``n_buckets`` feature buckets (fastText's
+    hashing trick) and the bucket's weight is md5-derived — a stand-in for
+    a trained weight vector with identical plan shape and an exact SQL
+    twin. Two independent md5 draws (bucket, then weight-of-bucket) so
+    colliding tokens share ONE weight, as a real hashed model would.
+    """
+    bucket = F.pmod(md5_hash64(tok, seed=17), F.lit(n_buckets))
+    w = md5_hash64(F.concat(F.lit("qw:"), bucket.cast("string")))
+    return (F.pmod(w, F.lit(2 * span + 1)) - F.lit(span)).cast("long")
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    id_cols: Sequence[str] = ("doc_id",),
+    text_col: str = "text",
+    *,
+    n_buckets: int = 1 << 20,
+    span: int = 1000,
+    bias: int = 0,
+) -> DataFrame:
+    """fastText-style linear scorer: logit = bias + mean(weight(token)).
+
+    Per doc: ``n_tokens``, ``sum_weight`` (exact int Σ of hashed-bucket
+    weights over token OCCURRENCES), ``logit`` (one double division) and
+    ``label_keep`` — the integer-exact decision ``sum + bias·n > 0`` (no
+    float threshold, so the flag is oracle-bit-identical).
+
+    Zero shuffle: one projection with a bound token array; the aggregate
+    over tokens happens INSIDE the row via ``F.aggregate``.
+    """
+    def doc_score(tk):
+        return F.aggregate(
+            tk,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + token_weight(t, n_buckets=n_buckets, span=span),
+        )
+
+    # Bind the token array once (single-element transform lambda — the
+    # projection-collapse guard used by minhash_signatures; see NOTES.md).
+    bound = F.element_at(
+        F.transform(
+            F.array(tokens_col(F.col(text_col))),
+            lambda tk: F.struct(
+                F.size(tk).alias("n"), doc_score(tk).alias("s")
+            ),
+        ),
+        1,
+    )
+    n, s = F.col("__sc.n").cast("long"), F.col("__sc.s")
+    return df.withColumn("__sc", bound).select(
+        *id_cols,
+        n.alias("n_tokens"),
+        s.alias("sum_weight"),
+        F.when(
+            n > 0, F.lit(float(bias)) + s.cast("double") / n.cast("double")
+        ).alias("logit"),
+        (s + F.lit(int(bias)) * n > 0).alias("label_keep"),
+    )

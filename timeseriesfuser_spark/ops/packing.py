@@ -197,3 +197,70 @@ def chunk_documents(
         F.size("__c.__ctoks").cast("long").alias("n_tokens"),
         F.concat_ws(" ", F.col("__c.__ctoks")).alias("chunk_text"),
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: Optional[str] = None,
+    *,
+    band_tokens: int = 64,
+    batch_size: int = 32,
+    n_shards: int = 32,
+    epoch: int = 0,
+) -> DataFrame:
+    """Length-bucketed training-batch assignment: group documents of
+    similar token length (bands of ``band_tokens``) so a padded batch
+    wastes minimal compute, shuffle deterministically within each band,
+    and cut fixed-``batch_size`` batches.
+
+    Output per doc: ``n_tokens``, ``band`` (= n_tokens DIV band_tokens),
+    ``shard`` (md5-derived writer shard), ``batch_in_shard``, ``pos_in_batch``
+    — the batch key is (band, shard, batch_in_shard). The md5 rank doubles
+    as the epoch-reshuffle (vary ``epoch``).
+
+    Scale: batches are cut per (band, shard) — the window partitions are
+    data/|bands·shards| rows, so a cluster sizes ``n_shards`` to its
+    parallelism and every task stays bounded; each shard is one writer
+    task's worth of batches (the cluster-native layout — ragged tail
+    batches occur per shard, as in any sharded loader). An exactly-global
+    contiguous batch numbering would instead compose the
+    :func:`token_offsets` two-pass prefix sum over (band, rank); sharded
+    assignment avoids that extra pass and is what loaders consume anyway.
+    """
+    from timeseriesfuser_spark.ops.dedup import md5_hash64
+
+    if band_tokens <= 0 or batch_size <= 0 or n_shards <= 0:
+        raise ValueError("band_tokens, batch_size, n_shards must be positive")
+    nt = (
+        F.col(count_col).cast("long")
+        if count_col
+        else F.size(tokens_col(F.col(text_col))).cast("long")
+    )
+    rank = md5_hash64(
+        F.concat(
+            F.lit(f"lb{int(epoch)}:"), F.col(id_col).cast("string")
+        )
+    )
+    base = df.select(
+        F.col(id_col),
+        nt.alias("n_tokens"),
+        rank.alias("__rank"),
+    ).select(
+        id_col,
+        "n_tokens",
+        F.expr(f"n_tokens DIV {int(band_tokens)}").cast("long").alias("band"),
+        "__rank",
+        F.pmod(F.col("__rank"), F.lit(int(n_shards))).cast("long").alias("shard"),
+    )
+    w = Window.partitionBy("band", "shard").orderBy("__rank", id_col)
+    rn = F.row_number().over(w) - 1
+    return base.select(
+        id_col,
+        "n_tokens",
+        "band",
+        "shard",
+        F.floor(rn / int(batch_size)).cast("long").alias("batch_in_shard"),
+        F.pmod(rn, F.lit(int(batch_size))).cast("long").alias("pos_in_batch"),
+    )

@@ -657,3 +657,124 @@ def quantize_int8(
             "q8_csv"
         ),
     )
+
+
+def pq_codes(
+    df: DataFrame,
+    centroids: DataFrame = None,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    scale: int = 1000,
+) -> DataFrame:
+    """Product-quantization codes: split each vector into ``m`` contiguous
+    subvectors and replace each with the id of its nearest codebook entry
+    (integer squared-L2, ties → lowest code) — the memory layout that lets
+    ANN search scan billions of vectors as m bytes each instead of dim
+    floats (Jégou et al., PQ for nearest neighbor search).
+
+    ``centroids``: codebook source relation; defaults to the input itself,
+    from which the ``k`` lowest-id vectors seed one codebook per subspace
+    (the same deterministic no-RNG init as ``kmeans_fit`` — swap in a
+    trained relation for production codebooks; the plan is identical).
+
+    Output: (id, code_0 … code_{m-1} packed as a '-'-joined string ``pq``,
+    ``sq_err`` = exact-int total squared quantization error).
+
+    Scale: the codebook (m·k subvector rows) is BROADCAST; the corpus side
+    fans out ×m (constant), probes k entries per subspace in a broadcast
+    join, then one hash-agg per (vector, subspace) argmin and one per
+    vector to reassemble — the corpus never shuffles on a data-dependent
+    key, exactly the `assign_to_centroids` posture applied per-subspace.
+    """
+    if m <= 0 or k <= 0:
+        raise ValueError("m and k must be positive")
+    cents_src = centroids if centroids is not None else df
+    q = df.select(
+        F.col(id_col).alias("id"), quantized(F.col(vec_col), scale).alias("__v")
+    )
+    dim_row = q.select(F.size("__v").alias("d")).first()
+    if dim_row is None:
+        return q.select(
+            "id",
+            F.lit(None).cast("string").alias("pq"),
+            F.lit(None).cast("long").alias("sq_err"),
+        )
+    dim = dim_row["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+
+    def subspaces(vcol):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.slice(vcol, j * dsub + 1, dsub).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        )
+
+    # Codebook: k lowest-id vectors, one entry per (subspace, code). The
+    # code is the 0-based rank of the seed vector (row_number over the k
+    # collected ids — k is tiny, this is driver metadata, not data).
+    seed_ids = [
+        r["id"] for r in
+        cents_src.select(F.col(id_col).alias("id")).orderBy("id").limit(k).collect()
+    ]
+    code_of = F.map_from_arrays(
+        F.array(*[F.lit(i) for i in seed_ids]),
+        F.array(*[F.lit(c) for c in range(len(seed_ids))]),
+    )
+    cb = (
+        cents_src.select(
+            F.col(id_col).alias("cid"),
+            quantized(F.col(vec_col), scale).alias("__cv"),
+        )
+        .filter(F.col("cid").isin(seed_ids))
+        .withColumn("code", F.element_at(code_of, F.col("cid")))
+        .select("code", subspaces(F.col("__cv")).alias("__cs"))
+        .select("code", F.col("__cs.sub").alias("sub"), F.col("__cs.sv").alias("csv"))
+    )
+
+    ex = q.select("id", subspaces(F.col("__v")).alias("__s")).select(
+        "id", F.col("__s.sub").alias("sub"), F.col("__s.sv").alias("sv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("csv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        ex.join(F.broadcast(cb), "sub")
+        .withColumn("__d2", d2)
+        .groupBy("id", "sub")
+        .agg(
+            F.min(
+                F.struct(F.col("__d2").alias("d2"), F.col("code").alias("code"))
+            ).alias("__m")
+        )
+    )
+    return (
+        best.groupBy("id")
+        .agg(
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("sub"), F.col("__m.code").alias("code"))
+                        )
+                    ),
+                    lambda s: s["code"].cast("string"),
+                ),
+            ).alias("pq"),
+            F.sum("__m.d2").cast("long").alias("sq_err"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

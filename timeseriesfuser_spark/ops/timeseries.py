@@ -144,6 +144,91 @@ def event_transitions(
     )
 
 
+def rolling_anomalies(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+    lookback: int = 10,
+    min_points: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """Trailing-window z-score anomaly flags per key, in EXACT integer
+    arithmetic.
+
+    For each event, the baseline is the previous ``lookback`` events of the
+    same key (rows ``[-lookback, -1]`` — never the current row). With
+    n ≥ ``min_points`` baseline points the event is anomalous when
+
+        |x - mean| > k · sample_std
+
+    which, to avoid any float comparison, is evaluated as the equivalent
+    integer inequality on cent-quantized values::
+
+        (n·x - S)² · (n-1)  >  k² · n · (n·Q - S²)
+
+    where S = Σxᵢ, Q = Σxᵢ² over the baseline — every term is an exact
+    int64 (|x| ≤ ~1e5 cents, lookback ≤ ~1e3 keeps all products < 2³¹·²…
+    far below 2⁶³). The emitted ``zscore`` is the one allowed float chain
+    (two exact-int divisions + sqrt) for human consumption; the FLAG is
+    integer-exact and thus oracle-bit-identical.
+
+    Scale: one window partitioned BY KEY (millions of small partitions —
+    embarrassingly parallel; the anti-pattern global-order window never
+    appears). No other shuffle.
+    """
+    if lookback < 1 or min_points < 2:
+        raise ValueError("lookback >= 1 and min_points >= 2 required")
+    x = _cents(value_col)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, seq_col)
+        .rowsBetween(-lookback, -1)
+    )
+    n = F.count(x).over(w)
+    s = F.sum(x).over(w)
+    q = F.sum(x * x).over(w)
+    base = df.select(
+        key_col,
+        ts_col,
+        seq_col,
+        x.alias("cents"),
+        n.alias("n_base"),
+        s.alias("sum_base"),
+        q.alias("sumsq_base"),
+    )
+    dev = F.col("n_base") * F.col("cents") - F.col("sum_base")
+    var_n2 = (
+        F.col("n_base") * F.col("sumsq_base")
+        - F.col("sum_base") * F.col("sum_base")
+    )  # = n²·(n-1)/n · sample_var → n·(n-1)·sample_var·… kept as exact int
+    lhs = dev * dev * (F.col("n_base") - 1)
+    rhs = F.lit(int(k) * int(k)) * F.col("n_base") * var_n2
+    enough = F.col("n_base") >= int(min_points)
+    mean = F.col("sum_base").cast("double") / F.col("n_base")
+    std = F.sqrt(
+        var_n2.cast("double")
+        / (F.col("n_base") * (F.col("n_base") - 1)).cast("double")
+    )
+    return base.select(
+        key_col,
+        ts_col,
+        seq_col,
+        "cents",
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("sum_base").cast("long").alias("sum_base"),
+        F.col("sumsq_base").cast("long").alias("sumsq_base"),
+        F.when(enough, mean).alias("mean_cents"),
+        F.when(enough, std).alias("std_cents"),
+        F.when(
+            enough & (var_n2 > 0), (dev.cast("double") / F.col("n_base")) / std
+        ).alias("zscore"),
+        (enough & (lhs > rhs)).alias("is_anomaly"),
+    )
+
+
 def sliding_counts(
     df: DataFrame,
     length: str = "1h",
