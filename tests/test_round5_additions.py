@@ -264,3 +264,63 @@ def test_length_batches_epoch_reshuffles(spark):
     e0b = {r["doc_id"]: (r["shard"], r["batch_in_shard"], r["pos_in_batch"])
            for r in P.length_bucketed_batches(df, epoch=0).collect()}
     assert e0 == e0b
+
+
+# --------------------------------------------------------------------------- #
+# value_rates / interpolate_grid / key_skew_report
+# --------------------------------------------------------------------------- #
+
+
+def test_value_rates_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=0, event_id=1, value=1.00),
+            Row(user_id=1, ts=2000, event_id=2, value=3.00),
+            Row(user_id=1, ts=2000, event_id=3, value=5.00),  # zero gap
+        ]
+    )
+    out = {r["event_id"]: r for r in TS.value_rates(df).collect()}
+    assert 1 not in out  # first event has no predecessor
+    assert out[2]["delta_cents"] == 200 and out[2]["delta_ms"] == 2000
+    assert out[2]["rate_cps"] == 100.0  # 200 cents / 2 s
+    assert out[3]["delta_ms"] == 0 and out[3]["rate_cps"] is None
+
+
+def test_interpolate_grid_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=500, event_id=1, value=1.00),
+            Row(user_id=1, ts=2500, event_id=2, value=3.00),
+            Row(user_id=1, ts=3000, event_id=3, value=9.00),  # exact hit at 3000
+        ]
+    )
+    out = {r["grid_ts"]: r for r in
+           TS.interpolate_grid(df, "1s").collect()}
+    # grid points: 1000, 2000 (interpolated), 3000 (exact)
+    assert set(out) == {1000, 2000, 3000}
+    # at 1000: 100 + (300-100)*(1000-500)/(2500-500) = 100 + 200*0.25 = 150
+    assert out[1000]["interp_cents"] == 150.0 and not out[1000]["exact_hit"]
+    assert out[2000]["interp_cents"] == 250.0
+    assert out[3000]["interp_cents"] == 900.0 and out[3000]["exact_hit"]
+    assert out[3000]["next_ts"] is None and out[1000]["prev_ts"] == 500
+
+
+def test_interpolate_grid_no_global_window(spark):
+    df = spark.createDataFrame(
+        [Row(user_id=i % 3, ts=1000 * i, event_id=i, value=float(i))
+         for i in range(30)]
+    )
+    plan = TS.interpolate_grid(df, "5s")._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_key_skew_report_planted(spark):
+    from timeseriesfuser_spark.ops.scale import key_skew_report
+
+    rows = [Row(k="hot") for _ in range(80)] + [Row(k=f"c{i}") for i in range(20)]
+    out = key_skew_report(spark.createDataFrame(rows), ["k"], top_n=3).collect()
+    assert len(out) == 3
+    top = out[0] if out[0]["rank"] == 1 else sorted(out, key=lambda r: r["rank"])[0]
+    assert top["k"] == "hot" and top["cnt"] == 80
+    assert top["share_ppm"] == 800_000
+    assert all(r["cnt"] == 1 and r["rank"] == 2 for r in out if r["k"] != "hot")

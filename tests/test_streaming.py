@@ -267,3 +267,75 @@ def test_stream_source_jsonl(spark, tmp_path):
     got = spark.sql("select * from jsonl_mem").collect()
     assert len(got) == 20
     assert {r["__timestamp"] for r in got} == {1_700_000_000_000 + i * 1000 for i in range(20)}
+
+
+def test_anomaly_stream_matches_batch(spark, tmp_path):
+    """Streaming z-score flags (state carried across two chronological
+    runs) agree with the batch rolling_anomalies decisions."""
+    from pyspark.sql import functions as F
+
+    from timeseriesfuser_spark.ops.timeseries import rolling_anomalies
+    from timeseriesfuser_spark.streaming import anomaly_stream
+
+    rows = []
+    for u in (1, 2):
+        for i in range(12):
+            v = 10.0 + (u * 0.5)
+            if i == 9:
+                v = 400.0  # planted spike
+            rows.append((u, 1000 * i, u * 100 + i, v))
+    schema = "user_id long, ts long, event_id long, value double"
+    batch_df = spark.createDataFrame(rows, schema)
+    expected = {
+        (r["user_id"], r["event_id"]): (r["n_base"], r["is_anomaly"])
+        for r in rolling_anomalies(
+            batch_df, lookback=5, min_points=3, k=3
+        ).collect()
+    }
+    assert any(f for (_, f) in expected.values())  # the spike is flagged
+
+    d = tmp_path / "anom"
+    ckpt = str(tmp_path / "ckpt_anom")
+    # two chronological halves → state must carry across query runs
+    first = [r for r in rows if r[1] < 6000]
+    second = [r for r in rows if r[1] >= 6000]
+    got = []
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(str(d))
+            .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+        )
+        out = anomaly_stream(
+            stream, keys=["user_id"], ts_col="ts",
+            lookback=5, min_points=3, k=3,
+        )
+
+        def sink(batch_df, batch_id):
+            got.extend(batch_df.collect())
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    spark.createDataFrame(first, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run()
+    spark.createDataFrame(second, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run()
+
+    streamed = {
+        (r["user_id"], r["event_id"]): (r["n_base"], r["is_anomaly"])
+        for r in got
+    }
+    assert streamed == expected

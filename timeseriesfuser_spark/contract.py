@@ -2563,3 +2563,105 @@ def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_size=_LB_BATCH,
         n_shards=_LB_SHARDS,
     )
+
+
+@register(
+    "rate_of_change",
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events),
+    d AS (SELECT user_id, ts, event_id, cents,
+                 cents - lag(cents) OVER w AS delta_cents,
+                 ts - lag(ts) OVER w AS delta_ms
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, ts, event_id, cents,
+           CAST(delta_cents AS BIGINT) AS delta_cents,
+           CAST(delta_ms AS BIGINT) AS delta_ms,
+           CASE WHEN delta_ms > 0
+                THEN CAST(delta_cents AS DOUBLE) * 1000.0
+                     / CAST(delta_ms AS DOUBLE) END AS rate_cps
+    FROM d WHERE delta_ms IS NOT NULL
+    """,
+)
+def q_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user discrete derivative (ops.timeseries.value_rates): PromQL
+    rate-style Δcents/Δms with one double division over exact ints. Single
+    per-key lag window."""
+    return TS.value_rates(_events(spark, sf_dir))
+
+
+@register(
+    "interpolate_1h",
+    oracle=f"""
+    WITH ev AS (SELECT user_id AS k, epoch_ms(ts) AS t, event_id AS seq,
+                       CAST(round(value * 100) AS BIGINT) AS c FROM events),
+    b AS (SELECT k, CAST((min(t) + {_H1 - 1}) // {_H1} * {_H1} AS BIGINT) AS gmin,
+                 CAST(max(t) // {_H1} * {_H1} AS BIGINT) AS gmax
+          FROM ev GROUP BY k),
+    g AS (SELECT k, unnest(generate_series(gmin, gmax, {_H1})) AS t
+          FROM b WHERE gmin <= gmax),
+    u AS (
+      SELECT k, t, 0 AS side, seq, c FROM ev
+      UNION ALL
+      SELECT k, t, 1 AS side, NULL, NULL FROM g
+    ),
+    m AS (SELECT k, t, side,
+            last_value(CASE WHEN side = 0 THEN struct_pack(t := t, c := c) END
+                       IGNORE NULLS)
+              OVER (PARTITION BY k ORDER BY t, side, seq
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+            first_value(CASE WHEN side = 0 THEN struct_pack(t := t, c := c) END
+                        IGNORE NULLS)
+              OVER (PARTITION BY k ORDER BY t, side, seq
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+          FROM u)
+    SELECT k AS user_id, CAST(t AS BIGINT) AS grid_ts,
+           CASE WHEN (prev).t = t THEN CAST((prev).c AS DOUBLE)
+                ELSE CAST((prev).c AS DOUBLE)
+                     + CAST(((nxt).c - (prev).c) * (t - (prev).t) AS DOUBLE)
+                       / CAST((nxt).t - (prev).t AS DOUBLE) END AS interp_cents,
+           ((prev).t = t) AS exact_hit,
+           CAST((prev).t AS BIGINT) AS prev_ts,
+           CASE WHEN (prev).t != t THEN CAST((nxt).t AS BIGINT) END AS next_ts
+    FROM m
+    WHERE side = 1 AND prev IS NOT NULL AND ((prev).t = t OR nxt IS NOT NULL)
+    """,
+)
+def q_interpolate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation onto the hourly grid (ops.timeseries.
+    interpolate_grid): straight-line value between the bracketing events of
+    each per-user grid point — exact-int numerator/denominator, one double
+    division. Chunked spine + diagonal union + two per-key windows; the
+    extrapolating cousin is the engine's forward-fill resample (T3/W2)."""
+    return TS.interpolate_grid(_events(spark, sf_dir), "1h")
+
+
+_SKEW_TOPN = 10
+
+
+@register(
+    "skew_report",
+    oracle=f"""
+    WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+               FROM events GROUP BY 1, 2),
+    top AS (SELECT * FROM c ORDER BY cnt DESC, event_type, user_id
+            LIMIT {_SKEW_TOPN})
+    SELECT event_type, user_id,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt * 1000000 // (SELECT count(*) FROM events) AS BIGINT)
+             AS share_ppm,
+           CAST(dense_rank() OVER (ORDER BY cnt DESC) AS BIGINT) AS rank
+    FROM top
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key heavy-hitter diagnostics (ops.scale.key_skew_report):
+    exact top-10 (event_type, user_id) counts with corpus share in ppm and
+    dense rank — the pre-flight check for salting/AQE-skew decisions. One
+    map-side-combinable count agg + driver-bounded TakeOrdered."""
+    from timeseriesfuser_spark.ops.scale import key_skew_report
+
+    return key_skew_report(
+        _events(spark, sf_dir), ["event_type", "user_id"], top_n=_SKEW_TOPN
+    )

@@ -77,3 +77,42 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def key_skew_report(
+    df: DataFrame,
+    keys: Sequence[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Heavy-hitter diagnostics for a prospective shuffle key: the ``top_n``
+    most frequent key values with exact count, corpus share (ppm, exact
+    integer), and dense rank — the numbers that tell you whether a
+    groupBy/join on ``keys`` needs salting or AQE skew handling before you
+    run it at full scale.
+
+    Output: keys…, ``cnt``, ``share_ppm`` (= cnt·1e6 DIV total), ``rank``
+    (1 = hottest; count ties share a rank, broken by key order for
+    determinism of the row set).
+
+    Scale: one map-side-combinable count aggregation, then a driver-bounded
+    TakeOrdered top-N (never a global sort of the key space). The total is
+    attached as a 1-row broadcast scalar, not a window.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.count()
+    top = counts.orderBy(
+        F.desc("cnt"), *[F.col(k) for k in keys]
+    ).limit(int(top_n))
+    from pyspark.sql.window import Window
+
+    # rank over <= top_n rows: the window input is already driver-bounded.
+    w = Window.orderBy(F.desc("cnt"))
+    return top.select(
+        *keys,
+        F.col("cnt").cast("long").alias("cnt"),
+        F.expr(f"cnt * 1000000 DIV {int(total)}").cast("long").alias("share_ppm"),
+        F.dense_rank().over(w).cast("long").alias("rank"),
+    )

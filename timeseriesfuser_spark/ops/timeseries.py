@@ -270,3 +270,162 @@ def sliding_counts(
         "n_events",
         "sum_cents",
     )
+
+
+def value_rates(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Per-key discrete derivative (PromQL ``rate``-style): for every event
+    after the key's first, the change versus the previous event.
+
+    Output: key, ts, seq, ``delta_cents`` / ``delta_ms`` (exact ints) and
+    ``rate_cps`` = cents per second — ONE double division over exact
+    integers, so an SQL oracle matches bit-for-bit. Zero-gap pairs
+    (duplicate timestamps) yield a NULL rate rather than ±Inf.
+
+    Scale: a single lag window partitioned by key — embarrassingly
+    parallel, no other shuffle.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+    x = _cents(value_col)
+    out = df.select(
+        key_col,
+        ts_col,
+        seq_col,
+        x.alias("cents"),
+        (x - F.lag(x).over(w)).alias("delta_cents"),
+        (F.col(ts_col) - F.lag(ts_col).over(w)).cast("long").alias("delta_ms"),
+    ).filter(F.col("delta_ms").isNotNull())
+    return out.withColumn(
+        "rate_cps",
+        F.when(
+            F.col("delta_ms") > 0,
+            F.col("delta_cents").cast("double") * 1000.0
+            / F.col("delta_ms").cast("double"),
+        ),
+    )
+
+
+def interpolate_grid(
+    df: DataFrame,
+    interval: str = "1h",
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+    spine_chunk: int = 256,
+) -> DataFrame:
+    """Linear interpolation onto a fixed time grid, per key.
+
+    For every grid boundary ``g`` (step = ``interval``) between a key's
+    first and last event: the straight-line value between the latest event
+    at-or-before ``g`` and the earliest event strictly after ``g``::
+
+        v(g) = prev + (next - prev) · (g - t_prev) / (t_next - t_prev)
+
+    computed as exact-int numerator/denominator with ONE double division
+    and one add — bit-identical in any IEEE engine. A boundary that hits
+    an event exactly returns that event's value (``exact_hit``). Grid
+    points outside [first, last] are not emitted (interpolation, not
+    extrapolation — the engine's forward-fill resample covers the
+    extrapolating variant).
+
+    Ties at the same timestamp resolve to the highest ``seq_col`` for the
+    "previous" side (last observation wins — the engine's convention) and
+    the lowest for the "next" side.
+
+    Scale: the grid spine is generated with the same two-level chunked
+    explode as ``operators.resample`` (no single task materializes a
+    long-lived key's whole span), unioned with the events, and resolved
+    with two per-key windows (prev via last-ignorenulls, next via a
+    following-frame first) — one shuffle on the key, window partitions are
+    per-key sized.
+    """
+    step = interval_to_ms(interval)
+    k, t = F.col(key_col), F.col(ts_col)
+
+    ev = df.select(
+        k.alias("__k"),
+        t.cast("long").alias("__t"),
+        F.col(seq_col).cast("long").alias("__seq"),
+        _cents(value_col).alias("__c"),
+    )
+    # Per-key grid bounds: first boundary >= min ts, last boundary <= max ts.
+    bounds = ev.groupBy("__k").agg(
+        (F.expr(f"(min(__t) + {step - 1}) DIV {step}") * step).alias("__gmin"),
+        (F.expr(f"max(__t) DIV {step}") * step).alias("__gmax"),
+    )
+    chunk_ms = step * int(spine_chunk)
+    chunks = bounds.filter(F.col("__gmin") <= F.col("__gmax")).select(
+        "__k",
+        "__gmax",
+        F.explode(
+            F.sequence(F.col("__gmin"), F.col("__gmax"), F.lit(chunk_ms))
+        ).alias("__chunk"),
+    )
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    grid = chunks.repartition(n, "__k", "__chunk").select(
+        "__k",
+        F.explode(
+            F.sequence(
+                F.col("__chunk"),
+                F.least(F.col("__chunk") + F.lit(chunk_ms - step), F.col("__gmax")),
+                F.lit(step),
+            )
+        ).alias("__t"),
+    )
+
+    # Diagonal union: events (side 0) sort before grid points (side 1) at
+    # the same instant, so an exact hit sees itself as its "prev".
+    ev_side = ev.select(
+        "__k", "__t", F.lit(0).alias("__side"), "__seq", "__c"
+    )
+    grid_side = grid.select(
+        "__k",
+        "__t",
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__seq"),
+        F.lit(None).cast("long").alias("__c"),
+    )
+    u = ev_side.unionByName(grid_side)
+
+    prev_w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side", "__seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    next_w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side", "__seq")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_ev = F.col("__side") == 0
+    ev_struct = F.when(is_ev, F.struct(F.col("__t").alias("t"), F.col("__c").alias("c")))
+    marked = (
+        u.withColumn("__prev", F.last(ev_struct, ignorenulls=True).over(prev_w))
+        .withColumn("__next", F.first(ev_struct, ignorenulls=True).over(next_w))
+        .filter(~is_ev)
+    )
+    tp, cp = F.col("__prev.t"), F.col("__prev.c")
+    tn, cn = F.col("__next.t"), F.col("__next.c")
+    g = F.col("__t")
+    exact = tp == g
+    interp = cp.cast("double") + ((cn - cp) * (g - tp)).cast("double") / (
+        tn - tp
+    ).cast("double")
+    return marked.filter(
+        tp.isNotNull() & (exact | tn.isNotNull())
+    ).select(
+        F.col("__k").alias(key_col),
+        g.alias("grid_ts"),
+        F.when(exact, cp.cast("double")).otherwise(interp).alias("interp_cents"),
+        exact.alias("exact_hit"),
+        tp.alias("prev_ts"),
+        F.when(~exact, tn).alias("next_ts"),
+    )

@@ -289,6 +289,89 @@ def sessionize_stream(
     )
 
 
+
+def anomaly_stream(
+    df: DataFrame,
+    *,
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = TS_COL,
+    seq_col: str = "event_id",
+    cents_col: str = "cents",
+    lookback: int = 10,
+    min_points: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """Streaming twin of ``ops.timeseries.rolling_anomalies``: per-key
+    trailing z-score anomaly flags with the baseline ring buffer carried in
+    the state store across micro-batches (and restarts).
+
+    ``cents_col`` must be the integer-quantized value (quantize upstream
+    with JVM expressions — e.g. ``F.round(F.col("value")*100).cast("long")``
+    — so the Python side only does exact int arithmetic). The decision is
+    the same integer inequality as the batch op::
+
+        (n·x - S)² · (n-1)  >  k² · n · (n·Q - S²)
+
+    so stream and batch agree bit-for-bit WHEN events arrive in event-time
+    order across micro-batches (the replay harness's chronological split;
+    with out-of-order arrival the baseline reflects arrival order — the
+    same caveat as the reference's live mode, SURVEY.md §2.8).
+
+    State is O(lookback) longs per active key, Arrow-batched per group.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keys = list(keys)
+    key_fields = [T.StructField(kk, T.LongType(), True) for kk in keys]
+    out_schema = T.StructType(
+        key_fields
+        + [
+            T.StructField(ts_col, T.LongType(), True),
+            T.StructField(seq_col, T.LongType(), True),
+            T.StructField("cents", T.LongType(), True),
+            T.StructField("n_base", T.LongType(), True),
+            T.StructField("is_anomaly", T.BooleanType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("buf", T.ArrayType(T.LongType()), True)]
+    )
+    k2 = int(k) * int(k)
+
+    def fn(key, pdfs, state):
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(t), int(s), int(c))
+                for t, s, c in zip(pdf[ts_col], pdf[seq_col], pdf[cents_col])
+            )
+        rows.sort()
+        buf = list(state.get[0]) if state.exists else []
+        out = []
+        for t, s, x in rows:
+            n = len(buf)
+            flag = False
+            if n >= min_points:
+                S = sum(buf)
+                Q = sum(v * v for v in buf)
+                dev = n * x - S
+                flag = dev * dev * (n - 1) > k2 * n * (n * Q - S * S)
+            out.append(
+                {**dict(zip(keys, key)), ts_col: t, seq_col: s, "cents": x,
+                 "n_base": n, "is_anomaly": flag}
+            )
+            buf.append(x)
+            if len(buf) > lookback:
+                buf.pop(0)
+        state.update((buf,))
+        yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def dedup_stream(
     df: DataFrame,
     *,
