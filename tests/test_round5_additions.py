@@ -324,3 +324,61 @@ def test_key_skew_report_planted(spark):
     assert top["k"] == "hot" and top["cnt"] == 80
     assert top["share_ppm"] == 800_000
     assert all(r["cnt"] == 1 and r["rank"] == 2 for r in out if r["k"] != "hot")
+
+
+# --------------------------------------------------------------------------- #
+# twap_bars / ewma
+# --------------------------------------------------------------------------- #
+
+
+def test_twap_hand_computed(spark):
+    # one user, horizon at 10_000: v=1.00 for [0,4000), v=3.00 for [4000,10000)
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=0, event_id=1, value=1.00),
+            Row(user_id=1, ts=4000, event_id=2, value=3.00),
+        ]
+    )
+    out = TS.twap_bars(df, "1s", horizon_ms=10_000).collect()
+    by_ts = {r["bar_ts"]: r for r in out}
+    assert len(by_ts) == 10
+    assert by_ts[0]["twap_cents"] == 100.0
+    assert by_ts[3000]["twap_cents"] == 100.0
+    assert by_ts[4000]["twap_cents"] == 300.0
+    assert by_ts[9000]["twap_cents"] == 300.0
+    assert by_ts[0]["dur_ms"] == 1000 and by_ts[0]["tw_cents"] == 100_000
+
+
+def test_twap_split_segment(spark):
+    # event mid-bucket: bucket 0 averages 1.00 (500ms) and 2.00 (500ms)
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=0, event_id=1, value=1.00),
+            Row(user_id=1, ts=500, event_id=2, value=2.00),
+        ]
+    )
+    out = {r["bar_ts"]: r for r in TS.twap_bars(df, "1s", horizon_ms=2000).collect()}
+    assert out[0]["twap_cents"] == 150.0
+    assert out[1000]["twap_cents"] == 200.0
+
+
+def test_ewma_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=0, event_id=1, value=1.00),
+            Row(user_id=1, ts=1000, event_id=2, value=2.00),
+            Row(user_id=1, ts=2000, event_id=3, value=3.00),
+            Row(user_id=2, ts=0, event_id=4, value=8.00),
+        ]
+    )
+    out = {r["event_id"]: r["ewma"] for r in TS.ewma(df, alpha=0.25).collect()}
+    assert out[1] == 100.0
+    assert out[2] == 0.25 * 200 + 0.75 * 100.0   # 125
+    assert out[3] == 0.25 * 300 + 0.75 * 125.0   # 168.75
+    assert out[4] == 800.0  # independent key
+
+
+def test_ewma_rejects_bad_alpha(spark):
+    df = spark.createDataFrame([Row(user_id=1, ts=0, event_id=1, value=1.0)])
+    with pytest.raises(ValueError, match="alpha"):
+        TS.ewma(df, alpha=0.0)

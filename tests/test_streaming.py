@@ -339,3 +339,52 @@ def test_anomaly_stream_matches_batch(spark, tmp_path):
         for r in got
     }
     assert streamed == expected
+
+
+def test_join_streams_matches_batch_interval_join(spark, tmp_path):
+    """Stream-stream interval join agrees with the batch epoch-chunked
+    interval_join on the same data."""
+    from timeseriesfuser_spark.operators.rangejoin import interval_join
+    from timeseriesfuser_spark.streaming import join_streams
+
+    W = 5_000
+    pts_rows = [(1, i, 1000 * i) for i in range(10)] + [(2, 100, 3500)]
+    promo_rows = [(1, 900, 2000), (1, 901, 7000), (2, 902, 3000)]
+    pts_schema = "user_id long, pid long, ts long"
+    promo_schema = "user_id long, rid long, rts long"
+
+    batch = interval_join(
+        spark.createDataFrame(pts_rows, pts_schema),
+        spark.createDataFrame(promo_rows, promo_schema)
+        .withColumnRenamed("rts", "start_ms")
+        .withColumn("end_ms", F.col("start_ms") + W),
+        point_ts="ts",
+        keys=["user_id"],
+        chunk_ms=W,
+    )
+    expected = {(r["rid"], r["pid"]) for r in batch.collect()}
+    assert expected  # non-trivial fixture
+
+    dl, dr = tmp_path / "jl", tmp_path / "jr"
+    spark.createDataFrame(pts_rows, pts_schema).coalesce(1).write.parquet(str(dl))
+    spark.createDataFrame(promo_rows, promo_schema).coalesce(1).write.parquet(str(dr))
+    out = join_streams(
+        spark.readStream.schema(pts_schema).parquet(str(dl)),
+        spark.readStream.schema(promo_schema).parquet(str(dr)),
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="rts",
+        window_ms=W,
+        watermark="1 hour",
+    )
+    got = []
+    q = (
+        out.writeStream.foreachBatch(lambda b, _: got.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_join"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert {(r["rid"], r["pid"]) for r in got} == expected

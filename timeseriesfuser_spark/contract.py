@@ -2665,3 +2665,160 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(
         _events(spark, sf_dir), ["event_type", "user_id"], top_n=_SKEW_TOPN
     )
+
+
+@register(
+    "twap_1d",
+    oracle=f"""
+    WITH ev AS (SELECT user_id AS k, epoch_ms(ts) AS t, event_id AS seq,
+                       CAST(round(value * 100) AS BIGINT) AS c FROM events),
+    seg AS (SELECT k, c, t AS s,
+                   coalesce(lead(t) OVER (PARTITION BY k ORDER BY t, seq),
+                            (SELECT max(t) FROM ev)) AS e
+            FROM ev),
+    ex AS (SELECT k, c, s, e,
+                  unnest(generate_series(s // {_D1}, (e - 1) // {_D1})) AS b
+           FROM seg WHERE e > s),
+    agg AS (SELECT k, b,
+                   sum(least(e, (b + 1) * {_D1}) - greatest(s, b * {_D1}))
+                     AS dur_ms,
+                   sum(c * (least(e, (b + 1) * {_D1}) - greatest(s, b * {_D1})))
+                     AS tw
+            FROM ex GROUP BY k, b)
+    SELECT k AS user_id, CAST(b * {_D1} AS BIGINT) AS bar_ts,
+           CAST(dur_ms AS BIGINT) AS dur_ms,
+           CAST(tw AS BIGINT) AS tw_cents,
+           CAST(tw AS DOUBLE) / CAST(dur_ms AS DOUBLE) AS twap_cents
+    FROM agg
+    """,
+)
+def q_twap_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily TIME-weighted average value per user (ops.timeseries.
+    twap_bars): the integral of the LOCF value over each day — a value held
+    for hours outweighs a flurry of short-lived ones. Per-key lead window +
+    bounded segment-over-bucket explode + one hash-agg; exact-int
+    cents·duration sums, one double division."""
+    return TS.twap_bars(_events(spark, sf_dir), "1d")
+
+
+_EWMA_A = 0.25
+
+
+@register(
+    "ewma_user",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+        SELECT user_id AS k, epoch_ms(ts) AS t, event_id AS seq,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ms(ts), event_id) AS rn
+        FROM events),
+    r AS (
+        SELECT k, t, seq, cents, rn, CAST(cents AS DOUBLE) AS ewma
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.k, e.t, e.seq, e.cents, e.rn,
+               {_EWMA_A} * e.cents + {1.0 - _EWMA_A} * r.ewma
+        FROM ev e JOIN r ON e.k = r.k AND e.rn = r.rn + 1
+    )
+    SELECT k AS user_id, t AS ts, seq AS event_id, cents, ewma FROM r
+    """,
+)
+def q_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (ops.timeseries.ewma): a genuinely recursive operator
+    (each row depends on the previous OUTPUT) — the sanctioned
+    applyInPandas case, per-key Arrow groups. The oracle steps the same
+    recursion with a recursive CTE; α = 0.25 is exactly representable so
+    the identical IEEE mult-mult-add chain matches bit-for-bit."""
+    return TS.ewma(_events(spark, sf_dir), alpha=_EWMA_A)
+
+
+_Q6_LO = 978_307_200_000   # 2001-01-01T00:00:00Z  (within the data's range)
+_Q6_HI = 1_009_843_200_000  # 2002-01-01T00:00:00Z
+
+
+@register(
+    "tpch_q6_forecast",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_c4
+    FROM lineitem
+    WHERE epoch_ms(l_shipdate) >= {_Q6_LO}
+      AND epoch_ms(l_shipdate) < {_Q6_HI}
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): pure filter + global sum —
+    the canonical predicate-pushdown/column-pruning showcase; the scan
+    should read 4 columns and push every predicate (price·discount kept
+    as exact cent×cent integer, no float aggregation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    ship_ms = ts_epoch_ms_col(li, "l_shipdate")
+    return (
+        li.withColumn("__ship", ship_ms)
+        .filter(
+            (F.col("__ship") >= _Q6_LO)
+            & (F.col("__ship") < _Q6_HI)
+            & disc_c.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(price_c * disc_c).alias("revenue_c4"),
+        )
+    )
+
+
+_Q18_MINQTY = 150
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                 AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(round(l_quantity) AS BIGINT)) > {_Q18_MINQTY}
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(epoch_ms(o.o_orderdate) AS BIGINT) AS o_orderdate_ms,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+           b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): lineitem pre-aggregated to
+    per-order quantity BEFORE any join (map-side combinable; the HAVING
+    filter shrinks the join input to the few big orders), then joined to
+    orders and broadcast-joined to customer."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > _Q18_MINQTY)
+    )
+    odate = ts_epoch_ms_col(orders, "o_orderdate")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            odate.alias("o_orderdate_ms"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+            "sum_qty",
+        )
+    )

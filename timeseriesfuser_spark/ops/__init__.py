@@ -42,10 +42,15 @@ from timeseriesfuser_spark.ops.similarity import (
     semantic_dedup_pairs,
     srp_signatures,
 )
+from timeseriesfuser_spark.ops.scale import key_skew_report
 from timeseriesfuser_spark.ops.timeseries import (
     event_transitions,
+    ewma,
+    interpolate_grid,
     ohlc_bars,
     rolling_anomalies,
+    twap_bars,
+    value_rates,
     vwap_bars,
 )
 
@@ -53,10 +58,15 @@ __all__ = [
     "bigram_lm_score",
     "chunk_documents",
     "hashed_classifier_score",
+    "interpolate_grid",
+    "key_skew_report",
     "length_bucketed_batches",
     "passage_dedup",
     "pq_codes",
+    "ewma",
     "rolling_anomalies",
+    "twap_bars",
+    "value_rates",
     "connected_components",
     "cosine_topk",
     "dedup_verdicts",

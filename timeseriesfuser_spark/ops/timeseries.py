@@ -319,7 +319,6 @@ def interpolate_grid(
     key_col: str = "user_id",
     value_col: str = "value",
     seq_col: str = "event_id",
-    spine_chunk: int = 256,
 ) -> DataFrame:
     """Linear interpolation onto a fixed time grid, per key.
 
@@ -340,12 +339,13 @@ def interpolate_grid(
     "previous" side (last observation wins — the engine's convention) and
     the lowest for the "next" side.
 
-    Scale: the grid spine is generated with the same two-level chunked
-    explode as ``operators.resample`` (no single task materializes a
-    long-lived key's whole span), unioned with the events, and resolved
-    with two per-key windows (prev via last-ignorenulls, next via a
-    following-frame first) — one shuffle on the key, window partitions are
-    per-key sized.
+    Scale — the SEGMENT formulation: one per-key ``lead`` window turns the
+    events into [t, t_next) segments, and each segment explodes over just
+    the grid points it covers (the same shape as :func:`twap_bars`). One
+    shuffle, one window over the EVENTS ONLY, one output-bounded explode.
+    The first formulation here (grid spine ∪ events + a forward and a
+    reverse window over the union) sorted input+output twice and measured
+    20x slower at 10M rows — see NOTES.md round 5.
     """
     step = interval_to_ms(interval)
     k, t = F.col(key_col), F.col(ts_col)
@@ -356,76 +356,190 @@ def interpolate_grid(
         F.col(seq_col).cast("long").alias("__seq"),
         _cents(value_col).alias("__c"),
     )
-    # Per-key grid bounds: first boundary >= min ts, last boundary <= max ts.
-    bounds = ev.groupBy("__k").agg(
-        (F.expr(f"(min(__t) + {step - 1}) DIV {step}") * step).alias("__gmin"),
-        (F.expr(f"max(__t) DIV {step}") * step).alias("__gmax"),
-    )
-    chunk_ms = step * int(spine_chunk)
-    chunks = bounds.filter(F.col("__gmin") <= F.col("__gmax")).select(
+    # Segments: [t, next event's t). Duplicate-ts runs: every event but the
+    # highest-seq one gets an empty segment (lead lands on the same ts), so
+    # "last observation wins" falls out of the (ts, seq) lead ordering. The
+    # last event's segment is [t, t+1): it covers only an exact grid hit.
+    w = Window.partitionBy("__k").orderBy("__t", "__seq")
+    seg = ev.select(
         "__k",
-        "__gmax",
-        F.explode(
-            F.sequence(F.col("__gmin"), F.col("__gmax"), F.lit(chunk_ms))
-        ).alias("__chunk"),
-    )
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    grid = chunks.repartition(n, "__k", "__chunk").select(
+        F.col("__t").alias("__tp"),
+        F.col("__c").alias("__cp"),
+        F.lead("__t").over(w).alias("__tn"),
+        F.lead("__c").over(w).alias("__cn"),
+    ).withColumn("__end", F.coalesce(F.col("__tn"), F.col("__tp") + 1))
+    # Grid points covered by [tp, end): ceil(tp) .. the last multiple < end.
+    g0 = F.expr(f"((__tp + {step - 1}) DIV {step}) * {step}")
+    g1 = F.expr(f"((__end - 1) DIV {step}) * {step}")
+    ex = seg.filter(F.col("__end") > F.col("__tp")).select(
         "__k",
+        "__tp",
+        "__cp",
+        "__tn",
+        "__cn",
         F.explode(
-            F.sequence(
-                F.col("__chunk"),
-                F.least(F.col("__chunk") + F.lit(chunk_ms - step), F.col("__gmax")),
-                F.lit(step),
+            F.when(g0 <= g1, F.sequence(g0, g1, F.lit(step))).otherwise(
+                F.array().cast("array<long>")
             )
-        ).alias("__t"),
+        ).alias("__g"),
     )
-
-    # Diagonal union: events (side 0) sort before grid points (side 1) at
-    # the same instant, so an exact hit sees itself as its "prev".
-    ev_side = ev.select(
-        "__k", "__t", F.lit(0).alias("__side"), "__seq", "__c"
-    )
-    grid_side = grid.select(
-        "__k",
-        "__t",
-        F.lit(1).alias("__side"),
-        F.lit(None).cast("long").alias("__seq"),
-        F.lit(None).cast("long").alias("__c"),
-    )
-    u = ev_side.unionByName(grid_side)
-
-    prev_w = (
-        Window.partitionBy("__k")
-        .orderBy("__t", "__side", "__seq")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    next_w = (
-        Window.partitionBy("__k")
-        .orderBy("__t", "__side", "__seq")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    is_ev = F.col("__side") == 0
-    ev_struct = F.when(is_ev, F.struct(F.col("__t").alias("t"), F.col("__c").alias("c")))
-    marked = (
-        u.withColumn("__prev", F.last(ev_struct, ignorenulls=True).over(prev_w))
-        .withColumn("__next", F.first(ev_struct, ignorenulls=True).over(next_w))
-        .filter(~is_ev)
-    )
-    tp, cp = F.col("__prev.t"), F.col("__prev.c")
-    tn, cn = F.col("__next.t"), F.col("__next.c")
-    g = F.col("__t")
+    tp, cp = F.col("__tp"), F.col("__cp")
+    tn, cn = F.col("__tn"), F.col("__cn")
+    g = F.col("__g")
     exact = tp == g
     interp = cp.cast("double") + ((cn - cp) * (g - tp)).cast("double") / (
         tn - tp
     ).cast("double")
-    return marked.filter(
-        tp.isNotNull() & (exact | tn.isNotNull())
-    ).select(
+    return ex.filter(exact | tn.isNotNull()).select(
         F.col("__k").alias(key_col),
         g.alias("grid_ts"),
         F.when(exact, cp.cast("double")).otherwise(interp).alias("interp_cents"),
         exact.alias("exact_hit"),
         tp.alias("prev_ts"),
         F.when(~exact, tn).alias("next_ts"),
+    )
+
+
+def twap_bars(
+    df: DataFrame,
+    interval: str = "1d",
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+    horizon_ms: int = None,
+) -> DataFrame:
+    """TIME-weighted average value per (key, interval) — the integral of the
+    last-observation-carried-forward value over each bucket, divided by the
+    covered duration. The time-weighted counterpart of :func:`vwap_bars`
+    (event-weighted): a value that held for 23 hours dominates one that
+    held for a minute, regardless of event counts.
+
+    Each event opens a segment [t, next event's t) (per key, ties by
+    ``seq_col``; the last segment closes at ``horizon_ms`` — default: the
+    global max timestamp). Segments are exploded over the buckets they
+    span and clipped; per (key, bucket): ``dur_ms`` = covered duration,
+    ``tw_cents`` = Σ cents·overlap (exact int), ``twap_cents`` = one double
+    division. Buckets before a key's first event emit nothing (no value
+    held yet).
+
+    Scale: one per-key lead window + a bounded explode (segments/bucket
+    fan-out = segment length / interval — long-idle keys produce long
+    segments, which explode across their span; the output spine, not the
+    input, bounds that term) + one hash-agg. The horizon is a 1-row
+    aggregate attached as a broadcast scalar, never a window.
+    """
+    step = interval_to_ms(interval)
+    ev = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).cast("long").alias("__t"),
+        F.col(seq_col).cast("long").alias("__seq"),
+        _cents(value_col).alias("__c"),
+    )
+    if horizon_ms is None:
+        hz = ev.agg(F.max("__t").alias("__hz"))
+        ev = ev.crossJoin(F.broadcast(hz))
+    else:
+        ev = ev.withColumn("__hz", F.lit(int(horizon_ms)))
+    w = Window.partitionBy("__k").orderBy("__t", "__seq")
+    seg = ev.select(
+        "__k",
+        "__c",
+        F.col("__t").alias("__s"),
+        F.coalesce(F.lead("__t").over(w), F.col("__hz")).alias("__e"),
+    ).filter(F.col("__e") > F.col("__s"))
+    b0 = F.expr(f"__s DIV {step}")
+    b1 = F.expr(f"(__e - 1) DIV {step}")
+    ex = seg.select(
+        "__k",
+        "__c",
+        "__s",
+        "__e",
+        F.explode(F.sequence(b0, b1)).alias("__b"),
+    )
+    bucket_lo = F.col("__b") * step
+    bucket_hi = bucket_lo + step
+    overlap = F.least(F.col("__e"), bucket_hi) - F.greatest(F.col("__s"), bucket_lo)
+    agg = ex.groupBy("__k", "__b").agg(
+        F.sum(overlap).alias("dur_ms"),
+        F.sum(F.col("__c") * overlap).alias("tw_cents"),
+    )
+    return agg.select(
+        F.col("__k").alias(key_col),
+        (F.col("__b") * step).cast("long").alias("bar_ts"),
+        F.col("dur_ms").cast("long").alias("dur_ms"),
+        F.col("tw_cents").cast("long").alias("tw_cents"),
+        (F.col("tw_cents").cast("double") / F.col("dur_ms").cast("double")).alias(
+            "twap_cents"
+        ),
+    )
+
+
+def ewma(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average of the cent-quantized
+    value: ``ew₀ = x₀``, ``ewᵢ = α·xᵢ + (1−α)·ewᵢ₋₁`` in (ts, seq) order.
+
+    The recursion is genuinely non-relational (each row depends on the
+    previous row's OUTPUT), so this is the sanctioned Arrow-batched
+    ``applyInPandas`` case — per-key groups, a tight float64 loop inside
+    the worker, no driver involvement. The SQL twin is a recursive CTE
+    stepping rank-by-rank; with the default α = 0.25 (exactly
+    representable in binary) both engines execute the identical IEEE
+    mult-mult-add chain, so the floats match bit-for-bit.
+
+    Scale: one shuffle on the key; per-group work is O(rows in group).
+    Keys are the parallelism unit — the same posture as every per-key
+    window here, with Python cost paid only for the irreducibly
+    sequential recursion.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    a = float(alpha)
+    if not (0.0 < a <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1]: {alpha}")
+    ev = df.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(seq_col).cast("long").alias("seq"),
+        _cents(value_col).alias("cents"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", ev.schema["k"].dataType, True),
+            T.StructField("ts", T.LongType(), True),
+            T.StructField("seq", T.LongType(), True),
+            T.StructField("cents", T.LongType(), True),
+            T.StructField("ewma", T.DoubleType(), True),
+        ]
+    )
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "seq"], ignore_index=True)
+        ew = 0.0
+        out = []
+        for i, x in enumerate(pdf["cents"]):
+            x = float(x)
+            ew = x if i == 0 else a * x + (1.0 - a) * ew
+            out.append(ew)
+        pdf["ewma"] = out
+        return pdf
+
+    out = ev.groupBy("k").applyInPandas(fn, schema)
+    return out.select(
+        F.col("k").alias(key_col),
+        F.col("ts").alias(ts_col),
+        F.col("seq").alias(seq_col),
+        "cents",
+        "ewma",
     )

@@ -211,6 +211,58 @@ def sliding_stream(
     )
 
 
+
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    keys: Sequence[str] = (),
+    left_ts: str = TS_COL,
+    right_ts: str = TS_COL,
+    window_ms: int = 3_600_000,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each left event matched to the right
+    events whose window contains it — ``right.ts <= left.ts < right.ts +
+    window_ms`` plus equality on ``keys`` — the streaming twin of
+    ``operators.rangejoin.interval_join`` with fixed-length right windows.
+
+    Both sides are watermarked on event time, and the join carries the
+    time-range predicate Structured Streaming needs to expire buffered
+    state: right rows are dropped once the left watermark passes
+    ``right.ts + window_ms``, left rows once the right watermark passes
+    ``left.ts``. Choose ``watermark`` ≥ the worst expected cross-stream
+    skew; state is O(events inside the watermark horizon), not unbounded.
+
+    Column names must be disjoint apart from ``keys`` (same contract as
+    the batch op).
+    """
+    overlap = set(left.columns) & set(right.columns) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"non-key columns present on both sides: {sorted(overlap)}"
+        )
+    l = left.withColumn(
+        "__levt", F.timestamp_millis(F.col(left_ts))
+    ).withWatermark("__levt", watermark)
+    r = right.withColumn(
+        "__revt", F.timestamp_millis(F.col(right_ts))
+    ).withWatermark("__revt", watermark)
+    cond = (
+        (F.col("__levt") >= F.col("__revt"))
+        & (
+            F.col("__levt")
+            < F.col("__revt") + F.expr(f"INTERVAL {int(window_ms)} MILLISECONDS")
+        )
+    )
+    for k in keys:
+        cond = cond & (l[k] == r[k])
+    joined = l.join(r, cond, "inner")
+    for k in keys:
+        joined = joined.drop(r[k])
+    return joined.drop("__levt", "__revt")
+
+
 def sessionize_stream(
     df: DataFrame,
     gap_ms: int,
