@@ -382,3 +382,41 @@ def test_ewma_rejects_bad_alpha(spark):
     df = spark.createDataFrame([Row(user_id=1, ts=0, event_id=1, value=1.0)])
     with pytest.raises(ValueError, match="alpha"):
         TS.ewma(df, alpha=0.0)
+
+
+# --------------------------------------------------------------------------- #
+# pivot_features
+# --------------------------------------------------------------------------- #
+
+
+def test_pivot_features_static_schema_and_zeros(spark):
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, event_type="click", value=1.00),
+            Row(user_id=1, event_type="click", value=2.00),
+            Row(user_id=2, event_type="buy", value=5.00),
+        ]
+    )
+    out = TS.pivot_features(df, pivot_values=("click", "buy", "view"))
+    assert out.columns == [
+        "user_id",
+        "click_n", "click_cents",
+        "buy_n", "buy_cents",
+        "view_n", "view_cents",
+    ]
+    rows = {r["user_id"]: r for r in out.collect()}
+    assert rows[1]["click_n"] == 2 and rows[1]["click_cents"] == 300
+    assert rows[1]["buy_n"] == 0 and rows[1]["view_cents"] == 0
+    assert rows[2]["buy_cents"] == 500
+    # Spark pivots as two-level aggregation: pre-agg on (key, pivot_col),
+    # then the pivot agg on key — exactly 2 exchanges, the second over the
+    # already-reduced relation. No per-pivot-value shuffles.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 2
+
+
+def test_pivot_features_requires_values(spark):
+    df = spark.createDataFrame([Row(user_id=1, event_type="a", value=1.0)])
+    with pytest.raises(ValueError, match="pivot_values"):
+        TS.pivot_features(df)

@@ -2396,9 +2396,10 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram-LM likelihood proxy (ops.lm.bigram_lm_score): KenLM-
     style quality axis — P(w2|w1) = c2/c1 stored integer-exact in ppm;
-    per-doc Σ/min/avg over bigram occurrences. Model build = two word-count
-    aggs; scoring = broadcast model join (shuffle-join fallback for
-    web-scale vocabularies)."""
+    per-doc Σ/min/avg over bigram occurrences. Model build = one word-count
+    agg (+c1 derived from the distinct-bigram relation); scoring join left
+    to AQE, which broadcasts small (Zipf) models and shuffles web-scale
+    ones."""
     from timeseriesfuser_spark.ops import lm as LM
 
     return LM.bigram_lm_score(_t(spark, sf_dir, "documents"))
@@ -2821,4 +2822,36 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
             "sum_qty",
         )
+    )
+
+
+_PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def _pivot_oracle() -> str:
+    cols = []
+    for v in _PIVOT_TYPES:
+        cols.append(
+            f"CAST(sum(CASE WHEN event_type = '{v}' THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS {v}_n"
+        )
+        cols.append(
+            f"CAST(sum(CASE WHEN event_type = '{v}' "
+            f"THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) "
+            f"AS BIGINT) AS {v}_cents"
+        )
+    return (
+        "SELECT user_id, " + ", ".join(cols) + " FROM events GROUP BY user_id"
+    )
+
+
+@register("pivot_user_features", oracle=_pivot_oracle())
+def q_pivot_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user feature matrix (ops.timeseries.pivot_features): one
+    (count, cent-sum) column pair per event type — pivot with an EXPLICIT
+    value list, so there is no domain-discovery scan and the schema is
+    static; compiles to one map-side-combinable hash-agg of conditional
+    aggregates."""
+    return TS.pivot_features(
+        _events(spark, sf_dir), pivot_values=_PIVOT_TYPES
     )

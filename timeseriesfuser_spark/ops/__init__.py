@@ -48,6 +48,7 @@ from timeseriesfuser_spark.ops.timeseries import (
     ewma,
     interpolate_grid,
     ohlc_bars,
+    pivot_features,
     rolling_anomalies,
     twap_bars,
     value_rates,
@@ -62,6 +63,7 @@ __all__ = [
     "key_skew_report",
     "length_bucketed_batches",
     "passage_dedup",
+    "pivot_features",
     "pq_codes",
     "ewma",
     "rolling_anomalies",

@@ -11,14 +11,16 @@ arithmetic so a SQL oracle matches bit-for-bit.
 Scale design
 ------------
 
-``bigram_lm_score``: two aggregations over the exploded bigram relation
-build the model (bigram counts + left-unigram counts — classic word-count
-shape, map-side combinable); the per-bigram conditional probability (in
-ppm, integer) is attached back by an equi-join. The model relation is
-broadcast when it fits (``broadcast=True``, right for per-domain or
-trusted-corpus models); for an open-web-scale bigram vocabulary pass
-``broadcast=False`` and it becomes a shuffled hash join on the bigram key
-— the Zipf-skewed head is absorbed by AQE skew splitting since the model
+``bigram_lm_score``: one aggregation over the exploded (persisted) bigram
+relation builds the bigram counts; the left-unigram counts are derived
+from THOSE (a pass over distinct bigrams, not occurrences); the
+per-bigram conditional probability (ppm, integer) is attached back by an
+equi-join. Default ``broadcast=False`` leaves the join to AQE, which
+auto-broadcasts the model when its runtime size is small (the Zipf case)
+and shuffles otherwise — measured 44.6 s vs 65.8 s forced-broadcast at 1M
+synthetic docs whose bigrams are near-unique (model ≈ input sized).
+``broadcast=True`` is the explicit hint for known-small trusted-corpus
+models. The Zipf-skewed occurrence side is safe either way: the model
 side is one row per key.
 
 ``hashed_classifier_score`` is pure projection — per-token weights are
@@ -55,7 +57,8 @@ def bigram_lm_score(
     id_cols: Sequence[str] = ("doc_id",),
     text_col: str = "text",
     *,
-    broadcast: bool = True,
+    broadcast: bool = False,
+    cache: bool = True,
 ) -> DataFrame:
     """Score every document under the corpus's own bigram model.
 
@@ -75,18 +78,24 @@ def bigram_lm_score(
     bg = df.select(
         *ids, F.explode_outer(bigram_array(F.col(text_col))).alias("bg")
     )
-    # Model: bigram counts and left-unigram counts, joined into one
-    # (bigram -> ppm) relation. w1 = prefix of the joined string (cheaper
-    # than re-tokenizing; tokens contain no spaces by construction).
+    # The exploded occurrence relation feeds the model build AND the score
+    # join — Catalyst re-executes shared branches, so persist it once
+    # (ops.dedup._maybe_cache lesson; tokenize+explode is the dominant
+    # cost and must not run twice).
+    if cache:
+        from pyspark import StorageLevel
+
+        bg = bg.persist(StorageLevel.MEMORY_AND_DISK)
+    # Model: bigram counts; left-unigram counts derived FROM the bigram
+    # counts (Σ c2 over bigrams sharing w1) — one pass over the much
+    # smaller distinct-bigram relation instead of a second pass over the
+    # occurrences. w1 = prefix of the joined string (cheaper than
+    # re-tokenizing; tokens contain no spaces by construction).
     w1 = F.substring_index(F.col("bg"), " ", 1)
     c2 = bg.filter(F.col("bg").isNotNull()).groupBy("bg").agg(
         F.count(F.lit(1)).alias("c2")
     )
-    c1 = (
-        bg.filter(F.col("bg").isNotNull())
-        .groupBy(w1.alias("w1"))
-        .agg(F.count(F.lit(1)).alias("c1"))
-    )
+    c1 = c2.groupBy(w1.alias("w1")).agg(F.sum("c2").alias("c1"))
     model = c2.join(
         c1, F.substring_index(c2["bg"], " ", 1) == c1["w1"], "inner"
     ).select(

@@ -543,3 +543,49 @@ def ewma(
         "cents",
         "ewma",
     )
+
+
+def pivot_features(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    pivot_col: str = "event_type",
+    value_col: str = "value",
+    pivot_values: Sequence[str] = (),
+) -> DataFrame:
+    """Wide per-entity feature matrix from the event stream: one row per
+    key, one (count, exact cent-sum) column pair per ``pivot_col`` value —
+    the classic feature-engineering reshape feeding a downstream model.
+
+    ``pivot_values`` MUST be supplied: an explicit value list keeps the
+    output schema static (a plan property — required for streaming/SQL
+    contracts) and lets Spark skip the extra distinct-scan job it
+    otherwise runs to discover the pivot domain — the first rule of
+    pivoting at scale. Unlisted values are dropped, absent combinations
+    yield count 0 / sum 0.
+
+    One hash aggregation (pivot compiles to conditional aggregates —
+    map-side combinable); never a shuffle per pivot value.
+    """
+    if not pivot_values:
+        raise ValueError(
+            "pivot_values is required: an explicit domain keeps the schema "
+            "static and avoids the pivot-domain discovery scan"
+        )
+    x = _cents(value_col)
+    out = (
+        df.groupBy(key_col)
+        .pivot(pivot_col, list(pivot_values))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("cents"),
+        )
+    )
+    # absent (key, value) combinations: count/sum come back null → 0
+    fixed = [F.col(key_col)]
+    for v in pivot_values:
+        fixed.append(F.coalesce(F.col(f"{v}_n"), F.lit(0)).cast("long").alias(f"{v}_n"))
+        fixed.append(
+            F.coalesce(F.col(f"{v}_cents"), F.lit(0)).cast("long").alias(f"{v}_cents")
+        )
+    return out.select(*fixed)
