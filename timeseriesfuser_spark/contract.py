@@ -2855,3 +2855,47 @@ def q_pivot_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.pivot_features(
         _events(spark, sf_dir), pivot_values=_PIVOT_TYPES
     )
+
+
+@register(
+    "semantic_search",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+    nv AS (SELECT vec_id, v, {_NORM} AS n FROM vecs),
+    q AS (SELECT * FROM nv WHERE vec_id < 5),
+    pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(CAST(list_aggregate(
+                         [q.v[i] * c.v[i] FOR i IN range(1, len(q.v) + 1)],
+                         'sum') AS DOUBLE) / (sqrt(q.n) * sqrt(c.n)), 6)
+                       AS cosine
+              FROM q JOIN nv c ON q.vec_id != c.vec_id
+              WHERE q.n > 0 AND c.n > 0),
+    topk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id)
+                         AS rn
+             FROM pairs)
+    SELECT t.query_id, t.neighbor_id, t.cosine, CAST(t.rn AS BIGINT) AS rank,
+           d.lang, d.source,
+           CAST(length(d.text) AS BIGINT) AS n_chars
+    FROM topk t JOIN documents d ON d.doc_id = t.neighbor_id
+    WHERE rn <= 3
+    """,
+)
+def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval composition: exact cosine top-3 neighbors per
+    query vector (broadcast query side), then the neighbor ids broadcast-
+    joined back to `documents` for display metadata — the RAG serving
+    shape (ANN hit → metadata hydrate). The corpus relation never
+    shuffles; the hydrate join is on the tiny top-k result."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    hits = S.cosine_topk(
+        emb, queries, k=3, id_col="vec_id", vec_col="embedding"
+    ).withColumn("rank", F.col("rank").cast("long"))
+    return hits.join(docs, hits["neighbor_id"] == docs["doc_id"]).drop("doc_id")
