@@ -420,3 +420,43 @@ def test_pivot_features_requires_values(spark):
     df = spark.createDataFrame([Row(user_id=1, event_type="a", value=1.0)])
     with pytest.raises(ValueError, match="pivot_values"):
         TS.pivot_features(df)
+
+
+# --------------------------------------------------------------------------- #
+# byte_shards / curation_verdicts
+# --------------------------------------------------------------------------- #
+
+
+def test_byte_shards_first_byte_rule(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, n_bytes=40) for i in range(10)]  # 40B each, 100B shards
+    )
+    out = {r["doc_id"]: r for r in
+           P.byte_shards(df, 100, bytes_col="n_bytes").collect()}
+    # offsets 0,40,80,120,... → shards 0,0,0,1,1,2,2,2,3,3
+    assert [out[i]["shard"] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    assert out[2]["shard_offset"] == 80  # overshoots by one object max
+    assert out[3]["start_offset"] == 120
+
+
+def test_curation_verdicts_stages(spark):
+    good = ("the quick brown fox jumps over the lazy dog and it runs on "
+            "through the green field while the sun sets in the west and "
+            "evening comes to the quiet town where people rest after work "
+            "and children play games in the yard near the old oak tree "
+            "while birds sing their last songs of the long summer day")
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good),
+            Row(doc_id=2, text=good),        # exact dup of 1
+            Row(doc_id=3, text="tiny"),      # fails gopher min_tokens
+        ]
+    )
+    from timeseriesfuser_spark.ops.lm import curation_verdicts
+
+    out = {r["doc_id"]: r for r in curation_verdicts(df).collect()}
+    assert out[2]["verdict"] == "exact_dup" and out[2]["keep"] is False
+    assert out[3]["verdict"].startswith("gopher:") and out[3]["keep"] is False
+    assert out[1]["verdict"] in (
+        "keep", "classifier", "low_lm_score"  # passes dup+gopher stages
+    )

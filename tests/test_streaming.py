@@ -388,3 +388,50 @@ def test_join_streams_matches_batch_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     assert q.exception() is None
     assert {(r["rid"], r["pid"]) for r in got} == expected
+
+
+def test_ohlc_stream_matches_batch(spark, tmp_path):
+    from timeseriesfuser_spark.ops.timeseries import ohlc_bars
+    from timeseriesfuser_spark.streaming import ohlc_stream
+
+    rows = [
+        (1000 * i, i, "a" if i % 2 else "b", float(10 + (i * 7) % 23))
+        for i in range(40)
+    ]
+    schema = "ts long, event_id long, event_type string, value double"
+    batch_df = spark.createDataFrame(rows, schema)
+    max_ts = max(r[0] for r in rows)
+    # append mode emits a window only once the watermark passes its END —
+    # the final partial window is never emitted (the same emission
+    # contract streaming_resample_1h documents vs the batch end-flush).
+    expected = {
+        (r["event_type"], r["bar_ts"]): (
+            r["open"], r["high"], r["low"], r["close"],
+            r["n_events"], r["sum_cents"],
+        )
+        for r in ohlc_bars(batch_df, "10s").collect()
+        if r["bar_ts"] + 10_000 <= max_ts
+    }
+
+    d = tmp_path / "ohlc"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d))
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    out = ohlc_stream(stream, "10s", ts_col="ts")
+    got = []
+    q = (
+        out.writeStream.foreachBatch(lambda b, _: got.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ohlc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    streamed = {
+        (r["event_type"], r["bar_ts"]): (
+            r["open"], r["high"], r["low"], r["close"],
+            r["n_events"], r["sum_cents"],
+        )
+        for r in got
+    }
+    assert streamed == expected

@@ -2899,3 +2899,88 @@ def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=3, id_col="vec_id", vec_col="embedding"
     ).withColumn("rank", F.col("rank").cast("long"))
     return hits.join(docs, hits["neighbor_id"] == docs["doc_id"]).drop("doc_id")
+
+
+_CUR_LM_MIN = 30_000
+
+# The curation oracle COMPOSES the already-registered component oracles as
+# CTEs (each body carries its own WITH — legal subquery SQL), so the
+# composition can never drift from the components.
+_CURATION_ORACLE = f"""
+    WITH qf AS ({{qf}}),
+    cls AS ({{cls}}),
+    lm AS ({{lm}}),
+    ex AS (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY md5(text)) != doc_id AS is_dup
+        FROM documents
+    ),
+    v AS (
+        SELECT d.doc_id,
+               CASE WHEN ex.is_dup THEN 'exact_dup'
+                    WHEN NOT qf.keep THEN 'gopher:' || qf.drop_reason
+                    WHEN NOT cls.label_keep THEN 'classifier'
+                    WHEN coalesce(lm.sum_ppm, 0) < {_CUR_LM_MIN} * lm.n_bigrams
+                         THEN 'low_lm_score'
+                    ELSE 'keep' END AS verdict
+        FROM documents d
+        JOIN ex USING (doc_id)
+        JOIN qf USING (doc_id)
+        JOIN cls USING (doc_id)
+        JOIN lm USING (doc_id)
+    )
+    SELECT doc_id, verdict, verdict = 'keep' AS keep FROM v
+"""
+
+
+@register(
+    "curation_verdicts",
+    oracle=_CURATION_ORACLE.format(
+        qf=ORACLES["quality_filter"],
+        cls=ORACLES["quality_classifier"],
+        lm=ORACLES["bigram_lm"],
+    ),
+)
+def q_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-of-pipeline curation decision (ops.lm.curation_verdicts):
+    exact-dup → Gopher gate → classifier → bigram-LM threshold composed
+    with first-failing-stage reasons — the quality twin of
+    `dedup_verdicts`. Each component keeps its own scalable plan; the
+    composition is per-doc equi-joins."""
+    from timeseriesfuser_spark.ops import lm as LM
+
+    return LM.curation_verdicts(
+        _t(spark, sf_dir, "documents"), lm_min_avg_ppm=_CUR_LM_MIN
+    )
+
+
+_SHARD_BYTES = 65_536
+
+
+@register(
+    "byte_shards",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes
+               FROM documents),
+    o AS (SELECT doc_id, n_bytes,
+                 CAST(coalesce(sum(n_bytes) OVER (
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start_offset
+          FROM b)
+    SELECT doc_id, n_bytes, start_offset,
+           CAST(start_offset // {_SHARD_BYTES} AS BIGINT) AS shard,
+           CAST(start_offset % {_SHARD_BYTES} AS BIGINT) AS shard_offset
+    FROM o
+    """,
+)
+def q_byte_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard assignment (ops.packing.byte_shards):
+    ~64 KiB shards cut over the byte prefix sum in doc order, each object
+    whole in the shard holding its first byte. The prefix sum is the
+    two-pass range-bucketed scheme (no global-order window); the SQL twin
+    is the plain window cumsum."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n_bytes")
+    )
+    return P.byte_shards(docs, _SHARD_BYTES)

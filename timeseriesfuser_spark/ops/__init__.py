@@ -20,8 +20,13 @@ from timeseriesfuser_spark.ops.dedup import (
     passage_dedup,
     simhash_pairs,
 )
-from timeseriesfuser_spark.ops.lm import bigram_lm_score, hashed_classifier_score
+from timeseriesfuser_spark.ops.lm import (
+    bigram_lm_score,
+    curation_verdicts,
+    hashed_classifier_score,
+)
 from timeseriesfuser_spark.ops.packing import (
+    byte_shards,
     chunk_documents,
     length_bucketed_batches,
     sequence_pack,
@@ -57,6 +62,8 @@ from timeseriesfuser_spark.ops.timeseries import (
 
 __all__ = [
     "bigram_lm_score",
+    "byte_shards",
+    "curation_verdicts",
     "chunk_documents",
     "hashed_classifier_score",
     "interpolate_grid",

@@ -176,3 +176,68 @@ def hashed_classifier_score(
         ).alias("logit"),
         (s + F.lit(int(bias)) * n > 0).alias("label_keep"),
     )
+
+
+def curation_verdicts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    lm_min_avg_ppm: int = 30_000,
+    n_buckets: int = 1 << 20,
+    span: int = 1000,
+) -> DataFrame:
+    """The end-of-pipeline per-document curation decision: exact-duplicate
+    check, Gopher quality gate, hashed-classifier label, and bigram-LM
+    likelihood threshold composed into one keep/drop verdict with the
+    first-failing-stage reason — the quality counterpart of
+    ``ops.dedup.dedup_verdicts``.
+
+    Stage precedence (first failure wins, the order a real pipeline
+    applies them): ``exact_dup`` → ``gopher:<rule>`` → ``classifier`` →
+    ``low_lm_score`` → ``keep``. The LM test is the integer inequality
+    ``Σppm ≥ lm_min_avg_ppm · n_bigrams`` (avg ≥ threshold without a
+    float compare); bigram-less docs pass it vacuously (the token-count
+    gate already catches them).
+
+    Scale: each component keeps its own plan shape (hash/groupBy dedup,
+    zero-shuffle gates, LM model join); the composition is four per-doc
+    relations equi-joined on the id.
+    """
+    from timeseriesfuser_spark.ops.text import quality_filter
+
+    hashed = df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__h")
+    )
+    canon = hashed.groupBy("__h").agg(F.min("id").alias("__canon"))
+    exact = hashed.join(canon, "__h").select(
+        "id", (F.col("__canon") != F.col("id")).alias("__is_dup")
+    )
+    qf = quality_filter(df, text_col, (id_col,)).select(
+        F.col(id_col).alias("id"),
+        F.col("keep").alias("__qf_keep"),
+        F.col("drop_reason").alias("__qf_reason"),
+    )
+    cls = hashed_classifier_score(
+        df, (id_col,), text_col, n_buckets=n_buckets, span=span
+    ).select(F.col(id_col).alias("id"), F.col("label_keep").alias("__cls_keep"))
+    lm = bigram_lm_score(df, (id_col,), text_col).select(
+        F.col(id_col).alias("id"),
+        (
+            F.coalesce(F.col("sum_ppm"), F.lit(0))
+            >= F.lit(int(lm_min_avg_ppm)) * F.col("n_bigrams")
+        ).alias("__lm_keep"),
+    )
+    j = exact.join(qf, "id").join(cls, "id").join(lm, "id")
+    verdict = (
+        F.when(F.col("__is_dup"), F.lit("exact_dup"))
+        .when(~F.col("__qf_keep"), F.concat(F.lit("gopher:"), F.col("__qf_reason")))
+        .when(~F.col("__cls_keep"), F.lit("classifier"))
+        .when(~F.col("__lm_keep"), F.lit("low_lm_score"))
+        .otherwise(F.lit("keep"))
+    )
+    return j.select(
+        F.col("id").alias(id_col),
+        verdict.alias("verdict"),
+        (verdict == "keep").alias("keep"),
+    )

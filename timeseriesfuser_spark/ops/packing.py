@@ -264,3 +264,47 @@ def length_bucketed_batches(
         F.floor(rn / int(batch_size)).cast("long").alias("batch_in_shard"),
         F.pmod(rn, F.lit(int(batch_size))).cast("long").alias("pos_in_batch"),
     )
+
+
+def byte_shards(
+    df: DataFrame,
+    shard_bytes: int,
+    order_col: str = "doc_id",
+    bytes_col: str = "n_bytes",
+    id_cols: Sequence[str] = ("doc_id",),
+    num_buckets: Optional[int] = None,
+) -> DataFrame:
+    """WebDataset-style shard assignment: lay the objects out in
+    ``order_col`` order and cut ~``shard_bytes``-sized shards, each object
+    assigned WHOLE to the shard containing its first byte.
+
+    Output per object: ``n_bytes``, ``start_offset`` (bytes strictly
+    before it), ``shard`` (= start_offset DIV shard_bytes) and
+    ``shard_offset`` (position of the object's first byte inside its
+    shard). The first-byte rule means a shard can overshoot the cap by at
+    most one object — the standard trade for a parallel-computable
+    assignment (an exact greedy never-exceed packing is inherently
+    sequential; this is the prefix-sum formulation every distributed
+    shard writer uses).
+
+    Scale: delegates the exclusive byte prefix sum to
+    :func:`token_offsets` (two-pass range-bucketed scheme — no
+    global-order window), then pure integer arithmetic.
+    """
+    if shard_bytes <= 0:
+        raise ValueError(f"shard_bytes must be positive: {shard_bytes}")
+    offs = token_offsets(
+        df,
+        order_col=order_col,
+        count_col=bytes_col,
+        num_buckets=num_buckets,
+    )
+    return offs.select(
+        *id_cols,
+        F.col("n_tokens").alias("n_bytes"),
+        "start_offset",
+        F.expr(f"start_offset DIV {int(shard_bytes)}").cast("long").alias("shard"),
+        F.pmod(F.col("start_offset"), F.lit(int(shard_bytes)))
+        .cast("long")
+        .alias("shard_offset"),
+    )

@@ -263,6 +263,44 @@ def join_streams(
     return joined.drop("__levt", "__revt")
 
 
+
+def ohlc_stream(
+    df: DataFrame,
+    interval: str = "1h",
+    *,
+    keys: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    seq_col: str = "event_id",
+    watermark: str = "0 seconds",
+    ts_col: str = TS_COL,
+) -> DataFrame:
+    """Watermarked tumbling-window candlesticks: the streaming twin of
+    ``ops.timeseries.ohlc_bars`` — same (ts, seq) struct ordering key for
+    open/close, same exact-int cent sum, ``bar_ts`` = the window start
+    (the batch op's floor boundary), so stream and batch results are
+    row-identical on ordered arrival."""
+    step = interval_to_ms(interval)
+    wdf = df.withColumn(
+        "__evt", F.timestamp_millis(F.col(ts_col))
+    ).withWatermark("__evt", watermark)
+    win = F.window("__evt", f"{step} milliseconds")
+    order_key = F.struct(F.col(ts_col), F.col(seq_col))
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    agg = wdf.groupBy(*keys, win).agg(
+        F.min_by(F.col(value_col), order_key).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(F.col(value_col), order_key).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("sum_cents"),
+    )
+    return agg.select(
+        *keys,
+        F.unix_millis(F.col("window.start")).alias("bar_ts"),
+        "open", "high", "low", "close", "n_events", "sum_cents",
+    )
+
+
 def sessionize_stream(
     df: DataFrame,
     gap_ms: int,
