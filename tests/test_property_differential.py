@@ -115,3 +115,87 @@ def test_forward_fill_vs_naive_window(spark, rows, nulls):
         ).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------- #
+# round-5: interval join vs brute force; rolling anomalies vs pure Python
+# --------------------------------------------------------------------------- #
+
+_ij_points = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 500)),  # (key, ts)
+    min_size=1, max_size=20,
+)
+_ij_intervals = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(0, 200)),
+    min_size=1, max_size=10,  # (key, start, length)
+)
+
+
+@given(pts=_ij_points, ivs=_ij_intervals,
+       chunk=st.sampled_from([7, 50, 1000]))
+@SETTINGS
+def test_interval_join_vs_bruteforce(spark, pts, ivs, chunk):
+    from timeseriesfuser_spark.operators.rangejoin import interval_join
+
+    pdf = spark.createDataFrame(
+        [Row(k=k, pid=i, ts=t) for i, (k, t) in enumerate(pts)]
+    )
+    idf = spark.createDataFrame(
+        [Row(k=k, iid=i, start_ms=s, end_ms=s + ln)
+         for i, (k, s, ln) in enumerate(ivs)]
+    )
+    got = {
+        (r["iid"], r["pid"])
+        for r in interval_join(
+            pdf, idf, point_ts="ts", keys=["k"], chunk_ms=chunk
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (ik, s, ln) in enumerate(ivs)
+        for j, (pk, t) in enumerate(pts)
+        if pk == ik and s <= t < s + ln
+    }
+    assert got == want
+
+
+_anom_stream = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(-500, 500)),
+    min_size=1, max_size=30,  # (key, ts, cents_value)
+)
+
+
+@given(rows=_anom_stream, lookback=st.sampled_from([2, 5, 10]))
+@SETTINGS
+def test_rolling_anomalies_vs_python(spark, rows, lookback):
+    from timeseriesfuser_spark.ops.timeseries import rolling_anomalies
+
+    data = [
+        Row(user_id=k, ts=t, event_id=i, value=c / 100.0)
+        for i, (k, t, c) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data)
+    got = {
+        r["event_id"]: (r["n_base"], r["is_anomaly"])
+        for r in rolling_anomalies(
+            df, lookback=lookback, min_points=3, k=3
+        ).collect()
+    }
+
+    # independent Python reimplementation of the integer decision
+    want = {}
+    by_key = {}
+    for i, (k, t, c) in enumerate(rows):
+        by_key.setdefault(k, []).append((t, i, c))
+    for k, seq in by_key.items():
+        seq.sort()
+        for pos, (t, i, c) in enumerate(seq):
+            base = [x for (_, _, x) in seq[max(0, pos - lookback):pos]]
+            n = len(base)
+            flag = False
+            if n >= 3:
+                S, Q = sum(base), sum(v * v for v in base)
+                dev = n * c - S
+                flag = dev * dev * (n - 1) > 9 * n * (n * Q - S * S)
+            want[i] = (n, flag)
+    assert got == want

@@ -460,3 +460,20 @@ def test_curation_verdicts_stages(spark):
     assert out[1]["verdict"] in (
         "keep", "classifier", "low_lm_score"  # passes dup+gopher stages
     )
+
+
+def test_profile_columns_exact_and_approx(spark):
+    from timeseriesfuser_spark.ops.scale import profile_columns
+
+    df = spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=1, b=None), Row(a=2, b="y")]
+    )
+    out = {r["col_name"]: r for r in profile_columns(df).collect()}
+    assert out["a"]["n_rows"] == 3 and out["a"]["n_nulls"] == 0
+    assert out["a"]["n_distinct"] == 2
+    assert out["b"]["n_nulls"] == 1 and out["b"]["n_distinct"] == 2
+    # approx path returns the same shape (values within HLL error)
+    approx = {r["col_name"]: r for r in
+              profile_columns(df, exact_distinct=False).collect()}
+    assert set(approx) == {"a", "b"}
+    assert approx["a"]["n_distinct"] >= 1

@@ -2984,3 +2984,60 @@ def q_byte_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.length("text").cast("long").alias("n_bytes")
     )
     return P.byte_shards(docs, _SHARD_BYTES)
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(GROUPING(o_orderpriority, year(o_orderdate)) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, year(o_orderdate))
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP grouping sets: revenue by
+    (priority, year) + per-priority subtotals + grand total in ONE
+    aggregation pass (Catalyst expands grouping sets into a single
+    Expand + hash-agg — no self-union of three scans); `gid`
+    disambiguates subtotal levels from genuine nulls."""
+    orders = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").cast("long")
+    return (
+        orders.rollup("o_orderpriority", yr.alias("yr"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+_PROFILE_COLS = ("event_id", "user_id", "event_type", "value", "props")
+
+
+@register(
+    "profile_events",
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{c}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM events"""
+        for c in _PROFILE_COLS
+    ),
+)
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dataset profiler (ops.scale.profile_columns): per-column
+    null + exact distinct counts via a single multi-distinct aggregate
+    (Catalyst Expand, one shuffle) exploded into report rows; the
+    full-scale variant swaps in HyperLogLog (approx_count_distinct)."""
+    from timeseriesfuser_spark.ops.scale import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "events"), _PROFILE_COLS)

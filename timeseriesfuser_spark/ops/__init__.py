@@ -47,7 +47,7 @@ from timeseriesfuser_spark.ops.similarity import (
     semantic_dedup_pairs,
     srp_signatures,
 )
-from timeseriesfuser_spark.ops.scale import key_skew_report
+from timeseriesfuser_spark.ops.scale import key_skew_report, profile_columns
 from timeseriesfuser_spark.ops.timeseries import (
     event_transitions,
     ewma,
@@ -72,6 +72,7 @@ __all__ = [
     "passage_dedup",
     "pivot_features",
     "pq_codes",
+    "profile_columns",
     "ewma",
     "rolling_anomalies",
     "twap_bars",
