@@ -477,3 +477,85 @@ def test_profile_columns_exact_and_approx(spark):
               profile_columns(df, exact_distinct=False).collect()}
     assert set(approx) == {"a", "b"}
     assert approx["a"]["n_distinct"] >= 1
+
+
+# --------------------------------------------------------------------------- #
+# behavior family: funnel / retention / latest snapshot / diff
+# --------------------------------------------------------------------------- #
+
+
+def test_funnel_strict_order(spark):
+    from timeseriesfuser_spark.ops.behavior import funnel_counts
+
+    rows = [
+        # user 1 completes A→B→C in order
+        Row(user_id=1, ts=10, event_type="A"),
+        Row(user_id=1, ts=20, event_type="B"),
+        Row(user_id=1, ts=30, event_type="C"),
+        # user 2 does B BEFORE A → stops at A
+        Row(user_id=2, ts=5, event_type="B"),
+        Row(user_id=2, ts=10, event_type="A"),
+        # user 3 only A, B
+        Row(user_id=3, ts=1, event_type="A"),
+        Row(user_id=3, ts=2, event_type="B"),
+        # user 4 never does A → not in funnel
+        Row(user_id=4, ts=1, event_type="C"),
+    ]
+    out = {r["step"]: r for r in
+           funnel_counts(spark.createDataFrame(rows), ["A", "B", "C"]).collect()}
+    assert out["A"]["n_users"] == 3 and out["A"]["conv_ppm"] == 1_000_000
+    assert out["B"]["n_users"] == 2  # users 1 and 3 (user 2's B was early)
+    assert out["C"]["n_users"] == 1
+    assert out["C"]["conv_ppm"] == 1_000_000 // 3
+
+
+def test_latest_snapshot_tie_breaks_by_seq(spark):
+    from timeseriesfuser_spark.ops.behavior import latest_snapshot
+
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=100, event_id=1, value=1.0),
+            Row(user_id=1, ts=100, event_id=2, value=2.0),  # same ts, later seq
+            Row(user_id=2, ts=50, event_id=3, value=3.0),
+        ]
+    )
+    out = {r["user_id"]: r for r in latest_snapshot(df).collect()}
+    assert out[1]["value"] == 2.0 and out[1]["event_id"] == 2
+    assert out[2]["value"] == 3.0
+
+
+def test_snapshot_diff_labels(spark):
+    from timeseriesfuser_spark.ops.behavior import snapshot_diff
+
+    old = spark.createDataFrame(
+        [Row(user_id=1, value=1.0), Row(user_id=2, value=2.0),
+         Row(user_id=3, value=3.0)]
+    )
+    new = spark.createDataFrame(
+        [Row(user_id=1, value=1.0), Row(user_id=2, value=9.0),
+         Row(user_id=4, value=4.0)]
+    )
+    out = {r["user_id"]: r["change"] for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_retention_cohorts_anchors(spark):
+    from timeseriesfuser_spark.ops.behavior import retention_cohorts
+
+    P = 100
+    rows = [
+        Row(user_id=1, ts=10),   # cohort 0
+        Row(user_id=1, ts=110),  # active offset 1
+        Row(user_id=1, ts=310),  # active offset 3
+        Row(user_id=2, ts=50),   # cohort 0, never returns
+        Row(user_id=3, ts=150),  # cohort 1
+        Row(user_id=3, ts=250),  # offset 1
+    ]
+    out = {(r["cohort_ts"], r["period_offset"]): r
+           for r in retention_cohorts(
+               spark.createDataFrame(rows), period_ms=P).collect()}
+    assert out[(0, 0)]["n_active"] == 2 and out[(0, 0)]["cohort_size"] == 2
+    assert out[(0, 1)]["n_active"] == 1
+    assert out[(0, 1)]["retention_ppm"] == 500_000
+    assert out[(0, 3)]["n_active"] == 1
+    assert out[(100, 0)]["cohort_size"] == 1 and out[(100, 1)]["n_active"] == 1

@@ -3041,3 +3041,135 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timeseriesfuser_spark.ops.scale import profile_columns
 
     return profile_columns(_t(spark, sf_dir, "events"), _PROFILE_COLS)
+
+
+# --------------------------------------------------------------------------- #
+# Behavioral / product analytics (ops.behavior)
+# --------------------------------------------------------------------------- #
+
+_FUNNEL = ("signup", "view", "purchase")
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH ev AS (SELECT user_id AS u, epoch_ms(ts) AS t, event_type AS ty
+                FROM events),
+    s0 AS (SELECT u, min(t) AS t0 FROM ev WHERE ty = 'signup' GROUP BY u),
+    s1 AS (SELECT e.u, min(e.t) AS t1 FROM ev e JOIN s0 ON e.u = s0.u
+           WHERE e.ty = 'view' AND e.t > s0.t0 GROUP BY e.u),
+    s2 AS (SELECT e.u, min(e.t) AS t2 FROM ev e JOIN s1 ON e.u = s1.u
+           WHERE e.ty = 'purchase' AND e.t > s1.t1 GROUP BY e.u),
+    c AS (SELECT (SELECT count(*) FROM s0) AS c0,
+                 (SELECT count(*) FROM s1) AS c1,
+                 (SELECT count(*) FROM s2) AS c2)
+    SELECT CAST(0 AS BIGINT) AS step_idx, 'signup' AS step,
+           CAST(c0 AS BIGINT) AS n_users,
+           CAST(c0 * 1000000 // c0 AS BIGINT) AS conv_ppm FROM c
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'view', CAST(c1 AS BIGINT),
+           CAST(c1 * 1000000 // c0 AS BIGINT) FROM c
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'purchase', CAST(c2 AS BIGINT),
+           CAST(c2 * 1000000 // c0 AS BIGINT) FROM c
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence funnel (ops.behavior.funnel_counts): signup → view
+    (after) → purchase (after) — one conditional-min agg + equi-join per
+    step over a shrinking users relation; never a per-user sort-and-walk
+    UDF. conv_ppm is exact-integer."""
+    from timeseriesfuser_spark.ops.behavior import funnel_counts
+
+    return funnel_counts(_events(spark, sf_dir), _FUNNEL)
+
+
+_RET_P = 7 * 86_400_000
+
+
+@register(
+    "retention_7d",
+    oracle=f"""
+    WITH ev AS (SELECT user_id AS u, epoch_ms(ts) AS t FROM events),
+    anchors AS (SELECT u, min(t) // {_RET_P} AS cp FROM ev GROUP BY u),
+    sizes AS (SELECT cp, count(*) AS csize FROM anchors GROUP BY cp),
+    cells AS (SELECT DISTINCT e.u, a.cp, e.t // {_RET_P} - a.cp AS off
+              FROM ev e JOIN anchors a ON e.u = a.u),
+    m AS (SELECT cp, off, count(*) AS n_active FROM cells GROUP BY cp, off)
+    SELECT CAST(m.cp * {_RET_P} AS BIGINT) AS cohort_ts,
+           CAST(m.off AS BIGINT) AS period_offset,
+           CAST(m.n_active AS BIGINT) AS n_active,
+           CAST(s.csize AS BIGINT) AS cohort_size,
+           CAST(m.n_active * 1000000 // s.csize AS BIGINT) AS retention_ppm
+    FROM m JOIN sizes s ON m.cp = s.cp
+    """,
+)
+def q_retention_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (ops.behavior.retention_cohorts):
+    users anchored to their first-event week; per (cohort, offset) cell the
+    active-user count and exact-ppm retention. Two hash-aggs + one
+    user-key equi-join."""
+    from timeseriesfuser_spark.ops.behavior import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir), period_ms=_RET_P)
+
+
+@register(
+    "latest_user_state",
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts, event_id, event_type,
+                       value, props,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY epoch_ms(ts) DESC,
+                                                   event_id DESC) AS rn
+                FROM events)
+    SELECT user_id, ts, event_id, event_type, value, props
+    FROM ev WHERE rn = 1
+    """,
+)
+def q_latest_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record compaction (ops.behavior.latest_snapshot): the CDC
+    'current view' — whole last row per user via ONE max_by hash-agg on a
+    (ts, event_id) struct key; the oracle states the same with
+    row_number because DuckDB's arg_max takes no composite key."""
+    from timeseriesfuser_spark.ops.behavior import latest_snapshot
+
+    return latest_snapshot(_events(spark, sf_dir))
+
+
+_DIFF_MID = 1_705_276_800_000  # 2024-01-15T00:00:00Z — mid-corpus
+
+
+@register(
+    "snapshot_diff",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, epoch_ms(ts) AS t, event_id, value FROM events),
+    old_snap AS (SELECT user_id, value AS old_value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY t DESC, event_id DESC) AS rn
+        FROM ev WHERE t < {_DIFF_MID}) WHERE rn = 1),
+    new_snap AS (SELECT user_id, value AS new_value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY t DESC, event_id DESC) AS rn
+        FROM ev) WHERE rn = 1)
+    SELECT coalesce(o.user_id, n.user_id) AS user_id, old_value, new_value,
+           CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN n.user_id IS NULL THEN 'removed'
+                WHEN old_value IS NOT DISTINCT FROM new_value THEN 'unchanged'
+                ELSE 'changed' END AS change
+    FROM old_snap o FULL OUTER JOIN new_snap n ON o.user_id = n.user_id
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (ops.behavior.snapshot_diff): the latest
+    per-user value as of mid-corpus vs end-of-corpus, full-outer joined on
+    the key with added/removed/changed/unchanged labels — the audit
+    primitive for incremental pipelines."""
+    from timeseriesfuser_spark.ops.behavior import latest_snapshot, snapshot_diff
+
+    ev = _events(spark, sf_dir)
+    old = latest_snapshot(ev.filter(F.col("ts") < _DIFF_MID))
+    new = latest_snapshot(ev)
+    return snapshot_diff(old, new, key_cols=("user_id",), compare_col="value")

@@ -20,6 +20,12 @@ from timeseriesfuser_spark.ops.dedup import (
     passage_dedup,
     simhash_pairs,
 )
+from timeseriesfuser_spark.ops.behavior import (
+    funnel_counts,
+    latest_snapshot,
+    retention_cohorts,
+    snapshot_diff,
+)
 from timeseriesfuser_spark.ops.lm import (
     bigram_lm_score,
     curation_verdicts,
@@ -64,6 +70,10 @@ __all__ = [
     "bigram_lm_score",
     "byte_shards",
     "curation_verdicts",
+    "funnel_counts",
+    "latest_snapshot",
+    "retention_cohorts",
+    "snapshot_diff",
     "chunk_documents",
     "hashed_classifier_score",
     "interpolate_grid",

@@ -1,0 +1,179 @@
+"""Behavioral / product analytics over the fused event stream: ordered
+funnels, cohort retention, latest-record compaction, and snapshot diffs.
+
+These are the four queries every clickstream deployment eventually writes
+on top of a chronological event table; each is expressed as a cascade of
+hash aggregations and (broadcast-friendly) equi-joins — never a per-user
+sort-and-walk UDF.
+
+Scale design:
+
+- ``funnel_counts``: one conditional ``min`` aggregation per funnel step,
+  each joined back to the (|users|-sized, shrinking) reached-set of the
+  previous step. k steps = k agg+join rounds over monotonically smaller
+  relations — the relational formulation of sessionized pattern matching;
+  no per-user array materialization.
+- ``retention_cohorts``: two aggregations (cohort anchor, then the
+  (cohort, offset) matrix); the anchor relation is one row per user.
+- ``latest_snapshot``: ONE ``max_by`` hash-agg (the CDC/SCD "current
+  view" compaction) — the same shape as the resampler's bucket-last.
+- ``snapshot_diff``: a single full-outer equi-join on the key, comparing
+  a caller-chosen value column — added/removed/changed/unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: Sequence[str],
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion: how many users performed ``steps[0]``,
+    then ``steps[1]`` STRICTLY AFTER it, then ``steps[2]`` after that, …
+
+    Output: one row per step — (step_idx, step, n_users, conv_ppm) where
+    ``conv_ppm`` is the exact-integer share (ppm) of step-0 users still
+    present. The "first qualifying time" chain (tᵢ = min ts of stepᵢ with
+    ts > tᵢ₋₁) is the standard strict-sequence funnel semantics.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    u, t, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
+
+    # Each level is persisted before its count so the next level's join
+    # consumes the materialized relation instead of re-running the whole
+    # cascade (Catalyst re-executes shared lineage otherwise).
+    reached = (
+        df.filter(ty == steps[0])
+        .groupBy(u.alias("__u"))
+        .agg(F.min(t).alias("__t"))
+        .persist()
+    )
+    counts = [reached.count()]
+    for step in steps[1:]:
+        nxt = (
+            df.filter(ty == step)
+            .select(u.alias("__u"), t.alias("__ts"))
+            .join(reached, "__u")
+            .filter(F.col("__ts") > F.col("__t"))
+            .groupBy("__u")
+            .agg(F.min("__ts").alias("__t"))
+            .persist()
+        )
+        counts.append(nxt.count())
+        reached.unpersist()
+        reached = nxt
+    reached.unpersist()
+
+    base = counts[0]
+    spark = df.sparkSession
+    rows = [
+        (i, s, int(c), int(c * 1_000_000 // base) if base else None)
+        for i, (s, c) in enumerate(zip(steps, counts))
+    ]
+    return spark.createDataFrame(
+        rows, "step_idx long, step string, n_users long, conv_ppm long"
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    period_ms: int = 7 * 86_400_000,
+) -> DataFrame:
+    """Cohort retention matrix: users are anchored to the period of their
+    FIRST event; for every (cohort, offset) cell, how many of that
+    cohort's users were active ``offset`` periods after their anchor, and
+    the exact-ppm retention rate.
+
+    Two aggregations: the per-user anchor (min ts → cohort period), then
+    a distinct count over (cohort, offset). The anchor relation is
+    |users|-sized; the join back to events is an equi-join on the user
+    key. Offsets are integer period indices, cohort is the period start
+    (epoch ms).
+    """
+    u, t = F.col(user_col), F.col(ts_col)
+    p = int(period_ms)
+    anchors = df.groupBy(u.alias("__u")).agg(
+        F.expr(f"min({ts_col}) DIV {p}").alias("__cp")
+    )
+    sizes = anchors.groupBy("__cp").agg(F.count(F.lit(1)).alias("__csize"))
+    joined = df.select(u.alias("__u"), t.alias("__ts")).join(anchors, "__u")
+    cells = (
+        joined.select(
+            "__u", "__cp", (F.expr(f"__ts DIV {p}") - F.col("__cp")).alias("__off")
+        )
+        .distinct()
+        .groupBy("__cp", "__off")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        cells.join(sizes, "__cp")
+        .select(
+            (F.col("__cp") * p).cast("long").alias("cohort_ts"),
+            F.col("__off").cast("long").alias("period_offset"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("__csize").cast("long").alias("cohort_size"),
+            F.expr("n_active * 1000000 DIV __csize").cast("long").alias(
+                "retention_ppm"
+            ),
+        )
+    )
+
+
+def latest_snapshot(
+    df: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Latest-record-per-key compaction (the CDC / SCD "current view"):
+    for each key, the whole row of its chronologically last event, ties
+    broken by ``seq_col``. ONE ``max_by`` hash aggregation over a
+    (ts, seq) struct ordering key — no window, no sort, map-side
+    combinable; identical shape to the resampler's bucket-last."""
+    order_key = F.struct(F.col(ts_col), F.col(seq_col))
+    others = [c for c in df.columns if c not in key_cols]
+    row = F.struct(*[F.col(c) for c in others])
+    out = df.groupBy(*key_cols).agg(F.max_by(row, order_key).alias("__r"))
+    return out.select(*key_cols, *[F.col("__r")[c].alias(c) for c in others])
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("user_id",),
+    compare_col: str = "value",
+) -> DataFrame:
+    """Diff two keyed snapshots: per key, ``change`` ∈ {'added',
+    'removed', 'changed', 'unchanged'} with the old/new value of
+    ``compare_col``. One full-outer equi-join on the key — the audit /
+    reconciliation primitive for incremental pipelines."""
+    o = old.select(
+        *[F.col(k) for k in key_cols], F.col(compare_col).alias("old_value")
+    )
+    n = new.select(
+        *[F.col(k) for k in key_cols], F.col(compare_col).alias("new_value")
+    )
+    j = o.join(n, on=list(key_cols), how="full_outer")
+    ov, nv = F.col("old_value"), F.col("new_value")
+    change = (
+        F.when(ov.isNull(), F.lit("added"))
+        .when(nv.isNull(), F.lit("removed"))
+        .when(ov.eqNullSafe(nv), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*key_cols, "old_value", "new_value", change.alias("change"))
