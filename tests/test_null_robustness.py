@@ -1,0 +1,108 @@
+"""Testdata-drift defense: the driver regenerates /root/testdata between
+rounds (round 2 shipped a new timestamp dtype and broke 12 queries). This
+harness re-runs a representative slice of the contract against VARIANT
+tables containing null text / null value / empty-string rows — Spark and
+DuckDB must agree on the null semantics, not just on the clean corpus.
+
+The contract queries take (spark, sf_dir), so the variants are written as
+a complete parquet directory and both engines read the same files."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from timeseriesfuser_spark import contract
+
+SRC = "/root/testdata/sf0.001"
+
+# Queries exercising the null-sensitive paths: tokenizers (null/empty
+# text), cent quantization + windows (null value), hash dedup (null text),
+# LM scoring, per-column profiling.
+QUERIES = [
+    "text_stats",
+    "dedup_exact",
+    "doc_fingerprint",
+    "bigram_lm",
+    "quality_classifier",
+    "passage_dedup",
+    "length_batches",
+    "profile_events",
+    "rolling_zscore",
+    "rate_of_change",
+    "latest_user_state",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def variant_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("nullvariant")
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "documents":
+            con.sql(
+                f"""
+                COPY (
+                    SELECT * FROM read_parquet('{SRC}/documents.parquet')
+                    UNION ALL BY NAME
+                    SELECT 900001 AS doc_id, NULL AS text, 'en' AS lang,
+                           'srcX' AS source, 0 AS n_chars
+                    UNION ALL BY NAME
+                    SELECT 900002 AS doc_id, '' AS text, 'en' AS lang,
+                           'srcX' AS source, 0 AS n_chars
+                    UNION ALL BY NAME
+                    SELECT 900003 AS doc_id, '   ' AS text, NULL AS lang,
+                           NULL AS source, 3 AS n_chars
+                ) TO '{d}/documents.parquet' (FORMAT PARQUET)
+                """
+            )
+        elif t == "events":
+            con.sql(
+                f"""
+                COPY (
+                    SELECT * FROM read_parquet('{SRC}/events.parquet')
+                    UNION ALL BY NAME
+                    SELECT 900001 AS event_id,
+                           TIMESTAMP '2024-01-10 00:00:00' AS ts,
+                           77 AS user_id, 'click' AS event_type,
+                           NULL AS value, NULL AS props
+                    UNION ALL BY NAME
+                    SELECT 900002 AS event_id,
+                           TIMESTAMP '2024-01-10 00:00:01' AS ts,
+                           77 AS user_id, NULL AS event_type,
+                           5.0 AS value, '{{}}' AS props
+                ) TO '{d}/events.parquet' (FORMAT PARQUET)
+                """
+            )
+        else:
+            con.sql(
+                f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
+                f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    con.close()
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def vddb(variant_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{variant_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_null_variant_parity(spark, variant_dir, vddb, name):
+    from tests.test_entry_oracle import assert_parity
+
+    sdf = contract.QUERIES[name](spark, variant_dir).toPandas()
+    ddf = vddb.sql(contract.ORACLES[name]).df()
+    assert_parity(sdf, ddf, name)

@@ -166,7 +166,11 @@ def hashed_classifier_score(
         ),
         1,
     )
-    n, s = F.col("__sc.n").cast("long"), F.col("__sc.s")
+    # NULL text → null token array → null struct fields; a null document
+    # has zero tokens and is dropped (label false), not propagated-null —
+    # the oracle's COALESCE semantics (caught by test_null_robustness).
+    n = F.coalesce(F.col("__sc.n"), F.lit(0)).cast("long")
+    s = F.coalesce(F.col("__sc.s"), F.lit(0).cast("long"))
     return df.withColumn("__sc", bound).select(
         *id_cols,
         n.alias("n_tokens"),
