@@ -1,0 +1,279 @@
+"""Round-6 operators: SCD2 history, fuzzy entity resolution, Z-order keys,
+leakage-safe splits, and the semi/anti-join contract shapes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesfuser_spark.ops.behavior import scd2_history
+from timeseriesfuser_spark.ops.entity import canonical_entities, fuzzy_match_pairs
+from timeseriesfuser_spark.ops.sampling import leakage_safe_split
+from timeseriesfuser_spark.ops.scale import zorder_key, zorder_key_sql, zorder_layout
+
+
+# --------------------------------------------------------------------------- #
+# scd2_history
+# --------------------------------------------------------------------------- #
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, value double"
+    )
+
+
+def test_scd2_collapses_consecutive_duplicates(spark):
+    df = _ev(
+        spark,
+        [
+            (1, 10, 1, 5.0),
+            (1, 20, 2, 5.0),   # same value: extends the open interval
+            (1, 30, 3, 7.0),   # change
+            (1, 40, 4, 5.0),   # back to 5.0: a NEW interval (consecutive rule)
+        ],
+    )
+    out = sorted(scd2_history(df).collect(), key=lambda r: r["valid_from"])
+    assert [(r["value"], r["valid_from"], r["valid_to"], r["is_current"]) for r in out] == [
+        (5.0, 10, 30, False),
+        (7.0, 30, 40, False),
+        (5.0, 40, None, True),
+    ]
+
+
+def test_scd2_null_values_are_tracked_null_safely(spark):
+    df = _ev(
+        spark,
+        [
+            (1, 10, 1, None),
+            (1, 20, 2, None),   # null == null: no new interval
+            (1, 30, 3, 1.0),
+        ],
+    )
+    out = sorted(scd2_history(df).collect(), key=lambda r: r["valid_from"])
+    assert len(out) == 2
+    assert out[0]["value"] is None and out[0]["valid_to"] == 30
+    assert out[1]["value"] == 1.0 and out[1]["is_current"]
+
+
+def test_scd2_tie_broken_by_seq(spark):
+    # Same ts: event_id orders the changes deterministically.
+    df = _ev(spark, [(1, 10, 2, 9.0), (1, 10, 1, 3.0)])
+    out = sorted(scd2_history(df).collect(), key=lambda r: r["value"])
+    by_seq = {r["value"]: r for r in out}
+    assert by_seq[3.0]["valid_to"] == 10 and not by_seq[3.0]["is_current"]
+    assert by_seq[9.0]["is_current"]
+
+
+def test_scd2_independent_per_key(spark):
+    df = _ev(spark, [(1, 10, 1, 1.0), (2, 5, 2, 2.0)])
+    out = scd2_history(df).collect()
+    assert len(out) == 2 and all(r["is_current"] for r in out)
+
+
+# --------------------------------------------------------------------------- #
+# fuzzy_match_pairs / canonical_entities
+# --------------------------------------------------------------------------- #
+
+
+def _parts(spark, rows):
+    return spark.createDataFrame(rows, "id long, name string, blk string")
+
+
+def test_fuzzy_pairs_block_and_threshold(spark):
+    df = _parts(
+        spark,
+        [
+            (1, "red bolt", "A"),
+            (2, "red bolts", "A"),    # distance 1
+            (3, "blue bolt", "A"),    # distance 3 from 'red bolt'
+            (4, "red bolt", "B"),     # other block: never paired with 1
+        ],
+    )
+    out = fuzzy_match_pairs(
+        df, id_col="id", name_col="name", block_cols=("blk",), max_distance=2
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["distance"] for r in out}
+    assert pairs == {(1, 2): 1}
+
+
+def test_fuzzy_pairs_emits_each_pair_once_ordered(spark):
+    df = _parts(spark, [(7, "x", "A"), (3, "x", "A")])
+    out = fuzzy_match_pairs(
+        df, id_col="id", name_col="name", block_cols=("blk",), max_distance=0
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["distance"]) for r in out] == [(3, 7, 0)]
+
+
+def test_fuzzy_pairs_requires_blocking(spark):
+    df = _parts(spark, [(1, "x", "A")])
+    with pytest.raises(ValueError):
+        fuzzy_match_pairs(df, id_col="id", name_col="name", block_cols=())
+
+
+def test_canonical_entities_transitive_and_singletons(spark):
+    df = _parts(
+        spark,
+        [
+            (1, "aaaa", "A"),
+            (2, "aaab", "A"),   # 1-2 match
+            (3, "aabb", "A"),   # 2-3 match (dist 1), 1-3 dist 2 also matches
+            (9, "zzzz", "A"),   # singleton
+        ],
+    )
+    pairs = fuzzy_match_pairs(
+        df, id_col="id", name_col="name", block_cols=("blk",), max_distance=1
+    )
+    out = {
+        r["id"]: r["canonical_id"]
+        for r in canonical_entities(pairs, df, id_col="id").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_fuzzy_pairs_plan_is_equi_join_not_cartesian(spark):
+    df = _parts(spark, [(1, "x", "A"), (2, "y", "B")])
+    plan = fuzzy_match_pairs(
+        df, id_col="id", name_col="name", block_cols=("blk",)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------------------------- #
+# zorder
+# --------------------------------------------------------------------------- #
+
+
+def _z_ref(vals, bits):
+    out = 0
+    n = len(vals)
+    for j, v in enumerate(vals):
+        v &= (1 << bits) - 1
+        for i in range(bits):
+            out |= ((v >> i) & 1) << (i * n + j)
+    return out
+
+
+def test_zorder_key_matches_python_reference(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (12345, 54321), (65535, 65535)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = df.select(
+        "x", "y", zorder_key(["x", "y"], bits=16).alias("z")
+    ).collect()
+    for r in out:
+        assert r["z"] == _z_ref([r["x"], r["y"]], 16), (r["x"], r["y"])
+
+
+def test_zorder_key_sql_twin_agrees(spark):
+    import duckdb
+
+    rows = [(3, 5), (1023, 7), (99999, 123456)]  # last one exercises masking
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_key(["x", "y"], bits=16).alias("z")).collect()
+    }
+    con = duckdb.connect()
+    sql = zorder_key_sql(["x", "y"], bits=16)
+    for (x, y), z in got.items():
+        (dz,) = con.execute(f"SELECT {sql} FROM (SELECT {x} AS x, {y} AS y)").fetchone()
+        assert dz == z
+
+
+def test_zorder_key_rejects_overflow():
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b"], bits=32)
+
+
+def test_zorder_layout_sorts_within_partitions(spark):
+    df = spark.range(0, 256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y")
+    )
+    out = zorder_layout(df, ["x", "y"], n_partitions=4, bits=8)
+    parts = out.select(F.spark_partition_id().alias("p"), "__zkey").collect()
+    by_part = {}
+    for r in parts:
+        by_part.setdefault(r["p"], []).append(r["__zkey"])
+    for ks in by_part.values():
+        assert ks == sorted(ks)
+
+
+# --------------------------------------------------------------------------- #
+# leakage_safe_split
+# --------------------------------------------------------------------------- #
+
+
+def test_leakage_split_groups_stay_together(spark):
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    # 50 groups of 2: doc 2k and 2k+1 share a group.
+    groups = spark.createDataFrame(
+        [(i, i // 2) for i in range(100)], "doc_id long, cluster_id long"
+    )
+    out = leakage_safe_split(docs, groups).collect()
+    assert len(out) == 100
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["group_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())
+    names = {r["split"] for r in out}
+    assert names <= {"train", "val", "test"} and "train" in names
+
+
+def test_leakage_split_singletons_for_missing_groups(spark):
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    groups = spark.createDataFrame([(1, 77)], "doc_id long, cluster_id long")
+    out = {r["doc_id"]: r for r in leakage_safe_split(docs, groups).collect()}
+    assert out[1]["group_id"] == 77
+    assert out[2]["group_id"] == 2  # falls back to its own id
+
+
+def test_leakage_split_deterministic_and_seeded(spark):
+    docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    groups = spark.createDataFrame(
+        [(i, i) for i in range(50)], "doc_id long, cluster_id long"
+    )
+    a = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs, groups).collect()}
+    b = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs, groups).collect()}
+    assert a == b
+    c = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs, groups, seed="split1").collect()
+    }
+    assert a != c  # a different epoch seed reshuffles assignments
+
+
+def test_leakage_split_validates_fractions(spark):
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    groups = spark.createDataFrame([(1, 1)], "doc_id long, cluster_id long")
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, groups, splits=(("a", 0.5), ("b", 0.3)))
+
+
+# --------------------------------------------------------------------------- #
+# semi / anti join plan shapes (contract queries)
+# --------------------------------------------------------------------------- #
+
+
+def test_q4_plans_a_semi_join(spark):
+    from timeseriesfuser_spark import contract
+
+    plan = (
+        contract.QUERIES["tpch_q4_late_orders"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dormant_plans_an_anti_join(spark):
+    from timeseriesfuser_spark import contract
+
+    plan = (
+        contract.QUERIES["dormant_customers"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

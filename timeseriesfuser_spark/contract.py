@@ -3173,3 +3173,249 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = latest_snapshot(ev.filter(F.col("ts") < _DIFF_MID))
     new = latest_snapshot(ev)
     return snapshot_diff(old, new, key_cols=("user_id",), compare_col="value")
+
+
+# --------------------------------------------------------------------------- #
+# Round-6 additions: SCD2 history, semi/anti joins, entity resolution,
+# Z-order layout, leakage-safe splits
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "scd2_user_history",
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_ms(ts) AS t, event_id, value FROM events),
+    o AS (SELECT user_id, t, event_id, value,
+                 lag(value) OVER w AS pv, row_number() OVER w AS rn
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+    ch AS (SELECT * FROM o WHERE rn = 1 OR value IS DISTINCT FROM pv)
+    SELECT user_id, value,
+           CAST(t AS BIGINT) AS valid_from,
+           CAST(lead(t) OVER w2 AS BIGINT) AS valid_to,
+           (lead(t) OVER w2) IS NULL AS is_current
+    FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY t, event_id)
+    """,
+)
+def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history build (ops.behavior.scd2_history): per user, the
+    validity intervals of each distinct consecutive `value` — valid_from /
+    valid_to (exclusive, null while current) / is_current. Two per-key
+    windows, one shuffle on the key; the warehouse companion of
+    latest_user_state's type-1 compaction."""
+    from timeseriesfuser_spark.ops.behavior import scd2_history
+
+    return scd2_history(_events(spark, sf_dir))
+
+
+_Q4_LATE_MS = 90 * 86_400_000  # "shipped > 90 days after order" predicate
+
+
+@register(
+    "tpch_q4_late_orders",
+    oracle=f"""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND epoch_ms(l.l_shipdate) >
+                        epoch_ms(o.o_orderdate) + {_Q4_LATE_MS})
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS = LEFT SEMI join (orders with at least one
+    line shipped >90 days after the order date), then a priority rollup.
+    The semi join keeps orders' row count (never multiplies by matching
+    lines) and Spark plans it as one shuffled semi sort-merge join the
+    optimizer can flip to broadcast at small SF."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o = o.withColumn("__o_ms", ts_epoch_ms_col(o, "o_orderdate"))
+    l = li.select(
+        F.col("l_orderkey"),
+        ts_epoch_ms_col(li, "l_shipdate").alias("__s_ms"),
+    )
+    sem = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"])
+        & (l["__s_ms"] > o["__o_ms"] + F.lit(_Q4_LATE_MS)),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+_DORMANT_CUT_MS = 991_353_600_000  # 2001-06-01T00:00:00Z (orders end 2001-08)
+
+
+@register(
+    "dormant_customers",
+    oracle=f"""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_dormant
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND epoch_ms(o.o_orderdate) >= {_DORMANT_CUT_MS})
+    GROUP BY c_mktsegment
+    """,
+)
+def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS = LEFT ANTI join: customers with no order on/after the
+    cutoff (churn detection; also the GDPR 'orphaned records' shape).
+    The anti join probes customer against the pre-filtered recent-orders
+    key set — the filter shrinks the build side before the join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    recent = (
+        o.withColumn("__o_ms", ts_epoch_ms_col(o, "o_orderdate"))
+        .filter(F.col("__o_ms") >= _DORMANT_CUT_MS)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    dormant = c.join(recent, "c_custkey", "left_anti")
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dormant")
+    )
+
+
+_FUZZY_SQL = """
+    WITH p AS (SELECT p_partkey, p_name, p_brand, p_type FROM part)
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@register("fuzzy_part_matches", oracle=_FUZZY_SQL)
+def q_fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching (ops.entity.fuzzy_match_pairs): parts
+    sharing (brand, type) whose names are <=2 Levenshtein edits apart.
+    One equi-join shuffle on the blocking key; the length-difference lower
+    bound prunes before the edit-distance kernel runs."""
+    from timeseriesfuser_spark.ops.entity import fuzzy_match_pairs
+
+    return fuzzy_match_pairs(
+        _t(spark, sf_dir, "part"),
+        id_col="p_partkey",
+        name_col="p_name",
+        block_cols=("p_brand", "p_type"),
+        max_distance=2,
+    )
+
+
+@register(
+    "part_canonical_ids",
+    oracle=f"""
+    WITH RECURSIVE pr AS ({_FUZZY_SQL}),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pr
+        UNION ALL
+        SELECT id_b, id_a FROM pr
+    ),
+    reach(id, r) AS (
+        SELECT p_partkey, p_partkey FROM part
+        UNION
+        SELECT e.v, reach.r FROM edges e JOIN reach ON reach.id = e.u
+    )
+    SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS canonical_id
+    FROM reach GROUP BY id
+    """,
+)
+def q_part_canonical_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (ops.entity.canonical_entities): fuzzy
+    match pairs -> connected components (edge-subgraph min-label
+    propagation) -> every part mapped to its group's canonical (minimum)
+    id; unmatched parts map to themselves."""
+    from timeseriesfuser_spark.ops.entity import canonical_entities, fuzzy_match_pairs
+
+    part = _t(spark, sf_dir, "part")
+    pairs = fuzzy_match_pairs(
+        part,
+        id_col="p_partkey",
+        name_col="p_name",
+        block_cols=("p_brand", "p_type"),
+        max_distance=2,
+    )
+    return canonical_entities(pairs, part, id_col="p_partkey")
+
+
+_Z_BITS = 16
+
+
+def _zorder_oracle() -> str:
+    from timeseriesfuser_spark.ops.scale import zorder_key_sql
+
+    z = zorder_key_sql(["l_partkey", "l_suppkey"], bits=_Z_BITS)
+    return f"""
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST({z} AS BIGINT) AS zkey
+    FROM lineitem
+    """
+
+
+@register("zorder_lineitem", oracle=_zorder_oracle())
+def q_zorder_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key (ops.scale.zorder_key): interleave
+    the low 16 bits of (l_partkey, l_suppkey) so a range-partitioned write
+    gets tight parquet min/max footers on BOTH dimensions — multi-column
+    data skipping from plain column expressions; zero shuffle for the key
+    itself."""
+    from timeseriesfuser_spark.ops.scale import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        zorder_key(["l_partkey", "l_suppkey"], bits=_Z_BITS).alias("zkey"),
+    )
+
+
+@register(
+    "leakage_split",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_sql()}),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.v, reach.r FROM edges e JOIN reach ON reach.id = e.u
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    h AS (SELECT doc_id, CAST(cluster_id AS BIGINT) AS group_id,
+                 {_sql_hash64("concat('split0:', CAST(cluster_id AS VARCHAR))")}
+                   % 1000000 AS hp
+          FROM comp)
+    SELECT doc_id, group_id,
+           CASE WHEN hp < 100000 THEN 'test'
+                WHEN hp < 200000 THEN 'val'
+                ELSE 'train' END AS split
+    FROM h
+    """,
+)
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (ops.sampling.leakage_safe_split
+    over near-dup clusters): the split verdict hashes the doc's CLUSTER,
+    so near-duplicates can never straddle train and test — the eval-
+    contamination guard a pretraining pipeline runs after dedup."""
+    from timeseriesfuser_spark.ops.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = D.neardup_clusters(
+        docs, num_hashes=_NH, bands=_NB, threshold=_MT
+    )
+    return leakage_safe_split(
+        docs,
+        clusters,
+        id_col="doc_id",
+        group_id_col="cluster_id",
+        splits=(("test", 0.10), ("val", 0.10), ("train", 0.80)),
+        seed="split0",
+    )

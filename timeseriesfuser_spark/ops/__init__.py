@@ -24,7 +24,12 @@ from timeseriesfuser_spark.ops.behavior import (
     funnel_counts,
     latest_snapshot,
     retention_cohorts,
+    scd2_history,
     snapshot_diff,
+)
+from timeseriesfuser_spark.ops.entity import (
+    canonical_entities,
+    fuzzy_match_pairs,
 )
 from timeseriesfuser_spark.ops.lm import (
     bigram_lm_score,
@@ -53,7 +58,12 @@ from timeseriesfuser_spark.ops.similarity import (
     semantic_dedup_pairs,
     srp_signatures,
 )
-from timeseriesfuser_spark.ops.scale import key_skew_report, profile_columns
+from timeseriesfuser_spark.ops.scale import (
+    key_skew_report,
+    profile_columns,
+    zorder_key,
+    zorder_layout,
+)
 from timeseriesfuser_spark.ops.timeseries import (
     event_transitions,
     ewma,
@@ -68,6 +78,11 @@ from timeseriesfuser_spark.ops.timeseries import (
 
 __all__ = [
     "bigram_lm_score",
+    "canonical_entities",
+    "fuzzy_match_pairs",
+    "scd2_history",
+    "zorder_key",
+    "zorder_layout",
     "byte_shards",
     "curation_verdicts",
     "funnel_counts",

@@ -151,6 +151,51 @@ def latest_snapshot(
     return out.select(*key_cols, *[F.col("__r")[c].alias(c) for c in others])
 
 
+def scd2_history(
+    df: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: collapse each key's change
+    stream into validity intervals — one row per *distinct consecutive*
+    value of ``value_col``, with ``valid_from`` (inclusive, the ts of the
+    first event carrying the value), ``valid_to`` (exclusive, the ts of the
+    next change; null while current) and ``is_current``.
+
+    This is the standard warehouse dimension-history build from a CDC feed
+    (the companion of ``latest_snapshot``'s type-1 "current view").
+
+    Semantics: events are ordered per key by (ts, seq); a row opens a new
+    interval iff it is the key's first event or its value differs
+    (null-safely) from the previous event's. Repeated identical values
+    extend the open interval rather than splitting it.
+
+    Scale: two per-key windows (lag to flag changes, lead over the change
+    rows for valid_to) — both shuffle once on the key and never globally;
+    per-key state is the key's own history, the inherent minimum.
+    """
+    from pyspark.sql.window import Window
+
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(seq_col))
+    v = F.col(value_col)
+    is_change = (F.row_number().over(w) == 1) | ~v.eqNullSafe(F.lag(v).over(w))
+    changes = df.select(
+        *key_cols, F.col(ts_col), F.col(seq_col), value_col
+    ).withColumn("__chg", is_change).filter("__chg")
+    valid_to = F.lead(F.col(ts_col)).over(w)
+    return changes.select(
+        *key_cols,
+        v.alias("value"),
+        F.col(ts_col).cast("long").alias("valid_from"),
+        valid_to.cast("long").alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -140,6 +140,63 @@ def mixing_weights(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    groups: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    group_id_col: str = "cluster_id",
+    splits: Sequence = (("test", 0.10), ("val", 0.10), ("train", 0.80)),
+    seed: str = "split0",
+) -> DataFrame:
+    """Group-aware train/val/test assignment: the split decision is a hash
+    of the row's GROUP (near-dup cluster, canonical entity, domain …), so
+    every member of a group lands in the same split — the guard against
+    the classic eval-leakage failure where a near-duplicate of a training
+    document sits in the test set.
+
+    ``groups`` is an (id, group_id) relation (e.g. ``neardup_clusters`` or
+    ``canonical_entities`` output); rows absent from it form singleton
+    groups keyed by their own id. ``splits`` is an ordered sequence of
+    (name, fraction) covering the unit interval; a group goes to the first
+    split whose cumulative ppm bound exceeds ``md5(seed:group) % 1e6``.
+
+    Output: (id, group_id, split). Scale: one equi-join on the id plus a
+    projection — the verdict depends only on the group key, so it is
+    stable under corpus growth and identical on every engine with md5.
+    """
+    splits = list(splits)
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    fracs = [f for _, f in splits]
+    if any(f < 0 for f in fracs) or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must be >= 0 and sum to 1: {fracs}")
+    g = groups.select(
+        F.col(id_col).alias("__id"), F.col(group_id_col).alias("group_id")
+    )
+    joined = df.select(F.col(id_col).cast("long").alias("__id")).join(
+        g, "__id", "left"
+    )
+    group_key = F.coalesce(F.col("group_id"), F.col("__id")).cast("long")
+    h = F.pmod(
+        md5_hash64(F.concat(F.lit(seed), F.lit(":"), group_key.cast("string"))),
+        F.lit(PPM),
+    )
+    cum = 0
+    expr = None
+    for name, frac in splits[:-1]:
+        cum += int(round(frac * PPM))
+        cond = h < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last_name = splits[-1][0]
+    split = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
+    return joined.select(
+        F.col("__id").alias(id_col),
+        group_key.alias("group_id"),
+        split.alias("split"),
+    )
+
+
 def epoch_shuffle(
     df: DataFrame,
     n_shards: int = 8,

@@ -79,6 +79,85 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def zorder_key(
+    cols: Sequence[str],
+    *,
+    bits: Optional[int] = None,
+) -> "F.Column":
+    """Morton (Z-order) key: interleave the low ``bits`` of each column into
+    one long, so rows close in EVERY dimension land close in the 1-D sort
+    order. Sorting/range-partitioning files by this key is what makes
+    min/max-stat data skipping effective for predicates on *any* of the
+    dimensions — the same layout trick as Delta's OPTIMIZE ZORDER, built
+    from plain column expressions.
+
+    Inputs must be non-negative integers; values are masked to ``bits``
+    (pre-bucket raw values — e.g. ``ts DIV 3600000``, a rank, an id — so
+    the low bits carry locality). Default ``bits`` = 63 // n_cols.
+
+    The key is a pure projection (bits·n shift/and/or terms, all inside
+    whole-stage codegen): zero shuffle; the only cost of Z-ordering a
+    table is the range-partitioned write you were doing anyway.
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    n = len(cols)
+    b = int(bits) if bits is not None else 63 // n
+    if b * n > 63:
+        raise ValueError(f"bits * n_cols must fit a long: {b} * {n} > 63")
+    terms = []
+    for j, c in enumerate(cols):
+        for i in range(b):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(F.col(c).cast("long"), i).bitwiseAND(F.lit(1)),
+                    i * n + j,
+                )
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out.cast("long")
+
+
+def zorder_key_sql(cols: Sequence[str], *, bits: Optional[int] = None) -> str:
+    """ANSI-SQL rendering of :func:`zorder_key` (same bit placement), for
+    oracle/verification engines."""
+    cols = list(cols)
+    n = len(cols)
+    b = int(bits) if bits is not None else 63 // n
+    terms = [
+        f"(((CAST({c} AS BIGINT) >> {i}) & 1) << {i * n + j})"
+        for j, c in enumerate(cols)
+        for i in range(b)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    n_partitions: Optional[int] = None,
+    bits: Optional[int] = None,
+    key_col: str = "__zkey",
+) -> DataFrame:
+    """Physically cluster ``df`` by the Z-order key over ``cols``:
+    range-partition on the key (balanced output files via sampled range
+    bounds) then sort within partitions — the write-side half of
+    Z-ordering. Follow with ``.write`` to get files whose per-column
+    min/max footers are tight on all ``cols`` at once.
+    """
+    key = zorder_key(cols, bits=bits)
+    out = df.withColumn(key_col, key)
+    if n_partitions:
+        out = out.repartitionByRange(int(n_partitions), F.col(key_col))
+    else:
+        out = out.repartitionByRange(F.col(key_col))
+    return out.sortWithinPartitions(key_col)
+
+
 def key_skew_report(
     df: DataFrame,
     keys: Sequence[str],
