@@ -277,3 +277,132 @@ def test_dormant_plans_an_anti_join(spark):
     )
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------- #
+# forward as-of join
+# --------------------------------------------------------------------------- #
+
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (2, 100, "c"), (1, 1000, "d")],
+        "user long, __timestamp long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 150, 15.0), (1, 400, 40.0), (2, 90, 9.0)],
+        "user long, __timestamp long, px double",
+    )
+    return left, right
+
+
+def test_asof_forward_picks_next_at_or_after(spark):
+    from timeseriesfuser_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    out = {
+        (r["user"], r["__timestamp"]): (r["__timestamp_right"], r["px"])
+        for r in asof_join(
+            left, right, keys=["user"], direction="forward"
+        ).collect()
+    }
+    assert out[(1, 100)] == (100, 10.0)   # equal ts counts (at or after)
+    assert out[(1, 200)] == (400, 40.0)   # next one strictly after
+    assert out[(2, 100)] == (None, None)  # user 2 has nothing at/after 100
+    assert out[(1, 1000)] == (None, None)
+
+
+def test_asof_forward_tolerance(spark):
+    from timeseriesfuser_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    out = {
+        (r["user"], r["__timestamp"]): r["px"]
+        for r in asof_join(
+            left, right, keys=["user"], direction="forward", tolerance_ms=100
+        ).collect()
+    }
+    assert out[(1, 200)] is None  # next match at 400 is beyond ts+100
+    assert out[(1, 100)] == 10.0
+
+
+def test_asof_forward_keyless_uses_scalable_fill(spark):
+    from timeseriesfuser_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(10,), (55,), (300,)], "__timestamp long")
+    right = spark.createDataFrame(
+        [(50, 1.0), (60, 2.0)], "__timestamp long, v double"
+    )
+    out = {
+        r["__timestamp"]: r["v"]
+        for r in asof_join(left, right, direction="forward").collect()
+    }
+    assert out == {10: 1.0, 55: 2.0, 300: None}
+
+
+def test_asof_direction_validated(spark):
+    from timeseriesfuser_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    with pytest.raises(ValueError):
+        asof_join(left, right, direction="sideways")
+
+
+# --------------------------------------------------------------------------- #
+# pagerank
+# --------------------------------------------------------------------------- #
+
+
+def test_pagerank_star_graph_center_highest(spark):
+    from timeseriesfuser_spark.ops.graph import pagerank
+
+    # Star: 0 — {1,2,3,4}. Center collects mass, leaves stay equal.
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "id_a long, id_b long"
+    )
+    r = {x["id"]: x["rank"] for x in pagerank(edges, iterations=3).collect()}
+    assert r[0] > r[1]
+    assert r[1] == r[2] == r[3] == r[4]
+
+
+def test_pagerank_isolated_nodes_get_base_rank(spark):
+    from timeseriesfuser_spark.ops.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(1,), (2,), (99,)], "id long")
+    r = {
+        x["id"]: x["rank"]
+        for x in pagerank(edges, iterations=2, all_ids=ids).collect()
+    }
+    assert r[99] == 150_000          # 1e6 - damping
+    assert r[1] == r[2] == 1_000_000  # two-cycle is a fixpoint of the update
+
+
+def test_pagerank_matches_python_reference(spark):
+    from timeseriesfuser_spark.ops.graph import pagerank
+
+    edges_py = [(1, 2), (2, 3), (1, 3), (4, 1)]
+    edges = spark.createDataFrame(edges_py, "id_a long, id_b long")
+    got = {x["id"]: x["rank"] for x in pagerank(edges, iterations=3).collect()}
+
+    # independent reimplementation (integer ppm arithmetic)
+    sym = edges_py + [(b, a) for a, b in edges_py]
+    nodes = sorted({n for e in sym for n in e})
+    deg = {n: sum(1 for s, _ in sym if s == n) for n in nodes}
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(3):
+        c = {n: 0 for n in nodes}
+        for s, d in sym:
+            c[d] += r[s] // deg[s]
+        r = {n: 150_000 + (850_000 * c[n]) // 1_000_000 for n in nodes}
+    assert got == r
+
+
+def test_pagerank_validates_params(spark):
+    from timeseriesfuser_spark.ops.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError):
+        pagerank(edges, damping_ppm=2_000_000)
+    with pytest.raises(ValueError):
+        pagerank(edges, iterations=-1)

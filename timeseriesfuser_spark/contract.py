@@ -3419,3 +3419,164 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         splits=(("test", 0.10), ("val", 0.10), ("train", 0.80)),
         seed="split0",
     )
+
+
+_FWD_TOL = 3_600_000  # next outcome within 1 hour
+
+
+@register(
+    "asof_forward_label",
+    oracle=f"""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, user_id, event_type, value
+                FROM events),
+    l AS (SELECT t AS __timestamp, event_id, user_id, value FROM ev
+          WHERE event_type IN ('click', 'view')),
+    r AS (SELECT user_id, t AS __timestamp, value AS label_value
+          FROM (SELECT user_id, t, value,
+                       row_number() OVER (PARTITION BY user_id, t
+                                          ORDER BY event_id DESC) AS rn
+                FROM ev WHERE event_type NOT IN ('click', 'view'))
+          WHERE rn = 1),
+    j AS (SELECT l.__timestamp, l.event_id, l.user_id, l.value,
+                 r.__timestamp AS rt, r.label_value AS rv
+          FROM l ASOF LEFT JOIN r
+            ON l.user_id = r.user_id AND l.__timestamp <= r.__timestamp)
+    SELECT __timestamp, event_id, user_id, value,
+           CASE WHEN rt <= __timestamp + {_FWD_TOL} THEN rt END
+             AS __timestamp_right,
+           CASE WHEN rt <= __timestamp + {_FWD_TOL} THEN rv END AS label_value
+    FROM j
+    """,
+)
+def q_asof_forward_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators.asof direction='forward'): each
+    click/view event labeled with the user's NEXT transaction value at or
+    after it, within a 1 h tolerance — the outcome-label join of a
+    training-data pipeline. Same union+carry cost class as the backward
+    form (one shuffle on the key), scanned over the reversed time axis;
+    oracle = DuckDB native forward ASOF + tolerance CASE."""
+    from timeseriesfuser_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type").isin(*_CLICK_TYPES)).select(
+        F.col("ts").alias("__timestamp"), "event_id", "user_id", "value"
+    )
+    rw = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    right = (
+        ev.filter(~F.col("event_type").isin(*_CLICK_TYPES))
+        .withColumn("__rn", F.row_number().over(rw))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("ts").alias("__timestamp"),
+            "user_id",
+            F.col("value").alias("label_value"),
+        )
+    )
+    return asof_join(
+        left,
+        right,
+        keys=["user_id"],
+        right_cols=["label_value"],
+        direction="forward",
+        tolerance_ms=_FWD_TOL,
+    )
+
+
+def _pagerank_oracle() -> str:
+    from timeseriesfuser_spark.ops.graph import pagerank_oracle_sql
+
+    inner = pagerank_oracle_sql(
+        _minhash_sql(),
+        "SELECT doc_id AS id FROM documents",
+        iterations=3,
+        damping_ppm=850_000,
+    )
+    return f"SELECT id AS doc_id, rank FROM ({inner})"
+
+
+@register("doc_pagerank", oracle=_pagerank_oracle())
+def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank (ops.graph.pagerank) over the
+    symmetrized MinHash-LSH near-dup graph: 3 damped iterations, ppm
+    arithmetic (integer DIV only) so the ranks are engine-reproducible.
+    Per iteration one edge-equi-join + one dst hash-agg — the canonical
+    distributed PageRank shape; lineage cut per round. Docs central to
+    big near-dup families score high (canonical-pick heuristic)."""
+    from timeseriesfuser_spark.ops.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=_NH, bands=_NB, threshold=_MT)
+    ranks = pagerank(
+        pairs,
+        directed=False,
+        iterations=3,
+        damping_ppm=850_000,
+        all_ids=docs.select("doc_id"),
+    )
+    return ranks.select(F.col("id").alias("doc_id"), "rank")
+
+
+@register(
+    "dedup_normalized",
+    oracle=r"""
+    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+             AS content_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS canonical_id
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over NORMALIZED text (ops.dedup.exact_duplicates with
+    normalize=True): whitespace-collapsed lowercase content hash, so
+    case/spacing variants of the same document collapse to one group —
+    the cheap first pass before near-dup machinery. Same one-shuffle
+    hash-groupBy as dedup_exact."""
+    return D.exact_duplicates(
+        _t(spark, sf_dir, "documents"), normalize=True
+    )
+
+
+@register(
+    "distinctive_terms",
+    oracle=f"""
+    WITH tok AS (SELECT source AS stratum, unnest({_TOKS}) AS tk
+                 FROM documents),
+    st AS (SELECT stratum, tk, count(*) AS cnt_s FROM tok GROUP BY 1, 2),
+    corpus AS (SELECT tk, sum(cnt_s) AS cnt_c FROM st GROUP BY tk),
+    tots AS (SELECT stratum, sum(cnt_s) AS tot_s FROM st GROUP BY stratum),
+    total AS (SELECT sum(cnt_s) AS tot_c FROM st),
+    scored AS (
+        SELECT st.stratum, st.tk, st.cnt_s,
+               st.cnt_s * 1000000 // t.tot_s AS ppm_stratum,
+               c.cnt_c * 1000000 // total.tot_c AS ppm_corpus
+        FROM st JOIN corpus c USING (tk) JOIN tots t USING (stratum), total
+        WHERE st.cnt_s >= 5),
+    l AS (SELECT *, ppm_stratum * 1000000 // ppm_corpus AS lift_ppm
+          FROM scored WHERE ppm_corpus > 0),
+    r AS (SELECT *, row_number() OVER (PARTITION BY stratum
+                                       ORDER BY lift_ppm DESC, tk) AS rnk
+          FROM l)
+    SELECT stratum AS source, tk AS token,
+           CAST(cnt_s AS BIGINT) AS cnt_s,
+           CAST(ppm_stratum AS BIGINT) AS ppm_stratum,
+           CAST(ppm_corpus AS BIGINT) AS ppm_corpus,
+           CAST(lift_ppm AS BIGINT) AS lift_ppm,
+           CAST(rnk AS BIGINT) AS rank
+    FROM r WHERE rnk <= 10
+    """,
+)
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source characteristic vocabulary (ops.text.distinctive_terms):
+    tokens over-represented in a source vs the corpus, exact-integer
+    lift_ppm, top-10 per source. Two hash-aggs + broadcast totals; the
+    ranking window runs on the aggregated source×vocab relation, never
+    the exploded token stream."""
+    from timeseriesfuser_spark.ops.text import distinctive_terms
+
+    return distinctive_terms(
+        _t(spark, sf_dir, "documents"),
+        strata_col="source",
+        min_count=5,
+        top_k=10,
+    )

@@ -38,6 +38,7 @@ from timeseriesfuser_spark.operators.fill import forward_fill
 _SIDE = "__asof_side"
 _SEQ = "__asof_seq"
 _PAYLOAD = "__asof_payload"
+_ORD = "__asof_ord"
 
 
 def asof_join(
@@ -49,15 +50,25 @@ def asof_join(
     right_cols: Optional[Sequence[str]] = None,
     tolerance_ms: Optional[int] = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join on ``ts_col`` (and equality on ``keys``).
 
-    Every left row gains the latest right row with ``right.ts <= left.ts``
-    (same key); ``tolerance_ms`` drops matches older than
-    ``left.ts - tolerance_ms``. Right columns that collide with left ones
-    are suffixed. The right row's timestamp is exposed as
-    ``{ts_col}{suffix}``.
+    ``direction='backward'`` (default): every left row gains the latest
+    right row with ``right.ts <= left.ts`` (same key); ``tolerance_ms``
+    drops matches older than ``left.ts - tolerance_ms``.
+
+    ``direction='forward'``: the EARLIEST right row with
+    ``right.ts >= left.ts`` — the "label join" of a training pipeline
+    (event → next outcome); ``tolerance_ms`` drops matches beyond
+    ``left.ts + tolerance_ms``. Among equal right timestamps the
+    last-arriving row wins in both directions.
+
+    Right columns that collide with left ones are suffixed. The right
+    row's timestamp is exposed as ``{ts_col}{suffix}``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
     keys = list(keys)
     if right_cols is None:
         right_cols = [c for c in right.columns if c != ts_col and c not in keys]
@@ -82,7 +93,15 @@ def asof_join(
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
 
-    order = [ts_col, _SIDE, _SEQ]
+    # Forward = the same carry-forward scan over the REVERSED time axis:
+    # order by -ts and "last right at or before" becomes "first right at
+    # or after". The negated order column keeps the keyless path on the
+    # two-pass LOCF (whose range buckets split on the first order column).
+    if direction == "forward":
+        unioned = unioned.withColumn(_ORD, -F.col(ts_col))
+        order = [_ORD, _SIDE, _SEQ]
+    else:
+        order = [ts_col, _SIDE, _SEQ]
     if keys:
         w = (
             Window.partitionBy(*keys)
@@ -100,9 +119,14 @@ def asof_join(
     out = filled.filter(F.col(_SIDE) == 1)
     payload = F.col(_PAYLOAD)
     if tolerance_ms is not None:
-        payload = F.when(
-            payload["__rts"] >= F.col(ts_col) - F.lit(tolerance_ms), payload
-        )
+        if direction == "forward":
+            payload = F.when(
+                payload["__rts"] <= F.col(ts_col) + F.lit(tolerance_ms), payload
+            )
+        else:
+            payload = F.when(
+                payload["__rts"] >= F.col(ts_col) - F.lit(tolerance_ms), payload
+            )
     left_names = set(left.columns)
     proj = [F.col(c) for c in left.columns]
     proj.append(payload["__rts"].alias(f"{ts_col}{suffix}"))

@@ -1,0 +1,133 @@
+"""Graph analytics over pair relations (near-dup edges, entity matches):
+fixed-point PageRank. Connected components lives in ``ops.dedup``.
+
+PageRank here is *integer fixed-point* (ppm scale): every arithmetic step
+is an integer sum or an integer division, so the result is bit-identical
+on any engine regardless of aggregation order — the float formulation is
+order-dependent and can never hash-match across engines. With rank scaled
+to 1e6 (= rank 1.0) the iteration is
+
+    r_{k+1}(v) = (1e6 - d_ppm) + (d_ppm * Σ_{u→v} (r_k(u) DIV outdeg(u))) DIV 1e6
+
+which is the textbook damped update with truncating division. Dangling
+nodes (no out-edges) leak their mass — the common simplification; for the
+undirected graphs this module targets (symmetrized match pairs) every
+edge-node has out-degree ≥ 1, and isolated nodes sit at the base rank.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    directed: bool = False,
+    iterations: int = 3,
+    damping_ppm: int = 850_000,
+    all_ids: Optional[DataFrame] = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank → (id, rank) with rank in ppm
+    (1e6 = the uniform starting rank).
+
+    Scale design: per iteration, one equi-join of the rank relation onto
+    the (persisted) degree-annotated edge list plus one hash aggregation
+    on the destination — the canonical distributed PageRank shape; no
+    windows, no driver-side graph. ``checkpoint`` cuts lineage per round
+    (executor-local; switch to reliable checkpointing on a cluster that
+    must survive executor loss mid-loop, as with connected components).
+
+    ``all_ids``: one-column relation of every node to score; defaults to
+    the nodes present in ``edges``. Isolated nodes converge to the base
+    rank ``1e6 - damping_ppm``.
+    """
+    if not 0 <= damping_ppm <= PPM:
+        raise ValueError(f"damping_ppm must be in [0, 1e6]: {damping_ppm}")
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0: {iterations}")
+    from pyspark import StorageLevel
+
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+
+    if all_ids is not None:
+        nodes = all_ids.select(
+            F.col(all_ids.columns[0]).cast("long").alias("id")
+        ).distinct()
+    else:
+        nodes = e.select(F.col("src").alias("id")).distinct()
+    nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+
+    base = PPM - damping_ppm
+    r = nodes.withColumn("rank", F.lit(PPM).cast("long"))
+    for _ in range(int(iterations)):
+        contrib = (
+            ed.join(r.select(F.col("id").alias("src"), "rank"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.expr("rank DIV __deg")).alias("__c"))
+        )
+        r = nodes.join(contrib, "id", "left").select(
+            "id",
+            (
+                F.lit(base)
+                + F.expr(f"{damping_ppm} * coalesce(__c, 0) DIV {PPM}")
+            ).cast("long").alias("rank"),
+        )
+        if checkpoint:
+            r = r.localCheckpoint(eager=True)
+    out = r.select("id", "rank")
+    ed.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    nodes_sql: str,
+    *,
+    iterations: int = 3,
+    damping_ppm: int = 850_000,
+) -> str:
+    """DuckDB/ANSI twin of :func:`pagerank` for an undirected pair
+    relation: ``edges_sql`` must yield (id_a, id_b), ``nodes_sql`` a
+    single ``id`` column. The fixed iteration count unrolls to a plain
+    CTE chain — no recursion needed, and the integer arithmetic matches
+    the Spark side bit for bit.
+    """
+    base = PPM - damping_ppm
+    ctes = [
+        f"pairs AS ({edges_sql})",
+        "e AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+        " UNION ALL SELECT id_b, id_a FROM pairs)",
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src)",
+        "ed AS (SELECT e.src, e.dst, deg.d FROM e JOIN deg USING (src))",
+        f"nodes AS ({nodes_sql})",
+        f"r0 AS (SELECT id, CAST({PPM} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for k in range(1, int(iterations) + 1):
+        ctes.append(
+            f"r{k} AS (SELECT n.id, CAST({base} + ({damping_ppm} * "
+            f"COALESCE(s.c, 0)) // {PPM} AS BIGINT) AS rank "
+            f"FROM nodes n LEFT JOIN (SELECT ed.dst AS id, "
+            f"sum(r{k - 1}.rank // ed.d) AS c FROM ed "
+            f"JOIN r{k - 1} ON r{k - 1}.id = ed.src GROUP BY ed.dst) s "
+            f"USING (id))"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"\n    SELECT id, rank FROM r{int(iterations)}"
+    )

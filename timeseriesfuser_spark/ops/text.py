@@ -631,3 +631,75 @@ def tfidf_top_terms(
         .filter(F.col("__rk") <= k)
         .select(F.col("id").alias(id_col), "token", "tf", "df", "score")
     )
+
+def distinctive_terms(
+    df: DataFrame,
+    *,
+    strata_col: str = "source",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 10,
+) -> DataFrame:
+    """Per-stratum characteristic vocabulary: for each stratum (source,
+    domain, language …), the ``top_k`` tokens most over-represented
+    relative to the whole corpus — the domain-drift / corpus-composition
+    monitor of a data pipeline ("what does this source talk about that
+    the others don't?").
+
+    lift_ppm = ppm(token | stratum) · 1e6 DIV ppm(token | corpus), both
+    ppms themselves exact integer DIVs — the chained-truncation form
+    keeps every intermediate < 1e12 (no 64-bit overflow at any corpus
+    size, engine-reproducible) at the cost of ≤1 ulp truncation bias,
+    identical on both sides. Tokens whose corpus ppm truncates to 0
+    (ultra-rare against a huge corpus) are excluded rather than divided.
+
+    Scale: one explode + two hash aggregations (stratum×token, then
+    token), a broadcast per-stratum totals relation, and a ranking window
+    over the *aggregated* (stratum × vocab) relation — never over the
+    exploded token stream; ``min_count`` prunes the Zipf tail before the
+    window. Output ordered ties broken by token text for determinism.
+    """
+    from pyspark.sql.window import Window
+
+    tok = df.select(
+        F.col(strata_col).alias("stratum"),
+        F.explode(_tokens(text_col)).alias("tk"),
+    )
+    st = tok.groupBy("stratum", "tk").agg(F.count(F.lit(1)).alias("cnt_s")).persist()
+    corpus = st.groupBy("tk").agg(F.sum("cnt_s").alias("cnt_c"))
+    totals_s = st.groupBy("stratum").agg(F.sum("cnt_s").alias("tot_s"))
+    total = st.agg(F.sum("cnt_s").alias("tot_c"))
+    scored = (
+        st.filter(F.col("cnt_s") >= int(min_count))
+        .join(corpus, "tk")
+        .join(F.broadcast(totals_s), "stratum")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "stratum",
+            "tk",
+            F.col("cnt_s").cast("long").alias("cnt_s"),
+            F.expr("cnt_s * 1000000 DIV tot_s").cast("long").alias("ppm_stratum"),
+            F.expr("cnt_c * 1000000 DIV tot_c").cast("long").alias("ppm_corpus"),
+        )
+        .filter(F.col("ppm_corpus") > 0)
+        .withColumn(
+            "lift_ppm",
+            F.expr("ppm_stratum * 1000000 DIV ppm_corpus").cast("long"),
+        )
+    )
+    w = Window.partitionBy("stratum").orderBy(
+        F.desc("lift_ppm"), F.col("tk")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(top_k))
+    )
+    return out.select(
+        F.col("stratum").alias(strata_col),
+        F.col("tk").alias("token"),
+        "cnt_s",
+        "ppm_stratum",
+        "ppm_corpus",
+        "lift_ppm",
+        "rank",
+    )
