@@ -182,6 +182,34 @@ def run(spark, n: int) -> dict:
             chunk_ms=3_600_000,
         ),
     )
+
+    # round-6: SCD2 validity intervals (two per-key windows), Z-order
+    # layout (projection + range repartition + local sort), fixed-point
+    # PageRank over a synthetic n-edge graph with n/10 nodes (per
+    # iteration: one edge join + one dst hash-agg; 3 iterations)
+    from timeseriesfuser_spark.ops.behavior import scd2_history
+    from timeseriesfuser_spark.ops.graph import pagerank
+    from timeseriesfuser_spark.ops.scale import zorder_layout
+
+    t(
+        "scd2_history",
+        scd2_history(
+            ev.withColumn("value_q", F.floor(F.col("value") / 10.0)),
+            ts_col="__timestamp",
+            value_col="value_q",
+        ),
+    )
+    zin = ev.select(
+        "event_id", "user_id",
+        (F.col("__timestamp") / 3_600_000).cast("long").alias("hour"),
+    )
+    t("zorder_layout", zorder_layout(zin, ["user_id", "hour"], bits=24))
+    nodes = max(n // 10, 10)
+    edges = spark.range(0, n, 1, CPUS).select(
+        F.pmod(F.hash(F.col("id")), nodes).alias("id_a"),
+        F.pmod(F.hash(F.col("id") + 7), nodes).alias("id_b"),
+    )
+    t("pagerank_3it", pagerank(edges, iterations=3))
     return out
 
 
@@ -261,7 +289,42 @@ def _docs_ops(spark, n: int) -> dict:
         "neardup_clusters": lambda: neardup_clusters(
             docs, num_hashes=16, bands=4, threshold=0.5
         ),
+        # round-6: blocked fuzzy ER (bounded ~50-doc blocks on a synthetic
+        # 32-char name), per-stratum lift vocabulary, group-aware split
+        "fuzzy_er": lambda: _fuzzy_er(docs, n),
+        "distinctive_terms": lambda: _distinctive(docs),
+        "leakage_split": lambda: _leakage(spark, docs, n),
     }
+
+
+def _fuzzy_er(docs, n):
+    from timeseriesfuser_spark.ops.entity import fuzzy_match_pairs
+
+    named = docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("text")), 1, 24).alias("name"),
+        F.pmod(F.hash("doc_id"), max(n // 50, 1)).alias("blk"),
+    )
+    return fuzzy_match_pairs(
+        named, id_col="doc_id", name_col="name", block_cols=("blk",),
+        max_distance=4,
+    )
+
+
+def _distinctive(docs):
+    from timeseriesfuser_spark.ops.text import distinctive_terms
+
+    strat = docs.withColumn(
+        "source", F.concat(F.lit("s"), F.pmod(F.hash("doc_id"), 20).cast("string"))
+    )
+    return distinctive_terms(strat, strata_col="source", min_count=5, top_k=10)
+
+
+def _leakage(spark, docs, n):
+    from timeseriesfuser_spark.ops.sampling import leakage_safe_split
+
+    groups = docs.select("doc_id", (F.col("doc_id") / 2).cast("long").alias("cluster_id"))
+    return leakage_safe_split(docs, groups)
 
 
 def run_docs_one(spark, name: str, n: int) -> float:
@@ -288,6 +351,7 @@ def run_docs(n: int) -> dict:
         "minhash_lsh", "simhash", "tfidf_keywords", "neardup_clusters",
         "doc_chunks", "cross_corpus", "ngram_novelty", "epoch_shuffle",
         "passage_dedup", "bigram_lm", "hashed_classifier", "length_batches",
+        "fuzzy_er", "distinctive_terms", "leakage_split",
     ]:
         r = subprocess.run(
             [sys.executable, __file__, "--docs-one", name, str(n)],
