@@ -199,3 +199,115 @@ def test_rolling_anomalies_vs_python(spark, rows, lookback):
                 flag = dev * dev * (n - 1) > 9 * n * (n * Q - S * S)
             want[i] = (n, flag)
     assert got == want
+
+
+# --------------------------------------------------------------------------- #
+# round-6: scd2_history vs a pure-Python reimplementation
+# --------------------------------------------------------------------------- #
+
+scd2_stream = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # user
+        st.integers(min_value=0, max_value=50),     # ts
+        st.one_of(st.none(), st.integers(0, 3)),    # value (small domain → runs)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _scd2_py(rows):
+    """Independent reference: per user, ordered by (ts, seq), collapse
+    consecutive equal values into [valid_from, valid_to) intervals."""
+    out = []
+    by_user = {}
+    for seq, (u, t, v) in enumerate(rows):
+        by_user.setdefault(u, []).append((t, seq, v))
+    for u, evs in by_user.items():
+        evs.sort()
+        intervals = []
+        prev = object()
+        for t, seq, v in evs:
+            if v != prev or (v is None) != (prev is None):
+                intervals.append([u, v, t, None])
+            prev = v
+        for a, b in zip(intervals, intervals[1:]):
+            a[3] = b[2]
+        for u_, v, vf, vt in intervals:
+            out.append((u_, v, vf, vt, vt is None))
+    return sorted(out, key=lambda r: (r[0], r[2], str(r[1])))
+
+
+@given(rows=scd2_stream)
+@SETTINGS
+def test_scd2_matches_python_reference(spark, rows):
+    from timeseriesfuser_spark.ops.behavior import scd2_history
+
+    data = [
+        Row(user_id=u, ts=t, event_id=seq, value=float(v) if v is not None else None)
+        for seq, (u, t, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts long, event_id long, value double"
+    )
+    got = sorted(
+        (
+            (r["user_id"], r["value"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in scd2_history(df).collect()
+        ),
+        key=lambda r: (r[0], r[2], str(r[1])),
+    )
+    want = [
+        (u, float(v) if v is not None else None, vf, vt, cur)
+        for (u, v, vf, vt, cur) in _scd2_py(rows)
+    ]
+    assert got == want
+
+
+# --------------------------------------------------------------------------- #
+# round-6: blocked fuzzy matching vs brute force
+# --------------------------------------------------------------------------- #
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+names = st.lists(
+    st.tuples(
+        st.text(alphabet="abc", min_size=0, max_size=6),
+        st.integers(min_value=0, max_value=1),      # block
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=names, maxd=st.integers(min_value=0, max_value=3))
+@SETTINGS
+def test_fuzzy_pairs_match_bruteforce(spark, rows, maxd):
+    from timeseriesfuser_spark.ops.entity import fuzzy_match_pairs
+
+    data = [(i, nm, f"b{blk}") for i, (nm, blk) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, name string, blk string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_match_pairs(
+            df, id_col="id", name_col="name", block_cols=("blk",),
+            max_distance=maxd,
+        ).collect()
+    }
+    want = set()
+    for i, (na, ba) in enumerate(rows):
+        for j, (nb, bb) in enumerate(rows):
+            if i < j and ba == bb and _lev(na, nb) <= maxd:
+                want.add((i, j, _lev(na, nb)))
+    assert got == want

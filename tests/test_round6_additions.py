@@ -406,3 +406,46 @@ def test_pagerank_validates_params(spark):
         pagerank(edges, damping_ppm=2_000_000)
     with pytest.raises(ValueError):
         pagerank(edges, iterations=-1)
+
+
+def test_zorder_layout_tightens_parquet_footers(spark, tmp_path):
+    """The point of Z-ordering: after a range-partitioned write on the
+    Morton key, each file's parquet min/max stats are tight on BOTH
+    dimensions, so a predicate on either column can skip most files.
+    Compare total stat-range coverage against the naive insertion-order
+    layout: a selective filter on either dimension must touch strictly
+    fewer files."""
+    import pyarrow.parquet as pq
+    import glob
+
+    df = spark.range(0, 4096).select(
+        F.pmod(F.hash("id"), 64).alias("x"),
+        F.pmod(F.hash(F.col("id") + 1), 64).alias("y"),
+    )
+    plain_dir, z_dir = str(tmp_path / "plain"), str(tmp_path / "zord")
+    df.repartition(8).write.parquet(plain_dir)
+    zorder_layout(df, ["x", "y"], n_partitions=8, bits=6).drop(
+        "__zkey"
+    ).write.parquet(z_dir)
+
+    def files_hit(d, col, lo, hi):
+        hit = 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            fmin, fmax = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        fmin = s.min if fmin is None else min(fmin, s.min)
+                        fmax = s.max if fmax is None else max(fmax, s.max)
+            if fmin is not None and not (fmax < lo or fmin > hi):
+                hit += 1
+        return hit
+
+    # Narrow band on each dimension: an eighth of the value space.
+    for col in ("x", "y"):
+        plain_hits = files_hit(plain_dir, col, 0, 7)
+        z_hits = files_hit(z_dir, col, 0, 7)
+        assert z_hits < plain_hits, (col, z_hits, plain_hits)

@@ -3580,3 +3580,120 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_count=5,
         top_k=10,
     )
+
+
+@register(
+    "customer_deciles",
+    oracle="""
+    WITH sp AS (
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS spend_cents
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_mktsegment)
+    SELECT c_custkey, c_mktsegment, spend_cents,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM sp WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY spend_cents DESC, c_custkey)
+    """,
+)
+def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window breadth (ntile / percent_rank / cume_dist): customer
+    lifetime spend bucketed into deciles within market segment, with the
+    percentile position. Ordering is total (cents DESC, custkey) so every
+    rank function is deterministic; percent_rank/cume_dist are single
+    divisions of exact integers — engine-bit-identical. One join + one
+    hash-agg + one per-segment window over the |customers|-sized
+    aggregate (never over raw orders)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    sp = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("spend_cents")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("spend_cents"), F.col("c_custkey")
+    )
+    return sp.select(
+        "c_custkey",
+        "c_mktsegment",
+        "spend_cents",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "incremental_rollup",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance pattern: yesterday's per-user rollup
+    STATE merged with today's DELTA by re-aggregating the two partial
+    relations (sum of counts, sum of sums) — the associative partial-agg
+    merge every incremental 100 TB pipeline relies on instead of
+    recomputing from raw. The oracle aggregates the full table directly,
+    so the test proves merge(state, delta) == full recompute."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("__cents"),
+    )
+
+    def rollup(part: DataFrame) -> DataFrame:
+        return part.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__cents").alias("value_cents"),
+        )
+
+    state = rollup(ev.filter(F.col("ts") < _DIFF_MID))
+    delta = rollup(ev.filter(F.col("ts") >= _DIFF_MID))
+    return (
+        state.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("value_cents"),
+        )
+    )
+
+
+@register(
+    "hourly_active_users",
+    oracle="""
+    SELECT CAST(epoch_ms(ts) // 3600000 * 3600000 AS BIGINT) AS hour_ts,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def q_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window DISTINCT aggregation: hourly event volume and exact
+    active-user count. Catalyst plans count(DISTINCT) per group as the
+    two-phase Expand + partial/final aggregation — one extra shuffle, no
+    per-group window; at 100 TB swap the exact count for
+    approx_count_distinct (HLL) as profile_columns documents."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            (F.expr("ts DIV 3600000") * 3_600_000).cast("long").alias("hour_ts")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
