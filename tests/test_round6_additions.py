@@ -449,3 +449,45 @@ def test_zorder_layout_tightens_parquet_footers(spark, tmp_path):
         plain_hits = files_hit(plain_dir, col, 0, 7)
         z_hits = files_hit(z_dir, col, 0, 7)
         assert z_hits < plain_hits, (col, z_hits, plain_hits)
+
+
+# --------------------------------------------------------------------------- #
+# time-partitioned sink
+# --------------------------------------------------------------------------- #
+
+
+def test_write_time_partitioned_layout_and_pruning(spark, tmp_path):
+    from timeseriesfuser_spark.sinks import write_time_partitioned
+
+    # two days of data, 2024-01-01 and 2024-01-02 (epoch ms, UTC)
+    d1, d2 = 1_704_067_200_000, 1_704_153_600_000
+    df = spark.createDataFrame(
+        [(d1 + i * 3_600_000, i) for i in range(24)]
+        + [(d2 + i * 3_600_000, 100 + i) for i in range(24)],
+        "__timestamp long, v long",
+    )
+    out = str(tmp_path / "lake")
+    res = write_time_partitioned(df, out, granularity="day")
+    assert res.files == ["dt=2024-01-01", "dt=2024-01-02"]
+
+    back = spark.read.parquet(out)
+    one_day = back.filter(F.col("dt") == "2024-01-01")
+    # partition pruning: the physical plan carries the partition filter
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "dt" in plan
+    assert one_day.count() == 24
+    assert back.count() == 48
+
+
+def test_write_time_partitioned_hourly_and_validation(spark, tmp_path):
+    from timeseriesfuser_spark.sinks import write_time_partitioned
+
+    df = spark.createDataFrame(
+        [(1_704_067_200_000, 1), (1_704_070_800_000, 2)], "__timestamp long, v long"
+    )
+    res = write_time_partitioned(
+        df, str(tmp_path / "h"), granularity="hour"
+    )
+    assert res.files == ["dt=2024-01-01-00", "dt=2024-01-01-01"]
+    with pytest.raises(ValueError):
+        write_time_partitioned(df, str(tmp_path / "x"), granularity="month")

@@ -3697,3 +3697,41 @@ def q_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+@register(
+    "tpch_q17_small_quantity",
+    oracle="""
+    WITH pa AS (SELECT l_partkey,
+                       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                         AS sq,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE CAST(round(l.l_quantity) AS BIGINT) * 5 * pa.cnt < pa.sq
+    """,
+)
+def q_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity order revenue): the correlated
+    scalar subquery `l_quantity < 0.2 * avg(quantity) per part`
+    DECORRELATED into a per-part pre-aggregate + equi-join — one extra
+    hash-agg instead of a per-row subquery; the avg comparison is the
+    cross-multiplied integer form (qty·5·cnt < sum) so no float division
+    exists anywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(qty).alias("__sq"), F.count(F.lit(1)).alias("__cnt")
+    )
+    j = li.join(pa, "l_partkey").filter(
+        qty * 5 * F.col("__cnt") < F.col("__sq")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )

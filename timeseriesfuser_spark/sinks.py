@@ -94,3 +94,49 @@ def write_batched(
         if f.endswith((ext, ext + ".gz"))
     )
     return result
+
+
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    ts_col: str = "__timestamp",
+    granularity: str = "day",
+    fmt: str = "parquet",
+    max_records_per_file: Optional[int] = None,
+    mode: str = "overwrite",
+) -> SinkResult:
+    """Hive-layout time-partitioned write: ``path/dt=YYYY-MM-DD/…`` (or
+    ``dt=YYYY-MM-DD-HH`` with granularity='hour') derived from the
+    epoch-ms ``ts_col``.
+
+    This is the standard lake layout that makes the engine's own
+    time-window predicates (P4) partition-PRUNING at read time: a
+    ``filter(ts between …)`` on ``spark.read.parquet(path)`` with the
+    matching ``dt`` predicate touches only the in-window directories, so
+    a day query over a year of data reads 1/365th of the files. Writers
+    scale out per partition; ``max_records_per_file`` bounds file sizes
+    inside each partition (S8's rolling-file behavior, per partition).
+    """
+    from pyspark.sql import functions as F
+
+    if granularity == "day":
+        pat = "yyyy-MM-dd"
+    elif granularity == "hour":
+        pat = "yyyy-MM-dd-HH"
+    else:
+        raise ValueError(f"granularity must be day|hour: {granularity!r}")
+    out = df.withColumn(
+        "dt",
+        F.date_format(F.timestamp_millis(F.col(ts_col).cast("long")), pat),
+    )
+    w = out.write.mode(mode).partitionBy("dt")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    if fmt == "csv":
+        w = w.option("header", "true")
+    w.format(fmt).save(path)
+    parts = sorted(
+        d for d in os.listdir(path) if d.startswith("dt=")
+    ) if os.path.isdir(path) else []
+    return SinkResult(output_path=path, files=parts)
