@@ -491,3 +491,54 @@ def test_write_time_partitioned_hourly_and_validation(spark, tmp_path):
     assert res.files == ["dt=2024-01-01-00", "dt=2024-01-01-01"]
     with pytest.raises(ValueError):
         write_time_partitioned(df, str(tmp_path / "x"), granularity="month")
+
+
+# --------------------------------------------------------------------------- #
+# merge_upsert (batch MERGE INTO)
+# --------------------------------------------------------------------------- #
+
+
+def test_merge_upsert_semantics(spark):
+    from timeseriesfuser_spark.ops.behavior import merge_upsert
+
+    snap = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "user_id long, value double"
+    )
+    chg = spark.createDataFrame(
+        [(2, 99.0, "upsert"),   # update
+         (3, None, "delete"),   # delete
+         (4, 40.0, "upsert")],  # insert
+        "user_id long, value double, op string",
+    )
+    out = {r["user_id"]: r["value"] for r in merge_upsert(snap, chg).collect()}
+    assert out == {1: 10.0, 2: 99.0, 4: 40.0}
+
+
+def test_merge_upsert_rejects_unknown_columns(spark):
+    from timeseriesfuser_spark.ops.behavior import merge_upsert
+
+    snap = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
+    chg = spark.createDataFrame(
+        [(1, 1.0, "x", "upsert")], "user_id long, value double, extra string, op string"
+    )
+    with pytest.raises(ValueError):
+        merge_upsert(snap, chg)
+
+
+# --------------------------------------------------------------------------- #
+# small-file compaction
+# --------------------------------------------------------------------------- #
+
+
+def test_compact_small_files(spark, tmp_path):
+    from timeseriesfuser_spark.ops.scale import compact_small_files
+
+    src = str(tmp_path / "tiny")
+    # 64 tiny files
+    spark.range(0, 6400).repartition(64).write.parquet(src)
+    rep = compact_small_files(spark, src, target_file_bytes=10**9)
+    assert rep["input_files"] >= 64
+    assert rep["output_files"] == 1  # everything fits one target-size file
+    back = spark.read.parquet(rep["output_path"])
+    assert back.count() == 6400
+    assert set(back.columns) == {"id"}

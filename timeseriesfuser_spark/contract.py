@@ -3735,3 +3735,138 @@ def q_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_cents"),
     )
+
+
+@register(
+    "cdc_merge_upsert",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, epoch_ms(ts) AS t, event_id, event_type,
+                       value FROM events),
+    snap AS (SELECT user_id, value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY t DESC, event_id DESC) AS rn
+        FROM ev WHERE t < {_DIFF_MID}) WHERE rn = 1),
+    chg AS (SELECT user_id, value,
+                   CASE WHEN event_type = 'error' THEN 'delete'
+                        ELSE 'upsert' END AS op
+            FROM (SELECT user_id, value, event_type,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY t DESC, event_id DESC)
+                           AS rn
+                  FROM ev WHERE t >= {_DIFF_MID}) WHERE rn = 1)
+    SELECT coalesce(s.user_id, c.user_id) AS user_id,
+           CASE WHEN c.op = 'upsert' THEN c.value ELSE s.value END AS value
+    FROM snap s FULL OUTER JOIN chg c ON s.user_id = c.user_id
+    WHERE c.op IS NULL OR c.op = 'upsert'
+    """,
+)
+def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO (ops.behavior.merge_upsert): the pre-cut per-user
+    snapshot updated by the post-cut compacted change set — a user's
+    latest post-cut event upserts their row unless it is an 'error'
+    event, which deletes them. One full-outer key join + row-local CASEs;
+    the change stream is compacted by the same latest_snapshot max_by
+    used for the type-1 current view."""
+    from timeseriesfuser_spark.ops.behavior import latest_snapshot, merge_upsert
+
+    ev = _events(spark, sf_dir)
+    snap = latest_snapshot(ev.filter(F.col("ts") < _DIFF_MID)).select(
+        "user_id", "value"
+    )
+    chg = latest_snapshot(ev.filter(F.col("ts") >= _DIFF_MID)).select(
+        "user_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    return merge_upsert(snap, chg, key_cols=("user_id",), op_col="op")
+
+
+@register(
+    "ann_recall",
+    # The oracle EMBEDS the exact and IVF oracles as CTEs (the
+    # curation_verdicts pattern), so the recall measurement can never
+    # drift from the two operators it grades.
+    oracle=f"""
+    WITH ex AS ({ORACLES["similarity_topk"]}),
+    ap AS ({ORACLES["similarity_ivf"]}),
+    hits AS (SELECT ex.query_id, count(*) AS c
+             FROM ex JOIN ap ON ex.query_id = ap.query_id
+                            AND ex.neighbor_id = ap.neighbor_id
+             GROUP BY ex.query_id),
+    base AS (SELECT query_id, count(*) AS n FROM ex GROUP BY query_id)
+    SELECT base.query_id,
+           CAST(n AS BIGINT) AS n_exact,
+           CAST(coalesce(c, 0) AS BIGINT) AS n_hit,
+           CAST(coalesce(c, 0) * 1000000 // n AS BIGINT) AS recall_ppm
+    FROM base LEFT JOIN hits USING (query_id)
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement: per-query recall@5 of the IVF index
+    against the exact brute-force top-k — the metric every approximate
+    similarity deployment tracks before trusting the fast path. One
+    equi-join of two k-bounded relations + two tiny aggs; both inputs
+    are the already-registered deterministic operators."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(
+        emb, queries, k=5, id_col="vec_id", vec_col="embedding"
+    ).select("query_id", "neighbor_id")
+    approx = S.ivf_cosine_topk(
+        emb, queries, k=5, n_centroids=_NC, nprobe=_NP,
+        id_col="vec_id", vec_col="embedding",
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.col("__n").cast("long").alias("n_exact"),
+        F.coalesce("__c", F.lit(0)).cast("long").alias("n_hit"),
+        F.expr("coalesce(__c, 0) * 1000000 DIV __n").cast("long").alias(
+            "recall_ppm"
+        ),
+    )
+
+
+@register(
+    "lang_confusion",
+    oracle=f"""
+    WITH pred AS ({ORACLES["lang_id"]}),
+    j AS (SELECT d.lang AS lang_true, p.lang_pred
+          FROM documents d JOIN pred p USING (doc_id)),
+    cells AS (SELECT lang_true, lang_pred, count(*) AS n
+              FROM j GROUP BY lang_true, lang_pred),
+    tot AS (SELECT lang_true, sum(n) AS t FROM cells GROUP BY lang_true)
+    SELECT c.lang_true, c.lang_pred, CAST(c.n AS BIGINT) AS n,
+           CAST(c.n * 1000000 // t.t AS BIGINT) AS share_ppm
+    FROM cells c JOIN tot t USING (lang_true)
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix: the stopword-vote lang-ID
+    predictions against the documents' labeled `lang`, with the exact-ppm
+    share of each true language routed to each prediction — the
+    measure-before-trust companion of ann_recall, for the text side. Two
+    hash-aggs over the |docs|-sized prediction join."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = X.language_id(docs).select("doc_id", "lang_pred")
+    j = docs.select("doc_id", F.col("lang").alias("lang_true")).join(
+        pred, "doc_id"
+    )
+    cells = j.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.groupBy("lang_true").agg(F.sum("n").alias("__t"))
+    return cells.join(tot, "lang_true").select(
+        "lang_true",
+        "lang_pred",
+        F.col("n").cast("long").alias("n"),
+        F.expr("n * 1000000 DIV __t").cast("long").alias("share_ppm"),
+    )

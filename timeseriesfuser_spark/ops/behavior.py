@@ -222,3 +222,55 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(*key_cols, "old_value", "new_value", change.alias("change"))
+
+
+def merge_upsert(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("user_id",),
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a compacted CDC change set to a keyed snapshot — the batch
+    MERGE INTO: ``changes`` carries at most one row per key with
+    ``op_col`` ∈ {'upsert', 'delete'}; upserts replace (or insert) the
+    key's row, deletes remove it, untouched keys pass through.
+
+    One full-outer equi-join on the key; every output column is a
+    row-local CASE — no window, no second shuffle. Compact the raw
+    change stream first (``latest_snapshot``) so the per-key uniqueness
+    precondition holds; at 100 TB this join is the same cost class as
+    ``snapshot_diff``.
+    """
+    keys = list(key_cols)
+    val_cols = [c for c in snapshot.columns if c not in keys]
+    extra = [
+        c for c in changes.columns if c not in keys + [op_col] and c not in val_cols
+    ]
+    if extra:
+        raise ValueError(f"changes has columns absent from snapshot: {extra}")
+    s = snapshot.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__s_{c}") for c in val_cols],
+        F.lit(True).alias("__in_s"),
+    )
+    c = changes.select(
+        *[F.col(k) for k in keys],
+        *[
+            (F.col(cc) if cc in changes.columns else F.lit(None)).alias(f"__c_{cc}")
+            for cc in val_cols
+        ],
+        F.col(op_col).alias("__op"),
+    )
+    j = s.join(c, on=keys, how="full_outer")
+    take_change = F.col("__op") == "upsert"
+    out = j.filter(F.col("__op").isNull() | take_change)
+    return out.select(
+        *keys,
+        *[
+            F.when(take_change, F.col(f"__c_{cc}"))
+            .otherwise(F.col(f"__s_{cc}"))
+            .alias(cc)
+            for cc in val_cols
+        ],
+    )

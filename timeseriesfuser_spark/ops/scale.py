@@ -250,3 +250,56 @@ def profile_columns(
         F.col("__p.n_nulls").alias("n_nulls"),
         F.col("__p.n_distinct").alias("n_distinct"),
     )
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+    sort_within: Optional[Sequence[str]] = None,
+) -> dict:
+    """Small-file compaction (the lake-hygiene job): rewrite a directory
+    whose long-running incremental writes left thousands of tiny files
+    into ceil(total_bytes / target) right-sized files.
+
+    Small files are a 100 TB killer twice over — scan task overhead per
+    file and NameNode/listing pressure — so compaction runs on a
+    schedule wherever streaming sinks append. The rewrite goes to
+    ``path + '.compact'`` and returns a summary dict (atomic swap is the
+    caller's move: rename dance or catalog pointer flip, both
+    deployment-specific). ``sort_within`` re-sorts rows inside each
+    output file so min/max footers stay tight (compose with
+    ``zorder_key`` for multi-column locality).
+    """
+    import math
+    import os
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith(("_", "."))
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / int(target_file_bytes)))
+    df = spark.read.format(fmt).load(path)
+    out = df.repartition(n_out)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    dest = path.rstrip("/") + ".compact"
+    out.write.format(fmt).mode("overwrite").save(dest)
+    new_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(dest)
+        for f in fs
+        if f.endswith(tuple([fmt, f"{fmt}.snappy", "snappy.parquet"])) or
+           (not f.startswith(("_", ".")) and not f.endswith(".crc"))
+    ]
+    return {
+        "input_files": len(files),
+        "input_bytes": total,
+        "output_files": len(new_files),
+        "output_path": dest,
+    }
