@@ -111,11 +111,14 @@ def test_multimodal_feature_pipeline(spark):
     assert len(by_id[1]["features"]) == 16
 
 
-def test_multimodal_stubs_raise(spark):
+def test_multimodal_non_netpbm_resize_raises_in_task(spark):
+    # resize is REAL for netpbm; other payloads (here: UTF-8 text bytes)
+    # still need a codec library and raise inside the task at execution.
     docs = spark.createDataFrame([Row(doc_id=1, text="x")])
     media = text_to_media(docs, "doc_id", "text")
-    with pytest.raises(NotImplementedError):
-        resize_images(media, 4, 4)
+    plan = resize_images(media, 4, 4)  # lazy: building the plan is fine
+    with pytest.raises(Exception, match="codec"):
+        plan.collect()
 
 
 def test_foreach_batch_chunked_bounded_driver(spark):

@@ -67,16 +67,77 @@ _FEATURES_SCHEMA = T.StructType(
 )
 
 
-def decode_image(data: bytes, *, fake: bool = False) -> "np.ndarray":
-    """STUB — real decode needs an image codec (Pillow/cv2), absent here.
+def _parse_pnm_header(data: bytes):
+    """Parse a binary netpbm header (P5 gray / P6 RGB): returns
+    (magic, width, height, maxval, pixel_offset). Whitespace-separated
+    tokens, ``#`` comments to end-of-line, single whitespace byte after
+    maxval before the raster — the spec's exact framing."""
+    if len(data) < 2 or data[:1] != b"P" or data[1:2] not in b"56":
+        raise ValueError("not a binary netpbm (P5/P6) payload")
+    magic = data[:2].decode()
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(data):
+            raise ValueError("truncated netpbm header")
+        c = data[pos : pos + 1]
+        if c == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(data[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    return magic, w, h, maxval, pos
 
-    ``fake=True`` returns a deterministic 8x8 grayscale array derived from
-    the bytes' sha256 — stable plumbing-test pixels, clearly not an image.
+
+def decode_netpbm(data: bytes) -> "np.ndarray":
+    """REAL decode for the netpbm family (pure numpy, no codec library):
+    P5 → (h, w) uint8, P6 → (h, w, 3) uint8."""
+    magic, w, h, maxval, off = _parse_pnm_header(data)
+    ch = 1 if magic == "P5" else 3
+    need = w * h * ch
+    raster = np.frombuffer(data, dtype=np.uint8, count=need, offset=off)
+    arr = raster.reshape((h, w) if ch == 1 else (h, w, 3))
+    return arr
+
+
+def encode_netpbm(arr: "np.ndarray") -> bytes:
+    """Inverse of :func:`decode_netpbm`: uint8 (h, w) → P5, (h, w, 3) → P6."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        magic = b"P5"
+    elif a.ndim == 3 and a.shape[2] == 3:
+        magic = b"P6"
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {a.shape}")
+    h, w = a.shape[0], a.shape[1]
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_image(data: bytes, *, fake: bool = False) -> "np.ndarray":
+    """Image decode. REAL for the netpbm family (P5/P6, pure numpy);
+    other formats (JPEG/PNG/…) need a codec library absent from this
+    environment and raise ``NotImplementedError`` — swapping in Pillow
+    later changes this one function, not the pipeline.
+
+    ``fake=True`` (non-netpbm payloads only) returns a deterministic 8x8
+    grayscale array derived from the bytes' sha256 — stable
+    plumbing-test pixels, clearly not an image.
     """
+    if len(data) >= 2 and data[:1] == b"P" and data[1:2] in b"56":
+        return decode_netpbm(data).astype(np.float32)
     if not fake:
         raise NotImplementedError(
-            "image decode requires a codec library (install Pillow and "
-            "replace this stub); pipeline plumbing is codec-agnostic"
+            "non-netpbm image decode requires a codec library (install "
+            "Pillow and extend decode_image); pipeline plumbing is "
+            "codec-agnostic"
         )
     digest = hashlib.sha256(data).digest()
     rng = np.frombuffer((digest * 2)[:64], dtype=np.uint8)
@@ -122,21 +183,113 @@ def extract_features(df: DataFrame, *, batch_hint: Optional[int] = None) -> Data
     return df.mapInPandas(batches, schema=_FEATURES_SCHEMA)
 
 
+def resize_nearest(arr: "np.ndarray", width: int, height: int) -> "np.ndarray":
+    """Nearest-neighbor resize (pure numpy index mapping): the coordinate
+    grid is the standard floor((i + 0.5) * src / dst) center mapping."""
+    h, w = arr.shape[0], arr.shape[1]
+    ys = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
+    return arr[ys][:, xs]
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB — decode→resize→re-encode needs a codec. The signature and
-    schema contract are final: same schema in and out, content replaced."""
-    raise NotImplementedError(
-        "resize requires an image codec; plumbing contract: "
-        "mapInPandas(batch -> batch) preserving MEDIA_SCHEMA"
-    )
+    """Decode → nearest-neighbor resize → re-encode, one Arrow-batched
+    ``mapInPandas`` pass preserving MEDIA_SCHEMA (content replaced, meta
+    width/height updated).
+
+    REAL for netpbm payloads (P5/P6, pure numpy end to end); any other
+    format raises ``NotImplementedError`` inside the task — extend
+    ``decode_image``/the encoder when a codec library is available, the
+    pipeline shape does not change. Null content passes through as null.
+    """
+    w_out, h_out = int(width), int(height)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b):
+            if b is None:
+                return None
+            try:
+                arr = decode_netpbm(b)
+            except ValueError as exc:
+                raise NotImplementedError(
+                    "resize of non-netpbm content requires a codec "
+                    f"library ({exc}); extend decode_image when one is "
+                    "available — the pipeline shape is codec-agnostic"
+                ) from exc
+            return encode_netpbm(resize_nearest(arr, w_out, h_out))
+
+        for pdf in it:
+            out = pdf.copy()
+            out["content"] = out["content"].map(one)
+            meta = pd.DataFrame(out["meta"].tolist())
+            meta["width"] = np.where(out["content"].notna(), w_out, meta["width"])
+            meta["height"] = np.where(out["content"].notna(), h_out, meta["height"])
+            out["meta"] = meta.to_dict("records")
+            yield out
+
+    return df.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    list(MEDIA_SCHEMA.fields) + [T.StructField("frame_idx", T.LongType(), True)]
+)
 
 
 def sample_frames(df: DataFrame, every_n: int) -> DataFrame:
-    """STUB — video frame sampling needs a container/codec library."""
-    raise NotImplementedError(
-        "frame sampling requires a video codec; plumbing contract: one "
-        "input row -> n_frames/every_n output rows under MEDIA_SCHEMA"
-    )
+    """Video frame sampling over the netpbm-sequence container (a "video"
+    = concatenated binary P5/P6 frames — each frame's byte length is
+    derivable from its own header, so the stream splits without an
+    index): one input row → ceil(n_frames / every_n) output rows under
+    MEDIA_SCHEMA + ``frame_idx``, keeping frames 0, every_n, 2·every_n….
+
+    Real container formats (mp4/mkv) need a demuxer library absent here
+    and raise inside the task; the row-expansion plumbing — the part a
+    100 TB pipeline cares about — is identical either way. Null content
+    yields no frames.
+    """
+    if every_n <= 0:
+        raise ValueError("every_n must be positive")
+    step = int(every_n)
+
+    def split_frames(b: bytes):
+        pos, idx = 0, 0
+        while pos < len(b):
+            view = b[pos:]
+            magic, w, h, _maxval, off = _parse_pnm_header(view)
+            ch = 1 if magic == "P5" else 3
+            end = off + w * h * ch
+            yield idx, view[:end], w, h
+            pos += end
+            idx += 1
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.to_dict("records"):
+                if r["content"] is None:
+                    continue
+                n_total = 0
+                for idx, frame, w, h in split_frames(bytes(r["content"])):
+                    n_total += 1
+                    if idx % step:
+                        continue
+                    meta = dict(r["meta"] or {})
+                    meta.update(width=w, height=h, n_frames=1)
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "content": frame,
+                            "media_type": r["media_type"],
+                            "meta": meta,
+                            "frame_idx": idx,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "content", "media_type", "meta", "frame_idx"],
+            )
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
 def text_to_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
