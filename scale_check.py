@@ -215,6 +215,15 @@ def run(spark, n: int) -> dict:
         F.pmod(F.hash(F.col("id") + 7), nodes).alias("id_b"),
     )
     t("pagerank_3it", lambda: pagerank(edges, iterations=3))
+    from timeseriesfuser_spark.ops.scale import quantile_bins
+
+    t(
+        "quantile_bins",
+        lambda: quantile_bins(
+            ev.select("value", "event_id"), "value", 10,
+            tiebreak_cols=["event_id"], num_buckets=CPUS * 4,
+        ),
+    )
     return out
 
 

@@ -635,3 +635,53 @@ def test_sample_frames_netpbm_sequence(spark):
         assert int(a[0, 0, 0]) == r["frame_idx"] * 10
     with pytest.raises(ValueError):
         sample_frames(df, 0)
+
+
+# --------------------------------------------------------------------------- #
+# exact global rank / quantile bins
+# --------------------------------------------------------------------------- #
+
+
+def test_exact_global_rank_matches_window(spark):
+    from timeseriesfuser_spark.ops.scale import exact_global_rank
+
+    df = spark.range(0, 500).select(
+        (F.pmod(F.hash("id"), 50)).alias("v"), F.col("id")
+    )
+    got = {
+        r["id"]: r["global_rank"]
+        for r in exact_global_rank(df, ["v", "id"], num_buckets=8).collect()
+    }
+    from pyspark.sql.window import Window
+
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_quantile_bins_depth_balance(spark):
+    from timeseriesfuser_spark.ops.scale import quantile_bins
+
+    df = spark.range(0, 1000).select(F.pow(F.col("id"), 2).alias("v"), "id")
+    out = quantile_bins(df, "v", 10, tiebreak_cols=["id"], num_buckets=8)
+    sizes = {r["bin"]: r["c"] for r in out.groupBy("bin").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert set(sizes) == set(range(10))
+    assert all(v == 100 for v in sizes.values())  # 1000/10 exactly
+    with pytest.raises(ValueError):
+        quantile_bins(df, "v", 0)
+
+
+def test_equal_depth_bins_plan_has_no_single_partition(spark):
+    from timeseriesfuser_spark import contract
+
+    plan = (
+        contract.QUERIES["value_equal_depth_bins"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan

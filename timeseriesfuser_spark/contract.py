@@ -3870,3 +3870,31 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.expr("n * 1000000 DIV __t").cast("long").alias("share_ppm"),
     )
+
+
+@register(
+    "value_equal_depth_bins",
+    oracle="""
+    WITH ev AS (SELECT event_id, value FROM events),
+    r AS (SELECT event_id, value,
+                 row_number() OVER (ORDER BY value, event_id) AS rn,
+                 count(*) OVER () AS n
+          FROM ev)
+    SELECT event_id, value,
+           CAST(rn AS BIGINT) AS global_rank,
+           CAST((rn - 1) * 10 // n AS BIGINT) AS bin
+    FROM r
+    """,
+)
+def q_value_equal_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-depth decile binning of the value column
+    (ops.scale.quantile_bins): exact global rank via the two-pass
+    range-bucketed scheme — the oracle states it as the plain
+    row_number window, the Spark plan contains NO single-task stage
+    (gated in tests)."""
+    from timeseriesfuser_spark.ops.scale import quantile_bins
+
+    ev = _events(spark, sf_dir).select("event_id", "value")
+    return quantile_bins(ev, "value", 10, tiebreak_cols=["event_id"]).select(
+        "event_id", "value", "global_rank", "bin"
+    )

@@ -303,3 +303,82 @@ def compact_small_files(
         "output_files": len(new_files),
         "output_path": dest,
     }
+
+
+def exact_global_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    *,
+    num_buckets: Optional[int] = None,
+    rank_col: str = "global_rank",
+) -> DataFrame:
+    """Exact 1-based global rank in ``order_cols`` order WITHOUT a
+    global-order window (``row_number() OVER (ORDER BY …)`` plans a
+    single-task stage — unusable at scale).
+
+    Two-pass range-bucketed scheme (operators.fill / ops.packing): rows
+    bucket by data-derived quantile ranges of the FIRST order column
+    (ties stay in one bucket); within-bucket ``row_number`` over the full
+    tuple runs parallel per bucket, and a #buckets-row offset lookup —
+    collected, never data-proportional — lifts it to the global rank.
+    ``order_cols`` must be a total order (include a unique tiebreaker).
+    """
+    from pyspark.sql.window import Window
+
+    from timeseriesfuser_spark.operators.fill import _bucket_col
+
+    order_cols = list(order_cols)
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    spark = df.sparkSession
+    n = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if n > 1:
+        qs = [i / n for i in range(1, n)]
+        bounds = sorted(
+            set(df.stat.approxQuantile(order_cols[0], qs, 1.0 / (4 * n)))
+        )
+    else:
+        bounds = []
+    b = "__rk_bucket"
+    part = df.withColumn(
+        b, _bucket_col(order_cols[0], bounds) if bounds else F.lit(0)
+    )
+    totals = {
+        r[b]: r["c"]
+        for r in part.groupBy(b).agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    off, running = [], 0
+    for i in range(len(bounds) + 1):
+        off.append(running)
+        running += totals.get(i, 0) or 0
+    lut = F.array(*[F.lit(int(v)).cast("long") for v in off])
+    w = Window.partitionBy(b).orderBy(*[F.col(c) for c in order_cols])
+    return part.withColumn(
+        rank_col,
+        (F.row_number().over(w) + F.element_at(lut, F.col(b) + 1)).cast("long"),
+    ).drop(b)
+
+
+def quantile_bins(
+    df: DataFrame,
+    col: str,
+    k: int,
+    *,
+    tiebreak_cols: Sequence[str] = (),
+    num_buckets: Optional[int] = None,
+) -> DataFrame:
+    """Equal-depth (quantile) binning: every row gets ``global_rank`` (by
+    ``col`` + tiebreakers) and ``bin`` = (rank-1)·k DIV n ∈ [0, k) — each
+    bin holds n/k rows (±1), the feature-engineering discretization that
+    fixed-width histograms can't give on skewed data. Built on
+    :func:`exact_global_rank`, so no single-task stage exists anywhere."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    ranked = exact_global_rank(
+        df, [col, *tiebreak_cols], num_buckets=num_buckets
+    )
+    total = ranked.count()
+    return ranked.withColumn(
+        "bin",
+        F.expr(f"(global_rank - 1) * {int(k)} DIV {int(total)}").cast("long"),
+    )
