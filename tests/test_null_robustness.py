@@ -30,6 +30,12 @@ QUERIES = [
     "rolling_zscore",
     "rate_of_change",
     "latest_user_state",
+    # round-6: null-value SCD2 intervals, null-value CDC merge, null-text
+    # tokenizing aggregates, null-label confusion cells
+    "scd2_user_history",
+    "cdc_merge_upsert",
+    "distinctive_terms",
+    "lang_confusion",
 ]
 
 TABLES = [

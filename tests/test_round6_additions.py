@@ -685,3 +685,41 @@ def test_equal_depth_bins_plan_has_no_single_partition(spark):
         .toString()
     )
     assert "SinglePartition" not in plan
+
+
+def test_snapshot_diff_merge_roundtrip(spark):
+    """Inverse-operation property: deriving a change set from
+    snapshot_diff(old, new) and applying it with merge_upsert(old, ...)
+    must reproduce new exactly — diff and merge are true inverses."""
+    from timeseriesfuser_spark.ops.behavior import merge_upsert, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, None), (4, 4.0)], "user_id long, value double"
+    )
+    new = spark.createDataFrame(
+        [(1, 1.0), (2, 99.0), (3, 3.0), (5, 5.0)], "user_id long, value double"
+    )
+    d = snapshot_diff(old, new, key_cols=("user_id",), compare_col="value")
+    changes = d.filter(F.col("change") != "unchanged").select(
+        "user_id",
+        F.col("new_value").alias("value"),
+        F.when(F.col("change") == "removed", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    merged = merge_upsert(old, changes, key_cols=("user_id",), op_col="op")
+    got = {r["user_id"]: r["value"] for r in merged.collect()}
+    want = {r["user_id"]: r["value"] for r in new.collect()}
+    assert got == want
+
+
+def test_snapshot_diff_null_value_is_not_added_or_removed(spark):
+    from timeseriesfuser_spark.ops.behavior import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, 2.0)], "user_id long, value double")
+    new = spark.createDataFrame([(1, None), (2, None)], "user_id long, value double")
+    out = {
+        r["user_id"]: r["change"]
+        for r in snapshot_diff(old, new, key_cols=("user_id",), compare_col="value").collect()
+    }
+    assert out == {1: "unchanged", 2: "changed"}

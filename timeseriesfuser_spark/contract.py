@@ -3846,7 +3846,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT lang_true, sum(n) AS t FROM cells GROUP BY lang_true)
     SELECT c.lang_true, c.lang_pred, CAST(c.n AS BIGINT) AS n,
            CAST(c.n * 1000000 // t.t AS BIGINT) AS share_ppm
-    FROM cells c JOIN tot t USING (lang_true)
+    FROM cells c JOIN tot t ON c.lang_true IS NOT DISTINCT FROM t.lang_true
     """,
 )
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3863,8 +3863,14 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = j.groupBy("lang_true", "lang_pred").agg(
         F.count(F.lit(1)).alias("n")
     )
-    tot = cells.groupBy("lang_true").agg(F.sum("n").alias("__t"))
-    return cells.join(tot, "lang_true").select(
+    tot = cells.groupBy(F.col("lang_true").alias("__lt")).agg(
+        F.sum("n").alias("__t")
+    )
+    # null-safe totals join: an unlabeled (NULL) language is still a row
+    # of the confusion matrix, and equi-joins drop NULL keys.
+    return cells.join(
+        tot, cells["lang_true"].eqNullSafe(tot["__lt"])
+    ).select(
         "lang_true",
         "lang_pred",
         F.col("n").cast("long").alias("n"),

@@ -208,16 +208,23 @@ def snapshot_diff(
     ``compare_col``. One full-outer equi-join on the key — the audit /
     reconciliation primitive for incremental pipelines."""
     o = old.select(
-        *[F.col(k) for k in key_cols], F.col(compare_col).alias("old_value")
+        *[F.col(k) for k in key_cols],
+        F.col(compare_col).alias("old_value"),
+        F.lit(True).alias("__in_old"),
     )
     n = new.select(
-        *[F.col(k) for k in key_cols], F.col(compare_col).alias("new_value")
+        *[F.col(k) for k in key_cols],
+        F.col(compare_col).alias("new_value"),
+        F.lit(True).alias("__in_new"),
     )
     j = o.join(n, on=list(key_cols), how="full_outer")
     ov, nv = F.col("old_value"), F.col("new_value")
+    # added/removed are decided by key PRESENCE, not value nullness — a
+    # present key carrying a NULL value is 'unchanged'/'changed', never
+    # phantom-added/removed.
     change = (
-        F.when(ov.isNull(), F.lit("added"))
-        .when(nv.isNull(), F.lit("removed"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
         .when(ov.eqNullSafe(nv), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )

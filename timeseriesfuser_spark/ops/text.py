@@ -120,6 +120,10 @@ def language_id(
         cond = votes[lang] > best
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
         best = F.when(cond, votes[lang]).otherwise(best)
+    # NULL text → NULL prediction (votes are already null): without this
+    # guard the when-chain's null conditions all fall through to the
+    # alphabetically-first language — a silently wrong label.
+    pred = F.when(F.col(text_col).isNotNull(), pred)
     return df.select(
         *id_cols,
         *[votes[lang].alias(f"votes_{lang}") for lang in langs],
