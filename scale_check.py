@@ -48,11 +48,13 @@ def synth_events(spark, n: int):
     )
 
 
-def run(spark, n: int) -> dict:
+def run(spark, n: int, only=None) -> dict:
     ev = synth_events(spark, n)
     out = {"rows": n}
 
     def t(name, df):
+        if only is not None and name not in only:
+            return
         # Accept a thunk for ops that run driver actions eagerly during
         # construction (iterative ops with per-round checkpoints): the
         # construction must be inside the timed region.
@@ -71,7 +73,7 @@ def run(spark, n: int) -> dict:
     # interval resample with gap fill + ffill (global grid)
     t(
         "resample_1m",
-        resample_last_interval(
+        lambda: resample_last_interval(
             ev.select("__timestamp", "event_id", "value"),
             "1m",
             value_cols=["value"],
@@ -82,7 +84,7 @@ def run(spark, n: int) -> dict:
     # global two-pass LOCF on a 1/3-null column
     t(
         "forward_fill",
-        forward_fill(ev, ["__timestamp", "event_id"], ["sparse_value"]),
+        lambda: forward_fill(ev, ["__timestamp", "event_id"], ["sparse_value"]),
     )
     # per-user sessionize-style window
     from pyspark.sql.window import Window
@@ -412,11 +414,15 @@ def main():
         print(run_docs_one(spark, name, n))
         spark.stop()
         return
+    only = None
+    if args and args[0] == "--only":
+        only = set(args[1].split(","))
+        args = args[2:]
     sizes = [int(float(a) * 1e6) for a in (args or ["1", "10", "30"])]
     results = []
     for n in sizes:
         print(f"# n={n:,}", file=sys.stderr)
-        results.append(run(spark, n))
+        results.append(run(spark, n, only=only))
     print(json.dumps(results))
     spark.stop()
 

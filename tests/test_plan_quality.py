@@ -162,3 +162,43 @@ def test_interval_join_no_nested_loop_at_sf(spark):
     plan = formatted_plan(contract.QUERIES["interval_join_2h"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q17_preaggregates_before_join(spark):
+    """Q17's correlated subquery must be decorrelated: the per-part
+    average pre-aggregates lineitem BEFORE the join (partial+final
+    HashAggregate pair upstream of the join), never a per-row subquery."""
+    plan = formatted_plan(contract.QUERIES["tpch_q17_small_quantity"](spark, SF))
+    assert plan.count("HashAggregate") >= 3  # pre-agg pair + final rollup
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_rollup_partial_aggregation(spark):
+    """The state+delta merge re-aggregates two partial relations: every
+    aggregate must keep map-side combine (partial_ prefix in the plan)."""
+    plan = formatted_plan(contract.QUERIES["incremental_rollup"](spark, SF))
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_hourly_active_users_two_level_distinct(spark):
+    """Per-window count(DISTINCT) plans as the two-level aggregation:
+    a partial (window, user) de-dup aggregate BEFORE the final count —
+    never a per-group collect_set or a window. (With a single distinct
+    aggregate Catalyst skips Expand and nests the aggregates.)"""
+    plan = formatted_plan(contract.QUERIES["hourly_active_users"](spark, SF))
+    assert "partial_count(distinct" in plan
+    assert plan.count("HashAggregate") >= 3  # (key,user) pair + final pair
+    assert "collect_set" not in plan
+
+
+def test_equal_depth_bins_no_single_partition(spark):
+    plan = formatted_plan(contract.QUERIES["value_equal_depth_bins"](spark, SF))
+    assert "SinglePartition" not in plan
+
+
+def test_leakage_split_single_id_join(spark):
+    """The split itself adds one equi-join on the id + a projection; no
+    extra shuffle of the corpus beyond the clustering input."""
+    plan = formatted_plan(contract.QUERIES["leakage_split"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
