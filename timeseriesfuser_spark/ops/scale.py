@@ -327,6 +327,20 @@ def exact_global_rank(
 
     from timeseriesfuser_spark.operators.fill import _bucket_col
 
+    ranked, _total = _global_rank_with_total(
+        df, order_cols, num_buckets=num_buckets, rank_col=rank_col
+    )
+    return ranked
+
+
+def _global_rank_with_total(df, order_cols, *, num_buckets, rank_col):
+    """Shared core of exact_global_rank: also returns the exact row count
+    (= the sum of the per-bucket totals it must collect anyway), so
+    callers never re-execute the ranked plan just to count it."""
+    from pyspark.sql.window import Window
+
+    from timeseriesfuser_spark.operators.fill import _bucket_col
+
     order_cols = list(order_cols)
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
@@ -353,10 +367,11 @@ def exact_global_rank(
         running += totals.get(i, 0) or 0
     lut = F.array(*[F.lit(int(v)).cast("long") for v in off])
     w = Window.partitionBy(b).orderBy(*[F.col(c) for c in order_cols])
-    return part.withColumn(
+    ranked = part.withColumn(
         rank_col,
         (F.row_number().over(w) + F.element_at(lut, F.col(b) + 1)).cast("long"),
     ).drop(b)
+    return ranked, running
 
 
 def quantile_bins(
@@ -374,10 +389,10 @@ def quantile_bins(
     :func:`exact_global_rank`, so no single-task stage exists anywhere."""
     if k <= 0:
         raise ValueError("k must be positive")
-    ranked = exact_global_rank(
-        df, [col, *tiebreak_cols], num_buckets=num_buckets
+    ranked, total = _global_rank_with_total(
+        df, [col, *tiebreak_cols], num_buckets=num_buckets,
+        rank_col="global_rank",
     )
-    total = ranked.count()
     return ranked.withColumn(
         "bin",
         F.expr(f"(global_rank - 1) * {int(k)} DIV {int(total)}").cast("long"),
