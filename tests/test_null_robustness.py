@@ -36,6 +36,7 @@ QUERIES = [
     "cdc_merge_upsert",
     "distinctive_terms",
     "lang_confusion",
+    "value_equal_depth_bins",  # NULL value ranks: NULLS FIRST on BOTH sides
 ]
 
 TABLES = [

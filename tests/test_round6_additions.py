@@ -723,3 +723,88 @@ def test_snapshot_diff_null_value_is_not_added_or_removed(spark):
         for r in snapshot_diff(old, new, key_cols=("user_id",), compare_col="value").collect()
     }
     assert out == {1: "unchanged", 2: "changed"}
+
+
+# --------------------------------------------------------------------------- #
+# review-fix regressions
+# --------------------------------------------------------------------------- #
+
+
+def test_decode_image_fake_precedes_netpbm_sniff():
+    """fake=True must return the sha-fake even for payloads that START
+    with a netpbm magic (text like 'P5 is ...'): extract_features'
+    oracle-checked derivation depends on it."""
+    import numpy as np
+    from timeseriesfuser_spark.ops.multimodal import decode_image
+
+    tricky = b"P5 is a great chip"
+    out = decode_image(tricky, fake=True)
+    assert out.shape == (8, 8)  # sha-fake shape, not a netpbm decode
+    # and a VALID 5x5 netpbm through the fake path is still the sha-fake
+    from timeseriesfuser_spark.ops.multimodal import encode_netpbm
+
+    real = encode_netpbm(np.zeros((5, 5, 3), dtype=np.uint8))
+    assert decode_image(real, fake=True).shape == (8, 8)
+    assert decode_image(real).shape == (5, 5, 3)  # real path still real
+
+
+def test_pagerank_directed_includes_sink_nodes(spark):
+    from timeseriesfuser_spark.ops.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (3, 2)], "id_a long, id_b long")
+    r = {x["id"]: x["rank"] for x in pagerank(edges, directed=True, iterations=1).collect()}
+    assert set(r) == {1, 2, 3}
+    assert r[2] > r[1]  # the sink collects both nodes' mass
+
+
+def test_leakage_split_string_ids(spark):
+    from timeseriesfuser_spark.ops.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [("doc-a",), ("doc-b",), ("doc-c",)], "doc_id string"
+    )
+    groups = spark.createDataFrame(
+        [("doc-a", "doc-a"), ("doc-b", "doc-a")], "doc_id string, cluster_id string"
+    )
+    out = {r["doc_id"]: r for r in leakage_safe_split(docs, groups).collect()}
+    assert out["doc-a"]["group_id"] == "doc-a"
+    assert out["doc-b"]["group_id"] == "doc-a"
+    assert out["doc-c"]["group_id"] == "doc-c"     # singleton keeps own id
+    assert out["doc-a"]["split"] == out["doc-b"]["split"]  # same group
+    assert None not in {r["group_id"] for r in out.values()}
+
+
+def test_zorder_key_sql_validates_like_column_twin():
+    from timeseriesfuser_spark.ops.scale import zorder_key_sql
+
+    with pytest.raises(ValueError):
+        zorder_key_sql(["a", "b"], bits=32)
+    with pytest.raises(ValueError):
+        zorder_key_sql([])
+
+
+def test_distinctive_terms_keeps_null_stratum(spark):
+    from timeseriesfuser_spark.ops.text import distinctive_terms
+
+    rows = [(i, "alpha beta " * 3, None) for i in range(6)] + [
+        (100 + i, "gamma delta " * 3, "s1") for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = distinctive_terms(df, min_count=5, top_k=5).collect()
+    strata = {r["source"] for r in out}
+    assert None in strata and "s1" in strata
+
+
+def test_write_time_partitioned_is_timezone_independent(spark, tmp_path):
+    from timeseriesfuser_spark.sinks import write_time_partitioned
+
+    d1 = 1_704_067_200_000  # 2024-01-01T00:00:00Z
+    df = spark.createDataFrame([(d1, 1)], "__timestamp long, v long")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        res = write_time_partitioned(df, str(tmp_path / "tz"), granularity="hour")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # UTC day/hour regardless of session zone (NY would say 2023-12-31-19)
+    assert res.files == ["dt=2024-01-01-00"]

@@ -3550,7 +3550,8 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT st.stratum, st.tk, st.cnt_s,
                st.cnt_s * 1000000 // t.tot_s AS ppm_stratum,
                c.cnt_c * 1000000 // total.tot_c AS ppm_corpus
-        FROM st JOIN corpus c USING (tk) JOIN tots t USING (stratum), total
+        FROM st JOIN corpus c USING (tk)
+        JOIN tots t ON st.stratum IS NOT DISTINCT FROM t.stratum, total
         WHERE st.cnt_s >= 5),
     l AS (SELECT *, ppm_stratum * 1000000 // ppm_corpus AS lift_ppm
           FROM scored WHERE ppm_corpus > 0),
@@ -3883,7 +3884,8 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (SELECT event_id, value FROM events),
     r AS (SELECT event_id, value,
-                 row_number() OVER (ORDER BY value, event_id) AS rn,
+                 row_number() OVER (ORDER BY value ASC NULLS FIRST,
+                                    event_id) AS rn,
                  count(*) OVER () AS n
           FROM ev)
     SELECT event_id, value,

@@ -259,7 +259,6 @@ def merge_upsert(
     s = snapshot.select(
         *[F.col(k) for k in keys],
         *[F.col(c).alias(f"__s_{c}") for c in val_cols],
-        F.lit(True).alias("__in_s"),
     )
     c = changes.select(
         *[F.col(k) for k in keys],

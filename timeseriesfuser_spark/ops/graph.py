@@ -70,7 +70,13 @@ def pagerank(
             F.col(all_ids.columns[0]).cast("long").alias("id")
         ).distinct()
     else:
-        nodes = e.select(F.col("src").alias("id")).distinct()
+        # src ∪ dst: a directed graph's sink nodes (dst-only) must be
+        # scored too — they are often exactly the high-rank nodes.
+        nodes = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
     nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
 
     base = PPM - damping_ppm

@@ -67,29 +67,34 @@ _FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _parse_pnm_header(data: bytes):
-    """Parse a binary netpbm header (P5 gray / P6 RGB): returns
-    (magic, width, height, maxval, pixel_offset). Whitespace-separated
+_WS = frozenset(b" \t\n\r\x0b\x0c")
+
+
+def _parse_pnm_header(data: bytes, start: int = 0):
+    """Parse a binary netpbm header (P5 gray / P6 RGB) at byte offset
+    ``start``: returns (magic, width, height, maxval, pixel_offset) with
+    ``pixel_offset`` ABSOLUTE into ``data``. Whitespace-separated
     tokens, ``#`` comments to end-of-line, single whitespace byte after
-    maxval before the raster — the spec's exact framing."""
-    if len(data) < 2 or data[:1] != b"P" or data[1:2] not in b"56":
+    maxval before the raster — the spec's exact framing. Integer-indexed
+    (no slicing), so a frame-sequence scan stays O(total_bytes)."""
+    if len(data) < start + 2 or data[start] != 0x50 or data[start + 1] not in (0x35, 0x36):
         raise ValueError("not a binary netpbm (P5/P6) payload")
-    magic = data[:2].decode()
-    pos, tokens = 2, []
+    magic = "P5" if data[start + 1] == 0x35 else "P6"
+    pos, tokens = start + 2, []
     while len(tokens) < 3:
         if pos >= len(data):
             raise ValueError("truncated netpbm header")
-        c = data[pos : pos + 1]
-        if c == b"#":
-            while pos < len(data) and data[pos : pos + 1] != b"\n":
+        c = data[pos]
+        if c == 0x23:  # '#' comment to end of line
+            while pos < len(data) and data[pos] != 0x0A:
                 pos += 1
-        elif c.isspace():
+        elif c in _WS:
             pos += 1
         else:
-            start = pos
-            while pos < len(data) and not data[pos : pos + 1].isspace():
+            tok_start = pos
+            while pos < len(data) and data[pos] not in _WS:
                 pos += 1
-            tokens.append(int(data[start:pos]))
+            tokens.append(int(data[tok_start:pos]))
     pos += 1  # the single whitespace byte after maxval
     w, h, maxval = tokens
     if maxval > 255:
@@ -127,21 +132,24 @@ def decode_image(data: bytes, *, fake: bool = False) -> "np.ndarray":
     environment and raise ``NotImplementedError`` — swapping in Pillow
     later changes this one function, not the pipeline.
 
-    ``fake=True`` (non-netpbm payloads only) returns a deterministic 8x8
-    grayscale array derived from the bytes' sha256 — stable
-    plumbing-test pixels, clearly not an image.
+    ``fake=True`` returns a deterministic 8x8 grayscale array derived
+    from the bytes' sha256 — stable plumbing-test pixels, clearly not an
+    image. The fake path takes PRECEDENCE over format sniffing: callers
+    that asked for the sha-fake (extract_features' oracle-checked
+    feature derivation) must get it even when the payload happens to
+    start with a netpbm magic (e.g. text beginning "P5 ...").
     """
+    if fake:
+        digest = hashlib.sha256(data).digest()
+        rng = np.frombuffer((digest * 2)[:64], dtype=np.uint8)
+        return rng.reshape(8, 8).astype(np.float32)
     if len(data) >= 2 and data[:1] == b"P" and data[1:2] in b"56":
         return decode_netpbm(data).astype(np.float32)
-    if not fake:
-        raise NotImplementedError(
-            "non-netpbm image decode requires a codec library (install "
-            "Pillow and extend decode_image); pipeline plumbing is "
-            "codec-agnostic"
-        )
-    digest = hashlib.sha256(data).digest()
-    rng = np.frombuffer((digest * 2)[:64], dtype=np.uint8)
-    return rng.reshape(8, 8).astype(np.float32)
+    raise NotImplementedError(
+        "non-netpbm image decode requires a codec library (install "
+        "Pillow and extend decode_image); pipeline plumbing is "
+        "codec-agnostic"
+    )
 
 
 def _fake_features(data: Optional[bytes]) -> Optional[list]:
@@ -252,14 +260,16 @@ def sample_frames(df: DataFrame, every_n: int) -> DataFrame:
     step = int(every_n)
 
     def split_frames(b: bytes):
+        # Offset-based header parsing: no tail copy per frame (a naive
+        # b[pos:] slice would make splitting O(total_bytes²)); only each
+        # kept frame's own bytes are materialized.
         pos, idx = 0, 0
         while pos < len(b):
-            view = b[pos:]
-            magic, w, h, _maxval, off = _parse_pnm_header(view)
+            magic, w, h, _maxval, off = _parse_pnm_header(b, pos)
             ch = 1 if magic == "P5" else 3
             end = off + w * h * ch
-            yield idx, view[:end], w, h
-            pos += end
+            yield idx, b[pos:end], w, h
+            pos = end
             idx += 1
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -174,10 +174,10 @@ def leakage_safe_split(
     g = groups.select(
         F.col(id_col).alias("__id"), F.col(group_id_col).alias("group_id")
     )
-    joined = df.select(F.col(id_col).cast("long").alias("__id")).join(
-        g, "__id", "left"
-    )
-    group_key = F.coalesce(F.col("group_id"), F.col("__id")).cast("long")
+    # Keep the id's own type: casting to long would NULL out string ids,
+    # silently un-grouping the whole corpus.
+    joined = df.select(F.col(id_col).alias("__id")).join(g, "__id", "left")
+    group_key = F.coalesce(F.col("group_id"), F.col("__id"))
     h = F.pmod(
         md5_hash64(F.concat(F.lit(seed), F.lit(":"), group_key.cast("string"))),
         F.lit(PPM),
@@ -192,7 +192,7 @@ def leakage_safe_split(
     split = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
     return joined.select(
         F.col("__id").alias(id_col),
-        group_key.alias("group_id"),
+        group_key.cast(dict(joined.dtypes)["__id"]).alias("group_id"),
         split.alias("split"),
     )
 

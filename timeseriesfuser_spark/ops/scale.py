@@ -125,8 +125,12 @@ def zorder_key_sql(cols: Sequence[str], *, bits: Optional[int] = None) -> str:
     """ANSI-SQL rendering of :func:`zorder_key` (same bit placement), for
     oracle/verification engines."""
     cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
     n = len(cols)
     b = int(bits) if bits is not None else 63 // n
+    if b * n > 63:
+        raise ValueError(f"bits * n_cols must fit a long: {b} * {n} > 63")
     terms = [
         f"(((CAST({c} AS BIGINT) >> {i}) & 1) << {i * n + j})"
         for j, c in enumerate(cols)
@@ -322,11 +326,12 @@ def exact_global_rank(
     tuple runs parallel per bucket, and a #buckets-row offset lookup —
     collected, never data-proportional — lifts it to the global rank.
     ``order_cols`` must be a total order (include a unique tiebreaker).
+
+    NULL ordering is NULLS FIRST (Spark's ascending default; the range
+    bucketer sends NULLs to bucket 0, consistent with it) — SQL twins
+    must say ``ORDER BY col ASC NULLS FIRST`` explicitly, because
+    DuckDB/Postgres default ascending NULLS LAST.
     """
-    from pyspark.sql.window import Window
-
-    from timeseriesfuser_spark.operators.fill import _bucket_col
-
     ranked, _total = _global_rank_with_total(
         df, order_cols, num_buckets=num_buckets, rank_col=rank_col
     )

@@ -669,14 +669,28 @@ def distinctive_terms(
         F.col(strata_col).alias("stratum"),
         F.explode(_tokens(text_col)).alias("tk"),
     )
-    st = tok.groupBy("stratum", "tk").agg(F.count(F.lit(1)).alias("cnt_s")).persist()
+    # Eager local checkpoint: st feeds four consumers (materialize once,
+    # no cache pin left in the session — a .persist() here leaked a
+    # block per invocation).
+    st = (
+        tok.groupBy("stratum", "tk")
+        .agg(F.count(F.lit(1)).alias("cnt_s"))
+        .localCheckpoint(eager=True)
+    )
     corpus = st.groupBy("tk").agg(F.sum("cnt_s").alias("cnt_c"))
-    totals_s = st.groupBy("stratum").agg(F.sum("cnt_s").alias("tot_s"))
+    totals_s = st.groupBy(F.col("stratum").alias("__ts_stratum")).agg(
+        F.sum("cnt_s").alias("tot_s")
+    )
     total = st.agg(F.sum("cnt_s").alias("tot_c"))
+    base = st.filter(F.col("cnt_s") >= int(min_count)).join(corpus, "tk")
+    # null-safe totals join: an unlabeled (NULL) stratum is still a
+    # stratum of the report; a plain equi-join would drop its rows.
     scored = (
-        st.filter(F.col("cnt_s") >= int(min_count))
-        .join(corpus, "tk")
-        .join(F.broadcast(totals_s), "stratum")
+        base.join(
+            F.broadcast(totals_s),
+            base["stratum"].eqNullSafe(totals_s["__ts_stratum"]),
+        )
+        .drop("__ts_stratum")
         .crossJoin(F.broadcast(total))
         .select(
             "stratum",

@@ -120,16 +120,22 @@ def write_time_partitioned(
     """
     from pyspark.sql import functions as F
 
-    if granularity == "day":
-        pat = "yyyy-MM-dd"
-    elif granularity == "hour":
-        pat = "yyyy-MM-dd-HH"
-    else:
+    if granularity not in ("day", "hour"):
         raise ValueError(f"granularity must be day|hour: {granularity!r}")
-    out = df.withColumn(
-        "dt",
-        F.date_format(F.timestamp_millis(F.col(ts_col).cast("long")), pat),
+    # Integer epoch arithmetic, NOT date_format(timestamp_millis(...)):
+    # the latter renders in spark.sql.session.timeZone, so a non-UTC
+    # session would silently shift rows across partition boundaries.
+    # floor (not DIV) keeps pre-1970 timestamps on the correct day.
+    ts = F.col(ts_col).cast("long")
+    day = F.date_add(
+        F.to_date(F.lit("1970-01-01")),
+        F.floor(ts / F.lit(86_400_000.0)).cast("int"),
     )
+    dt = day.cast("string")
+    if granularity == "hour":
+        hour = F.pmod(F.floor(ts / F.lit(3_600_000.0)), F.lit(24)).cast("int")
+        dt = F.concat(dt, F.lit("-"), F.lpad(hour.cast("string"), 2, "0"))
+    out = df.withColumn("dt", dt)
     w = out.write.mode(mode).partitionBy("dt")
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", int(max_records_per_file))
