@@ -107,7 +107,13 @@ class TimeSeriesFuser:
 
     def rename_maps(self, spark: SparkSession) -> Dict[str, Dict[str, str]]:
         if self._rename_maps is None:
-            frames = [(s, build_source_df(spark, s, i)) for i, s in enumerate(self.sources)]
+            # Same source set as fused(): the reference drops out-of-window
+            # sources BEFORE computing collision renames (core.py:204-213
+            # precedes _pre_setup), so a collision that exists only with a
+            # window-dropped source must not rename anything — otherwise
+            # remap_keys would name columns the fused schema doesn't have.
+            sources, _, _ = self._resolve_window(spark)
+            frames = [(s, build_source_df(spark, s, i)) for i, s in enumerate(sources)]
             self._rename_maps = self._compute_renames(frames)
         return self._rename_maps
 
@@ -150,6 +156,15 @@ class TimeSeriesFuser:
         kept, starts, ends = [], [], []
         for src in self.sources:
             first, last = probe_source_window(spark, src)
+            if first is None or last is None:
+                import warnings
+
+                warnings.warn(
+                    f"Source {src.name!r} is empty (no timestamped rows); skipping.",
+                    UserWarning,
+                    stacklevel=2,
+                )
+                continue
             s = first if user_start is None else max(user_start, first)
             e = last if user_end is None else min(user_end, last)
             # Strict: a degenerate single-instant source (first == last —
@@ -209,15 +224,44 @@ class TimeSeriesFuser:
             # P5 parity (core.py:446-459): one row per (source, sequence id)
             # — overlapping file tails re-deliver the same sequence ids and
             # the replay filter drops them; dropDuplicates is the batch
-            # equivalent (keyed shuffle, partial-agg map-side).
-            merged = merged.dropDuplicates([SRC_ID_COL, cfg.secondary_sort_col])
+            # equivalent (keyed shuffle, partial-agg map-side). Rows from
+            # sources WITHOUT the sequence column (null-padded by the
+            # diagonal union) pass through untouched: dropDuplicates would
+            # treat all their nulls as ONE key and keep a single row.
+            sec = F.col(cfg.secondary_sort_col)
+            deduped = merged.filter(sec.isNotNull()).dropDuplicates(
+                [SRC_ID_COL, cfg.secondary_sort_col]
+            )
+            merged = deduped.unionByName(merged.filter(sec.isNull()))
+
+        # The final sort must use the PRE-fill secondary values: the
+        # reference sorts (core.py:474-478) before it forward-fills
+        # (core.py:1034-1072), so rows from a source lacking the sequence
+        # column order nulls-first — not by a neighbor's LOCF-borrowed id.
+        order_cols = list(self.sort_cols())
+        presort = None
+        if (
+            cfg.forward_fill
+            and sort
+            and cfg.secondary_sort_col
+            and cfg.secondary_sort_col in merged.columns
+        ):
+            presort = f"__presort_{cfg.secondary_sort_col}"
+            merged = merged.withColumn(presort, F.col(cfg.secondary_sort_col))
+            order_cols = [presort if c == cfg.secondary_sort_col else c for c in order_cols]
 
         if cfg.forward_fill:
-            fill_cols = [c for c in merged.columns if c not in (TS_COL, *INTERNAL_COLS)]
+            fill_cols = [
+                c
+                for c in merged.columns
+                if c not in (TS_COL, *INTERNAL_COLS) and c != presort
+            ]
             merged = forward_fill(merged, self.sort_cols(), fill_cols)
 
         if sort:
-            merged = merged.orderBy(*[F.col(c) for c in self.sort_cols()])
+            merged = merged.orderBy(*[F.col(c) for c in order_cols])
+        if presort:
+            merged = merged.drop(presort)
         if cfg.remove_internal_cols:
             merged = merged.drop(SRC_ID_COL, SEQ_COL)
         return merged

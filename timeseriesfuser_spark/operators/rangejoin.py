@@ -96,6 +96,10 @@ def interval_join(
     )
     if broadcast_intervals:
         iv = F.broadcast(iv)
+    elif broadcast_intervals is False:
+        # Forbid broadcasting (AQE would still auto-broadcast a small
+        # estimated side without the explicit join-strategy hint).
+        iv = iv.hint("shuffle_hash")
 
     t = F.col(point_ts).cast("long")
     pt = points.withColumn(_CHUNK, ((t - F.pmod(t, c)) / c).cast("long"))
@@ -111,9 +115,15 @@ def interval_join(
 
     # LEFT: points that matched no interval come back with null interval
     # columns. The anti side reuses the same equi-join shape (no nested
-    # loop); the union is by name with null fill.
+    # loop); the union is by name with null fill. The anti condition must
+    # be NULL-SAFE per column — plain equality would classify any matched
+    # row containing a null as unmatched too and emit it twice. (Exact
+    # duplicate point rows are safe either way: identical rows share the
+    # same chunk/ts, so they match or miss together.)
     matched_keys = joined.select(*points.columns)
-    unmatched = points.join(
-        matched_keys, on=list(points.columns), how="left_anti"
-    )
+    cond = None
+    for col in points.columns:
+        term = points[col].eqNullSafe(matched_keys[col])
+        cond = term if cond is None else cond & term
+    unmatched = points.join(matched_keys, on=cond, how="left_anti")
     return joined.unionByName(unmatched, allowMissingColumns=True)

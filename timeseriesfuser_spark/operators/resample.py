@@ -134,14 +134,13 @@ def resample_last_interval(
 
     # The buckets relation (<= one row per non-empty interval) feeds three
     # plan branches below (bounds -> spine, the spine join, and the carry
-    # fill); persist AND materialize it so the input aggregation runs
+    # fill); eagerly localCheckpoint it so the input aggregation runs
     # once — independent stages of the final action racing an
-    # un-materialized persist each recompute it (see ops.dedup._maybe_cache
-    # for the measured blowup).
-    from pyspark import StorageLevel
-
-    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
-    buckets.count()
+    # un-materialized cache each recompute it (see ops.dedup._maybe_cache
+    # for the measured blowup). Checkpoint, not persist: a persist here
+    # leaked one pinned cache entry per invocation into the session
+    # (never unpersisted — the consumer runs after this function returns).
+    buckets = buckets.localCheckpoint(eager=True)
 
     # --- time spine (bounds from the tiny buckets relation) -------------- #
     mx = F.max("__maxts")
@@ -190,7 +189,22 @@ def resample_last_interval(
         ).alias(_BUCKET),
     )
 
-    joined = spine.join(buckets, on=keys + [_BUCKET], how="left")
+    if keys:
+        # Null-safe key equality: a null-keyed group is a real group (its
+        # spine rows carry null keys too) and a plain equi-join would
+        # leave every one of its buckets unmatched. Spine derives from
+        # buckets, so the self-join needs explicit dataset aliases.
+        sp, bk = spine.alias("__rs_sp"), buckets.alias("__rs_bk")
+        cond = F.col(f"__rs_sp.{_BUCKET}") == F.col(f"__rs_bk.{_BUCKET}")
+        for k in keys:
+            cond = cond & F.col(f"__rs_sp.{k}").eqNullSafe(F.col(f"__rs_bk.{k}"))
+        joined = sp.join(bk, cond, "left").select(
+            *[F.col(f"__rs_sp.{k}").alias(k) for k in keys],
+            F.col(f"__rs_sp.{_BUCKET}").alias(_BUCKET),
+            F.col(f"__rs_bk.{_ROW}").alias(_ROW),
+        )
+    else:
+        joined = spine.join(buckets, on=[_BUCKET], how="left")
     return _gap_fill_tail(joined, ts_col, keys, value_cols, ffill_keys)
 
 
@@ -334,7 +348,15 @@ def _resample_day_tz(
     # date, so the label is strictly greater even for an event exactly ON
     # a grid midnight (its local date IS the grid date -> next grid point).
     if keys:
-        labeled = df.join(F.broadcast(anchors), on=keys, how="inner")
+        # Null-safe key join: a null-keyed group has an anchor row like
+        # any other; a plain equi-join would drop its events entirely.
+        acond = None
+        for k in keys:
+            term = df[k].eqNullSafe(anchors[k])
+            acond = term if acond is None else acond & term
+        labeled = df.join(F.broadcast(anchors), acond, "inner").select(
+            *[df[c] for c in df.columns], anchors[_ANCHOR]
+        )
     else:
         labeled = df.crossJoin(F.broadcast(anchors))
     local_date = F.to_date(F.from_utc_timestamp(F.timestamp_millis(ts), tz))
@@ -367,6 +389,16 @@ def _resample_day_tz(
         spine_rows,
         T.StructType(key_fields + [T.StructField(_BUCKET, T.DateType(), False)]),
     )
-    joined = spine.join(buckets, on=keys + [_BUCKET], how="left")
+    if keys:
+        scond = spine[_BUCKET] == buckets[_BUCKET]
+        for k in keys:
+            scond = scond & spine[k].eqNullSafe(buckets[k])
+        joined = spine.join(buckets, scond, "left").select(
+            *[spine[k].alias(k) for k in keys],
+            spine[_BUCKET].alias(_BUCKET),
+            buckets[_ROW].alias(_ROW),
+        )
+    else:
+        joined = spine.join(buckets, on=[_BUCKET], how="left")
     joined = joined.withColumn(_BUCKET, bucket_ms)
     return _gap_fill_tail(joined, ts_col, keys, value_cols, ffill_keys)

@@ -63,6 +63,12 @@ def _read_parquet_schema_groups(
     A homogeneous directory (the normal case at scale) yields exactly one
     group — identical plan to a plain directory scan."""
     files = list_source_files(src) if os.path.isdir(src.path) else [src.path]
+    if not files:
+        # No top-level .parquet files — a Hive-partitioned/nested layout.
+        # Delegate to Spark's own directory scan (which discovers
+        # partition directories and their columns) and cast through the
+        # declared schema, instead of crashing on an empty group list.
+        return _cast_to_declared(spark.read.parquet(src.path), declared)
     try:
         import pyarrow.parquet as pq
 
@@ -374,14 +380,18 @@ def probe_source_window(spark: SparkSession, src: SourceConfig) -> Tuple[int, in
     if not files:
         raise FileNotFoundError(f"Source {src.name!r}: no {src.fmt} files in {src.path}")
     first_df = build_source_df(spark, replace(src, path=files[0]), 0)
-    first = first_df.select(TS_COL).head(1)[0][0]
+    head = first_df.select(TS_COL).head(1)
     last_df = (
         first_df
         if len(files) == 1
         else build_source_df(spark, replace(src, path=files[-1]), 0)
     )
-    last = last_df.select(TS_COL).tail(1)[0][0]
-    return first, last
+    tail = last_df.select(TS_COL).tail(1)
+    # Empty first/last file (e.g. header-only CSV) → (None, None): the
+    # fuser warns and skips the source instead of crashing on [0][0].
+    if not head or not tail:
+        return None, None
+    return head[0][0], tail[0][0]
 
 
 def iso_string_to_epoch_ms(col):

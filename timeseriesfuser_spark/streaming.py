@@ -325,7 +325,11 @@ def sessionize_stream(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     keys = list(keys)
-    key_fields = [T.StructField(k, T.LongType(), True) for k in keys]
+    # Key fields copy the INPUT dtypes (a string key hardcoded as long
+    # would fail the Arrow conversion of every micro-batch).
+    key_fields = [
+        T.StructField(k, df.schema[k].dataType, True) for k in keys
+    ]
     out_schema = T.StructType(
         key_fields
         + [
@@ -413,7 +417,10 @@ def anomaly_stream(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     keys = list(keys)
-    key_fields = [T.StructField(kk, T.LongType(), True) for kk in keys]
+    # Key fields copy the INPUT dtypes — see sessionize_stream.
+    key_fields = [
+        T.StructField(kk, df.schema[kk].dataType, True) for kk in keys
+    ]
     out_schema = T.StructType(
         key_fields
         + [
