@@ -216,3 +216,99 @@ def test_sessionize_stream_string_key(spark, tmp_path):
     assert len(got) == 1
     assert got[0]["user"] == "alice"
     assert got[0]["n_events"] == 2
+
+
+# --------------------------------------------------------------------------- #
+# ops/ review findings (third sweep)
+# --------------------------------------------------------------------------- #
+
+
+def test_dedup_verdicts_includes_null_text_docs(spark):
+    from timeseriesfuser_spark.ops.dedup import dedup_verdicts
+
+    df = spark.createDataFrame(
+        [(1, "some text"), (2, None), (3, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup_verdicts(df).collect()}
+    assert set(out) == {1, 2, 3}  # NULL-text docs get verdicts too
+    # the two NULL docs form one exact-dup family, lowest id survives
+    assert out[2]["verdict"] == "keep" and out[2]["canonical_id"] == 2
+    assert out[3]["verdict"] == "exact_dup" and out[3]["canonical_id"] == 2
+
+
+def test_curation_verdicts_includes_null_text_docs(spark):
+    from timeseriesfuser_spark.ops.lm import curation_verdicts
+
+    df = spark.createDataFrame(
+        [(1, "the of and to in it is a " * 8), (2, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation_verdicts(df).collect()}
+    assert set(out) == {1, 2}
+
+
+def test_connected_components_string_ids(spark):
+    from timeseriesfuser_spark.ops.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c")], "id_a string, id_b string"
+    )
+    out = {
+        r["id"]: r["cluster_id"] for r in connected_components(edges).collect()
+    }
+    assert out == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a"}
+
+
+def test_pagerank_string_ids(spark):
+    from timeseriesfuser_spark.ops.graph import pagerank
+
+    edges = spark.createDataFrame([("u", "v")], "id_a string, id_b string")
+    out = {r["id"]: r["rank"] for r in pagerank(edges, iterations=1).collect()}
+    assert set(out) == {"u", "v"} and out["u"] == out["v"]
+
+
+def test_kmeans_fewer_rows_than_k(spark):
+    from timeseriesfuser_spark.ops.similarity import kmeans_fit
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    cents = kmeans_fit(emb, k=8, iters=2)
+    assert len(cents) == 2  # clamped to row count, no IndexError
+    with pytest.raises(ValueError):
+        kmeans_fit(emb.filter("vec_id > 99"), k=4)
+
+
+def test_pq_codes_empty_input_schema_matches(spark):
+    from timeseriesfuser_spark.ops.similarity import pq_codes
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.5, 0.25])], "vec_id long, embedding array<float>"
+    )
+    full = pq_codes(emb, m=2, k=1)
+    empty = pq_codes(emb.filter("vec_id > 99"), m=2, k=1)
+    assert empty.columns == full.columns  # id column named vec_id both ways
+
+
+def test_twap_and_interpolate_negative_timestamps(spark):
+    from timeseriesfuser_spark.ops.timeseries import interpolate_grid, twap_bars
+
+    df = spark.createDataFrame(
+        [(1, -15000, 1, 100.0), (1, -3000, 2, 200.0)],
+        "user_id long, ts long, event_id long, value double",
+    )
+    bars = {r["bar_ts"]: r for r in twap_bars(df, "10s").collect()}
+    assert set(bars) == {-20000, -10000}
+    assert all(r["dur_ms"] > 0 for r in bars.values())
+    grid = {r["grid_ts"]: r["interp_cents"] for r in interpolate_grid(df, "10s").collect()}
+    assert set(grid) == {-10000}  # in-segment point only, no extrapolated 0
+    assert abs(grid[-10000] - (10000 + 10000 * 5 / 12)) < 1e-9
+
+
+def test_rolling_anomalies_no_overflow_at_envelope(spark):
+    from timeseriesfuser_spark.ops.timeseries import rolling_anomalies
+
+    rows = [(1, i * 1000, i, 100000.0 if i % 2 else -100000.0) for i in range(60)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, value double")
+    out = rolling_anomalies(df, lookback=50, min_points=3, k=3)
+    assert out.count() == 60  # no ARITHMETIC_OVERFLOW under ANSI

@@ -2345,19 +2345,20 @@ _ZK, _ZMIN, _ZLOOK = 3, 3, 10
            CASE WHEN n_base >= {_ZMIN}
                 THEN CAST(sum_base AS DOUBLE) / n_base END AS mean_cents,
            CASE WHEN n_base >= {_ZMIN}
-                THEN sqrt(CAST(n_base * sumsq_base - sum_base * sum_base AS DOUBLE)
+                THEN sqrt(CAST(CAST(n_base AS HUGEINT) * sumsq_base - CAST(sum_base AS HUGEINT) * sum_base AS DOUBLE)
                           / CAST(n_base * (n_base - 1) AS DOUBLE)) END AS std_cents,
            CASE WHEN n_base >= {_ZMIN}
-                 AND n_base * sumsq_base - sum_base * sum_base > 0
+                 AND CAST(n_base AS HUGEINT) * sumsq_base - CAST(sum_base AS HUGEINT) * sum_base > 0
                 THEN (CAST(n_base * cents - sum_base AS DOUBLE) / n_base)
-                     / sqrt(CAST(n_base * sumsq_base - sum_base * sum_base AS DOUBLE)
+                     / sqrt(CAST(CAST(n_base AS HUGEINT) * sumsq_base - CAST(sum_base AS HUGEINT) * sum_base AS DOUBLE)
                             / CAST(n_base * (n_base - 1) AS DOUBLE))
            END AS zscore,
            (n_base >= {_ZMIN}
-            AND (n_base * cents - sum_base) * (n_base * cents - sum_base)
+            AND CAST(n_base * cents - sum_base AS HUGEINT)
+                * CAST(n_base * cents - sum_base AS HUGEINT)
                 * (n_base - 1)
-                > {_ZK * _ZK} * n_base
-                  * (n_base * sumsq_base - sum_base * sum_base)) AS is_anomaly
+                > CAST({_ZK * _ZK} AS HUGEINT) * n_base
+                  * (CAST(n_base AS HUGEINT) * sumsq_base - CAST(sum_base AS HUGEINT) * sum_base)) AS is_anomaly
     FROM w
     """,
 )

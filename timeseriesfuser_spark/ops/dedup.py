@@ -669,10 +669,10 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
-    e = edges.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
-    )
+    # ids keep their own type (long, string, ...): min-label propagation
+    # only needs a total order, and a cast("long") would crash (ANSI) or
+    # NULL out string ids — the bug class fixed for leakage_safe_split.
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     # Each round MUST cut lineage (eager localCheckpoint): carrying the
@@ -688,8 +688,6 @@ def connected_components(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    # decimal sum: immune to int64 overflow however large ids × nodes get
-    prev = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(max_iterations):
         nbr = (
             sym.join(
@@ -698,22 +696,23 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("lbl").alias("__nbr"))
         )
-        new = (
-            labels.join(nbr.withColumnRenamed("src", "id"), "id", "left")
-            .select(
-                "id",
-                F.least(F.col("lbl"), F.coalesce("__nbr", "lbl")).alias("lbl"),
-            )
-            .localCheckpoint(eager=True)
+        # joined feeds both the convergence count and the next labels —
+        # checkpoint once so neither consumer recomputes the round.
+        joined = labels.join(
+            nbr.withColumnRenamed("src", "id"), "id", "left"
+        ).localCheckpoint(eager=True)
+        # type-generic convergence: labels only decrease, so the fixpoint
+        # is "no neighbor offers a strictly smaller label" (works for any
+        # ordered id type — the old decimal-sum check was numeric-only).
+        changed = joined.filter(F.col("__nbr") < F.col("lbl")).count()
+        labels = joined.select(
+            "id", F.least(F.col("lbl"), F.coalesce("__nbr", "lbl")).alias("lbl")
         )
-        cur = new.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
-        labels = new
-        if cur == prev:
+        if changed == 0:
             break
-        prev = cur
     out = labels.select("id", F.col("lbl").alias("cluster_id"))
     if all_ids is not None:
-        ids = all_ids.select(F.col(all_ids.columns[0]).cast("long").alias("id"))
+        ids = all_ids.select(F.col(all_ids.columns[0]).alias("id"))
         out = ids.join(out, "id", "left").select(
             "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
         )
@@ -817,8 +816,13 @@ def dedup_verdicts(
     LSH/CC machinery of :func:`neardup_clusters` (edge-subgraph-bounded).
     No new shuffle shapes beyond those two paths.
     """
+    # md5(NULL) is NULL and the join back on __h would silently drop every
+    # NULL-text doc (null keys never equi-match). The sentinel groups them
+    # as one exact-dup family — same as groupBy's null grouping — and
+    # cannot collide with a real 32-hex md5.
     hashed = df.select(
-        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__h")
+        F.col(id_col).alias("id"),
+        F.coalesce(F.md5(F.col(text_col)), F.lit("__NULL_TEXT__")).alias("__h"),
     )
     canon = hashed.groupBy("__h").agg(F.min("id").alias("__exact_canon"))
     exact = hashed.join(canon, "__h").select("id", "__exact_canon")
@@ -844,7 +848,7 @@ def dedup_verdicts(
         F.col("id").alias(id_col),
         verdict.alias("verdict"),
         (verdict == "keep").alias("keep"),
-        canonical.cast("long").alias("canonical_id"),
+        canonical.cast(dict(df.dtypes)[id_col]).alias("canonical_id"),
     )
 
 

@@ -92,5 +92,6 @@ def canonical_entities(
     ids = entities.select(F.col(id_col).alias("id"))
     comp = connected_components(pairs, all_ids=ids)  # (id, cluster_id)
     return comp.select(
-        "id", F.col("cluster_id").cast("long").alias("canonical_id")
+        "id",
+        F.col("cluster_id").cast(dict(ids.dtypes)["id"]).alias("canonical_id"),
     )

@@ -56,10 +56,10 @@ def pagerank(
         raise ValueError(f"iterations must be >= 0: {iterations}")
     from pyspark import StorageLevel
 
-    e = edges.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
-    )
+    # ids keep their own type (long, string, ...): rank arithmetic never
+    # touches the id value, and a cast("long") would crash (ANSI) or NULL
+    # out string ids.
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if not directed:
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
@@ -67,7 +67,7 @@ def pagerank(
 
     if all_ids is not None:
         nodes = all_ids.select(
-            F.col(all_ids.columns[0]).cast("long").alias("id")
+            F.col(all_ids.columns[0]).alias("id")
         ).distinct()
     else:
         # src ∪ dst: a directed graph's sink nodes (dst-only) must be

@@ -211,7 +211,10 @@ def curation_verdicts(
     from timeseriesfuser_spark.ops.text import quality_filter
 
     hashed = df.select(
-        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__h")
+        F.col(id_col).alias("id"),
+        # sentinel: NULL-text docs form one exact-dup group instead of
+        # being dropped by the null-keyed join back (see dedup_verdicts)
+        F.coalesce(F.md5(F.col(text_col)), F.lit("__NULL_TEXT__")).alias("__h"),
     )
     canon = hashed.groupBy("__h").agg(F.min("id").alias("__canon"))
     exact = hashed.join(canon, "__h").select(

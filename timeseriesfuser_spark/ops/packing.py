@@ -74,6 +74,10 @@ def token_offsets(
     part = base.withColumn(
         _PB, _bucket_col(order_col, bounds) if bounds else F.lit(0)
     )
+    # part feeds the totals collect AND the final output plan: without a
+    # materialization the word tokenizer runs over the whole corpus twice
+    # (the dominant cost). Eager local checkpoint — no session cache pin.
+    part = part.localCheckpoint(eager=True)
     # Pass 2 first: per-bucket totals → prefix offsets (#buckets rows).
     totals = {
         r[_PB]: r["t"]

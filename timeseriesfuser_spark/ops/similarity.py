@@ -26,6 +26,7 @@ from typing import Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from timeseriesfuser_spark.ops.util import spread_small_input
@@ -148,7 +149,17 @@ def srp_signatures(
     )
     dim_row = v.select(F.size("v").alias("d")).first()
     if dim_row is None:
-        return df.sparkSession.createDataFrame([], "id long, sh long")
+        # empty-input schema mirrors the non-empty path: the id keeps the
+        # INPUT dtype (a hardcoded long would break string-id unions).
+        return df.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("id", df.schema[id_col].dataType, True),
+                    T.StructField("sh", T.LongType(), True),
+                ]
+            ),
+        )
     return _srp_signatures_from(v, planes, dim_row["d"])
 
 
@@ -373,6 +384,13 @@ def kmeans_fit(
         [float(x) for x in r["v"]]
         for r in q.orderBy("id").limit(k).collect()
     ]
+    if not init:
+        raise ValueError("kmeans_fit: input has no vectors")
+    if len(init) < k:
+        # fewer rows than clusters: every row is its own centroid — the
+        # update loop otherwise indexes past the seed list for the empty
+        # clusters >= n_rows.
+        k = len(init)
     centroids = init
     dim = len(init[0])
     for _ in range(iters):
@@ -519,7 +537,15 @@ def rp_project(
     )
     dim_row = v.select(F.size("v").alias("d")).first()
     if dim_row is None:
-        return df.sparkSession.createDataFrame([], "id long, proj array<bigint>")
+        return df.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("id", df.schema[id_col].dataType, True),
+                    T.StructField("proj", T.ArrayType(T.LongType()), True),
+                ]
+            ),
+        )
     dim = dim_row["d"]
     spark = df.sparkSession
     plane_df = spark.range(out_dim).select(
@@ -697,8 +723,9 @@ def pq_codes(
     )
     dim_row = q.select(F.size("__v").alias("d")).first()
     if dim_row is None:
+        # same column NAME as the non-empty path (which renames id -> id_col)
         return q.select(
-            "id",
+            F.col("id").alias(id_col),
             F.lit(None).cast("string").alias("pq"),
             F.lit(None).cast("long").alias("sq_err"),
         )

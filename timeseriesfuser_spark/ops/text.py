@@ -222,11 +222,11 @@ def repetition_stats(
 
 
 def _maybe_persist(df: DataFrame) -> DataFrame:
-    """Persist a relation consumed by several plan branches (Catalyst
-    re-executes branches; see ops.dedup._maybe_cache)."""
-    from pyspark import StorageLevel
-
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    """Materialize a relation consumed by several plan branches (Catalyst
+    re-executes branches; see ops.dedup._maybe_cache). Eager local
+    checkpoint, not persist: a persist here is never unpersisted and
+    would pin one cache block per invocation for the session lifetime."""
+    return df.localCheckpoint(eager=True)
 
 
 def token_frequencies(
@@ -622,7 +622,7 @@ def tfidf_top_terms(
         F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("token")
     )
     tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    tf = tf.persist()
+    tf = tf.localCheckpoint(eager=True)  # multi-consumer; no cache pin
     dfr = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     if broadcast_df:
         dfr = F.broadcast(dfr)

@@ -200,12 +200,21 @@ def rolling_anomalies(
         q.alias("sumsq_base"),
     )
     dev = F.col("n_base") * F.col("cents") - F.col("sum_base")
+    # The products exceed int64 inside the documented envelope (n·Q alone
+    # reaches ~1e20 at lookback=1000, |x|=1e5 cents; dev² likewise):
+    # compute var and the comparison in decimal(38,0) — exact,
+    # overflow-free to ~1e38; the DuckDB twin uses HUGEINT.
+    dec = "decimal(38,0)"
     var_n2 = (
-        F.col("n_base") * F.col("sumsq_base")
-        - F.col("sum_base") * F.col("sum_base")
-    )  # = n²·(n-1)/n · sample_var → n·(n-1)·sample_var·… kept as exact int
-    lhs = dev * dev * (F.col("n_base") - 1)
-    rhs = F.lit(int(k) * int(k)) * F.col("n_base") * var_n2
+        F.col("n_base").cast(dec) * F.col("sumsq_base").cast(dec)
+        - F.col("sum_base").cast(dec) * F.col("sum_base").cast(dec)
+    )  # = n²·(n-1)/n · sample_var → n·(n-1)·sample_var·… kept exact
+    lhs = dev.cast(dec) * dev.cast(dec) * (F.col("n_base") - 1).cast(dec)
+    rhs = (
+        F.lit(int(k) * int(k)).cast(dec)
+        * F.col("n_base").cast(dec)
+        * var_n2.cast(dec)
+    )
     enough = F.col("n_base") >= int(min_points)
     mean = F.col("sum_base").cast("double") / F.col("n_base")
     std = F.sqrt(
@@ -369,8 +378,10 @@ def interpolate_grid(
         F.lead("__c").over(w).alias("__cn"),
     ).withColumn("__end", F.coalesce(F.col("__tn"), F.col("__tp") + 1))
     # Grid points covered by [tp, end): ceil(tp) .. the last multiple < end.
-    g0 = F.expr(f"((__tp + {step - 1}) DIV {step}) * {step}")
-    g1 = F.expr(f"((__end - 1) DIV {step}) * {step}")
+    # pmod-based FLOOR multiples (negative-safe): SQL DIV truncates toward
+    # zero, which shifts both bounds off-grid for pre-1970 timestamps.
+    g0 = F.expr(f"(__tp + {step - 1}) - pmod(__tp + {step - 1}, {step})")
+    g1 = F.expr(f"(__end - 1) - pmod(__end - 1, {step})")
     ex = seg.filter(F.col("__end") > F.col("__tp")).select(
         "__k",
         "__tp",
@@ -449,8 +460,10 @@ def twap_bars(
         F.col("__t").alias("__s"),
         F.coalesce(F.lead("__t").over(w), F.col("__hz")).alias("__e"),
     ).filter(F.col("__e") > F.col("__s"))
-    b0 = F.expr(f"__s DIV {step}")
-    b1 = F.expr(f"(__e - 1) DIV {step}")
+    # negative-safe floor buckets: (x - pmod(x, s)) is exactly divisible,
+    # so the DIV after it is floor for any sign (plain DIV truncates).
+    b0 = F.expr(f"(__s - pmod(__s, {step})) DIV {step}")
+    b1 = F.expr(f"((__e - 1) - pmod(__e - 1, {step})) DIV {step}")
     ex = seg.select(
         "__k",
         "__c",
