@@ -312,3 +312,74 @@ def test_rolling_anomalies_no_overflow_at_envelope(spark):
     df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, value double")
     out = rolling_anomalies(df, lookback=50, min_points=3, k=3)
     assert out.count() == 60  # no ARITHMETIC_OVERFLOW under ANSI
+
+
+# --------------------------------------------------------------------------- #
+# fourth sweep (handlers/intervals/config/sinks + remaining ops)
+# --------------------------------------------------------------------------- #
+
+
+def test_ts_epoch_ms_int32_seconds_column(spark):
+    from timeseriesfuser_spark.timeutils import ts_epoch_ms_col
+
+    df = spark.createDataFrame([(1_723_600_000,)], "ts int")  # int32 seconds
+    (got,) = df.select(ts_epoch_ms_col(df, "ts").alias("ms")).first()
+    assert got == 1_723_600_000_000  # widened BEFORE the *1000
+
+
+def test_retention_cohorts_negative_timestamps(spark):
+    from timeseriesfuser_spark.ops.behavior import retention_cohorts
+
+    # user anchored at ts=-1 (period -1 under floor), active again at ts=1
+    df = spark.createDataFrame(
+        [(7, -1, 1), (7, 1, 2)], "user_id long, ts long, event_id long"
+    )
+    out = {(r["cohort_ts"], r["period_offset"]) for r in
+           retention_cohorts(df, period_ms=10).collect()}
+    assert out == {(-10, 0), (-10, 1)}  # truncating DIV gave offset 0 twice
+
+
+def test_resize_images_null_meta_passthrough(spark):
+    import numpy as np
+    from timeseriesfuser_spark.ops.multimodal import encode_netpbm, resize_images
+
+    blob = encode_netpbm(np.zeros((4, 4), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, bytearray(blob), "image", None)],
+        "media_id long, content binary, media_type string, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int,codec:string>",
+    )
+    (row,) = resize_images(df, 2, 2).collect()
+    assert row["meta"] is None  # NULL meta preserved, not fabricated
+    assert row["content"] is not None
+
+
+def test_salted_join_rejects_outer(spark):
+    from timeseriesfuser_spark.ops.scale import salted_join
+
+    a = spark.createDataFrame([(1, "x")], "k long, va string")
+    b = spark.createDataFrame([(1, "y")], "k long, vb string")
+    with pytest.raises(ValueError):
+        salted_join(a, b, ["k"], how="full_outer")
+    assert salted_join(a, b, ["k"], salts=4).count() == 1
+
+
+def test_zorder_rejects_zero_bits():
+    from timeseriesfuser_spark.ops.scale import zorder_key, zorder_key_sql
+
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b"], bits=0)
+    with pytest.raises(ValueError):
+        zorder_key_sql([f"c{i}" for i in range(64)])  # 63//64 == 0
+
+
+def test_stratified_sample_null_identity_rows_excluded(spark):
+    from timeseriesfuser_spark.ops.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [("A", 1), ("A", None), (None, 3)], "source string, doc_id long"
+    )
+    kept = stratified_sample(df, {"A": 1.0}, default_rate=1.0).collect()
+    # rate 1.0 keeps every identifiable row; null-identity rows have no
+    # hash and are consistently excluded (never block-kept/dropped)
+    assert [(r["source"], r["doc_id"]) for r in kept] == [("A", 1)]

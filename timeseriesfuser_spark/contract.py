@@ -1205,7 +1205,7 @@ _SAMPLE_RATES = {f"src{i}": (200_000 + (i % 4) * 200_000) / 1e6 for i in range(2
     oracle=f"""
     WITH s AS (
         SELECT doc_id, source,
-               {_sql_hash64("concat(source, ':', CAST(doc_id AS VARCHAR))")} % 1000000 AS hash_ppm,
+               {_sql_hash64("source || ':' || CAST(doc_id AS VARCHAR)")} % 1000000 AS hash_ppm,
                CAST(200000 + (CAST(substr(source, 4) AS BIGINT) % 4) * 200000 AS BIGINT) AS rate_ppm
         FROM documents
     )

@@ -81,6 +81,13 @@ def next_boundary_ms(ts_ms: int, interval: str | int, *, tz: str | tzinfo | None
     (Deviation: the reference derives the calendar date via the *system*
     local timezone before anchoring midnight in ``to_timezone``; we use the
     target timezone for both, which is the documented intent.)
+
+    Anchoring note for multi-day grids (N > 1): ``tz=None`` floors on the
+    epoch-anchored N-day grid, while ANY explicit ``tz`` — including
+    ``'UTC'`` — anchors at the ts's local midnight (reference parity,
+    classes.py:787-795). So ``tz='UTC'`` and ``tz=None`` agree for '1d'
+    but intentionally differ for '2d'+: passing a timezone requests the
+    midnight-anchored calendar semantics, not just an offset.
     """
     if isinstance(interval, int):
         step = interval

@@ -105,14 +105,22 @@ def retention_cohorts(
     """
     u, t = F.col(user_col), F.col(ts_col)
     p = int(period_ms)
+    # negative-safe floor periods (pmod idiom): plain DIV truncates toward
+    # zero, double-widening period 0 and shifting pre-1970 cohorts.
     anchors = df.groupBy(u.alias("__u")).agg(
-        F.expr(f"min({ts_col}) DIV {p}").alias("__cp")
+        F.expr(
+            f"(min({ts_col}) - pmod(min({ts_col}), {p})) DIV {p}"
+        ).alias("__cp")
     )
     sizes = anchors.groupBy("__cp").agg(F.count(F.lit(1)).alias("__csize"))
     joined = df.select(u.alias("__u"), t.alias("__ts")).join(anchors, "__u")
     cells = (
         joined.select(
-            "__u", "__cp", (F.expr(f"__ts DIV {p}") - F.col("__cp")).alias("__off")
+            "__u",
+            "__cp",
+            (
+                F.expr(f"(__ts - pmod(__ts, {p})) DIV {p}") - F.col("__cp")
+            ).alias("__off"),
         )
         .distinct()
         .groupBy("__cp", "__off")

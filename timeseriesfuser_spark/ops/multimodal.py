@@ -226,13 +226,23 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                 ) from exc
             return encode_netpbm(resize_nearest(arr, w_out, h_out))
 
+        def upd_meta(m, has_content):
+            # MEDIA_SCHEMA allows NULL meta: preserve it rather than
+            # fabricating a struct (a DataFrame round-trip would turn
+            # None rows into NaN records or KeyError on all-None batches).
+            if m is None or not has_content:
+                return m
+            m = dict(m)
+            m.update(width=w_out, height=h_out)
+            return m
+
         for pdf in it:
             out = pdf.copy()
             out["content"] = out["content"].map(one)
-            meta = pd.DataFrame(out["meta"].tolist())
-            meta["width"] = np.where(out["content"].notna(), w_out, meta["width"])
-            meta["height"] = np.where(out["content"].notna(), h_out, meta["height"])
-            out["meta"] = meta.to_dict("records")
+            out["meta"] = [
+                upd_meta(m, c is not None)
+                for m, c in zip(out["meta"], out["content"])
+            ]
             yield out
 
     return df.mapInPandas(batches, schema=MEDIA_SCHEMA)
@@ -261,14 +271,16 @@ def sample_frames(df: DataFrame, every_n: int) -> DataFrame:
 
     def split_frames(b: bytes):
         # Offset-based header parsing: no tail copy per frame (a naive
-        # b[pos:] slice would make splitting O(total_bytes²)); only each
-        # kept frame's own bytes are materialized.
+        # b[pos:] slice would make splitting O(total_bytes²)). Skipped
+        # frames are never sliced either — only KEPT frames' bytes are
+        # materialized, so per-task allocation is bounded by the output.
         pos, idx = 0, 0
         while pos < len(b):
             magic, w, h, _maxval, off = _parse_pnm_header(b, pos)
             ch = 1 if magic == "P5" else 3
             end = off + w * h * ch
-            yield idx, b[pos:end], w, h
+            if idx % step == 0:
+                yield idx, b[pos:end], w, h
             pos = end
             idx += 1
 
@@ -278,11 +290,7 @@ def sample_frames(df: DataFrame, every_n: int) -> DataFrame:
             for r in pdf.to_dict("records"):
                 if r["content"] is None:
                     continue
-                n_total = 0
                 for idx, frame, w, h in split_frames(bytes(r["content"])):
-                    n_total += 1
-                    if idx % step:
-                        continue
                     meta = dict(r["meta"] or {})
                     meta.update(width=w, height=h, n_frames=1)
                     rows.append(

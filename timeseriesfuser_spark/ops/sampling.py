@@ -60,8 +60,12 @@ def stratified_sample(
         rate_ppm = F.when(
             F.col(strata_col) == value, F.lit(int(round(rate * PPM)))
         ).otherwise(rate_ppm)
+    # Null-PROPAGATING concat (not concat_ws, which silently skips NULL
+    # args and hashes every null-id row of a stratum identically): a row
+    # without an identity has no sampling hash and is excluded — the
+    # DuckDB twin uses the equally null-propagating || operator.
     h = md5_hash64(
-        F.concat_ws(":", F.col(strata_col), F.col(id_col).cast("string"))
+        F.concat(F.col(strata_col), F.lit(":"), F.col(id_col).cast("string"))
     )
     out = df.withColumns(
         {

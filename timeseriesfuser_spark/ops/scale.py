@@ -45,7 +45,16 @@ def salted_join(
     when the small side is genuinely small (it usually broadcasts anyway;
     this helper targets the case where it is too big to broadcast but far
     smaller than the big side).
+
+    Only ``inner`` and ``left`` (big-side-preserving) joins are sound:
+    an outer/right join would null-extend each of the ``salts`` copies of
+    an unmatched small row, emitting it ``salts`` times.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left only (got {how!r}): outer "
+            "joins would duplicate unmatched small-side rows per salt"
+        )
     on = list(on)
     b = salted(big, salts, deterministic_by=deterministic_by)
     s = small.withColumn(
@@ -104,8 +113,10 @@ def zorder_key(
         raise ValueError("cols must be non-empty")
     n = len(cols)
     b = int(bits) if bits is not None else 63 // n
-    if b * n > 63:
-        raise ValueError(f"bits * n_cols must fit a long: {b} * {n} > 63")
+    if b < 1 or b * n > 63:
+        raise ValueError(
+            f"need 1 <= bits and bits * n_cols <= 63: bits={b}, n_cols={n}"
+        )
     terms = []
     for j, c in enumerate(cols):
         for i in range(b):
@@ -129,8 +140,10 @@ def zorder_key_sql(cols: Sequence[str], *, bits: Optional[int] = None) -> str:
         raise ValueError("cols must be non-empty")
     n = len(cols)
     b = int(bits) if bits is not None else 63 // n
-    if b * n > 63:
-        raise ValueError(f"bits * n_cols must fit a long: {b} * {n} > 63")
+    if b < 1 or b * n > 63:
+        raise ValueError(
+            f"need 1 <= bits and bits * n_cols <= 63: bits={b}, n_cols={n}"
+        )
     terms = [
         f"(((CAST({c} AS BIGINT) >> {i}) & 1) << {i * n + j})"
         for j, c in enumerate(cols)
@@ -362,6 +375,10 @@ def _global_rank_with_total(df, order_cols, *, num_buckets, rank_col):
     part = df.withColumn(
         b, _bucket_col(order_cols[0], bounds) if bounds else F.lit(0)
     )
+    # Materialize once: the totals collect and the final ranked plan must
+    # see the SAME rows — a nondeterministic or concurrently-growing
+    # input re-evaluated per pass would silently corrupt the offsets.
+    part = part.localCheckpoint(eager=True)
     totals = {
         r[b]: r["c"]
         for r in part.groupBy(b).agg(F.count(F.lit(1)).alias("c")).collect()

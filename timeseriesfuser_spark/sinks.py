@@ -88,11 +88,13 @@ def write_batched(
     if count_rows:
         result.rows = df.count()
     ext = {"parquet": ".parquet", "csv": ".csv"}[fmt]
+    # Local convenience listing only: on s3a://hdfs:// the write above
+    # already succeeded — never fail the call over an os-level listdir.
     result.files = sorted(
         os.path.join(out_dir, f)
         for f in os.listdir(out_dir)
         if f.endswith((ext, ext + ".gz"))
-    )
+    ) if os.path.isdir(out_dir) else []
     return result
 
 

@@ -98,11 +98,13 @@ def ts_epoch_ms_col(df, col: str, *, int_epoch: str = "heuristic"):
         return F.unix_millis(c.cast("timestamp")).cast("long")
     if int_epoch == "ms":
         return c.cast("long")
-    q = f"`{col}`"
+    # Widen BEFORE the arithmetic: an int32 epoch-seconds column would
+    # wrap at `int * 1000` (32-bit multiply) before any outer cast.
+    q = f"CAST(`{col}` AS BIGINT)"
     return F.expr(
         f"CASE WHEN abs({q}) >= 100000000000000000 THEN {q} DIV 1000000 "
         f"WHEN abs({q}) >= 100000000000000 THEN {q} DIV 1000 "
-        f"WHEN abs({q}) >= 100000000000 THEN CAST({q} AS BIGINT) "
+        f"WHEN abs({q}) >= 100000000000 THEN {q} "
         f"ELSE {q} * 1000 END"
     ).cast("long")
 
