@@ -74,10 +74,11 @@ def token_offsets(
     part = base.withColumn(
         _PB, _bucket_col(order_col, bounds) if bounds else F.lit(0)
     )
-    # part feeds the totals collect AND the final output plan: without a
-    # materialization the word tokenizer runs over the whole corpus twice
-    # (the dominant cost). Eager local checkpoint — no session cache pin.
-    part = part.localCheckpoint(eager=True)
+    # part feeds the totals collect AND the final output plan, so the
+    # word tokenizer runs twice over the corpus. Deliberately NOT
+    # materialized: part carries the full text column, and checkpointing
+    # corpus-sized text to executor storage measured slower than the
+    # second tokenizer pass (tokenizing is a cheap codegen projection).
     # Pass 2 first: per-bucket totals → prefix offsets (#buckets rows).
     totals = {
         r[_PB]: r["t"]
