@@ -808,3 +808,47 @@ def test_write_time_partitioned_is_timezone_independent(spark, tmp_path):
         spark.conf.set("spark.sql.session.timeZone", prev)
     # UTC day/hour regardless of session zone (NY would say 2023-12-31-19)
     assert res.files == ["dt=2024-01-01-00"]
+
+
+# --------------------------------------------------------------------------- #
+# containment dedup / fixed-N sampling
+# --------------------------------------------------------------------------- #
+
+
+def test_containment_catches_embedded_doc(spark):
+    from timeseriesfuser_spark.ops.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame([(1, small), (2, big)], "doc_id long, text string")
+    cont = ngram_containment_pairs(df, threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    # symmetric Jaccard misses the same pair at any usable threshold
+    jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert jac == []
+
+
+def test_fixed_n_sample_exact_budget_and_determinism(spark):
+    from timeseriesfuser_spark.ops.sampling import stratified_fixed_n
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 50 else "tiny") for i in range(53)],
+        "doc_id long, source string",
+    )
+    out = stratified_fixed_n(df, 5, strata_col="source", id_col="doc_id")
+    sizes = {r["source"]: r["c"] for r in
+             out.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert sizes == {"big": 5, "tiny": 3}  # min(n, |stratum|)
+    again = stratified_fixed_n(df, 5, strata_col="source", id_col="doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    other = stratified_fixed_n(df, 5, strata_col="source", id_col="doc_id", seed="s1")
+    assert sorted(r["doc_id"] for r in other.filter("source='big'").collect()) != sorted(
+        r["doc_id"] for r in out.filter("source='big'").collect()
+    )
+    with pytest.raises(ValueError):
+        stratified_fixed_n(df, 0)

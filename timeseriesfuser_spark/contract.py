@@ -3907,3 +3907,68 @@ def q_value_equal_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_bins(ev, "value", 10, tiebreak_cols=["event_id"]).select(
         "event_id", "value", "global_rank", "bin"
     )
+
+
+_CONT_T = 0.9
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_REL}),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS intersection
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT i.id_a, i.id_b, CAST(i.intersection AS BIGINT) AS intersection,
+           CAST(least(sa.sz, sb.sz) AS BIGINT) AS min_size,
+           CAST(i.intersection AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE CAST(i.intersection AS DOUBLE) / least(sa.sz, sb.sz) >= {_CONT_T}
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-containment dedup (ops.dedup.ngram_containment_pairs): pairs
+    where the smaller doc's shingle set is >= 90% inside the larger's —
+    the quote-inclusion/page-wrapper duplication that symmetric Jaccard
+    under-scores. Same inverted-index join as the Jaccard baseline; one
+    int/int division."""
+    return D.ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=_CONT_T
+    )
+
+
+_FIXN = 5
+
+
+@register(
+    "fixed_n_sample",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, source,
+               {_sql_hash64("'fixed0' || ':' || source || ':' || CAST(doc_id AS VARCHAR)")}
+                 % 1000000 AS hp
+        FROM documents),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY hp, doc_id) AS rn
+          FROM h)
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank
+    FROM r WHERE rn <= {_FIXN}
+    """,
+)
+def q_fixed_n_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget eval-set sampling (ops.sampling.stratified_fixed_n):
+    exactly min(5, |stratum|) docs per source by deterministic md5 rank —
+    Bernoulli sampling only hits a size in expectation; benchmark sets
+    need exact budgets. One per-stratum ranking window."""
+    from timeseriesfuser_spark.ops.sampling import stratified_fixed_n
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_fixed_n(
+        docs, _FIXN, strata_col="source", id_col="doc_id", seed="fixed0"
+    )

@@ -916,3 +916,44 @@ def passage_dedup(
             (F.col("dup_ppm") <= int(max_dup_ppm)).alias("keep"),
         )
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    cache: bool = True,
+) -> DataFrame:
+    """Near-CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥ ``threshold`` over
+    word-``n``-gram shingle sets — the smaller document is (nearly) a
+    subset of the larger. Catches quote-inclusion / page-wrapper
+    duplication that symmetric Jaccard misses (a short doc fully embedded
+    in a long one can have tiny Jaccard but containment 1.0).
+
+    Same inverted-index join shape (and scale posture) as
+    :func:`ngram_jaccard_pairs`; containment is one int/int division →
+    oracle-exact. Output (id_a, id_b, intersection, min_size,
+    containment), id_a < id_b.
+    """
+    sh = _maybe_cache(shingles_df(df, id_col, text_col, n), cache)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn("min_size", F.least("sz_a", "sz_b"))
+        .withColumn(
+            "containment",
+            F.col("intersection").cast("double") / F.col("min_size"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return out.select("id_a", "id_b", "intersection", "min_size", "containment")

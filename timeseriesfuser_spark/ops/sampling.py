@@ -229,3 +229,46 @@ def epoch_shuffle(
         (rank % n_shards).cast("long").alias("shard"),
         rank.alias("rank"),
     )
+
+
+def stratified_fixed_n(
+    df: DataFrame,
+    n_per_stratum: int,
+    *,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "fixed0",
+) -> DataFrame:
+    """Deterministic FIXED-SIZE sample: exactly ``min(n, |stratum|)`` rows
+    per stratum — the eval-set builder (Bernoulli sampling only hits a
+    target size in expectation; benchmarks need exact budgets).
+
+    Rows rank by ``md5(seed:stratum:id)`` within their stratum (total
+    order, tie-broken by id) and the top ``n_per_stratum`` survive.
+    Reproducible across runs/engines; changing ``seed`` redraws.
+
+    Scale: one window per stratum — per-task work is bounded by the
+    stratum's size, so a hot stratum bounds the critical path; at
+    extreme skew pre-filter with :func:`stratified_sample` at a rate a
+    few × the target fraction, then rank the survivors.
+    """
+    from pyspark.sql.window import Window
+
+    if n_per_stratum <= 0:
+        raise ValueError("n_per_stratum must be positive")
+    h = F.pmod(
+        md5_hash64(
+            F.concat(
+                F.lit(seed), F.lit(":"), F.col(strata_col), F.lit(":"),
+                F.col(id_col).cast("string"),
+            )
+        ),
+        F.lit(PPM),
+    )
+    ranked = df.withColumn("__h", h)
+    w = Window.partitionBy(strata_col).orderBy("__h", id_col)
+    return (
+        ranked.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= int(n_per_stratum))
+        .drop("__h")
+    )
