@@ -37,6 +37,11 @@ QUERIES = [
     "distinctive_terms",
     "lang_confusion",
     "value_equal_depth_bins",  # NULL value ranks: NULLS FIRST on BOTH sides
+    # NULL text occupies zero tokens/bytes but keeps its concat position
+    "sequence_pack",
+    "byte_shards",
+    # NULL value propagates as NULL (not NaN) through the recursion
+    "ewma_user",
 ]
 
 TABLES = [

@@ -383,3 +383,15 @@ def test_stratified_sample_null_identity_rows_excluded(spark):
     # rate 1.0 keeps every identifiable row; null-identity rows have no
     # hash and are consistently excluded (never block-kept/dropped)
     assert [(r["source"], r["doc_id"]) for r in kept] == [("A", 1)]
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 60-node path: min-label propagation alone needs ~60 rounds; the
+    # pointer-doubling shortcut converges well inside max_iterations=25.
+    from timeseriesfuser_spark.ops.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert set(out.values()) == {0} and len(out) == 61

@@ -183,10 +183,15 @@ _H1 = interval_to_ms("1h")
     WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, value, event_type FROM events),
     lab AS (SELECT (t // {_M1} + 1) * {_M1} AS b, t, event_id, value, event_type FROM ev),
     buckets AS (
-        SELECT b,
-               max_by(value, t * 1000000 + event_id) AS lv,
-               max_by(event_type, t * 1000000 + event_id) AS le
-        FROM lab GROUP BY b
+        -- row_number, not max_by(col, t*1e6+event_id): the combined
+        -- scalar key conflates ts and sequence once event_id >= 1e6
+        -- (DuckDB arg_max can't take a composite key; the window is the
+        -- safe formulation)
+        SELECT b, value AS lv, event_type AS le FROM (
+            SELECT b, value, event_type,
+                   row_number() OVER (PARTITION BY b
+                                      ORDER BY t DESC, event_id DESC) AS rn
+            FROM lab) WHERE rn = 1
     ),
     ext AS (SELECT min(t) AS mn, max(t) AS mx FROM ev),
     bounds AS (SELECT (mn // {_M1} + 1) * {_M1} AS bmin,
@@ -224,12 +229,14 @@ def q_resample_1m_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "resample_keys_1h",
     oracle=f"""
-    SELECT (epoch_ms(ts) // {_H1} + 1) * {_H1} AS __timestamp,
-           event_type,
-           max_by(value, epoch_ms(ts) * 1000000 + event_id) AS value,
-           max_by(user_id, epoch_ms(ts) * 1000000 + event_id) AS user_id
-    FROM events
-    GROUP BY 1, 2
+    WITH lab AS (SELECT (epoch_ms(ts) // {_H1} + 1) * {_H1} AS b,
+                        event_type, value, user_id,
+                        epoch_ms(ts) AS t, event_id
+                 FROM events),
+    r AS (SELECT *, row_number() OVER (PARTITION BY b, event_type
+                                       ORDER BY t DESC, event_id DESC) AS rn
+          FROM lab)
+    SELECT b AS __timestamp, event_type, value, user_id FROM r WHERE rn = 1
     """,
 )
 def q_resample_keys_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1375,7 +1382,8 @@ _PACK_BUDGET = 256
     "sequence_pack",
     oracle=f"""
     WITH t AS (
-        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+        SELECT doc_id, CAST(COALESCE(len({_TOKS}), 0) AS BIGINT) AS n_tokens
+        FROM documents
     ),
     o AS (
         SELECT doc_id, n_tokens,
@@ -1700,6 +1708,31 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _asof_streams(spark, sf_dir, value_alias):
+    """Shared left/right prep of the as-of contract queries: click/view
+    events as the left side, the per-(user, ts) latest transaction as the
+    deduped right side (so DuckDB's ASOF is deterministic). One
+    definition — the backward and forward queries must agree on what the
+    'transaction' stream is."""
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type").isin(*_CLICK_TYPES)).select(
+        F.col("ts").alias("__timestamp"), "event_id", "user_id", "value"
+    )
+    rw = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    right = (
+        ev.filter(~F.col("event_type").isin(*_CLICK_TYPES))
+        .withColumn("__rn", F.row_number().over(rw))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("ts").alias("__timestamp"),
+            "user_id",
+            F.col("value").alias(value_alias),
+        )
+    )
+    return left, right
+
+
 @register(
     "asof_join_user",
     oracle="""
@@ -1725,21 +1758,7 @@ def q_asof_join_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — not a quadratic range join. Oracle = DuckDB's native ASOF."""
     from timeseriesfuser_spark.operators.asof import asof_join
 
-    ev = _events(spark, sf_dir)
-    left = ev.filter(F.col("event_type").isin(*_CLICK_TYPES)).select(
-        F.col("ts").alias("__timestamp"), "event_id", "user_id", "value"
-    )
-    rw = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
-    right = (
-        ev.filter(~F.col("event_type").isin(*_CLICK_TYPES))
-        .withColumn("__rn", F.row_number().over(rw))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col("ts").alias("__timestamp"),
-            "user_id",
-            F.col("value").alias("txn_value"),
-        )
-    )
+    left, right = _asof_streams(spark, sf_dir, "txn_value")
     return asof_join(left, right, keys=["user_id"], right_cols=["txn_value"])
 
 
@@ -2210,13 +2229,14 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_resample_1h",
     oracle=f"""
-    WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, event_type, value FROM events)
-    SELECT (t // {_H1} + 1) * {_H1} AS __timestamp,
-           event_type,
-           max_by(value, t * 1000000 + event_id) AS value
-    FROM ev
-    GROUP BY 1, 2
-    HAVING __timestamp <= (SELECT max(t) FROM ev)
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, event_type, value FROM events),
+    lab AS (SELECT (t // {_H1} + 1) * {_H1} AS b, event_type, value, t, event_id
+            FROM ev),
+    r AS (SELECT *, row_number() OVER (PARTITION BY b, event_type
+                                       ORDER BY t DESC, event_id DESC) AS rn
+          FROM lab)
+    SELECT b AS __timestamp, event_type, value FROM r
+    WHERE rn = 1 AND b <= (SELECT max(t) FROM ev)
     """,
 )
 def q_streaming_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2246,18 +2266,26 @@ def q_streaming_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_cols=["event_id"],
     )
     name = f"sr_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="tsf_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    if q.exception() is not None:
-        raise q.exception()
-    return spark.table(name)
+    ckpt = tempfile.mkdtemp(prefix="tsf_ckpt_")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+        return spark.table(name)
+    finally:
+        # one-shot availableNow query: remove its checkpoint state (each
+        # harness run otherwise leaks a tsf_ckpt_* dir into the temp fs)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------- #
@@ -2537,7 +2565,9 @@ _LB_BAND, _LB_BATCH, _LB_SHARDS = 16, 8, 4
     "length_batches",
     oracle=f"""
     WITH tk AS (SELECT doc_id,
-                       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+                       COALESCE(len(regexp_extract_all(lower(text),
+                                                       '[a-z0-9]+')), 0)
+                         AS n_tokens
                 FROM documents),
     r AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                  CAST(n_tokens // {_LB_BAND} AS BIGINT) AS band,
@@ -2961,7 +2991,8 @@ _SHARD_BYTES = 65_536
 @register(
     "byte_shards",
     oracle=f"""
-    WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes
+    WITH b AS (SELECT doc_id, CAST(COALESCE(length(text), 0) AS BIGINT)
+                 AS n_bytes
                FROM documents),
     o AS (SELECT doc_id, n_bytes,
                  CAST(coalesce(sum(n_bytes) OVER (
@@ -2982,7 +3013,9 @@ def q_byte_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-pass range-bucketed scheme (no global-order window); the SQL twin
     is the plain window cumsum."""
     docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.length("text").cast("long").alias("n_bytes")
+        "doc_id",
+        # NULL text = zero bytes, still a position in the shard order
+        F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("n_bytes"),
     )
     return P.byte_shards(docs, _SHARD_BYTES)
 
@@ -3458,21 +3491,7 @@ def q_asof_forward_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle = DuckDB native forward ASOF + tolerance CASE."""
     from timeseriesfuser_spark.operators.asof import asof_join
 
-    ev = _events(spark, sf_dir)
-    left = ev.filter(F.col("event_type").isin(*_CLICK_TYPES)).select(
-        F.col("ts").alias("__timestamp"), "event_id", "user_id", "value"
-    )
-    rw = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
-    right = (
-        ev.filter(~F.col("event_type").isin(*_CLICK_TYPES))
-        .withColumn("__rn", F.row_number().over(rw))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col("ts").alias("__timestamp"),
-            "user_id",
-            F.col("value").alias("label_value"),
-        )
-    )
+    left, right = _asof_streams(spark, sf_dir, "label_value")
     return asof_join(
         left,
         right,

@@ -704,9 +704,26 @@ def connected_components(
         # type-generic convergence: labels only decrease, so the fixpoint
         # is "no neighbor offers a strictly smaller label" (works for any
         # ordered id type — the old decimal-sum check was numeric-only).
+        # Correctness: at neighbor fixpoint labels are equal across every
+        # (symmetric) edge, hence constant per component = the component
+        # min — so stopping here is exact regardless of the shortcut.
         changed = joined.filter(F.col("__nbr") < F.col("lbl")).count()
-        labels = joined.select(
+        stepped = joined.select(
             "id", F.least(F.col("lbl"), F.coalesce("__nbr", "lbl")).alias("lbl")
+        )
+        # Pointer-doubling shortcut (GraphX-style): also adopt the label
+        # OF my label's node — rounds drop from O(diameter) to
+        # O(log diameter), so max_iterations=25 covers chains of 2^25
+        # nodes instead of 25 (a 27-doc near-dup chain diverged before).
+        lut = stepped.select(
+            F.col("id").alias("lbl"), F.col("lbl").alias("__ll")
+        )
+        labels = (
+            stepped.join(lut, "lbl", "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("__ll", "lbl")).alias("lbl"),
+            )
         )
         if changed == 0:
             break

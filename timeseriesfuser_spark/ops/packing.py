@@ -58,10 +58,16 @@ def token_offsets(
     """
     spark = df.sparkSession
     n = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # COALESCE to 0: a NULL-text doc occupies zero tokens but still has a
+    # concrete position in the concat order — without this the NULL
+    # poisons start_offset = end - n for the doc (its SQL-window twin
+    # skips the NULL and emits a number, a silent parity break).
     nt = (
         F.col(count_col).cast("long")
         if count_col
-        else F.size(tokens_col(F.col(text_col))).cast("long")
+        else F.coalesce(
+            F.size(tokens_col(F.col(text_col))), F.lit(0)
+        ).cast("long")
     )
     base = df.withColumn("n_tokens", nt)
     if n > 1:
@@ -238,10 +244,16 @@ def length_bucketed_batches(
 
     if band_tokens <= 0 or batch_size <= 0 or n_shards <= 0:
         raise ValueError("band_tokens, batch_size, n_shards must be positive")
+    # COALESCE to 0: a NULL-text doc occupies zero tokens but still has a
+    # concrete position in the concat order — without this the NULL
+    # poisons start_offset = end - n for the doc (its SQL-window twin
+    # skips the NULL and emits a number, a silent parity break).
     nt = (
         F.col(count_col).cast("long")
         if count_col
-        else F.size(tokens_col(F.col(text_col))).cast("long")
+        else F.coalesce(
+            F.size(tokens_col(F.col(text_col))), F.lit(0)
+        ).cast("long")
     )
     rank = md5_hash64(
         F.concat(

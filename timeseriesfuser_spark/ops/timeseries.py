@@ -538,13 +538,20 @@ def ewma(
     )
 
     def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import math
+
         pdf = pdf.sort_values(["ts", "seq"], ignore_index=True)
         ew = 0.0
         out = []
         for i, x in enumerate(pdf["cents"]):
             x = float(x)
             ew = x if i == 0 else a * x + (1.0 - a) * ew
-            out.append(ew)
+            # NULL cents arrive as NaN and NaN-poison the recursion —
+            # arithmetically identical to the SQL twin's NULL
+            # propagation, but the emitted value must be None (a SQL
+            # engine says NULL; NaN != NULL under a type-sensitive
+            # value hash).
+            out.append(None if math.isnan(ew) else ew)
         pdf["ewma"] = out
         return pdf
 
