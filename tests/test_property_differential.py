@@ -311,3 +311,115 @@ def test_fuzzy_pairs_match_bruteforce(spark, rows, maxd):
             if i < j and ba == bb and _lev(na, nb) <= maxd:
                 want.add((i, j, _lev(na, nb)))
     assert got == want
+
+
+# --------------------------------------------------------------------------- #
+# round-6 sweeps: containment, twap (negative-safe), quantile bins
+# --------------------------------------------------------------------------- #
+
+docs_strategy = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=40),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _shingles(text, n=3):
+    toks = __import__("re").findall(r"[a-z0-9]+", text.lower())
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@given(texts=docs_strategy, thr=st.sampled_from([0.5, 0.9, 1.0]))
+@SETTINGS
+def test_containment_matches_bruteforce(spark, texts, thr):
+    from timeseriesfuser_spark.ops.dedup import ngram_containment_pairs
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["intersection"], r["min_size"])
+        for r in ngram_containment_pairs(df, threshold=thr, cache=False).collect()
+    }
+    want = {}
+    sh = [_shingles(t) for t in texts]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(sh[i] & sh[j])
+            m = min(len(sh[i]), len(sh[j]))
+            if m > 0 and inter / m >= thr:
+                want[(i, j)] = (inter, m)
+    assert got == want
+
+
+twap_stream = st.lists(
+    st.tuples(
+        st.integers(min_value=-40, max_value=40),   # ts (negative allowed!)
+        st.integers(min_value=-50, max_value=50),   # value
+    ),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=twap_stream, step=st.sampled_from([7, 10]))
+@SETTINGS
+def test_twap_matches_python_reference(spark, rows, step):
+    from timeseriesfuser_spark.ops.timeseries import twap_bars
+
+    data = [(1, t, i, float(v)) for i, (t, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "user_id long, ts long, event_id long, value double"
+    )
+    got = {
+        r["bar_ts"]: (r["dur_ms"], r["tw_cents"])
+        for r in twap_bars(df, f"{step}l").collect()
+    }
+
+    # python reference: LOCF integral over [t_i, t_{i+1}) segments,
+    # horizon = max ts; floor bucketing
+    evs = sorted((t, v * 100) for t, v in rows)
+    hz = max(t for t, _ in evs)
+    segs = []
+    for i, (t, c) in enumerate(evs):
+        end = evs[i + 1][0] if i + 1 < len(evs) else hz
+        if end > t:
+            segs.append((t, end, c))
+    want = {}
+    s_ms = step
+    for t0, t1, c in segs:
+        b = (t0 - (t0 % s_ms)) // s_ms
+        b1 = ((t1 - 1) - ((t1 - 1) % s_ms)) // s_ms
+        for bb in range(b, b1 + 1):
+            lo, hi = bb * s_ms, (bb + 1) * s_ms
+            ov = min(t1, hi) - max(t0, lo)
+            if ov > 0:
+                d, tw = want.get(bb * s_ms, (0, 0))
+                want[bb * s_ms] = (d + ov, tw + c * ov)
+    assert got == want
+
+
+bin_stream = st.lists(
+    st.one_of(st.none(), st.integers(-20, 20)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(vals=bin_stream, k=st.sampled_from([3, 7]))
+@SETTINGS
+def test_quantile_bins_match_sorted_rank(spark, vals, k):
+    from timeseriesfuser_spark.ops.scale import quantile_bins
+
+    data = [(i, float(v) if v is not None else None) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(data, "id long, v double")
+    got = {
+        r["id"]: (r["global_rank"], r["bin"])
+        for r in quantile_bins(df, "v", k, tiebreak_cols=["id"], num_buckets=4).collect()
+    }
+    # python: NULLS FIRST ascending, tiebreak id
+    order = sorted(range(len(vals)), key=lambda i: (vals[i] is not None, vals[i] if vals[i] is not None else 0, i))
+    n = len(vals)
+    want = {
+        idx: (r + 1, r * k // n) for r, idx in enumerate(order)
+    }
+    assert got == want
