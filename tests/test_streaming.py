@@ -435,3 +435,73 @@ def test_ohlc_stream_matches_batch(spark, tmp_path):
         for r in got
     }
     assert streamed == expected
+
+
+def test_latest_stream_matches_batch_snapshot(spark, tmp_path):
+    """The streaming current view (state carried across two chronological
+    runs, with a planted LATE out-of-order arrival) converges to the batch
+    latest_snapshot: the last emitted row per key == the batch compaction."""
+    from pyspark.sql import functions as F
+
+    from timeseriesfuser_spark.ops.behavior import latest_snapshot
+    from timeseriesfuser_spark.streaming import latest_stream
+
+    rows = [
+        (1, 1000, 1, 10.0),
+        (2, 1000, 2, 20.0),
+        (1, 3000, 3, 30.0),
+        # second half: a genuine update for 2, plus a LATE arrival for 1
+        # (older than its current view — must NOT regress it)
+        (2, 5000, 4, 40.0),
+        (1, 2000, 5, 99.0),
+    ]
+    schema = "user_id long, ts long, event_id long, value double"
+    batch_df = spark.createDataFrame(rows, schema)
+    expected = {
+        r["user_id"]: (r["ts"], r["event_id"], r["value"])
+        for r in latest_snapshot(batch_df).select(
+            "user_id", "ts", "event_id", "value"
+        ).collect()
+    }
+
+    d = tmp_path / "cdc"
+    ckpt = str(tmp_path / "ckpt_cdc")
+    emitted = []
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(d))
+        out = latest_stream(
+            stream, keys=["user_id"], ts_col="ts", seq_col="event_id",
+            value_cols=["value"],
+        )
+        def sink(batch_df, batch_id):
+            emitted.extend(batch_df.collect())
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    d.mkdir()
+    spark.createDataFrame(rows[:3], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run()
+    spark.createDataFrame(rows[3:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run()
+
+    # current view = last emission per key (emissions arrive in run order)
+    view = {}
+    for r in emitted:
+        view[r["user_id"]] = (r["ts"], r["event_id"], r["value"])
+    assert view == expected
+    # the late arrival for user 1 produced NO regression emission
+    u1 = [r for r in emitted if r["user_id"] == 1]
+    assert [(r["ts"], r["event_id"]) for r in u1] == [(3000, 3)]

@@ -553,3 +553,91 @@ def replay_stream_to_handler(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def latest_stream(
+    df: DataFrame,
+    *,
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = TS_COL,
+    seq_col: str = "event_id",
+    value_cols: Sequence[str] = ("value",),
+) -> DataFrame:
+    """Streaming type-1 current view (the twin of
+    ``ops.behavior.latest_snapshot``): per key, maintain the latest
+    (ts, seq)-ordered row across micro-batches and EMIT the key's current
+    row whenever a batch updates it — the incremental CDC view a batch
+    compaction recomputes from scratch.
+
+    Late/out-of-order arrivals are handled by the ordering key, not by
+    arrival: an older event arriving after a newer one does NOT regress
+    the view (state keeps the max (ts, seq)). State is O(#keys) rows of
+    (ts, seq, values) in the checkpointed state store; restart-surviving
+    like the sibling stateful ops. Output mode: append (one row per
+    (key, change)); the CURRENT view at any moment is the last emitted
+    row per key — `max_by` over the emitted stream reproduces it, which
+    is what the batch-parity test asserts.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keys = list(keys)
+    value_cols = list(value_cols)
+    key_fields = [T.StructField(k, df.schema[k].dataType, True) for k in keys]
+    val_fields = [
+        T.StructField(c, df.schema[c].dataType, True) for c in value_cols
+    ]
+    out_schema = T.StructType(
+        key_fields
+        + [
+            T.StructField(ts_col, T.LongType(), True),
+            T.StructField(seq_col, T.LongType(), True),
+        ]
+        + val_fields
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ts", T.LongType(), True),
+            T.StructField("seq", T.LongType(), True),
+        ]
+        + val_fields
+    )
+
+    def fn(key, pdfs, state):
+        best = None  # (ts, seq, *values)
+        if state.exists:
+            best = tuple(state.get)
+        def plain(v):
+            # numpy scalars -> python; NaN -> None (state/Arrow-safe, and
+            # a SQL view says NULL, never NaN)
+            if v is None or (isinstance(v, float) and v != v):
+                return None
+            return v.item() if hasattr(v, "item") else v
+
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                ts = int(getattr(r, ts_col))
+                seq = int(getattr(r, seq_col))
+                cand = (ts, seq) + tuple(
+                    plain(getattr(r, c)) for c in value_cols
+                )
+                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                    best = cand
+        changed = best is not None and (
+            not state.exists or tuple(state.get) != best
+        )
+        if changed:
+            state.update(best)
+            yield pd.DataFrame(
+                [key + best],
+                columns=keys + [ts_col, seq_col] + value_cols,
+            )
+
+    src = df.select(*keys, ts_col, seq_col, *value_cols)
+    return src.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
