@@ -22,6 +22,37 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from timeseriesfuser_spark import contract  # noqa: E402
 
+# Names that already hold a green driver row in CORRECTNESS_r03.json.
+# The round-3 driver checked exactly the first 50 registry entries, so we
+# rotate the registry: every not-yet-driver-verified query goes FIRST, the
+# 50 already-green ones (still guarded by tests/test_entry_oracle.py) last.
+# Union of CORRECTNESS_r03 + CORRECTNESS_r04 then covers the whole surface.
+_R03_VERIFIED = frozenset({
+    "fuse_merge", "fuse_window_filter", "resample_1m_global",
+    "resample_keys_1h", "forward_fill_global", "source_window_bounds",
+    "interval_labels", "sessionize_30m", "tpch_q1_pricing",
+    "top_orders_per_priority", "revenue_per_nation", "dedup_exact",
+    "dedup_ngram_jaccard", "cross_corpus_dedup", "dedup_minhash_lsh",
+    "dedup_clusters", "doc_chunks", "tfidf_keywords", "dedup_simhash",
+    "text_stats", "lang_id", "doc_fingerprint", "source_quality_rollup",
+    "pii_scrub", "corpus_length_stats", "quality_filter",
+    "contamination_check", "repetition_stats", "token_frequencies",
+    "token_rarity", "stratified_sample", "mixing_weights", "line_dedup",
+    "embedding_clusters", "sequence_pack", "similarity_topk",
+    "similarity_ivf", "embedding_neardup", "srp_signatures",
+    "rp_projection", "tpch_q3_shipping", "value_histogram",
+    "asof_join_user", "rolling_7d_stats", "json_props_agg",
+    "multimodal_meta", "multimodal_features", "gap_report",
+    "ngram_novelty", "dedup_verdicts",
+})
+
+
+def _ordered(names: list[str]) -> list[str]:
+    """Not-yet-driver-verified queries first, round-3-green ones after."""
+    fresh = [n for n in names if n not in _R03_VERIFIED]
+    seen = [n for n in names if n in _R03_VERIFIED]
+    return fresh + seen
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -30,9 +61,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(contract.QUERIES)
+    return {n: contract.QUERIES[n] for n in _ordered(list(contract.QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL for each query (same column names)."""
-    return dict(contract.ORACLES)
+    return {n: contract.ORACLES[n] for n in _ordered(list(contract.QUERIES)) if n in contract.ORACLES}
