@@ -1,0 +1,150 @@
+"""Regression tests for the round-3 ADVICE findings.
+
+- latest_stream crashed per micro-batch for underscore-prefixed column
+  names (pandas itertuples mangling) — i.e. for the framework default
+  ts_col='__timestamp' — and on NULL ts/seq rows (int(NaN)).
+- merge_upsert silently deleted keys for any op value outside
+  {'upsert','delete'}.
+- hourly_active_users bucketed with truncating DIV while the oracle
+  floors — divergent for pre-1970 timestamps.
+- pagerank's damped update now runs in decimal(38,0) (hub-node int64
+  overflow envelope); parity on a normal graph must be unchanged.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_latest_stream_default_underscore_ts_and_null_keys(spark, tmp_path):
+    """Default '__timestamp' ts column + NULL ts/seq rows: the stream must
+    complete (no itertuples AttributeError, no int(NaN) ValueError) and
+    null-ordering-key rows are skipped, not crashed on."""
+    from timeseriesfuser_spark.streaming import latest_stream
+
+    rows = [
+        (1, 1000, 1, 10.0),
+        (1, None, 2, 666.0),   # null ts: no place in the (ts, seq) order
+        (2, 2000, None, 7.0),  # null seq: same
+        (2, 2000, 3, 20.0),
+        (1, 3000, 4, 30.0),
+    ]
+    schema = "user_id long, __timestamp long, event_id long, value double"
+    d = tmp_path / "cdc_us"
+    d.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+
+    emitted = []
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    out = latest_stream(
+        stream, keys=["user_id"], ts_col="__timestamp",
+        seq_col="event_id", value_cols=["value"],
+    )
+    q = (
+        out.writeStream.foreachBatch(
+            lambda bdf, _bid: emitted.extend(bdf.collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_us"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    view = {r["user_id"]: (r["__timestamp"], r["event_id"], r["value"])
+            for r in emitted}
+    assert view == {1: (3000, 4, 30.0), 2: (2000, 3, 20.0)}
+
+
+def test_merge_upsert_rejects_unknown_op(spark):
+    from timeseriesfuser_spark.ops.behavior import merge_upsert
+
+    snap = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "user_id long, value double"
+    )
+    chg = spark.createDataFrame(
+        [(2, 25.0, "UPSERT")], "user_id long, value double, op string"
+    )
+    with pytest.raises(Exception, match="upsert.*delete|USER_RAISED"):
+        merge_upsert(snap, chg).collect()
+    # null op is equally invalid (would be misread as snapshot-only)
+    chg_null = spark.createDataFrame(
+        [(2, 25.0, None)], "user_id long, value double, op string"
+    )
+    with pytest.raises(Exception, match="upsert.*delete|USER_RAISED"):
+        merge_upsert(snap, chg_null).collect()
+    # valid ops still work
+    ok = spark.createDataFrame(
+        [(1, 11.0, "upsert"), (2, None, "delete")],
+        "user_id long, value double, op string",
+    )
+    out = {r["user_id"]: r["value"] for r in merge_upsert(snap, ok).collect()}
+    assert out == {1: 11.0}
+
+
+def test_hour_bucket_floor_matches_duckdb_for_negative_ts(spark):
+    """The pmod-floor hour bucket equals the oracle-side floor idiom for
+    pre-1970 (negative) epochs. Note DuckDB BIGINT `//` TRUNCATES toward
+    zero (unlike its DOUBLE `//`), so every ts-derived oracle bucket uses
+    the `x - ((x % m) + m) % m` floor form (contract._ff) instead."""
+    import duckdb
+
+    from timeseriesfuser_spark.contract import _ff
+
+    ts_vals = [-7_200_001, -3_600_000, -1, 0, 1, 3_599_999, 3_600_000]
+    df = spark.createDataFrame([(t,) for t in ts_vals], "ts long")
+    got = {
+        r["ts"]: r["hour_ts"]
+        for r in df.select(
+            "ts",
+            F.expr("ts - pmod(ts, 3600000)").cast("long").alias("hour_ts"),
+        ).collect()
+    }
+    want = {
+        int(t): int(h)
+        for t, h in duckdb.sql(
+            f"SELECT ts, {_ff('ts', 3_600_000)} AS h FROM (SELECT unnest("
+            + str(ts_vals)
+            + ") AS ts)"
+        ).fetchall()
+    }
+    assert got == want
+    # floor, not truncation: -7200001 belongs to the -3h bucket
+    assert got[-7_200_001] == -10_800_000
+    # and DuckDB BIGINT // really does truncate (the trap this guards)
+    assert duckdb.sql("SELECT -7200001 // 3600000").fetchone()[0] == -2
+
+
+def test_pagerank_decimal_update_unchanged(spark):
+    """The decimal(38,0) damped update must produce the exact same integer
+    ranks as the prior int64 path on an in-envelope graph (python ref)."""
+    from timeseriesfuser_spark.ops.graph import PPM, pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(e, iterations=3, directed=True).collect()
+    }
+
+    # python integer reference (same truncating DIV semantics)
+    from collections import defaultdict
+    out_deg = defaultdict(int)
+    in_edges = defaultdict(list)
+    nodes = set()
+    for s, d in edges:
+        out_deg[s] += 1
+        in_edges[d].append(s)
+        nodes.update((s, d))
+    damping = 850_000
+    rank = {n: PPM for n in nodes}
+    for _ in range(3):
+        contrib = {
+            n: sum(rank[s] // out_deg[s] for s in in_edges[n]) for n in nodes
+        }
+        rank = {
+            n: (PPM - damping) + damping * contrib.get(n, 0) // PPM
+            for n in nodes
+        }
+    assert got == rank

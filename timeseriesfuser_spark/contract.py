@@ -177,11 +177,28 @@ _M1 = interval_to_ms("1m")
 _H1 = interval_to_ms("1h")
 
 
+def _ff(x: str, m: int) -> str:
+    """DuckDB SQL: largest multiple of ``m`` <= ``x`` (floor), negative-safe.
+
+    DuckDB BIGINT ``//`` truncates toward zero (verified: ``-7200001 //
+    3600000 = -2``), so ``x // m * m`` drifts one step up for negative x.
+    Every Spark-side bucket label pmod-floors
+    (``intervals.floor_boundary_col``); oracles must floor the same way or
+    the pair silently diverges for pre-1970 timestamps.
+    """
+    return f"(({x}) - ((({x}) % {m}) + {m}) % {m})"
+
+
+def _fdiv(x: str, m: int) -> str:
+    """DuckDB SQL: floor((x)/m) for a possibly-negative integer ``x``."""
+    return f"({_ff(x, m)} // {m})"
+
+
 @register(
     "resample_1m_global",
     oracle=f"""
     WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, value, event_type FROM events),
-    lab AS (SELECT (t // {_M1} + 1) * {_M1} AS b, t, event_id, value, event_type FROM ev),
+    lab AS (SELECT {_ff('t', _M1)} + {_M1} AS b, t, event_id, value, event_type FROM ev),
     buckets AS (
         -- row_number, not max_by(col, t*1e6+event_id): the combined
         -- scalar key conflates ts and sequence once event_id >= 1e6
@@ -194,8 +211,8 @@ _H1 = interval_to_ms("1h")
             FROM lab) WHERE rn = 1
     ),
     ext AS (SELECT min(t) AS mn, max(t) AS mx FROM ev),
-    bounds AS (SELECT (mn // {_M1} + 1) * {_M1} AS bmin,
-                      (mx // {_M1} + 1) * {_M1} AS bmax
+    bounds AS (SELECT {_ff('mn', _M1)} + {_M1} AS bmin,
+                      {_ff('mx', _M1)} + {_M1} AS bmax
                FROM ext),
     spine AS (SELECT unnest(generate_series(bmin, bmax, {_M1})) AS b FROM bounds),
     j AS (SELECT s.b AS b, bu.lv, bu.le, bu.b IS NOT NULL AS hit
@@ -229,7 +246,7 @@ def q_resample_1m_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "resample_keys_1h",
     oracle=f"""
-    WITH lab AS (SELECT (epoch_ms(ts) // {_H1} + 1) * {_H1} AS b,
+    WITH lab AS (SELECT {_ff('epoch_ms(ts)', _H1)} + {_H1} AS b,
                         event_type, value, user_id,
                         epoch_ms(ts) AS t, event_id
                  FROM events),
@@ -317,8 +334,8 @@ def _label_sql() -> str:
     cols = []
     for iv in _LABEL_IVS:
         step = interval_to_ms(iv)
-        cols.append(f"(epoch_ms(ts) // {step} + 1) * {step} AS label_{iv}")
-    cols.append(f"(epoch_ms(ts) // {interval_to_ms('5m')}) * {interval_to_ms('5m')} AS floor_5m")
+        cols.append(f"{_ff('epoch_ms(ts)', step)} + {step} AS label_{iv}")
+    cols.append(f"{_ff('epoch_ms(ts)', interval_to_ms('5m'))} AS floor_5m")
     return "SELECT event_id, " + ", ".join(cols) + " FROM events"
 
 
@@ -1919,10 +1936,11 @@ _H1GAP = 3_600_000
     SELECT event_type,
            CAST(min(t) AS BIGINT) AS first_ts,
            CAST(max(t) AS BIGINT) AS last_ts,
-           CAST(max(t) // {_H1GAP} - min(t) // {_H1GAP} + 1 AS BIGINT) AS n_buckets,
-           CAST(count(DISTINCT t // {_H1GAP}) AS BIGINT) AS n_present,
-           CAST(max(t) // {_H1GAP} - min(t) // {_H1GAP} + 1
-                - count(DISTINCT t // {_H1GAP}) AS BIGINT) AS n_gaps
+           CAST({_fdiv('max(t)', _H1GAP)} - {_fdiv('min(t)', _H1GAP)} + 1
+                AS BIGINT) AS n_buckets,
+           CAST(count(DISTINCT {_fdiv('t', _H1GAP)}) AS BIGINT) AS n_present,
+           CAST({_fdiv('max(t)', _H1GAP)} - {_fdiv('min(t)', _H1GAP)} + 1
+                - count(DISTINCT {_fdiv('t', _H1GAP)}) AS BIGINT) AS n_gaps
     FROM ev GROUP BY event_type
     """,
 )
@@ -1931,7 +1949,7 @@ def q_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     1h grid intervals in the key's own [first, last] span contain no
     events. One groupBy with a count-distinct — integer bucket math only."""
     ev = _events(spark, sf_dir)
-    b = F.expr(f"ts DIV {_H1GAP}")
+    b = F.expr(f"(ts - pmod(ts, {_H1GAP})) DIV {_H1GAP}")
     span = F.max(b) - F.min(b) + F.lit(1)
     return ev.groupBy("event_type").agg(
         F.min("ts").alias("first_ts"),
@@ -2085,7 +2103,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ohlc_1h",
     oracle=f"""
     WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, event_type, value FROM events),
-    r AS (SELECT event_type, CAST((t // {_H1GAP}) * {_H1GAP} AS BIGINT) AS bar_ts,
+    r AS (SELECT event_type, CAST({_ff('t', _H1GAP)} AS BIGINT) AS bar_ts,
                  t, event_id, value FROM ev),
     o AS (SELECT *,
                  row_number() OVER (PARTITION BY event_type, bar_ts
@@ -2123,7 +2141,7 @@ _D1 = 86_400_000
                        CAST(props ->> 'k' AS BIGINT) AS w
                 FROM events)
     SELECT event_type,
-           CAST((t // {_D1}) * {_D1} AS BIGINT) AS bar_ts,
+           CAST({_ff('t', _D1)} AS BIGINT) AS bar_ts,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(cents * w) AS BIGINT) AS pw_cents,
            CAST(sum(w) AS BIGINT) AS sum_weight,
@@ -2182,8 +2200,8 @@ _SLIDE_L, _SLIDE_S = 3_600_000, 900_000
                        CAST(round(value * 100) AS BIGINT) AS cents
                 FROM events),
     w AS (SELECT event_type, cents,
-                 unnest(generate_series(t - t % {_SLIDE_S} - {_SLIDE_L - _SLIDE_S},
-                                        t - t % {_SLIDE_S}, {_SLIDE_S}))
+                 unnest(generate_series({_ff('t', _SLIDE_S)} - {_SLIDE_L - _SLIDE_S},
+                                        {_ff('t', _SLIDE_S)}, {_SLIDE_S}))
                    AS window_start
           FROM ev)
     SELECT event_type,
@@ -2230,7 +2248,7 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_resample_1h",
     oracle=f"""
     WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, event_type, value FROM events),
-    lab AS (SELECT (t // {_H1} + 1) * {_H1} AS b, event_type, value, t, event_id
+    lab AS (SELECT {_ff('t', _H1)} + {_H1} AS b, event_type, value, t, event_id
             FROM ev),
     r AS (SELECT *, row_number() OVER (PARTITION BY b, event_type
                                        ORDER BY t DESC, event_id DESC) AS rn
@@ -2628,8 +2646,8 @@ def q_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ev AS (SELECT user_id AS k, epoch_ms(ts) AS t, event_id AS seq,
                        CAST(round(value * 100) AS BIGINT) AS c FROM events),
-    b AS (SELECT k, CAST((min(t) + {_H1 - 1}) // {_H1} * {_H1} AS BIGINT) AS gmin,
-                 CAST(max(t) // {_H1} * {_H1} AS BIGINT) AS gmax
+    b AS (SELECT k, CAST({_ff(f'min(t) + {_H1 - 1}', _H1)} AS BIGINT) AS gmin,
+                 CAST({_ff('max(t)', _H1)} AS BIGINT) AS gmax
           FROM ev GROUP BY k),
     g AS (SELECT k, unnest(generate_series(gmin, gmax, {_H1})) AS t
           FROM b WHERE gmin <= gmax),
@@ -2709,7 +2727,7 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                             (SELECT max(t) FROM ev)) AS e
             FROM ev),
     ex AS (SELECT k, c, s, e,
-                  unnest(generate_series(s // {_D1}, (e - 1) // {_D1})) AS b
+                  unnest(generate_series({_fdiv('s', _D1)}, {_fdiv('(e - 1)', _D1)})) AS b
            FROM seg WHERE e > s),
     agg AS (SELECT k, b,
                    sum(least(e, (b + 1) * {_D1}) - greatest(s, b * {_D1}))
@@ -3125,9 +3143,9 @@ _RET_P = 7 * 86_400_000
     "retention_7d",
     oracle=f"""
     WITH ev AS (SELECT user_id AS u, epoch_ms(ts) AS t FROM events),
-    anchors AS (SELECT u, min(t) // {_RET_P} AS cp FROM ev GROUP BY u),
+    anchors AS (SELECT u, {_fdiv('min(t)', _RET_P)} AS cp FROM ev GROUP BY u),
     sizes AS (SELECT cp, count(*) AS csize FROM anchors GROUP BY cp),
-    cells AS (SELECT DISTINCT e.u, a.cp, e.t // {_RET_P} - a.cp AS off
+    cells AS (SELECT DISTINCT e.u, {_fdiv('e.t', _RET_P)} - a.cp AS off, a.cp
               FROM ev e JOIN anchors a ON e.u = a.u),
     m AS (SELECT cp, off, count(*) AS n_active FROM cells GROUP BY cp, off)
     SELECT CAST(m.cp * {_RET_P} AS BIGINT) AS cohort_ts,
@@ -3696,7 +3714,9 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "hourly_active_users",
     oracle="""
-    SELECT CAST(epoch_ms(ts) // 3600000 * 3600000 AS BIGINT) AS hour_ts,
+    SELECT CAST(epoch_ms(ts)
+                - ((epoch_ms(ts) % 3600000) + 3600000) % 3600000
+                AS BIGINT) AS hour_ts,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
     FROM events GROUP BY 1
@@ -3711,7 +3731,9 @@ def q_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
         ev.groupBy(
-            (F.expr("ts DIV 3600000") * 3_600_000).cast("long").alias("hour_ts")
+            # pmod-floor, not DIV: truncation diverges from the DuckDB //
+            # floor for pre-1970 (negative) timestamps.
+            F.expr("ts - pmod(ts, 3600000)").cast("long").alias("hour_ts")
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),

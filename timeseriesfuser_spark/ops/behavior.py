@@ -268,13 +268,26 @@ def merge_upsert(
         *[F.col(k) for k in keys],
         *[F.col(c).alias(f"__s_{c}") for c in val_cols],
     )
+    # Validate op values in-task: anything outside {'upsert','delete'}
+    # (a typo like 'UPSERT' or 'update', or a NULL) would otherwise be
+    # silently treated as a delete by the op filter below.
+    op_checked = F.when(
+        F.col(op_col).isin("upsert", "delete"), F.col(op_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("merge_upsert: op value must be 'upsert' or 'delete', got "),
+                F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+            )
+        )
+    )
     c = changes.select(
         *[F.col(k) for k in keys],
         *[
             (F.col(cc) if cc in changes.columns else F.lit(None)).alias(f"__c_{cc}")
             for cc in val_cols
         ],
-        F.col(op_col).alias("__op"),
+        op_checked.alias("__op"),
     )
     j = s.join(c, on=keys, how="full_outer")
     take_change = F.col("__op") == "upsert"

@@ -89,9 +89,16 @@ def pagerank(
         )
         r = nodes.join(contrib, "id", "left").select(
             "id",
+            # damping_ppm * __c can exceed int64 once a hub accumulates
+            # ~1e13 ppm of contribution (~10M high-rank in-edges); the
+            # decimal(38,0) product keeps the update exact instead of
+            # silently wrapping (non-ANSI) or raising (ANSI).
             (
                 F.lit(base)
-                + F.expr(f"{damping_ppm} * coalesce(__c, 0) DIV {PPM}")
+                + F.expr(
+                    f"(CAST({damping_ppm} AS DECIMAL(38,0))"
+                    f" * coalesce(__c, 0)) DIV {PPM}"
+                )
             ).cast("long").alias("rank"),
         )
         if checkpoint:

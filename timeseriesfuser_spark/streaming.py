@@ -608,19 +608,25 @@ def latest_stream(
         if state.exists:
             best = tuple(state.get)
         def plain(v):
-            # numpy scalars -> python; NaN -> None (state/Arrow-safe, and
-            # a SQL view says NULL, never NaN)
-            if v is None or (isinstance(v, float) and v != v):
+            # numpy scalars -> python; NaN/NA/NaT -> None (state/Arrow-safe,
+            # and a SQL view says NULL, never NaN)
+            if v is None or pd.isna(v):
                 return None
             return v.item() if hasattr(v, "item") else v
 
         for pdf in pdfs:
-            for r in pdf.itertuples(index=False):
-                ts = int(getattr(r, ts_col))
-                seq = int(getattr(r, seq_col))
-                cand = (ts, seq) + tuple(
-                    plain(getattr(r, c)) for c in value_cols
-                )
+            # Positional access: pandas itertuples() mangles
+            # underscore-prefixed names (e.g. the default '__timestamp'
+            # ts column becomes _0), so getattr would crash per batch.
+            series = [pdf[ts_col], pdf[seq_col]] + [pdf[c] for c in value_cols]
+            for row in zip(*series):
+                ts = plain(row[0])
+                seq = plain(row[1])
+                if ts is None or seq is None:
+                    # Null ordering keys have no place in the (ts, seq)
+                    # order; skip them instead of crashing the query.
+                    continue
+                cand = (int(ts), int(seq)) + tuple(plain(v) for v in row[2:])
                 if best is None or (cand[0], cand[1]) > (best[0], best[1]):
                     best = cand
         changed = best is not None and (
