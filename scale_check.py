@@ -310,7 +310,27 @@ def _docs_ops(spark, n: int) -> dict:
         "fuzzy_er": lambda: _fuzzy_er(docs, n),
         "distinctive_terms": lambda: _distinctive(docs),
         "leakage_split": lambda: _leakage(spark, docs, n),
+        "ngram_jaccard": lambda: _ngram_jaccard(docs),
     }
+
+
+def _ngram_jaccard(docs):
+    """df-capped exact Jaccard on an adversarial corpus: a constant
+    boilerplate footer makes its shingles corpus-hot (df = n), which would
+    fan the uncapped inverted-index self-join out to ~n^2 candidate pairs.
+    max_df drops those shingles from candidate generation; the planted
+    exact-dup pairs still share 30+ rare shingles and are found with their
+    exact full-set jaccard."""
+    from timeseriesfuser_spark.ops.dedup import ngram_jaccard_pairs
+
+    boiler = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", "text",
+            F.lit("subscribe to the feed for more updates like this one"),
+        ).alias("text"),
+    )
+    return ngram_jaccard_pairs(boiler, threshold=0.5, max_df=64)
 
 
 def _fuzzy_er(docs, n):
@@ -367,7 +387,7 @@ def run_docs(n: int) -> dict:
         "minhash_lsh", "simhash", "tfidf_keywords", "neardup_clusters",
         "doc_chunks", "cross_corpus", "ngram_novelty", "epoch_shuffle",
         "passage_dedup", "bigram_lm", "hashed_classifier", "length_batches",
-        "fuzzy_er", "distinctive_terms", "leakage_split",
+        "fuzzy_er", "distinctive_terms", "leakage_split", "ngram_jaccard",
     ]:
         r = subprocess.run(
             [sys.executable, __file__, "--docs-one", name, str(n)],

@@ -202,3 +202,33 @@ def test_leakage_split_single_id_join(spark):
     plan = formatted_plan(contract.QUERIES["leakage_split"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_search_routes_through_ivf(spark):
+    """semantic_search must plan the IVF path: the only nested-loop join
+    allowed is the k-bounded centroid assignment (corpus x n_centroids),
+    never a corpus x query brute-force product. The IVF shape shows up as
+    the probe equi-join on centroid_id."""
+    plan = formatted_plan(contract.QUERIES["semantic_search"](spark, SF))
+    assert "centroid_id" in plan
+
+
+def test_day_tz_spine_is_executor_side(spark):
+    """The day-tz resample spine must come from sequence+explode over the
+    per-key bounds relation (Generate node), not a driver-built local
+    list (LocalTableScan / parallelized RDD of spine rows)."""
+    from pyspark.sql import Row, functions as F  # noqa: F401
+
+    from timeseriesfuser_spark.operators.resample import resample_last_interval
+
+    rows = [
+        Row(__timestamp=1700000000000 + i * 43_200_000, k="x", v=float(i))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows)
+    plan = formatted_plan(
+        resample_last_interval(
+            df, "1d", tz="UTC", keys=["k"], value_cols=["v"], tiebreak_cols=[]
+        )
+    )
+    assert "Generate" in plan and "explode" in plan

@@ -148,3 +148,42 @@ def test_pagerank_decimal_update_unchanged(spark):
             for n in nodes
         }
     assert got == rank
+
+
+def test_ngram_jaccard_max_df_candidate_cutoff(spark):
+    """max_df path: pairs sharing >= 1 rare shingle get their EXACT
+    full-set jaccard (identical to the uncapped baseline); a pair whose
+    overlap is exclusively corpus-hot shingles is the documented recall
+    cut."""
+    from timeseriesfuser_spark.ops.dedup import ngram_jaccard_pairs
+
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        # near-dup pair via rare shingles (and some hot overlap)
+        (1, hot + " alpha beta gamma delta epsilon zeta"),
+        (2, hot + " alpha beta gamma delta epsilon eta"),
+        # pair overlapping ONLY on the hot prefix
+        (3, hot + " one two three four five six seven"),
+        (4, hot + " eight nine ten eleven twelve thirteen"),
+    ] + [
+        # make every shingle of `hot` corpus-hot (df > max_df=4)
+        (100 + i, hot) for i in range(8)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    exact = {
+        (r["id_a"], r["id_b"]): (r["intersection"], r["union_size"], r["jaccard"])
+        for r in ngram_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): (r["intersection"], r["union_size"], r["jaccard"])
+        for r in ngram_jaccard_pairs(df, threshold=0.3, max_df=4).collect()
+    }
+    # (1,2) survives the cut and its jaccard is the exact full-set value
+    assert (1, 2) in capped and capped[(1, 2)] == exact[(1, 2)]
+    # every capped pair matches the exact baseline value
+    assert all(capped[k] == exact[k] for k in capped)
+    # pairs among the hot-only clones overlap exclusively on hot shingles:
+    # present in the exact baseline, dropped by the candidate cutoff
+    hot_only = [k for k in exact if k[0] >= 100 and k[1] >= 100]
+    assert hot_only and all(k not in capped for k in hot_only)

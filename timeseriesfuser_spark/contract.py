@@ -536,30 +536,45 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JT = 0.5
+_JMAXDF = 64  # candidate-generation document-frequency cutoff
 
 
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS ({_SHINGLE_REL}),
+    dfreq AS (SELECT sh, count(*) AS c FROM sh GROUP BY sh),
+    rare AS (SELECT s.id, s.sh FROM sh s JOIN dfreq d USING (sh)
+             WHERE d.c <= {_JMAXDF}),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM rare a JOIN rare b ON a.sh = b.sh AND a.id < b.id),
     sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
     inter AS (
         SELECT a.id AS id_a, b.id AS id_b, count(*) AS intersection
         FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
         GROUP BY a.id, b.id
     )
-    SELECT id_a, id_b, intersection,
+    SELECT c.id_a, c.id_b, intersection,
            sa.sz + sb.sz - intersection AS union_size,
            CAST(intersection AS DOUBLE) / (sa.sz + sb.sz - intersection) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.id = id_a
-    JOIN sizes sb ON sb.id = id_b
+    FROM cand c
+    JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes sa ON sa.id = c.id_a
+    JOIN sizes sb ON sb.id = c.id_b
     WHERE CAST(intersection AS DOUBLE) / (sa.sz + sb.sz - intersection) >= {_JT}
     """,
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join."""
-    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=_JT)
+    """Exact n-gram Jaccard near-dup pairs. Candidates come from the
+    df-capped inverted index (shingles in > _JMAXDF (=64) docs skipped —
+    a hot shingle fans out df² pairs in the self-join, the documented
+    100 TB killer of the uncapped baseline); jaccard is then EXACT over
+    the full shingle sets (array_intersect verify). The oracle mirrors
+    the same candidate rule; its intersection CTE may stay all-pairs
+    because DuckDB only ever sees sf0.01."""
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=_JT, max_df=_JMAXDF
+    )
 
 
 _NH, _NB = 16, 4  # 16 hashes, 4 bands of r=4
@@ -1476,9 +1491,11 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NC, _NP = 16, 4
 
 
-@register(
-    "similarity_ivf",
-    oracle=f"""
+def _ivf_oracle_sql(query_pred: str, k: int) -> str:
+    """IVF top-k oracle, parametrized by the query-vector predicate and k
+    (shared by similarity_ivf and the semantic_search composition so the
+    two can't drift)."""
+    return f"""
     WITH vecs AS (SELECT vec_id, {_QV} AS v FROM embeddings),
     nv AS (SELECT vec_id, v, {_NORM} AS n FROM vecs),
     cents AS (SELECT vec_id AS centroid_id, v AS cv, n AS cn FROM nv
@@ -1507,7 +1524,7 @@ _NC, _NP = 16, 4
                                           / (sqrt(nv.n) * sqrt(cents.cn))
                                      ELSE 0.0 END DESC, cents.centroid_id) AS rk
             FROM nv CROSS JOIN cents
-            WHERE nv.vec_id < 10
+            WHERE {query_pred}
         ) WHERE rk <= {_NP}
     ),
     pairs AS (
@@ -1525,9 +1542,11 @@ _NC, _NP = 16, 4
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY cosine DESC, neighbor_id) AS rn
         FROM pairs
-    ) WHERE rn <= 5
-    """,
-)
+    ) WHERE rn <= {k}
+    """
+
+
+@register("similarity_ivf", oracle=_ivf_oracle_sql("nv.vec_id < 10", 5))
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned approximate top-k: probe nprobe nearest inverted
     lists only — the corpus-side work drops by ~nprobe/n_centroids."""
@@ -2909,33 +2928,22 @@ def q_pivot_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semantic_search",
     oracle=f"""
-    WITH vecs AS (SELECT vec_id, {_QV} AS v FROM embeddings),
-    nv AS (SELECT vec_id, v, {_NORM} AS n FROM vecs),
-    q AS (SELECT * FROM nv WHERE vec_id < 5),
-    pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     round(CAST(list_aggregate(
-                         [q.v[i] * c.v[i] FOR i IN range(1, len(q.v) + 1)],
-                         'sum') AS DOUBLE) / (sqrt(q.n) * sqrt(c.n)), 6)
-                       AS cosine
-              FROM q JOIN nv c ON q.vec_id != c.vec_id
-              WHERE q.n > 0 AND c.n > 0),
-    topk AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                                          ORDER BY cosine DESC, neighbor_id)
-                         AS rn
-             FROM pairs)
-    SELECT t.query_id, t.neighbor_id, t.cosine, CAST(t.rn AS BIGINT) AS rank,
+    WITH ann AS ({_ivf_oracle_sql("nv.vec_id < 5", 3)})
+    SELECT t.query_id, t.neighbor_id, t.cosine, CAST(t.rank AS BIGINT) AS rank,
            d.lang, d.source,
            CAST(length(d.text) AS BIGINT) AS n_chars
-    FROM topk t JOIN documents d ON d.doc_id = t.neighbor_id
-    WHERE rn <= 3
+    FROM ann t JOIN documents d ON d.doc_id = t.neighbor_id
     """,
 )
 def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end retrieval composition: exact cosine top-3 neighbors per
-    query vector (broadcast query side), then the neighbor ids broadcast-
-    joined back to `documents` for display metadata — the RAG serving
-    shape (ANN hit → metadata hydrate). The corpus relation never
-    shuffles; the hydrate join is on the tiny top-k result."""
+    """End-to-end retrieval composition on the SCALE path: IVF top-3
+    neighbors per query vector (probe nprobe inverted lists — never the
+    Q·C brute-force product; recall vs exact is tracked by `ann_recall`),
+    then the neighbor ids broadcast-joined back to `documents` for display
+    metadata — the RAG serving shape (ANN hit → metadata hydrate). The
+    oracle embeds the shared IVF component oracle so the composition
+    can't drift from `similarity_ivf`. `similarity_topk` remains the
+    labeled exactness baseline."""
     emb = _t(spark, sf_dir, "embeddings")
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id"),
@@ -2944,8 +2952,9 @@ def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars"),
     )
     queries = emb.filter(F.col("vec_id") < 5)
-    hits = S.cosine_topk(
-        emb, queries, k=3, id_col="vec_id", vec_col="embedding"
+    hits = S.ivf_cosine_topk(
+        emb, queries, k=3, n_centroids=_NC, nprobe=_NP,
+        id_col="vec_id", vec_col="embedding",
     ).withColumn("rank", F.col("rank").cast("long"))
     return hits.join(docs, hits["neighbor_id"] == docs["doc_id"]).drop("doc_id")
 

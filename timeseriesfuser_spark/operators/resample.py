@@ -285,9 +285,6 @@ def _resample_day_tz(
     whole-stage codegen); buckets join the spine on (keys, grid DATE), and
     the date converts to epoch-ms once, in one Spark expression, after the
     join — driver zoneinfo math never has to bit-match Spark tz math."""
-    from datetime import datetime, timedelta
-    from zoneinfo import ZoneInfo
-
     days = int(interval.strip()[:-1])
     keys = list(keys)
     if tiebreak_cols is None:
@@ -301,64 +298,65 @@ def _resample_day_tz(
     if missing:
         raise ValueError(f"ffill_keys not in value columns: {missing}")
 
-    tzi = ZoneInfo(tz)
     ts = F.col(ts_col)
-    ss = df.sparkSession
 
-    # Per-key stream bounds: one row per key, tiny by construction.
-    bounds = df.groupBy(*keys).agg(
-        F.min(ts).alias("__mn"), F.max(ts).alias("__mx")
-    ).collect()
+    # Per-key stream bounds AND grid-step counts, all on executors — the
+    # spine used to be a driver-side Python list (#keys × #days dicts: a
+    # driver OOM at 1M keys × years). One eager localCheckpoint: the
+    # relation is #keys rows (small by construction), it is consumed by
+    # two plan branches (anchors join + spine explode) which would each
+    # recompute the aggregation, and the lineage cut gives the derived
+    # anchors/spine fresh attribute ids so the joins back onto `df` can't
+    # hit self-join ambiguity. Local dates come from the same Spark tz
+    # expression used for event labeling below — one tz database for both.
+    def _local_date(col: F.Column) -> F.Column:
+        return F.to_date(F.from_utc_timestamp(F.timestamp_millis(col), tz))
 
-    def _local_date(ms: int):
-        return datetime.fromtimestamp(ms / 1000.0, tz=tzi).date()
-
-    spine_rows: List[dict] = []
-    anchor_rows: List[dict] = []
-    for r in bounds:
-        if r["__mn"] is None:  # keyless agg over empty input: one null row
-            continue
-        anchor = _local_date(r["__mn"])
-        mx_date = _local_date(r["__mx"])
-        key_vals = {k: r[k] for k in keys}
-        anchor_rows.append({**key_vals, _ANCHOR: anchor})
-        # Grid midnights <= mx are exactly grid dates <= mx's local date
-        # (midnight(d) <= mx iff d <= mx_date); these are the boundaries
-        # crossed by some event. label(mx) = first grid date after, always
-        # appended under process_batch_end (final partial flush — see
-        # module docstring; a boundary-sitting mx still emits, at +N days).
-        grid = []
-        d = anchor + timedelta(days=days)
-        while d <= mx_date:
-            grid.append(d)
-            d += timedelta(days=days)
-        if process_batch_end:
-            grid.append(d)
-        spine_rows.extend({**key_vals, _BUCKET: g} for g in grid)
-
-    key_fields = [df.schema[k] for k in keys]
-    anchors = ss.createDataFrame(
-        anchor_rows,
-        T.StructType(key_fields + [T.StructField(_ANCHOR, T.DateType(), False)]),
+    binfo = (
+        df.groupBy(*keys)
+        .agg(F.min(ts).alias("__mn"), F.max(ts).alias("__mx"))
+        .filter(F.col("__mn").isNotNull())  # keyless agg over empty input
+        .select(
+            *keys,
+            _local_date(F.col("__mn")).alias(_ANCHOR),
+            _local_date(F.col("__mx")).alias("__mxd"),
+        )
+        .withColumn(
+            # Grid midnights <= mx are exactly grid dates <= mx's local
+            # date (midnight(d) <= mx iff d <= mx_date): floor(diff/N)
+            # steps after the anchor. label(mx) = first grid date after,
+            # always appended under process_batch_end (final partial
+            # flush; a boundary-sitting mx still emits, at +N days).
+            "__n",
+            (
+                F.floor(F.datediff(F.col("__mxd"), F.col(_ANCHOR)) / F.lit(days))
+                + F.lit(1 if process_batch_end else 0)
+            ).cast("int"),
+        )
+        .localCheckpoint(eager=True)
     )
+    anchors = binfo.select(*keys, _ANCHOR)
 
     # Columnar event labels on the anchored grid: the smallest grid date
     # strictly after the event. (floor(diff/N)+1)*N > diff for any diff>=0,
     # and a later date's local midnight is after any instant of an earlier
     # date, so the label is strictly greater even for an event exactly ON
     # a grid midnight (its local date IS the grid date -> next grid point).
+    # Qualified aliases: anchors (and the spine below) both derive from
+    # binfo, so Column-object conditions hit the ambiguous-self-join check.
+    an = anchors.alias("__an")
     if keys:
         # Null-safe key join: a null-keyed group has an anchor row like
         # any other; a plain equi-join would drop its events entirely.
         acond = None
         for k in keys:
-            term = df[k].eqNullSafe(anchors[k])
+            term = df[k].eqNullSafe(F.col(f"__an.`{k}`"))
             acond = term if acond is None else acond & term
-        labeled = df.join(F.broadcast(anchors), acond, "inner").select(
-            *[df[c] for c in df.columns], anchors[_ANCHOR]
+        labeled = df.join(F.broadcast(an), acond, "inner").select(
+            *[df[c] for c in df.columns], F.col(f"__an.`{_ANCHOR}`")
         )
     else:
-        labeled = df.crossJoin(F.broadcast(anchors))
+        labeled = df.crossJoin(F.broadcast(an))
     local_date = F.to_date(F.from_utc_timestamp(F.timestamp_millis(ts), tz))
     step_days = (
         (F.floor(F.datediff(local_date, F.col(_ANCHOR)) / F.lit(days)) + 1)
@@ -385,18 +383,30 @@ def _resample_day_tz(
         out_cols += [F.col(_ROW)[c].alias(c) for c in value_cols]
         return buckets.select(*out_cols)
 
-    spine = ss.createDataFrame(
-        spine_rows,
-        T.StructType(key_fields + [T.StructField(_BUCKET, T.DateType(), False)]),
+    # Executor-side spine: explode each key's grid-date sequence. Output
+    # volume is #keys × #days/N rows distributed across the cluster —
+    # never materialized on the driver.
+    spine = binfo.select(
+        *keys,
+        F.explode(
+            F.when(
+                F.col("__n") >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__n")),
+                    lambda i: F.date_add(F.col(_ANCHOR), i * days),
+                ),
+            ).otherwise(F.array().cast("array<date>"))
+        ).alias(_BUCKET),
     )
+    sp, bu = spine.alias("__sp"), buckets.alias("__bu")
     if keys:
-        scond = spine[_BUCKET] == buckets[_BUCKET]
+        scond = F.col(f"__sp.`{_BUCKET}`") == F.col(f"__bu.`{_BUCKET}`")
         for k in keys:
-            scond = scond & spine[k].eqNullSafe(buckets[k])
-        joined = spine.join(buckets, scond, "left").select(
-            *[spine[k].alias(k) for k in keys],
-            spine[_BUCKET].alias(_BUCKET),
-            buckets[_ROW].alias(_ROW),
+            scond = scond & F.col(f"__sp.`{k}`").eqNullSafe(F.col(f"__bu.`{k}`"))
+        joined = sp.join(bu, scond, "left").select(
+            *[F.col(f"__sp.`{k}`").alias(k) for k in keys],
+            F.col(f"__sp.`{_BUCKET}`").alias(_BUCKET),
+            F.col(f"__bu.`{_ROW}`").alias(_ROW),
         )
     else:
         joined = spine.join(buckets, on=[_BUCKET], how="left")

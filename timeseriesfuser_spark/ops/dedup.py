@@ -125,26 +125,90 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     cache: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact near-duplicate pairs: word-``n``-gram Jaccard ≥ ``threshold``.
 
     Inverted-index join: pairs sharing ≥1 shingle → intersection counts →
     |A∪B| = |A|+|B|−|A∩B|. Output (id_a, id_b, intersection, union_size,
     jaccard), id_a < id_b. jaccard is one int/int division → oracle-exact.
+
+    ``max_df`` is the scale lever: a Zipf-hot shingle (a common trigram)
+    appearing in ``k`` documents fans out k·(k−1)/2 candidate pairs in the
+    self-join — quadratic in the corpus for the hottest shingles. With
+    ``max_df`` set, shingles whose document frequency exceeds it are
+    excluded from CANDIDATE GENERATION only: a pair is surfaced iff it
+    shares ≥1 rare (df ≤ max_df) shingle, and its jaccard is then computed
+    EXACTLY over the full shingle sets via ``array_intersect`` (the MinHash
+    verify pattern). Per-shingle candidate fan-out is bounded by max_df²; a
+    missed pair would have to overlap exclusively on corpus-hot shingles,
+    which at a high threshold means the pair is boilerplate the hot
+    shingles already cover. ``None`` keeps the exact all-pairs baseline.
     """
-    sh = _maybe_cache(shingles_df(df, id_col, text_col, n), cache)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    if max_df is None:
+        sh = _maybe_cache(shingles_df(df, id_col, text_col, n), cache)
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, F.col("a.sh") == F.col("b.sh"))
+            .filter(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("intersection"))
+        )
+        out = (
+            inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+            .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+            .withColumn(
+                "union_size", F.col("sz_a") + F.col("sz_b") - F.col("intersection")
+            )
+            .withColumn(
+                "jaccard", F.col("intersection").cast("double") / F.col("union_size")
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        return out.select("id_a", "id_b", "intersection", "union_size", "jaccard")
+
+    if max_df < 1:
+        raise ValueError(f"max_df must be >= 1: {max_df}")
+    docs = _maybe_cache(
+        spread_small_input(df).select(
+            F.col(id_col).alias("id"),
+            shingle_array(text_col, n).alias("__shs"),
+        ),
+        cache,
+    )
+    sh = docs.select("id", F.explode("__shs").alias("sh"))
+    # document frequency per shingle: one linear hash-agg + one equi-join
+    # back — the price that caps the quadratic hot-shingle fan-out.
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    rare = sh.join(dfreq.filter(F.col("__df") <= max_df).select("sh"), "sh")
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
         a.join(b, F.col("a.sh") == F.col("b.sh"))
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("intersection"))
+        .agg(F.count(F.lit(1)).alias("__shared_rare"))
+        .drop("__shared_rare")
     )
     out = (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
-        .withColumn("union_size", F.col("sz_a") + F.col("sz_b") - F.col("intersection"))
+        cand.join(
+            docs.select(F.col("id").alias("id_a"), F.col("__shs").alias("__shs_a")),
+            "id_a",
+        )
+        .join(
+            docs.select(F.col("id").alias("id_b"), F.col("__shs").alias("__shs_b")),
+            "id_b",
+        )
+        .withColumn(
+            "intersection",
+            F.size(F.array_intersect("__shs_a", "__shs_b")).cast("long"),
+        )
+        .withColumn(
+            "union_size",
+            (
+                F.size("__shs_a") + F.size("__shs_b") - F.col("intersection")
+            ).cast("long"),
+        )
         .withColumn(
             "jaccard", F.col("intersection").cast("double") / F.col("union_size")
         )
