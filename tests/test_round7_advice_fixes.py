@@ -187,3 +187,103 @@ def test_ngram_jaccard_max_df_candidate_cutoff(spark):
     # present in the exact baseline, dropped by the candidate cutoff
     hot_only = [k for k in exact if k[0] >= 100 and k[1] >= 100]
     assert hot_only and all(k not in capped for k in hot_only)
+
+
+# ---------------------------------------------------------------------------
+# pluggable multimodal codec hooks
+# ---------------------------------------------------------------------------
+
+def _make_toy_codec():
+    """Fake external codec pair, built as closures so cloudpickle ships
+    them by value (a test-module top-level fn is unimportable on
+    executors): 'format' = raw square grayscale bytes."""
+    import numpy as np
+
+    def dec(b):
+        side = int(len(b) ** 0.5)
+        return np.frombuffer(b[: side * side], dtype=np.uint8).reshape(side, side)
+
+    def enc(arr):
+        return bytes(arr.astype("uint8").reshape(-1))
+
+    return dec, enc
+
+
+def test_decode_image_decode_fn_hook():
+    import numpy as np
+
+    from timeseriesfuser_spark.ops.multimodal import decode_image
+
+    _toy_decode, _ = _make_toy_codec()
+    payload = bytes(range(16))  # 4x4 "image" in the toy format
+    with pytest.raises(NotImplementedError):
+        decode_image(payload)
+    arr = decode_image(payload, decode_fn=_toy_decode)
+    assert arr.shape == (4, 4) and arr.dtype == np.float32
+    assert arr[0, 1] == 1.0
+    # fake=True still takes precedence over the injected codec
+    assert decode_image(payload, fake=True, decode_fn=_toy_decode).shape == (8, 8)
+
+
+def test_resize_images_codec_pair_hook(spark):
+    from timeseriesfuser_spark.ops.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    rows = [
+        (1, bytes(range(16)), "image",
+         {"width": 4, "height": 4, "sample_rate": None, "n_frames": None,
+          "codec": "toy"}),
+        (2, None, "image", None),
+    ]
+    _toy_decode, _toy_encode = _make_toy_codec()
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           resize_images(df, 2, 2, decode_fn=_toy_decode,
+                         encode_fn=_toy_encode).collect()}
+    assert len(out[1]["content"]) == 4  # 2x2 toy re-encode
+    assert out[1]["meta"]["width"] == 2 and out[1]["meta"]["height"] == 2
+    assert out[2]["content"] is None and out[2]["meta"] is None
+    # injecting only one half of the pair is an error
+    with pytest.raises(ValueError, match="together"):
+        resize_images(df, 2, 2, decode_fn=_toy_decode)
+
+
+def test_extract_features_feature_fn_hook(spark):
+    from timeseriesfuser_spark.ops.multimodal import (
+        FEATURE_DIM,
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    rows = [(1, b"abc", "image", None), (2, None, "image", None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def feat(b):
+        return [float(len(b))] * FEATURE_DIM
+
+    got = {r["media_id"]: r["features"]
+           for r in extract_features(df, feature_fn=feat).collect()}
+    assert got[1] == [3.0] * FEATURE_DIM
+    assert got[2] is None  # null passthrough wraps the user fn
+
+
+def test_sample_frames_split_fn_hook(spark):
+    from timeseriesfuser_spark.ops.multimodal import MEDIA_SCHEMA, sample_frames
+
+    def demux(b):
+        # toy container: consecutive 4-byte frames, 2x2
+        for i in range(len(b) // 4):
+            yield i, b[i * 4:(i + 1) * 4], 2, 2
+
+    payload = bytes(range(20))  # 5 frames
+    df = spark.createDataFrame(
+        [(1, payload, "video", None)], MEDIA_SCHEMA
+    )
+    got = sorted(
+        (r["frame_idx"], bytes(r["content"]))
+        for r in sample_frames(df, 2, split_fn=demux).collect()
+    )
+    assert [i for i, _ in got] == [0, 2, 4]
+    assert got[1][1] == payload[8:12]

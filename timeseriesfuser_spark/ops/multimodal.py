@@ -24,7 +24,7 @@ Scale notes (100 TB of media):
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator, Optional
+from typing import Callable, Iterator, Optional
 
 import numpy as np
 import pandas as pd
@@ -126,28 +126,39 @@ def encode_netpbm(arr: "np.ndarray") -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
 
 
-def decode_image(data: bytes, *, fake: bool = False) -> "np.ndarray":
+def decode_image(
+    data: bytes,
+    *,
+    fake: bool = False,
+    decode_fn: Optional[Callable[[bytes], "np.ndarray"]] = None,
+) -> "np.ndarray":
     """Image decode. REAL for the netpbm family (P5/P6, pure numpy);
     other formats (JPEG/PNG/…) need a codec library absent from this
-    environment and raise ``NotImplementedError`` — swapping in Pillow
-    later changes this one function, not the pipeline.
+    environment and raise ``NotImplementedError`` unless a ``decode_fn``
+    is supplied — with Pillow installed,
+    ``decode_fn=lambda b: np.asarray(PIL.Image.open(io.BytesIO(b)))``
+    makes real JPEG/PNG support a one-liner; the pipeline plumbing never
+    changes.
 
+    Precedence (explicit beats sniffing, the round-6 lesson): ``fake``
+    first, then a user ``decode_fn``, then the built-in netpbm sniff.
     ``fake=True`` returns a deterministic 8x8 grayscale array derived
     from the bytes' sha256 — stable plumbing-test pixels, clearly not an
-    image. The fake path takes PRECEDENCE over format sniffing: callers
-    that asked for the sha-fake (extract_features' oracle-checked
-    feature derivation) must get it even when the payload happens to
-    start with a netpbm magic (e.g. text beginning "P5 ...").
+    image; callers that asked for the sha-fake (extract_features'
+    oracle-checked feature derivation) must get it even when the payload
+    happens to start with a netpbm magic (e.g. text beginning "P5 ...").
     """
     if fake:
         digest = hashlib.sha256(data).digest()
         rng = np.frombuffer((digest * 2)[:64], dtype=np.uint8)
         return rng.reshape(8, 8).astype(np.float32)
+    if decode_fn is not None:
+        return np.asarray(decode_fn(data)).astype(np.float32)
     if len(data) >= 2 and data[:1] == b"P" and data[1:2] in b"56":
         return decode_netpbm(data).astype(np.float32)
     raise NotImplementedError(
         "non-netpbm image decode requires a codec library (install "
-        "Pillow and extend decode_image); pipeline plumbing is "
+        "Pillow and pass decode_fn=...); pipeline plumbing is "
         "codec-agnostic"
     )
 
@@ -161,13 +172,29 @@ def _fake_features(data: Optional[bytes]) -> Optional[list]:
     return [float(x) for x in flat.reshape(FEATURE_DIM, -1).mean(axis=1)]
 
 
-def extract_features(df: DataFrame, *, batch_hint: Optional[int] = None) -> DataFrame:
+def extract_features(
+    df: DataFrame,
+    *,
+    batch_hint: Optional[int] = None,
+    feature_fn: Optional[Callable[[bytes], list]] = None,
+) -> DataFrame:
     """media table → (media_id, media_type, n_bytes, content_sha256,
     features[16]) via one Arrow-batched ``mapInPandas`` pass.
 
     The binary column dies inside the UDF — only hashes + small vectors
     come out, so everything downstream shuffles cheaply.
+
+    ``feature_fn`` (bytes → FEATURE_DIM floats) plugs in a real embedding
+    model outside this sandbox; the default is the deterministic sha-fake
+    whose exact values the DuckDB oracle replicates (do not change it
+    underneath `multimodal_features`).
     """
+    feat = feature_fn if feature_fn is not None else _fake_features
+    if feature_fn is not None:
+        base = feature_fn
+
+        def feat(b):  # noqa: F811 — null passthrough wrapper
+            return None if b is None else base(b)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -184,7 +211,7 @@ def extract_features(df: DataFrame, *, batch_hint: Optional[int] = None) -> Data
                         if b is not None
                         else None
                     ),
-                    "features": content.map(_fake_features),
+                    "features": content.map(feat),
                 }
             )
 
@@ -200,29 +227,43 @@ def resize_nearest(arr: "np.ndarray", width: int, height: int) -> "np.ndarray":
     return arr[ys][:, xs]
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    *,
+    decode_fn: Optional[Callable[[bytes], "np.ndarray"]] = None,
+    encode_fn: Optional[Callable[["np.ndarray"], bytes]] = None,
+) -> DataFrame:
     """Decode → nearest-neighbor resize → re-encode, one Arrow-batched
     ``mapInPandas`` pass preserving MEDIA_SCHEMA (content replaced, meta
     width/height updated).
 
     REAL for netpbm payloads (P5/P6, pure numpy end to end); any other
-    format raises ``NotImplementedError`` inside the task — extend
-    ``decode_image``/the encoder when a codec library is available, the
-    pipeline shape does not change. Null content passes through as null.
+    format raises ``NotImplementedError`` inside the task unless a codec
+    pair is injected: ``decode_fn`` (bytes → uint8 array) and
+    ``encode_fn`` (uint8 array → bytes) make JPEG/PNG a two-liner with
+    Pillow outside this sandbox — the pipeline shape does not change.
+    Null content passes through as null.
     """
     w_out, h_out = int(width), int(height)
+    if (decode_fn is None) != (encode_fn is None):
+        raise ValueError("decode_fn and encode_fn must be supplied together")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(b):
             if b is None:
                 return None
+            if decode_fn is not None:
+                arr = np.asarray(decode_fn(b), dtype=np.uint8)
+                return encode_fn(resize_nearest(arr, w_out, h_out))
             try:
                 arr = decode_netpbm(b)
             except ValueError as exc:
                 raise NotImplementedError(
                     "resize of non-netpbm content requires a codec "
-                    f"library ({exc}); extend decode_image when one is "
-                    "available — the pipeline shape is codec-agnostic"
+                    f"library ({exc}); pass decode_fn/encode_fn when one "
+                    "is available — the pipeline shape is codec-agnostic"
                 ) from exc
             return encode_netpbm(resize_nearest(arr, w_out, h_out))
 
@@ -253,7 +294,12 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def sample_frames(df: DataFrame, every_n: int) -> DataFrame:
+def sample_frames(
+    df: DataFrame,
+    every_n: int,
+    *,
+    split_fn: Optional[Callable[[bytes], Iterator[tuple]]] = None,
+) -> DataFrame:
     """Video frame sampling over the netpbm-sequence container (a "video"
     = concatenated binary P5/P6 frames — each frame's byte length is
     derivable from its own header, so the stream splits without an
@@ -264,12 +310,17 @@ def sample_frames(df: DataFrame, every_n: int) -> DataFrame:
     and raise inside the task; the row-expansion plumbing — the part a
     100 TB pipeline cares about — is identical either way. Null content
     yields no frames.
+
+    ``split_fn`` plugs in a real demuxer: it must yield
+    ``(frame_idx, frame_bytes, width, height)`` for EVERY frame (the
+    every_n subsampling is applied here either way); the built-in splits
+    the netpbm-sequence container.
     """
     if every_n <= 0:
         raise ValueError("every_n must be positive")
     step = int(every_n)
 
-    def split_frames(b: bytes):
+    def _builtin_split(b: bytes):
         # Offset-based header parsing: no tail copy per frame (a naive
         # b[pos:] slice would make splitting O(total_bytes²)). Skipped
         # frames are never sliced either — only KEPT frames' bytes are
@@ -283,6 +334,15 @@ def sample_frames(df: DataFrame, every_n: int) -> DataFrame:
                 yield idx, b[pos:end], w, h
             pos = end
             idx += 1
+
+    def split_frames(b: bytes):
+        if split_fn is not None:
+            # user demuxer yields every frame; subsample uniformly here
+            for idx, frame, w, h in split_fn(b):
+                if idx % step == 0:
+                    yield idx, frame, w, h
+            return
+        yield from _builtin_split(b)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
