@@ -405,6 +405,97 @@ def run_docs(n: int) -> dict:
     return out
 
 
+def run_csv600(spark, target_rows: int = 30_000_000) -> dict:
+    """Replicate the reference's one never-replicated SCALE scenario
+    (tests/integration/test_core_single_nonoverlapping.py:128-137, the
+    @pytest.mark.slow BTC-USDT run): ~600 MB of gzip CSV tick files
+    through the full user pipeline — SourceConfig(csv) → TimeSeriesFuser
+    (derived window, forward fill) → 1h last-value resample →
+    sinks.write_batched(csv.gz). Generates per-"day" gzip CSV shards
+    with Spark itself (never on the driver), then times the pipeline
+    end-to-end including the sink."""
+    import shutil
+    import tempfile
+
+    from timeseriesfuser_spark import (
+        SourceConfig,
+        TimeSeriesFuser,
+        resample_last_interval,
+    )
+    from timeseriesfuser_spark.sinks import write_batched
+
+    root = tempfile.mkdtemp(prefix="tsf_csv600_")
+    src_dir = f"{root}/trades"
+    out_dir = f"{root}/out"
+    try:
+        # ~60 B/row raw; synthetic ticks gzip ~3x -> ~600 MB needs ~30M rows.
+        n = target_rows
+        span_ms = 30 * DAY_MS
+        ticks = (
+            spark.range(0, n, 1, CPUS)
+            .select(
+                (
+                    F.lit(1_699_000_000_000)
+                    + (F.col("id") * span_ms / F.lit(n)).cast("long")
+                ).alias("Timestamp"),
+                F.round(
+                    30_000 + F.pmod(F.hash("id"), 2_000_000) / 100.0, 2
+                ).alias("Price"),
+                F.round(F.pmod(F.hash(F.col("id") + 1), 10_000) / 1000.0, 3)
+                .alias("Quantity"),
+                F.col("id").alias("TradeID"),
+                (
+                    F.lit(1_699_000_000_000)
+                    + (F.col("id") * span_ms / F.lit(n)).cast("long")
+                    + 17
+                ).alias("RecTimestamp"),
+            )
+        )
+        t0 = time.perf_counter()
+        (
+            ticks.repartitionByRange(CPUS, "Timestamp")
+            .sortWithinPartitions("Timestamp")
+            .write.option("header", True)
+            .option("compression", "gzip")
+            .csv(src_dir)
+        )
+        gen_s = time.perf_counter() - t0
+        import glob as _glob
+        import os as _os
+
+        sz = sum(_os.path.getsize(f) for f in _glob.glob(f"{src_dir}/*.csv.gz"))
+
+        src = SourceConfig(
+            name="trades_btc",
+            path=src_dir,
+            fmt="csv",
+            schema=[int, float, float, int, int],
+            file_sort_regex=r"part-(\d+)",
+            file_sort_idx=0,
+        )
+        t1 = time.perf_counter()
+        fuser = TimeSeriesFuser([src], forward_fill=True)
+        bars = resample_last_interval(
+            fuser.fused(spark), "1h", ffill_keys=["Price"]
+        )
+        res = write_batched(
+            bars, out_dir, fmt="csv", compress=True, count_rows=True
+        )
+        pipe_s = time.perf_counter() - t1
+        out = {
+            "rows": n,
+            "gzip_mb": round(sz / 1e6, 1),
+            "generate_s": round(gen_s, 1),
+            "pipeline_s": round(pipe_s, 1),
+            "out_rows": res.rows,
+            "mrows_s": round(n / pipe_s / 1e6, 2),
+        }
+        print(f"# csv600: {out}", file=sys.stderr)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main():
     args = sys.argv[1:]
     docs_one = args and args[0] == "--docs-one"
@@ -432,6 +523,11 @@ def main():
     if docs_one:
         name, n = args[1], int(args[2])
         print(run_docs_one(spark, name, n))
+        spark.stop()
+        return
+    if args and args[0] == "--csv600":
+        n = int(float(args[1]) * 1e6) if len(args) > 1 else 30_000_000
+        print(json.dumps(run_csv600(spark, n)))
         spark.stop()
         return
     only = None

@@ -1,0 +1,171 @@
+"""Driver-contract query registry: every implemented operator exposed as a
+named (Spark query, DuckDB oracle SQL) pair over the /root/testdata tables.
+
+Each Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame; the
+paired oracle is ANSI-ish SQL DuckDB runs on the same parquet registered as
+views. The pairs are value-hash comparable because every computation here is
+engine-portable-deterministic:
+
+- integer/count arithmetic wherever possible (cents for money, quantized
+  embeddings, md5-derived 60-bit hashes);
+- at most a short fixed chain of IEEE double ops applied to *exact* integer
+  inputs at the end (one division, sqrt of exact ints) — bit-identical in
+  any IEEE-754 engine;
+- never an order-dependent float accumulation;
+- all integer outputs cast to long/BIGINT on both sides, ties broken by
+  explicit unique keys.
+
+Query name → SURVEY.md §2 operator ids covered is noted on each entry.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timeseriesfuser_spark.config import FuserConfig, SourceConfig
+from timeseriesfuser_spark.intervals import (
+    boundary_label_col,
+    floor_boundary_col,
+    interval_to_ms,
+)
+from timeseriesfuser_spark.operators.fill import forward_fill
+from timeseriesfuser_spark.operators.fuse import TimeSeriesFuser
+from timeseriesfuser_spark.operators.resample import resample_last_interval
+from timeseriesfuser_spark.ops import dedup as D
+from timeseriesfuser_spark.ops import packing as P
+from timeseriesfuser_spark.ops import sampling as SA
+from timeseriesfuser_spark.ops import similarity as S
+from timeseriesfuser_spark.ops import text as X
+from timeseriesfuser_spark.ops import timeseries as TS
+from timeseriesfuser_spark.timeutils import coerce_to_epoch_ms, ts_epoch_ms_col
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Session TZ must be UTC for unix_millis to agree with DuckDB epoch_ms.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects
+    # unless mapped to a long (of nanoseconds).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with `ts` normalized to epoch-ms long (DuckDB epoch_ms twin).
+
+    The nanos→ms conversion must be integer division (`DIV`): epoch-nanos
+    exceed 2^53, so a double round-trip would corrupt low bits.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("ts", ts_epoch_ms_col(ev, "ts"))
+
+
+# The DuckDB twin of ops.dedup.md5_hash64 (60-bit md5-derived hash).
+def _sql_hash64(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+# Distinct word-3-gram shingles of `text` (DuckDB list comprehension); the
+# twin of ops.dedup.shingle_array(text, 3).
+_SHINGLES = (
+    "list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk)-1)])"
+)
+def _shingle_rel(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id AS id, unnest({_SHINGLES}) AS sh
+    FROM (SELECT doc_id, {_TOKS} AS tk FROM {table})
+"""
+
+
+_SHINGLE_REL = _shingle_rel()
+_H1 = interval_to_ms("1h")
+
+
+def _ff(x: str, m: int) -> str:
+    """DuckDB SQL: largest multiple of ``m`` <= ``x`` (floor), negative-safe.
+
+    DuckDB BIGINT ``//`` truncates toward zero (verified: ``-7200001 //
+    3600000 = -2``), so ``x // m * m`` drifts one step up for negative x.
+    Every Spark-side bucket label pmod-floors
+    (``intervals.floor_boundary_col``); oracles must floor the same way or
+    the pair silently diverges for pre-1970 timestamps.
+    """
+    return f"(({x}) - ((({x}) % {m}) + {m}) % {m})"
+
+
+def _fdiv(x: str, m: int) -> str:
+    """DuckDB SQL: floor((x)/m) for a possibly-negative integer ``x``."""
+    return f"({_ff(x, m)} // {m})"
+
+
+_NH, _NB = 16, 4  # 16 hashes, 4 bands of r=4
+_MT = 0.4
+
+
+def _minhash_sql() -> str:
+    from timeseriesfuser_spark.ops.dedup import MINHASH_MASK
+
+    r = _NH // _NB
+    # Kirsch-Mitzenmacher double hashing, the Spark side's twin: one md5
+    # per shingle, h_i = (h1 + i*h2) & (2^52-1) — overflow-free in both
+    # engines.
+    mins = ", ".join(
+        f"min((h1 + {i} * h2) & {MINHASH_MASK}) AS h{i}" for i in range(_NH)
+    )
+    bands = "\n        UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"h{b * r + j}" for j in range(r))
+        + ")) AS bkey FROM sig"
+        for b in range(_NB)
+    )
+    return f"""
+    WITH sh AS ({_SHINGLE_REL}),
+    hh AS (SELECT id,
+                  CAST(concat('0x', substr(md5(sh), 1, 13)) AS BIGINT) AS h1,
+                  CAST(concat('0x', substr(md5(sh), 14, 13)) AS BIGINT) AS h2
+           FROM sh),
+    sig AS (SELECT id, {mins} FROM hh GROUP BY id),
+    bands AS ({bands}),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+        SELECT id_a, id_b, count(*) AS intersection
+        FROM cand
+        JOIN sh sa ON sa.id = cand.id_a
+        JOIN sh sb ON sb.id = cand.id_b AND sb.sh = sa.sh
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b,
+           CAST(intersection AS DOUBLE) / (sa.sz + sb.sz - intersection) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(intersection AS DOUBLE) / (sa.sz + sb.sz - intersection) >= {_MT}
+    """
+
+
+_H1GAP = 3_600_000
+
+
+_DIFF_MID = 1_705_276_800_000  # 2024-01-15T00:00:00Z — mid-corpus

@@ -1,0 +1,260 @@
+"""Behavioral analytics: funnel, retention, latest state, snapshot diff,
+SCD2 history, CDC merge.
+
+Split from the single-module registry (round 7); the query/oracle
+registration surface (contract.QUERIES / contract.ORACLES) is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timeseriesfuser_spark.config import FuserConfig, SourceConfig
+from timeseriesfuser_spark.intervals import (
+    boundary_label_col,
+    floor_boundary_col,
+    interval_to_ms,
+)
+from timeseriesfuser_spark.operators.fill import forward_fill
+from timeseriesfuser_spark.operators.fuse import TimeSeriesFuser
+from timeseriesfuser_spark.operators.resample import resample_last_interval
+from timeseriesfuser_spark.ops import dedup as D
+from timeseriesfuser_spark.ops import packing as P
+from timeseriesfuser_spark.ops import sampling as SA
+from timeseriesfuser_spark.ops import similarity as S
+from timeseriesfuser_spark.ops import text as X
+from timeseriesfuser_spark.ops import timeseries as TS
+from timeseriesfuser_spark.timeutils import coerce_to_epoch_ms, ts_epoch_ms_col
+
+from timeseriesfuser_spark.contract._base import (  # noqa: F401
+    QUERIES,
+    ORACLES,
+    register,
+    _t,
+    _events,
+    _sql_hash64,
+    _TOKS,
+    _SHINGLES,
+    _shingle_rel,
+    _SHINGLE_REL,
+    _H1,
+    _ff,
+    _fdiv,
+    _NH,
+    _NB,
+    _MT,
+    _minhash_sql,
+    _H1GAP,
+    _DIFF_MID,
+)
+
+
+
+# --------------------------------------------------------------------------- #
+# Behavioral / product analytics (ops.behavior)
+# --------------------------------------------------------------------------- #
+
+_FUNNEL = ("signup", "view", "purchase")
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH ev AS (SELECT user_id AS u, epoch_ms(ts) AS t, event_type AS ty
+                FROM events),
+    s0 AS (SELECT u, min(t) AS t0 FROM ev WHERE ty = 'signup' GROUP BY u),
+    s1 AS (SELECT e.u, min(e.t) AS t1 FROM ev e JOIN s0 ON e.u = s0.u
+           WHERE e.ty = 'view' AND e.t > s0.t0 GROUP BY e.u),
+    s2 AS (SELECT e.u, min(e.t) AS t2 FROM ev e JOIN s1 ON e.u = s1.u
+           WHERE e.ty = 'purchase' AND e.t > s1.t1 GROUP BY e.u),
+    c AS (SELECT (SELECT count(*) FROM s0) AS c0,
+                 (SELECT count(*) FROM s1) AS c1,
+                 (SELECT count(*) FROM s2) AS c2)
+    SELECT CAST(0 AS BIGINT) AS step_idx, 'signup' AS step,
+           CAST(c0 AS BIGINT) AS n_users,
+           CAST(c0 * 1000000 // c0 AS BIGINT) AS conv_ppm FROM c
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'view', CAST(c1 AS BIGINT),
+           CAST(c1 * 1000000 // c0 AS BIGINT) FROM c
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'purchase', CAST(c2 AS BIGINT),
+           CAST(c2 * 1000000 // c0 AS BIGINT) FROM c
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence funnel (ops.behavior.funnel_counts): signup → view
+    (after) → purchase (after) — one conditional-min agg + equi-join per
+    step over a shrinking users relation; never a per-user sort-and-walk
+    UDF. conv_ppm is exact-integer."""
+    from timeseriesfuser_spark.ops.behavior import funnel_counts
+
+    return funnel_counts(_events(spark, sf_dir), _FUNNEL)
+
+
+_RET_P = 7 * 86_400_000
+
+
+@register(
+    "retention_7d",
+    oracle=f"""
+    WITH ev AS (SELECT user_id AS u, epoch_ms(ts) AS t FROM events),
+    anchors AS (SELECT u, {_fdiv('min(t)', _RET_P)} AS cp FROM ev GROUP BY u),
+    sizes AS (SELECT cp, count(*) AS csize FROM anchors GROUP BY cp),
+    cells AS (SELECT DISTINCT e.u, {_fdiv('e.t', _RET_P)} - a.cp AS off, a.cp
+              FROM ev e JOIN anchors a ON e.u = a.u),
+    m AS (SELECT cp, off, count(*) AS n_active FROM cells GROUP BY cp, off)
+    SELECT CAST(m.cp * {_RET_P} AS BIGINT) AS cohort_ts,
+           CAST(m.off AS BIGINT) AS period_offset,
+           CAST(m.n_active AS BIGINT) AS n_active,
+           CAST(s.csize AS BIGINT) AS cohort_size,
+           CAST(m.n_active * 1000000 // s.csize AS BIGINT) AS retention_ppm
+    FROM m JOIN sizes s ON m.cp = s.cp
+    """,
+)
+def q_retention_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (ops.behavior.retention_cohorts):
+    users anchored to their first-event week; per (cohort, offset) cell the
+    active-user count and exact-ppm retention. Two hash-aggs + one
+    user-key equi-join."""
+    from timeseriesfuser_spark.ops.behavior import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir), period_ms=_RET_P)
+
+
+@register(
+    "latest_user_state",
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts, event_id, event_type,
+                       value, props,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY epoch_ms(ts) DESC,
+                                                   event_id DESC) AS rn
+                FROM events)
+    SELECT user_id, ts, event_id, event_type, value, props
+    FROM ev WHERE rn = 1
+    """,
+)
+def q_latest_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record compaction (ops.behavior.latest_snapshot): the CDC
+    'current view' — whole last row per user via ONE max_by hash-agg on a
+    (ts, event_id) struct key; the oracle states the same with
+    row_number because DuckDB's arg_max takes no composite key."""
+    from timeseriesfuser_spark.ops.behavior import latest_snapshot
+
+    return latest_snapshot(_events(spark, sf_dir))
+
+
+@register(
+    "snapshot_diff",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, epoch_ms(ts) AS t, event_id, value FROM events),
+    old_snap AS (SELECT user_id, value AS old_value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY t DESC, event_id DESC) AS rn
+        FROM ev WHERE t < {_DIFF_MID}) WHERE rn = 1),
+    new_snap AS (SELECT user_id, value AS new_value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY t DESC, event_id DESC) AS rn
+        FROM ev) WHERE rn = 1)
+    SELECT coalesce(o.user_id, n.user_id) AS user_id, old_value, new_value,
+           CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN n.user_id IS NULL THEN 'removed'
+                WHEN old_value IS NOT DISTINCT FROM new_value THEN 'unchanged'
+                ELSE 'changed' END AS change
+    FROM old_snap o FULL OUTER JOIN new_snap n ON o.user_id = n.user_id
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (ops.behavior.snapshot_diff): the latest
+    per-user value as of mid-corpus vs end-of-corpus, full-outer joined on
+    the key with added/removed/changed/unchanged labels — the audit
+    primitive for incremental pipelines."""
+    from timeseriesfuser_spark.ops.behavior import latest_snapshot, snapshot_diff
+
+    ev = _events(spark, sf_dir)
+    old = latest_snapshot(ev.filter(F.col("ts") < _DIFF_MID))
+    new = latest_snapshot(ev)
+    return snapshot_diff(old, new, key_cols=("user_id",), compare_col="value")
+
+
+# --------------------------------------------------------------------------- #
+# Round-6 additions: SCD2 history, semi/anti joins, entity resolution,
+# Z-order layout, leakage-safe splits
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "scd2_user_history",
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_ms(ts) AS t, event_id, value FROM events),
+    o AS (SELECT user_id, t, event_id, value,
+                 lag(value) OVER w AS pv, row_number() OVER w AS rn
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+    ch AS (SELECT * FROM o WHERE rn = 1 OR value IS DISTINCT FROM pv)
+    SELECT user_id, value,
+           CAST(t AS BIGINT) AS valid_from,
+           CAST(lead(t) OVER w2 AS BIGINT) AS valid_to,
+           (lead(t) OVER w2) IS NULL AS is_current
+    FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY t, event_id)
+    """,
+)
+def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history build (ops.behavior.scd2_history): per user, the
+    validity intervals of each distinct consecutive `value` — valid_from /
+    valid_to (exclusive, null while current) / is_current. Two per-key
+    windows, one shuffle on the key; the warehouse companion of
+    latest_user_state's type-1 compaction."""
+    from timeseriesfuser_spark.ops.behavior import scd2_history
+
+    return scd2_history(_events(spark, sf_dir))
+
+
+@register(
+    "cdc_merge_upsert",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, epoch_ms(ts) AS t, event_id, event_type,
+                       value FROM events),
+    snap AS (SELECT user_id, value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY t DESC, event_id DESC) AS rn
+        FROM ev WHERE t < {_DIFF_MID}) WHERE rn = 1),
+    chg AS (SELECT user_id, value,
+                   CASE WHEN event_type = 'error' THEN 'delete'
+                        ELSE 'upsert' END AS op
+            FROM (SELECT user_id, value, event_type,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY t DESC, event_id DESC)
+                           AS rn
+                  FROM ev WHERE t >= {_DIFF_MID}) WHERE rn = 1)
+    SELECT coalesce(s.user_id, c.user_id) AS user_id,
+           CASE WHEN c.op = 'upsert' THEN c.value ELSE s.value END AS value
+    FROM snap s FULL OUTER JOIN chg c ON s.user_id = c.user_id
+    WHERE c.op IS NULL OR c.op = 'upsert'
+    """,
+)
+def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO (ops.behavior.merge_upsert): the pre-cut per-user
+    snapshot updated by the post-cut compacted change set — a user's
+    latest post-cut event upserts their row unless it is an 'error'
+    event, which deletes them. One full-outer key join + row-local CASEs;
+    the change stream is compacted by the same latest_snapshot max_by
+    used for the type-1 current view."""
+    from timeseriesfuser_spark.ops.behavior import latest_snapshot, merge_upsert
+
+    ev = _events(spark, sf_dir)
+    snap = latest_snapshot(ev.filter(F.col("ts") < _DIFF_MID)).select(
+        "user_id", "value"
+    )
+    chg = latest_snapshot(ev.filter(F.col("ts") >= _DIFF_MID)).select(
+        "user_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    return merge_upsert(snap, chg, key_cols=("user_id",), op_col="op")

@@ -1,0 +1,150 @@
+"""Graph & entity resolution: fuzzy matching, canonical ids, PageRank.
+
+Split from the single-module registry (round 7); the query/oracle
+registration surface (contract.QUERIES / contract.ORACLES) is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timeseriesfuser_spark.config import FuserConfig, SourceConfig
+from timeseriesfuser_spark.intervals import (
+    boundary_label_col,
+    floor_boundary_col,
+    interval_to_ms,
+)
+from timeseriesfuser_spark.operators.fill import forward_fill
+from timeseriesfuser_spark.operators.fuse import TimeSeriesFuser
+from timeseriesfuser_spark.operators.resample import resample_last_interval
+from timeseriesfuser_spark.ops import dedup as D
+from timeseriesfuser_spark.ops import packing as P
+from timeseriesfuser_spark.ops import sampling as SA
+from timeseriesfuser_spark.ops import similarity as S
+from timeseriesfuser_spark.ops import text as X
+from timeseriesfuser_spark.ops import timeseries as TS
+from timeseriesfuser_spark.timeutils import coerce_to_epoch_ms, ts_epoch_ms_col
+
+from timeseriesfuser_spark.contract._base import (  # noqa: F401
+    QUERIES,
+    ORACLES,
+    register,
+    _t,
+    _events,
+    _sql_hash64,
+    _TOKS,
+    _SHINGLES,
+    _shingle_rel,
+    _SHINGLE_REL,
+    _H1,
+    _ff,
+    _fdiv,
+    _NH,
+    _NB,
+    _MT,
+    _minhash_sql,
+    _H1GAP,
+    _DIFF_MID,
+)
+
+
+
+_FUZZY_SQL = """
+    WITH p AS (SELECT p_partkey, p_name, p_brand, p_type FROM part)
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@register("fuzzy_part_matches", oracle=_FUZZY_SQL)
+def q_fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching (ops.entity.fuzzy_match_pairs): parts
+    sharing (brand, type) whose names are <=2 Levenshtein edits apart.
+    One equi-join shuffle on the blocking key; the length-difference lower
+    bound prunes before the edit-distance kernel runs."""
+    from timeseriesfuser_spark.ops.entity import fuzzy_match_pairs
+
+    return fuzzy_match_pairs(
+        _t(spark, sf_dir, "part"),
+        id_col="p_partkey",
+        name_col="p_name",
+        block_cols=("p_brand", "p_type"),
+        max_distance=2,
+    )
+
+
+@register(
+    "part_canonical_ids",
+    oracle=f"""
+    WITH RECURSIVE pr AS ({_FUZZY_SQL}),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pr
+        UNION ALL
+        SELECT id_b, id_a FROM pr
+    ),
+    reach(id, r) AS (
+        SELECT p_partkey, p_partkey FROM part
+        UNION
+        SELECT e.v, reach.r FROM edges e JOIN reach ON reach.id = e.u
+    )
+    SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS canonical_id
+    FROM reach GROUP BY id
+    """,
+)
+def q_part_canonical_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (ops.entity.canonical_entities): fuzzy
+    match pairs -> connected components (edge-subgraph min-label
+    propagation) -> every part mapped to its group's canonical (minimum)
+    id; unmatched parts map to themselves."""
+    from timeseriesfuser_spark.ops.entity import canonical_entities, fuzzy_match_pairs
+
+    part = _t(spark, sf_dir, "part")
+    pairs = fuzzy_match_pairs(
+        part,
+        id_col="p_partkey",
+        name_col="p_name",
+        block_cols=("p_brand", "p_type"),
+        max_distance=2,
+    )
+    return canonical_entities(pairs, part, id_col="p_partkey")
+
+
+def _pagerank_oracle() -> str:
+    from timeseriesfuser_spark.ops.graph import pagerank_oracle_sql
+
+    inner = pagerank_oracle_sql(
+        _minhash_sql(),
+        "SELECT doc_id AS id FROM documents",
+        iterations=3,
+        damping_ppm=850_000,
+    )
+    return f"SELECT id AS doc_id, rank FROM ({inner})"
+
+
+@register("doc_pagerank", oracle=_pagerank_oracle())
+def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank (ops.graph.pagerank) over the
+    symmetrized MinHash-LSH near-dup graph: 3 damped iterations, ppm
+    arithmetic (integer DIV only) so the ranks are engine-reproducible.
+    Per iteration one edge-equi-join + one dst hash-agg — the canonical
+    distributed PageRank shape; lineage cut per round. Docs central to
+    big near-dup families score high (canonical-pick heuristic)."""
+    from timeseriesfuser_spark.ops.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=_NH, bands=_NB, threshold=_MT)
+    ranks = pagerank(
+        pairs,
+        directed=False,
+        iterations=3,
+        damping_ppm=850_000,
+        all_ids=docs.select("doc_id"),
+    )
+    return ranks.select(F.col("id").alias("doc_id"), "rank")

@@ -1,0 +1,131 @@
+"""Multimodal plumbing queries over the media-shaped projection of
+documents (binary content + typed metadata).
+
+Split from the single-module registry (round 7); the query/oracle
+registration surface (contract.QUERIES / contract.ORACLES) is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timeseriesfuser_spark.config import FuserConfig, SourceConfig
+from timeseriesfuser_spark.intervals import (
+    boundary_label_col,
+    floor_boundary_col,
+    interval_to_ms,
+)
+from timeseriesfuser_spark.operators.fill import forward_fill
+from timeseriesfuser_spark.operators.fuse import TimeSeriesFuser
+from timeseriesfuser_spark.operators.resample import resample_last_interval
+from timeseriesfuser_spark.ops import dedup as D
+from timeseriesfuser_spark.ops import packing as P
+from timeseriesfuser_spark.ops import sampling as SA
+from timeseriesfuser_spark.ops import similarity as S
+from timeseriesfuser_spark.ops import text as X
+from timeseriesfuser_spark.ops import timeseries as TS
+from timeseriesfuser_spark.timeutils import coerce_to_epoch_ms, ts_epoch_ms_col
+
+from timeseriesfuser_spark.contract._base import (  # noqa: F401
+    QUERIES,
+    ORACLES,
+    register,
+    _t,
+    _events,
+    _sql_hash64,
+    _TOKS,
+    _SHINGLES,
+    _shingle_rel,
+    _SHINGLE_REL,
+    _H1,
+    _ff,
+    _fdiv,
+    _NH,
+    _NB,
+    _MT,
+    _minhash_sql,
+    _H1GAP,
+    _DIFF_MID,
+)
+
+
+
+# --------------------------------------------------------------------------- #
+# Multimodal + streaming surfaces
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'image' AS media_type,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha256
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checkable slice: binary media column →
+    Arrow-batched mapInPandas → per-item byte length + sha256. The binary
+    payload never leaves the executors."""
+    from timeseriesfuser_spark.ops.multimodal import extract_features, text_to_media
+    from timeseriesfuser_spark.ops.util import spread_small_input
+
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
+    media = text_to_media(docs, "doc_id", "text")
+    return extract_features(media).select(
+        "media_id", "media_type", "n_bytes", "content_sha256"
+    )
+
+
+@register(
+    "multimodal_features",
+    # The fake decode is sha256-derived (digest doubled to 64 bytes, 16
+    # means of 4-byte blocks — so block i ≥ 8 repeats block i-8), which
+    # DuckDB replicates from the hex digest: byte j of the digest is hex
+    # chars [2j+1, 2j+2]. Each mean of four uint8s is an exact multiple of
+    # 0.25, so float32 (Spark) and double (DuckDB) agree bit-for-bit and
+    # '%.4f' formatting is engine-portable.
+    oracle="""
+    SELECT doc_id AS media_id,
+           'image' AS media_type,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha256,
+           array_to_string(
+             [printf('%.4f',
+                (CAST(concat('0x', substr(sha256(text), 8*(i%8)+1, 2)) AS BIGINT)
+               + CAST(concat('0x', substr(sha256(text), 8*(i%8)+3, 2)) AS BIGINT)
+               + CAST(concat('0x', substr(sha256(text), 8*(i%8)+5, 2)) AS BIGINT)
+               + CAST(concat('0x', substr(sha256(text), 8*(i%8)+7, 2)) AS BIGINT)
+                ) / 4.0)
+              FOR i IN range(16)], ',') AS features
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal pipeline incl. the deterministic fake decode +
+    16-dim feature vector. The fake features derive purely from sha256 of
+    the payload bytes, so the DuckDB oracle reproduces them exactly (see
+    oracle comment); determinism across runs is additionally asserted in
+    tests/test_sinks_replay.py.
+
+    The typed ``array<float>`` API lives in ``ops.multimodal``; the driver
+    surface serializes the vector to a string because the harness
+    canonicalizer sorts columns and Python lists are unhashable
+    (CORRECTNESS_r01 err). Fixed 4-decimal formatting keeps the string
+    deterministic across float-repr differences."""
+    from timeseriesfuser_spark.ops.multimodal import extract_features, text_to_media
+    from timeseriesfuser_spark.ops.util import spread_small_input
+
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
+    feats = extract_features(text_to_media(docs, "doc_id", "text"))
+    return feats.withColumn(
+        "features",
+        F.concat_ws(
+            ",",
+            F.transform("features", lambda x: F.format_string("%.4f", x)),
+        ),
+    )

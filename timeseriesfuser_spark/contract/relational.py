@@ -1,0 +1,727 @@
+"""Relational/OLAP breadth: TPC-H shapes, ranking windows, grouping sets,
+pivot, per-window distinct, skew/Z-order/profile scale utilities.
+
+Split from the single-module registry (round 7); the query/oracle
+registration surface (contract.QUERIES / contract.ORACLES) is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timeseriesfuser_spark.config import FuserConfig, SourceConfig
+from timeseriesfuser_spark.intervals import (
+    boundary_label_col,
+    floor_boundary_col,
+    interval_to_ms,
+)
+from timeseriesfuser_spark.operators.fill import forward_fill
+from timeseriesfuser_spark.operators.fuse import TimeSeriesFuser
+from timeseriesfuser_spark.operators.resample import resample_last_interval
+from timeseriesfuser_spark.ops import dedup as D
+from timeseriesfuser_spark.ops import packing as P
+from timeseriesfuser_spark.ops import sampling as SA
+from timeseriesfuser_spark.ops import similarity as S
+from timeseriesfuser_spark.ops import text as X
+from timeseriesfuser_spark.ops import timeseries as TS
+from timeseriesfuser_spark.timeutils import coerce_to_epoch_ms, ts_epoch_ms_col
+
+from timeseriesfuser_spark.contract._base import (  # noqa: F401
+    QUERIES,
+    ORACLES,
+    register,
+    _t,
+    _events,
+    _sql_hash64,
+    _TOKS,
+    _SHINGLES,
+    _shingle_rel,
+    _SHINGLE_REL,
+    _H1,
+    _ff,
+    _fdiv,
+    _NH,
+    _NB,
+    _MT,
+    _minhash_sql,
+    _H1GAP,
+    _DIFF_MID,
+)
+
+
+
+# --------------------------------------------------------------------------- #
+# Relational analytics (engine generality; joins/agg/topk beyond reference)
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "tpch_q1_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS sum_disc_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE) / 1000000 AS sum_charge,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*) AS avg_price,
+           CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary. Money is summed in exact integer cents
+    (order-independent) and converted to double once at the end, so the
+    result is bit-identical to the oracle; a naive double SUM would drift
+    with Spark's reduction order."""
+    l = _t(spark, sf_dir, "lineitem")
+    qc = F.round(F.col("l_quantity")).cast("long")
+    epc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    tc = F.round(F.col("l_tax") * 100).cast("long")
+    cnt = F.count(F.lit(1))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qc).cast("double").alias("sum_qty"),
+            (F.sum(epc).cast("double") / 100).alias("sum_base_price"),
+            (F.sum(epc * (100 - dc)).cast("double") / 10000).alias("sum_disc_price"),
+            (F.sum(epc * (100 - dc) * (100 + tc)).cast("double") / 1000000).alias(
+                "sum_charge"
+            ),
+            (F.sum(qc).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(epc).cast("double") / 100 / cnt).alias("avg_price"),
+            (F.sum(dc).cast("double") / 100 / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window / top-k per group with fully deterministic tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "revenue_per_nation",
+    oracle="""
+    SELECT n.n_name,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg with explicit broadcast of the small dimensions — on a
+    cluster the fact table never shuffles for these joins."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents).cast("double") / 100).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: three-way join (dimension sides
+    broadcast) + exact integer-cents revenue."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    epc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(epc * (100 - dc)).cast("double") / 10000).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN value >= 100 THEN 10
+                     WHEN value < 0 THEN -1
+                     ELSE CAST(floor(value / 10) AS BIGINT) END AS BIGINT) AS bucket,
+           count(*) AS n,
+           min(value) AS lo,
+           max(value) AS hi
+    FROM events GROUP BY 1
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of a measure — one partial-aggregated
+    shuffle; the building block for distribution profiling at scale."""
+    ev = _events(spark, sf_dir)
+    v = F.col("value")
+    bucket = (
+        F.when(v >= 100, F.lit(10))
+        .when(v < 0, F.lit(-1))
+        .otherwise(F.floor(v / 10))
+        .cast("long")
+    )
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
+_SKEW_TOPN = 10
+
+
+@register(
+    "skew_report",
+    oracle=f"""
+    WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+               FROM events GROUP BY 1, 2),
+    top AS (SELECT * FROM c ORDER BY cnt DESC, event_type, user_id
+            LIMIT {_SKEW_TOPN})
+    SELECT event_type, user_id,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt * 1000000 // (SELECT count(*) FROM events) AS BIGINT)
+             AS share_ppm,
+           CAST(dense_rank() OVER (ORDER BY cnt DESC) AS BIGINT) AS rank
+    FROM top
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key heavy-hitter diagnostics (ops.scale.key_skew_report):
+    exact top-10 (event_type, user_id) counts with corpus share in ppm and
+    dense rank — the pre-flight check for salting/AQE-skew decisions. One
+    map-side-combinable count agg + driver-bounded TakeOrdered."""
+    from timeseriesfuser_spark.ops.scale import key_skew_report
+
+    return key_skew_report(
+        _events(spark, sf_dir), ["event_type", "user_id"], top_n=_SKEW_TOPN
+    )
+
+
+_Q6_LO = 978_307_200_000   # 2001-01-01T00:00:00Z  (within the data's range)
+_Q6_HI = 1_009_843_200_000  # 2002-01-01T00:00:00Z
+
+
+@register(
+    "tpch_q6_forecast",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_c4
+    FROM lineitem
+    WHERE epoch_ms(l_shipdate) >= {_Q6_LO}
+      AND epoch_ms(l_shipdate) < {_Q6_HI}
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): pure filter + global sum —
+    the canonical predicate-pushdown/column-pruning showcase; the scan
+    should read 4 columns and push every predicate (price·discount kept
+    as exact cent×cent integer, no float aggregation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    ship_ms = ts_epoch_ms_col(li, "l_shipdate")
+    return (
+        li.withColumn("__ship", ship_ms)
+        .filter(
+            (F.col("__ship") >= _Q6_LO)
+            & (F.col("__ship") < _Q6_HI)
+            & disc_c.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(price_c * disc_c).alias("revenue_c4"),
+        )
+    )
+
+
+_Q18_MINQTY = 150
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                 AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(round(l_quantity) AS BIGINT)) > {_Q18_MINQTY}
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(epoch_ms(o.o_orderdate) AS BIGINT) AS o_orderdate_ms,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+           b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): lineitem pre-aggregated to
+    per-order quantity BEFORE any join (map-side combinable; the HAVING
+    filter shrinks the join input to the few big orders), then joined to
+    orders and broadcast-joined to customer."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > _Q18_MINQTY)
+    )
+    odate = ts_epoch_ms_col(orders, "o_orderdate")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            odate.alias("o_orderdate_ms"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+            "sum_qty",
+        )
+    )
+
+
+_PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def _pivot_oracle() -> str:
+    cols = []
+    for v in _PIVOT_TYPES:
+        cols.append(
+            f"CAST(sum(CASE WHEN event_type = '{v}' THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS {v}_n"
+        )
+        cols.append(
+            f"CAST(sum(CASE WHEN event_type = '{v}' "
+            f"THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) "
+            f"AS BIGINT) AS {v}_cents"
+        )
+    return (
+        "SELECT user_id, " + ", ".join(cols) + " FROM events GROUP BY user_id"
+    )
+
+
+@register("pivot_user_features", oracle=_pivot_oracle())
+def q_pivot_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user feature matrix (ops.timeseries.pivot_features): one
+    (count, cent-sum) column pair per event type — pivot with an EXPLICIT
+    value list, so there is no domain-discovery scan and the schema is
+    static; compiles to one map-side-combinable hash-agg of conditional
+    aggregates."""
+    return TS.pivot_features(
+        _events(spark, sf_dir), pivot_values=_PIVOT_TYPES
+    )
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(GROUPING(o_orderpriority, year(o_orderdate)) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, year(o_orderdate))
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP grouping sets: revenue by
+    (priority, year) + per-priority subtotals + grand total in ONE
+    aggregation pass (Catalyst expands grouping sets into a single
+    Expand + hash-agg — no self-union of three scans); `gid`
+    disambiguates subtotal levels from genuine nulls."""
+    orders = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").cast("long")
+    return (
+        orders.rollup("o_orderpriority", yr.alias("yr"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+_PROFILE_COLS = ("event_id", "user_id", "event_type", "value", "props")
+
+
+@register(
+    "profile_events",
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{c}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM events"""
+        for c in _PROFILE_COLS
+    ),
+)
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dataset profiler (ops.scale.profile_columns): per-column
+    null + exact distinct counts via a single multi-distinct aggregate
+    (Catalyst Expand, one shuffle) exploded into report rows; the
+    full-scale variant swaps in HyperLogLog (approx_count_distinct)."""
+    from timeseriesfuser_spark.ops.scale import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "events"), _PROFILE_COLS)
+
+
+_Q4_LATE_MS = 90 * 86_400_000  # "shipped > 90 days after order" predicate
+
+
+@register(
+    "tpch_q4_late_orders",
+    oracle=f"""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND epoch_ms(l.l_shipdate) >
+                        epoch_ms(o.o_orderdate) + {_Q4_LATE_MS})
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS = LEFT SEMI join (orders with at least one
+    line shipped >90 days after the order date), then a priority rollup.
+    The semi join keeps orders' row count (never multiplies by matching
+    lines) and Spark plans it as one shuffled semi sort-merge join the
+    optimizer can flip to broadcast at small SF."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o = o.withColumn("__o_ms", ts_epoch_ms_col(o, "o_orderdate"))
+    l = li.select(
+        F.col("l_orderkey"),
+        ts_epoch_ms_col(li, "l_shipdate").alias("__s_ms"),
+    )
+    sem = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"])
+        & (l["__s_ms"] > o["__o_ms"] + F.lit(_Q4_LATE_MS)),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+_DORMANT_CUT_MS = 991_353_600_000  # 2001-06-01T00:00:00Z (orders end 2001-08)
+
+
+@register(
+    "dormant_customers",
+    oracle=f"""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_dormant
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND epoch_ms(o.o_orderdate) >= {_DORMANT_CUT_MS})
+    GROUP BY c_mktsegment
+    """,
+)
+def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS = LEFT ANTI join: customers with no order on/after the
+    cutoff (churn detection; also the GDPR 'orphaned records' shape).
+    The anti join probes customer against the pre-filtered recent-orders
+    key set — the filter shrinks the build side before the join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    recent = (
+        o.withColumn("__o_ms", ts_epoch_ms_col(o, "o_orderdate"))
+        .filter(F.col("__o_ms") >= _DORMANT_CUT_MS)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    dormant = c.join(recent, "c_custkey", "left_anti")
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dormant")
+    )
+
+
+_Z_BITS = 16
+
+
+def _zorder_oracle() -> str:
+    from timeseriesfuser_spark.ops.scale import zorder_key_sql
+
+    z = zorder_key_sql(["l_partkey", "l_suppkey"], bits=_Z_BITS)
+    return f"""
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST({z} AS BIGINT) AS zkey
+    FROM lineitem
+    """
+
+
+@register("zorder_lineitem", oracle=_zorder_oracle())
+def q_zorder_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key (ops.scale.zorder_key): interleave
+    the low 16 bits of (l_partkey, l_suppkey) so a range-partitioned write
+    gets tight parquet min/max footers on BOTH dimensions — multi-column
+    data skipping from plain column expressions; zero shuffle for the key
+    itself."""
+    from timeseriesfuser_spark.ops.scale import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        zorder_key(["l_partkey", "l_suppkey"], bits=_Z_BITS).alias("zkey"),
+    )
+
+
+@register(
+    "customer_deciles",
+    oracle="""
+    WITH sp AS (
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS spend_cents
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_mktsegment)
+    SELECT c_custkey, c_mktsegment, spend_cents,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM sp WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY spend_cents DESC, c_custkey)
+    """,
+)
+def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window breadth (ntile / percent_rank / cume_dist): customer
+    lifetime spend bucketed into deciles within market segment, with the
+    percentile position. Ordering is total (cents DESC, custkey) so every
+    rank function is deterministic; percent_rank/cume_dist are single
+    divisions of exact integers — engine-bit-identical. One join + one
+    hash-agg + one per-segment window over the |customers|-sized
+    aggregate (never over raw orders)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    sp = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("spend_cents")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("spend_cents"), F.col("c_custkey")
+    )
+    return sp.select(
+        "c_custkey",
+        "c_mktsegment",
+        "spend_cents",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "incremental_rollup",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance pattern: yesterday's per-user rollup
+    STATE merged with today's DELTA by re-aggregating the two partial
+    relations (sum of counts, sum of sums) — the associative partial-agg
+    merge every incremental 100 TB pipeline relies on instead of
+    recomputing from raw. The oracle aggregates the full table directly,
+    so the test proves merge(state, delta) == full recompute."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("__cents"),
+    )
+
+    def rollup(part: DataFrame) -> DataFrame:
+        return part.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__cents").alias("value_cents"),
+        )
+
+    state = rollup(ev.filter(F.col("ts") < _DIFF_MID))
+    delta = rollup(ev.filter(F.col("ts") >= _DIFF_MID))
+    return (
+        state.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("value_cents"),
+        )
+    )
+
+
+@register(
+    "hourly_active_users",
+    oracle="""
+    SELECT CAST(epoch_ms(ts)
+                - ((epoch_ms(ts) % 3600000) + 3600000) % 3600000
+                AS BIGINT) AS hour_ts,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def q_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window DISTINCT aggregation: hourly event volume and exact
+    active-user count. Catalyst plans count(DISTINCT) per group as the
+    two-phase Expand + partial/final aggregation — one extra shuffle, no
+    per-group window; at 100 TB swap the exact count for
+    approx_count_distinct (HLL) as profile_columns documents."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            # pmod-floor, not DIV: truncation diverges from the DuckDB //
+            # floor for pre-1970 (negative) timestamps.
+            F.expr("ts - pmod(ts, 3600000)").cast("long").alias("hour_ts")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "tpch_q17_small_quantity",
+    oracle="""
+    WITH pa AS (SELECT l_partkey,
+                       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                         AS sq,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE CAST(round(l.l_quantity) AS BIGINT) * 5 * pa.cnt < pa.sq
+    """,
+)
+def q_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity order revenue): the correlated
+    scalar subquery `l_quantity < 0.2 * avg(quantity) per part`
+    DECORRELATED into a per-part pre-aggregate + equi-join — one extra
+    hash-agg instead of a per-row subquery; the avg comparison is the
+    cross-multiplied integer form (qty·5·cnt < sum) so no float division
+    exists anywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(qty).alias("__sq"), F.count(F.lit(1)).alias("__cnt")
+    )
+    j = li.join(pa, "l_partkey").filter(
+        qty * 5 * F.col("__cnt") < F.col("__sq")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+
+
+@register(
+    "value_equal_depth_bins",
+    oracle="""
+    WITH ev AS (SELECT event_id, value FROM events),
+    r AS (SELECT event_id, value,
+                 row_number() OVER (ORDER BY value ASC NULLS FIRST,
+                                    event_id) AS rn,
+                 count(*) OVER () AS n
+          FROM ev)
+    SELECT event_id, value,
+           CAST(rn AS BIGINT) AS global_rank,
+           CAST((rn - 1) * 10 // n AS BIGINT) AS bin
+    FROM r
+    """,
+)
+def q_value_equal_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-depth decile binning of the value column
+    (ops.scale.quantile_bins): exact global rank via the two-pass
+    range-bucketed scheme — the oracle states it as the plain
+    row_number window, the Spark plan contains NO single-task stage
+    (gated in tests)."""
+    from timeseriesfuser_spark.ops.scale import quantile_bins
+
+    ev = _events(spark, sf_dir).select("event_id", "value")
+    return quantile_bins(ev, "value", 10, tiebreak_cols=["event_id"]).select(
+        "event_id", "value", "global_rank", "bin"
+    )

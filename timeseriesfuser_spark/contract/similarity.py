@@ -1,0 +1,526 @@
+"""Embedding similarity family: brute-force and IVF top-k, SRP/JL
+projections, SemDeDup, quantization, PQ codes, semantic search, recall.
+
+Split from the single-module registry (round 7); the query/oracle
+registration surface (contract.QUERIES / contract.ORACLES) is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timeseriesfuser_spark.config import FuserConfig, SourceConfig
+from timeseriesfuser_spark.intervals import (
+    boundary_label_col,
+    floor_boundary_col,
+    interval_to_ms,
+)
+from timeseriesfuser_spark.operators.fill import forward_fill
+from timeseriesfuser_spark.operators.fuse import TimeSeriesFuser
+from timeseriesfuser_spark.operators.resample import resample_last_interval
+from timeseriesfuser_spark.ops import dedup as D
+from timeseriesfuser_spark.ops import packing as P
+from timeseriesfuser_spark.ops import sampling as SA
+from timeseriesfuser_spark.ops import similarity as S
+from timeseriesfuser_spark.ops import text as X
+from timeseriesfuser_spark.ops import timeseries as TS
+from timeseriesfuser_spark.timeutils import coerce_to_epoch_ms, ts_epoch_ms_col
+
+from timeseriesfuser_spark.contract._base import (  # noqa: F401
+    QUERIES,
+    ORACLES,
+    register,
+    _t,
+    _events,
+    _sql_hash64,
+    _TOKS,
+    _SHINGLES,
+    _shingle_rel,
+    _SHINGLE_REL,
+    _H1,
+    _ff,
+    _fdiv,
+    _NH,
+    _NB,
+    _MT,
+    _minhash_sql,
+    _H1GAP,
+    _DIFF_MID,
+)
+
+
+# Quantized embedding (DuckDB twin of ops.similarity.quantized, scale 1000).
+_QV = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+
+@register(
+    "embedding_clusters",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+    d AS (
+        SELECT q.vec_id, c.cid,
+               CAST(list_aggregate(
+                   [(q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) FOR i IN range(1, len(q.v)+1)],
+                   'sum') AS BIGINT) AS d2
+        FROM q, c
+    ),
+    m AS (SELECT vec_id, min(d2 * 16 + cid) AS mk FROM d GROUP BY vec_id),
+    a AS (SELECT vec_id, CAST(mk % 16 AS BIGINT) AS cluster_id,
+                 CAST(mk // 16 AS BIGINT) AS d2 FROM m)
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+           CAST(max(vec_id) AS BIGINT) AS max_vec_id,
+           CAST(sum(d2) AS BIGINT) AS sum_d2
+    FROM a GROUP BY cluster_id
+    """,
+)
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-centroid clustering rollup
+    (ops.similarity.assign_to_centroids): the 8 lowest-id vectors act as
+    centroids; every vector is assigned by integer squared-L2 on quantized
+    embeddings (ties → lowest centroid id), centroids broadcast so the
+    corpus never shuffles. Per-cluster size, id range, and exact total
+    distortion."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    a = S.assign_to_centroids(emb, cents)
+    return a.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("id").alias("min_vec_id"),
+        F.max("id").alias("max_vec_id"),
+        F.sum("d2").alias("sum_d2"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Similarity search (embeddings)
+# --------------------------------------------------------------------------- #
+
+_DOT = "list_aggregate([qa.v[i] * qb.v[i] FOR i IN range(1, len(qa.v) + 1)], 'sum')"
+_NORM = "list_aggregate([x * x FOR x IN v], 'sum')"
+
+
+@register(
+    "similarity_topk",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+    nv AS (SELECT vec_id, v, {_NORM} AS n FROM vecs),
+    q AS (SELECT vec_id AS query_id, v, n FROM nv WHERE vec_id < 10),
+    pairs AS (
+        SELECT qa.query_id, qb.vec_id AS neighbor_id,
+               CASE WHEN qa.n > 0 AND qb.n > 0
+                    THEN round(CAST({_DOT} AS DOUBLE) / (sqrt(qa.n) * sqrt(qb.n)), 6)
+                    ELSE 0.0 END AS cosine
+        FROM q qa JOIN nv qb ON qa.query_id != qb.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn AS rank
+    FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM pairs
+    ) WHERE rn <= 5
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (broadcast query side): the ANN
+    correctness baseline. Integer-quantized dot/norms → engine-exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.cosine_topk(emb, queries, k=5, id_col="vec_id", vec_col="embedding")
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_NC, _NP = 16, 4
+
+
+def _ivf_oracle_sql(query_pred: str, k: int) -> str:
+    """IVF top-k oracle, parametrized by the query-vector predicate and k
+    (shared by similarity_ivf and the semantic_search composition so the
+    two can't drift)."""
+    return f"""
+    WITH vecs AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+    nv AS (SELECT vec_id, v, {_NORM} AS n FROM vecs),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv, n AS cn FROM nv
+              ORDER BY vec_id LIMIT {_NC}),
+    c_assign AS (
+        SELECT vec_id AS neighbor_id, v, n, centroid_id
+        FROM (
+            SELECT nv.vec_id, nv.v, nv.n, cents.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY nv.vec_id
+                       ORDER BY CASE WHEN cents.cn > 0 AND nv.n > 0
+                                     THEN CAST(list_aggregate([nv.v[i] * cents.cv[i] FOR i IN range(1, len(nv.v) + 1)], 'sum') AS DOUBLE)
+                                          / (sqrt(nv.n) * sqrt(cents.cn))
+                                     ELSE 0.0 END DESC, cents.centroid_id) AS rk
+            FROM nv CROSS JOIN cents
+        ) WHERE rk <= 1
+    ),
+    q_probe AS (
+        SELECT vec_id AS query_id, v, n, centroid_id
+        FROM (
+            SELECT nv.vec_id, nv.v, nv.n, cents.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY nv.vec_id
+                       ORDER BY CASE WHEN cents.cn > 0 AND nv.n > 0
+                                     THEN CAST(list_aggregate([nv.v[i] * cents.cv[i] FOR i IN range(1, len(nv.v) + 1)], 'sum') AS DOUBLE)
+                                          / (sqrt(nv.n) * sqrt(cents.cn))
+                                     ELSE 0.0 END DESC, cents.centroid_id) AS rk
+            FROM nv CROSS JOIN cents
+            WHERE {query_pred}
+        ) WHERE rk <= {_NP}
+    ),
+    pairs AS (
+        SELECT DISTINCT qa.query_id, qb.neighbor_id,
+               CASE WHEN qa.n > 0 AND qb.n > 0
+                    THEN round(CAST(list_aggregate([qa.v[i] * qb.v[i] FOR i IN range(1, len(qa.v) + 1)], 'sum') AS DOUBLE)
+                               / (sqrt(qa.n) * sqrt(qb.n)), 6)
+                    ELSE 0.0 END AS cosine
+        FROM q_probe qa JOIN c_assign qb USING (centroid_id)
+        WHERE qa.query_id != qb.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn AS rank
+    FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM pairs
+    ) WHERE rn <= {k}
+    """
+
+
+@register("similarity_ivf", oracle=_ivf_oracle_sql("nv.vec_id < 10", 5))
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-k: probe nprobe nearest inverted
+    lists only — the corpus-side work drops by ~nprobe/n_centroids."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.ivf_cosine_topk(
+        emb, queries, k=5, n_centroids=_NC, nprobe=_NP,
+        id_col="vec_id", vec_col="embedding",
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_NDT = 0.25
+
+
+@register(
+    "embedding_neardup",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, label, {_QV} AS v FROM embeddings),
+    nv AS (SELECT vec_id, label, v, {_NORM} AS n FROM vecs)
+    SELECT qa.vec_id AS id_a, qb.vec_id AS id_b,
+           CAST(qa.label AS BIGINT) AS label,
+           round(CAST(list_aggregate([qa.v[i] * qb.v[i] FOR i IN range(1, len(qa.v) + 1)], 'sum') AS DOUBLE)
+                 / (sqrt(qa.n) * sqrt(qb.n)), 6) AS cosine
+    FROM nv qa JOIN nv qb ON qa.label = qb.label AND qa.vec_id < qb.vec_id
+    WHERE qa.n > 0 AND qb.n > 0
+      AND round(CAST(list_aggregate([qa.v[i] * qb.v[i] FOR i IN range(1, len(qa.v) + 1)], 'sum') AS DOUBLE)
+                / (sqrt(qa.n) * sqrt(qb.n)), 6) >= {_NDT}
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked on `label` (the cluster
+    assignment) so the pair space is per-block, not corpus²."""
+    from timeseriesfuser_spark.ops.util import spread_small_input
+
+    emb = spread_small_input(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("label").cast("long").alias("label"),
+        S.quantized(F.col("embedding")).alias("v"),
+    ).withColumn("n", S._sq_norm(F.col("v")))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dot = S._dot(F.col("a.v"), F.col("b.v"))
+    cos = F.round(
+        dot.cast("double") / (F.sqrt(F.col("a.n")) * F.sqrt(F.col("b.n"))), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter((F.col("a.n") > 0) & (F.col("b.n") > 0))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= _NDT)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.label").alias("label"),
+            "cosine",
+        )
+    )
+
+
+_SRP_P = 16
+
+
+@register(
+    "srp_signatures",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+    planes AS (
+        SELECT CAST(p AS INT) AS p,
+               [({_sql_hash64("p || ':' || i")} % 2001) - 1000
+                FOR i IN range(0, 64)] AS parr
+        FROM range({_SRP_P}) t(p)
+    )
+    SELECT vecs.vec_id AS id,
+           CAST(sum(CASE WHEN list_aggregate(
+                       [vecs.v[i] * planes.parr[i] FOR i IN range(1, len(vecs.v) + 1)],
+                       'sum') >= 0
+                    THEN (CAST(1 AS BIGINT) << planes.p) ELSE 0 END) AS BIGINT) AS sh
+    FROM vecs CROSS JOIN planes
+    GROUP BY vecs.vec_id
+    """,
+)
+def q_srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH bit signatures over the embedding
+    column (ops.similarity.srp_signatures): the deterministic md5-derived
+    hyperplanes make the 16-bit sketch reproducible in ANSI SQL — the
+    blocking key for srp_neardup_pairs, the embedding near-dup scale path."""
+    return S.srp_signatures(_t(spark, sf_dir, "embeddings"), planes=_SRP_P)
+
+
+@register(
+    "rp_projection",
+    # Same md5-derived planes as srp_signatures, but keeping the integer
+    # dot products (JL compression) instead of their signs; serialized to
+    # a string because the harness canonicalizer can't hash lists.
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+    planes AS (
+        SELECT CAST(p AS INT) AS p,
+               [({_sql_hash64("p || ':' || i")} % 2001) - 1000
+                FOR i IN range(0, 64)] AS parr
+        FROM range(16) t(p)
+    ),
+    dots AS (
+        SELECT vecs.vec_id, planes.p,
+               CAST(list_aggregate(
+                   [vecs.v[i] * planes.parr[i] FOR i IN range(1, len(vecs.v) + 1)],
+                   'sum') AS BIGINT) AS c
+        FROM vecs CROSS JOIN planes
+    )
+    SELECT vec_id, array_to_string(list(c ORDER BY p), ',') AS proj
+    FROM dots GROUP BY vec_id
+    """,
+)
+def q_rp_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection embedding compression (ops.similarity.rp_project):
+    16 integer dot products per vector against the deterministic
+    md5-derived hyperplanes — the JL-style coarse representation for
+    compressed-space ANN/clustering."""
+    out = S.rp_project(_t(spark, sf_dir, "embeddings"), out_dim=16)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.concat_ws(",", F.transform("proj", lambda x: x.cast("string"))).alias(
+            "proj"
+        ),
+    )
+
+
+_SEM_TAU = 0.3
+
+
+@register(
+    "semantic_dedup",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+    nv AS (SELECT vec_id, v, {_NORM} AS n FROM q),
+    c AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+    d AS (
+        SELECT nv.vec_id, c.cid,
+               CAST(list_aggregate(
+                   [(nv.v[i]-c.cv[i])*(nv.v[i]-c.cv[i]) FOR i IN range(1, len(nv.v)+1)],
+                   'sum') AS BIGINT) AS d2
+        FROM nv, c
+    ),
+    m AS (SELECT vec_id, CAST(min(d2 * 16 + cid) % 16 AS BIGINT) AS cl
+          FROM d GROUP BY vec_id),
+    wv AS (SELECT m.vec_id, m.cl, nv.v, nv.n FROM m JOIN nv USING (vec_id)),
+    p AS (
+        SELECT qa.cl AS cluster_id, qa.vec_id AS keep_id, qb.vec_id AS drop_id,
+               CASE WHEN qa.n > 0 AND qb.n > 0
+                    THEN round(CAST({_DOT} AS DOUBLE)
+                               / (sqrt(qa.n) * sqrt(qb.n)), 6)
+                    ELSE 0.0 END AS cosine
+        FROM wv qa JOIN wv qb ON qa.cl = qb.cl AND qa.vec_id < qb.vec_id
+    )
+    SELECT cluster_id, keep_id, drop_id, cosine FROM p
+    WHERE cosine >= {_SEM_TAU}
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs
+    (ops.similarity.semantic_dedup_pairs): exact-integer nearest-centroid
+    blocking (8 lowest-id vectors as centroids), then pairwise quantized
+    cosine ONLY within each cluster — never corpus^2. Survivor = lower id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    return S.semantic_dedup_pairs(emb, cents, threshold=_SEM_TAU)
+
+
+@register(
+    "embedding_quantize",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+    w AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS amax FROM q),
+    e AS (SELECT vec_id, amax, len(v) AS nd,
+                 CASE WHEN amax > 0
+                      THEN list_transform(v, x ->
+                          CAST(round((CAST(x AS DOUBLE) * 127.0) / amax) AS BIGINT))
+                      ELSE list_transform(v, x -> CAST(0 AS BIGINT))
+                 END AS q8
+          FROM w)
+    SELECT vec_id,
+           CAST(nd AS BIGINT) AS n_dims,
+           CAST(amax AS BIGINT) AS amax_q,
+           CAST(list_aggregate(q8, 'sum') AS BIGINT) AS sum_q8,
+           CAST(list_aggregate([x*x FOR x IN q8], 'sum') AS BIGINT) AS sum_sq_q8,
+           CAST(len(list_filter(q8, x -> abs(x) = 127)) AS BIGINT) AS n_saturated,
+           array_to_string(q8, ',') AS q8_csv
+    FROM e
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization
+    (ops.similarity.quantize_int8): the billion-scale ANN storage format.
+    Exact-int amax over the scale-quantized vector, one double divide +
+    round per element → oracle-exact. Pure projection, zero shuffle."""
+    return S.quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+_PQ_M, _PQ_K, _PQ_DSUB = 4, 16, 16
+
+
+@register(
+    "pq_codes",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+    seeds AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS code
+              FROM q ORDER BY vec_id LIMIT {_PQ_K}),
+    cb AS (SELECT code,
+                  unnest([struct_pack(sub := j,
+                                      csv := v[j*{_PQ_DSUB}+1:(j+1)*{_PQ_DSUB}])
+                          FOR j IN range(0, {_PQ_M})], recursive := true)
+           FROM seeds),
+    ex AS (SELECT vec_id,
+                  unnest([struct_pack(sub := j,
+                                      sv := v[j*{_PQ_DSUB}+1:(j+1)*{_PQ_DSUB}])
+                          FOR j IN range(0, {_PQ_M})], recursive := true)
+           FROM q),
+    d AS (SELECT e.vec_id, e.sub, cb.code,
+                 CAST(list_aggregate(
+                     [(e.sv[i] - cb.csv[i]) * (e.sv[i] - cb.csv[i])
+                      FOR i IN range(1, len(e.sv) + 1)], 'sum') AS BIGINT) AS d2
+          FROM ex e JOIN cb ON e.sub = cb.sub),
+    best AS (SELECT vec_id, sub, code, d2,
+                    row_number() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY d2, code) AS rn
+             FROM d)
+    SELECT vec_id,
+           array_to_string(list(CAST(code AS VARCHAR) ORDER BY sub), '-') AS pq,
+           CAST(sum(d2) AS BIGINT) AS sq_err
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (ops.similarity.pq_codes): 64-dim
+    vectors → 4 subspaces × 16-entry codebooks (deterministic lowest-id
+    seeds, integer squared-L2 argmin). The broadcast-codebook plan: corpus
+    fans out ×4, probes 16 entries, never shuffles on a data key."""
+    return S.pq_codes(
+        _t(spark, sf_dir, "embeddings"), m=_PQ_M, k=_PQ_K
+    )
+
+
+@register(
+    "semantic_search",
+    oracle=f"""
+    WITH ann AS ({_ivf_oracle_sql("nv.vec_id < 5", 3)})
+    SELECT t.query_id, t.neighbor_id, t.cosine, CAST(t.rank AS BIGINT) AS rank,
+           d.lang, d.source,
+           CAST(length(d.text) AS BIGINT) AS n_chars
+    FROM ann t JOIN documents d ON d.doc_id = t.neighbor_id
+    """,
+)
+def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval composition on the SCALE path: IVF top-3
+    neighbors per query vector (probe nprobe inverted lists — never the
+    Q·C brute-force product; recall vs exact is tracked by `ann_recall`),
+    then the neighbor ids broadcast-joined back to `documents` for display
+    metadata — the RAG serving shape (ANN hit → metadata hydrate). The
+    oracle embeds the shared IVF component oracle so the composition
+    can't drift from `similarity_ivf`. `similarity_topk` remains the
+    labeled exactness baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    hits = S.ivf_cosine_topk(
+        emb, queries, k=3, n_centroids=_NC, nprobe=_NP,
+        id_col="vec_id", vec_col="embedding",
+    ).withColumn("rank", F.col("rank").cast("long"))
+    return hits.join(docs, hits["neighbor_id"] == docs["doc_id"]).drop("doc_id")
+
+
+@register(
+    "ann_recall",
+    # The oracle EMBEDS the exact and IVF oracles as CTEs (the
+    # curation_verdicts pattern), so the recall measurement can never
+    # drift from the two operators it grades.
+    oracle=f"""
+    WITH ex AS ({ORACLES["similarity_topk"]}),
+    ap AS ({ORACLES["similarity_ivf"]}),
+    hits AS (SELECT ex.query_id, count(*) AS c
+             FROM ex JOIN ap ON ex.query_id = ap.query_id
+                            AND ex.neighbor_id = ap.neighbor_id
+             GROUP BY ex.query_id),
+    base AS (SELECT query_id, count(*) AS n FROM ex GROUP BY query_id)
+    SELECT base.query_id,
+           CAST(n AS BIGINT) AS n_exact,
+           CAST(coalesce(c, 0) AS BIGINT) AS n_hit,
+           CAST(coalesce(c, 0) * 1000000 // n AS BIGINT) AS recall_ppm
+    FROM base LEFT JOIN hits USING (query_id)
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement: per-query recall@5 of the IVF index
+    against the exact brute-force top-k — the metric every approximate
+    similarity deployment tracks before trusting the fast path. One
+    equi-join of two k-bounded relations + two tiny aggs; both inputs
+    are the already-registered deterministic operators."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(
+        emb, queries, k=5, id_col="vec_id", vec_col="embedding"
+    ).select("query_id", "neighbor_id")
+    approx = S.ivf_cosine_topk(
+        emb, queries, k=5, n_centroids=_NC, nprobe=_NP,
+        id_col="vec_id", vec_col="embedding",
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.col("__n").cast("long").alias("n_exact"),
+        F.coalesce("__c", F.lit(0)).cast("long").alias("n_hit"),
+        F.expr("coalesce(__c, 0) * 1000000 DIV __n").cast("long").alias(
+            "recall_ppm"
+        ),
+    )

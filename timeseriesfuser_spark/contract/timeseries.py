@@ -1,0 +1,362 @@
+"""Time-series analytics: OHLC/VWAP/TWAP bars, transitions, sliding
+counts, z-score anomalies, rates, interpolation, EWMA.
+
+Split from the single-module registry (round 7); the query/oracle
+registration surface (contract.QUERIES / contract.ORACLES) is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timeseriesfuser_spark.config import FuserConfig, SourceConfig
+from timeseriesfuser_spark.intervals import (
+    boundary_label_col,
+    floor_boundary_col,
+    interval_to_ms,
+)
+from timeseriesfuser_spark.operators.fill import forward_fill
+from timeseriesfuser_spark.operators.fuse import TimeSeriesFuser
+from timeseriesfuser_spark.operators.resample import resample_last_interval
+from timeseriesfuser_spark.ops import dedup as D
+from timeseriesfuser_spark.ops import packing as P
+from timeseriesfuser_spark.ops import sampling as SA
+from timeseriesfuser_spark.ops import similarity as S
+from timeseriesfuser_spark.ops import text as X
+from timeseriesfuser_spark.ops import timeseries as TS
+from timeseriesfuser_spark.timeutils import coerce_to_epoch_ms, ts_epoch_ms_col
+
+from timeseriesfuser_spark.contract._base import (  # noqa: F401
+    QUERIES,
+    ORACLES,
+    register,
+    _t,
+    _events,
+    _sql_hash64,
+    _TOKS,
+    _SHINGLES,
+    _shingle_rel,
+    _SHINGLE_REL,
+    _H1,
+    _ff,
+    _fdiv,
+    _NH,
+    _NB,
+    _MT,
+    _minhash_sql,
+    _H1GAP,
+    _DIFF_MID,
+)
+
+
+
+@register(
+    "ohlc_1h",
+    oracle=f"""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, event_type, value FROM events),
+    r AS (SELECT event_type, CAST({_ff('t', _H1GAP)} AS BIGINT) AS bar_ts,
+                 t, event_id, value FROM ev),
+    o AS (SELECT *,
+                 row_number() OVER (PARTITION BY event_type, bar_ts
+                                    ORDER BY t, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, bar_ts
+                                    ORDER BY t DESC, event_id DESC) AS rn_d
+          FROM r)
+    SELECT event_type, bar_ts,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM o GROUP BY event_type, bar_ts
+    """,
+)
+def q_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, 1h) OHLC candlestick bars (ops.timeseries.ohlc_bars):
+    open/close picked by min_by/max_by on a (ts, event_id) struct key — one
+    hash-agg shuffle, no per-bucket window. The oracle states the same
+    semantics with row_number because DuckDB's arg_min can't take a
+    composite key. A2/T1/T2 generalized to candlestick shape."""
+    return TS.ohlc_bars(_events(spark, sf_dir), "1h")
+
+
+_D1 = 86_400_000
+
+
+@register(
+    "vwap_1d",
+    oracle=f"""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       CAST(props ->> 'k' AS BIGINT) AS w
+                FROM events)
+    SELECT event_type,
+           CAST({_ff('t', _D1)} AS BIGINT) AS bar_ts,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents * w) AS BIGINT) AS pw_cents,
+           CAST(sum(w) AS BIGINT) AS sum_weight,
+           CASE WHEN sum(w) > 0
+                THEN CAST(sum(cents * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+           END AS vwap_cents
+    FROM ev GROUP BY event_type, bar_ts
+    """,
+)
+def q_vwap_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily VWAP-style weighted-average bars (ops.timeseries.vwap_bars):
+    price = cent-quantized value, weight = the integer JSON prop `k`. Exact
+    integer numerator/denominator, one final double division. Single
+    hash-agg, map-side combinable."""
+    ev = _events(spark, sf_dir).withColumn(
+        "weight", F.get_json_object("props", "$.k").cast("long")
+    )
+    return TS.vwap_bars(ev, "1d")
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, user_id, event_type
+                FROM events),
+    s AS (SELECT event_type AS next_type,
+                 lag(event_type) OVER w AS prev_type,
+                 t - lag(t) OVER w AS gap_ms
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+    SELECT prev_type, next_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(gap_ms) AS BIGINT) AS min_gap_ms,
+           CAST(max(gap_ms) AS BIGINT) AS max_gap_ms,
+           CAST(sum(gap_ms) AS BIGINT) AS sum_gap_ms,
+           CAST(sum(gap_ms) AS DOUBLE) / count(*) AS avg_gap_ms
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences
+    (ops.timeseries.event_transitions): lag window partitioned by user
+    (small per-user partitions — embarrassingly parallel at any scale),
+    then a hash-agg on the tiny (prev, next) key space. Gap stats are
+    exact-integer with one final division."""
+    return TS.event_transitions(_events(spark, sf_dir))
+
+
+_SLIDE_L, _SLIDE_S = 3_600_000, 900_000
+
+
+@register(
+    "sliding_1h_15m",
+    oracle=f"""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events),
+    w AS (SELECT event_type, cents,
+                 unnest(generate_series({_ff('t', _SLIDE_S)} - {_SLIDE_L - _SLIDE_S},
+                                        {_ff('t', _SLIDE_S)}, {_SLIDE_S}))
+                   AS window_start
+          FROM ev)
+    SELECT event_type,
+           CAST(window_start AS BIGINT) AS window_start,
+           CAST(window_start + {_SLIDE_L} AS BIGINT) AS window_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM w GROUP BY event_type, window_start
+    """,
+)
+def q_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (ops.timeseries.sliding_counts): 1h
+    windows every 15m — the batch twin of streaming F.window(ts, 1h, 15m),
+    via a constant L/S=4 sequence+explode then ONE hash-agg on
+    (key, window_start); map-side partial agg absorbs the fan-out."""
+    return TS.sliding_counts(_events(spark, sf_dir), "1h", "15m")
+
+
+_ZK, _ZMIN, _ZLOOK = 3, 3, 10
+
+
+@register(
+    "rolling_zscore",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events),
+    w AS (SELECT user_id, ts, event_id, cents,
+                 count(cents) OVER win AS n_base,
+                 sum(cents) OVER win AS sum_base,
+                 sum(cents * cents) OVER win AS sumsq_base
+          FROM ev
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {_ZLOOK} PRECEDING AND 1 PRECEDING))
+    SELECT user_id, ts, event_id, cents,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(sum_base AS BIGINT) AS sum_base,
+           CAST(sumsq_base AS BIGINT) AS sumsq_base,
+           CASE WHEN n_base >= {_ZMIN}
+                THEN CAST(sum_base AS DOUBLE) / n_base END AS mean_cents,
+           CASE WHEN n_base >= {_ZMIN}
+                THEN sqrt(CAST(CAST(n_base AS HUGEINT) * sumsq_base - CAST(sum_base AS HUGEINT) * sum_base AS DOUBLE)
+                          / CAST(n_base * (n_base - 1) AS DOUBLE)) END AS std_cents,
+           CASE WHEN n_base >= {_ZMIN}
+                 AND CAST(n_base AS HUGEINT) * sumsq_base - CAST(sum_base AS HUGEINT) * sum_base > 0
+                THEN (CAST(n_base * cents - sum_base AS DOUBLE) / n_base)
+                     / sqrt(CAST(CAST(n_base AS HUGEINT) * sumsq_base - CAST(sum_base AS HUGEINT) * sum_base AS DOUBLE)
+                            / CAST(n_base * (n_base - 1) AS DOUBLE))
+           END AS zscore,
+           (n_base >= {_ZMIN}
+            AND CAST(n_base * cents - sum_base AS HUGEINT)
+                * CAST(n_base * cents - sum_base AS HUGEINT)
+                * (n_base - 1)
+                > CAST({_ZK * _ZK} AS HUGEINT) * n_base
+                  * (CAST(n_base AS HUGEINT) * sumsq_base - CAST(sum_base AS HUGEINT) * sum_base)) AS is_anomaly
+    FROM w
+    """,
+)
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly flags (ops.timeseries.
+    rolling_anomalies): per-user 10-event baseline; the anomaly DECISION is
+    the exact integer inequality (n·x−S)²·(n−1) > k²·n·(nQ−S²) — no float
+    threshold — so the flag is oracle-bit-identical. One per-key window,
+    no other shuffle."""
+    return TS.rolling_anomalies(
+        _events(spark, sf_dir), lookback=_ZLOOK, min_points=_ZMIN, k=_ZK
+    )
+
+
+@register(
+    "rate_of_change",
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events),
+    d AS (SELECT user_id, ts, event_id, cents,
+                 cents - lag(cents) OVER w AS delta_cents,
+                 ts - lag(ts) OVER w AS delta_ms
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, ts, event_id, cents,
+           CAST(delta_cents AS BIGINT) AS delta_cents,
+           CAST(delta_ms AS BIGINT) AS delta_ms,
+           CASE WHEN delta_ms > 0
+                THEN CAST(delta_cents AS DOUBLE) * 1000.0
+                     / CAST(delta_ms AS DOUBLE) END AS rate_cps
+    FROM d WHERE delta_ms IS NOT NULL
+    """,
+)
+def q_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user discrete derivative (ops.timeseries.value_rates): PromQL
+    rate-style Δcents/Δms with one double division over exact ints. Single
+    per-key lag window."""
+    return TS.value_rates(_events(spark, sf_dir))
+
+
+@register(
+    "interpolate_1h",
+    oracle=f"""
+    WITH ev AS (SELECT user_id AS k, epoch_ms(ts) AS t, event_id AS seq,
+                       CAST(round(value * 100) AS BIGINT) AS c FROM events),
+    b AS (SELECT k, CAST({_ff(f'min(t) + {_H1 - 1}', _H1)} AS BIGINT) AS gmin,
+                 CAST({_ff('max(t)', _H1)} AS BIGINT) AS gmax
+          FROM ev GROUP BY k),
+    g AS (SELECT k, unnest(generate_series(gmin, gmax, {_H1})) AS t
+          FROM b WHERE gmin <= gmax),
+    u AS (
+      SELECT k, t, 0 AS side, seq, c FROM ev
+      UNION ALL
+      SELECT k, t, 1 AS side, NULL, NULL FROM g
+    ),
+    m AS (SELECT k, t, side,
+            last_value(CASE WHEN side = 0 THEN struct_pack(t := t, c := c) END
+                       IGNORE NULLS)
+              OVER (PARTITION BY k ORDER BY t, side, seq
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+            first_value(CASE WHEN side = 0 THEN struct_pack(t := t, c := c) END
+                        IGNORE NULLS)
+              OVER (PARTITION BY k ORDER BY t, side, seq
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+          FROM u)
+    SELECT k AS user_id, CAST(t AS BIGINT) AS grid_ts,
+           CASE WHEN (prev).t = t THEN CAST((prev).c AS DOUBLE)
+                ELSE CAST((prev).c AS DOUBLE)
+                     + CAST(((nxt).c - (prev).c) * (t - (prev).t) AS DOUBLE)
+                       / CAST((nxt).t - (prev).t AS DOUBLE) END AS interp_cents,
+           ((prev).t = t) AS exact_hit,
+           CAST((prev).t AS BIGINT) AS prev_ts,
+           CASE WHEN (prev).t != t THEN CAST((nxt).t AS BIGINT) END AS next_ts
+    FROM m
+    WHERE side = 1 AND prev IS NOT NULL AND ((prev).t = t OR nxt IS NOT NULL)
+    """,
+)
+def q_interpolate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation onto the hourly grid (ops.timeseries.
+    interpolate_grid): straight-line value between the bracketing events of
+    each per-user grid point — exact-int numerator/denominator, one double
+    division. Chunked spine + diagonal union + two per-key windows; the
+    extrapolating cousin is the engine's forward-fill resample (T3/W2)."""
+    return TS.interpolate_grid(_events(spark, sf_dir), "1h")
+
+
+@register(
+    "twap_1d",
+    oracle=f"""
+    WITH ev AS (SELECT user_id AS k, epoch_ms(ts) AS t, event_id AS seq,
+                       CAST(round(value * 100) AS BIGINT) AS c FROM events),
+    seg AS (SELECT k, c, t AS s,
+                   coalesce(lead(t) OVER (PARTITION BY k ORDER BY t, seq),
+                            (SELECT max(t) FROM ev)) AS e
+            FROM ev),
+    ex AS (SELECT k, c, s, e,
+                  unnest(generate_series({_fdiv('s', _D1)}, {_fdiv('(e - 1)', _D1)})) AS b
+           FROM seg WHERE e > s),
+    agg AS (SELECT k, b,
+                   sum(least(e, (b + 1) * {_D1}) - greatest(s, b * {_D1}))
+                     AS dur_ms,
+                   sum(c * (least(e, (b + 1) * {_D1}) - greatest(s, b * {_D1})))
+                     AS tw
+            FROM ex GROUP BY k, b)
+    SELECT k AS user_id, CAST(b * {_D1} AS BIGINT) AS bar_ts,
+           CAST(dur_ms AS BIGINT) AS dur_ms,
+           CAST(tw AS BIGINT) AS tw_cents,
+           CAST(tw AS DOUBLE) / CAST(dur_ms AS DOUBLE) AS twap_cents
+    FROM agg
+    """,
+)
+def q_twap_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily TIME-weighted average value per user (ops.timeseries.
+    twap_bars): the integral of the LOCF value over each day — a value held
+    for hours outweighs a flurry of short-lived ones. Per-key lead window +
+    bounded segment-over-bucket explode + one hash-agg; exact-int
+    cents·duration sums, one double division."""
+    return TS.twap_bars(_events(spark, sf_dir), "1d")
+
+
+_EWMA_A = 0.25
+
+
+@register(
+    "ewma_user",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+        SELECT user_id AS k, epoch_ms(ts) AS t, event_id AS seq,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ms(ts), event_id) AS rn
+        FROM events),
+    r AS (
+        SELECT k, t, seq, cents, rn, CAST(cents AS DOUBLE) AS ewma
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.k, e.t, e.seq, e.cents, e.rn,
+               {_EWMA_A} * e.cents + {1.0 - _EWMA_A} * r.ewma
+        FROM ev e JOIN r ON e.k = r.k AND e.rn = r.rn + 1
+    )
+    SELECT k AS user_id, t AS ts, seq AS event_id, cents, ewma FROM r
+    """,
+)
+def q_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (ops.timeseries.ewma): a genuinely recursive operator
+    (each row depends on the previous OUTPUT) — the sanctioned
+    applyInPandas case, per-key Arrow groups. The oracle steps the same
+    recursion with a recursive CTE; α = 0.25 is exactly representable so
+    the identical IEEE mult-mult-add chain matches bit-for-bit."""
+    return TS.ewma(_events(spark, sf_dir), alpha=_EWMA_A)
