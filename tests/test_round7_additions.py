@@ -1,0 +1,141 @@
+"""Unit tests for the round-7 operator additions (beyond the oracle gate):
+bar-rollup identity, drawdown, Donchian extrema, intra-doc line dedup,
+blocked bitext mining, and plan shapes for the new TPC-H queries."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesfuser_spark import contract
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# ops.timeseries round-7
+# ---------------------------------------------------------------------------
+
+def test_rollup_ohlc_identity(spark):
+    """rollup(fine bars, coarse) == ohlc(events, coarse) — the
+    materialized-view maintenance identity, on a hand-planted stream."""
+    from timeseriesfuser_spark.ops.timeseries import ohlc_bars, rollup_ohlc
+
+    rows = []
+    # two keys, events across 3 hours of one day + 1 event next day
+    for i, (k, h, v) in enumerate([
+        ("a", 0, 10.0), ("a", 0, 12.0), ("a", 1, 8.0), ("a", 2, 11.0),
+        ("b", 1, 5.0), ("b", 26, 7.0),
+    ]):
+        rows.append((k, h * 3_600_000 + i, i, v))
+    df = spark.createDataFrame(rows, "event_type string, ts long, event_id long, value double")
+    direct = {tuple(r) for r in ohlc_bars(df, "1d").collect()}
+    rolled = {tuple(r) for r in rollup_ohlc(ohlc_bars(df, "1h"), "1d").collect()}
+    assert direct == rolled
+
+
+def test_drawdown_running_peak(spark):
+    from timeseriesfuser_spark.ops.timeseries import drawdown
+
+    rows = [(1, t, t, v) for t, v in
+            enumerate([10.0, 12.0, 9.0, 11.0, 7.0, 13.0])]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, value double")
+    got = [(r["peak_cents"], r["drawdown_cents"])
+           for r in drawdown(df).orderBy("ts").collect()]
+    assert got == [(1000, 0), (1200, 0), (1200, 300), (1200, 100),
+                   (1200, 500), (1300, 0)]
+
+
+def test_rolling_extrema_window(spark):
+    from timeseriesfuser_spark.ops.timeseries import rolling_extrema
+
+    rows = [(1, t, t, v) for t, v in enumerate([3.0, 1.0, 4.0, 1.0, 5.0])]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, value double")
+    got = [(r["chan_lo"], r["chan_hi"]) for r in
+           rolling_extrema(df, 3).orderBy("ts").collect()]
+    assert got == [(300, 300), (100, 300), (100, 400), (100, 400), (100, 500)]
+    with pytest.raises(ValueError):
+        rolling_extrema(df, 0)
+
+
+# ---------------------------------------------------------------------------
+# intra-doc line dedup
+# ---------------------------------------------------------------------------
+
+def test_dedup_lines_within_doc(spark):
+    from timeseriesfuser_spark.ops.text import dedup_lines_within_doc
+
+    docs = [
+        (1, "a\nb\na\nc\nb"),
+        (2, "x"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_removed"], r["n_lines"])
+           for r in dedup_lines_within_doc(df).collect()}
+    assert got[1] == ("a\nb\nc", 2, 5)
+    assert got[2] == ("x", 0, 1)
+    assert got[3] == (None, None, None)  # SQL null semantics
+
+
+# ---------------------------------------------------------------------------
+# bitext mining
+# ---------------------------------------------------------------------------
+
+def test_bitext_mine_blocked_top1(spark):
+    from timeseriesfuser_spark.ops.similarity import bitext_mine
+
+    # block 1: q1 closest to m2; block 2: q2 only candidate m3;
+    # m4 in block 3 has no query -> absent
+    left = spark.createDataFrame(
+        [(1, 1, [1.0, 0.0]), (2, 2, [0.0, 1.0])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    right = spark.createDataFrame(
+        [(10, 1, [0.9, 0.1]), (11, 1, [0.1, 0.9]),
+         (12, 2, [0.2, 0.8]), (13, 3, [1.0, 1.0])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {r["query_id"]: (r["match_id"], r["block"], r["rank"])
+           for r in bitext_mine(left, right, k=1).collect()}
+    assert got == {1: (10, 1, 1), 2: (12, 2, 1)}
+    # k=2 in block 1 returns both matches ranked
+    two = sorted(
+        (r["rank"], r["match_id"])
+        for r in bitext_mine(left, right, k=2).collect() if r["query_id"] == 1
+    )
+    assert two == [(1, 10), (2, 11)]
+    with pytest.raises(ValueError):
+        bitext_mine(left, right, k=0)
+
+
+# ---------------------------------------------------------------------------
+# plan shapes for the new TPC-H queries
+# ---------------------------------------------------------------------------
+
+def _plan(df):
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q5_broadcasts_dimensions_no_cartesian(spark):
+    plan = _plan(contract.QUERIES["tpch_q5_local_volume"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_plans_anti_join(spark):
+    plan = _plan(contract.QUERIES["tpch_q16_supplier_variety"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_single_join_with_disjunction(spark):
+    plan = _plan(contract.QUERIES["tpch_q19_disjunctive"](spark, SF))
+    # ONE equi-join on partkey with the disjunction as a filter — never
+    # three unioned scans of lineitem, never a nested loop
+    assert plan.count("Join") >= 1 and "Union" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_q22_anti_join_and_scalar_threshold(spark):
+    plan = _plan(contract.QUERIES["tpch_q22_dormant_rich"](spark, SF))
+    assert "LeftAnti" in plan

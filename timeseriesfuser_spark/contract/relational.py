@@ -725,3 +725,322 @@ def q_value_equal_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_bins(ev, "value", 10, tiebreak_cols=["event_id"]).select(
         "event_id", "value", "global_rank", "bin"
     )
+
+
+# ---------------------------------------------------------------------------
+# round 7: TPC-H breadth (Q5/Q10/Q14/Q16/Q19/Q22 shapes, adapted to the
+# columns the synthetic tables carry; all money math in exact integer
+# cents/c4 with one final double division)
+# ---------------------------------------------------------------------------
+
+_C4 = (
+    "CAST(round(l.l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l.l_discount * 100) AS BIGINT))"
+)
+
+
+@register(
+    "tpch_q5_local_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum({_C4}) AS DOUBLE) / 10000 AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the 6-way join with the
+    same-nation customer=supplier constraint. Fact tables equi-join on
+    their keys; customer/supplier/nation/region broadcast (all bounded
+    dimensions); the nationkey equality rides the supplier join — never
+    a post-join filter over a cross product."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = _t(spark, sf_dir, "region").select("r_regionkey")
+    c4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(c4).cast("double") / 10000).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q10_returned",
+    oracle=f"""
+    WITH rev AS (
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               sum({_C4}) AS rev_c4
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+    ),
+    rk AS (SELECT *, row_number() OVER (ORDER BY rev_c4 DESC, c_custkey)
+                       AS rnk
+           FROM rev)
+    SELECT c_custkey, c_name, n_name,
+           CAST(rev_c4 AS DOUBLE) / 10000 AS revenue,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM rk WHERE rnk <= 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item losses, top 20 customers): join +
+    agg, then a global top-N via one window over the tiny per-customer
+    aggregate. Ranking is on the exact integer c4 revenue (a double
+    ORDER BY would be engine-dependent at ties), tie-broken by custkey."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    rev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(c4).alias("__rev_c4"))
+    )
+    w = Window.orderBy(F.col("__rev_c4").desc(), F.col("c_custkey"))
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (F.col("__rev_c4").cast("double") / 10000).alias("revenue"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo",
+    oracle=f"""
+    SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_C4} ELSE 0 END)
+                AS BIGINT) AS promo_c4,
+           CAST(sum({_C4}) AS BIGINT) AS total_c4,
+           CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_C4} ELSE 0 END)
+                * 1000000 // sum({_C4}) AS BIGINT) AS promo_ppm
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion revenue share): conditional aggregation
+    over one broadcast join; the share is exact-integer ppm (a double
+    percentage would be accumulation-order-dependent)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    c4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    promo = F.when(F.col("p_type") == "PROMO", c4).otherwise(F.lit(0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(promo).alias("promo_c4"),
+            F.sum(c4).alias("total_c4"),
+            F.expr(
+                "CAST(sum(CASE WHEN p_type = 'PROMO' THEN "
+                "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+                "(100 - CAST(round(l_discount * 100) AS BIGINT)) "
+                "ELSE 0 END) * 1000000 DIV "
+                "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+                "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)"
+            ).alias("promo_ppm"),
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#11'
+      AND p.p_size <= 10
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier variety per part class): NOT IN over a
+    filtered dimension plans as LEFT ANTI against a broadcast (the
+    blacklist is tiny); distinct-count per group is the two-phase Expand
+    aggregate. lineitem stands in for partsupp (the synthetic schema
+    carries no partsupp table)."""
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11") & (F.col("p_size") <= 10)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey"))
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum({_C4}) AS DOUBLE) / 10000 AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive brand/size/quantity predicates): the
+    classic optimizer test that the OR of conjunctions stays a single
+    broadcast equi-join on partkey with the disjunction as a post-join
+    filter — never three unioned scans."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    c4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & (q >= 20) & (q <= 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(c4).cast("double") / 10000).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q22_dormant_rich",
+    oracle="""
+    WITH stats AS (
+        SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT))
+               // count(*) AS avg_cents
+        FROM customer WHERE c_acctbal > 0
+    ),
+    rich AS (
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer c, stats
+        WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > stats.avg_cents
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           CAST(sum(bal_cents) AS DOUBLE) / 100 AS total_acctbal
+    FROM rich GROUP BY c_mktsegment
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (rich customers with no RECENT orders — the
+    synthetic data gives every customer at least one lifetime order): a
+    global scalar
+    aggregate (broadcast as a 1-row relation) + LEFT ANTI against
+    orders, grouped by segment. The mean threshold is computed in
+    integer cents with floor division — a double mean would be
+    accumulation-order-dependent and could flip threshold comparisons
+    between engines."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("__bal_cents"),
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    avg_cents = (
+        c.filter(F.col("__bal_cents") > 0)
+        .agg(F.expr("sum(__bal_cents) DIV count(*)").alias("__avg_cents"))
+    )
+    rich = (
+        c.join(F.broadcast(avg_cents))
+        .filter(F.col("__bal_cents") > F.col("__avg_cents"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return rich.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        (F.sum("__bal_cents").cast("double") / 100).alias("total_acctbal"),
+    )

@@ -524,3 +524,51 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 7: cross-corpus (bitext-style) blocked nearest-neighbor mining
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bitext_mining",
+    oracle=f"""
+    WITH vecs AS (SELECT e.vec_id, e.label, d.lang, {_QV} AS v
+                  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+    nv AS (SELECT vec_id, label, lang, v, {_NORM} AS n FROM vecs),
+    pairs AS (
+        SELECT qa.vec_id AS query_id, qb.vec_id AS match_id,
+               CAST(qa.label AS BIGINT) AS block,
+               CASE WHEN qa.n > 0 AND qb.n > 0
+                    THEN round(CAST({_DOT} AS DOUBLE)
+                               / (sqrt(qa.n) * sqrt(qb.n)), 6)
+                    ELSE 0.0 END AS cosine
+        FROM nv qa JOIN nv qb ON qa.label = qb.label
+        WHERE qa.lang = 'de' AND qb.lang = 'en'
+    ),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, match_id)
+                       AS rnk
+           FROM pairs)
+    SELECT query_id, match_id, block, cosine, CAST(rnk AS BIGINT) AS rank
+    FROM rk WHERE rnk <= 1
+    """,
+)
+def q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual nearest-neighbor mining (ops.similarity.bitext_mine):
+    for each German document, its best English match by embedding cosine,
+    candidates blocked on the precomputed cluster label (Σ|A_b|·|B_b|
+    pairs, never |A|·|B|) — the bitext/alignment primitive of a
+    multilingual curation pipeline."""
+    from timeseriesfuser_spark.ops.similarity import bitext_mine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    tagged = emb.join(
+        F.broadcast(docs), emb.vec_id == docs.doc_id
+    ).select("vec_id", "label", "embedding", "lang")
+    de = tagged.filter(F.col("lang") == "de")
+    en = tagged.filter(F.col("lang") == "en")
+    out = bitext_mine(de, en, k=1)
+    return out.withColumn("block", F.col("block").cast("long"))

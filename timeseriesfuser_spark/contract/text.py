@@ -582,3 +582,73 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.expr("n * 1000000 DIV __t").cast("long").alias("share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 7: intra-document repeated-line removal
+# ---------------------------------------------------------------------------
+
+# The raw docs are single-line; both engines build the same multi-line
+# text (8-token lines) and plant guaranteed intra-doc duplicates: the
+# first line repeated at the end plus a footer appearing twice.
+_IDL_FOOTER = "share this article subscribe to our newsletter"
+
+
+def _idl_built_sql() -> str:
+    return f"""
+        SELECT doc_id,
+               concat(
+                   array_to_string(
+                       [array_to_string(tk[g*8+1 : g*8+8], ' ')
+                        FOR g IN range(0, (len(tk)+7)//8)],
+                       chr(10)),
+                   chr(10), '{_IDL_FOOTER}',
+                   chr(10), array_to_string(tk[1:8], ' '),
+                   chr(10), '{_IDL_FOOTER}') AS text
+        FROM (SELECT doc_id, split(text, ' ') AS tk FROM documents)
+    """
+
+
+@register(
+    "intra_doc_line_dedup",
+    oracle=f"""
+    WITH built AS ({_idl_built_sql()}),
+    l AS (SELECT doc_id, split(text, chr(10)) AS ls FROM built),
+    k AS (SELECT doc_id, ls,
+                 list_filter(ls, (x, i) -> list_position(ls, x) = i) AS kept
+          FROM l)
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS text,
+           CAST(len(ls) - len(kept) AS BIGINT) AS n_removed,
+           CAST(len(ls) AS BIGINT) AS n_lines
+    FROM k
+    """,
+)
+def q_intra_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-line removal
+    (ops.text.dedup_lines_within_doc): first occurrence of each line
+    survives, order preserved — zero-shuffle positional-lambda filter
+    inside codegen. The constructed corpus plants a repeated first line
+    and a doubled footer per doc, so every doc exercises the removal."""
+    from timeseriesfuser_spark.ops.text import dedup_lines_within_doc
+
+    d = _t(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    ng = F.expr("(size(__tk) + 7) DIV 8").cast("int")
+    line_of = F.transform(
+        F.sequence(F.lit(0), ng - 1),
+        lambda g: F.array_join(F.slice(F.col("__tk"), g * 8 + 1, 8), " "),
+    )
+    built = (
+        d.withColumn("__tk", tk)
+        .select(
+            "doc_id",
+            F.concat(
+                F.array_join(line_of, "\n"),
+                F.lit("\n" + _IDL_FOOTER + "\n"),
+                F.array_join(F.slice(F.col("__tk"), 1, 8), " "),
+                F.lit("\n" + _IDL_FOOTER),
+            ).alias("text"),
+        )
+    )
+    return dedup_lines_within_doc(built)

@@ -360,3 +360,102 @@ def q_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion with a recursive CTE; α = 0.25 is exactly representable so
     the identical IEEE mult-mult-add chain matches bit-for-bit."""
     return TS.ewma(_events(spark, sf_dir), alpha=_EWMA_A)
+
+
+# ---------------------------------------------------------------------------
+# round 7: bar rollup identity, drawdown, Donchian channel
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ohlc_1d_rollup",
+    oracle=f"""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, event_type, value FROM events),
+    r AS (SELECT event_type, CAST({{d1}} AS BIGINT) AS bar_ts,
+                 t, event_id, value FROM ev),
+    o AS (SELECT *,
+                 row_number() OVER (PARTITION BY event_type, bar_ts
+                                    ORDER BY t, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, bar_ts
+                                    ORDER BY t DESC, event_id DESC) AS rn_d
+          FROM r)
+    SELECT event_type, bar_ts,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM o GROUP BY event_type, bar_ts
+    """.format(d1=_ff("t", _D1)),
+)
+def q_ohlc_1d_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar rollup (materialized-view maintenance identity): the
+    QUERY composes rollup_ohlc(ohlc_bars(ev,'1h'), '1d') — fine bars
+    aggregated to coarse, never rescanning events — while the ORACLE
+    computes daily OHLC directly from raw events. Equality IS the
+    incremental-rollup correctness property (open/close compose through
+    min_by/max_by on the fine bar_ts; high/low/counts associatively)."""
+    ev = _events(spark, sf_dir)
+    fine = TS.ohlc_bars(ev, "1h")
+    return TS.rollup_ohlc(fine, "1d").select(
+        "event_type", "bar_ts", "open", "high", "low", "close",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+    )
+
+
+@register(
+    "user_drawdown",
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events),
+    dd AS (SELECT user_id, ts, event_id, cents,
+                  max(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS peak_cents
+           FROM ev)
+    SELECT user_id,
+           CAST(max(peak_cents - cents) AS BIGINT) AS max_drawdown_cents,
+           CAST(max(peak_cents) AS BIGINT) AS peak_cents,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM dd GROUP BY user_id
+    """,
+)
+def q_user_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum drawdown from the running peak
+    (ops.timeseries.drawdown): one per-key running-max window (incremental
+    frame — O(n) per partition) + one hash-agg. Integer cents throughout;
+    the risk metric every portfolio/telemetry monitor computes."""
+    dd = TS.drawdown(_events(spark, sf_dir))
+    return dd.groupBy("user_id").agg(
+        F.max("drawdown_cents").cast("long").alias("max_drawdown_cents"),
+        F.max("peak_cents").cast("long").alias("peak_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_DON_N = 20
+
+
+@register(
+    "donchian_20",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events)
+    SELECT user_id, ts, event_id, cents,
+           CAST(min(cents) OVER w AS BIGINT) AS chan_lo,
+           CAST(max(cents) OVER w AS BIGINT) AS chan_hi,
+           CAST(max(cents) OVER w - min(cents) OVER w AS BIGINT) AS chan_width
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {_DON_N - 1} PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_donchian_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian-channel trailing extrema (ops.timeseries.rolling_extrema):
+    per-user 20-row trailing min/max/width — the breakout-detection
+    primitive. One window pass, running frames stay incremental."""
+    return TS.rolling_extrema(_events(spark, sf_dir), _DON_N)

@@ -805,3 +805,67 @@ def pq_codes(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def bitext_mine(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    k: int = 1,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    round_to: Optional[int] = 6,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Cross-corpus nearest-neighbor mining, blocked on a precomputed
+    cluster/label column — the bitext-mining shape (for each document of
+    corpus A, its best match in corpus B), also the cross-lingual
+    alignment and train/eval-leakage probe primitive.
+
+    Blocked like SemDeDup: candidate pairs exist only WITHIN a block, so
+    the join is Σ|A_b|·|B_b| instead of |A|·|B|; at 100 TB the blocks
+    come from the IVF/k-means assignment already computed for dedup. One
+    equi-join on the block key + one per-left-id window over the
+    block-bounded candidates. Quantized-integer dot; one division+sqrt
+    chain → cross-engine exact; ties broken by the match id.
+
+    Output: (query_id, match_id, block, cosine, rank) for the top-``k``
+    matches per left row with cosine >= ``threshold``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+
+    def prep(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{tag}_id"),
+            F.col(block_col).alias(f"{tag}_b"),
+            quantized(F.col(vec_col), scale).alias(f"{tag}_v"),
+        ).withColumn(f"{tag}_n", _sq_norm(F.col(f"{tag}_v")))
+
+    a, b = prep(left, "q"), prep(right, "m")
+    dot = _dot(F.col("q_v"), F.col("m_v"))
+    cos = F.when(
+        (F.col("q_n") > 0) & (F.col("m_n") > 0),
+        dot.cast("double") / (F.sqrt(F.col("q_n")) * F.sqrt(F.col("m_n"))),
+    ).otherwise(F.lit(0.0))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("m_id")
+    )
+    return (
+        a.join(b, F.col("q_b") == F.col("m_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("m_id").alias("match_id"),
+            F.col("q_b").alias("block"),
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

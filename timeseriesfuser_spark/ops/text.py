@@ -730,3 +730,36 @@ def distinctive_terms(
         "lift_ppm",
         "rank",
     )
+
+
+def dedup_lines_within_doc(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-document repeated-line removal: keep the FIRST occurrence of
+    each line, preserving order (the in-page twin of cross-doc
+    :func:`line_dedup` — repeated nav blocks, double-pasted paragraphs).
+
+    Zero shuffle, zero explode: one higher-order ``filter`` with a
+    positional lambda per row (keep line i iff its first occurrence in
+    the doc IS position i) stays inside whole-stage codegen. Per-row cost
+    is O(lines²) string compares — lines-per-doc is bounded in practice;
+    a corpus shards perfectly since no row looks at another. NULL text
+    passes through as NULL with NULL counts (SQL semantics).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, lambda x, i: F.array_position(lines, x) == i + 1)
+    # The deduped text must NOT be aliased to the input column's name
+    # inside the same select: Spark's lateral-column-alias resolution can
+    # rebind the sibling expressions' F.col(text_col) to the NEW column,
+    # silently computing the counts over the already-deduped text
+    # (observed: n_removed off by the duplicate count). Alias to a
+    # placeholder, rename after.
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("__dedup_text"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_removed"),
+        F.size(lines).cast("long").alias("n_lines"),
+    ).withColumnRenamed("__dedup_text", "text")

@@ -609,3 +609,112 @@ def pivot_features(
             F.coalesce(F.col(f"{v}_cents"), F.lit(0)).cast("long").alias(f"{v}_cents")
         )
     return out.select(*fixed)
+
+
+def rollup_ohlc(
+    bars: DataFrame,
+    interval: str,
+    *,
+    bar_ts_col: str = "bar_ts",
+    key_cols: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Aggregate finer OHLC bars into coarser ones (1h → 1d): the
+    materialized-view maintenance path — a running pipeline keeps cheap
+    fine bars and rolls them up instead of rescanning raw events.
+
+    open = open of the chronologically first fine bar, close = close of
+    the last (min_by/max_by on the fine bar_ts — already unique per key,
+    no extra tie-break needed); high/low/n_events/sum_cents compose
+    associatively. Identity: rollup_ohlc(ohlc_bars(ev, fine), coarse) ==
+    ohlc_bars(ev, coarse) whenever the coarse grid is a multiple of the
+    fine one — the contract query pins exactly that.
+
+    Same one-hash-agg shape as ohlc_bars; input volume is |keys| × |fine
+    intervals|, already tiny relative to the events.
+    """
+    step = interval_to_ms(interval)
+    t = F.col(bar_ts_col)
+    out_bar = F.col("__coarse_ts")
+    bar = bars.withColumn("__coarse_ts", floor_boundary_col(t, step))
+    return (
+        bar.groupBy(*key_cols, "__coarse_ts")
+        .agg(
+            F.min_by(F.col("open"), t).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by(F.col("close"), t).alias("close"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+        .withColumn("bar_ts", out_bar.cast("long"))
+        .drop("__coarse_ts")
+        .select(*key_cols, "bar_ts", "open", "high", "low", "close",
+                "n_events", "sum_cents")
+    )
+
+
+def drawdown(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("user_id",),
+    value_col: str = "value",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Per-key running-peak drawdown over the cent-quantized value:
+    peak_cents = running max, drawdown_cents = peak − value at each
+    event. One per-key window with an unbounded-preceding running frame
+    (incremental max — O(n) per partition, never a shrinking frame; see
+    the round-5 interpolate lesson). Integer-exact throughout.
+    """
+    cents = _cents(value_col)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col), F.col(seq_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.select(
+        *key_cols,
+        F.col(ts_col).cast("long").alias(ts_col),
+        F.col(seq_col),
+        cents.alias("cents"),
+    )
+    return out.withColumn("peak_cents", F.max("cents").over(w)).withColumn(
+        "drawdown_cents", F.col("peak_cents") - F.col("cents")
+    )
+
+
+def rolling_extrema(
+    df: DataFrame,
+    lookback: int = 20,
+    *,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("user_id",),
+    value_col: str = "value",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Donchian-channel style trailing extrema: per key, the min/max of
+    the cent-quantized value over the previous ``lookback`` rows
+    INCLUDING the current one, plus the channel width. Running trailing
+    row-frames are incremental in Spark's window exec — linear per
+    partition, embarrassingly parallel across keys.
+    """
+    if lookback < 1:
+        raise ValueError(f"lookback must be >= 1: {lookback}")
+    cents = _cents(value_col)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col), F.col(seq_col))
+        .rowsBetween(-(lookback - 1), Window.currentRow)
+    )
+    out = df.select(
+        *key_cols,
+        F.col(ts_col).cast("long").alias(ts_col),
+        F.col(seq_col),
+        cents.alias("cents"),
+    )
+    return (
+        out.withColumn("chan_lo", F.min("cents").over(w))
+        .withColumn("chan_hi", F.max("cents").over(w))
+        .withColumn("chan_width", F.col("chan_hi") - F.col("chan_lo"))
+    )
