@@ -423,3 +423,78 @@ def test_quantile_bins_match_sorted_rank(spark, vals, k):
         idx: (r + 1, r * k // n) for r, idx in enumerate(order)
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round 7: drawdown / rolling extrema / intra-doc line dedup vs python refs
+# ---------------------------------------------------------------------------
+
+_dd_stream = st.lists(
+    st.tuples(
+        st.integers(min_value=-200, max_value=200),   # ts (negatives too)
+        st.integers(min_value=-500, max_value=500),   # cents (as value*100)
+    ),
+    min_size=1, max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=_dd_stream, look=st.sampled_from([1, 3, 7]))
+@SETTINGS
+def test_drawdown_and_extrema_vs_python(spark, rows, look):
+    from timeseriesfuser_spark.ops.timeseries import drawdown, rolling_extrema
+
+    data = [(1, ts, i, c / 100.0) for i, (ts, c) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "user_id long, ts long, event_id long, value double"
+    )
+    ordered = sorted(rows)
+    cents = [c for _, c in ordered]
+
+    got_dd = [
+        (r["peak_cents"], r["drawdown_cents"])
+        for r in drawdown(df).orderBy("ts").collect()
+    ]
+    peak = None
+    want_dd = []
+    for c in cents:
+        peak = c if peak is None else max(peak, c)
+        want_dd.append((peak, peak - c))
+    assert got_dd == want_dd
+
+    got_ex = [
+        (r["chan_lo"], r["chan_hi"])
+        for r in rolling_extrema(df, look).orderBy("ts").collect()
+    ]
+    want_ex = [
+        (min(cents[max(0, i - look + 1): i + 1]),
+         max(cents[max(0, i - look + 1): i + 1]))
+        for i in range(len(cents))
+    ]
+    assert got_ex == want_ex
+
+
+_line_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "dd", ""]), min_size=1, max_size=8),
+    min_size=1, max_size=6,
+)
+
+
+@given(docs=_line_docs)
+@SETTINGS
+def test_intra_doc_line_dedup_vs_python(spark, docs):
+    from timeseriesfuser_spark.ops.text import dedup_lines_within_doc
+
+    rows = [(i, "\n".join(ls)) for i, ls in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed"], r["n_lines"])
+        for r in dedup_lines_within_doc(df).collect()
+    }
+    for i, ls in enumerate(docs):
+        seen, kept = set(), []
+        for line in ls:
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        assert got[i] == ("\n".join(kept), len(ls) - len(kept), len(ls))

@@ -139,3 +139,67 @@ def test_q19_single_join_with_disjunction(spark):
 def test_q22_anti_join_and_scalar_threshold(spark):
     plan = _plan(contract.QUERIES["tpch_q22_dormant_rich"](spark, SF))
     assert "LeftAnti" in plan
+
+
+# ---------------------------------------------------------------------------
+# sketches: Count-Min + HLL
+# ---------------------------------------------------------------------------
+
+def test_countmin_never_undercounts_and_merges(spark):
+    from timeseriesfuser_spark.ops.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    rows = [(i % 7,) for i in range(200)] + [(99,)] * 50
+    df = spark.createDataFrame(rows, "k long")
+    keys = df.distinct()
+    sk = countmin_sketch(df, "k", depth=4, width=64)
+    est = {r["key"]: r["cms_n"] for r in
+           countmin_estimate(sk, keys, "k", depth=4, width=64).collect()}
+    exact = {r["k"]: r["cnt"] for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+
+    # mergeability: sketch(A) + sketch(B) == sketch(A union B), cell-wise
+    a, b = df.filter("k < 5"), df.filter("k >= 5")
+    merged = (
+        countmin_sketch(a, "k", depth=4, width=64)
+        .unionByName(countmin_sketch(b, "k", depth=4, width=64))
+        .groupBy("row_idx", "col_idx").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = countmin_sketch(df, "k", depth=4, width=64)
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in whole.collect()
+    }
+
+
+def test_hll_estimate_tracks_exact_distinct(spark):
+    from timeseriesfuser_spark.ops.sketches import hll_estimate, hll_registers
+
+    n = 3000
+    df = spark.range(n).select(F.col("id").alias("k"))
+    regs = hll_registers(df, "k", p=8)
+    est = hll_estimate(regs, p=8).collect()[0]
+    # raw HLL at p=8: ~6.5% relative error envelope; allow 3 sigma
+    assert abs(est["estimate"] - n) / n < 0.2
+    # registers merge by max: two halves == whole
+    m = (
+        hll_registers(df.filter("k < 1500"), "k", p=8)
+        .unionByName(hll_registers(df.filter("k >= 1500"), "k", p=8))
+        .groupBy("bucket").agg(F.max("register").alias("register"))
+    )
+    assert {tuple(r) for r in m.collect()} == {
+        tuple(r) for r in regs.collect()
+    }
+
+
+def test_sketch_parameter_validation(spark):
+    from timeseriesfuser_spark.ops.sketches import countmin_sketch, hll_registers
+
+    df = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        countmin_sketch(df, "k", depth=0)
+    with pytest.raises(ValueError):
+        hll_registers(df, "k", p=2)

@@ -1,0 +1,150 @@
+"""Mergeable sketches over the event stream: Count-Min heavy-hitter
+counts and HyperLogLog distinct — fixed-size relations a 100 TB pipeline
+keeps instead of exact per-key state.
+
+Split-module addition (round 7); registers into the shared QUERIES /
+ORACLES like every family module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timeseriesfuser_spark.contract._base import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    _events,
+    _t,
+    register,
+)
+
+_CMS_D, _CMS_W = 4, 256
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+# alpha computed in PYTHON and inlined as the same literal on both sides:
+# DuckDB would evaluate 0.7213/(1.0+1.079/m) in DECIMAL, Spark in DOUBLE.
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+# 60-bit md5 hash of user_id under integer seed s (the md5_hash64 twin)
+def _h(s: str, col: str = "user_id") -> str:
+    return (
+        "CAST(concat('0x', substr(md5(concat('" + s + "', chr(31), "
+        f"CAST({col} AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )
+
+
+@register(
+    "cms_user_counts",
+    oracle=f"""
+    WITH ev AS (SELECT user_id FROM events),
+    hh AS (SELECT user_id, d,
+                  CAST(concat('0x', substr(md5(concat(CAST(d AS VARCHAR),
+                       chr(31), CAST(user_id AS VARCHAR))), 1, 15))
+                       AS BIGINT) % {_CMS_W} AS col
+           FROM ev CROSS JOIN (SELECT unnest(range({_CMS_D})) AS d)),
+    cells AS (SELECT d, col, count(*) AS cnt FROM hh GROUP BY d, col),
+    probe AS (SELECT DISTINCT user_id, d, col FROM hh),
+    est AS (SELECT user_id, min(cnt) AS cms_n
+            FROM probe JOIN cells USING (d, col) GROUP BY user_id),
+    exact AS (SELECT user_id, count(*) AS exact_n FROM ev GROUP BY user_id)
+    SELECT e.user_id,
+           CAST(e.exact_n AS BIGINT) AS exact_n,
+           CAST(est.cms_n AS BIGINT) AS cms_n,
+           est.cms_n >= e.exact_n AS never_undercounts
+    FROM exact e JOIN est USING (user_id)
+    """,
+)
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch accuracy audit (ops.sketches.countmin_sketch /
+    countmin_estimate): build a {d}x{w} CMS over user activity, point-
+    query every user, and emit estimate vs exact — the one-sided error
+    guarantee (never undercounts) is part of the checked output. The
+    sketch is a fixed {d}x{w} relation: map-side combinable, mergeable
+    across shards, broadcastable for probes."""
+    from timeseriesfuser_spark.ops.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    ev = _events(spark, sf_dir).select("user_id")
+    sk = countmin_sketch(ev, "user_id", depth=_CMS_D, width=_CMS_W)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = countmin_estimate(
+        sk, exact.select("user_id"), "user_id", depth=_CMS_D, width=_CMS_W
+    ).withColumnRenamed("key", "user_id")
+    return exact.join(est, "user_id").select(
+        "user_id",
+        F.col("exact_n").cast("long").alias("exact_n"),
+        F.col("cms_n").cast("long").alias("cms_n"),
+        (F.col("cms_n") >= F.col("exact_n")).alias("never_undercounts"),
+    )
+
+
+q_cms_user_counts.__doc__ = q_cms_user_counts.__doc__.replace(
+    "{d}", str(_CMS_D)).replace("{w}", str(_CMS_W))
+
+
+@register(
+    "hll_distinct_users",
+    oracle=f"""
+    WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    h AS (SELECT {_h('99')} AS hv FROM ev),
+    rb AS (SELECT hv % {_HLL_M} AS bucket, hv >> {_HLL_P} AS w FROM h),
+    rr AS (SELECT bucket,
+                  CASE WHEN w > 0 THEN {60 - _HLL_P} + 1 - length(bin(w))
+                       ELSE {60 - _HLL_P + 1} END AS rho
+           FROM rb),
+    regs AS (SELECT bucket, max(rho) AS register FROM rr GROUP BY bucket),
+    agg AS (SELECT count(*) AS n_buckets_hit, max(register) AS max_register
+            FROM regs),
+    s AS (SELECT a.n_buckets_hit, a.max_register,
+                 sum(1::HUGEINT << CAST(a.max_register - r.register AS INT))
+                   AS hit_sum
+          FROM regs r CROSS JOIN agg a
+          GROUP BY a.n_buckets_hit, a.max_register),
+    tot AS (SELECT n_buckets_hit, max_register,
+                   hit_sum + ({_HLL_M} - n_buckets_hit)::HUGEINT
+                             * (1::HUGEINT << CAST(max_register AS INT))
+                     AS sum_scaled
+            FROM s)
+    SELECT CAST(n_buckets_hit AS BIGINT) AS n_buckets_hit,
+           CAST(sum_scaled AS DOUBLE) AS sum_scaled,
+           CAST(max_register AS BIGINT) AS max_register,
+           round(CAST({_HLL_ALPHA!r} AS DOUBLE)
+                 * CAST({float(_HLL_M)!r} AS DOUBLE)
+                 * CAST({float(_HLL_M)!r} AS DOUBLE)
+                 * (CAST(2.0 AS DOUBLE) ** CAST(max_register AS INT))
+                 / CAST(sum_scaled AS DOUBLE), 4) AS estimate,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM ev)
+             AS exact_distinct
+    FROM tot
+    """,
+)
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog raw-estimate audit (ops.sketches.hll_registers /
+    hll_estimate): 2^{p} registers over distinct users, the exact-integer
+    scaled harmonic sum (decimal — no float accumulation), the raw
+    estimate (IEEE *,/ chain only; ln()-based bias corrections are
+    deliberately outside the oracle-checked surface), and the exact
+    distinct for comparison. The register relation is the mergeable
+    fixed-size state a streaming distinct keeps per window."""
+    from timeseriesfuser_spark.ops.sketches import hll_estimate, hll_registers
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    regs = hll_registers(ev.select("user_id"), "user_id", p=_HLL_P)
+    est = hll_estimate(regs, p=_HLL_P)
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_buckets_hit",
+        F.col("sum_scaled").cast("double").alias("sum_scaled"),
+        "max_register",
+        "estimate",
+        "exact_distinct",
+    )
+
+
+q_hll_distinct_users.__doc__ = q_hll_distinct_users.__doc__.replace(
+    "{p}", str(_HLL_P))

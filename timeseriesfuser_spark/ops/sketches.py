@@ -1,0 +1,196 @@
+"""Distributed mergeable sketches: Count-Min (heavy-hitter counts) and
+HyperLogLog registers (approximate distinct), built with deterministic
+md5-derived hashes so a DuckDB oracle reproduces them bit-for-bit.
+
+Why sketches at 100 TB: exact per-key counts / exact distinct need a
+full shuffle of the key column; a sketch is a FIXED-SIZE relation
+(depth×width counters / 2^p registers) built with one map-side-combinable
+aggregation, mergeable across partitions/days/shards by construction —
+the idiom for dashboards and monitoring over unbounded key domains.
+
+Determinism: every hash is ``md5_hash64`` (shared with the dedup family);
+every counter is an exact integer; HLL's raw-estimate division is a short
+fixed chain of IEEE *,/ ops (no libm transcendentals — those may differ
+by 1 ulp across engines, so the bias corrections that need ln() are left
+to the caller).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from timeseriesfuser_spark.ops.dedup import md5_hash64
+
+__all__ = [
+    "countmin_sketch",
+    "countmin_estimate",
+    "hll_registers",
+    "hll_estimate",
+]
+
+_HASH_BITS = 60  # md5_hash64 yields a non-negative 60-bit value
+
+
+def _row_bucket(col: Column, row_idx: int, width: int) -> Column:
+    """Bucket of ``col`` in CMS row ``row_idx``: independent-per-row via
+    the seed, non-negative pmod."""
+    return F.pmod(md5_hash64(col.cast("string"), seed=row_idx), F.lit(width))
+
+
+def countmin_sketch(
+    df: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch of ``key_col`` frequencies → one row per
+    (row_idx, col_idx) with the exact counter value (zero cells absent).
+
+    Plan shape: ONE hash aggregation on the (depth × width)-bounded
+    bucket key — each input row explodes to ``depth`` (row, bucket)
+    updates that partial-aggregate map-side, so the shuffle moves at most
+    depth×width counters per task regardless of input size. Counters are
+    exact integers → mergeable (sum) across shards and oracle-exact.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1: {depth}x{width}")
+    k = F.col(key_col)
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("row_idx"),
+                _row_bucket(k, d, width).alias("col_idx"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("__rc"), w.alias("__w"))
+        .groupBy(
+            F.col("__rc.row_idx").alias("row_idx"),
+            F.col("__rc.col_idx").alias("col_idx"),
+        )
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``: estimate =
+    min over rows of the addressed counters (the CMS guarantee:
+    estimate >= true count, overestimate bounded by the collision mass).
+
+    The sketch side is depth×width rows → broadcast; the probe is a
+    zero-shuffle projection + ``depth`` broadcast lookups folded into one
+    join on (row_idx, col_idx) + a min aggregation per key.
+    """
+    k = F.col(key_col)
+    probes = keys.select(
+        k.alias("key"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row_idx"),
+                        _row_bucket(k, d, width).alias("col_idx"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__rc"),
+    ).select("key", "__rc.row_idx", "__rc.col_idx")
+    return (
+        probes.join(F.broadcast(sketch), ["row_idx", "col_idx"], "left")
+        .groupBy("key")
+        # an unhit cell means count 0 — min must see it as 0, not null
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_n"))
+    )
+
+
+def hll_registers(df: DataFrame, key_col: str, *, p: int = 8) -> DataFrame:
+    """HyperLogLog registers over ``key_col`` → (bucket, register), one
+    row per non-empty bucket of the 2^p register array.
+
+    bucket = low ``p`` bits of the 60-bit hash; register = max over the
+    bucket's keys of the leading-zero rank of the remaining 60−p bits
+    (computed portably via the length of ``bin(w)``: floor(log2)+1 —
+    integer-exact in Spark and DuckDB). ONE hash aggregation bounded by
+    2^p groups, map-side combinable (max), mergeable across shards (max).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4,16]: {p}")
+    m = 1 << p
+    h = md5_hash64(F.col(key_col).cast("string"), seed=99)
+    # h >> p, NOT h/m: a double division loses bits above 2^53 and the
+    # hash is 60-bit — the truncation would corrupt the rank.
+    w = F.shiftright(h, p)
+    rest_bits = _HASH_BITS - p
+    # rho = leading zeros of w within rest_bits, +1; w=0 -> rest_bits+1
+    rho = F.when(
+        w > 0, F.lit(rest_bits) + 1 - F.length(F.bin(w))
+    ).otherwise(F.lit(rest_bits + 1))
+    return (
+        df.select(F.pmod(h, F.lit(m)).alias("bucket"), rho.alias("__rho"))
+        .groupBy("bucket")
+        .agg(F.max("__rho").cast("long").alias("register"))
+    )
+
+
+def hll_estimate(registers: DataFrame, *, p: int = 8) -> DataFrame:
+    """Raw HLL estimate from a register relation: one row
+    (n_buckets_hit, sum_scaled, max_register, estimate).
+
+    Exact-integer core: with K = max register, Σ 2^−M_j is computed as
+    the integer Σ 2^(K−M_j) in decimal(38,0) (empty buckets contribute
+    2^K each), so the only floating-point is the final alpha·m²·2^K / S
+    chain — IEEE *,/ only, no libm, engine-identical. The small/large
+    range bias corrections need ln() (libm, not cross-engine-exact) and
+    are intentionally left out of the oracle-checked surface.
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets_hit"),
+        F.max("register").cast("long").alias("max_register"),
+    )
+    joined = registers.crossJoin(F.broadcast(agg))
+    scaled = joined.groupBy("n_buckets_hit", "max_register").agg(
+        F.sum(
+            F.expr("CAST(shiftleft(1L, CAST(max_register - register AS INT))"
+                   " AS DECIMAL(38,0))")
+        ).alias("__hit_sum")
+    )
+    # empty buckets: (m - hit) registers of 0 -> each contributes 2^K
+    total = scaled.select(
+        "n_buckets_hit",
+        "max_register",
+        (
+            F.col("__hit_sum")
+            + (F.lit(m) - F.col("n_buckets_hit")).cast("decimal(38,0)")
+            * F.expr("CAST(shiftleft(1L, CAST(max_register AS INT))"
+                     " AS DECIMAL(38,0))")
+        ).alias("sum_scaled"),
+    )
+    est = (
+        F.lit(alpha)
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.pow(F.lit(2.0), F.col("max_register").cast("double"))
+        / F.col("sum_scaled").cast("double")
+    )
+    return total.select(
+        "n_buckets_hit",
+        F.col("sum_scaled").cast("decimal(38,0)").alias("sum_scaled"),
+        "max_register",
+        F.round(est, 4).alias("estimate"),
+    )
