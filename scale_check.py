@@ -219,6 +219,18 @@ def run(spark, n: int, only=None) -> dict:
     t("pagerank_3it", lambda: pagerank(edges, iterations=3))
     from timeseriesfuser_spark.ops.scale import quantile_bins
 
+    from timeseriesfuser_spark.ops.sketches import (
+        countmin_sketch,
+        hll_registers,
+    )
+
+    t("cms_sketch", countmin_sketch(ev.select("user_id"), "user_id",
+                                    depth=4, width=1024))
+    t("hll_registers", hll_registers(ev.select("user_id"), "user_id", p=12))
+    from timeseriesfuser_spark.ops.timeseries import drawdown as _ddop
+    t("drawdown", _ddop(ev.select("user_id", "__timestamp", "event_id",
+                                  "value"), ts_col="__timestamp"))
+
     t(
         "quantile_bins",
         lambda: quantile_bins(

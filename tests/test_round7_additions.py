@@ -203,3 +203,49 @@ def test_sketch_parameter_validation(spark):
         countmin_sketch(df, "k", depth=0)
     with pytest.raises(ValueError):
         hll_registers(df, "k", p=2)
+
+
+# ---------------------------------------------------------------------------
+# streaming sketch twins: batch parity across two chronological runs
+# ---------------------------------------------------------------------------
+
+def test_sketch_streams_match_batch(spark, tmp_path):
+    from timeseriesfuser_spark.ops.sketches import (
+        countmin_sketch,
+        hll_registers,
+    )
+    from timeseriesfuser_spark.streaming import countmin_stream, hll_stream
+
+    rows = [(i % 13,) for i in range(300)]
+    schema = "k long"
+    batch = spark.createDataFrame(rows, schema)
+    d = tmp_path / "sk"
+    d.mkdir()
+    spark.createDataFrame(rows[:150], schema).coalesce(1).write.mode(
+        "append").parquet(str(d))
+    spark.createDataFrame(rows[150:], schema).coalesce(1).write.mode(
+        "append").parquet(str(d))
+
+    def run(make, name):
+        stream = spark.readStream.schema(schema).parquet(str(d))
+        q = (
+            make(stream)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        return {tuple(r) for r in spark.table(name).collect()}
+
+    got_cms = run(lambda s: countmin_stream(s, "k", depth=3, width=32),
+                  "cms_mem")
+    want_cms = {tuple(r) for r in
+                countmin_sketch(batch, "k", depth=3, width=32).collect()}
+    assert got_cms == want_cms
+
+    got_hll = run(lambda s: hll_stream(s, "k", p=6), "hll_mem")
+    want_hll = {tuple(r) for r in hll_registers(batch, "k", p=6).collect()}
+    assert got_hll == want_hll

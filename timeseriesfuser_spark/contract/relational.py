@@ -1044,3 +1044,221 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_custs"),
         (F.sum("__bal_cents").cast("double") / 100).alias("total_acctbal"),
     )
+
+
+@register(
+    "tpch_q7_nation_volume",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum({_C4}) AS DOUBLE) / 10000 AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE sn.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+      AND cn.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+      AND sn.n_name <> cn.n_name
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l.l_shipdate)
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bilateral shipping volume): the two nation
+    dimension copies join under different roles (supplier vs customer
+    nation) with a symmetric pair predicate — both broadcast; year
+    extraction groups the fact rows. The disjunction prunes to two
+    nation pairs before aggregation."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"),
+                  F.col("n_name").alias("cust_nation"))
+    c4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    nats = ["NATION_1", "NATION_2", "NATION_3", "NATION_4"]
+    pair = (
+        F.col("supp_nation").isin(nats)
+        & F.col("cust_nation").isin(nats)
+        & (F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(c4).cast("double") / 10000).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH vol AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               sum(CASE WHEN sn.n_name = 'NATION_3' THEN {_C4} ELSE 0 END)
+                 AS nation_c4,
+               sum({_C4}) AS total_c4
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE r.r_name = 'EUROPE'
+        GROUP BY EXTRACT(year FROM o.o_orderdate)
+    )
+    SELECT o_year,
+           CAST(nation_c4 AS BIGINT) AS nation_c4,
+           CAST(total_c4 AS BIGINT) AS total_c4,
+           CAST(nation_c4 * 1000000 // total_c4 AS BIGINT) AS share_ppm
+    FROM vol
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share inside a region, per year):
+    conditional aggregation over the supplier-nation role, customer side
+    restricted to EUROPE — the share is exact-integer ppm. Fact tables
+    equi-join once; every dimension broadcasts."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                           "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"),
+                  F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    c4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_3", c4).otherwise(F.lit(0))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(nat).alias("nation_c4"),
+            F.sum(c4).alias("total_c4"),
+            F.expr(
+                "CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN "
+                "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+                "(100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END) "
+                "* 1000000 DIV "
+                "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+                "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+@register(
+    "tpch_q13_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    zero-order customers keep a 0 bucket (count(o_orderkey) ignores the
+    null-extended rows), then a count-of-counts second aggregation —
+    the classic two-level histogram-of-cardinalities plan."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy(F.col("c_count").cast("long").alias("c_count")).agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l.l_suppkey AS s_suppkey, sum({_C4}) AS rev_c4
+        FROM lineitem l
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l.l_suppkey
+    ),
+    mx AS (SELECT max(rev_c4) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(rev.rev_c4 AS DOUBLE) / 10000 AS total_revenue
+    FROM rev JOIN mx ON rev.rev_c4 = mx.m
+    JOIN supplier s ON s.s_suppkey = rev.s_suppkey
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier of the quarter): the view + scalar
+    max subquery decorrelates to pre-aggregate → 1-row broadcast max →
+    equi-filter — never a sort of the aggregate, and ties (all suppliers
+    at the max) are all returned, exactly the classic semantics."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    c4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.sum(c4).alias("__rev_c4")
+    )
+    mx = rev.agg(F.max("__rev_c4").alias("__m"))
+    return (
+        rev.join(F.broadcast(mx), rev.__rev_c4 == mx.__m)
+        .join(F.broadcast(s), "s_suppkey")
+        .select(
+            "s_suppkey", "s_name",
+            (F.col("__rev_c4").cast("double") / 10000).alias("total_revenue"),
+        )
+    )

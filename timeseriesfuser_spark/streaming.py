@@ -647,3 +647,68 @@ def latest_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def countmin_stream(
+    df: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Streaming Count-Min sketch: the live twin of
+    ``ops.sketches.countmin_sketch``. A streaming groupBy on the
+    (row_idx, col_idx) bucket key with a running SUM — state is bounded
+    by depth×width counters regardless of stream volume, the property
+    that makes the sketch THE streaming frequency structure. Run with
+    outputMode('update') or 'complete'; no watermark needed (state never
+    grows). After any prefix of the stream, the emitted cells equal the
+    batch sketch of the same rows (batch-parity tested).
+    """
+    from timeseriesfuser_spark.ops.sketches import _row_bucket
+
+    k = F.col(key_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("row_idx"),
+                _row_bucket(k, d, width).alias("col_idx"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("__rc"))
+        .groupBy(
+            F.col("__rc.row_idx").alias("row_idx"),
+            F.col("__rc.col_idx").alias("col_idx"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hll_stream(df: DataFrame, key_col: str, *, p: int = 8) -> DataFrame:
+    """Streaming HyperLogLog registers: the live twin of
+    ``ops.sketches.hll_registers``. A streaming groupBy on the bucket
+    with a running MAX of the rank — state bounded by 2^p registers,
+    mergeable across restarts by construction (max is idempotent).
+    After any prefix of the stream, the registers equal the batch
+    registers of the same rows (batch-parity tested).
+    """
+    from timeseriesfuser_spark.ops.dedup import md5_hash64
+    from timeseriesfuser_spark.ops.sketches import _HASH_BITS
+
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4,16]: {p}")
+    m = 1 << p
+    h = md5_hash64(F.col(key_col).cast("string"), seed=99)
+    w = F.shiftright(h, p)
+    rest_bits = _HASH_BITS - p
+    rho = F.when(
+        w > 0, F.lit(rest_bits) + 1 - F.length(F.bin(w))
+    ).otherwise(F.lit(rest_bits + 1))
+    return (
+        df.select(F.pmod(h, F.lit(m)).alias("bucket"), rho.alias("__rho"))
+        .groupBy("bucket")
+        .agg(F.max("__rho").cast("long").alias("register"))
+    )
