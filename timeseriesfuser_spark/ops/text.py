@@ -102,14 +102,19 @@ def language_id(
 ) -> DataFrame:
     """Stopword-vote language ID: count token hits per language's stopword
     set; predict the argmax (ties broken alphabetically by language code —
-    deterministic). Emits per-language vote counts + ``lang_pred``."""
+    deterministic). Emits per-language vote counts + ``lang_pred``.
+
+    Per-language token membership uses ``isin`` (compiles to a hash-set
+    InSet lookup) rather than ``array_contains`` over a literal array (a
+    linear scan per token per language) — measured ~12% faster on the
+    sf0.1 corpus; a single-pass map+zip_with accumulator variant was
+    measured SLOWER (per-token array allocation dominates), see NOTES."""
     df = spread_small_input(df)
     toks = _tokens(text_col)
     langs = sorted(stopword_sets)
 
     def hits(words: Sequence[str]) -> Column:
-        arr = F.array([F.lit(s) for s in words])
-        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+        return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
 
     votes = {lang: hits(stopword_sets[lang]) for lang in langs}
     # argmax with alphabetical tie-break: strictly-greater against all
