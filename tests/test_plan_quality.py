@@ -232,3 +232,66 @@ def test_day_tz_spine_is_executor_side(spark):
         )
     )
     assert "Generate" in plan and "explode" in plan
+
+
+def test_tpch_q2_decorrelated_min_join(spark):
+    """Q2's correlated scalar MIN subquery must run as a groupBy-min +
+    equi-join over the eligible relation built once — no correlated
+    re-probe (cartesian/nested-loop) and broadcast dims."""
+    plan = formatted_plan(contract.QUERIES["tpch_q2_min_cost_supplier"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan          # supplier/nation/region dims
+    assert plan.count("HashAggregate") >= 2     # per-part min pre-agg pair
+
+
+def test_tpch_q9_broadcasts_dims_one_fact_shuffle(spark):
+    """Q9: part/supplier/nation broadcast; the only shuffle joins are on
+    the fact keys (lineitem⋈orders)."""
+    plan = formatted_plan(contract.QUERIES["tpch_q9_product_profit"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "PushedFilters" in plan              # p_name LIKE pushed to scan
+
+
+def test_tpch_q11_scalar_total_broadcast(spark):
+    """Q11's global-total HAVING threshold must ride a 1-row broadcast,
+    and the per-part value aggregate must have a map-side partial."""
+    plan = formatted_plan(contract.QUERIES["tpch_q11_important_stock"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q12_single_pass_case_sums(spark):
+    """Q12: both priority counters come from ONE aggregate over the
+    joined rows (a single partial+final pair), with the shipdate range
+    pushed to the lineitem scan."""
+    plan = formatted_plan(contract.QUERIES["tpch_q12_late_priority"](spark, SF))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q20_semi_join_no_reprobe(spark):
+    """Q20's nested IN subqueries must decorrelate to one two-key
+    pre-aggregate + semi join — never a per-supplier re-probe."""
+    plan = formatted_plan(
+        contract.QUERIES["tpch_q20_promotion_suppliers"](spark, SF)
+    )
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2     # (suppkey, partkey) pre-agg
+
+
+def test_tpch_q21_one_per_order_aggregate(spark):
+    """Q21's EXISTS + NOT EXISTS pair must collapse into one per-order
+    aggregate (distinct-supplier counts) joined back — no correlated
+    nested-loop re-probes of lineitem."""
+    plan = formatted_plan(
+        contract.QUERIES["tpch_q21_waiting_suppliers"](spark, SF)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 3     # distinct pair + final rollup

@@ -1262,3 +1262,375 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__rev_c4").cast("double") / 10000).alias("total_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 8: the remaining TPC-H decorrelation shapes (Q2/Q9/Q11/Q12/Q20/Q21),
+# adapted to the synthetic columns: no partsupp table, so "supply
+# relationships" are the DISTINCT (l_partkey, l_suppkey) pairs observed in
+# lineitem, supply cost proxies are s_acctbal (Q2) / p_retailprice (Q9),
+# and lateness (Q12/Q21 — no commit/receipt dates) is
+# l_shipdate > o_orderdate + fixed interval.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+           CAST(CAST(round(s.s_acctbal * 100) AS BIGINT) AS DOUBLE) / 100
+             AS s_acctbal
+    FROM part p,
+         (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps,
+         supplier s, nation n, region r
+    WHERE p.p_partkey = ps.l_partkey AND s.s_suppkey = ps.l_suppkey
+      AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'EUROPE'
+      AND p.p_type = 'LARGE' AND p.p_size BETWEEN 10 AND 20
+      AND CAST(round(s.s_acctbal * 100) AS BIGINT) = (
+          SELECT min(CAST(round(s2.s_acctbal * 100) AS BIGINT))
+          FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps2,
+               supplier s2, nation n2, region r2
+          WHERE ps2.l_partkey = p.p_partkey
+            AND s2.s_suppkey = ps2.l_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey
+            AND r2.r_name = 'EUROPE')
+    """,
+)
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part; reference semantics:
+    correlated scalar MIN subquery — the oracle states it in that
+    canonical form). Decorrelated by hand: the eligible
+    (part, supplier) relation is built ONCE, min-cost per part is a
+    groupBy-min over it, and the winner join is an equi-join on
+    (partkey, cost) — ties all returned, like the classic query. The
+    dims (supplier/nation/region) broadcast; the only shuffle on the
+    fact side is the DISTINCT pair projection + the per-part min."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("__bal_cents"),
+    )
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    ).select("p_partkey", "p_name")
+    eligible = (
+        pairs.join(F.broadcast(s), pairs.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "s_name", "n_name", "__bal_cents")
+    )
+    min_bal = eligible.groupBy("l_partkey").agg(
+        F.min("__bal_cents").alias("__min_bal")
+    )
+    return (
+        eligible.join(
+            min_bal,
+            (eligible.l_partkey == min_bal.l_partkey)
+            & (eligible.__bal_cents == min_bal.__min_bal),
+        )
+        .drop(min_bal.l_partkey)
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            (F.col("__bal_cents").cast("double") / 100).alias("s_acctbal"),
+        )
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum({_C4} * 10
+                    - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                      * CAST(round(l.l_quantity) AS BIGINT) * 100
+                ) AS DOUBLE) / 100000 AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+    """,
+)
+def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year). Supply
+    cost proxies as p_retailprice/10 per unit (no partsupp table);
+    profit = disc revenue − unit cost × qty, all in exact integer 1e-5
+    dollars (c4·10 units — scaling instead of dividing keeps every
+    intermediate integer), one double division at the end. part/
+    supplier/nation broadcast; lineitem⋈orders is the one shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("__rp_cents"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    qty = F.round(F.col("l_quantity")).cast("long")
+    profit = c4 * 10 - F.col("__rp_cents") * qty * 100
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(profit).cast("double") / 100000).alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH v AS (
+        SELECT l.l_partkey,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * CAST(round(l.l_quantity) AS BIGINT)) AS val_cents
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY l.l_partkey
+    )
+    SELECT v.l_partkey AS p_partkey,
+           CAST(v.val_cents AS DOUBLE) / 100 AS total_value
+    FROM v, (SELECT sum(val_cents) AS tot FROM v) t
+    WHERE v.val_cents * 1000 > t.tot
+    """,
+)
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock: parts whose held value exceeds a
+    fraction of the national total — HAVING sum(...) > global scalar
+    subquery). Decorrelated: per-part value aggregate computed once, the
+    global total rides a 1-row broadcast cross join, the fraction
+    comparison is cross-multiplied integer (val·1000 > tot) so no float
+    threshold exists. At 100 TB the per-part agg is the only fact
+    shuffle; the scalar is O(1)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    ).select("n_nationkey")
+    val = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round(F.col("l_quantity")).cast("long")
+    )
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("__val_cents"))
+    )
+    tot = v.agg(F.sum("__val_cents").alias("__tot"))
+    return (
+        v.join(F.broadcast(tot))
+        .filter(F.col("__val_cents") * 1000 > F.col("__tot"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("__val_cents").cast("double") / 100).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "tpch_q12_late_priority",
+    oracle="""
+    SELECT l.l_returnflag AS ship_class,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_tpch_q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (priority split of late shipments; l_returnflag
+    stands in for l_shipmode, shipdate>orderdate+60d for the missing
+    commit/receipt dates). The CASE-sum split happens in ONE pass over
+    the joined rows — two conditional aggregates, not two scans; the
+    shipdate range prunes the fact side before the join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@register(
+    "tpch_q20_promotion_suppliers",
+    oracle="""
+    WITH sp AS (
+        SELECT l_suppkey, l_partkey,
+               sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                         AND l_shipdate < TIMESTAMP '1998-01-01'
+                        THEN CAST(round(l_quantity) AS BIGINT)
+                        ELSE 0 END) AS q97,
+               sum(CAST(round(l_quantity) AS BIGINT)) AS qtot
+        FROM lineitem GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND s.s_suppkey IN (
+          SELECT sp.l_suppkey
+          FROM sp JOIN part p ON sp.l_partkey = p.p_partkey
+          WHERE p.p_name LIKE 'small%' AND 2 * sp.q97 > sp.qtot)
+    """,
+)
+def q_tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (promotion-eligible suppliers: nested IN
+    subqueries with a correlated inner aggregate — here, suppliers for
+    whom some 'small%' part shipped MORE than half its lifetime volume
+    during 1997). Decorrelated: the correlated per-(supplier, part)
+    quantity aggregate becomes one two-key groupBy with BOTH the
+    windowed and lifetime sums as conditional aggregates of the same
+    pass; the IN chains become broadcast + LEFT SEMI joins — no row is
+    ever re-probed per supplier."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    qty = F.round(F.col("l_quantity")).cast("long")
+    in97 = (
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.when(in97, qty).otherwise(F.lit(0).cast("long"))).alias("__q97"),
+        F.sum(qty).alias("__qtot"),
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    cand = (
+        sp.join(F.broadcast(p), sp.l_partkey == p.p_partkey)
+        .filter(2 * F.col("__q97") > F.col("__qtot"))
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    ).select("n_nationkey", "n_name")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(cand, s.s_suppkey == cand.l_suppkey, "left_semi")
+        .select("s_name", "n_name")
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s, lineitem l1, orders o, nation n
+    WHERE s.s_suppkey = l1.l_suppkey
+      AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      AND s.s_nationkey = n.n_nationkey
+      AND n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+    GROUP BY s.s_name
+    """,
+)
+def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    canonical correlated EXISTS + NOT-EXISTS pair (oracle states it in
+    that form; lateness adapted to shipdate > orderdate + 30d). Hand
+    decorrelation: both quantified subqueries collapse into ONE
+    per-order aggregate — n_supp (distinct suppliers on the order) and
+    n_late_supp (distinct suppliers with a late item). A late l1 row
+    qualifies iff n_supp > 1 (EXISTS: someone else on the order) and
+    n_late_supp = 1 (NOT EXISTS: nobody ELSE late — l1's supplier is
+    late, so a count of exactly one means it is the only one). One
+    fact-fact shuffle join (lineitem⋈orders) + one per-order agg,
+    instead of two correlated re-probes of lineitem per row."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "__late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+    )
+    per_order = joined.groupBy("o_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
+            "__n_late_supp"
+        ),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    ).select("n_nationkey")
+    late_rows = (
+        joined.filter(F.col("__late"))
+        .join(per_order, "o_orderkey")
+        .filter((F.col("__n_supp") > 1) & (F.col("__n_late_supp") == 1))
+    )
+    return (
+        late_rows.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
