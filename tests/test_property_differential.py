@@ -498,3 +498,92 @@ def test_intra_doc_line_dedup_vs_python(spark, docs):
                 seen.add(line)
                 kept.append(line)
         assert got[i] == ("\n".join(kept), len(ls) - len(kept), len(ls))
+
+
+# --------------------------------------------------------------------------- #
+# Sketch family: CMS one-sided error + shard-merge identity (the mergeability
+# claim is the 100 TB point — test it directly, not via the oracle).
+# --------------------------------------------------------------------------- #
+
+from timeseriesfuser_spark.ops.sketches import (  # noqa: E402
+    countmin_estimate,
+    countmin_merge,
+    countmin_sketch,
+    hll_merge,
+    hll_registers,
+)
+
+# Random key/weight streams: small key domain (forces collisions at the
+# tiny widths below), positive weights.
+cms_stream = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(1, 9)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=cms_stream, width=st.sampled_from([4, 16, 64]), weighted=st.booleans())
+@SETTINGS
+def test_cms_never_undercounts(spark, rows, width, weighted):
+    """CMS guarantee: estimate >= exact count for EVERY key, under random
+    key/weight distributions and widths small enough to force heavy
+    collisions (the regime where an indexing/merge bug would undercount)."""
+    df = spark.createDataFrame(
+        [Row(k=str(k), w=w) for k, w in rows]
+    )
+    kwargs = {"depth": 3, "width": width}
+    sk = countmin_sketch(df, "k", weight_col="w" if weighted else None, **kwargs)
+    keys = df.select("k").distinct()
+    est = {
+        r["key"]: r["cms_n"]
+        for r in countmin_estimate(sk, keys, "k", **kwargs).collect()
+    }
+    exact = {}
+    for k, w in rows:
+        exact[str(k)] = exact.get(str(k), 0) + (w if weighted else 1)
+    assert set(est) == set(exact)
+    for k, true_n in exact.items():
+        assert est[k] >= true_n, f"CMS undercounted {k}: {est[k]} < {true_n}"
+
+
+@given(
+    rows=cms_stream,
+    split_at=st.integers(0, 40),
+    width=st.sampled_from([8, 32]),
+)
+@SETTINGS
+def test_cms_shard_merge_equals_unsharded(spark, rows, split_at, width):
+    """Sketch(shard A) ⊕ Sketch(shard B) must be cell-for-cell identical
+    to Sketch(A ∪ B) for ANY split point — the property that lets shards/
+    days/partitions sketch independently and combine later."""
+    a, b = rows[:split_at], rows[split_at:]
+    mk = lambda part: spark.createDataFrame(
+        [Row(k=str(k), w=w) for k, w in part], schema="k string, w int"
+    )
+    kwargs = {"depth": 3, "width": width}
+    shards = [countmin_sketch(mk(p), "k", weight_col="w", **kwargs)
+              for p in (a, b) if p]
+    merged = countmin_merge(*shards) if shards else None
+    whole = countmin_sketch(mk(rows), "k", weight_col="w", **kwargs)
+    want = {(r["row_idx"], r["col_idx"]): r["cnt"] for r in whole.collect()}
+    got = {(r["row_idx"], r["col_idx"]): r["cnt"] for r in merged.collect()}
+    assert got == want
+
+
+@given(rows=st.lists(st.integers(0, 500), min_size=1, max_size=40),
+       split_at=st.integers(0, 40))
+@SETTINGS
+def test_hll_shard_merge_equals_unsharded(spark, rows, split_at):
+    """max-merge of per-shard HLL registers == registers of the whole
+    stream, for any split — including duplicate keys landing in both
+    shards (max is idempotent)."""
+    a, b = rows[:split_at], rows[split_at:]
+    mk = lambda part: spark.createDataFrame(
+        [Row(k=str(k)) for k in part], schema="k string"
+    )
+    shards = [hll_registers(mk(p), "k", p=4) for p in (a, b) if p]
+    merged = hll_merge(*shards)
+    whole = hll_registers(mk(rows), "k", p=4)
+    want = {r["bucket"]: r["register"] for r in whole.collect()}
+    got = {r["bucket"]: r["register"] for r in merged.collect()}
+    assert got == want

@@ -505,3 +505,100 @@ def test_latest_stream_matches_batch_snapshot(spark, tmp_path):
     # the late arrival for user 1 produced NO regression emission
     u1 = [r for r in emitted if r["user_id"] == 1]
     assert [(r["ts"], r["event_id"]) for r in u1] == [(3000, 3)]
+
+
+def test_countmin_stream_counters_survive_restart(spark, tmp_path):
+    """Kill + resume: the second query run must CONTINUE the checkpointed
+    counters, not restart them — a cell's final value equals the batch
+    sketch over BOTH runs' rows. (A lost state store would report the
+    run-2-only counts.)"""
+    from timeseriesfuser_spark.ops.sketches import countmin_sketch
+    from timeseriesfuser_spark.streaming import countmin_stream
+
+    d = tmp_path / "cms_in"
+    ckpt = str(tmp_path / "ckpt_cms")
+    schema = "k string"
+    cells = {}
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(d))
+        out = countmin_stream(stream, "k", depth=3, width=16)
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                cells[(r["row_idx"], r["col_idx"])] = r["cnt"]
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    rows1 = [("a",), ("b",), ("a",), ("c",)]
+    rows2 = [("a",), ("c",), ("d",), ("a",)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run()  # fresh query object, same checkpoint -> state restored
+
+    batch = countmin_sketch(
+        spark.createDataFrame(rows1 + rows2, schema), "k", depth=3, width=16
+    )
+    want = {(r["row_idx"], r["col_idx"]): r["cnt"] for r in batch.collect()}
+    assert cells == want
+
+
+def test_hll_stream_registers_survive_restart(spark, tmp_path):
+    """Same restart contract for the HLL twin: max-registers continue
+    across a kill + resume and end identical to the batch registers of
+    the full stream."""
+    from timeseriesfuser_spark.ops.sketches import hll_registers
+    from timeseriesfuser_spark.streaming import hll_stream
+
+    d = tmp_path / "hll_in"
+    ckpt = str(tmp_path / "ckpt_hll")
+    schema = "k string"
+    regs = {}
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(d))
+        out = hll_stream(stream, "k", p=4)
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                regs[r["bucket"]] = r["register"]
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    rows1 = [(f"u{i}",) for i in range(30)]
+    rows2 = [(f"u{i}",) for i in range(20, 60)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run()
+
+    batch = hll_registers(
+        spark.createDataFrame(rows1 + rows2, schema), "k", p=4
+    )
+    want = {r["bucket"]: r["register"] for r in batch.collect()}
+    assert regs == want

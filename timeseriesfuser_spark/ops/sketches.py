@@ -25,8 +25,10 @@ from timeseriesfuser_spark.ops.dedup import md5_hash64
 __all__ = [
     "countmin_sketch",
     "countmin_estimate",
+    "countmin_merge",
     "hll_registers",
     "hll_estimate",
+    "hll_merge",
 ]
 
 _HASH_BITS = 60  # md5_hash64 yields a non-negative 60-bit value
@@ -193,4 +195,36 @@ def hll_estimate(registers: DataFrame, *, p: int = 8) -> DataFrame:
         F.col("sum_scaled").cast("decimal(38,0)").alias("sum_scaled"),
         "max_register",
         F.round(est, 4).alias("estimate"),
+    )
+
+
+def countmin_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS sketch relations built with the SAME depth/width/seed:
+    counters add cell-wise. Because each input is (depth×width)-bounded,
+    the merge is a union + one bounded aggregation — the whole point of
+    sketching shards/days independently and combining later. The result
+    is bit-identical to sketching the concatenated input (sum is
+    associative/commutative; absent cells are zero)."""
+    if not sketches:
+        raise ValueError("countmin_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row_idx", "col_idx").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def hll_merge(*register_sets: DataFrame) -> DataFrame:
+    """Merge HLL register relations built with the SAME p/seed: registers
+    combine by max. Union + one 2^p-bounded aggregation; bit-identical
+    to building the registers over the concatenated input (max is
+    associative/commutative/idempotent; absent buckets are rank 0)."""
+    if not register_sets:
+        raise ValueError("hll_merge needs at least one register set")
+    out = register_sets[0]
+    for s in register_sets[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(
+        F.max("register").cast("long").alias("register")
     )
