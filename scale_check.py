@@ -508,6 +508,117 @@ def run_csv600(spark, target_rows: int = 30_000_000) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def run_fuse600(spark, target_rows: int = 30_000_000) -> dict:
+    """The two-source OVERLAPPING variant of ``run_csv600`` — the shape of
+    the reference's multi-source slow scenario
+    (tests/integration/test_core_multi_overlapping.py:69-75) at
+    reference scale: ~2×300 MB gzip CSV, trades covering days 0-20 and
+    a spread source covering days 10-30 (a 10-day overlap), with a
+    colliding ``Syn_id`` column on both so the fuse path exercises
+    union + GLOBAL chronological sort + collision rename ``col||source``
+    end-to-end, then forward fill + 1h resample + csv.gz sink."""
+    import shutil
+    import tempfile
+
+    from timeseriesfuser_spark import (
+        SourceConfig,
+        TimeSeriesFuser,
+        resample_last_interval,
+    )
+    from timeseriesfuser_spark.sinks import write_batched
+
+    root = tempfile.mkdtemp(prefix="tsf_fuse600_")
+    out_dir = f"{root}/out"
+    n_each = target_rows // 2
+    t0_ms = 1_699_000_000_000
+    span_ms = 20 * DAY_MS  # each source spans 20 "days"
+
+    def gen(path, start_ms, cols):
+        base = spark.range(0, n_each, 1, CPUS).select(
+            (
+                F.lit(start_ms) + (F.col("id") * span_ms / F.lit(n_each)).cast("long")
+            ).alias("Timestamp"),
+            *cols,
+        )
+        (
+            base.repartitionByRange(CPUS, "Timestamp")
+            .sortWithinPartitions("Timestamp")
+            .write.option("header", True)
+            .option("compression", "gzip")
+            .csv(path)
+        )
+
+    try:
+        t0 = time.perf_counter()
+        gen(
+            f"{root}/trades",
+            t0_ms,
+            [
+                F.round(30_000 + F.pmod(F.hash("id"), 2_000_000) / 100.0, 2)
+                .alias("Price"),
+                F.round(F.pmod(F.hash(F.col("id") + 1), 10_000) / 1000.0, 3)
+                .alias("Quantity"),
+                F.col("id").alias("Syn_id"),
+            ],
+        )
+        gen(
+            f"{root}/spread",
+            t0_ms + 10 * DAY_MS,  # overlaps the last 10 trade days
+            [
+                F.round(30_000 + F.pmod(F.hash("id"), 2_000_000) / 100.0, 2)
+                .alias("bid"),
+                F.round(30_001 + F.pmod(F.hash("id"), 2_000_000) / 100.0, 2)
+                .alias("ask"),
+                F.col("id").alias("Syn_id"),
+            ],
+        )
+        gen_s = time.perf_counter() - t0
+        import glob as _glob
+        import os as _os
+
+        sz = sum(
+            _os.path.getsize(f)
+            for f in _glob.glob(f"{root}/*/*.csv.gz")
+        )
+
+        trades = SourceConfig(
+            name="trades", path=f"{root}/trades", fmt="csv",
+            schema=[int, float, float, int],
+            file_sort_regex=r"part-(\d+)", file_sort_idx=0,
+        )
+        spread = SourceConfig(
+            name="spread", path=f"{root}/spread", fmt="csv",
+            schema=[int, float, float, int],
+            file_sort_regex=r"part-(\d+)", file_sort_idx=0,
+        )
+        rt = spark._jvm.java.lang.Runtime.getRuntime()
+
+        t1 = time.perf_counter()
+        fuser = TimeSeriesFuser([trades, spread], forward_fill=True)
+        keys = fuser.remap_keys(spark, ["Price", "bid", "ask"])
+        bars = resample_last_interval(
+            fuser.fused(spark), "1h", ffill_keys=keys
+        )
+        res = write_batched(
+            bars, out_dir, fmt="csv", compress=True, count_rows=True
+        )
+        pipe_s = time.perf_counter() - t1
+        heap_mb = (rt.totalMemory() - rt.freeMemory()) / 1e6
+        out = {
+            "rows": target_rows,
+            "gzip_mb": round(sz / 1e6, 1),
+            "generate_s": round(gen_s, 1),
+            "pipeline_s": round(pipe_s, 1),
+            "out_rows": res.rows,
+            "mrows_s": round(target_rows / pipe_s / 1e6, 2),
+            "jvm_heap_used_mb": round(heap_mb),
+        }
+        print(f"# fuse600: {out}", file=sys.stderr)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main():
     args = sys.argv[1:]
     docs_one = args and args[0] == "--docs-one"
@@ -540,6 +651,11 @@ def main():
     if args and args[0] == "--csv600":
         n = int(float(args[1]) * 1e6) if len(args) > 1 else 30_000_000
         print(json.dumps(run_csv600(spark, n)))
+        spark.stop()
+        return
+    if args and args[0] == "--fuse600":
+        n = int(float(args[1]) * 1e6) if len(args) > 1 else 30_000_000
+        print(json.dumps(run_fuse600(spark, n)))
         spark.stop()
         return
     only = None

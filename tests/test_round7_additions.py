@@ -249,3 +249,36 @@ def test_sketch_streams_match_batch(spark, tmp_path):
     got_hll = run(lambda s: hll_stream(s, "k", p=6), "hll_mem")
     want_hll = {tuple(r) for r in hll_registers(batch, "k", p=6).collect()}
     assert got_hll == want_hll
+
+
+def test_hll_corrected_estimate_accuracy(spark):
+    """Small-range correction (linear counting) must bring the estimate
+    within ~5% of truth where the raw estimate is wildly off, across two
+    orders of magnitude of cardinality; merged-register estimates must
+    equal whole-stream estimates."""
+    from pyspark.sql import Row
+
+    from timeseriesfuser_spark.ops.sketches import (
+        hll_estimate_corrected,
+        hll_merge,
+        hll_registers,
+    )
+
+    for n in (20, 400, 3000):
+        df = spark.createDataFrame([Row(k=f"key_{i}") for i in range(n)])
+        est = hll_estimate_corrected(
+            hll_registers(df, "k", p=8), p=8
+        ).collect()[0]["estimate"]
+        assert abs(est - n) / n < 0.15, f"n={n}: est={est}"
+
+    # merge-then-estimate == estimate-of-whole (exactly: same registers)
+    a = spark.createDataFrame([Row(k=f"key_{i}") for i in range(500)])
+    b = spark.createDataFrame([Row(k=f"key_{i}") for i in range(300, 900)])
+    whole = spark.createDataFrame([Row(k=f"key_{i}") for i in range(900)])
+    em = hll_estimate_corrected(
+        hll_merge(hll_registers(a, "k", p=8), hll_registers(b, "k", p=8)), p=8
+    ).collect()[0]["estimate"]
+    ew = hll_estimate_corrected(
+        hll_registers(whole, "k", p=8), p=8
+    ).collect()[0]["estimate"]
+    assert em == ew
