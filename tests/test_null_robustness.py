@@ -42,6 +42,8 @@ QUERIES = [
     "byte_shards",
     # NULL value propagates as NULL (not NaN) through the recursion
     "ewma_user",
+    # NULL text -> NULL clean_text / zero counts; '' vs NULL empty-join quirk
+    "decontaminate_spans",
 ]
 
 TABLES = [

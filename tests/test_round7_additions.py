@@ -282,3 +282,41 @@ def test_hll_corrected_estimate_accuracy(spark):
         hll_registers(whole, "k", p=8), p=8
     ).collect()[0]["estimate"]
     assert em == ew
+
+
+def test_decontaminate_spans_semantics(spark):
+    """Hand-planted contamination: the overlapping-span union removes
+    exactly the covered tokens; clean docs and NULL text pass through."""
+    from pyspark.sql import Row
+
+    from timeseriesfuser_spark.ops.text import decontaminate_spans
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="hello world this is clean text entirely"),
+        Row(doc_id=3, text="quick brown fox"),     # fully contaminated
+        Row(doc_id=4, text=None),
+    ])
+    bench = spark.createDataFrame([Row(text="quick brown fox")])
+    got = {r["doc_id"]: r for r in decontaminate_spans(docs, bench, n=3).collect()}
+    assert got[1]["clean_text"] == "the jumps over the lazy dog"
+    assert (got[1]["n_tokens"], got[1]["n_removed"]) == (9, 3)
+    assert got[2]["clean_text"] == "hello world this is clean text entirely"
+    assert got[2]["n_removed"] == 0
+    assert got[3]["clean_text"] == ""              # everything removed
+    assert got[3]["n_removed"] == 3
+    assert got[4]["clean_text"] is None
+    assert (got[4]["n_tokens"], got[4]["n_removed"]) == (0, 0)
+
+
+def test_decontaminate_overlapping_spans_union(spark):
+    """Two overlapping contaminated 3-grams cover 4 tokens, not 6."""
+    from pyspark.sql import Row
+
+    from timeseriesfuser_spark.ops.text import decontaminate_spans
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c d e f")])
+    bench = spark.createDataFrame([Row(text="b c d"), Row(text="c d e")])
+    r = decontaminate_spans(docs, bench, n=3).collect()[0]
+    assert r["clean_text"] == "a f"
+    assert r["n_removed"] == 4

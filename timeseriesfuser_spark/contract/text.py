@@ -652,3 +652,48 @@ def q_intra_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dedup_lines_within_doc(built)
+
+
+@register(
+    "decontaminate_spans",
+    oracle=f"""
+    WITH bg AS (
+        SELECT DISTINCT unnest({_SHINGLES}) AS g
+        FROM (SELECT {_TOKS} AS tk FROM documents WHERE doc_id < 10)
+    ),
+    d AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),
+    dg AS (
+        SELECT doc_id,
+               unnest([{{'i': i, 'g': array_to_string(tk[i:i+2], ' ')}}
+                       FOR i IN range(1, len(tk) - 1)]) AS s
+        FROM d
+    ),
+    pos AS (
+        SELECT dg.doc_id, s['i'] AS i
+        FROM dg JOIN bg ON s['g'] = bg.g
+    ),
+    cov AS (
+        SELECT doc_id,
+               list_distinct(flatten(list(range(i, i + 3)))) AS cv
+        FROM pos GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                -- DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
+                ELSE COALESCE(array_to_string(
+                    list_filter(d.tk, (t, j) -> NOT list_contains(
+                        COALESCE(cov.cv, CAST([] AS BIGINT[])), j)), ' '), '')
+           END AS clean_text,
+           CAST(COALESCE(len(d.tk), 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(cov.cv), 0) AS BIGINT) AS n_removed
+    FROM d LEFT JOIN cov ON d.doc_id = cov.doc_id
+    """,
+)
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination against the doc_id<10 'benchmark'
+    slice (same benchmark as `contamination_check`): contaminated
+    3-gram spans are REMOVED (overlap-unioned), the rest of each
+    document survives as token-normalized clean_text."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 10)
+    return X.decontaminate_spans(docs, bench, n=3)

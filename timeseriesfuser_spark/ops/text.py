@@ -768,3 +768,83 @@ def dedup_lines_within_doc(
         (F.size(lines) - F.size(kept)).cast("long").alias("n_removed"),
         F.size(lines).cast("long").alias("n_lines"),
     ).withColumnRenamed("__dedup_text", "text")
+
+
+def decontaminate_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+    bench_text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Span-level decontamination: REMOVE every word ``n``-gram span that
+    appears in ``benchmark``, keep the rest of the document — the
+    surgical variant of :func:`contamination_check`'s doc-level verdict
+    (drop the sentence that quotes the eval set, not the whole page).
+
+    A token is removed iff it lies inside at least one contaminated
+    n-gram occurrence (overlapping spans union). Output columns:
+    ``clean_text`` (kept tokens space-joined — token-normalized text,
+    matching how n-gram decontamination pipelines operate; NULL text →
+    NULL), ``n_tokens``, ``n_removed`` (0 for NULL text).
+
+    Scale: benchmark n-gram set broadcast (eval-set-sized); the corpus
+    explodes once to (position, gram) rows for the membership join, hit
+    positions fold back via one per-doc collect_set (bounded by hits,
+    not doc length) and the removal itself is a zero-shuffle
+    higher-order filter over the token array.
+    """
+    from timeseriesfuser_spark.ops.dedup import shingle_array
+
+    key = list(id_cols)
+    base = spread_small_input(df).select(
+        *key, F.col(text_col).alias("__text")
+    )
+    toks = tokens_col(F.col("__text"))
+    tok_rel = base.select(*key, toks.alias("__tk"))
+    starts = F.when(
+        F.size("__tk") >= n,
+        F.sequence(F.lit(1), F.size("__tk") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = tok_rel.select(
+        *key, F.col("__tk"), F.explode(starts).alias("__i")
+    ).select(
+        *key,
+        "__i",
+        F.concat_ws(" ", F.slice("__tk", F.col("__i"), n)).alias("__g"),
+    )
+    bg = benchmark.select(
+        F.explode(shingle_array(bench_text_col, n)).alias("__g")
+    ).distinct()
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+    hits = grams.join(bg, "__g").groupBy(*key).agg(
+        F.collect_set("__i").alias("__hits")
+    )
+    # union of covered token positions (1-based); n-gram at i covers
+    # i..i+n-1 and never exceeds the token count (i <= len-n+1)
+    cov = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("__hits"), F.array().cast("array<int>")),
+                lambda h: F.sequence(h, h + (n - 1)),
+            )
+        )
+    )
+    out = base.join(hits, key, "left").select(
+        *key, F.col("__text"), cov.alias("__cov")
+    )
+    toks2 = tokens_col(F.col("__text"))
+    kept = F.filter(
+        toks2, lambda t, j: ~F.array_contains(F.col("__cov"), j + F.lit(1))
+    )
+    return out.select(
+        *key,
+        F.when(
+            F.col("__text").isNotNull(), F.concat_ws(" ", kept)
+        ).alias("clean_text"),
+        F.coalesce(F.size(toks2), F.lit(0)).cast("long").alias("n_tokens"),
+        F.size("__cov").cast("long").alias("n_removed"),
+    )
