@@ -1,0 +1,66 @@
+"""Round-8 additions: histogram sketch family (merge identity, quantile
+accuracy vs exact percentiles), TPC-H decorrelation-shape regressions."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from timeseriesfuser_spark.ops.sketches import (
+    histogram_merge,
+    histogram_quantiles,
+    histogram_sketch,
+)
+
+
+def test_histogram_bins_and_overflow(spark):
+    df = spark.createDataFrame(
+        [Row(v=x) for x in [-5.0, 0.0, 1.0, 9.999, 10.0, 25.0, None]]
+    )
+    sk = {r["bin"]: r["cnt"] for r in
+          histogram_sketch(df, "v", lo=0.0, hi=10.0, bins=10).collect()}
+    # -5 underflow; 0.0->bin0; 1.0->bin1; 9.999->bin9; 10.0,25.0 overflow
+    assert sk == {-1: 1, 0: 1, 1: 1, 9: 1, 10: 2}
+
+
+def test_histogram_merge_equals_unsharded(spark):
+    vals = [float(x % 97) for x in range(2000)]
+    df = spark.createDataFrame([Row(v=x) for x in vals])
+    a = df.filter(F.col("v") < 50)
+    b = df.filter(F.col("v") >= 50)
+    kw = {"lo": 0.0, "hi": 100.0, "bins": 32}
+    whole = {r["bin"]: r["cnt"] for r in histogram_sketch(df, "v", **kw).collect()}
+    merged = {r["bin"]: r["cnt"] for r in histogram_merge(
+        histogram_sketch(a, "v", **kw), histogram_sketch(b, "v", **kw)
+    ).collect()}
+    assert merged == whole
+
+
+def test_histogram_quantiles_vs_exact(spark):
+    """Estimates must land within one bin width of the exact percentile."""
+    vals = sorted(float((x * 7919) % 1000) for x in range(5000))
+    df = spark.createDataFrame([Row(v=x) for x in vals])
+    kw = {"lo": 0.0, "hi": 1000.0, "bins": 100}
+    sk = histogram_sketch(df, "v", **kw)
+    got = {r["q"]: r["estimate"] for r in
+           histogram_quantiles(sk, [0.5, 0.9, 0.99], **kw).collect()}
+    binw = 10.0
+    for q in (0.5, 0.9, 0.99):
+        exact = vals[min(int(q * len(vals)), len(vals) - 1)]
+        assert abs(got[q] - exact) <= binw, (q, got[q], exact)
+
+
+def test_histogram_quantiles_merged_equals_whole(spark):
+    """Quantiles from merged shard sketches == quantiles from the whole
+    sketch (exactly — same bins, same counters)."""
+    vals = [float((x * 31) % 500) for x in range(3000)]
+    df = spark.createDataFrame([Row(v=x) for x in vals])
+    kw = {"lo": 0.0, "hi": 500.0, "bins": 64}
+    shards = [
+        histogram_sketch(df.filter(F.col("v") % 3 == i), "v", **kw)
+        for i in range(3)
+    ]
+    em = {r["q"]: r["estimate"] for r in
+          histogram_quantiles(histogram_merge(*shards), [0.5, 0.95], **kw).collect()}
+    ew = {r["q"]: r["estimate"] for r in
+          histogram_quantiles(histogram_sketch(df, "v", **kw), [0.5, 0.95], **kw).collect()}
+    assert em == ew

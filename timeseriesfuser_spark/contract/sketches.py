@@ -148,3 +148,56 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 q_hll_distinct_users.__doc__ = q_hll_distinct_users.__doc__.replace(
     "{p}", str(_HLL_P))
+
+
+@register(
+    "histogram_quantiles",
+    oracle="""
+    WITH h AS (
+        SELECT CASE WHEN v < 0.0 THEN CAST(-1 AS BIGINT)
+                    WHEN v >= 400.0 THEN CAST(256 AS BIGINT)
+                    ELSE least(CAST(floor((v - 0.0) * 256 / 400.0) AS BIGINT),
+                               CAST(255 AS BIGINT)) END AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT CAST(value AS DOUBLE) AS v FROM events
+              WHERE value IS NOT NULL)
+        GROUP BY 1
+    ),
+    c AS (
+        SELECT bin, cnt,
+               sum(cnt) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               COALESCE(sum(cnt) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   CAST(0 AS BIGINT)) AS cum_before
+        FROM h
+    ),
+    t AS (SELECT max(cum) AS total FROM c),
+    qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+    SELECT qs.q AS q, c.bin AS bin,
+           least(greatest(
+               0.0 + (CAST(least(greatest(c.bin, CAST(0 AS BIGINT)),
+                                 CAST(255 AS BIGINT)) AS DOUBLE)
+                      + (qs.q * CAST(t.total AS DOUBLE)
+                         - CAST(c.cum_before AS DOUBLE))
+                        / CAST(c.cnt AS DOUBLE)) * 1.5625,
+               0.0), 400.0) AS estimate
+    FROM c, t, qs
+    WHERE CAST(c.cum AS DOUBLE) >= qs.q * CAST(t.total AS DOUBLE)
+      AND CAST(c.cum_before AS DOUBLE) < qs.q * CAST(t.total AS DOUBLE)
+    """,
+)
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of events.value from a 256-bin histogram sketch over
+    [0, 400): the mergeable, fixed-size alternative to approx_percentile
+    (whose t-digest is not engine-portable). Every arithmetic step is an
+    integer cumsum or a fixed-order IEEE chain — the estimate is
+    bit-identical to the SQL twin."""
+    from timeseriesfuser_spark.ops.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    ev = _events(spark, sf_dir)
+    sk = histogram_sketch(ev, "value", lo=0.0, hi=400.0, bins=256)
+    return histogram_quantiles(sk, [0.5, 0.9, 0.99], lo=0.0, hi=400.0, bins=256)

@@ -254,3 +254,119 @@ def hll_estimate_corrected(registers: DataFrame, *, p: int = 8) -> DataFrame:
             "estimate"
         ),
     )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Fixed-bin equal-width histogram sketch of ``value_col`` → one row
+    per non-empty bin: (bin, cnt). Bin −1 holds underflow (< lo), bin
+    ``bins`` holds overflow (≥ hi); NULLs are skipped.
+
+    The third mergeable sketch next to CMS/HLL: a (bins+2)-bounded
+    relation built by ONE map-side-combinable aggregation — the
+    distributed quantile idiom when approx_percentile's t-digest (not
+    engine-portable) can't be oracle-checked. Bin math is one IEEE
+    multiply + divide + floor, bit-identical across engines.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1: {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo: [{lo}, {hi})")
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) * bins / F.lit(float(hi) - float(lo)))
+    bucket = (
+        F.when(v < lo, F.lit(-1).cast("long"))
+        .when(v >= hi, F.lit(bins).cast("long"))
+        # fp edge: v just under hi can floor to exactly `bins`; clamp
+        .otherwise(F.least(raw, F.lit(bins - 1).cast("long")))
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(bucket.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def histogram_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge histogram sketches built with the SAME lo/hi/bins: counts
+    add bin-wise (union + one bounded aggregation), bit-identical to
+    sketching the concatenated input."""
+    if not sketches:
+        raise ValueError("histogram_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    qs: "list[float]",
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each q ∈ (0, 1],
+    locate the bin where the cumulative count crosses q·total and
+    linearly interpolate inside it → (q, bin, estimate). Underflow/
+    overflow bins clamp to the [lo, hi] edges.
+
+    Every step is integer cumsum + one IEEE multiply/divide chain in a
+    fixed association order, so a SQL oracle reproduces the estimate
+    bit-for-bit. The cumsum window runs on the (bins+2)-bounded sketch
+    relation — the SinglePartition there is over ≤ bins+2 rows by
+    construction, never data-sized (same exemption as the top-k limit
+    relations).
+    """
+    from pyspark.sql.window import Window
+
+    step = (float(hi) - float(lo)) / bins
+    wspec = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = sketch.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wspec).alias("__cum"),
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ).alias("__cum_before"),
+    ).withColumn("__cum_before", F.coalesce("__cum_before", F.lit(0).cast("long")))
+    total = cum.agg(F.max("__cum").alias("__total"))
+    qrel = cum.crossJoin(F.broadcast(total)).crossJoin(
+        F.broadcast(
+            sketch.sparkSession.createDataFrame(
+                [(float(q),) for q in qs], "q double"
+            )
+        )
+    )
+    target = F.col("q") * F.col("__total").cast("double")
+    hit = qrel.filter(
+        (F.col("__cum").cast("double") >= target)
+        & (F.col("__cum_before").cast("double") < target)
+    )
+    ebin = F.least(
+        F.greatest(F.col("bin"), F.lit(0).cast("long")),
+        F.lit(bins - 1).cast("long"),
+    )
+    frac = (target - F.col("__cum_before").cast("double")) / F.col(
+        "cnt"
+    ).cast("double")
+    est = F.lit(float(lo)) + (ebin.cast("double") + frac) * F.lit(step)
+    return hit.select(
+        "q",
+        F.col("bin"),
+        F.least(
+            F.greatest(est, F.lit(float(lo))), F.lit(float(hi))
+        ).alias("estimate"),
+    )
