@@ -64,3 +64,44 @@ def test_histogram_quantiles_merged_equals_whole(spark):
     ew = {r["q"]: r["estimate"] for r in
           histogram_quantiles(histogram_sketch(df, "v", **kw), [0.5, 0.95], **kw).collect()}
     assert em == ew
+
+
+def test_histogram_stream_counters_survive_restart(spark, tmp_path):
+    """Streaming histogram: kill + resume continues the bin counters;
+    final state equals the batch sketch over both runs' rows."""
+    from timeseriesfuser_spark.streaming import histogram_stream
+
+    d = tmp_path / "hist_in"
+    ckpt = str(tmp_path / "ckpt_hist")
+    schema = "v double"
+    cells = {}
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(d))
+        out = histogram_stream(stream, "v", lo=0.0, hi=100.0, bins=10)
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                cells[r["bin"]] = r["cnt"]
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    rows1 = [(float(x),) for x in [5, 15, 15, 95, -3, 150]]
+    rows2 = [(float(x),) for x in [5, 25, 99.9, 150, None][:4]]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(str(d))
+    run()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(str(d))
+    run()
+
+    whole = spark.createDataFrame(rows1 + rows2, schema)
+    want = {r["bin"]: r["cnt"] for r in
+            histogram_sketch(whole, "v", lo=0.0, hi=100.0, bins=10).collect()}
+    assert cells == want

@@ -712,3 +712,38 @@ def hll_stream(df: DataFrame, key_col: str, *, p: int = 8) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("__rho").cast("long").alias("register"))
     )
+
+
+def histogram_stream(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Streaming histogram sketch: the live twin of
+    ``ops.sketches.histogram_sketch``. A streaming groupBy on the bin
+    with a running COUNT — state bounded by bins+2 rows regardless of
+    stream volume; run with outputMode('update') or 'complete'. After
+    any prefix of the stream the emitted cells equal the batch sketch
+    of the same rows, and the state store continues across restarts
+    (same contract as ``countmin_stream``/``hll_stream``).
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1: {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo: [{lo}, {hi})")
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) * bins / F.lit(float(hi) - float(lo)))
+    bucket = (
+        F.when(v < lo, F.lit(-1).cast("long"))
+        .when(v >= hi, F.lit(bins).cast("long"))
+        .otherwise(F.least(raw, F.lit(bins - 1).cast("long")))
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(bucket.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
