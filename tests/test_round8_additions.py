@@ -105,3 +105,47 @@ def test_histogram_stream_counters_survive_restart(spark, tmp_path):
     want = {r["bin"]: r["cnt"] for r in
             histogram_sketch(whole, "v", lo=0.0, hi=100.0, bins=10).collect()}
     assert cells == want
+
+
+def test_bloom_prefilter_never_drops_true_match(spark):
+    """One-sided guarantee under deliberate saturation (m=64 forces heavy
+    false positives): every fact row whose key IS in the key set must
+    pass; false positives are >= 0 extras, never replacements."""
+    from timeseriesfuser_spark.ops.sketches import bloom_bits, bloom_prefilter
+
+    keys = spark.createDataFrame([(i,) for i in range(0, 200, 3)], "k long")
+    fact = spark.createDataFrame([(i,) for i in range(400)], "f long")
+    bits = bloom_bits(keys, "k", m_bits=64, k=3)
+    assert bits.count() <= 64
+    passed = {r["f"] for r in
+              bloom_prefilter(fact, bits, "f", m_bits=64, k=3).collect()}
+    true_set = {i for i in range(400) if i < 200 and i % 3 == 0}
+    assert true_set <= passed                       # nothing true dropped
+    assert passed <= set(range(400))
+
+
+def test_bloom_prefilter_null_keys_never_pass(spark):
+    from pyspark.sql import Row
+
+    from timeseriesfuser_spark.ops.sketches import bloom_bits, bloom_prefilter
+
+    keys = spark.createDataFrame([(1,), (2,)], "k long")
+    fact = spark.createDataFrame([Row(f=1), Row(f=None), Row(f=99)])
+    bits = bloom_bits(keys, "k", m_bits=1024, k=3)
+    got = {r["f"] for r in
+           bloom_prefilter(fact, bits, "f", m_bits=1024, k=3).collect()}
+    assert None not in got and 1 in got
+
+
+def test_bloom_prefilter_plan_broadcast_semi(spark):
+    """The pre-filter must plan as broadcast left-semi joins — no shuffle
+    of the fact side before the exact join."""
+    from tests.test_plan_quality import formatted_plan
+    from timeseriesfuser_spark import contract
+
+    plan = formatted_plan(
+        contract.QUERIES["bloom_join_prefilter"](spark, "/root/testdata/sf0.001")
+    )
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan

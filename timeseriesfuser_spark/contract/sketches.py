@@ -201,3 +201,84 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     sk = histogram_sketch(ev, "value", lo=0.0, hi=400.0, bins=256)
     return histogram_quantiles(sk, [0.5, 0.9, 0.99], lo=0.0, hi=400.0, bins=256)
+
+
+_BLOOM_M = 65536
+_BLOOM_K = 3
+
+
+@register(
+    "bloom_join_prefilter",
+    oracle=f"""
+    WITH keys AS (
+        SELECT DISTINCT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ),
+    bits AS (
+        SELECT DISTINCT
+            CAST(concat('0x', substr(md5(concat(CAST(700 + s.i AS VARCHAR),
+                 chr(31), CAST(k.o_orderkey AS VARCHAR))), 1, 15))
+                 AS BIGINT) % {_BLOOM_M} AS bit
+        FROM keys k CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS i) s
+    ),
+    pk AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    -- membership depends only on the key: decide once per DISTINCT key,
+    -- then count the fact rows carrying a passing key ((orderkey,
+    -- linenumber) is NOT unique in the synthetic lineitem, so grouping
+    -- fact rows by that pair would merge rows and undercount)
+    passk AS (
+        SELECT pk.l_orderkey
+        FROM pk
+        CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS i) s
+        JOIN bits b
+          ON CAST(concat('0x', substr(md5(concat(CAST(700 + s.i AS VARCHAR),
+               chr(31), CAST(pk.l_orderkey AS VARCHAR))), 1, 15))
+               AS BIGINT) % {_BLOOM_M} = b.bit
+        GROUP BY pk.l_orderkey
+        HAVING count(*) = {_BLOOM_K}
+    ),
+    hits AS (
+        SELECT l.l_orderkey FROM lineitem l
+        JOIN passk ON l.l_orderkey = passk.l_orderkey
+    )
+    SELECT CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_pass,
+           CAST((SELECT count(*) FROM lineitem l
+                 JOIN keys k ON l.l_orderkey = k.o_orderkey) AS BIGINT)
+               AS n_true,
+           CAST((SELECT count(*) FROM hits) AS BIGINT)
+             - CAST((SELECT count(*) FROM lineitem l
+                     JOIN keys k ON l.l_orderkey = k.o_orderkey) AS BIGINT)
+               AS false_pos
+    """,
+)
+def q_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filter audit (ops.sketches.bloom_bits/bloom_prefilter):
+    build a {m}-bit / {k}-hash filter over the urgent-order keys,
+    pre-filter lineitem through it, and emit pass/true/false-positive
+    counts — the one-sided guarantee (false_pos >= 0, never a dropped
+    true match) is part of the checked output. The bit relation is
+    bounded and broadcast; the probe side is k broadcast semi joins."""
+    from timeseriesfuser_spark.ops.sketches import bloom_bits, bloom_prefilter
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey").distinct()
+    li = _t(spark, sf_dir, "lineitem")
+    bits = bloom_bits(o, "o_orderkey", m_bits=_BLOOM_M, k=_BLOOM_K)
+    passed = bloom_prefilter(
+        li, bits, "l_orderkey", m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    n_pass = passed.agg(F.count(F.lit(1)).cast("long").alias("n_pass"))
+    n_true = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    )
+    return n_pass.crossJoin(F.broadcast(n_true)).select(
+        "n_pass",
+        "n_true",
+        (F.col("n_pass") - F.col("n_true")).cast("long").alias("false_pos"),
+    )
+
+
+q_bloom_join_prefilter.__doc__ = q_bloom_join_prefilter.__doc__.replace(
+    "{m}", str(_BLOOM_M)).replace("{k}", str(_BLOOM_K))

@@ -370,3 +370,57 @@ def histogram_quantiles(
             F.greatest(est, F.lit(float(lo))), F.lit(float(hi))
         ).alias("estimate"),
     )
+
+
+def bloom_bits(
+    keys: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    seed: int = 700,
+) -> DataFrame:
+    """Set-bit relation of a Bloom filter over ``keys[key_col]``: the
+    DISTINCT positions of all ``k`` seeded md5 hashes — bounded by
+    min(k·n, m_bits) rows, mergeable across shards by union+distinct
+    (bit-OR), broadcastable to the probe side."""
+    if m_bits < 2 or k < 1:
+        raise ValueError(f"need m_bits >= 2, k >= 1: {m_bits}, {k}")
+    kc = F.col(key_col).cast("string")
+    pos = F.array(
+        *[
+            F.pmod(md5_hash64(kc, seed=seed + i), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+    return keys.select(F.explode(pos).alias("bit")).distinct()
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    bits: DataFrame,
+    fact_col: str,
+    *,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    seed: int = 700,
+) -> DataFrame:
+    """Keep the rows of ``fact`` whose ``fact_col`` MIGHT be in the key
+    set behind ``bits`` — one-sided: a true member always passes; false
+    positives pass at ~(1−e^(−kn/m))^k and are eliminated by the exact
+    join that follows. NULL keys never pass (SQL IN semantics).
+
+    THE shuffle-reduction idiom for selective big-table joins at 100 TB:
+    ``k`` BROADCAST left-semi joins against the bounded bit relation
+    drop non-matching fact rows at the scan side, so the exact join's
+    shuffle moves only survivors. Same plan Spark's runtime row-level
+    filtering builds internally — here explicit, composable, and
+    oracle-checkable.
+    """
+    out = fact
+    fc = F.col(fact_col).cast("string")
+    for i in range(k):
+        p = F.pmod(md5_hash64(fc, seed=seed + i), F.lit(m_bits))
+        b = bits.select(F.col("bit").alias(f"__bloom_b{i}"))
+        out = out.join(F.broadcast(b), p == F.col(f"__bloom_b{i}"), "left_semi")
+    return out
