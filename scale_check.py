@@ -323,7 +323,17 @@ def _docs_ops(spark, n: int) -> dict:
         "distinctive_terms": lambda: _distinctive(docs),
         "leakage_split": lambda: _leakage(spark, docs, n),
         "ngram_jaccard": lambda: _ngram_jaccard(docs),
+        # round-8: span removal against a 1k-doc benchmark slice — the
+        # corpus-side explode is one row per gram (~doc_len), joined
+        # against the broadcast benchmark gram set
+        "decontaminate": lambda: _decontaminate(docs),
     }
+
+
+def _decontaminate(docs):
+    from timeseriesfuser_spark.ops.text import decontaminate_spans
+
+    return decontaminate_spans(docs, docs.filter("doc_id < 1000"), n=3)
 
 
 def _ngram_jaccard(docs):
