@@ -83,6 +83,30 @@ def main() -> None:
     S.cosine_topk(emb, queries, k=3).show(9)
     S.rp_project(emb, out_dim=8).show(3, truncate=60)
 
+    # 9. Span-level decontamination: remove the benchmark-overlapping
+    #    n-gram spans instead of dropping whole documents.
+    cleaned = X.decontaminate_spans(docs, bench)
+    print(f"decontamination: {cleaned.filter('n_removed > 0').count()} docs "
+          "had contaminated spans removed")
+
+    # 10. Monitoring sketches — the fixed-size state a 100 TB pipeline
+    #     keeps instead of exact per-key aggregates: doc-length quantiles
+    #     from a mergeable histogram, plus a Bloom pre-filter that lets a
+    #     selective join skip most of the corpus before shuffling.
+    from timeseriesfuser_spark.ops.sketches import (
+        bloom_bits,
+        bloom_prefilter,
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    hist = histogram_sketch(docs, "n_chars", lo=0.0, hi=2000.0, bins=128)
+    histogram_quantiles(hist, [0.5, 0.9, 0.99], lo=0.0, hi=2000.0, bins=128).show()
+    bits = bloom_bits(survivors.select("doc_id"), "doc_id", m_bits=65536, k=3)
+    prefiltered = bloom_prefilter(docs, bits, "doc_id", m_bits=65536, k=3)
+    print(f"bloom pre-filter: {prefiltered.count()} candidate rows reach the "
+          f"exact survivor join (of {docs.count()})")
+
     spark.stop()
 
 
