@@ -227,6 +227,26 @@ def run(spark, n: int, only=None) -> dict:
     t("cms_sketch", countmin_sketch(ev.select("user_id"), "user_id",
                                     depth=4, width=1024))
     t("hll_registers", hll_registers(ev.select("user_id"), "user_id", p=12))
+    from timeseriesfuser_spark.ops.sketches import (
+        bloom_bits,
+        bloom_prefilter,
+        histogram_sketch,
+    )
+
+    t("histogram_sketch", histogram_sketch(ev.select("value"), "value",
+                                           lo=0.0, hi=1000.0, bins=512))
+    # bloom: filter the event stream against 1/16th of the user domain
+    t(
+        "bloom_prefilter",
+        lambda: bloom_prefilter(
+            ev.select("user_id", "value"),
+            bloom_bits(
+                ev.select("user_id").filter("user_id % 16 = 0").distinct(),
+                "user_id", m_bits=1 << 20, k=3,
+            ),
+            "user_id", m_bits=1 << 20, k=3,
+        ),
+    )
     from timeseriesfuser_spark.ops.timeseries import drawdown as _ddop
     t("drawdown", _ddop(ev.select("user_id", "__timestamp", "event_id",
                                   "value"), ts_col="__timestamp"))
