@@ -149,3 +149,39 @@ def test_bloom_prefilter_plan_broadcast_semi(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_jsonl_sink_roundtrip(spark, tmp_path):
+    """write_batched(fmt='json') emits JSONL shards (+gzip) that read
+    back bit-equal through SourceConfig(fmt='json') with a declared
+    schema — the interchange loop an LLM training pipeline runs."""
+    from timeseriesfuser_spark.config import SourceConfig
+    from timeseriesfuser_spark.sinks import write_batched
+    from timeseriesfuser_spark.sources.readers import build_source_df
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", float(i) / 4) for i in range(100)],
+        "doc_id long, text string, score double",
+    )
+    out = str(tmp_path / "jsonl_out")
+    res = write_batched(
+        df, out, fmt="json", rows_per_file=30, compress=True, count_rows=True
+    )
+    assert res.rows == 100
+    import glob
+    shards = glob.glob(f"{out}/batches/*.json.gz")
+    assert len(shards) >= 4          # 100 rows / 30 per file
+
+    src = SourceConfig(
+        name="jsonl_back",
+        path=f"{out}/batches",
+        fmt="json",
+        schema={"doc_id": int, "text": str, "score": float},
+        ts_col="doc_id",
+    )
+    back = build_source_df(spark, src, 0)
+    rows = back.collect()
+    assert len(rows) == 100
+    by_id = {r["__timestamp"]: r for r in rows}   # ts_col=doc_id -> epoch col
+    assert by_id[42]["text"] == "doc 42"
+    assert by_id[42]["score"] == 10.5

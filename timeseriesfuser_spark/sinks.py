@@ -44,6 +44,11 @@ def _writer(df: DataFrame, fmt: str, compress: bool):
         w = w.option("header", "true")
         if compress:
             w = w.option("compression", "gzip")
+    elif fmt == "json":
+        # JSONL (one object per line) — the interchange format LLM
+        # training pipelines consume; .gz per-file compression.
+        if compress:
+            w = w.option("compression", "gzip")
     elif fmt == "parquet":
         # snappy default matches the reference's parquet output
         # (classes.py:529-534).
@@ -87,7 +92,7 @@ def write_batched(
         result.fulldata_path = fd_dir
     if count_rows:
         result.rows = df.count()
-    ext = {"parquet": ".parquet", "csv": ".csv"}[fmt]
+    ext = {"parquet": ".parquet", "csv": ".csv", "json": ".json"}[fmt]
     # Local convenience listing only: on s3a://hdfs:// the write above
     # already succeeded — never fail the call over an os-level listdir.
     result.files = sorted(
