@@ -185,3 +185,22 @@ def test_jsonl_sink_roundtrip(spark, tmp_path):
     by_id = {r["__timestamp"]: r for r in rows}   # ts_col=doc_id -> epoch col
     assert by_id[42]["text"] == "doc 42"
     assert by_id[42]["score"] == 10.5
+
+
+def test_orc_sink_roundtrip(spark, tmp_path):
+    from timeseriesfuser_spark.config import SourceConfig
+    from timeseriesfuser_spark.sinks import write_batched
+    from timeseriesfuser_spark.sources.readers import build_source_df
+
+    df = spark.createDataFrame(
+        [(i, float(i) * 2) for i in range(50)], "ts long, v double"
+    )
+    out = str(tmp_path / "orc_out")
+    res = write_batched(df, out, fmt="orc", count_rows=True)
+    assert res.rows == 50
+    src = SourceConfig(
+        name="orc_back", path=f"{out}/batches", fmt="orc",
+        schema={"ts": int, "v": float}, ts_col="ts",
+    )
+    back = build_source_df(spark, src, 0)
+    assert back.count() == 50

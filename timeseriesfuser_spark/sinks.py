@@ -53,6 +53,8 @@ def _writer(df: DataFrame, fmt: str, compress: bool):
         # snappy default matches the reference's parquet output
         # (classes.py:529-534).
         pass
+    elif fmt == "orc":
+        pass  # zlib default; columnar like parquet
     else:
         raise ValueError(f"Unsupported sink format: {fmt!r}")
     return w
@@ -92,7 +94,7 @@ def write_batched(
         result.fulldata_path = fd_dir
     if count_rows:
         result.rows = df.count()
-    ext = {"parquet": ".parquet", "csv": ".csv", "json": ".json"}[fmt]
+    ext = {"parquet": ".parquet", "csv": ".csv", "json": ".json", "orc": ".orc"}[fmt]
     # Local convenience listing only: on s3a://hdfs:// the write above
     # already succeeded — never fail the call over an os-level listdir.
     result.files = sorted(

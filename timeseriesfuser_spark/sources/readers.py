@@ -115,7 +115,9 @@ def _read_raw(spark: SparkSession, src: SourceConfig) -> DataFrame:
             raise FileNotFoundError(
                 f"Source {src.name!r}: no .orc files found in {src.path}"
             )
-        df = spark.read.orc(*files)
+        # format().load(list): pyspark 4's read.orc(*paths) varargs form
+        # rejects a second positional path (parses it as an option)
+        df = spark.read.format("orc").load(files)
         declared = normalize_schema(src.schema, src.columns or df.columns)
         if declared is not None:
             return _cast_to_declared(df, declared)
