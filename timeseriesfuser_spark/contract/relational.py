@@ -1403,7 +1403,14 @@ def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg((F.sum(profit).cast("double") / 100000).alias("sum_profit"))
+        # decimal(38,0) accumulator: at 100 TB row counts a bigint sum of
+        # 1e11-scale profit terms overflows int64 (ANSI Spark would throw;
+        # DuckDB silently promotes to HUGEINT — this matches it)
+        .agg(
+            (
+                F.sum(profit.cast("decimal(38,0)")).cast("double") / 100000
+            ).alias("sum_profit")
+        )
     )
 
 
@@ -1451,10 +1458,17 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(val).alias("__val_cents"))
     )
-    tot = v.agg(F.sum("__val_cents").alias("__tot"))
+    # the grand total sums per-part sums — decimal(38,0) so the scalar
+    # can't overflow int64 at full corpus scale (DuckDB's sum(BIGINT) is
+    # already HUGEINT; this matches it)
+    tot = v.agg(
+        F.sum(F.col("__val_cents").cast("decimal(38,0)")).alias("__tot")
+    )
     return (
         v.join(F.broadcast(tot))
-        .filter(F.col("__val_cents") * 1000 > F.col("__tot"))
+        .filter(
+            F.col("__val_cents").cast("decimal(38,0)") * 1000 > F.col("__tot")
+        )
         .select(
             F.col("l_partkey").alias("p_partkey"),
             (F.col("__val_cents").cast("double") / 100).alias("total_value"),
