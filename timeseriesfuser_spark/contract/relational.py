@@ -1648,3 +1648,37 @@ def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
+
+
+@register(
+    "cube_revenue",
+    oracle="""
+    SELECT c.c_mktsegment, o.o_orderpriority,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(GROUPING(c.c_mktsegment, o.o_orderpriority) AS BIGINT) AS gid
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY CUBE (c.c_mktsegment, o.o_orderpriority)
+    """,
+)
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE grouping sets (all four subtotal combinations of
+    segment × priority) in ONE aggregation pass — Catalyst expands the
+    cube into a single Expand + hash-agg, same as ROLLUP; `gid`
+    (grouping_id) disambiguates subtotal rows from genuine NULL group
+    values. The customer dim broadcasts."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.sum(cents).cast("long").alias("total_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
