@@ -1682,3 +1682,57 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping_id().cast("long").alias("gid"),
         )
     )
+
+
+@register(
+    "user_set_ops",
+    oracle="""
+    WITH y97 AS (SELECT DISTINCT user_id FROM events
+                 WHERE ts >= TIMESTAMP '1997-01-01'
+                   AND ts < TIMESTAMP '1998-01-01' AND user_id IS NOT NULL),
+    y98 AS (SELECT DISTINCT user_id FROM events
+            WHERE ts >= TIMESTAMP '1998-01-01'
+              AND ts < TIMESTAMP '1999-01-01' AND user_id IS NOT NULL)
+    SELECT
+      CAST((SELECT count(*) FROM (SELECT user_id FROM y97
+            INTERSECT SELECT user_id FROM y98)) AS BIGINT) AS retained,
+      CAST((SELECT count(*) FROM (SELECT user_id FROM y97
+            EXCEPT SELECT user_id FROM y98)) AS BIGINT) AS churned,
+      CAST((SELECT count(*) FROM (SELECT user_id FROM y98
+            EXCEPT SELECT user_id FROM y97)) AS BIGINT) AS acquired
+    """,
+)
+def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit relational set operators (INTERSECT / EXCEPT, set
+    semantics) over two activity periods — retained/churned/acquired
+    user counts. Catalyst plans each as a distinct-aggregated semi/anti
+    hash join, so the shape degrades gracefully at scale (no sort-based
+    set difference). NULL user_ids are excluded on both sides (SQL set
+    ops treat NULL = NULL as equal — excluding them keeps the two
+    engines' NULL set semantics out of the checked surface)."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+
+    # _events carries epoch-ms; these are the UTC instants the oracle's
+    # TIMESTAMP literals denote
+    def period(lo_ms: int, hi_ms: int) -> DataFrame:
+        return (
+            ev.filter((F.col("ts") >= lo_ms) & (F.col("ts") < hi_ms))
+            .select("user_id")
+            .distinct()
+        )
+
+    y97 = period(852_076_800_000, 883_612_800_000)
+    y98 = period(883_612_800_000, 915_148_800_000)
+    retained = y97.intersect(y98).agg(
+        F.count(F.lit(1)).cast("long").alias("retained")
+    )
+    churned = y97.exceptAll(y98).agg(
+        F.count(F.lit(1)).cast("long").alias("churned")
+    )
+    acquired = y98.exceptAll(y97).agg(
+        F.count(F.lit(1)).cast("long").alias("acquired")
+    )
+    return (
+        retained.crossJoin(F.broadcast(churned))
+        .crossJoin(F.broadcast(acquired))
+    )
