@@ -295,3 +295,12 @@ def test_tpch_q21_one_per_order_aggregate(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 3     # distinct pair + final rollup
+
+
+def test_similarity_topk_partial_window_group_limit(spark):
+    """Exact top-k must keep the partial WindowGroupLimit BEFORE the
+    exchange (Spark's rank-limit pushdown): each task ships at most k
+    rows per query — the shuffle is k-bounded even though the compute is
+    the labeled O(Q·C) exactness baseline."""
+    plan = formatted_plan(contract.QUERIES["similarity_topk"](spark, SF))
+    assert plan.count("WindowGroupLimit") >= 2   # partial + final

@@ -62,7 +62,11 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, cosine, rank). Self-matches (same id)
     excluded. Ties broken by neighbor id — fully deterministic.
-    The query side is broadcast: no shuffle of the corpus.
+    The query side is broadcast: no shuffle of the corpus. The compute is
+    inherently O(Q·C) (exactness requires scoring every corpus vector),
+    but the SHUFFLE is not: Spark's rank-limit pushdown plans a partial
+    ``WindowGroupLimit`` before the exchange, so each task ships at most
+    k rows per query, not its whole score partition (plan-gated).
     """
     c = spread_small_input(corpus).select(
         F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col), scale).alias("__cv")
