@@ -649,6 +649,61 @@ def run_fuse600(spark, target_rows: int = 30_000_000) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def run_bucketjoin(spark, n: int = 30_000_000) -> dict:
+    """Bucketed co-located join vs plain shuffle join, measured: persist
+    fact (n rows) and dim (n/30 keys) bucketed by the join key via
+    ops.scale.write_bucketed, then time fact⋈dim with broadcast disabled
+    — the bucketed plan must contain NO Exchange (asserted on the plan
+    string), which is the whole point of bucketing a repeatedly-joined
+    100 TB table once at write time."""
+    from timeseriesfuser_spark.ops.scale import write_bucketed
+
+    ev = synth_events(spark, n).select("user_id", "value")
+    n_keys = max(n // 30, 1)
+    dim = spark.range(0, n_keys, 1, CPUS).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 100).cast("double").alias("segment"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # plain: both sides shuffle on user_id
+        t0 = time.perf_counter()
+        ev.join(dim, "user_id").write.format("noop").mode("overwrite").save()
+        plain_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        write_bucketed(ev, "tsf_bench_fact", ["user_id"], CPUS,
+                       sort_cols=["user_id"])
+        write_bucketed(dim, "tsf_bench_dim", ["user_id"], CPUS,
+                       sort_cols=["user_id"])
+        write_s = time.perf_counter() - t0
+
+        f = spark.table("tsf_bench_fact")
+        d = spark.table("tsf_bench_dim")
+        joined = f.join(d, "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        no_exchange = "Exchange" not in plan
+        t0 = time.perf_counter()
+        joined.write.format("noop").mode("overwrite").save()
+        bucketed_s = time.perf_counter() - t0
+        out = {
+            "rows": n,
+            "plain_join_s": round(plain_s, 2),
+            "bucketed_join_s": round(bucketed_s, 2),
+            "bucket_write_s": round(write_s, 2),
+            "bucketed_plan_exchange_free": no_exchange,
+        }
+        print(f"# bucketjoin: {out}", file=sys.stderr)
+        return out
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for t in ("tsf_bench_fact", "tsf_bench_dim"):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+
+
 def main():
     args = sys.argv[1:]
     docs_one = args and args[0] == "--docs-one"
@@ -681,6 +736,11 @@ def main():
     if args and args[0] == "--csv600":
         n = int(float(args[1]) * 1e6) if len(args) > 1 else 30_000_000
         print(json.dumps(run_csv600(spark, n)))
+        spark.stop()
+        return
+    if args and args[0] == "--bucketjoin":
+        n = int(float(args[1]) * 1e6) if len(args) > 1 else 30_000_000
+        print(json.dumps(run_bucketjoin(spark, n)))
         spark.stop()
         return
     if args and args[0] == "--fuse600":
