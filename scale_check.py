@@ -704,6 +704,49 @@ def run_bucketjoin(spark, n: int = 30_000_000) -> dict:
                 pass
 
 
+def run_skewjoin(spark, n: int = 30_000_000) -> dict:
+    """Skewed-key join three ways, measured: 40% of the fact rows on ONE
+    hot key, dim too big to broadcast (broadcast disabled). (a) plain
+    sort-merge with AQE skew handling OFF — the pathological single-task
+    baseline; (b) AQE skewJoin ON — runtime split of the oversized
+    partition; (c) ops.scale.salted_join — explicit salting when you
+    can't rely on AQE (e.g. the skew is in an aggregation upstream)."""
+    from timeseriesfuser_spark.ops.scale import salted_join
+
+    hot = F.when(F.pmod(F.hash("id"), 10) < 4, F.lit(7)).otherwise(
+        F.pmod(F.hash(F.col("id") + 3), 1_000_000)
+    )
+    ev = spark.range(0, n, 1, CPUS).select(
+        hot.cast("long").alias("user_id"),
+        (F.col("id") % 1000).cast("double").alias("value"),
+    )
+    dim = spark.range(0, 1_000_000, 1, CPUS).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 100).cast("double").alias("segment"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    out = {"rows": n}
+    try:
+        def t(name, thunk):
+            t0 = time.perf_counter()
+            thunk().write.format("noop").mode("overwrite").save()
+            out[name] = round(time.perf_counter() - t0, 2)
+            print(f"#   {name}: {out[name]}s", file=sys.stderr)
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        t("skewed_no_aqe_s", lambda: ev.join(dim, "user_id"))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        t("skewed_aqe_s", lambda: ev.join(dim, "user_id"))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        t("salted_s", lambda: salted_join(
+            ev, dim, ["user_id"], salts=32, deterministic_by="value"))
+        print(f"# skewjoin: {out}", file=sys.stderr)
+        return out
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+
 def main():
     args = sys.argv[1:]
     docs_one = args and args[0] == "--docs-one"
@@ -736,6 +779,11 @@ def main():
     if args and args[0] == "--csv600":
         n = int(float(args[1]) * 1e6) if len(args) > 1 else 30_000_000
         print(json.dumps(run_csv600(spark, n)))
+        spark.stop()
+        return
+    if args and args[0] == "--skewjoin":
+        n = int(float(args[1]) * 1e6) if len(args) > 1 else 30_000_000
+        print(json.dumps(run_skewjoin(spark, n)))
         spark.stop()
         return
     if args and args[0] == "--bucketjoin":
