@@ -747,6 +747,65 @@ def run_skewjoin(spark, n: int = 30_000_000) -> dict:
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
 
+def run_prune(spark, n: int = 30_000_000) -> dict:
+    """Partition-pruning, measured: write n events day-partitioned via
+    sinks.write_time_partitioned (~60 days), then time an aggregate over
+    ONE day with the dt predicate vs the same aggregate scanning all
+    partitions — and assert the pruned plan's scan lists only matching
+    partitions (partition filters, not post-scan filters)."""
+    import shutil
+    import tempfile
+
+    from timeseriesfuser_spark.sinks import write_time_partitioned
+
+    root = tempfile.mkdtemp(prefix="tsf_prune_")
+    try:
+        # fixed 60-day span (synth_events' density-preserving span would
+        # give ~9,000 day-partitions at 30M rows — a small-files bomb,
+        # which is itself the lesson: pick the partition granularity from
+        # the QUERY patterns, not the row count)
+        ev = spark.range(0, n, 1, CPUS).select(
+            (
+                F.lit(1_700_000_000_000)
+                + (F.col("id") * 2654435761 % F.lit(60 * DAY_MS))
+            ).alias("__timestamp"),
+            (F.col("id") % 10_000).alias("user_id"),
+            (F.pmod(F.hash(F.col("id")), 1000) / 10.0).alias("value"),
+        )
+        t0 = time.perf_counter()
+        res = write_time_partitioned(ev, root, granularity="day")
+        write_s = time.perf_counter() - t0
+        n_parts = len(res.files)
+        back = spark.read.parquet(root)
+        one_day = res.files[n_parts // 2].split("=", 1)[1]
+
+        def agg(df):
+            return df.groupBy("user_id").agg(F.sum("value").alias("s"))
+
+        t0 = time.perf_counter()
+        agg(back).write.format("noop").mode("overwrite").save()
+        full_s = time.perf_counter() - t0
+
+        pruned = back.filter(F.col("dt") == one_day)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        t0 = time.perf_counter()
+        agg(pruned).write.format("noop").mode("overwrite").save()
+        pruned_s = time.perf_counter() - t0
+        out = {
+            "rows": n,
+            "partitions": n_parts,
+            "layout_write_s": round(write_s, 2),
+            "full_scan_agg_s": round(full_s, 2),
+            "one_day_agg_s": round(pruned_s, 2),
+            "partition_filter_in_plan": "PartitionFilters" in plan
+            and one_day in plan,
+        }
+        print(f"# prune: {out}", file=sys.stderr)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main():
     args = sys.argv[1:]
     docs_one = args and args[0] == "--docs-one"
@@ -779,6 +838,11 @@ def main():
     if args and args[0] == "--csv600":
         n = int(float(args[1]) * 1e6) if len(args) > 1 else 30_000_000
         print(json.dumps(run_csv600(spark, n)))
+        spark.stop()
+        return
+    if args and args[0] == "--prune":
+        n = int(float(args[1]) * 1e6) if len(args) > 1 else 30_000_000
+        print(json.dumps(run_prune(spark, n)))
         spark.stop()
         return
     if args and args[0] == "--skewjoin":
