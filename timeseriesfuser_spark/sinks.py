@@ -155,3 +155,85 @@ def write_time_partitioned(
         d for d in os.listdir(path) if d.startswith("dt=")
     ) if os.path.isdir(path) else []
     return SinkResult(output_path=path, files=parts)
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    shard_bytes: int = 64_000_000,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    compress: bool = True,
+) -> "DataFrame":
+    """Export a document corpus as size-bounded JSONL training shards +
+    a manifest — the hand-off format LLM data loaders consume.
+
+    Shard assignment is :func:`ops.packing.byte_shards` (deterministic
+    prefix-sum layout in ``order_col`` order, whole docs, ~``shard_bytes``
+    per shard); each shard lands under ``path/shard=N/`` as JSONL (.gz
+    with ``compress``), and ``path/_manifest`` holds one JSON row per
+    shard: ``shard``, ``n_docs``, ``n_bytes``, ``content_sha256`` (sha256
+    over the per-doc sha256 hex digests in ``order_col`` order — an
+    order-sensitive, engine-reproducible shard fingerprint a consumer
+    can verify without re-reading the corpus in one task).
+
+    Returns the manifest DataFrame. Scale: the byte prefix sum is the
+    two-pass range-bucketed scheme (no global window); the write scales
+    out per shard partition; per-shard manifest state is bounded by docs
+    per shard (~shard_bytes / avg doc size).
+    """
+    from pyspark.sql import functions as F
+
+    from timeseriesfuser_spark.ops.packing import byte_shards
+
+    work = df.withColumn(
+        "__nb", F.coalesce(F.octet_length(F.col(text_col)), F.lit(0)).cast("long")
+    )
+    assign = byte_shards(
+        work.select(order_col, F.col("__nb").alias("n_bytes")),
+        shard_bytes,
+        order_col=order_col,
+        bytes_col="n_bytes",
+        id_cols=[order_col],
+    ).select(order_col, "shard", "shard_offset")
+    sharded = work.join(assign, order_col).drop("__nb")
+
+    w = sharded.write.mode("overwrite").partitionBy("shard")
+    if compress:
+        w = w.option("compression", "gzip")
+    w.json(os.path.join(path, "shards"))
+
+    doc_sha = F.sha2(F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8"), 256)
+    manifest = (
+        sharded.select(
+            "shard",
+            F.col(order_col).alias("__ord"),
+            F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias("__nb"),
+            doc_sha.alias("__dsha"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nb").alias("n_bytes"),
+            F.sha2(
+                F.encode(
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("__ord", "__dsha"))
+                            ),
+                            lambda s: s["__dsha"],
+                        ),
+                    ),
+                    "UTF-8",
+                ),
+                256,
+            ).alias("content_sha256"),
+        )
+    )
+    manifest.coalesce(1).write.mode("overwrite").json(
+        os.path.join(path, "_manifest")
+    )
+    return manifest
