@@ -461,3 +461,40 @@ def q_fixed_n_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_fixed_n(
         docs, _FIXN, strata_col="source", id_col="doc_id", seed="fixed0"
     )
+
+
+@register(
+    "shard_manifest",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT)
+                        AS nb,
+                      sha256(COALESCE(text, '')) AS dsha
+               FROM documents),
+    o AS (SELECT doc_id, nb, dsha,
+                 CAST(coalesce(sum(nb) OVER (
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start_offset
+          FROM b)
+    SELECT CAST(start_offset // 65536 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nb) AS BIGINT) AS n_bytes,
+           sha256(string_agg(dsha, '' ORDER BY doc_id)) AS content_sha256
+    FROM o
+    GROUP BY 1
+    """,
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verifiable shard manifest (ops.packing.shard_manifest): per
+    64 KiB byte-shard of the documents layout, the doc count, byte
+    total, and the order-sensitive content fingerprint (sha256 over the
+    per-doc sha256 digests in doc order) — what
+    sinks.export_training_shards writes next to the shard files, here
+    computed standalone so a consumer can audit an export against the
+    current corpus. sha256 + hex strings only: engine-reproducible."""
+    from timeseriesfuser_spark.ops.packing import shard_manifest
+
+    return shard_manifest(
+        _t(spark, sf_dir, "documents"), 65536, order_col="doc_id"
+    )

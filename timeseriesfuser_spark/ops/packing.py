@@ -325,3 +325,62 @@ def byte_shards(
         .cast("long")
         .alias("shard_offset"),
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    shard_bytes: int,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard manifest relation for the :func:`byte_shards` layout:
+    (shard, n_docs, n_bytes, content_sha256), where content_sha256 =
+    sha256 over the per-doc sha256 hex digests concatenated in
+    ``order_col`` order — an order-sensitive shard fingerprint that is
+    engine-reproducible (sha256 + hex strings, no float, no locale).
+
+    ``sinks.export_training_shards`` writes exactly this next to the
+    shard files; computing it standalone lets a pipeline verify a
+    previously-written export against the current corpus. Per-shard
+    state is bounded by docs-per-shard (~shard_bytes / avg doc)."""
+    from pyspark.sql import functions as F
+
+    work = df.select(
+        F.col(order_col).alias("__ord"),
+        F.coalesce(F.octet_length(F.col(text_col)), F.lit(0))
+        .cast("long")
+        .alias("__nb"),
+        F.sha2(
+            F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8"), 256
+        ).alias("__dsha"),
+    )
+    assign = byte_shards(
+        work.select(F.col("__ord").alias("k"), F.col("__nb").alias("n_bytes")),
+        shard_bytes,
+        order_col="k",
+        bytes_col="n_bytes",
+        id_cols=["k"],
+    ).select(F.col("k").alias("__ord"), "shard")
+    return (
+        work.join(assign, "__ord")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nb").cast("long").alias("n_bytes"),
+            F.sha2(
+                F.encode(
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("__ord", "__dsha"))
+                            ),
+                            lambda s: s["__dsha"],
+                        ),
+                    ),
+                    "UTF-8",
+                ),
+                256,
+            ).alias("content_sha256"),
+        )
+    )

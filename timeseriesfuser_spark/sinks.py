@@ -204,34 +204,10 @@ def export_training_shards(
         w = w.option("compression", "gzip")
     w.json(os.path.join(path, "shards"))
 
-    doc_sha = F.sha2(F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8"), 256)
-    manifest = (
-        sharded.select(
-            "shard",
-            F.col(order_col).alias("__ord"),
-            F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias("__nb"),
-            doc_sha.alias("__dsha"),
-        )
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("__nb").alias("n_bytes"),
-            F.sha2(
-                F.encode(
-                    F.concat_ws(
-                        "",
-                        F.transform(
-                            F.array_sort(
-                                F.collect_list(F.struct("__ord", "__dsha"))
-                            ),
-                            lambda s: s["__dsha"],
-                        ),
-                    ),
-                    "UTF-8",
-                ),
-                256,
-            ).alias("content_sha256"),
-        )
+    from timeseriesfuser_spark.ops.packing import shard_manifest
+
+    manifest = shard_manifest(
+        df, shard_bytes, order_col=order_col, text_col=text_col
     )
     manifest.coalesce(1).write.mode("overwrite").json(
         os.path.join(path, "_manifest")
