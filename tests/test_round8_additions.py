@@ -243,3 +243,34 @@ def test_export_training_shards(spark, tmp_path):
             ).encode()
         ).hexdigest()
         assert digest == row["content_sha256"]
+
+
+def test_check_expectations_semantics(spark):
+    """Each rule type counts exactly its violations; NULL passes row
+    rules except not_null; expression NULL = violation; unique counts
+    rows in excess of one per key."""
+    from pyspark.sql import Row
+
+    from timeseriesfuser_spark.ops.expect import check_expectations
+
+    df = spark.createDataFrame([
+        Row(k=1, v=5.0,  s="A"),
+        Row(k=1, v=-1.0, s="B"),     # dup key; v out of range; s bad
+        Row(k=2, v=None, s=None),    # NULL v passes range, NULL s passes domain
+        Row(k=3, v=200.0, s="A"),    # v out of range
+    ])
+    got = {r["rule"]: r for r in check_expectations(df, [
+        {"name": "v_not_null", "type": "not_null", "col": "v"},
+        {"name": "v_0_100", "type": "range", "col": "v", "lo": 0, "hi": 100},
+        {"name": "s_domain", "type": "accepted_values", "col": "s",
+         "values": ["A"]},
+        {"name": "v_pos_expr", "type": "expression", "expr": "v >= 0"},
+        {"name": "k_unique", "type": "unique", "cols": ["k"]},
+    ]).collect()}
+    assert got["v_not_null"]["n_violations"] == 1
+    assert got["v_0_100"]["n_violations"] == 2          # -1 and 200
+    assert got["s_domain"]["n_violations"] == 1         # "B"
+    assert got["v_pos_expr"]["n_violations"] == 2       # -1 and NULL
+    assert got["k_unique"]["n_violations"] == 1         # one extra k=1 row
+    assert not got["k_unique"]["passed"]
+    assert got["v_0_100"]["violation_ppm"] == 500000

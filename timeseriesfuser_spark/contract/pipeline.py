@@ -498,3 +498,71 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(
         _t(spark, sf_dir, "documents"), 65536, order_col="doc_id"
     )
+
+
+@register(
+    "lineitem_expectations",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM lineitem),
+    rows_r AS (
+        SELECT 'shipdate_not_null' AS rule, n.nr AS n_rows,
+               CAST((SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL)
+                    AS BIGINT) AS n_violations FROM n
+        UNION ALL
+        SELECT 'qty_1_to_50', n.nr,
+               CAST((SELECT count(*) FROM lineitem
+                     WHERE l_quantity IS NOT NULL
+                       AND (l_quantity < 1 OR l_quantity > 50)) AS BIGINT)
+        FROM n
+        UNION ALL
+        SELECT 'returnflag_domain', n.nr,
+               CAST((SELECT count(*) FROM lineitem
+                     WHERE l_returnflag IS NOT NULL
+                       AND l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT)
+        FROM n
+        UNION ALL
+        SELECT 'discount_le_tax_plus_half', n.nr,
+               CAST((SELECT count(*) FROM lineitem
+                     WHERE NOT COALESCE(l_discount <= l_tax + 0.5, FALSE))
+                    AS BIGINT)
+        FROM n
+        UNION ALL
+        SELECT 'orderkey_line_unique',
+               (SELECT CAST(sum(c) AS BIGINT) FROM
+                 (SELECT count(*) AS c FROM lineitem
+                  GROUP BY l_orderkey, l_linenumber)),
+               (SELECT CAST(sum(c - 1) AS BIGINT) FROM
+                 (SELECT count(*) AS c FROM lineitem
+                  GROUP BY l_orderkey, l_linenumber))
+    )
+    SELECT rule, n_rows, n_violations,
+           CAST(n_violations * 1000000 // n_rows AS BIGINT) AS violation_ppm,
+           n_violations = 0 AS passed
+    FROM rows_r
+    """,
+)
+def q_lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (ops.expect.check_expectations):
+    five rules over lineitem — not-null, numeric range, accepted values,
+    a cross-column SQL expression, and key uniqueness — checked in ONE
+    conditional-sum aggregation pass (plus the inherent key shuffle for
+    uniqueness). The uniqueness rule REALLY fails on the synthetic data
+    ((orderkey, linenumber) is non-unique) — the report shows it, which
+    is the point of a gate."""
+    from timeseriesfuser_spark.ops.expect import check_expectations
+
+    return check_expectations(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            {"name": "shipdate_not_null", "type": "not_null",
+             "col": "l_shipdate"},
+            {"name": "qty_1_to_50", "type": "range", "col": "l_quantity",
+             "lo": 1, "hi": 50},
+            {"name": "returnflag_domain", "type": "accepted_values",
+             "col": "l_returnflag", "values": ["A", "N", "R"]},
+            {"name": "discount_le_tax_plus_half", "type": "expression",
+             "expr": "l_discount <= l_tax + 0.5"},
+            {"name": "orderkey_line_unique", "type": "unique",
+             "cols": ["l_orderkey", "l_linenumber"]},
+        ],
+    )

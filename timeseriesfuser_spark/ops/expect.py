@@ -1,0 +1,111 @@
+"""Declarative data-quality expectations: a rule list checked in ONE
+aggregation pass over the relation (plus one bounded pass per uniqueness
+rule), emitting a per-rule violations report — the contract a pipeline
+gates a 100 TB load on before publishing it.
+
+Row-level rules (not_null / range / accepted_values / regex / custom
+expression) compile to conditional-sum aggregates of a single scan:
+adding a rule adds a counter, never a pass. Uniqueness is inherently a
+shuffle on the key; its report row comes from a two-level aggregate
+(duplicate groups, then counts), map-side combinable.
+
+All counts are exact integers; violation_ppm is one integer division —
+oracle-exact.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["check_expectations"]
+
+
+def _row_violation(rule: Mapping) -> Column:
+    """Boolean column: does this row VIOLATE the rule? NULLs violate
+    not_null; for the other row rules NULL passes (pair with a not_null
+    rule to forbid them) — the usual expectations-library convention."""
+    kind = rule["type"]
+    if kind == "not_null":
+        return F.col(rule["col"]).isNull()
+    if kind == "range":
+        c = F.col(rule["col"])
+        v = F.lit(False)
+        if "lo" in rule:
+            v = v | (c < rule["lo"])
+        if "hi" in rule:
+            v = v | (c > rule["hi"])
+        return c.isNotNull() & v
+    if kind == "accepted_values":
+        c = F.col(rule["col"])
+        return c.isNotNull() & ~c.isin(*rule["values"])
+    if kind == "regex":
+        c = F.col(rule["col"])
+        return c.isNotNull() & ~c.rlike(rule["pattern"])
+    if kind == "expression":
+        # rule["expr"]: SQL boolean that must HOLD; NULL counts as a
+        # violation (unknown is not a pass)
+        return ~F.coalesce(F.expr(rule["expr"]), F.lit(False))
+    raise ValueError(f"unknown expectation type: {kind!r}")
+
+
+def check_expectations(
+    df: DataFrame, rules: Sequence[Mapping]
+) -> DataFrame:
+    """Check ``rules`` against ``df`` → one report row per rule:
+    (rule, n_rows, n_violations, violation_ppm, passed).
+
+    Rule dicts: ``{"name", "type", ...}`` with type ∈ not_null | range
+    (lo/hi) | accepted_values (values) | regex (pattern) | expression
+    (expr, SQL boolean that must hold) | unique (cols: row count in
+    excess of one per distinct key counts as violations).
+    """
+    if not rules:
+        raise ValueError("need at least one rule")
+    row_rules = [r for r in rules if r["type"] != "unique"]
+    uniq_rules = [r for r in rules if r["type"] == "unique"]
+
+    reports: list[DataFrame] = []
+    if row_rules:
+        agg = df.agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            *[
+                F.sum(_row_violation(r).cast("long"))
+                .cast("long")
+                .alias(f"__v{i}")
+                for i, r in enumerate(row_rules)
+            ],
+        )
+        stacked = ", ".join(
+            f"'{r['name']}', __v{i}" for i, r in enumerate(row_rules)
+        )
+        reports.append(
+            agg.selectExpr(
+                "__n",
+                f"stack({len(row_rules)}, {stacked}) AS (rule, n_violations)",
+            ).select("rule", F.col("__n").alias("n_rows"), "n_violations")
+        )
+    for r in uniq_rules:
+        keys = list(r["cols"])
+        per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c"))
+        reports.append(
+            per_key.agg(
+                F.lit(r["name"]).alias("rule"),
+                F.sum("__c").cast("long").alias("n_rows"),
+                F.sum(F.col("__c") - 1).cast("long").alias("n_violations"),
+            )
+        )
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out.select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        F.expr("n_violations * 1000000 DIV n_rows").cast("long").alias(
+            "violation_ppm"
+        ),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
