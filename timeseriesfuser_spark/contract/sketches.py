@@ -282,3 +282,69 @@ def q_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 q_bloom_join_prefilter.__doc__ = q_bloom_join_prefilter.__doc__.replace(
     "{m}", str(_BLOOM_M)).replace("{k}", str(_BLOOM_K))
+
+
+@register(
+    "hll_distinct_by_type",
+    oracle=f"""
+    WITH ev AS (SELECT event_type, user_id FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    h AS (SELECT event_type, {_h('99')} AS hv FROM ev),
+    rb AS (SELECT event_type, hv % {_HLL_M} AS bucket,
+                  hv >> {_HLL_P} AS w FROM h),
+    rr AS (SELECT event_type, bucket,
+                  CASE WHEN w > 0 THEN {60 - _HLL_P} + 1 - length(bin(w))
+                       ELSE {60 - _HLL_P + 1} END AS rho
+           FROM rb),
+    regs AS (SELECT event_type, bucket, max(rho) AS register
+             FROM rr GROUP BY event_type, bucket),
+    agg AS (SELECT event_type, count(*) AS n_buckets_hit,
+                   max(register) AS max_register
+            FROM regs GROUP BY event_type),
+    s AS (SELECT r.event_type, a.n_buckets_hit, a.max_register,
+                 sum(1::HUGEINT << CAST(a.max_register - r.register AS INT))
+                   AS hit_sum
+          FROM regs r JOIN agg a ON r.event_type = a.event_type
+          GROUP BY r.event_type, a.n_buckets_hit, a.max_register),
+    tot AS (SELECT event_type, n_buckets_hit, max_register,
+                   hit_sum + ({_HLL_M} - n_buckets_hit)::HUGEINT
+                             * (1::HUGEINT << CAST(max_register AS INT))
+                     AS sum_scaled
+            FROM s),
+    exact AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+              FROM ev GROUP BY event_type)
+    SELECT t.event_type,
+           CAST(t.n_buckets_hit AS BIGINT) AS n_buckets_hit,
+           CAST(t.max_register AS BIGINT) AS max_register,
+           round(CAST({_HLL_ALPHA!r} AS DOUBLE)
+                 * CAST({float(_HLL_M)!r} AS DOUBLE)
+                 * CAST({float(_HLL_M)!r} AS DOUBLE)
+                 * (CAST(2.0 AS DOUBLE) ** CAST(t.max_register AS INT))
+                 / CAST(t.sum_scaled AS DOUBLE), 4) AS estimate,
+           CAST(e.exact_distinct AS BIGINT) AS exact_distinct
+    FROM tot t JOIN exact e ON t.event_type = e.event_type
+    """,
+)
+def q_hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED HyperLogLog (ops.sketches.hll_registers/hll_estimate with
+    group_cols): per-event-type distinct users from per-group register
+    arrays — the per-dimension dashboard sketch, #groups × 2^p state,
+    one aggregation pass + one #groups-bounded join. Exact distinct per
+    group rides along for the accuracy audit."""
+    from timeseriesfuser_spark.ops.sketches import hll_estimate, hll_registers
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    regs = hll_registers(
+        ev.select("event_type", "user_id"), "user_id",
+        p=_HLL_P, group_cols=["event_type"],
+    )
+    est = hll_estimate(regs, p=_HLL_P, group_cols=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_buckets_hit", "max_register", "estimate",
+        "exact_distinct",
+    )

@@ -17,6 +17,8 @@ to the caller).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -119,18 +121,28 @@ def countmin_estimate(
     )
 
 
-def hll_registers(df: DataFrame, key_col: str, *, p: int = 8) -> DataFrame:
-    """HyperLogLog registers over ``key_col`` → (bucket, register), one
-    row per non-empty bucket of the 2^p register array.
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    *,
+    p: int = 8,
+    group_cols: "Sequence[str]" = (),
+) -> DataFrame:
+    """HyperLogLog registers over ``key_col`` → (*group_cols, bucket,
+    register), one row per non-empty bucket of each group's 2^p register
+    array (no ``group_cols`` → one global array).
 
     bucket = low ``p`` bits of the 60-bit hash; register = max over the
     bucket's keys of the leading-zero rank of the remaining 60−p bits
     (computed portably via the length of ``bin(w)``: floor(log2)+1 —
     integer-exact in Spark and DuckDB). ONE hash aggregation bounded by
-    2^p groups, map-side combinable (max), mergeable across shards (max).
+    #groups × 2^p rows, map-side combinable (max), mergeable across
+    shards (max) — per-dimension distinct counts, the 100 TB dashboard
+    sketch, at 2^p longs per dimension value.
     """
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4,16]: {p}")
+    g = list(group_cols)
     m = 1 << p
     h = md5_hash64(F.col(key_col).cast("string"), seed=99)
     # h >> p, NOT h/m: a double division loses bits above 2^53 and the
@@ -142,15 +154,21 @@ def hll_registers(df: DataFrame, key_col: str, *, p: int = 8) -> DataFrame:
         w > 0, F.lit(rest_bits) + 1 - F.length(F.bin(w))
     ).otherwise(F.lit(rest_bits + 1))
     return (
-        df.select(F.pmod(h, F.lit(m)).alias("bucket"), rho.alias("__rho"))
-        .groupBy("bucket")
+        df.select(*g, F.pmod(h, F.lit(m)).alias("bucket"), rho.alias("__rho"))
+        .groupBy(*g, "bucket")
         .agg(F.max("__rho").cast("long").alias("register"))
     )
 
 
-def hll_estimate(registers: DataFrame, *, p: int = 8) -> DataFrame:
-    """Raw HLL estimate from a register relation: one row
-    (n_buckets_hit, sum_scaled, max_register, estimate).
+def hll_estimate(
+    registers: DataFrame,
+    *,
+    p: int = 8,
+    group_cols: "Sequence[str]" = (),
+) -> DataFrame:
+    """Raw HLL estimate from a register relation: one row per group
+    (*group_cols, n_buckets_hit, sum_scaled, max_register, estimate);
+    no ``group_cols`` → the single global row.
 
     Exact-integer core: with K = max register, Σ 2^−M_j is computed as
     the integer Σ 2^(K−M_j) in decimal(38,0) (empty buckets contribute
@@ -159,14 +177,20 @@ def hll_estimate(registers: DataFrame, *, p: int = 8) -> DataFrame:
     range bias corrections need ln() (libm, not cross-engine-exact) and
     are intentionally left out of the oracle-checked surface.
     """
+    g = list(group_cols)
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    agg = registers.agg(
+    per = registers.groupBy(*g) if g else registers
+    agg = per.agg(
         F.count(F.lit(1)).cast("long").alias("n_buckets_hit"),
         F.max("register").cast("long").alias("max_register"),
     )
-    joined = registers.crossJoin(F.broadcast(agg))
-    scaled = joined.groupBy("n_buckets_hit", "max_register").agg(
+    if g:
+        # #groups-bounded relation; the join key is the group, AQE plans it
+        joined = registers.join(agg, g)
+    else:
+        joined = registers.crossJoin(F.broadcast(agg))
+    scaled = joined.groupBy(*g, "n_buckets_hit", "max_register").agg(
         F.sum(
             F.expr("CAST(shiftleft(1L, CAST(max_register - register AS INT))"
                    " AS DECIMAL(38,0))")
@@ -174,6 +198,7 @@ def hll_estimate(registers: DataFrame, *, p: int = 8) -> DataFrame:
     )
     # empty buckets: (m - hit) registers of 0 -> each contributes 2^K
     total = scaled.select(
+        *g,
         "n_buckets_hit",
         "max_register",
         (
@@ -191,6 +216,7 @@ def hll_estimate(registers: DataFrame, *, p: int = 8) -> DataFrame:
         / F.col("sum_scaled").cast("double")
     )
     return total.select(
+        *g,
         "n_buckets_hit",
         F.col("sum_scaled").cast("decimal(38,0)").alias("sum_scaled"),
         "max_register",
@@ -210,9 +236,8 @@ def countmin_merge(*sketches: DataFrame) -> DataFrame:
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("row_idx", "col_idx").agg(
-        F.sum("cnt").alias("cnt")
-    )
+    keys = [c for c in out.columns if c != "cnt"]  # + any group cols
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
 
 
 def hll_merge(*register_sets: DataFrame) -> DataFrame:
@@ -225,7 +250,8 @@ def hll_merge(*register_sets: DataFrame) -> DataFrame:
     out = register_sets[0]
     for s in register_sets[1:]:
         out = out.unionByName(s)
-    return out.groupBy("bucket").agg(
+    keys = [c for c in out.columns if c != "register"]  # + any group cols
+    return out.groupBy(*keys).agg(
         F.max("register").cast("long").alias("register")
     )
 
@@ -303,7 +329,8 @@ def histogram_merge(*sketches: DataFrame) -> DataFrame:
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    keys = [c for c in out.columns if c != "cnt"]  # + any group cols
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
 
 
 def histogram_quantiles(
