@@ -348,3 +348,63 @@ def q_hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_buckets_hit", "max_register", "estimate",
         "exact_distinct",
     )
+
+
+@register(
+    "quantiles_by_type",
+    oracle="""
+    WITH h AS (
+        SELECT event_type,
+               CASE WHEN v < 0.0 THEN CAST(-1 AS BIGINT)
+                    WHEN v >= 400.0 THEN CAST(256 AS BIGINT)
+                    ELSE least(CAST(floor((v - 0.0) * 256 / 400.0) AS BIGINT),
+                               CAST(255 AS BIGINT)) END AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL)
+        GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, bin, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               COALESCE(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   CAST(0 AS BIGINT)) AS cum_before
+        FROM h
+    ),
+    t AS (SELECT event_type, max(cum) AS total FROM c GROUP BY event_type),
+    qs AS (SELECT unnest([0.5, 0.9]) AS q)
+    SELECT c.event_type, qs.q AS q, c.bin AS bin,
+           least(greatest(
+               0.0 + (CAST(least(greatest(c.bin, CAST(0 AS BIGINT)),
+                                 CAST(255 AS BIGINT)) AS DOUBLE)
+                      + (qs.q * CAST(t.total AS DOUBLE)
+                         - CAST(c.cum_before AS DOUBLE))
+                        / CAST(c.cnt AS DOUBLE)) * 1.5625,
+               0.0), 400.0) AS estimate
+    FROM c JOIN t ON c.event_type = t.event_type
+    CROSS JOIN qs
+    WHERE CAST(c.cum AS DOUBLE) >= qs.q * CAST(t.total AS DOUBLE)
+      AND CAST(c.cum_before AS DOUBLE) < qs.q * CAST(t.total AS DOUBLE)
+    """,
+)
+def q_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantiles from GROUPED histogram sketches
+    (ops.sketches.histogram_sketch/histogram_quantiles with group_cols):
+    p50/p90 of events.value per event_type, #groups × (bins+2) state,
+    the cumsum window partitioned by the group — never a global
+    single-partition pass."""
+    from timeseriesfuser_spark.ops.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isNotNull())
+    sk = histogram_sketch(
+        ev, "value", lo=0.0, hi=400.0, bins=256, group_cols=["event_type"]
+    )
+    return histogram_quantiles(
+        sk, [0.5, 0.9], lo=0.0, hi=400.0, bins=256,
+        group_cols=["event_type"],
+    )

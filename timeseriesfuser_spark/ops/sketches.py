@@ -289,10 +289,13 @@ def histogram_sketch(
     lo: float,
     hi: float,
     bins: int = 256,
+    group_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """Fixed-bin equal-width histogram sketch of ``value_col`` → one row
-    per non-empty bin: (bin, cnt). Bin −1 holds underflow (< lo), bin
-    ``bins`` holds overflow (≥ hi); NULLs are skipped.
+    per non-empty bin: (*group_cols, bin, cnt) — per-group histograms
+    with ``group_cols`` (state = #groups × (bins+2)). Bin −1 holds
+    underflow (< lo), bin ``bins`` holds overflow (≥ hi); NULLs are
+    skipped.
 
     The third mergeable sketch next to CMS/HLL: a (bins+2)-bounded
     relation built by ONE map-side-combinable aggregation — the
@@ -312,10 +315,11 @@ def histogram_sketch(
         # fp edge: v just under hi can floor to exactly `bins`; clamp
         .otherwise(F.least(raw, F.lit(bins - 1).cast("long")))
     )
+    g = list(group_cols)
     return (
         df.filter(v.isNotNull())
-        .select(bucket.alias("bin"))
-        .groupBy("bin")
+        .select(*g, bucket.alias("bin"))
+        .groupBy(*g, "bin")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
 
@@ -340,43 +344,49 @@ def histogram_quantiles(
     lo: float,
     hi: float,
     bins: int = 256,
+    group_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """Quantile estimates from a histogram sketch: for each q ∈ (0, 1],
     locate the bin where the cumulative count crosses q·total and
-    linearly interpolate inside it → (q, bin, estimate). Underflow/
-    overflow bins clamp to the [lo, hi] edges.
+    linearly interpolate inside it → (*group_cols, q, bin, estimate) —
+    per-group quantiles when the sketch was built with ``group_cols``.
+    Underflow/overflow bins clamp to the [lo, hi] edges.
 
     Every step is integer cumsum + one IEEE multiply/divide chain in a
     fixed association order, so a SQL oracle reproduces the estimate
     bit-for-bit. The cumsum window runs on the (bins+2)-bounded sketch
-    relation — the SinglePartition there is over ≤ bins+2 rows by
-    construction, never data-sized (same exemption as the top-k limit
-    relations).
+    relation per group — the ungrouped SinglePartition is over ≤ bins+2
+    rows by construction, never data-sized (same exemption as the top-k
+    limit relations); grouped, the window partitions by the group.
     """
     from pyspark.sql.window import Window
 
+    g = list(group_cols)
     step = (float(hi) - float(lo)) / bins
-    wspec = Window.orderBy("bin").rowsBetween(
+    base = Window.partitionBy(*g) if g else Window
+    wspec = base.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = sketch.select(
+        *g,
         "bin",
         "cnt",
         F.sum("cnt").over(wspec).alias("__cum"),
         F.sum("cnt").over(
-            Window.orderBy("bin").rowsBetween(
-                Window.unboundedPreceding, -1
-            )
+            base.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
         ).alias("__cum_before"),
     ).withColumn("__cum_before", F.coalesce("__cum_before", F.lit(0).cast("long")))
-    total = cum.agg(F.max("__cum").alias("__total"))
-    qrel = cum.crossJoin(F.broadcast(total)).crossJoin(
-        F.broadcast(
-            sketch.sparkSession.createDataFrame(
-                [(float(q),) for q in qs], "q double"
-            )
+    per = cum.groupBy(*g) if g else cum
+    total = per.agg(F.max("__cum").alias("__total"))
+    qvals = F.broadcast(
+        sketch.sparkSession.createDataFrame(
+            [(float(q),) for q in qs], "q double"
         )
     )
+    if g:
+        qrel = cum.join(total, g).crossJoin(qvals)
+    else:
+        qrel = cum.crossJoin(F.broadcast(total)).crossJoin(qvals)
     target = F.col("q") * F.col("__total").cast("double")
     hit = qrel.filter(
         (F.col("__cum").cast("double") >= target)
@@ -391,6 +401,7 @@ def histogram_quantiles(
     ).cast("double")
     est = F.lit(float(lo)) + (ebin.cast("double") + frac) * F.lit(step)
     return hit.select(
+        *g,
         "q",
         F.col("bin"),
         F.least(
