@@ -274,3 +274,38 @@ def test_check_expectations_semantics(spark):
     assert got["k_unique"]["n_violations"] == 1         # one extra k=1 row
     assert not got["k_unique"]["passed"]
     assert got["v_0_100"]["violation_ppm"] == 500000
+
+
+def test_grouped_hll_corrected_accuracy(spark):
+    """Per-group corrected estimates land within 15% of each group's
+    exact distinct, and grouped merge == grouped whole."""
+    from pyspark.sql import Row
+
+    from timeseriesfuser_spark.ops.sketches import (
+        hll_estimate_corrected,
+        hll_merge,
+        hll_registers,
+    )
+
+    rows = [Row(g="a", k=f"x{i}") for i in range(300)] + [
+        Row(g="b", k=f"y{i}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    regs = hll_registers(df, "k", p=8, group_cols=["g"])
+    est = {r["g"]: r["estimate"] for r in
+           hll_estimate_corrected(regs, p=8, group_cols=["g"]).collect()}
+    assert abs(est["a"] - 300) / 300 < 0.15
+    assert abs(est["b"] - 40) / 40 < 0.15
+
+    half1 = hll_registers(df.limit(170), "k", p=8, group_cols=["g"])
+    # deterministic complement split by key suffix parity
+    from pyspark.sql import functions as F
+    a = df.filter(F.length("k") % 2 == 0)
+    b = df.filter(F.length("k") % 2 == 1)
+    merged = hll_merge(
+        hll_registers(a, "k", p=8, group_cols=["g"]),
+        hll_registers(b, "k", p=8, group_cols=["g"]),
+    )
+    want = {(r["g"], r["bucket"]): r["register"] for r in regs.collect()}
+    got = {(r["g"], r["bucket"]): r["register"] for r in merged.collect()}
+    assert got == want

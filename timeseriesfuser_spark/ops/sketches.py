@@ -256,23 +256,30 @@ def hll_merge(*register_sets: DataFrame) -> DataFrame:
     )
 
 
-def hll_estimate_corrected(registers: DataFrame, *, p: int = 8) -> DataFrame:
+def hll_estimate_corrected(
+    registers: DataFrame,
+    *,
+    p: int = 8,
+    group_cols: "Sequence[str]" = (),
+) -> DataFrame:
     """Bias-corrected HLL cardinality (Flajolet et al. 2007): the raw
     alpha·m²/Σ2^−M estimate, replaced by linear counting m·ln(m/V) when
     the raw estimate is in the small range (≤ 2.5·m) and empty buckets
-    remain (V > 0).
+    remain (V > 0). Per-group with ``group_cols`` (grouped registers).
 
     NOT part of the oracle-checked contract surface: ln() is a libm call
     whose last ulp may differ across engines — use ``hll_estimate`` for
     the engine-portable raw components and this for the number a human
     actually wants. Same plan shape (2^p-bounded inputs, scalar out).
     """
+    g = list(group_cols)
     m = 1 << p
-    raw = hll_estimate(registers, p=p)
+    raw = hll_estimate(registers, p=p, group_cols=g)
     v = F.lit(m) - F.col("n_buckets_hit")  # empty buckets
     small = (F.col("estimate") <= 2.5 * m) & (v > 0)
     lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
     return raw.select(
+        *g,
         "n_buckets_hit",
         "max_register",
         F.col("estimate").alias("raw_estimate"),
