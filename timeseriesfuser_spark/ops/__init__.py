@@ -31,6 +31,21 @@ from timeseriesfuser_spark.ops.entity import (
     canonical_entities,
     fuzzy_match_pairs,
 )
+from timeseriesfuser_spark.ops.expect import check_expectations
+from timeseriesfuser_spark.ops.sketches import (
+    bloom_bits,
+    bloom_prefilter,
+    countmin_estimate,
+    countmin_merge,
+    countmin_sketch,
+    histogram_merge,
+    histogram_quantiles,
+    histogram_sketch,
+    hll_estimate,
+    hll_estimate_corrected,
+    hll_merge,
+    hll_registers,
+)
 from timeseriesfuser_spark.ops.lm import (
     bigram_lm_score,
     curation_verdicts,
@@ -38,11 +53,13 @@ from timeseriesfuser_spark.ops.lm import (
 )
 from timeseriesfuser_spark.ops.packing import (
     byte_shards,
+    shard_manifest,
     chunk_documents,
     length_bucketed_batches,
     sequence_pack,
 )
 from timeseriesfuser_spark.ops.text import (
+    decontaminate_spans,
     doc_fingerprint,
     language_id,
     text_stats,
@@ -126,4 +143,19 @@ __all__ = [
     "tfidf_top_terms",
     "tokens_col",
     "vwap_bars",
+    "bloom_bits",
+    "bloom_prefilter",
+    "check_expectations",
+    "countmin_estimate",
+    "countmin_merge",
+    "countmin_sketch",
+    "decontaminate_spans",
+    "histogram_merge",
+    "histogram_quantiles",
+    "histogram_sketch",
+    "hll_estimate",
+    "hll_estimate_corrected",
+    "hll_merge",
+    "hll_registers",
+    "shard_manifest",
 ]
