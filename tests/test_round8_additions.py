@@ -309,3 +309,49 @@ def test_grouped_hll_corrected_accuracy(spark):
     want = {(r["g"], r["bucket"]): r["register"] for r in regs.collect()}
     got = {(r["g"], r["bucket"]): r["register"] for r in merged.collect()}
     assert got == want
+
+
+def test_sketch_lake_pattern(spark, tmp_path):
+    """The incremental-maintenance pattern the sketches exist for: keep
+    per-day register/counter partitions on the lake, merge AT READ TIME —
+    reading N day-partitions back and merging must equal the sketch of
+    the whole history, for both HLL (max) and histogram (sum)."""
+    from pyspark.sql import functions as F
+
+    from timeseriesfuser_spark.ops.sketches import (
+        histogram_merge,
+        histogram_sketch,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = spark.range(0, 5000).select(
+        (F.col("id") % 3).alias("day"),
+        (F.pmod(F.hash("id"), 700)).cast("string").alias("user"),
+        (F.pmod(F.hash(F.col("id") + 1), 1000) / 10.0).alias("value"),
+    )
+    lake = str(tmp_path / "sketch_lake")
+    for kind, build in (
+        ("hll", lambda d: hll_registers(d, "user", p=6)),
+        ("hist", lambda d: histogram_sketch(d, "value", lo=0.0, hi=100.0, bins=20)),
+    ):
+        for day in range(3):
+            build(ev.filter(F.col("day") == day)).write.mode(
+                "overwrite"
+            ).parquet(f"{lake}/{kind}/day={day}")
+
+    merged_hll = hll_merge(
+        *[spark.read.parquet(f"{lake}/hll/day={d}") for d in range(3)]
+    )
+    whole_hll = hll_registers(ev, "user", p=6)
+    assert {(r["bucket"], r["register"]) for r in merged_hll.collect()} == {
+        (r["bucket"], r["register"]) for r in whole_hll.collect()
+    }
+
+    merged_h = histogram_merge(
+        *[spark.read.parquet(f"{lake}/hist/day={d}") for d in range(3)]
+    )
+    whole_h = histogram_sketch(ev, "value", lo=0.0, hi=100.0, bins=20)
+    assert {(r["bin"], r["cnt"]) for r in merged_h.collect()} == {
+        (r["bin"], r["cnt"]) for r in whole_h.collect()
+    }
