@@ -64,6 +64,15 @@ def check_expectations(
     """
     if not rules:
         raise ValueError("need at least one rule")
+    import re
+
+    for r in rules:
+        # names are spliced into a stack() selectExpr — restrict them so
+        # a quote can't break out of the SQL literal
+        if not re.fullmatch(r"[A-Za-z0-9_\-.]+", str(r.get("name", ""))):
+            raise ValueError(
+                f"rule name must be [A-Za-z0-9_-.]+: {r.get('name')!r}"
+            )
     row_rules = [r for r in rules if r["type"] != "unique"]
     uniq_rules = [r for r in rules if r["type"] == "unique"]
 
