@@ -408,3 +408,71 @@ def q_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         sk, [0.5, 0.9], lo=0.0, hi=400.0, bins=256,
         group_cols=["event_type"],
     )
+
+
+@register(
+    "cms_counts_by_type",
+    oracle=f"""
+    WITH ev AS (SELECT event_type, user_id FROM events
+                WHERE event_type IS NOT NULL),
+    hh AS (SELECT event_type, user_id, d,
+                  CAST(concat('0x', substr(md5(concat(CAST(d AS VARCHAR),
+                       chr(31), CAST(user_id AS VARCHAR))), 1, 15))
+                       AS BIGINT) % {_CMS_W} AS col
+           FROM ev CROSS JOIN (SELECT unnest(range({_CMS_D})) AS d)),
+    cells AS (SELECT event_type, d, col, count(*) AS cnt
+              FROM hh GROUP BY event_type, d, col),
+    probe AS (SELECT DISTINCT event_type, user_id, d, col FROM hh),
+    est AS (SELECT p.event_type, p.user_id, min(c.cnt) AS cms_n
+            FROM probe p JOIN cells c
+              ON p.event_type = c.event_type AND p.d = c.d AND p.col = c.col
+            GROUP BY p.event_type, p.user_id),
+    exact AS (SELECT event_type, user_id, count(*) AS exact_n
+              FROM ev GROUP BY event_type, user_id)
+    SELECT e.event_type, e.user_id,
+           CAST(e.exact_n AS BIGINT) AS exact_n,
+           CAST(est.cms_n AS BIGINT) AS cms_n,
+           est.cms_n >= e.exact_n AS never_undercounts
+    FROM exact e JOIN est
+      ON e.event_type = est.event_type AND e.user_id = est.user_id
+    """,
+)
+def q_cms_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED Count-Min (ops.sketches.countmin_sketch/countmin_estimate
+    with group_cols): per-event-type user activity counts from per-group
+    {d}x{w} sketches — #groups × depth × width state, each key answered
+    from its own group's counters, exact counts riding along for the
+    one-sided-error audit."""
+    from timeseriesfuser_spark.ops.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isNotNull()
+    ).select("event_type", "user_id")
+    sk = countmin_sketch(
+        ev, "user_id", depth=_CMS_D, width=_CMS_W, group_cols=["event_type"]
+    )
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    est = countmin_estimate(
+        sk,
+        exact.select("event_type", "user_id"),
+        "user_id",
+        depth=_CMS_D,
+        width=_CMS_W,
+        group_cols=["event_type"],
+    ).withColumnRenamed("key", "user_id")
+    return exact.join(est, ["event_type", "user_id"]).select(
+        "event_type",
+        "user_id",
+        F.col("exact_n").cast("long").alias("exact_n"),
+        F.col("cms_n").cast("long").alias("cms_n"),
+        (F.col("cms_n") >= F.col("exact_n")).alias("never_undercounts"),
+    )
+
+
+q_cms_counts_by_type.__doc__ = q_cms_counts_by_type.__doc__.replace(
+    "{d}", str(_CMS_D)).replace("{w}", str(_CMS_W))

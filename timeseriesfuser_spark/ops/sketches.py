@@ -49,9 +49,12 @@ def countmin_sketch(
     depth: int = 4,
     width: int = 1024,
     weight_col: str | None = None,
+    group_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """Count-Min sketch of ``key_col`` frequencies → one row per
-    (row_idx, col_idx) with the exact counter value (zero cells absent).
+    (*group_cols, row_idx, col_idx) with the exact counter value (zero
+    cells absent; per-group sketches with ``group_cols``, state =
+    #groups × depth × width).
 
     Plan shape: ONE hash aggregation on the (depth × width)-bounded
     bucket key — each input row explodes to ``depth`` (row, bucket)
@@ -72,9 +75,11 @@ def countmin_sketch(
             for d in range(depth)
         ]
     )
+    g = list(group_cols)
     return (
-        df.select(F.explode(pairs).alias("__rc"), w.alias("__w"))
+        df.select(*g, F.explode(pairs).alias("__rc"), w.alias("__w"))
         .groupBy(
+            *g,
             F.col("__rc.row_idx").alias("row_idx"),
             F.col("__rc.col_idx").alias("col_idx"),
         )
@@ -89,17 +94,23 @@ def countmin_estimate(
     *,
     depth: int = 4,
     width: int = 1024,
+    group_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """Point-query the sketch for every row of ``keys``: estimate =
     min over rows of the addressed counters (the CMS guarantee:
     estimate >= true count, overestimate bounded by the collision mass).
+    With ``group_cols`` (present on BOTH the sketch and ``keys``), each
+    key is answered from its own group's sketch.
 
-    The sketch side is depth×width rows → broadcast; the probe is a
-    zero-shuffle projection + ``depth`` broadcast lookups folded into one
-    join on (row_idx, col_idx) + a min aggregation per key.
+    The ungrouped sketch side is depth×width rows → broadcast; grouped,
+    the join keys include the group and AQE plans it. The probe is a
+    zero-shuffle projection + ``depth`` lookups folded into one join +
+    a min aggregation per key.
     """
+    g = list(group_cols)
     k = F.col(key_col)
     probes = keys.select(
+        *g,
         k.alias("key"),
         F.explode(
             F.array(
@@ -112,10 +123,14 @@ def countmin_estimate(
                 ]
             )
         ).alias("__rc"),
-    ).select("key", "__rc.row_idx", "__rc.col_idx")
+    ).select(*g, "key", "__rc.row_idx", "__rc.col_idx")
+    joined = probes.join(
+        sketch if g else F.broadcast(sketch),
+        g + ["row_idx", "col_idx"],
+        "left",
+    )
     return (
-        probes.join(F.broadcast(sketch), ["row_idx", "col_idx"], "left")
-        .groupBy("key")
+        joined.groupBy(*g, "key")
         # an unhit cell means count 0 — min must see it as 0, not null
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_n"))
     )
