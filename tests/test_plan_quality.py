@@ -304,3 +304,47 @@ def test_similarity_topk_partial_window_group_limit(spark):
     the labeled O(Q·C) exactness baseline."""
     plan = formatted_plan(contract.QUERIES["similarity_topk"](spark, SF))
     assert plan.count("WindowGroupLimit") >= 2   # partial + final
+
+
+def test_cube_single_expand_pass(spark):
+    """CUBE must plan as ONE Expand + hash-agg pass — not a self-union
+    of four scans."""
+    import re
+
+    plan = formatted_plan(contract.QUERIES["cube_revenue"](spark, SF))
+    assert plan.count("Expand") >= 1
+    # distinct scan operators (the formatted output lists each twice:
+    # tree reference + detail header)
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) <= 2                       # orders + customer, once each
+    assert "BroadcastHashJoin" in plan           # customer dim broadcast
+
+
+def test_user_set_ops_no_cartesian_on_data(spark):
+    """INTERSECT/EXCEPT must plan as hash semi/anti joins over distinct
+    key sets; the only cross joins are the three 1-row count scalars."""
+    plan = formatted_plan(contract.QUERIES["user_set_ops"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan or "LeftAnti" in plan
+
+
+def test_grouped_sketches_partial_aggregation(spark):
+    """Grouped sketch builds keep map-side partial aggregation (a
+    partial+final HashAggregate pair) — the bounded-shuffle property."""
+    for name in ("hll_distinct_by_type", "cms_counts_by_type",
+                 "quantiles_by_type"):
+        plan = formatted_plan(contract.QUERIES[name](spark, SF))
+        assert plan.count("HashAggregate") >= 2, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_expectations_single_scan_for_row_rules(spark):
+    """All row-level rules must fold into ONE aggregation over one scan
+    of lineitem (plus the uniqueness rule's own scan + key shuffle)."""
+    import re
+
+    plan = formatted_plan(
+        contract.QUERIES["lineitem_expectations"](spark, SF)
+    )
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) <= 2                       # row rules + uniqueness
