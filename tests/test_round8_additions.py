@@ -355,3 +355,18 @@ def test_sketch_lake_pattern(spark, tmp_path):
     assert {(r["bin"], r["cnt"]) for r in merged_h.collect()} == {
         (r["bin"], r["cnt"]) for r in whole_h.collect()
     }
+
+
+def test_check_expectations_empty_relation(spark):
+    """An empty input yields a clean all-pass report (0 rows, 0
+    violations, 0 ppm) — not NULL counters from empty-aggregate sums."""
+    from timeseriesfuser_spark.ops.expect import check_expectations
+
+    df = spark.createDataFrame([], "a long, b string")
+    got = {r["rule"]: r for r in check_expectations(df, [
+        {"name": "a_not_null", "type": "not_null", "col": "a"},
+        {"name": "ab_unique", "type": "unique", "cols": ["a", "b"]},
+    ]).collect()}
+    for r in got.values():
+        assert (r["n_rows"], r["n_violations"], r["violation_ppm"]) == (0, 0, 0)
+        assert r["passed"]

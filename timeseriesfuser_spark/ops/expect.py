@@ -94,7 +94,14 @@ def check_expectations(
             agg.selectExpr(
                 "__n",
                 f"stack({len(row_rules)}, {stacked}) AS (rule, n_violations)",
-            ).select("rule", F.col("__n").alias("n_rows"), "n_violations")
+            ).select(
+                "rule",
+                F.col("__n").alias("n_rows"),
+                # empty relation: conditional sums are NULL, counts 0
+                F.coalesce("n_violations", F.lit(0).cast("long")).alias(
+                    "n_violations"
+                ),
+            )
         )
     for r in uniq_rules:
         keys = list(r["cols"])
@@ -102,8 +109,10 @@ def check_expectations(
         reports.append(
             per_key.agg(
                 F.lit(r["name"]).alias("rule"),
-                F.sum("__c").cast("long").alias("n_rows"),
-                F.sum(F.col("__c") - 1).cast("long").alias("n_violations"),
+                F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_rows"),
+                F.coalesce(F.sum(F.col("__c") - 1), F.lit(0))
+                .cast("long")
+                .alias("n_violations"),
             )
         )
     out = reports[0]
@@ -113,8 +122,11 @@ def check_expectations(
         "rule",
         "n_rows",
         "n_violations",
-        F.expr("n_violations * 1000000 DIV n_rows").cast("long").alias(
-            "violation_ppm"
-        ),
+        # n_rows = 0 (empty relation): no rows, no violations -> 0 ppm.
+        # when-guarded, not coalesced: ANSI DIV 0 THROWS, it isn't NULL
+        F.when(
+            F.col("n_rows") > 0,
+            F.expr("n_violations * 1000000 DIV n_rows"),
+        ).otherwise(F.lit(0)).cast("long").alias("violation_ppm"),
         (F.col("n_violations") == 0).alias("passed"),
     )
