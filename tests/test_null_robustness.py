@@ -44,6 +44,16 @@ QUERIES = [
     "ewma_user",
     # NULL text -> NULL clean_text / zero counts; '' vs NULL empty-join quirk
     "decontaminate_spans",
+    # round-8: NULL event_type rows must drop symmetrically from grouped
+    # sketches and set-op periods; NULL value skips histogram bins; NULL
+    # text -> zero-byte shard member with the '' sha
+    "cube_revenue",
+    "user_set_ops",
+    "hll_distinct_by_type",
+    "cms_counts_by_type",
+    "quantiles_by_type",
+    "shard_manifest",
+    "lineitem_expectations",
 ]
 
 TABLES = [
