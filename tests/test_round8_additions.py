@@ -370,3 +370,46 @@ def test_check_expectations_empty_relation(spark):
     for r in got.values():
         assert (r["n_rows"], r["n_violations"], r["violation_ppm"]) == (0, 0, 0)
         assert r["passed"]
+
+
+def test_grouped_streaming_sketch_batch_parity(spark, tmp_path):
+    """Grouped streaming twins: after draining the stream, per-group
+    cells equal the grouped batch sketch of the same rows."""
+    from pyspark.sql import functions as F
+
+    from timeseriesfuser_spark.ops.sketches import hll_registers
+    from timeseriesfuser_spark.streaming import hll_stream
+
+    d = tmp_path / "ghll_in"
+    ckpt = str(tmp_path / "ckpt_ghll")
+    schema = "g string, k string"
+    rows = [("a", f"u{i}") for i in range(40)] + [
+        ("b", f"u{i}") for i in range(25)
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    regs = {}
+
+    def sink(b, bid):
+        for r in b.collect():
+            regs[(r["g"], r["bucket"])] = r["register"]
+
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    q = (
+        hll_stream(stream, "k", p=4, group_cols=["g"])
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    want = {
+        (r["g"], r["bucket"]): r["register"]
+        for r in hll_registers(
+            spark.createDataFrame(rows, schema), "k", p=4, group_cols=["g"]
+        ).collect()
+    }
+    assert regs == want

@@ -655,6 +655,7 @@ def countmin_stream(
     *,
     depth: int = 4,
     width: int = 1024,
+    group_cols=(),
 ) -> DataFrame:
     """Streaming Count-Min sketch: the live twin of
     ``ops.sketches.countmin_sketch``. A streaming groupBy on the
@@ -677,9 +678,11 @@ def countmin_stream(
             for d in range(depth)
         ]
     )
+    g = list(group_cols)
     return (
-        df.select(F.explode(pairs).alias("__rc"))
+        df.select(*g, F.explode(pairs).alias("__rc"))
         .groupBy(
+            *g,
             F.col("__rc.row_idx").alias("row_idx"),
             F.col("__rc.col_idx").alias("col_idx"),
         )
@@ -687,7 +690,9 @@ def countmin_stream(
     )
 
 
-def hll_stream(df: DataFrame, key_col: str, *, p: int = 8) -> DataFrame:
+def hll_stream(
+    df: DataFrame, key_col: str, *, p: int = 8, group_cols=()
+) -> DataFrame:
     """Streaming HyperLogLog registers: the live twin of
     ``ops.sketches.hll_registers``. A streaming groupBy on the bucket
     with a running MAX of the rank — state bounded by 2^p registers,
@@ -707,9 +712,10 @@ def hll_stream(df: DataFrame, key_col: str, *, p: int = 8) -> DataFrame:
     rho = F.when(
         w > 0, F.lit(rest_bits) + 1 - F.length(F.bin(w))
     ).otherwise(F.lit(rest_bits + 1))
+    g = list(group_cols)
     return (
-        df.select(F.pmod(h, F.lit(m)).alias("bucket"), rho.alias("__rho"))
-        .groupBy("bucket")
+        df.select(*g, F.pmod(h, F.lit(m)).alias("bucket"), rho.alias("__rho"))
+        .groupBy(*g, "bucket")
         .agg(F.max("__rho").cast("long").alias("register"))
     )
 
@@ -721,6 +727,7 @@ def histogram_stream(
     lo: float,
     hi: float,
     bins: int = 256,
+    group_cols=(),
 ) -> DataFrame:
     """Streaming histogram sketch: the live twin of
     ``ops.sketches.histogram_sketch``. A streaming groupBy on the bin
@@ -741,9 +748,10 @@ def histogram_stream(
         .when(v >= hi, F.lit(bins).cast("long"))
         .otherwise(F.least(raw, F.lit(bins - 1).cast("long")))
     )
+    g = list(group_cols)
     return (
         df.filter(v.isNotNull())
-        .select(bucket.alias("bin"))
-        .groupBy("bin")
+        .select(*g, bucket.alias("bin"))
+        .groupBy(*g, "bin")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
