@@ -107,6 +107,18 @@ def main() -> None:
     print(f"bloom pre-filter: {prefiltered.count()} candidate rows reach the "
           f"exact survivor join (of {docs.count()})")
 
+    # 11. Publish gate: declarative expectations over the curated corpus.
+    from timeseriesfuser_spark.ops.expect import check_expectations
+
+    check_expectations(docs, [
+        {"name": "text_not_null", "type": "not_null", "col": "text"},
+        {"name": "lang_domain", "type": "accepted_values", "col": "lang",
+         "values": ["en", "de", "fr", "es", "zh"]},
+        {"name": "chars_consistent", "type": "expression",
+         "expr": "n_chars = length(text)"},
+        {"name": "doc_id_unique", "type": "unique", "cols": ["doc_id"]},
+    ]).show(truncate=False)
+
     spark.stop()
 
 
