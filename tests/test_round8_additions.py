@@ -413,3 +413,60 @@ def test_grouped_streaming_sketch_batch_parity(spark, tmp_path):
         ).collect()
     }
     assert regs == want
+
+
+def test_sketch_boundary_parameters(spark):
+    """Degenerate-but-legal parameters behave: bins=1 (everything in bin
+    0 + under/overflow), k=1 bloom (single hash), p=4 HLL floor, CMS
+    width=1 (every key collides into one counter = total count)."""
+    from pyspark.sql import Row
+
+    from timeseriesfuser_spark.ops.sketches import (
+        bloom_bits,
+        bloom_prefilter,
+        countmin_estimate,
+        countmin_sketch,
+        histogram_sketch,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame([Row(k=str(i), v=float(i)) for i in range(20)])
+
+    h = {r["bin"]: r["cnt"] for r in
+         histogram_sketch(df, "v", lo=5.0, hi=15.0, bins=1).collect()}
+    assert h == {-1: 5, 0: 10, 1: 5}
+
+    bits = bloom_bits(df.limit(3).select("k"), "k", m_bits=8, k=1)
+    passed = bloom_prefilter(df, bits, "k", m_bits=8, k=1)
+    assert {"0", "1", "2"} <= {r["k"] for r in passed.collect()}
+
+    assert hll_registers(df, "k", p=4).count() <= 16
+
+    sk = countmin_sketch(df, "k", depth=2, width=1)
+    est = countmin_estimate(sk, df.select("k"), "k", depth=2, width=1)
+    # one counter: every estimate equals the total row count
+    assert {r["cms_n"] for r in est.collect()} == {20}
+
+
+def test_sketch_invalid_parameters_raise(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from timeseriesfuser_spark.ops.sketches import (
+        bloom_bits,
+        countmin_sketch,
+        histogram_sketch,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame([Row(k="a", v=1.0)])
+    with _pytest.raises(ValueError):
+        histogram_sketch(df, "v", lo=1.0, hi=1.0, bins=4)
+    with _pytest.raises(ValueError):
+        histogram_sketch(df, "v", lo=0.0, hi=1.0, bins=0)
+    with _pytest.raises(ValueError):
+        hll_registers(df, "k", p=3)
+    with _pytest.raises(ValueError):
+        countmin_sketch(df, "k", depth=0)
+    with _pytest.raises(ValueError):
+        bloom_bits(df.select("k"), "k", m_bits=1)
