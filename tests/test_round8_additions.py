@@ -470,3 +470,47 @@ def test_sketch_invalid_parameters_raise(spark):
         countmin_sketch(df, "k", depth=0)
     with _pytest.raises(ValueError):
         bloom_bits(df.select("k"), "k", m_bits=1)
+
+
+def test_export_training_shards_edge_inputs(spark, tmp_path):
+    """A doc larger than shard_bytes occupies its own shard (whole-doc
+    rule); NULL text is a zero-byte member with the ''-sha."""
+    from pyspark.sql import Row
+
+    from timeseriesfuser_spark.sinks import export_training_shards
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="x" * 5000),   # bigger than the shard budget
+        Row(doc_id=2, text="small"),
+        Row(doc_id=3, text=None),
+    ])
+    out = str(tmp_path / "edge_shards")
+    m = {r["shard"]: r for r in
+         export_training_shards(docs, out, shard_bytes=1000,
+                                compress=False).collect()}
+    assert sum(r["n_docs"] for r in m.values()) == 3
+    assert m[0]["n_docs"] == 1 and m[0]["n_bytes"] == 5000  # giant doc alone
+    # doc 2 + the NULL doc land after the giant one (start offsets 5000+)
+    assert sum(r["n_bytes"] for r in m.values()) == 5005
+
+
+def test_decontaminate_spans_edge_inputs(spark):
+    """Docs shorter than n have no removable grams; an EMPTY benchmark
+    removes nothing; n larger than every doc is a no-op."""
+    from pyspark.sql import Row
+
+    from timeseriesfuser_spark.ops.text import decontaminate_spans
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="one two"),
+        Row(doc_id=2, text="a b c d"),
+    ])
+    empty_bench = spark.createDataFrame([], "text string")
+    got = {r["doc_id"]: r for r in
+           decontaminate_spans(docs, empty_bench, n=3).collect()}
+    assert got[1]["clean_text"] == "one two" and got[1]["n_removed"] == 0
+    assert got[2]["clean_text"] == "a b c d"
+
+    big_n = {r["doc_id"]: r for r in
+             decontaminate_spans(docs, docs, n=10).collect()}
+    assert big_n[2]["clean_text"] == "a b c d"  # no 10-gram exists anywhere
