@@ -514,3 +514,53 @@ def test_decontaminate_spans_edge_inputs(spark):
     big_n = {r["doc_id"]: r for r in
              decontaminate_spans(docs, docs, n=10).collect()}
     assert big_n[2]["clean_text"] == "a b c d"  # no 10-gram exists anywhere
+
+
+def test_grouped_hll_stream_survives_restart(spark, tmp_path):
+    """Grouped streaming registers continue across kill+resume and end
+    identical to the grouped batch registers of the full stream."""
+    from timeseriesfuser_spark.ops.sketches import hll_registers
+    from timeseriesfuser_spark.streaming import hll_stream
+
+    d = tmp_path / "ghll_rs_in"
+    ckpt = str(tmp_path / "ckpt_ghll_rs")
+    schema = "g string, k string"
+    regs = {}
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(d))
+        out = hll_stream(stream, "k", p=4, group_cols=["g"])
+
+        def sink(b, bid):
+            for r in b.collect():
+                regs[(r["g"], r["bucket"])] = r["register"]
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    rows1 = [("a", f"u{i}") for i in range(30)] + [("b", "u1")]
+    rows2 = [("a", f"u{i}") for i in range(20, 50)] + [("b", "u2")]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run()
+
+    want = {
+        (r["g"], r["bucket"]): r["register"]
+        for r in hll_registers(
+            spark.createDataFrame(rows1 + rows2, schema), "k",
+            p=4, group_cols=["g"],
+        ).collect()
+    }
+    assert regs == want
