@@ -124,9 +124,14 @@ def check_expectations(
         "n_violations",
         # n_rows = 0 (empty relation): no rows, no violations -> 0 ppm.
         # when-guarded, not coalesced: ANSI DIV 0 THROWS, it isn't NULL
+        # decimal(38,0) for the multiply: >~9.2e12 violating rows would
+        # overflow int64 * 1e6 and ANSI Spark throws (ADVICE r5)
         F.when(
             F.col("n_rows") > 0,
-            F.expr("n_violations * 1000000 DIV n_rows"),
+            F.expr(
+                "CAST(n_violations AS DECIMAL(38,0)) * 1000000"
+                " DIV CAST(n_rows AS DECIMAL(38,0))"
+            ),
         ).otherwise(F.lit(0)).cast("long").alias("violation_ppm"),
         (F.col("n_violations") == 0).alias("passed"),
     )

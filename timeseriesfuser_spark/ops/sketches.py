@@ -42,6 +42,31 @@ def _row_bucket(col: Column, row_idx: int, width: int) -> Column:
     return F.pmod(md5_hash64(col.cast("string"), seed=row_idx), F.lit(width))
 
 
+def _nsjoin(
+    left: DataFrame,
+    right: DataFrame,
+    group_cols: "Sequence[str]",
+    extra_keys: "Sequence[str]" = (),
+    how: str = "inner",
+) -> DataFrame:
+    """Join on ``group_cols`` with NULL-SAFE equality (plus plain equality
+    on ``extra_keys``, which are never NULL by construction), keeping the
+    left side's key columns. The sketch builders keep NULL groups (groupBy
+    semantics), so the estimators must match them back with
+    ``eqNullSafe`` — a plain equi-join silently drops every NULL-group
+    row, undercounting (ADVICE r5 medium)."""
+    r = right
+    for c in list(group_cols) + list(extra_keys):
+        r = r.withColumnRenamed(c, f"__ns_{c}")
+    cond = F.lit(True)
+    for c in group_cols:
+        cond = cond & left[c].eqNullSafe(r[f"__ns_{c}"])
+    for c in extra_keys:
+        cond = cond & (left[c] == r[f"__ns_{c}"])
+    out = left.join(r, cond, how)
+    return out.drop(*[f"__ns_{c}" for c in list(group_cols) + list(extra_keys)])
+
+
 def countmin_sketch(
     df: DataFrame,
     key_col: str,
@@ -124,10 +149,12 @@ def countmin_estimate(
             )
         ).alias("__rc"),
     ).select(*g, "key", "__rc.row_idx", "__rc.col_idx")
-    joined = probes.join(
+    joined = _nsjoin(
+        probes,
         sketch if g else F.broadcast(sketch),
-        g + ["row_idx", "col_idx"],
-        "left",
+        g,
+        extra_keys=["row_idx", "col_idx"],
+        how="left",
     )
     return (
         joined.groupBy(*g, "key")
@@ -201,8 +228,9 @@ def hll_estimate(
         F.max("register").cast("long").alias("max_register"),
     )
     if g:
-        # #groups-bounded relation; the join key is the group, AQE plans it
-        joined = registers.join(agg, g)
+        # #groups-bounded relation; the join key is the group (null-safe —
+        # the builders keep NULL groups), AQE plans it
+        joined = _nsjoin(registers, agg, g)
     else:
         joined = registers.crossJoin(F.broadcast(agg))
     scaled = joined.groupBy(*g, "n_buckets_hit", "max_register").agg(
@@ -383,6 +411,11 @@ def histogram_quantiles(
     """
     from pyspark.sql.window import Window
 
+    # q=0 (or anything outside (0,1]) has no crossing bin — it would be
+    # silently absent from the result, so reject it loudly (ADVICE r5).
+    bad = [q for q in qs if not 0.0 < float(q) <= 1.0]
+    if bad:
+        raise ValueError(f"qs must be in (0, 1]: {bad}")
     g = list(group_cols)
     step = (float(hi) - float(lo)) / bins
     base = Window.partitionBy(*g) if g else Window
@@ -406,7 +439,7 @@ def histogram_quantiles(
         )
     )
     if g:
-        qrel = cum.join(total, g).crossJoin(qvals)
+        qrel = _nsjoin(cum, total, g).crossJoin(qvals)
     else:
         qrel = cum.crossJoin(F.broadcast(total)).crossJoin(qvals)
     target = F.col("q") * F.col("__total").cast("double")

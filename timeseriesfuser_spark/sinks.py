@@ -171,8 +171,8 @@ def export_training_shards(
 
     Shard assignment is :func:`ops.packing.byte_shards` (deterministic
     prefix-sum layout in ``order_col`` order, whole docs, ~``shard_bytes``
-    per shard); each shard lands under ``path/shard=N/`` as JSONL (.gz
-    with ``compress``), and ``path/_manifest`` holds one JSON row per
+    per shard); each shard lands under ``path/shards/shard=N/`` as JSONL
+    (.gz with ``compress``), and ``path/_manifest`` holds one JSON row per
     shard: ``shard``, ``n_docs``, ``n_bytes``, ``content_sha256`` (sha256
     over the per-doc sha256 hex digests in ``order_col`` order — an
     order-sensitive, engine-reproducible shard fingerprint a consumer
@@ -198,6 +198,12 @@ def export_training_shards(
         id_cols=[order_col],
     ).select(order_col, "shard", "shard_offset")
     sharded = work.join(assign, order_col).drop("__nb")
+    # Spark's JSON writer OMITS null fields — a NULL-text doc would land
+    # with no 'text' key while the manifest fingerprints it as sha256('').
+    # Write the same convention the digest uses: NULL text -> '' (ADVICE r5).
+    sharded = sharded.withColumn(
+        text_col, F.coalesce(F.col(text_col), F.lit(""))
+    )
 
     w = sharded.write.mode("overwrite").partitionBy("shard")
     if compress:
