@@ -22,41 +22,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from timeseriesfuser_spark import contract  # noqa: E402
 
-# Names that already hold a green driver row in some CORRECTNESS_r*.json.
 # The driver checks a fixed-size prefix of the registry each round, so we
-# rotate: every not-yet-driver-verified query goes FIRST, already-green ones
-# (still guarded by tests/test_entry_oracle.py) last. The verified set is
-# read dynamically from the CORRECTNESS files committed in the repo root —
-# a name counts as verified only if rows+schema+hash all matched — with the
-# static round-3 list as a fallback should the files be absent.
-_R03_VERIFIED = frozenset({
-    "fuse_merge", "fuse_window_filter", "resample_1m_global",
-    "resample_keys_1h", "forward_fill_global", "source_window_bounds",
-    "interval_labels", "sessionize_30m", "tpch_q1_pricing",
-    "top_orders_per_priority", "revenue_per_nation", "dedup_exact",
-    "dedup_ngram_jaccard", "cross_corpus_dedup", "dedup_minhash_lsh",
-    "dedup_clusters", "doc_chunks", "tfidf_keywords", "dedup_simhash",
-    "text_stats", "lang_id", "doc_fingerprint", "source_quality_rollup",
-    "pii_scrub", "corpus_length_stats", "quality_filter",
-    "contamination_check", "repetition_stats", "token_frequencies",
-    "token_rarity", "stratified_sample", "mixing_weights", "line_dedup",
-    "embedding_clusters", "sequence_pack", "similarity_topk",
-    "similarity_ivf", "embedding_neardup", "srp_signatures",
-    "rp_projection", "tpch_q3_shipping", "value_histogram",
-    "asof_join_user", "rolling_7d_stats", "json_props_agg",
-    "multimodal_meta", "multimodal_features", "gap_report",
-    "ngram_novelty", "dedup_verdicts",
-})
+# rotate: every not-yet-driver-verified query goes FIRST; already-green ones
+# (still guarded by tests/test_entry_oracle.py) follow, ordered so the
+# STALEST certification is re-checked soonest. The verified set is read
+# dynamically from the CORRECTNESS files committed in the repo root — a
+# name counts as verified only if rows+schema+hash all matched — and each
+# name carries the round of its NEWEST green row; with no fresh names, a
+# 50-query driver round recertifies the 50 longest-unchecked queries, so
+# the whole registry re-greens on a rolling cadence instead of the same
+# prefix forever.
 
 
-def _driver_verified() -> frozenset[str]:
-    """Union of all green rows across committed CORRECTNESS_r*.json files."""
+def _driver_verified() -> dict[str, int]:
+    """{name: newest round with a green row} across CORRECTNESS_r*.json."""
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    green: set[str] = set(_R03_VERIFIED)
+    green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -72,15 +60,20 @@ def _driver_verified() -> frozenset[str]:
                 and row.get("hash_match")
                 and row.get("err") is None
             ):
-                green.add(name)
-    return frozenset(green)
+                green[name] = max(green.get(name, 0), rnd)
+    return green
 
 
 def _ordered(names: list[str]) -> list[str]:
-    """Not-yet-driver-verified queries first, driver-green ones after."""
+    """Not-yet-driver-verified queries first; then driver-green ones,
+    oldest newest-green-round first (registry order breaks ties)."""
     verified = _driver_verified()
     fresh = [n for n in names if n not in verified]
-    seen = [n for n in names if n in verified]
+    pos = {n: i for i, n in enumerate(names)}
+    seen = sorted(
+        (n for n in names if n in verified),
+        key=lambda n: (verified[n], pos[n]),
+    )
     return fresh + seen
 
 
