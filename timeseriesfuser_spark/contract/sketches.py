@@ -476,3 +476,100 @@ def q_cms_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 q_cms_counts_by_type.__doc__ = q_cms_counts_by_type.__doc__.replace(
     "{d}", str(_CMS_D)).replace("{w}", str(_CMS_W))
+
+
+@register(
+    "bloom_prefilter_by_type",
+    oracle=f"""
+    WITH ev AS (SELECT event_type, user_id FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+    keys AS (SELECT DISTINCT event_type, user_id FROM events
+             WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+               AND value >= 300.0),
+    bits AS (
+        SELECT DISTINCT k.event_type,
+            CAST(concat('0x', substr(md5(concat(CAST(700 + s.i AS VARCHAR),
+                 chr(31), CAST(k.user_id AS VARCHAR))), 1, 15))
+                 AS BIGINT) % {_BLOOM_M} AS bit
+        FROM keys k CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS i) s
+    ),
+    -- membership depends only on (group, key): decide once per DISTINCT
+    -- pair, then count the fact rows carrying a passing pair
+    pk AS (SELECT DISTINCT event_type, user_id FROM ev),
+    passk AS (
+        SELECT pk.event_type, pk.user_id
+        FROM pk
+        CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS i) s
+        JOIN bits b
+          ON b.event_type = pk.event_type
+         AND CAST(concat('0x', substr(md5(concat(CAST(700 + s.i AS VARCHAR),
+               chr(31), CAST(pk.user_id AS VARCHAR))), 1, 15))
+               AS BIGINT) % {_BLOOM_M} = b.bit
+        GROUP BY pk.event_type, pk.user_id
+        HAVING count(*) = {_BLOOM_K}
+    ),
+    np AS (SELECT e.event_type, count(*) AS n_pass
+           FROM ev e JOIN passk p
+             ON e.event_type = p.event_type AND e.user_id = p.user_id
+           GROUP BY e.event_type),
+    nt AS (SELECT e.event_type, count(*) AS n_true
+           FROM ev e JOIN keys k
+             ON e.event_type = k.event_type AND e.user_id = k.user_id
+           GROUP BY e.event_type),
+    base AS (SELECT DISTINCT event_type FROM ev)
+    SELECT b.event_type,
+           CAST(COALESCE(np.n_pass, 0) AS BIGINT) AS n_pass,
+           CAST(COALESCE(nt.n_true, 0) AS BIGINT) AS n_true,
+           CAST(COALESCE(np.n_pass, 0) - COALESCE(nt.n_true, 0) AS BIGINT)
+               AS false_pos
+    FROM base b
+    LEFT JOIN np ON b.event_type = np.event_type
+    LEFT JOIN nt ON b.event_type = nt.event_type
+    """,
+)
+def q_bloom_prefilter_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED Bloom pre-filter (ops.sketches.bloom_bits/bloom_prefilter
+    with group_cols): one independent filter per event_type over its
+    high-value users, each fact row tested against ITS OWN group's bits —
+    per-partition join pruning, the lakehouse idiom for per-day/per-source
+    bit relations. Output = per-type pass/true/false-positive counts; the
+    one-sided guarantee (false_pos >= 0) and group isolation (membership
+    in another type's key set does not leak) are both checked."""
+    from timeseriesfuser_spark.ops.sketches import bloom_bits, bloom_prefilter
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    ).select("event_type", "user_id", "value")
+    keys = (
+        ev.filter(F.col("value") >= 300.0)
+        .select("event_type", "user_id").distinct()
+    )
+    fact = ev.select("event_type", "user_id")
+    bits = bloom_bits(
+        keys, "user_id", m_bits=_BLOOM_M, k=_BLOOM_K,
+        group_cols=["event_type"],
+    )
+    passed = bloom_prefilter(
+        fact, bits, "user_id", m_bits=_BLOOM_M, k=_BLOOM_K,
+        group_cols=["event_type"],
+    )
+    np_ = passed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pass")
+    )
+    nt = fact.join(keys, ["event_type", "user_id"], "left_semi").groupBy(
+        "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    base = fact.select("event_type").distinct()
+    return (
+        base.join(np_, "event_type", "left")
+        .join(nt, "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce("n_pass", F.lit(0)).cast("long").alias("n_pass"),
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            (
+                F.coalesce("n_pass", F.lit(0))
+                - F.coalesce("n_true", F.lit(0))
+            ).cast("long").alias("false_pos"),
+        )
+    )

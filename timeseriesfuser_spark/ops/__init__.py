@@ -34,6 +34,7 @@ from timeseriesfuser_spark.ops.entity import (
 from timeseriesfuser_spark.ops.expect import check_expectations
 from timeseriesfuser_spark.ops.sketches import (
     bloom_bits,
+    bloom_merge,
     bloom_prefilter,
     countmin_estimate,
     countmin_merge,
@@ -144,6 +145,7 @@ __all__ = [
     "tokens_col",
     "vwap_bars",
     "bloom_bits",
+    "bloom_merge",
     "bloom_prefilter",
     "check_expectations",
     "countmin_estimate",

@@ -31,6 +31,9 @@ __all__ = [
     "hll_registers",
     "hll_estimate",
     "hll_merge",
+    "bloom_bits",
+    "bloom_merge",
+    "bloom_prefilter",
 ]
 
 _HASH_BITS = 60  # md5_hash64 yields a non-negative 60-bit value
@@ -472,13 +475,22 @@ def bloom_bits(
     m_bits: int = 1 << 20,
     k: int = 4,
     seed: int = 700,
+    group_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """Set-bit relation of a Bloom filter over ``keys[key_col]``: the
     DISTINCT positions of all ``k`` seeded md5 hashes — bounded by
     min(k·n, m_bits) rows, mergeable across shards by union+distinct
-    (bit-OR), broadcastable to the probe side."""
+    (bit-OR), broadcastable to the probe side.
+
+    With ``group_cols``, one INDEPENDENT filter per group value (state =
+    #groups × m_bits worst case, (*group_cols, bit) rows) — the per-day /
+    per-source bit relation of lakehouse join pruning; the hash covers
+    only the key, so the union of per-group bit sets equals the ungrouped
+    relation over the same input. NULL group values are kept as their own
+    group (distinct semantics, same as the other sketch builders)."""
     if m_bits < 2 or k < 1:
         raise ValueError(f"need m_bits >= 2, k >= 1: {m_bits}, {k}")
+    g = list(group_cols)
     kc = F.col(key_col).cast("string")
     pos = F.array(
         *[
@@ -486,7 +498,19 @@ def bloom_bits(
             for i in range(k)
         ]
     )
-    return keys.select(F.explode(pos).alias("bit")).distinct()
+    return keys.select(*g, F.explode(pos).alias("bit")).distinct()
+
+
+def bloom_merge(*bit_sets: DataFrame) -> DataFrame:
+    """Merge Bloom bit relations built with the SAME m_bits/k/seed (and
+    group_cols): set-bit union = bit-OR. Union + one bounded distinct;
+    bit-identical to building the filter over the concatenated input."""
+    if not bit_sets:
+        raise ValueError("bloom_merge needs at least one bit set")
+    out = bit_sets[0]
+    for s in bit_sets[1:]:
+        out = out.unionByName(s)
+    return out.distinct()
 
 
 def bloom_prefilter(
@@ -497,11 +521,17 @@ def bloom_prefilter(
     m_bits: int = 1 << 20,
     k: int = 4,
     seed: int = 700,
+    group_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """Keep the rows of ``fact`` whose ``fact_col`` MIGHT be in the key
     set behind ``bits`` — one-sided: a true member always passes; false
     positives pass at ~(1−e^(−kn/m))^k and are eliminated by the exact
     join that follows. NULL keys never pass (SQL IN semantics).
+
+    With ``group_cols`` (present on BOTH sides), each fact row is tested
+    against ITS OWN group's filter — membership in another group's key
+    set does not leak through. Group matching is null-safe (the builders
+    keep NULL groups), key hashing is not (NULL key never passes).
 
     THE shuffle-reduction idiom for selective big-table joins at 100 TB:
     ``k`` BROADCAST left-semi joins against the bounded bit relation
@@ -510,10 +540,17 @@ def bloom_prefilter(
     filtering builds internally — here explicit, composable, and
     oracle-checkable.
     """
+    g = list(group_cols)
     out = fact
     fc = F.col(fact_col).cast("string")
     for i in range(k):
         p = F.pmod(md5_hash64(fc, seed=seed + i), F.lit(m_bits))
-        b = bits.select(F.col("bit").alias(f"__bloom_b{i}"))
-        out = out.join(F.broadcast(b), p == F.col(f"__bloom_b{i}"), "left_semi")
+        b = bits.select(
+            *[F.col(c).alias(f"__bloom_g{i}_{j}") for j, c in enumerate(g)],
+            F.col("bit").alias(f"__bloom_b{i}"),
+        )
+        cond = p == F.col(f"__bloom_b{i}")
+        for j, c in enumerate(g):
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__bloom_g{i}_{j}"))
+        out = out.join(F.broadcast(b), cond, "left_semi")
     return out
