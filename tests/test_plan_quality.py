@@ -348,3 +348,74 @@ def test_expectations_single_scan_for_row_rules(spark):
     )
     scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
     assert len(scans) <= 2                       # row rules + uniqueness
+
+
+def test_tpcds_q88_single_scan(spark):
+    """Eight band counts must fold into ONE conditional aggregation over
+    ONE lineitem scan (real Q88 writes eight self-joined subqueries —
+    that plan re-scans the fact table eight times)."""
+    import re
+
+    plan = formatted_plan(contract.QUERIES["tpcds_q88_band_counts"](spark, SF))
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1
+    assert plan.count("HashAggregate") >= 2     # partial + final
+    # the shared discount predicate reaches the scan
+    assert "PushedFilters" in plan and "l_discount" in plan
+
+
+def test_tpcds_q5_rollup_single_expand(spark):
+    """The channel ROLLUP grid must come from ONE scan + ONE Expand —
+    never a per-channel re-scan union."""
+    import re
+
+    plan = formatted_plan(
+        contract.QUERIES["tpcds_q5_channel_rollup"](spark, SF)
+    )
+    assert plan.count("Expand") >= 1
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) <= 2                      # lineitem + orders, once each
+    assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q57_q47_window_on_aggregated_grain(spark):
+    """Deviation/YoY run on the (brand, month) AGGREGATED grain: the
+    plan must aggregate (partial+final) BEFORE any Window/self-join, and
+    the part dimension must broadcast."""
+    for name in ("tpcds_q57_outlier_months", "tpcds_q47_yoy_ratio"):
+        plan = formatted_plan(contract.QUERIES[name](spark, SF))
+        assert "BroadcastHashJoin" in plan, name
+        assert plan.count("HashAggregate") >= 2, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_tpcds_q67_rollup_rank_group_limit(spark):
+    """Ranking the rollup grid with rank<=3 must push a WindowGroupLimit
+    (rank-limit pushdown) and build the grid from one Expand."""
+    plan = formatted_plan(contract.QUERIES["tpcds_q67_topn_rollup"](spark, SF))
+    assert plan.count("Expand") >= 1
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan          # part dim broadcast
+
+
+def test_tpcds_q34_broadcast_survivor_set(spark):
+    """The having-band survivor keys (small by construction) must be the
+    BROADCAST side of the dimension join; the orders agg keeps map-side
+    partial aggregation."""
+    plan = formatted_plan(
+        contract.QUERIES["tpcds_q34_frequent_buyers"](spark, SF)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpcds_q36_dims_broadcast(spark):
+    """The region->nation->supplier->part snowflake must broadcast every
+    dimension (one fact-side shuffle for the rollup only)."""
+    plan = formatted_plan(
+        contract.QUERIES["tpcds_q36_margin_hierarchy"](spark, SF)
+    )
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("Expand") >= 1
+    assert "CartesianProduct" not in plan

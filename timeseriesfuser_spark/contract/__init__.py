@@ -21,6 +21,7 @@ from timeseriesfuser_spark.contract import (  # noqa: F401  (registration order)
     pipeline,
     graph,
     sketches,
+    tpcds,
 )
 
 import sys as _sys
@@ -30,7 +31,7 @@ _pkg = _sys.modules[__name__]
 # ``contract.<name>`` keeps working exactly as it did for the single
 # module — tests and tooling reference private helpers like _events/_ff.
 for _m in (_base, core, relational, dedup, text, similarity, timeseries,
-           behavior, media, pipeline, graph, sketches):
+           behavior, media, pipeline, graph, sketches, tpcds):
     for _k, _v in vars(_m).items():
         if _k.startswith("__") or hasattr(_pkg, _k):
             continue

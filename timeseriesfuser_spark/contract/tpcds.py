@@ -1,0 +1,435 @@
+"""TPC-DS-style window/grouping compositions over the TPC-H-ish tables.
+
+TPC-H (complete, 22/22 shapes in ``relational.py``) exercises joins and
+aggregation; the next reference-class workload a warehouse user runs is
+TPC-DS's window-heavy tier. These seven queries re-create its signature
+COMPOSITIONS — deviation-from-mean over an aggregated grain (Q57/Q89),
+single-scan multi-band counts (Q88), year-over-year ratio (Q47),
+channel ROLLUP (Q5), frequent-buyer having-band (Q34), top-N over a
+rollup grid (Q67), and hierarchy-level ranking with grouping_id (Q36) —
+on the synthetic star schema (single fact table: the tri-fact unions of
+real TPC-DS collapse to a derived channel dimension, documented per
+query).
+
+Determinism: money accumulates in exact integer cents (1e-4 dollar units
+for discounted amounts), ratios are ONE double division at the end, and
+threshold comparisons run in decimal(38,0) cross-multiplied integers —
+the house conventions that make DuckDB hash parity possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timeseriesfuser_spark.contract._base import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    _t,
+    register,
+)
+
+# discounted revenue in 1e-4 dollar units, exactly (tpch_q1 convention)
+_REV4 = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+def _rev4_col() -> "F.Column":
+    epc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    return epc * (F.lit(100) - dc)
+
+
+@register(
+    "tpcds_q57_outlier_months",
+    oracle=f"""
+    WITH m AS (
+        SELECT p.p_brand, year(l.l_shipdate) * 100 + month(l.l_shipdate)
+                   AS ym,
+               sum({_REV4}) AS rev4
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT p_brand, ym, rev4,
+               sum(rev4) OVER (PARTITION BY p_brand) AS tot4,
+               count(*) OVER (PARTITION BY p_brand) AS n_months
+        FROM m
+    )
+    SELECT p_brand,
+           CAST(ym AS BIGINT) AS ym,
+           CAST(rev4 AS DOUBLE) / 10000 AS revenue,
+           CAST(tot4 AS DOUBLE) / 10000 / n_months AS avg_revenue,
+           CAST(abs(rev4::HUGEINT * n_months - tot4::HUGEINT) * 1000000
+                // (tot4::HUGEINT * n_months) AS BIGINT) AS dev_ppm
+    FROM w
+    WHERE abs(rev4::HUGEINT * n_months - tot4::HUGEINT) * 200
+          > tot4::HUGEINT * n_months
+    """,
+)
+def q_tpcds_q57_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q57-shape: per-category (brand) monthly revenue that
+    deviates >0.5% from the brand's all-months mean (the synthetic
+    corpus is near-uniform across months — real Q57 uses 10%; the
+    threshold is chosen so the query exercises non-empty output at the
+    checked scale factors). The window runs on
+    the AGGREGATED (brand, month) grain — #brands × #months rows, never
+    the fact table — and the deviation test is exact cross-multiplied
+    integers in decimal(38,0) (|rev·n − tot|·200 > tot·n), so no
+    float threshold can disagree across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    ym = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("long")
+    m = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand", ym.alias("ym"))
+        .agg(F.sum(_rev4_col()).alias("rev4"))
+    )
+    w = Window.partitionBy("p_brand")
+    d = (
+        m.withColumn("tot4", F.sum("rev4").over(w))
+        .withColumn("n_months", F.count(F.lit(1)).over(w))
+    )
+    rev_d = F.expr("CAST(rev4 AS DECIMAL(38,0))")
+    tot_d = F.expr("CAST(tot4 AS DECIMAL(38,0))")
+    n = F.col("n_months")
+    diff = F.abs(rev_d * n - tot_d)
+    return d.filter(diff * 200 > tot_d * n).select(
+        "p_brand",
+        F.col("ym").cast("long").alias("ym"),
+        (F.col("rev4").cast("double") / 10000).alias("revenue"),
+        (F.col("tot4").cast("double") / 10000 / n).alias("avg_revenue"),
+        F.expr(
+            "CAST(abs(CAST(rev4 AS DECIMAL(38,0)) * n_months"
+            " - CAST(tot4 AS DECIMAL(38,0))) * 1000000"
+            " DIV (CAST(tot4 AS DECIMAL(38,0)) * n_months) AS BIGINT)"
+        ).alias("dev_ppm"),
+    )
+
+
+_Q88_BANDS = [(1 + 7 * i, 8 + 7 * i) for i in range(8)]  # qty [1,8),[8,15)..
+
+
+@register(
+    "tpcds_q88_band_counts",
+    oracle="""
+    SELECT
+    """ + ",\n    ".join(
+        f"CAST(count(CASE WHEN l_quantity >= {lo} AND l_quantity < {hi}"
+        f" THEN 1 END) AS BIGINT) AS band_{i + 1}"
+        for i, (lo, hi) in enumerate(_Q88_BANDS)
+    ) + """
+    FROM lineitem
+    WHERE l_discount <= 0.05
+    """,
+)
+def q_tpcds_q88_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88-shape: eight disjoint band counts (quantity ranges
+    under a shared discount predicate) in ONE scan — the real Q88 writes
+    eight self-joined subqueries; the scale-correct plan is a single
+    conditional aggregation pass (plan-gated: exactly one lineitem
+    scan). Output is a single row of eight counters."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") <= 0.05)
+    q = F.col("l_quantity")
+    return li.agg(
+        *[
+            F.count(F.when((q >= lo) & (q < hi), F.lit(1)))
+            .cast("long")
+            .alias(f"band_{i + 1}")
+            for i, (lo, hi) in enumerate(_Q88_BANDS)
+        ]
+    )
+
+
+@register(
+    "tpcds_q47_yoy_ratio",
+    oracle=f"""
+    WITH m AS (
+        SELECT p.p_brand, year(l.l_shipdate) AS yr, month(l.l_shipdate) AS mo,
+               sum({_REV4}) AS rev4
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2, 3
+    )
+    SELECT c.p_brand,
+           CAST(c.yr * 100 + c.mo AS BIGINT) AS ym,
+           CAST(c.rev4 AS DOUBLE) / 10000 AS revenue,
+           CAST(p.rev4 AS DOUBLE) / 10000 AS prev_year_revenue,
+           CAST(c.rev4 AS DOUBLE) / CAST(p.rev4 AS DOUBLE) AS yoy_ratio
+    FROM m c JOIN m p
+      ON c.p_brand = p.p_brand AND c.mo = p.mo AND c.yr = p.yr + 1
+    """,
+)
+def q_tpcds_q47_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q47-shape: year-over-year monthly revenue ratio per brand —
+    the aggregated (brand, year, month) grain self-joined on (brand,
+    month, year−1). A lag(12) window would silently pair WRONG months
+    when any month is missing from a brand; the equi-join is
+    gap-correct and stays on the #brands × #months relation. The ratio
+    is one double division of two exact integer sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    m = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.year("l_shipdate").alias("yr"),
+            F.month("l_shipdate").alias("mo"),
+        )
+        .agg(F.sum(_rev4_col()).alias("rev4"))
+    )
+    c = m.alias("c")
+    p = m.alias("p")
+    return c.join(
+        p,
+        (F.col("c.p_brand") == F.col("p.p_brand"))
+        & (F.col("c.mo") == F.col("p.mo"))
+        & (F.col("c.yr") == F.col("p.yr") + 1),
+    ).select(
+        F.col("c.p_brand").alias("p_brand"),
+        (F.col("c.yr") * 100 + F.col("c.mo")).cast("long").alias("ym"),
+        (F.col("c.rev4").cast("double") / 10000).alias("revenue"),
+        (F.col("p.rev4").cast("double") / 10000).alias("prev_year_revenue"),
+        (F.col("c.rev4").cast("double") / F.col("p.rev4").cast("double"))
+        .alias("yoy_ratio"),
+    )
+
+
+# channel: a derived dimension over the single fact table (real TPC-DS
+# unions three fact tables; with one, the union collapses to a CASE)
+_CHANNEL_SQL = """CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 'express' WHEN o_orderpriority = '3-MEDIUM'
+          THEN 'standard' ELSE 'economy' END"""
+
+
+@register(
+    "tpcds_q5_channel_rollup",
+    oracle=f"""
+    WITH f AS (
+        SELECT {_CHANNEL_SQL} AS channel,
+               year(o.o_orderdate) AS yr,
+               CASE WHEN l.l_returnflag = 'R' THEN 0 ELSE {_REV4} END
+                   AS sales4,
+               CASE WHEN l.l_returnflag = 'R' THEN {_REV4} ELSE 0 END
+                   AS returns4
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT channel,
+           CAST(yr AS BIGINT) AS yr,
+           CAST(GROUPING(channel, yr) AS BIGINT) AS gid,
+           CAST(sum(sales4) AS DOUBLE) / 10000 AS sales,
+           CAST(sum(returns4) AS DOUBLE) / 10000 AS returns,
+           CAST(sum(sales4) - sum(returns4) AS DOUBLE) / 10000 AS net
+    FROM f
+    GROUP BY ROLLUP (channel, yr)
+    """,
+)
+def q_tpcds_q5_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q5-shape: sales / returns / net per channel and year with
+    ROLLUP subtotals. Real Q5 unions three fact tables into channel
+    rows; with one fact table the channel is a derived dimension
+    (priority bands), so the whole grid is ONE scan + ONE Expand +
+    one aggregation (plan-gated) — never a per-channel re-scan.
+    Returns split on l_returnflag inside conditional sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    rev4 = _rev4_col()
+    isret = F.col("l_returnflag") == "R"
+    f = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.expr(_CHANNEL_SQL).alias("channel"),
+        F.year("o_orderdate").alias("yr"),
+        F.when(isret, F.lit(0).cast("long")).otherwise(rev4).alias("sales4"),
+        F.when(isret, rev4).otherwise(F.lit(0).cast("long")).alias("returns4"),
+    )
+    return (
+        f.rollup("channel", "yr")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.sum("sales4").alias("s4"),
+            F.sum("returns4").alias("r4"),
+        )
+        .select(
+            "channel",
+            F.col("yr").cast("long").alias("yr"),
+            "gid",
+            (F.col("s4").cast("double") / 10000).alias("sales"),
+            (F.col("r4").cast("double") / 10000).alias("returns"),
+            ((F.col("s4") - F.col("r4")).cast("double") / 10000).alias("net"),
+        )
+    )
+
+
+@register(
+    "tpcds_q34_frequent_buyers",
+    oracle="""
+    WITH f AS (
+        SELECT o_custkey, count(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) BETWEEN 15 AND 20
+    )
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           CAST(f.n_orders AS BIGINT) AS n_orders
+    FROM customer c JOIN f ON c.c_custkey = f.o_custkey
+    """,
+)
+def q_tpcds_q34_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q34-shape: customers with an order count inside a band
+    (15–20), hydrated with their dimension attributes. The having-band
+    filter runs map-side-combinable on the fact table FIRST; the
+    surviving key set is small by construction, so IT is broadcast into
+    the customer dimension join — at 100 TB the dimension never
+    shuffles."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    f = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .filter(F.col("n_orders").between(15, 20))
+    )
+    return c.join(F.broadcast(f), c.c_custkey == f.o_custkey).select(
+        "c_custkey", "c_name", "c_mktsegment", "n_orders"
+    )
+
+
+@register(
+    "tpcds_q67_topn_rollup",
+    oracle=f"""
+    WITH g AS (
+        SELECT p.p_brand, p.p_type,
+               CAST(GROUPING(p.p_brand, p.p_type) AS BIGINT) AS gid,
+               sum({_REV4}) AS rev4
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY ROLLUP (p.p_brand, p.p_type)
+    ),
+    r AS (
+        SELECT p_brand, p_type, gid,
+               CAST(rev4 AS DOUBLE) / 10000 AS revenue,
+               rank() OVER (PARTITION BY p_brand
+                            ORDER BY rev4 DESC, p_type ASC NULLS FIRST)
+                   AS rnk
+        FROM g
+    )
+    SELECT p_brand, p_type, gid, revenue, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def q_tpcds_q67_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67-shape: rank the whole ROLLUP grid within each brand
+    partition and keep the top 3 — subtotal rows compete with detail
+    rows, exactly like Q67's category ranking. One Expand builds the
+    grid; the rank window runs on the #brands × #types grid, never the
+    fact table, and the rank<=3 filter lets Spark push a
+    WindowGroupLimit. Tie-break pinned (rev DESC, p_type ASC NULLS
+    FIRST — Spark's ASC default, spelled out for DuckDB)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    g = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .rollup("p_brand", "p_type")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.sum(_rev4_col()).alias("rev4"),
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("rev4").desc(), F.col("p_type").asc_nulls_first()
+    )
+    return (
+        g.withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "p_brand",
+            "p_type",
+            "gid",
+            (F.col("rev4").cast("double") / 10000).alias("revenue"),
+            "rnk",
+        )
+    )
+
+
+@register(
+    "tpcds_q36_margin_hierarchy",
+    oracle=f"""
+    WITH f AS (
+        SELECT r.r_name, n.n_name,
+               {_REV4} AS rev4,
+               CAST(round(p.p_retailprice * 100) AS BIGINT)
+                   * CAST(round(l.l_quantity) AS BIGINT) * 100 AS cost4
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    g AS (
+        SELECT r_name, n_name,
+               CAST(GROUPING(r_name, n_name) AS BIGINT) AS lochierarchy,
+               sum(rev4) AS rev4, sum(cost4) AS cost4
+        FROM f GROUP BY ROLLUP (r_name, n_name)
+    )
+    SELECT r_name, n_name, lochierarchy,
+           CAST(rev4 AS DOUBLE) / 10000 AS revenue,
+           CAST(rev4 - cost4 AS DOUBLE) / CAST(rev4 AS DOUBLE) AS margin,
+           CAST(rank() OVER (
+               PARTITION BY lochierarchy,
+                            CASE WHEN lochierarchy = 0 THEN r_name END
+               ORDER BY CAST(rev4 - cost4 AS DOUBLE) / CAST(rev4 AS DOUBLE)
+                        ASC,
+                        n_name ASC NULLS FIRST) AS BIGINT)
+               AS rank_within_parent
+    FROM g
+    """,
+)
+def q_tpcds_q36_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q36-shape: gross-margin ROLLUP over the region→nation
+    hierarchy, ranked WITHIN PARENT — partition by (grouping level, and
+    for nation rows their region), exactly Q36's
+    lochierarchy/rank_within_parent idiom. Cost proxies retailprice ×
+    quantity (no supplycost column). Margin = one double division of
+    two exact integer sums; rank ties pinned by n_name ASC NULLS
+    FIRST. All dims broadcast; the window runs on the rolled-up grid."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    cost4 = (
+        F.round(F.col("p_retailprice") * 100).cast("long")
+        * F.round(F.col("l_quantity")).cast("long")
+        * F.lit(100)
+    )
+    f = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .select(
+            "r_name",
+            "n_name",
+            _rev4_col().alias("rev4"),
+            cost4.alias("cost4"),
+        )
+    )
+    g = f.rollup("r_name", "n_name").agg(
+        F.grouping_id().cast("long").alias("lochierarchy"),
+        F.sum("rev4").alias("rev4"),
+        F.sum("cost4").alias("cost4"),
+    )
+    margin = (F.col("rev4") - F.col("cost4")).cast("double") / F.col(
+        "rev4"
+    ).cast("double")
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("lochierarchy") == 0, F.col("r_name")),
+    ).orderBy(margin.asc(), F.col("n_name").asc_nulls_first())
+    return g.select(
+        "r_name",
+        "n_name",
+        "lochierarchy",
+        (F.col("rev4").cast("double") / 10000).alias("revenue"),
+        margin.alias("margin"),
+        F.rank().over(w).cast("long").alias("rank_within_parent"),
+    )
