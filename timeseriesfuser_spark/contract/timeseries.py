@@ -459,3 +459,73 @@ def q_donchian_20(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user 20-row trailing min/max/width — the breakout-detection
     primitive. One window pass, running frames stay incremental."""
     return TS.rolling_extrema(_events(spark, sf_dir), _DON_N)
+
+
+@register(
+    "streaming_ohlc_1h",
+    oracle=f"""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, event_type, value FROM events),
+    r AS (SELECT event_type, CAST({_ff('t', _H1GAP)} AS BIGINT) AS bar_ts,
+                 t, event_id, value FROM ev),
+    o AS (SELECT *,
+                 row_number() OVER (PARTITION BY event_type, bar_ts
+                                    ORDER BY t, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, bar_ts
+                                    ORDER BY t DESC, event_id DESC) AS rn_d
+          FROM r)
+    SELECT event_type, bar_ts,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM o
+    GROUP BY event_type, bar_ts
+    -- append mode emits exactly the windows whose END has passed the
+    -- final watermark (= max event time at 0s delay)
+    HAVING bar_ts + {_H1GAP} <= (SELECT max(t) FROM ev)
+    """,
+)
+def q_streaming_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming candlesticks driven THROUGH the driver
+    harness (streaming.ohlc_stream): availableNow file stream →
+    watermarked tumbling OHLC bars → memory sink. Append mode emits
+    exactly the windows whose end <= final watermark (max event time, 0s
+    delay) — the oracle is the batch ohlc_1h oracle with that HAVING
+    clause; on this bounded fixture every bar but the final partial one
+    is emitted, row-identical to the batch op."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from timeseriesfuser_spark.streaming import ohlc_stream
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_ms = ts_epoch_ms_col(stream, "ts")
+    ev = stream.select(
+        ts_ms.cast("long").alias("__ts_ms"), "event_id", "event_type", "value"
+    )
+    agg = ohlc_stream(ev, "1h", ts_col="__ts_ms")
+    name = f"so_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="tsf_ckpt_")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
