@@ -108,16 +108,52 @@ def main() -> None:
           f"exact survivor join (of {docs.count()})")
 
     # 11. Publish gate: declarative expectations over the curated corpus.
+    #     The demo exercises BOTH paths: the clean corpus must pass (the
+    #     pipeline publishes), and a deliberately poisoned batch must be
+    #     caught (the pipeline refuses to publish) — living documentation
+    #     of the DQ surface.
     from timeseriesfuser_spark.ops.expect import check_expectations
 
-    check_expectations(docs, [
+    rules = [
         {"name": "text_not_null", "type": "not_null", "col": "text"},
         {"name": "lang_domain", "type": "accepted_values", "col": "lang",
          "values": ["en", "de", "fr", "es", "zh"]},
         {"name": "chars_consistent", "type": "expression",
          "expr": "n_chars = length(text)"},
         {"name": "doc_id_unique", "type": "unique", "cols": ["doc_id"]},
-    ]).show(truncate=False)
+    ]
+
+    report = check_expectations(docs, rules)
+    report.show(truncate=False)
+    failed = [r["rule"] for r in report.collect() if not r["passed"]]
+    assert not failed, f"publish gate failed on the clean corpus: {failed}"
+    print("publish gate: PASS — corpus is publishable")
+
+    # Poison the batch: a NULL text, an out-of-domain lang, a doc whose
+    # n_chars lies about its text, and a duplicated doc_id.
+    poison = spark.createDataFrame(
+        [
+            (90_000_001, None, "en", 10),
+            (90_000_002, "ok text", "tlh", 7),
+            (90_000_003, "short", "en", 9999),
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    ).withColumn("text", F.col("text").cast("string"))
+    dup = docs.limit(1).select("doc_id", "text", "lang", "n_chars")
+    poisoned = docs.select("doc_id", "text", "lang", "n_chars").unionByName(
+        poison
+    ).unionByName(dup)
+
+    report2 = check_expectations(poisoned, rules)
+    report2.show(truncate=False)
+    caught = {r["rule"] for r in report2.collect() if not r["passed"]}
+    expected = {"text_not_null", "lang_domain", "chars_consistent",
+                "doc_id_unique"}
+    assert caught == expected, (
+        f"gate missed poisoned rows: caught {caught}, expected {expected}"
+    )
+    print("publish gate: poisoned batch BLOCKED — every injected defect "
+          f"caught ({', '.join(sorted(caught))})")
 
     spark.stop()
 
