@@ -76,6 +76,7 @@ def forward_fill(
     order_by: Sequence[str],
     cols: Sequence[str],
     num_partitions: Optional[int] = None,
+    bounds: Optional[List[float]] = None,
 ) -> DataFrame:
     """LOCF-fill ``cols`` in global ``order_by`` order.
 
@@ -83,6 +84,11 @@ def forward_fill(
     ``["__timestamp", "__src_id", "__seq"]``). Range buckets split on the
     *first* order column only; rows tied on it stay in one bucket, where the
     within-bucket window applies the full tuple order.
+
+    ``bounds``: precomputed range-bucket boundaries on ``order_by[0]``. A
+    caller that already knows the distribution (resample's uniform spine)
+    passes them to skip the quantile pass — the boundaries only control
+    task balance, not correctness, so any monotone cut list is valid.
     """
     cols = [c for c in cols if c in df.columns]
     if not cols:
@@ -90,9 +96,19 @@ def forward_fill(
     order_cols = [F.col(c) for c in order_by]
     n = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
 
+    # Two-to-three actions read ``df`` (optional quantile sketch,
+    # per-bucket seed collect, the caller's final plan). Deliberately NOT
+    # persisted here: for a cheap input (a parquet scan, a generated
+    # range) re-scanning beats paying cache serialization on the full
+    # relation — measured 21 s vs 90 s at 30M rows. A caller whose input
+    # is an EXPENSIVE subplan (e.g. resample's spine join) persists it
+    # before calling (see operators.resample._gap_fill_tail).
+
     # Driver-side quantile sketch → bucket boundaries (one pass, embedded as
     # literals so every plan branch sees identical bucket assignment).
-    if n > 1:
+    if bounds is not None:
+        bounds = sorted(set(float(b) for b in bounds))
+    elif n > 1:
         qs = [i / n for i in range(1, n)]
         bounds = sorted(set(df.stat.approxQuantile(order_by[0], qs, 1.0 / (4 * n))))
     else:

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -132,15 +133,18 @@ def resample_last_interval(
         out_cols += [F.col(_ROW)[c].alias(c) for c in value_cols]
         return buckets.select(*out_cols)
 
-    # The buckets relation (<= one row per non-empty interval) feeds three
-    # plan branches below (bounds -> spine, the spine join, and the carry
-    # fill); eagerly localCheckpoint it so the input aggregation runs
-    # once — independent stages of the final action racing an
-    # un-materialized cache each recompute it (see ops.dedup._maybe_cache
-    # for the measured blowup). Checkpoint, not persist: a persist here
-    # leaked one pinned cache entry per invocation into the session
-    # (never unpersisted — the consumer runs after this function returns).
-    buckets = buckets.localCheckpoint(eager=True)
+    # The buckets relation (<= one row per non-empty interval) feeds the
+    # plan branches below (bounds -> spine, and the spine join); persist
+    # it so the input aggregation runs once. LAZY persist, not
+    # localCheckpoint: on a dense grid this relation approaches input
+    # size (30M rows / 1m grid -> 13M buckets) and checkpoint blocks
+    # always hit disk-backed storage — measured 83 s vs 22 s at 30M
+    # (the same corpus-sized-relation reversal as ops.text's tfidf).
+    # Trade-off: one evictable MEMORY_AND_DISK cache entry per
+    # invocation stays registered for the session (the consumer runs
+    # after this function returns, so there is no unpersist point);
+    # spark.catalog.clearCache() between benchmark runs clears them.
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
 
     # --- time spine (bounds from the tiny buckets relation) -------------- #
     mx = F.max("__maxts")
@@ -205,7 +209,26 @@ def resample_last_interval(
         )
     else:
         joined = spine.join(buckets, on=[_BUCKET], how="left")
-    return _gap_fill_tail(joined, ts_col, keys, value_cols, ffill_keys)
+    ffill_bounds = None
+    if not keys and ffill_keys:
+        # The ungrouped gap-filled spine is a UNIFORM grid over
+        # [__bmin, __bmax]: equal-width cuts (step-aligned) are exact
+        # equal-depth range buckets, so forward_fill can skip its
+        # quantile pass entirely — one tiny collect of the 1-row bounds
+        # relation instead of a full pass over the joined spine.
+        row = bounds.select("__bmin", "__bmax").first()
+        if row is not None and row["__bmin"] is not None:
+            span = int(row["__bmax"]) - int(row["__bmin"])
+            width = max(step, (span // n // step + 1) * step)
+            ffill_bounds = [
+                float(int(row["__bmin"]) + i * width)
+                for i in range(1, n)
+                if int(row["__bmin"]) + i * width <= int(row["__bmax"])
+            ]
+    return _gap_fill_tail(
+        joined, ts_col, keys, value_cols, ffill_keys,
+        ffill_bounds=ffill_bounds,
+    )
 
 
 def _gap_fill_tail(
@@ -214,6 +237,7 @@ def _gap_fill_tail(
     keys: List[str],
     value_cols: Sequence[str],
     ffill_keys: Sequence[str],
+    ffill_bounds: Optional[List[float]] = None,
 ) -> DataFrame:
     """Shared gap-fill projection: blank boundaries carry only the
     ``ffill_keys`` of the previous event (even a null value is carried —
@@ -236,7 +260,17 @@ def _gap_fill_tail(
             )
             joined = joined.withColumn(_CARRY, F.last(_CARRY, ignorenulls=True).over(w))
         else:
-            joined = forward_fill(joined, [_BUCKET], [_CARRY])
+            # forward_fill runs THREE actions over its input (quantile
+            # sketch, seed collect, final plan). ``joined`` is the spine
+            # join — an expensive subplan — so persist it once here
+            # instead of computing it three times (measured 15 s -> ~4 s
+            # at 1M input rows; also pins pass-consistency: all three
+            # actions see the same rows). Lazy MEMORY_AND_DISK, same
+            # trade-off note as the buckets persist above.
+            joined = joined.persist(StorageLevel.MEMORY_AND_DISK)
+            joined = forward_fill(
+                joined, [_BUCKET], [_CARRY], bounds=ffill_bounds
+            )
         for c in value_cols:
             if c in ffill_keys:
                 out_cols.append(
