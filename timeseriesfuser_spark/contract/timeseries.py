@@ -514,6 +514,7 @@ def q_streaming_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ohlc_stream(ev, "1h", ts_col="__ts_ms")
     name = f"so_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="tsf_ckpt_")
+    q = None
     try:
         q = (
             agg.writeStream.format("memory")
@@ -523,9 +524,22 @@ def q_streaming_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "streaming_ohlc_1h: query still running after 300s"
+            )
         if q.exception() is not None:
             raise q.exception()
-        return spark.table(name)
+        # Memory-sink rows already live on the driver; materialize into a
+        # plain local DataFrame so the sink table and query can be torn
+        # down here instead of leaking for the session.
+        sink = spark.table(name)
+        return spark.createDataFrame(sink.collect(), sink.schema)
     finally:
+        if q is not None and q.isActive:
+            q.stop()
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
         shutil.rmtree(ckpt, ignore_errors=True)

@@ -70,6 +70,7 @@ def resample_last_interval(
     offset_ms: int = 0,
     num_partitions: Optional[int] = None,
     tz: Optional[str] = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Resample to a fixed grid; output has ``ts_col`` = boundary label,
     ``keys``, and ``value_cols`` (last event per interval; blanks gap-filled
@@ -78,6 +79,13 @@ def resample_last_interval(
     ``tz``: for day intervals only — boundaries are local midnights in that
     timezone, DST-correct (reference classes.py:787-795), instead of fixed
     24h UTC steps.
+
+    ``cache``: the gap-fill path persists two multi-consumer relations
+    (MEMORY_AND_DISK) that stay registered for the session — the consumer
+    runs after this function returns, so there is no unpersist point.
+    Pass ``cache=False`` in long-lived sessions that call this in a loop:
+    no cache entries are registered, at the cost of re-running the input
+    aggregation per plan branch (bounds + spine join; ~2 extra passes).
     """
     iv = interval.strip()
     if tz is not None:
@@ -98,6 +106,7 @@ def resample_last_interval(
             ts_col=ts_col, keys=keys, value_cols=value_cols,
             ffill_keys=ffill_keys, tiebreak_cols=tiebreak_cols,
             process_batch_end=process_batch_end, gap_fill=gap_fill,
+            cache=cache,
         )
     step = interval_to_ms(interval)
     keys = list(keys)
@@ -143,8 +152,9 @@ def resample_last_interval(
     # Trade-off: one evictable MEMORY_AND_DISK cache entry per
     # invocation stays registered for the session (the consumer runs
     # after this function returns, so there is no unpersist point);
-    # spark.catalog.clearCache() between benchmark runs clears them.
-    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    # cache=False opts out for loop-calling sessions.
+    if cache:
+        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
 
     # --- time spine (bounds from the tiny buckets relation) -------------- #
     mx = F.max("__maxts")
@@ -227,7 +237,7 @@ def resample_last_interval(
             ]
     return _gap_fill_tail(
         joined, ts_col, keys, value_cols, ffill_keys,
-        ffill_bounds=ffill_bounds,
+        ffill_bounds=ffill_bounds, cache=cache,
     )
 
 
@@ -238,10 +248,18 @@ def _gap_fill_tail(
     value_cols: Sequence[str],
     ffill_keys: Sequence[str],
     ffill_bounds: Optional[List[float]] = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Shared gap-fill projection: blank boundaries carry only the
     ``ffill_keys`` of the previous event (even a null value is carried —
-    the carry struct marks event presence, not non-nullness)."""
+    the carry struct marks event presence, not non-nullness).
+
+    ``ffill_bounds`` is ONLY valid when ``joined`` is a fully gap-filled
+    UNIFORM spine (one row per grid step): equal-width cuts are exact
+    equal-depth range buckets there. For any non-uniform ``joined``
+    (e.g. gap_fill=False output, or raw event rows) pass ``None`` so
+    ``forward_fill`` runs its quantile pass — equal-width cuts over a
+    skewed distribution silently degrade to unbalanced partitions."""
     out_cols: List[F.Column] = [F.col(_BUCKET).alias(ts_col)] + [
         F.col(k) for k in keys
     ]
@@ -267,7 +285,8 @@ def _gap_fill_tail(
             # at 1M input rows; also pins pass-consistency: all three
             # actions see the same rows). Lazy MEMORY_AND_DISK, same
             # trade-off note as the buckets persist above.
-            joined = joined.persist(StorageLevel.MEMORY_AND_DISK)
+            if cache:
+                joined = joined.persist(StorageLevel.MEMORY_AND_DISK)
             joined = forward_fill(
                 joined, [_BUCKET], [_CARRY], bounds=ffill_bounds
             )
@@ -298,6 +317,7 @@ def _resample_day_tz(
     tiebreak_cols: Optional[Sequence[str]],
     process_batch_end: bool,
     gap_fill: bool,
+    cache: bool = True,
 ) -> DataFrame:
     """Day-interval resample on a grid of local midnights in ``tz``,
     anchored at each key's FIRST event (reference classes.py:787-795 +
@@ -445,4 +465,5 @@ def _resample_day_tz(
     else:
         joined = spine.join(buckets, on=[_BUCKET], how="left")
     joined = joined.withColumn(_BUCKET, bucket_ms)
-    return _gap_fill_tail(joined, ts_col, keys, value_cols, ffill_keys)
+    return _gap_fill_tail(joined, ts_col, keys, value_cols, ffill_keys,
+                          cache=cache)

@@ -27,6 +27,20 @@ from pyspark.sql import functions as F
 OFF = 10**9
 
 
+def assert_keys_below_offset(df, keys, table, off=OFF) -> None:
+    """Fail loudly if any key column reaches the per-copy offset: a source
+    key >= off would collide with the next copy's offset range (broken FK
+    joins, merged entities)."""
+    maxes = df.select(*[F.max(F.col(k)).alias(k) for k in keys]).first()
+    for k in keys:
+        mk = maxes[k]
+        if mk is not None and mk >= off:
+            raise ValueError(
+                f"{table}.{k} max={mk} >= offset {off}; "
+                "copies would collide — raise OFF"
+            )
+
+
 def main() -> None:
     src, dst, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
     spark = (
@@ -60,6 +74,8 @@ def main() -> None:
 
     for t, keys in offsets.items():
         df = spark.read.parquet(f"{src}/{t}.parquet")
+        if n > 1:
+            assert_keys_below_offset(df, keys, t)
         copies = []
         for i in range(n):
             c = df
