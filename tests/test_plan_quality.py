@@ -419,3 +419,62 @@ def test_tpcds_q36_dims_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 4
     assert plan.count("Expand") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q51_single_scan_window_on_grain(spark):
+    """The canonical full-outer + running-max Q51 must be rewritten to
+    ONE fact scan (conditional channel sums) with the running windows on
+    the aggregated (brand, month) grain — no self-join of the
+    aggregate, no second lineitem scan."""
+    import re
+
+    plan = formatted_plan(
+        contract.QUERIES["tpcds_q51_cumulative_channels"](spark, SF)
+    )
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) <= 2                      # lineitem + part, once each
+    assert "BroadcastHashJoin" in plan          # part dim broadcast
+    assert plan.count("HashAggregate") >= 2     # partial + final BEFORE window
+    assert "SortMergeJoin FullOuter" not in plan
+
+
+def test_tpcds_q14_intersect_single_scan(spark):
+    """The 6-way channel INTERSECT must fold into ONE fact scan +
+    ONE aggregation; the all-channels filter runs as a window on the
+    aggregated (item, channel) grain, never as per-channel re-scans."""
+    import re
+
+    plan = formatted_plan(
+        contract.QUERIES["tpcds_q14_channel_intersect"](spark, SF)
+    )
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) <= 2                      # lineitem + part, once each
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpcds_q23_semi_joins_before_fact_join(spark):
+    """Both survivor sets feed SEMI joins (never inner-join blowup), the
+    frequent-part key set broadcasts, and no cartesian appears around
+    the scalar spend-threshold relation."""
+    plan = formatted_plan(
+        contract.QUERIES["tpcds_q23_frequent_carts"](spark, SF)
+    )
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpcds_q35_one_orders_aggregate_anti_join(spark):
+    """Both orders EXISTS/NOT-EXISTS predicates must decorrelate into a
+    single custkey aggregate (one orders-flag aggregation pair, not one
+    per predicate) and the lineitem NOT EXISTS into an anti join."""
+    import re
+
+    plan = formatted_plan(
+        contract.QUERIES["tpcds_q35_exists_profile"](spark, SF)
+    )
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # quantity/returnflag predicate pushed into the lineitem scan
+    assert "PushedFilters" in plan and "l_quantity" in plan

@@ -11,6 +11,14 @@ on the synthetic star schema (single fact table: the tri-fact unions of
 real TPC-DS collapse to a derived channel dimension, documented per
 query).
 
+Second wave (cross-channel/temporal set logic): cumulative cross-channel
+comparison (Q51), cross-channel INTERSECT (Q14), frequent-item carts
+feeding semi-joins (Q23), and EXISTS + multi-way NOT EXISTS customer
+profiling (Q35). Oracles state the CANONICAL TPC-DS forms (full-outer +
+running max, INTERSECT chains, correlated EXISTS); the Spark side
+implements the scale-correct single-scan rewrites, with the equivalence
+argued per query.
+
 Determinism: money accumulates in exact integer cents (1e-4 dollar units
 for discounted amounts), ratios are ONE double division at the end, and
 threshold comparisons run in decimal(38,0) cross-multiplied integers —
@@ -432,4 +440,294 @@ def q_tpcds_q36_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev4").cast("double") / 10000).alias("revenue"),
         margin.alias("margin"),
         F.rank().over(w).cast("long").alias("rank_within_parent"),
+    )
+
+
+_YM_SQL = "year(l_shipdate) * 100 + month(l_shipdate)"
+
+
+def _ym_col() -> "F.Column":
+    return (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("long")
+
+
+@register(
+    "tpcds_q51_cumulative_channels",
+    oracle=f"""
+    WITH m AS (
+        SELECT p.p_brand, CAST({_YM_SQL} AS BIGINT) AS ym, l.l_returnflag AS f,
+               sum({_REV4}) AS rev4
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_returnflag IN ('A', 'N')
+        GROUP BY 1, 2, 3
+    ),
+    a AS (SELECT p_brand, ym,
+                 sum(rev4) OVER (PARTITION BY p_brand ORDER BY ym) AS c
+          FROM m WHERE f = 'A'),
+    b AS (SELECT p_brand, ym,
+                 sum(rev4) OVER (PARTITION BY p_brand ORDER BY ym) AS c
+          FROM m WHERE f = 'N'),
+    j AS (
+        SELECT coalesce(a.p_brand, b.p_brand) AS p_brand,
+               coalesce(a.ym, b.ym) AS ym, a.c AS ac, b.c AS bc
+        FROM a FULL OUTER JOIN b ON a.p_brand = b.p_brand AND a.ym = b.ym
+    ),
+    y AS (
+        SELECT p_brand, ym, ac, bc,
+               max(ac) OVER (PARTITION BY p_brand ORDER BY ym) AS wc4,
+               max(bc) OVER (PARTITION BY p_brand ORDER BY ym) AS sc4
+        FROM j
+    )
+    SELECT p_brand, ym,
+           CAST(ac AS DOUBLE) / 10000 AS web_sales,
+           CAST(bc AS DOUBLE) / 10000 AS store_sales,
+           CAST(wc4 AS DOUBLE) / 10000 AS web_cumulative,
+           CAST(sc4 AS DOUBLE) / 10000 AS store_cumulative
+    FROM y WHERE wc4 > sc4
+    """,
+)
+def q_tpcds_q51_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51-shape: per-brand monthly cumulative sales of two
+    channels (returnflag 'A' = web analog, 'N' = store analog), emit the
+    months where the web cumulative has overtaken the store cumulative.
+    The oracle states the CANONICAL Q51 plan: per-channel running sums,
+    FULL OUTER join on (brand, month), running-max forward fill. The
+    Spark side is the single-scan rewrite: ONE aggregation to the
+    (brand, month) grain with conditional per-channel sums, then running
+    conditional sums — equivalent because revenue is strictly positive,
+    so each channel's cumulative is strictly increasing and the running
+    max of prior cumulatives IS the running sum of that channel's
+    monthly sums (null months skipped by sum's null handling); the
+    joined grain (months where either channel sold) equals the groupBy
+    grain. One fact scan, one shuffle, windows on the aggregated grain
+    only; the exact comparison runs on integer 1e-4 units."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "N")
+    )
+    pt = _t(spark, sf_dir, "part")
+    isa = F.col("l_returnflag") == "A"
+    m = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand", _ym_col().alias("ym"))
+        .agg(
+            F.sum(F.when(isa, _rev4_col())).alias("a4"),
+            F.sum(F.when(~isa, _rev4_col())).alias("n4"),
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy("ym")
+    y = m.withColumn("wc4", F.sum("a4").over(w)).withColumn(
+        "sc4", F.sum("n4").over(w)
+    )
+    return y.filter(F.col("wc4") > F.col("sc4")).select(
+        "p_brand",
+        "ym",
+        # canonical web_sales/store_sales are the channel's CUMULATIVE at
+        # months where it sold, null elsewhere
+        F.when(F.col("a4").isNotNull(), F.col("wc4").cast("double") / 10000)
+        .alias("web_sales"),
+        F.when(F.col("n4").isNotNull(), F.col("sc4").cast("double") / 10000)
+        .alias("store_sales"),
+        (F.col("wc4").cast("double") / 10000).alias("web_cumulative"),
+        (F.col("sc4").cast("double") / 10000).alias("store_cumulative"),
+    )
+
+
+# six derived channels: returnflag x linestatus (the tri-channel fact
+# union of real TPC-DS collapses to a derived dim on the single fact)
+_CH6_SQL = "l_returnflag || '/' || l_linestatus"
+_CH6_VALUES = [f"{rf}/{ls}" for rf in "ANR" for ls in "FO"]
+
+
+@register(
+    "tpcds_q14_channel_intersect",
+    oracle=f"""
+    WITH surv AS (
+        {" INTERSECT ".join(
+            "SELECT l_partkey FROM lineitem "
+            f"WHERE {_CH6_SQL} = '{ch}'" for ch in _CH6_VALUES
+        )}
+    )
+    SELECT p.p_brand, {_CH6_SQL} AS channel,
+           CAST(sum({_REV4}) AS DOUBLE) / 10000 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_partkey IN (SELECT l_partkey FROM surv)
+    GROUP BY 1, 2
+    """,
+)
+def q_tpcds_q14_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q14-shape: revenue per (brand, channel) restricted to the
+    items sold in EVERY channel — the cross-channel INTERSECT. The
+    oracle states the canonical 6-way INTERSECT chain; the Spark side is
+    the single-scan rewrite: aggregate once to the (item, brand,
+    channel) grain, count distinct channels per item with a window on
+    that TINY grain (#parts x 6 rows), keep items with all 6, and
+    re-aggregate — one fact scan instead of seven, no fact re-join
+    (the survivor filter runs on the already-aggregated grain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    ch = F.concat_ws("/", "l_returnflag", "l_linestatus")
+    g = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("l_partkey", "p_brand", ch.alias("channel"))
+        .agg(
+            F.sum(_rev4_col()).alias("rev4"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    nch = F.size(
+        F.collect_set("channel").over(Window.partitionBy("l_partkey"))
+    )
+    return (
+        g.withColumn("nch", nch)
+        .filter(F.col("nch") == len(_CH6_VALUES))
+        .groupBy("p_brand", "channel")
+        .agg(
+            (F.sum("rev4").cast("double") / 10000).alias("revenue"),
+            F.sum("n").cast("long").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpcds_q23_frequent_carts",
+    oracle=f"""
+    WITH fp AS (
+        SELECT l_partkey FROM lineitem
+        GROUP BY 1 HAVING count(DISTINCT {_YM_SQL}) >= 25
+    ),
+    s AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sp
+        FROM orders GROUP BY 1
+    ),
+    t AS (SELECT sum(sp) AS tot, count(*) AS n FROM s),
+    bc AS (
+        SELECT o_custkey FROM s, t
+        WHERE sp::HUGEINT * n * 10 > tot::HUGEINT * 12
+    )
+    SELECT CAST({_YM_SQL} AS BIGINT) AS ym,
+           CAST(sum({_REV4}) AS DOUBLE) / 10000 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_partkey IN (SELECT l_partkey FROM fp)
+      AND o.o_custkey IN (SELECT o_custkey FROM bc)
+    GROUP BY 1
+    """,
+)
+def q_tpcds_q23_carts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q23-shape: monthly revenue from FREQUENT items (sold in
+    >= 25 distinct ship months) bought by BEST customers (total spend
+    > 1.2x the all-customer mean, tested as exact cross-multiplied
+    integers: spend*n*10 > total*12 in decimal(38,0) — no float
+    threshold). Both survivor sets are computed map-side-combinable
+    aggregates; each feeds a SEMI join applied BEFORE the fact-fact
+    orderkey join (lineitem semi-filtered by frequent parts — a
+    broadcastable part-key set; orders semi-filtered by best customers
+    on the custkey grain), so the big join shuffles only surviving
+    rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    fp = (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct(_ym_col()).alias("nm"))
+        .filter(F.col("nm") >= 25)
+        .select("l_partkey")
+    )
+    s = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sp")
+    )
+    t = s.agg(F.sum("sp").alias("tot"), F.count(F.lit(1)).alias("n"))
+    bc = (
+        s.crossJoin(F.broadcast(t))
+        .filter(
+            F.expr(
+                "CAST(sp AS DECIMAL(38,0)) * n * 10"
+                " > CAST(tot AS DECIMAL(38,0)) * 12"
+            )
+        )
+        .select("o_custkey")
+    )
+    li_f = li.join(F.broadcast(fp), on="l_partkey", how="left_semi")
+    o_f = o.join(bc, on="o_custkey", how="left_semi")
+    return (
+        li_f.join(o_f, li_f.l_orderkey == o_f.o_orderkey)
+        .groupBy(_ym_col().alias("ym"))
+        .agg(
+            (F.sum(_rev4_col()).cast("double") / 10000).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpcds_q35_exists_profile",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / 100 / count(*) AS avg_acctbal
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '5-LOW')
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o JOIN lineitem l
+            ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey = c.c_custkey
+          AND l.l_returnflag = 'R' AND l.l_quantity >= 48)
+    GROUP BY 1
+    """,
+)
+def q_tpcds_q35_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q35-shape: segment profile of customers who EXISTS-match
+    one behavior (placed an urgent/high order) and NOT-EXISTS-match two
+    others (never placed a 5-LOW order; never had a large returned item,
+    qty >= 48 with returnflag 'R'). The oracle states the canonical
+    correlated EXISTS / NOT EXISTS / NOT EXISTS; the Spark side
+    decorrelates BOTH orders predicates into ONE custkey aggregate
+    (conditional max flags — one orders scan, not two), the lineitem
+    NOT EXISTS into a rare-event distinct-custkey set consumed by an
+    anti-join, then hydrates the customer dim. All joins run on the
+    custkey grain (co-partitionable at 100 TB; no broadcast of the
+    O(customers) flag relation). avg_acctbal is one division of exact
+    integer cents by an exact count."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    pr = F.col("o_orderpriority")
+    fo = o.groupBy("o_custkey").agg(
+        F.max(
+            F.when(pr.isin("1-URGENT", "2-HIGH"), F.lit(1)).otherwise(0)
+        ).alias("has_exp"),
+        F.max(F.when(pr == "5-LOW", F.lit(1)).otherwise(0)).alias("has_low"),
+    )
+    bigret = (
+        li.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 48))
+        .join(
+            o.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    surv = (
+        fo.filter((F.col("has_exp") == 1) & (F.col("has_low") == 0))
+        .join(bigret, on="o_custkey", how="left_anti")
+        .select("o_custkey")
+    )
+    return (
+        c.join(surv, c.c_custkey == surv.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            (
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+                .cast("double")
+                / 100
+                / F.count(F.lit(1))
+            ).alias("avg_acctbal"),
+        )
     )
