@@ -1,0 +1,54 @@
+"""Scale-dependent oracle parity (@slow, excluded from the default run):
+the driver checks correctness at sf0.01, but the overflow bug class
+(ppm multiplies, int64 revenue sums, HUGEINT-vs-decimal drift) only
+manifests with more rows. Re-run the 16 headline queries vs DuckDB at
+sf0.1 — run with `pytest -m slow tests/test_oracle_parity_sf01.py`."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.test_entry_oracle import TABLES, assert_parity
+
+SF_DIR = "/root/testdata/sf0.1"
+
+HEADLINE = [
+    "fuse_merge",
+    "resample_1m_global",
+    "resample_keys_1h",
+    "forward_fill_global",
+    "sessionize_30m",
+    "tpch_q1_pricing",
+    "top_orders_per_priority",
+    "revenue_per_nation",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "similarity_topk",
+    "embedding_neardup",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb01():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS"
+            f" SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", HEADLINE)
+def test_headline_parity_sf01(spark, ddb01, name):
+    queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    sdf = queries[name](spark, SF_DIR).toPandas()
+    ddf = ddb01.sql(oracles[name]).df()
+    assert len(sdf) > 0, f"{name}: empty at sf0.1"
+    assert_parity(sdf, ddf, name)

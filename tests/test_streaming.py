@@ -602,3 +602,71 @@ def test_hll_stream_registers_survive_restart(spark, tmp_path):
     )
     want = {r["bucket"]: r["register"] for r in batch.collect()}
     assert regs == want
+
+
+def test_bloom_stream_batch_parity_and_restart(spark, tmp_path):
+    """Streaming Bloom twin: (1) union of appended emissions over two
+    query runs equals the batch bit relation over both runs' rows;
+    (2) kill + resume continues the dedup state — a bit set in run 1 is
+    NOT re-emitted by run 2 (a lost state store would duplicate it)."""
+    from timeseriesfuser_spark.ops.sketches import bloom_bits
+    from timeseriesfuser_spark.streaming import bloom_stream
+
+    d = tmp_path / "bloom_in"
+    ckpt = str(tmp_path / "ckpt_bloom")
+    schema = "k string, src string"
+    emitted = []
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(d))
+        out = bloom_stream(stream, "k", m_bits=64, k=3, group_cols=["src"])
+
+        def sink(batch_df, batch_id):
+            emitted.extend(
+                (r["src"], r["bit"]) for r in batch_df.collect()
+            )
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    rows1 = [("a", "x"), ("b", "x"), ("a", "y"), ("c", "x")]
+    rows2 = [("a", "x"), ("c", "y"), ("d", "x"), ("a", "y")]
+    d.mkdir()
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run()
+    n_run1 = len(emitted)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run()  # fresh query object, same checkpoint -> dedup state restored
+
+    batch = bloom_bits(
+        spark.createDataFrame(rows1 + rows2, schema),
+        "k",
+        m_bits=64,
+        k=3,
+        group_cols=["src"],
+    )
+    want = {(r["src"], r["bit"]) for r in batch.collect()}
+    assert set(emitted) == want
+    # append-exactly-once: no (group, bit) emitted twice across runs
+    assert len(emitted) == len(set(emitted))
+    # run 1 emitted exactly its own batch bit set (state continued, the
+    # repeated 'a'/'c' keys in run 2 add nothing)
+    batch1 = bloom_bits(
+        spark.createDataFrame(rows1, schema),
+        "k",
+        m_bits=64,
+        k=3,
+        group_cols=["src"],
+    )
+    assert n_run1 == batch1.count()

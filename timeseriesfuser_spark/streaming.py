@@ -755,3 +755,41 @@ def histogram_stream(
         .groupBy(*g, "bin")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+
+
+def bloom_stream(
+    df: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    seed: int = 700,
+    group_cols=(),
+) -> DataFrame:
+    """Streaming Bloom set-bit relation: the live twin of
+    ``ops.sketches.bloom_bits`` (same seeded md5 positions, same
+    ``group_cols`` per-group independence). A stateful streaming
+    dedup on (*group_cols, bit) — state bounded by #groups × m_bits
+    rows regardless of stream volume, no watermark needed. Run with
+    outputMode('append'): each set bit is emitted exactly once, the
+    FIRST time it is set, so the union of all emissions after any
+    prefix of the stream equals the batch bit relation of the same
+    rows, and the checkpointed state continues across restarts (same
+    contract as ``countmin_stream``/``hll_stream``/``histogram_stream``;
+    consume the emissions into ``ops.sketches.bloom_prefilter`` /
+    ``bloom_merge`` unchanged)."""
+    from timeseriesfuser_spark.ops.dedup import md5_hash64
+
+    if m_bits < 2 or k < 1:
+        raise ValueError(f"need m_bits >= 2, k >= 1: {m_bits}, {k}")
+    g = list(group_cols)
+    kc = F.col(key_col).cast("string")
+    pos = F.array(
+        *[
+            F.pmod(md5_hash64(kc, seed=seed + i), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+    return df.select(*g, F.explode(pos).alias("bit")).dropDuplicates(
+        g + ["bit"]
+    )
