@@ -478,3 +478,19 @@ def test_tpcds_q35_one_orders_aggregate_anti_join(spark):
     assert "CartesianProduct" not in plan
     # quantity/returnflag predicate pushed into the lineitem scan
     assert "PushedFilters" in plan and "l_quantity" in plan
+
+
+def test_lttb_no_full_data_window(spark):
+    """LTTB's windows (lag/lead/row_number) must run on the aggregated
+    slot grain (#keys x n_buckets), never the input: the plan's Window
+    operators sit above HashAggregates, the final per-slot pick is a
+    max_by aggregate (map-side combinable), and the bounds/slot-info
+    relations broadcast."""
+    import re
+
+    plan = formatted_plan(contract.QUERIES["lttb_downsample_16"](spark, SF))
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) <= 4                     # documented 4-scan design
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 4    # bounds, slots, final pick
+    assert "CartesianProduct" not in plan

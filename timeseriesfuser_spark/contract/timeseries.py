@@ -543,3 +543,82 @@ def q_streaming_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+_LTTB_NB = 16
+_LTTB_SCALE = 10**6
+
+
+@register(
+    "lttb_downsample_16",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_type, epoch_ms(ts) AS x, value,
+               CAST(round(value * {_LTTB_SCALE}) AS BIGINT) AS yq
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    b AS (SELECT event_type, min(x) AS mn, max(x) AS mx
+          FROM p GROUP BY 1),
+    q AS (
+        SELECT p.event_type, p.x - b.mn AS x0, p.x AS ts, p.value, p.yq,
+               -- BIGINT // truncates toward zero; operands >= 0 so it is
+               -- the floor here (the _ff idiom is not needed)
+               CASE WHEN b.mx > b.mn
+                    THEN (p.x - b.mn) * {_LTTB_NB} // (b.mx - b.mn + 1)
+                    ELSE 0 END AS slot
+        FROM p JOIN b ON p.event_type IS NOT DISTINCT FROM b.event_type
+    ),
+    s AS (SELECT event_type, slot, sum(x0) AS sx, sum(yq) AS sy,
+                 count(*) AS n, min(x0) AS mnx
+          FROM q GROUP BY 1, 2),
+    w AS (
+        SELECT *,
+               lag(sx)  OVER wk AS psx, lag(sy) OVER wk AS psy,
+               lag(n)   OVER wk AS pn,  lag(mnx) OVER wk AS pmn,
+               lead(sx) OVER wk AS nsx, lead(sy) OVER wk AS nsy,
+               lead(n)  OVER wk AS nn,
+               row_number() OVER wk AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM s
+        WINDOW wk AS (PARTITION BY event_type ORDER BY slot)
+    ),
+    j AS (
+        SELECT q.event_type, q.ts, q.value, q.slot, q.yq,
+               CASE WHEN w.rn > 1 AND w.rn < w.cnt THEN abs(
+                   (CAST(w.psx - w.pn * w.pmn AS HUGEINT) * w.nn
+                    - CAST(w.nsx - w.nn * w.pmn AS HUGEINT) * w.pn)
+                   * (CAST(q.yq AS HUGEINT) * w.pn - w.psy)
+                 - (CAST(w.psx - w.pn * w.pmn AS HUGEINT)
+                    - CAST(q.x0 - w.pmn AS HUGEINT) * w.pn)
+                   * (CAST(w.nsy AS HUGEINT) * w.pn
+                      - CAST(w.psy AS HUGEINT) * w.nn))
+               ELSE CAST(0 AS HUGEINT) END AS o1,
+               CASE WHEN w.rn = w.cnt AND w.rn > 1 THEN q.x0
+                    ELSE -q.x0 END AS o2
+        FROM q JOIN w ON q.event_type IS NOT DISTINCT FROM w.event_type
+                     AND q.slot = w.slot
+    )
+    SELECT event_type, ts, value, CAST(slot AS BIGINT) AS slot
+    FROM j
+    QUALIFY row_number() OVER (PARTITION BY event_type, slot
+                               ORDER BY o1 DESC, o2 DESC, yq DESC) = 1
+    """,
+)
+def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB visualization downsampling (ops.timeseries.lttb_downsample):
+    <= 16 shape-preserving points per event_type. The oracle replicates
+    the parallel variant exactly — equal-time slots, neighbor-slot
+    centroid anchors, cross-multiplied integer areas in HUGEINT (Spark:
+    decimal(38,0)), first/last slot pinned to earliest/latest point,
+    ties to earliest ts then largest quantized value."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    out = TS.lttb_downsample(
+        ev, _LTTB_NB, ts_col="ts", key_cols=["event_type"],
+        value_col="value", scale=_LTTB_SCALE,
+    )
+    return out.select(
+        "event_type", F.col("ts").cast("long").alias("ts"), "value",
+        F.col("slot").cast("long").alias("slot"),
+    )

@@ -86,6 +86,7 @@ from timeseriesfuser_spark.ops.timeseries import (
     event_transitions,
     ewma,
     interpolate_grid,
+    lttb_downsample,
     ohlc_bars,
     pivot_features,
     rolling_anomalies,
@@ -112,6 +113,7 @@ __all__ = [
     "interpolate_grid",
     "key_skew_report",
     "length_bucketed_batches",
+    "lttb_downsample",
     "passage_dedup",
     "pivot_features",
     "pq_codes",

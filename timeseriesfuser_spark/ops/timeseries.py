@@ -718,3 +718,157 @@ def rolling_extrema(
         .withColumn("chan_hi", F.max("cents").over(w))
         .withColumn("chan_width", F.col("chan_hi") - F.col("chan_lo"))
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    n_buckets: int,
+    *,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    value_col: str = "value",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) —
+    THE visualization downsampler: keep <= ``n_buckets`` points per key
+    that preserve the visual shape of the series.
+
+    Variant (documented deviations from the sequential original, both
+    standard in parallel/SQL implementations):
+
+    - buckets are EQUAL-TIME slots, not equal-count (no global
+      row_number pass; empty slots simply contribute nothing);
+    - the triangle anchors are the PREVIOUS and NEXT non-empty slot's
+      centroid (the original anchors on the previously *selected* point,
+      a sequential dependency no parallel engine can honor).
+
+    Per non-empty slot (in slot order per key): the FIRST slot emits its
+    earliest point, the LAST slot its latest point, every middle slot
+    the point maximizing the triangle area between the neighbor-slot
+    centroids (ties: earliest ts, then largest quantized value). A key
+    whose points fall in one slot emits its earliest point.
+
+    Determinism / oracle-exactness: x is translated per key (ts − min
+    ts) and per comparison (− previous slot's min x, pure headroom), y
+    is quantized to ``round(value·scale)``, and the area comparison runs
+    on the CROSS-MULTIPLIED integer form in decimal(38,0) — centroid
+    divisions never happen, so no float can disagree across engines.
+    With slot-local translation the magnitude bound is
+    ~(span·n_slot)²·y_q per term; overflow is LOUD (ANSI decimal), and
+    the mitigation is more buckets (smaller slots).
+
+    Scale: FOUR column-pruned scans of the input (the bounds agg and the
+    point relation are each computed twice — Catalyst does not share
+    subplans across the slot-centroid and scoring branches) but NO
+    full-data shuffle — both
+    aggregations are map-side combinable with output bounded by
+    #keys × n_buckets, the bounds/centroid relations broadcast (AQE
+    falls back to a co-partitioned join at extreme key counts), and the
+    final per-slot argmax is one ``max_by`` aggregate, not a window over
+    the data. Callers holding an expensive upstream plan should persist
+    it (same contract as ``forward_fill``). Rows with NULL ts or value
+    are dropped (shape has no position for them); NULL key groups are
+    kept (null-safe joins throughout).
+    """
+    if n_buckets < 3:
+        raise ValueError(f"n_buckets must be >= 3: {n_buckets}")
+    g = list(key_cols)
+    x = F.col(ts_col).cast("long")
+    pts = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            *g,
+            x.alias("__x"),
+            F.col(ts_col).alias(ts_col),
+            F.col(value_col).alias(value_col),
+            F.round(F.col(value_col) * scale).cast("long").alias("__yq"),
+        )
+    )
+    bounds = pts.groupBy(*g).agg(
+        F.min("__x").alias("__mn"), F.max("__x").alias("__mx")
+    )
+
+    def _nsj(left, right, on, how="inner"):
+        lt, rt = left.alias("__l"), right.alias("__r")
+        cond = F.lit(True)
+        for c in on:
+            cond = cond & F.col(f"__l.{c}").eqNullSafe(F.col(f"__r.{c}"))
+        dup = [c for c in right.columns if c in on]
+        return lt.join(F.broadcast(rt), cond, how).select(
+            "__l.*", *[f"__r.{c}" for c in right.columns if c not in dup]
+        )
+
+    if g:
+        pb = _nsj(pts, bounds, g)
+    else:
+        pb = pts.crossJoin(F.broadcast(bounds))
+    x0 = F.col("__x") - F.col("__mn")
+    # exact integer floor-div (operands non-negative — DIV truncation is
+    # floor here): a double division would be inexact past 2^53, which
+    # span_ms × n_buckets can reach
+    pb = (
+        pb.withColumn("__x0", x0.cast("long"))
+        .withColumn("__num", (F.col("__x0") * n_buckets).cast("long"))
+        .withColumn("__den", (F.col("__mx") - F.col("__mn") + 1).cast("long"))
+        .withColumn(
+            "__slot",
+            F.when(
+                F.col("__mx") > F.col("__mn"),
+                F.expr("__num DIV __den"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .drop("__num", "__den")
+    )
+
+    slots = pb.groupBy(*g, "__slot").agg(
+        F.sum("__x0").alias("__sx"),
+        F.sum("__yq").alias("__sy"),
+        F.count(F.lit(1)).alias("__n"),
+        F.min("__x0").alias("__mnx"),
+    )
+    wk = Window.partitionBy(*g).orderBy("__slot") if g else (
+        Window.partitionBy().orderBy("__slot")
+    )
+    wall = wk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    info = slots.select(
+        *g,
+        "__slot",
+        F.lag("__sx").over(wk).alias("__psx"),
+        F.lag("__sy").over(wk).alias("__psy"),
+        F.lag("__n").over(wk).alias("__pn"),
+        F.lag("__mnx").over(wk).alias("__pmn"),
+        F.lead("__sx").over(wk).alias("__nsx"),
+        F.lead("__sy").over(wk).alias("__nsy"),
+        F.lead("__n").over(wk).alias("__nn"),
+        F.row_number().over(wk).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__cnt"),
+    )
+    j = _nsj(pb.drop("__mn", "__mx"), info, g + ["__slot"])
+
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    psx = d(F.col("__psx") - F.col("__pn") * F.col("__pmn"))
+    nsx = d(F.col("__nsx") - F.col("__nn") * F.col("__pmn"))
+    xb = d(F.col("__x0") - F.col("__pmn"))
+    pn, nn = d(F.col("__pn")), d(F.col("__nn"))
+    area2 = F.abs(
+        (psx * nn - nsx * pn) * (d(F.col("__yq")) * pn - d(F.col("__psy")))
+        - (psx - xb * pn)
+        * (d(F.col("__nsy")) * pn - d(F.col("__psy")) * nn)
+    )
+    is_mid = (F.col("__rn") > 1) & (F.col("__rn") < F.col("__cnt"))
+    is_last = (F.col("__rn") == F.col("__cnt")) & (F.col("__rn") > 1)
+    o1 = F.when(is_mid, area2).otherwise(F.lit(0).cast("decimal(38,0)"))
+    o2 = F.when(is_last, F.col("__x0")).otherwise(-F.col("__x0"))
+    point = F.struct(
+        F.col(ts_col).alias(ts_col), F.col(value_col).alias(value_col)
+    )
+    order = F.struct(o1.alias("o1"), o2.alias("o2"), F.col("__yq").alias("o3"))
+    sel = j.groupBy(*g, "__slot").agg(F.max_by(point, order).alias("__pt"))
+    return sel.select(
+        *g,
+        F.col(f"__pt.{ts_col}").alias(ts_col),
+        F.col(f"__pt.{value_col}").alias(value_col),
+        F.col("__slot").alias("slot"),
+    )
