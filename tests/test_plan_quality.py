@@ -494,3 +494,12 @@ def test_lttb_no_full_data_window(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 4    # bounds, slots, final pick
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_zero_shuffle(spark):
+    """Weighted Bernoulli sampling is a pure projection + filter: the
+    plan must contain NO Exchange of any kind and stay in codegen."""
+    plan = formatted_plan(contract.QUERIES["weighted_sample"](spark, SF))
+    assert "Exchange" not in plan
+    assert "codegen id" in plan               # whole-stage codegen span
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

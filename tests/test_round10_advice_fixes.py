@@ -90,3 +90,44 @@ def test_make_scaled_sf_offset_guard(spark):
 
     nulls = spark.createDataFrame([(None, 5)], "a long, b long")
     assert_keys_below_offset(nulls, ["a", "b"], "nulls")  # NULL max tolerated
+
+
+def test_weighted_sample_semantics(spark):
+    from timeseriesfuser_spark.ops.sampling import weighted_sample
+
+    rows = [(1, 0.0), (2, 1.0), (3, 5.0), (4, None), (None, 1.0), (5, 0.5)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample(df, "w", "doc_id", keep_only=False).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # NULL weight / NULL id rows dropped entirely
+    assert set(by_id) == {1, 2, 3, 5}
+    assert by_id[1]["rate_ppm"] == 0 and not by_id[1]["keep"]   # w=0 never
+    assert by_id[2]["rate_ppm"] == 1_000_000 and by_id[2]["keep"]  # w=1 always
+    assert by_id[3]["rate_ppm"] == 1_000_000                    # clamped
+    assert by_id[5]["rate_ppm"] == 500_000
+    assert by_id[5]["keep"] == (by_id[5]["hash_ppm"] < 500_000)
+
+
+def test_weighted_sample_nested_in_weight(spark):
+    """Raising every weight can only ADD rows (nested samples — retuning
+    quality thresholds never churns the kept set)."""
+    from timeseriesfuser_spark.ops.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 0.3) for i in range(200)], "doc_id long, w double"
+    )
+    lo = {r["doc_id"] for r in weighted_sample(df, "w", "doc_id").collect()}
+    hi_df = df.withColumn("w", df.w + 0.4)
+    hi = {r["doc_id"] for r in weighted_sample(hi_df, "w", "doc_id").collect()}
+    assert lo <= hi
+    assert len(hi) > len(lo)
+
+
+def test_weighted_sample_base_rate_validation(spark):
+    import pytest as _pytest
+
+    from timeseriesfuser_spark.ops.sampling import weighted_sample
+
+    df = spark.createDataFrame([(1, 1.0)], "doc_id long, w double")
+    with _pytest.raises(ValueError, match="base_rate"):
+        weighted_sample(df, "w", "doc_id", base_rate=-0.1)

@@ -566,3 +566,43 @@ def q_lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
              "cols": ["l_orderkey", "l_linenumber"]},
         ],
     )
+
+
+@register(
+    "weighted_sample",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, source, n_chars,
+               {_sql_hash64("CAST(doc_id AS VARCHAR)")} % 1000000
+                   AS hash_ppm,
+               -- weight = least(1.0, n_chars/2000): SAME double chain as
+               -- the Spark side (w*base_rate*1e6 then round then clamp)
+               least(CAST(1000000 AS BIGINT),
+                     greatest(CAST(0 AS BIGINT),
+                              CAST(round(least(1.0, CAST(n_chars AS DOUBLE)
+                                               / 2000) * 1.0 * 1000000)
+                                   AS BIGINT))) AS rate_ppm
+        FROM documents
+        WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(hash_ppm AS BIGINT) AS hash_ppm, rate_ppm
+    FROM s WHERE hash_ppm < rate_ppm
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted Bernoulli sampling (ops.sampling.weighted_sample):
+    keep probability = clamp(weight, 0, 1) with weight = min(1,
+    n_chars/2000) — long docs kept with certainty, short ones
+    down-sampled in proportion. md5(doc_id)-derived verdict: nested in
+    the weight, stable under corpus growth, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).withColumn(
+        "__w", F.least(F.lit(1.0), F.col("n_chars").cast("double") / 2000)
+    )
+    out = SA.weighted_sample(docs, "__w", "doc_id")
+    return out.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
+        "hash_ppm", "rate_ppm",
+    )

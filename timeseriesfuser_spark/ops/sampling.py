@@ -272,3 +272,49 @@ def stratified_fixed_n(
         .filter(F.col("sample_rank") <= int(n_per_stratum))
         .drop("__h")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    *,
+    base_rate: float = 1.0,
+    keep_only: bool = True,
+) -> DataFrame:
+    """Quality-weighted Bernoulli sampling: keep each row with
+    probability ``clamp(weight × base_rate, 0, 1)`` — the standard
+    curation move that keeps high-scoring documents with certainty and
+    down-samples the tail in proportion to its score (Llama/CCNet-style
+    quality buckets collapse to this with a step-function weight).
+
+    Same contract as :func:`stratified_sample`: the verdict is
+    ``md5(id) mod 1e6 < round(weight·base_rate·1e6)`` — deterministic
+    across runs/engines, stable under corpus growth, and NESTED in the
+    weight (raising a row's weight can only flip it drop→keep), so
+    re-scoring never churns the kept set arbitrarily. Rows with NULL
+    weight or NULL id are dropped (no identity / no score → no sample).
+
+    Scale: pure projection + filter, zero shuffle at any size. Emits
+    ``hash_ppm``/``rate_ppm``; ``keep_only=False`` adds ``keep`` instead
+    of filtering. Determinism note: ``weight·base_rate·1e6`` is a fixed
+    chain of IEEE double ops — an oracle must spell the SAME expression
+    (a mathematically-equal rearrangement may round differently).
+    """
+    if base_rate < 0:
+        raise ValueError(f"base_rate must be >= 0: {base_rate}")
+    w = F.col(weight_col).cast("double") * F.lit(float(base_rate)) * PPM
+    rate = F.least(
+        F.lit(PPM).cast("long"),
+        F.greatest(F.lit(0).cast("long"), F.round(w).cast("long")),
+    )
+    h = F.pmod(md5_hash64(F.col(id_col).cast("string")), F.lit(PPM))
+    out = df.filter(
+        F.col(weight_col).isNotNull() & F.col(id_col).isNotNull()
+    ).withColumns(
+        {"hash_ppm": h.cast("long"), "rate_ppm": rate.cast("long")}
+    )
+    keep = F.col("hash_ppm") < F.col("rate_ppm")
+    if keep_only:
+        return out.filter(keep)
+    return out.withColumn("keep", keep)
