@@ -70,3 +70,64 @@ def test_single_slot_takes_earliest(spark):
 def test_n_buckets_validation(spark):
     with pytest.raises(ValueError, match="n_buckets"):
         lttb_downsample(series(spark), 2)
+
+
+class TestLaggedCrosscorr:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "ts long, event_id long, event_type string, value double"
+        )
+
+    def test_perfect_lead_detected(self, spark):
+        from timeseriesfuser_spark.ops.timeseries import lagged_crosscorr
+
+        # B(t+1 bucket) == A(t): r must be exactly 1.0 at lag 1
+        vals = [1.0, 5.0, 2.0, 8.0, 3.0, 9.0]
+        rows = []
+        for i, v in enumerate(vals):
+            rows.append((i * 3_600_000 + 10, i * 10 + 1, "A", v))
+            rows.append(((i + 1) * 3_600_000 + 10, i * 10 + 2, "B", v))
+        out = lagged_crosscorr(
+            self._mk(spark, rows), "A", "B", [-1, 0, 1], "1h",
+            key_col="event_type",
+        ).collect()
+        by_lag = {r["lag"]: r for r in out}
+        assert by_lag[1]["pearson_r"] == 1.0
+        assert by_lag[1]["n_pairs"] == len(vals)
+        assert by_lag[0]["n_pairs"] == len(vals) - 1  # overlap shrinks
+
+    def test_last_per_bucket_wins(self, spark):
+        from timeseriesfuser_spark.ops.timeseries import lagged_crosscorr
+
+        # two A events in one bucket: the later one is the bar close
+        rows = [
+            (10, 1, "A", 100.0), (20, 2, "A", 1.0),
+            (15, 3, "B", 1.0),
+            (3_600_000 + 10, 4, "A", 2.0), (3_600_000 + 20, 5, "B", 2.0),
+        ]
+        out = lagged_crosscorr(
+            self._mk(spark, rows), "A", "B", [0], "1h", key_col="event_type"
+        ).collect()
+        assert out[0]["pearson_r"] == 1.0  # (1,1),(2,2) — 100.0 superseded
+
+    def test_zero_variance_null(self, spark):
+        from timeseriesfuser_spark.ops.timeseries import lagged_crosscorr
+
+        rows = [
+            (i * 3_600_000, i * 10 + o, t, v)
+            for i in range(4)
+            for o, (t, v) in enumerate([("A", 7.0), ("B", float(i))])
+        ]
+        out = lagged_crosscorr(
+            self._mk(spark, rows), "A", "B", [0], "1h", key_col="event_type"
+        ).collect()
+        assert out[0]["pearson_r"] is None  # A constant
+        assert out[0]["n_pairs"] == 4
+
+    def test_empty_lags_rejected(self, spark):
+        import pytest as _pytest
+
+        from timeseriesfuser_spark.ops.timeseries import lagged_crosscorr
+
+        with _pytest.raises(ValueError, match="lags"):
+            lagged_crosscorr(self._mk(spark, []), "A", "B", [], "1h")

@@ -503,3 +503,17 @@ def test_weighted_sample_zero_shuffle(spark):
     assert "Exchange" not in plan
     assert "codegen id" in plan               # whole-stage codegen span
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_crosscorr_lag_fanout_on_aggregated_grain(spark):
+    """The lag fan-out and the pair join must run on the AGGREGATED bar
+    grain: one events aggregation (partial+final), the lag relation
+    broadcast, no Generate/explode over raw events, no cartesian on
+    data."""
+    plan = formatted_plan(
+        contract.QUERIES["crosscorr_click_purchase"](spark, SF)
+    )
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    # events predicate pushed to the scan
+    assert "PushedFilters" in plan and "event_type" in plan

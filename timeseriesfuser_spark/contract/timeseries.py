@@ -622,3 +622,60 @@ def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("ts").cast("long").alias("ts"), "value",
         F.col("slot").cast("long").alias("slot"),
     )
+
+
+_XC_LAGS = [-2, -1, 0, 1, 2]
+
+
+@register(
+    "crosscorr_click_purchase",
+    oracle=f"""
+    WITH ev AS (
+        SELECT epoch_ms(ts) AS t, event_id, event_type, value FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND event_type IN ('click', 'purchase')
+    ),
+    g AS (
+        SELECT event_type AS k,
+               CAST({_ff('t', _H1GAP)} AS BIGINT) AS b,
+               CAST(round(value * 100) AS BIGINT) AS v,
+               row_number() OVER (PARTITION BY event_type, {_ff('t', _H1GAP)}
+                                  ORDER BY t DESC, event_id DESC) AS rn
+        FROM ev
+    ),
+    l AS (SELECT k, b, v FROM g WHERE rn = 1),
+    lag_list AS (SELECT unnest([-2, -1, 0, 1, 2]) AS lag),
+    a AS (SELECT lag, b + lag * {_H1GAP} AS bb, v AS x
+          FROM l, lag_list WHERE k = 'click'),
+    bb AS (SELECT b AS bb, v AS y FROM l WHERE k = 'purchase'),
+    p AS (SELECT lag, x, y FROM a JOIN bb USING (bb)),
+    s AS (SELECT lag, count(*) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(y AS HUGEINT) * y) AS syy
+          FROM p GROUP BY lag)
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                     AND n * syy - sy * sy > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS pearson_r,
+           CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n2
+    FROM s
+    """,
+)
+def q_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation (ops.timeseries.lagged_crosscorr):
+    Pearson r of (click bar-close at t, purchase bar-close at t+lag) on
+    the 1h grid for lags -2..2. Every Σ is an exact integer
+    (decimal(38,0) / HUGEINT), one final double chain; the lag fan-out
+    and the join run on the AGGREGATED bar grain only."""
+    ev = _events(spark, sf_dir)
+    return TS.lagged_crosscorr(
+        ev, "click", "purchase", _XC_LAGS, "1h",
+        ts_col="ts", key_col="event_type", value_col="value",
+        seq_col="event_id",
+    )

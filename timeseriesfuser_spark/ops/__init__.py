@@ -86,6 +86,7 @@ from timeseriesfuser_spark.ops.timeseries import (
     event_transitions,
     ewma,
     interpolate_grid,
+    lagged_crosscorr,
     lttb_downsample,
     ohlc_bars,
     pivot_features,
@@ -112,6 +113,7 @@ __all__ = [
     "hashed_classifier_score",
     "interpolate_grid",
     "key_skew_report",
+    "lagged_crosscorr",
     "length_bucketed_batches",
     "lttb_downsample",
     "passage_dedup",

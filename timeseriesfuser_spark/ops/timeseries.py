@@ -872,3 +872,92 @@ def lttb_downsample(
         F.col(f"__pt.{value_col}").alias(value_col),
         F.col("__slot").alias("slot"),
     )
+
+
+def lagged_crosscorr(
+    df: DataFrame,
+    key_a,
+    key_b,
+    lags: Sequence[int],
+    interval: str = "1h",
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Lead–lag cross-correlation between two series: Pearson r of
+    (A at bucket t, B at bucket t+lag) for each lag (in grid steps) —
+    the screening primitive for "does A lead B" questions (pairs
+    trading, upstream-metric causality triage).
+
+    Semantics: both series are reduced to their LAST cent-quantized
+    value per ``interval`` bucket (the bar-close convention, exact
+    integers — a per-bucket mean would make every downstream sum
+    accumulation-order-dependent and oracle-unmatchable); only buckets
+    where BOTH sides exist for a lag contribute (inner join, no
+    imputation). r is the textbook
+    (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) with every Σ an
+    exact integer in decimal(38,0) and ONE fixed double chain at the
+    end; NULL when either side is constant (zero variance) or n < 2.
+
+    Scale: one map-side-combinable aggregation of the events to the
+    (key, bucket) grain; everything after runs on that AGGREGATED grain
+    — the lag fan-out (small explode on grid rows, never events), one
+    bucket-grain equi-join, one final #lags-row aggregate. No windows,
+    no full-data shuffle beyond the grain agg.
+    """
+    lags = list(lags)
+    if not lags:
+        raise ValueError("lags must be non-empty")
+    step = interval_to_ms(interval)
+    cents = _cents(value_col)
+    ts = F.col(ts_col).cast("long")
+    g = (
+        df.filter(F.col(key_col).isin(key_a, key_b))
+        .filter(ts.isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("__k"),
+            floor_boundary_col(ts, step).alias("__b"),
+        )
+        .agg(
+            F.max_by(
+                cents, F.struct(ts, F.col(seq_col))
+            ).alias("__v")
+        )
+    )
+    lag_rel = F.broadcast(
+        df.sparkSession.createDataFrame([(int(l),) for l in lags], "lag long")
+    )
+    a = (
+        g.filter(F.col("__k") == key_a)
+        .crossJoin(lag_rel)
+        .select("lag", (F.col("__b") + F.col("lag") * step).alias("__bb"),
+                F.col("__v").alias("__x"))
+    )
+    b = g.filter(F.col("__k") == key_b).select(
+        F.col("__b").alias("__bb"), F.col("__v").alias("__y")
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    pairs = a.join(b, "__bb")
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(d("__x")).alias("__sx"),
+        F.sum(d("__y")).alias("__sy"),
+        F.sum(d("__x") * d("__y")).alias("__sxy"),
+        F.sum(d("__x") * d("__x")).alias("__sxx"),
+        F.sum(d("__y") * d("__y")).alias("__syy"),
+    )
+    n = d("n_pairs")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    r = F.when(
+        (F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0),
+        cov.cast("double")
+        / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+    )
+    return agg.select(
+        "lag", "n_pairs", r.alias("pearson_r"),
+        cov.cast("double").alias("cov_n2"),
+    ).orderBy("lag")
