@@ -258,6 +258,32 @@ def run(spark, n: int, only=None) -> dict:
             tiebreak_cols=["event_id"], num_buckets=CPUS * 4,
         ),
     )
+    from timeseriesfuser_spark.ops.timeseries import (
+        lagged_crosscorr as _xcop,
+        lttb_downsample as _lttbop,
+    )
+
+    # 1000-point per-key downsample over 10k users
+    t(
+        "lttb_1000",
+        _lttbop(
+            ev.select("user_id", "__timestamp", "value"),
+            1000, ts_col="__timestamp", key_cols=["user_id"],
+        ),
+    )
+    # lead-lag screen between two derived series on the 1h grid
+    xev = ev.select(
+        "__timestamp", "event_id", "value",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("k"),
+    )
+    t(
+        "crosscorr_5lag",
+        _xcop(
+            xev, "A", "B", [-2, -1, 0, 1, 2], "1h",
+            ts_col="__timestamp", key_col="k", value_col="value",
+            seq_col="event_id",
+        ),
+    )
     return out
 
 
