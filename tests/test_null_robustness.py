@@ -54,6 +54,12 @@ QUERIES = [
     "quantiles_by_type",
     "shard_manifest",
     "lineitem_expectations",
+    # round-10: NULL ts/value rows drop from both engines before slot
+    # assignment (lttb) and bar aggregation (crosscorr); NULL weight/id
+    # rows never sample
+    "lttb_downsample_16",
+    "crosscorr_click_purchase",
+    "weighted_sample",
 ]
 
 TABLES = [
