@@ -587,3 +587,74 @@ def test_hll_shard_merge_equals_unsharded(spark, rows, split_at):
     want = {r["bucket"]: r["register"] for r in whole.collect()}
     got = {r["bucket"]: r["register"] for r in merged.collect()}
     assert got == want
+
+
+# ---- LTTB vs pure-Python bigint reference ---------------------------- #
+
+_lttb_stream = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=500),
+              st.integers(min_value=-999, max_value=999)),
+    min_size=1, max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+def _lttb_ref(pts, nb, scale=10**6):
+    """Independent reference of the documented parallel-LTTB variant:
+    Python bigints throughout (values are k/4 — exact binary fractions,
+    so yq quantization is float-exact on both sides)."""
+    pts = sorted(pts)
+    mn, mx = pts[0][0], pts[-1][0]
+    slots = {}
+    for t, v in pts:
+        x0 = t - mn
+        s = (x0 * nb) // (mx - mn + 1) if mx > mn else 0
+        yq = round(v * scale)  # exact: v = k/4
+        slots.setdefault(s, []).append((x0, t, v, int(yq)))
+    order = sorted(slots)
+    sums = {
+        s: (
+            sum(c[0] for c in slots[s]),
+            sum(c[3] for c in slots[s]),
+            len(slots[s]),
+            min(c[0] for c in slots[s]),
+        )
+        for s in order
+    }
+    out = []
+    for i, s in enumerate(order):
+        cands = slots[s]
+        if i == 0:
+            pick = max(cands, key=lambda c: (0, -c[0], c[3]))
+        elif i == len(order) - 1:
+            pick = max(cands, key=lambda c: (0, c[0], c[3]))
+        else:
+            sxp, syp, np_, base = sums[order[i - 1]]
+            sxn, syn, nn_, _ = sums[order[i + 1]]
+            psx, nsx = sxp - np_ * base, sxn - nn_ * base
+
+            def area(c, psx=psx, nsx=nsx, np_=np_, nn_=nn_,
+                     syp=syp, syn=syn, base=base):
+                xb = c[0] - base
+                return abs(
+                    (psx * nn_ - nsx * np_) * (c[3] * np_ - syp)
+                    - (psx - xb * np_) * (syn * np_ - syp * nn_)
+                )
+
+            pick = max(cands, key=lambda c: (area(c), -c[0], c[3]))
+        out.append((s, pick[1], pick[2]))
+    return sorted(out)
+
+
+@given(rows=_lttb_stream, nb=st.sampled_from([3, 4, 7]))
+@SETTINGS
+def test_lttb_matches_python_reference(spark, rows, nb):
+    from timeseriesfuser_spark.ops.timeseries import lttb_downsample
+
+    pts = [(t, k / 4.0) for t, k in rows]
+    df = spark.createDataFrame(pts, "ts long, value double")
+    got = sorted(
+        (r["slot"], r["ts"], r["value"])
+        for r in lttb_downsample(df, nb, ts_col="ts").collect()
+    )
+    assert got == _lttb_ref(pts, nb)
