@@ -517,3 +517,23 @@ def test_crosscorr_lag_fanout_on_aggregated_grain(spark):
     assert "CartesianProduct" not in plan
     # events predicate pushed to the scan
     assert "PushedFilters" in plan and "event_type" in plan
+
+
+def test_tpcds_q31_single_scan_grain_self_join(spark):
+    """The four-way canonical CTE join must collapse to ONE conditional
+    channel aggregation per grain computation, nation broadcast, and no
+    cartesian; aggregation (partial+final) runs BEFORE the self-join."""
+    plan = formatted_plan(contract.QUERIES["tpcds_q31_qoq_growth"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q93_preagg_and_group_limit(spark):
+    """Both netting sides pre-aggregate to the (order, item) grain
+    before the fact-fact left join, and the global top-10 rank pushes a
+    WindowGroupLimit so the shuffle is k-bounded."""
+    plan = formatted_plan(contract.QUERIES["tpcds_q93_net_sales"](spark, SF))
+    assert plan.count("HashAggregate") >= 4
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan

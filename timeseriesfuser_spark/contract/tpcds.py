@@ -731,3 +731,184 @@ def q_tpcds_q35_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_acctbal"),
         )
     )
+
+
+_EXP_PR = "('1-URGENT', '2-HIGH')"
+_ECO_PR = "('4-NOT SPECIFIED', '5-LOW')"
+
+
+@register(
+    "tpcds_q31_qoq_growth",
+    oracle=f"""
+    WITH e AS (
+        SELECT n.n_name,
+               year(o.o_orderdate) * 10 + quarter(o.o_orderdate) AS yq,
+               sum({_REV4}) AS v4
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderpriority IN {_EXP_PR}
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT n.n_name,
+               year(o.o_orderdate) * 10 + quarter(o.o_orderdate) AS yq,
+               sum({_REV4}) AS v4
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderpriority IN {_ECO_PR}
+        GROUP BY 1, 2
+    )
+    SELECT e2.n_name,
+           CAST(e2.yq AS BIGINT) AS yq,
+           CAST(e2.v4 AS DOUBLE) / e1.v4 AS express_growth,
+           CAST(s2.v4 AS DOUBLE) / s1.v4 AS economy_growth
+    FROM e e2
+    JOIN e e1 ON e1.n_name = e2.n_name
+             AND e1.yq = CASE WHEN e2.yq % 10 = 1
+                              THEN e2.yq - 7 ELSE e2.yq - 1 END
+    JOIN s s2 ON s2.n_name = e2.n_name AND s2.yq = e2.yq
+    JOIN s s1 ON s1.n_name = e2.n_name AND s1.yq = e1.yq
+    WHERE e2.v4::HUGEINT * s1.v4 > s2.v4::HUGEINT * e1.v4
+    """,
+)
+def q_tpcds_q31_qoq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q31-shape: (nation, quarter) cells where the EXPRESS
+    channel's quarter-over-quarter revenue growth beats the ECONOMY
+    channel's. The oracle states the canonical per-channel CTEs +
+    four-way self-join; the Spark side aggregates ONE scan to the
+    (nation, quarter) grain with conditional per-channel sums, then
+    self-joins ONCE on (nation, previous quarter) — gap-correct like
+    the Q47 YoY join (a lag window would mis-pair across missing
+    quarters). The growth comparison is exact cross-multiplied
+    integers in decimal(38,0) (e2·s1 > s2·e1 — revenue sums are
+    strictly positive when present, so no zero guard is needed);
+    the emitted ratios are the allowed final double divisions."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    pr = F.col("o_orderpriority")
+    is_exp = pr.isin("1-URGENT", "2-HIGH")
+    is_eco = pr.isin("4-NOT SPECIFIED", "5-LOW")
+    yq = (
+        F.year("o_orderdate") * 10 + F.quarter("o_orderdate")
+    ).cast("long")
+    g = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name", yq.alias("yq"))
+        .agg(
+            F.sum(F.when(is_exp, _rev4_col())).alias("e4"),
+            F.sum(F.when(is_eco, _rev4_col())).alias("s4"),
+        )
+    )
+    cur, prv = g.alias("cur"), g.alias("prv")
+    prev_yq = F.when(
+        F.col("cur.yq") % 10 == 1, F.col("cur.yq") - 7
+    ).otherwise(F.col("cur.yq") - 1)
+    j = cur.join(
+        prv,
+        (F.col("cur.n_name") == F.col("prv.n_name"))
+        & (F.col("prv.yq") == prev_yq),
+    ).filter(
+        F.col("cur.e4").isNotNull() & F.col("prv.e4").isNotNull()
+        & F.col("cur.s4").isNotNull() & F.col("prv.s4").isNotNull()
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return j.filter(
+        d("cur.e4") * d("prv.s4") > d("cur.s4") * d("prv.e4")
+    ).select(
+        F.col("cur.n_name").alias("n_name"),
+        F.col("cur.yq").cast("long").alias("yq"),
+        (F.col("cur.e4").cast("double") / F.col("prv.e4"))
+        .alias("express_growth"),
+        (F.col("cur.s4").cast("double") / F.col("prv.s4"))
+        .alias("economy_growth"),
+    )
+
+
+@register(
+    "tpcds_q93_net_sales",
+    oracle=f"""
+    WITH sal AS (
+        SELECT l_orderkey, l_partkey, sum({_REV4}) AS s4
+        FROM lineitem WHERE l_returnflag <> 'R'
+        GROUP BY 1, 2
+    ),
+    ret AS (
+        SELECT l_orderkey, l_partkey, sum({_REV4}) AS r4
+        FROM lineitem WHERE l_returnflag = 'R'
+        GROUP BY 1, 2
+    ),
+    net AS (
+        SELECT s.l_orderkey,
+               greatest(CAST(0 AS HUGEINT),
+                        s.s4::HUGEINT - coalesce(r.r4, 0)) AS n4
+        FROM sal s LEFT JOIN ret r
+          ON s.l_orderkey = r.l_orderkey AND s.l_partkey = r.l_partkey
+    ),
+    pc AS (
+        SELECT o.o_custkey, sum(n.n4) AS net4
+        FROM net n JOIN orders o ON n.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    )
+    SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
+           CAST(net4 AS DOUBLE) / 10000 AS net_revenue,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, rank() OVER (ORDER BY net4 DESC, o_custkey ASC)
+                        AS rnk
+          FROM pc)
+    WHERE rnk <= 10
+    """,
+)
+def q_tpcds_q93_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q93-shape: returns-adjusted net revenue per customer —
+    sales lines netted against the matching return lines of the same
+    (order, item), clamped at zero, then the top-10 customers. Both
+    sides pre-aggregate to the (orderkey, partkey) grain BEFORE the
+    fact-fact left join (the join moves aggregated grains, never raw
+    lines); the customer rollup joins orders on the orderkey grain; the
+    final rank runs on the per-customer relation with a rank<=10
+    WindowGroupLimit. All netting in exact integers (decimal(38,0) /
+    HUGEINT); ties pinned by custkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    sal = (
+        li.filter(F.col("l_returnflag") != "R")
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(F.sum(_rev4_col()).alias("s4"))
+    )
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(F.sum(_rev4_col()).alias("r4"))
+    )
+    net = sal.join(ret, ["l_orderkey", "l_partkey"], "left").select(
+        "l_orderkey",
+        F.greatest(
+            F.lit(0).cast("decimal(38,0)"),
+            F.col("s4").cast("decimal(38,0)")
+            - F.coalesce(F.col("r4"), F.lit(0)).cast("decimal(38,0)"),
+        ).alias("n4"),
+    )
+    pc = (
+        net.join(o.select("o_orderkey", "o_custkey"),
+                 net.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("n4").alias("net4"))
+    )
+    w = Window.orderBy(F.col("net4").desc(), F.col("o_custkey").asc())
+    return (
+        pc.withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            F.col("o_custkey").cast("long").alias("c_custkey"),
+            (F.col("net4").cast("double") / 10000).alias("net_revenue"),
+            "rnk",
+        )
+    )
