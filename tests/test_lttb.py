@@ -131,3 +131,54 @@ class TestLaggedCrosscorr:
 
         with _pytest.raises(ValueError, match="lags"):
             lagged_crosscorr(self._mk(spark, []), "A", "B", [], "1h")
+
+
+class TestRollingCorr:
+    def test_windows_and_exactness(self, spark):
+        from timeseriesfuser_spark.ops.timeseries import rolling_corr
+
+        # y = 2x for 5 days: r = 1.0 once n >= 2; day 0 is NULL (n=1)
+        rows = []
+        for i in range(5):
+            rows.append((i * 86_400_000 + 50, i * 10 + 1, "A", float(i)))
+            rows.append((i * 86_400_000 + 60, i * 10 + 2, "B", float(2 * i)))
+        df = spark.createDataFrame(
+            rows, "ts long, event_id long, event_type string, value double"
+        )
+        out = rolling_corr(
+            df, "A", "B", 3, "1d", key_col="event_type"
+        ).orderBy("bar_ts").collect()
+        assert [r["n_bars"] for r in out] == [1, 2, 3, 3, 3]
+        assert out[0]["pearson_r"] is None
+        # exact-integer sums, one float sqrt chain: 1.0 up to 1 ulp
+        assert all(abs(r["pearson_r"] - 1.0) < 1e-12 for r in out[1:])
+
+    def test_gap_days_do_not_dilute_frame(self, spark):
+        from timeseriesfuser_spark.ops.timeseries import rolling_corr
+
+        # day 1 has only A -> dropped from the pair grid; frame spans
+        # bars PRESENT (days 0,2,3), so n at day 3 is 3, not 2
+        rows = []
+        for i, both in [(0, True), (1, False), (2, True), (3, True)]:
+            rows.append((i * 86_400_000, i * 10 + 1, "A", float(i + 1)))
+            if both:
+                rows.append((i * 86_400_000, i * 10 + 2, "B", float(9 - i)))
+        df = spark.createDataFrame(
+            rows, "ts long, event_id long, event_type string, value double"
+        )
+        out = rolling_corr(
+            df, "A", "B", 3, "1d", key_col="event_type"
+        ).orderBy("bar_ts").collect()
+        assert [r["n_bars"] for r in out] == [1, 2, 3]
+        assert abs(out[-1]["pearson_r"] + 1.0) < 1e-12  # B falls as A rises
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from timeseriesfuser_spark.ops.timeseries import rolling_corr
+
+        df = spark.createDataFrame(
+            [], "ts long, event_id long, event_type string, value double"
+        )
+        with _pytest.raises(ValueError, match="window_bars"):
+            rolling_corr(df, "A", "B", 0, "1d")

@@ -537,3 +537,14 @@ def test_tpcds_q93_preagg_and_group_limit(spark):
     assert plan.count("HashAggregate") >= 4
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rolling_corr_window_on_bar_grain(spark):
+    """The rolling frame must run on the aligned BAR grain: events
+    aggregate (partial+final) BEFORE the pair join and window; no
+    cartesian; events predicate pushed to the scan."""
+    plan = formatted_plan(contract.QUERIES["rolling_corr_7d"](spark, SF))
+    # the bar max_by plans as SortAggregate (struct ordering key)
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan and "event_type" in plan

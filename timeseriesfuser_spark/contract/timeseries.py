@@ -679,3 +679,65 @@ def q_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts", key_col="event_type", value_col="value",
         seq_col="event_id",
     )
+
+
+_RC_W = 7
+_D1GAP = 86_400_000
+
+
+@register(
+    "rolling_corr_7d",
+    oracle=f"""
+    WITH ev AS (
+        SELECT epoch_ms(ts) AS t, event_id, event_type, value FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND event_type IN ('click', 'purchase')
+    ),
+    g AS (
+        SELECT event_type AS k,
+               CAST({_ff('t', _D1GAP)} AS BIGINT) AS b,
+               CAST(round(value * 100) AS BIGINT) AS v,
+               row_number() OVER (PARTITION BY event_type, {_ff('t', _D1GAP)}
+                                  ORDER BY t DESC, event_id DESC) AS rn
+        FROM ev
+    ),
+    l AS (SELECT k, b, v FROM g WHERE rn = 1),
+    p AS (
+        SELECT a.b AS bar_ts, a.v AS x, bb.v AS y
+        FROM l a JOIN l bb ON a.b = bb.b
+        WHERE a.k = 'click' AND bb.k = 'purchase'
+    ),
+    s AS (
+        SELECT bar_ts,
+               count(*) OVER w AS n,
+               sum(CAST(x AS HUGEINT)) OVER w AS sx,
+               sum(CAST(y AS HUGEINT)) OVER w AS sy,
+               sum(CAST(x AS HUGEINT) * y) OVER w AS sxy,
+               sum(CAST(x AS HUGEINT) * x) OVER w AS sxx,
+               sum(CAST(y AS HUGEINT) * y) OVER w AS syy
+        FROM p
+        WINDOW w AS (ORDER BY bar_ts
+                     ROWS BETWEEN {_RC_W - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT bar_ts, CAST(n AS BIGINT) AS n_bars,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                     AND n * syy - sy * sy > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS pearson_r
+    FROM s
+    """,
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-bar Pearson correlation of click vs purchase daily bar
+    closes (ops.timeseries.rolling_corr): frame counts co-present bars
+    (trading-day convention), all rolling sums in decimal(38,0) /
+    HUGEINT, one final double chain; the join and window run on the
+    aligned daily-bar grain only."""
+    ev = _events(spark, sf_dir)
+    return TS.rolling_corr(
+        ev, "click", "purchase", _RC_W, "1d",
+        ts_col="ts", key_col="event_type", value_col="value",
+        seq_col="event_id",
+    )

@@ -91,6 +91,7 @@ from timeseriesfuser_spark.ops.timeseries import (
     ohlc_bars,
     pivot_features,
     rolling_anomalies,
+    rolling_corr,
     twap_bars,
     value_rates,
     vwap_bars,
@@ -122,6 +123,7 @@ __all__ = [
     "profile_columns",
     "ewma",
     "rolling_anomalies",
+    "rolling_corr",
     "twap_bars",
     "value_rates",
     "connected_components",

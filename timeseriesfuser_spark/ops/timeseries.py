@@ -961,3 +961,83 @@ def lagged_crosscorr(
         "lag", "n_pairs", r.alias("pearson_r"),
         cov.cast("double").alias("cov_n2"),
     ).orderBy("lag")
+
+
+def rolling_corr(
+    df: DataFrame,
+    key_a,
+    key_b,
+    window_bars: int,
+    interval: str = "1d",
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+    min_bars: int = 2,
+) -> DataFrame:
+    """Rolling Pearson correlation between two series on a shared bar
+    grid: for each bar where BOTH series traded, r over the trailing
+    ``window_bars`` co-present bars (current included) — the rolling
+    twin of :func:`lagged_crosscorr` (regime monitoring: "has the
+    relationship broken down this week?").
+
+    Frame semantics: the window counts BARS PRESENT on both sides, not
+    calendar steps (the trading-day convention — calendar gaps do not
+    dilute the frame). Bars are LAST cent-quantized values (exact
+    integers); all six rolling sums accumulate in decimal(38,0) inside
+    the frame, r is the one final double chain; NULL below ``min_bars``
+    or on zero variance.
+
+    Scale: one map-side-combinable events aggregation to the (key, bar)
+    grain; the join and the rolling window run on the ALIGNED BAR grain
+    only — bounded by the time span, never the input. The window is
+    ungrouped over that bounded relation (same posture as the LTTB slot
+    windows); wrap with per-pair keys before partitioning if running
+    many pairs at once.
+    """
+    if window_bars < 1 or min_bars < 2:
+        raise ValueError("window_bars >= 1 and min_bars >= 2 required")
+    step = interval_to_ms(interval)
+    cents = _cents(value_col)
+    ts = F.col(ts_col).cast("long")
+    g = (
+        df.filter(F.col(key_col).isin(key_a, key_b))
+        .filter(ts.isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("__k"),
+            floor_boundary_col(ts, step).alias("__b"),
+        )
+        .agg(F.max_by(cents, F.struct(ts, F.col(seq_col))).alias("__v"))
+    )
+    a = g.filter(F.col("__k") == key_a).select(
+        F.col("__b"), F.col("__v").alias("__x")
+    )
+    b = g.filter(F.col("__k") == key_b).select(
+        F.col("__b"), F.col("__v").alias("__y")
+    )
+    pairs = a.join(b, "__b")
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    w = (
+        Window.orderBy("__b")
+        .rowsBetween(-(window_bars - 1), Window.currentRow)
+    )
+    agg = pairs.select(
+        F.col("__b").alias("bar_ts"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_bars"),
+        F.sum(d("__x")).over(w).alias("__sx"),
+        F.sum(d("__y")).over(w).alias("__sy"),
+        F.sum(d("__x") * d("__y")).over(w).alias("__sxy"),
+        F.sum(d("__x") * d("__x")).over(w).alias("__sxx"),
+        F.sum(d("__y") * d("__y")).over(w).alias("__syy"),
+    )
+    n = d("n_bars")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    r = F.when(
+        (F.col("n_bars") >= min_bars) & (vx > 0) & (vy > 0),
+        cov.cast("double")
+        / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+    )
+    return agg.select("bar_ts", "n_bars", r.alias("pearson_r"))
