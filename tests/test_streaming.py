@@ -670,3 +670,74 @@ def test_bloom_stream_batch_parity_and_restart(spark, tmp_path):
         group_cols=["src"],
     )
     assert n_run1 == batch1.count()
+
+
+def test_vwap_stream_batch_parity_and_restart(spark, tmp_path):
+    """Streaming VWAP twin: kill + resume continues the checkpointed
+    window state (update mode), and the final per-bar cells equal the
+    batch vwap_bars over BOTH runs' rows."""
+    from timeseriesfuser_spark.ops.timeseries import vwap_bars
+    from timeseriesfuser_spark.streaming import vwap_stream
+
+    d = tmp_path / "vwap_in"
+    ckpt = str(tmp_path / "ckpt_vwap")
+    schema = (
+        "__timestamp long, event_id long, event_type string,"
+        " value double, weight long"
+    )
+    cells = {}
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(d))
+        # 2h allowed lateness: run-2's ts=30 row lands in run-1's bar
+        # (with the default 0s watermark it would be correctly DROPPED —
+        # the watermark is the knob, not a bug)
+        out = vwap_stream(stream, "1h", watermark="2 hours")
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                cells[(r["event_type"], r["bar_ts"])] = (
+                    r["n_events"], r["pw_cents"], r["sum_weight"],
+                    r["vwap_cents"],
+                )
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    h = 3_600_000
+    rows1 = [
+        (10, 1, "a", 10.0, 2), (20, 2, "a", 20.0, 1),
+        (h + 5, 3, "b", 5.0, 4),
+    ]
+    rows2 = [
+        (30, 4, "a", 40.0, 1),          # late row lands in run-1's bar
+        (h + 9, 5, "b", 7.0, 0),        # zero weight counts, no vwap move
+    ]
+    d.mkdir()
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    run()  # fresh query object, same checkpoint -> state continued
+
+    batch = vwap_bars(
+        spark.createDataFrame(rows1 + rows2, schema),
+        "1h", ts_col="__timestamp",
+    )
+    want = {
+        (r["event_type"], r["bar_ts"]): (
+            r["n_events"], r["pw_cents"], r["sum_weight"], r["vwap_cents"]
+        )
+        for r in batch.collect()
+    }
+    assert cells == want

@@ -793,3 +793,45 @@ def bloom_stream(
     return df.select(*g, F.explode(pos).alias("bit")).dropDuplicates(
         g + ["bit"]
     )
+
+
+def vwap_stream(
+    df: DataFrame,
+    interval: str = "1d",
+    *,
+    keys: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    weight_col: str = "weight",
+    watermark: str = "0 seconds",
+    ts_col: str = TS_COL,
+) -> DataFrame:
+    """Watermarked tumbling-window weighted-average bars: the streaming
+    twin of ``ops.timeseries.vwap_bars`` — same exact-int numerator
+    (cents × integer weight) and denominator, one final double
+    division, ``bar_ts`` = the window start, so stream and batch
+    results are row-identical on any arrival order (every aggregate is
+    commutative)."""
+    step = interval_to_ms(interval)
+    wdf = df.withColumn(
+        "__evt", F.timestamp_millis(F.col(ts_col))
+    ).withWatermark("__evt", watermark)
+    win = F.window("__evt", f"{step} milliseconds")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    w = F.col(weight_col).cast("long")
+    agg = wdf.groupBy(*keys, win).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents * w).alias("pw_cents"),
+        F.sum(w).alias("sum_weight"),
+    )
+    return agg.select(
+        *keys,
+        F.unix_millis(F.col("window.start")).alias("bar_ts"),
+        "n_events",
+        "pw_cents",
+        "sum_weight",
+        F.when(
+            F.col("sum_weight") > 0,
+            F.col("pw_cents").cast("double")
+            / F.col("sum_weight").cast("double"),
+        ).alias("vwap_cents"),
+    )
