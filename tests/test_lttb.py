@@ -182,3 +182,70 @@ class TestRollingCorr:
         )
         with _pytest.raises(ValueError, match="window_bars"):
             rolling_corr(df, "A", "B", 0, "1d")
+
+
+class TestDriftOps:
+    def test_psi_drift_counts_and_shares(self, spark):
+        from timeseriesfuser_spark.ops.timeseries import psi_drift
+
+        # baseline: values in bin 0; current: shifted to bin 9 + one OOR
+        rows = (
+            [(i, 5.0) for i in range(4)]
+            + [(100 + i, 95.0) for i in range(3)]
+            + [(103, 200.0), (104, -1.0), (105, None), (None, 5.0)]
+        )
+        df = spark.createDataFrame(rows, "ts long, value double")
+        out = {
+            r["bin"]: r
+            for r in psi_drift(
+                df, 100, ts_col="ts", lo=0, hi=100, bins=10
+            ).collect()
+        }
+        assert out[0]["n_base"] == 4 and out[0]["n_cur"] == 0
+        assert out[9]["n_base"] == 0 and out[9]["n_cur"] == 3
+        assert out[10]["n_cur"] == 1 and out[-1]["n_cur"] == 1  # OOR buckets
+        assert out[0]["p_ppm"] == 1_000_000 and out[9]["q_ppm"] == 600_000
+        # one-sided-empty bins carry NULL psi_term (no epsilon fudge)
+        assert out[0]["psi_term"] is None
+        total = sum(r["n_base"] + r["n_cur"] for r in out.values())
+        assert total == 9  # null value / null ts rows dropped
+
+    def test_psi_term_sign(self, spark):
+        from timeseriesfuser_spark.ops.timeseries import psi_drift
+
+        # both sides present in both bins, shifted mass -> positive terms
+        rows = [(0, 5.0)] * 3 + [(1, 95.0)] + [(100, 5.0)] + [(101, 95.0)] * 3
+        df = spark.createDataFrame(rows, "ts long, value double")
+        out = psi_drift(df, 100, ts_col="ts", lo=0, hi=100, bins=10).collect()
+        terms = [r["psi_term"] for r in out]
+        assert all(t is not None and t > 0 for t in terms)
+
+    def test_cusum_exact_flagging(self, spark):
+        from timeseriesfuser_spark.ops.timeseries import cusum_shifts
+
+        # 10 points at 10.0 then 10 at 30.0: mean 20.0; running mean of
+        # the first k points deviates by 10.0 -> every row past warm-up
+        # in the first half flags at h=500 (5.0), converging after
+        rows = [(i, i, float(10 if i < 10 else 30)) for i in range(20)]
+        df = spark.createDataFrame(rows, "ts long, event_id long, value double")
+        out = cusum_shifts(
+            df, 500, ts_col="ts", value_col="value", min_points=2
+        ).orderBy("ts").collect()
+        seen = [r["n_seen"] for r in out]
+        assert seen[0] == 2 and 10 in seen
+        # running mean at t=10 is 10.0 -> deviation exactly -10.00
+        r10 = next(r for r in out if r["n_seen"] == 10)
+        assert r10["cusum_cents"] == -1000.0
+        # by t=20 the running mean equals the global mean: never flagged
+        assert 20 not in seen
+
+    def test_cusum_validation(self, spark):
+        import pytest as _pytest
+
+        from timeseriesfuser_spark.ops.timeseries import cusum_shifts
+
+        df = spark.createDataFrame([], "ts long, event_id long, value double")
+        with _pytest.raises(ValueError, match="threshold"):
+            cusum_shifts(df, -1)
+        with _pytest.raises(ValueError, match="min_points"):
+            cusum_shifts(df, 1, min_points=0)

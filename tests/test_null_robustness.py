@@ -60,6 +60,8 @@ QUERIES = [
     "lttb_downsample_16",
     "crosscorr_click_purchase",
     "weighted_sample",
+    "value_drift_bins",
+    "cusum_value_shift",
 ]
 
 TABLES = [

@@ -548,3 +548,24 @@ def test_rolling_corr_window_on_bar_grain(spark):
     assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
     assert "CartesianProduct" not in plan
     assert "PushedFilters" in plan and "event_type" in plan
+
+
+def test_psi_drift_single_scan(spark):
+    """PSI bins must fold into ONE conditional-agg scan of events; the
+    totals window runs on the #keys x 12 grain only."""
+    import re
+
+    plan = formatted_plan(contract.QUERIES["value_drift_bins"](spark, SF))
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_cusum_per_key_window_only(spark):
+    """CUSUM's prefix sum is a PER-KEY window (never a global order) and
+    the totals relation broadcasts back onto the stream."""
+    plan = formatted_plan(contract.QUERIES["cusum_value_shift"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
+    assert "BroadcastHashJoin" in plan

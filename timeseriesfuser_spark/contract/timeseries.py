@@ -741,3 +741,102 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts", key_col="event_type", value_col="value",
         seq_col="event_id",
     )
+
+
+@register(
+    "value_drift_bins",
+    oracle="""
+    WITH ev AS (
+        SELECT epoch_ms(ts) AS t, event_type, value FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    m AS (SELECT (min(t) + max(t)) // 2 AS mid FROM ev),
+    b AS (
+        SELECT event_type,
+               CASE WHEN value < 0.0 THEN CAST(-1 AS BIGINT)
+                    WHEN value >= 100.0 THEN CAST(10 AS BIGINT)
+                    ELSE least(CAST(floor((value - 0.0) * 10 / 100.0)
+                                    AS BIGINT), CAST(9 AS BIGINT)) END AS bin,
+               CAST(count(CASE WHEN t < mid THEN 1 END) AS BIGINT) AS n_base,
+               CAST(count(CASE WHEN t >= mid THEN 1 END) AS BIGINT) AS n_cur
+        FROM ev, m GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT *, sum(n_base) OVER (PARTITION BY event_type) AS tb,
+                  sum(n_cur) OVER (PARTITION BY event_type) AS tc
+        FROM b
+    )
+    SELECT event_type, bin, n_base, n_cur,
+           CASE WHEN tb > 0
+                THEN CAST(n_base * 1000000 // tb AS BIGINT) END AS p_ppm,
+           CASE WHEN tc > 0
+                THEN CAST(n_cur * 1000000 // tc AS BIGINT) END AS q_ppm
+    FROM w
+    """,
+)
+def q_value_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift bins (ops.timeseries.psi_drift): per-(event_type, bin)
+    baseline-vs-current distribution of value, split at the series
+    midpoint timestamp. ONE conditional-agg scan to the #keys x 12
+    grain; shares are integer DIV ppm. The op's ln-based psi_term is
+    deliberately OFF this oracle surface (libm last-ulp divergence —
+    same policy as hll_estimate_corrected); the driver checks the exact
+    count/ppm columns."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    b = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).first()
+    mid = (int(b["mn"]) + int(b["mx"])) // 2
+    out = TS.psi_drift(
+        ev, mid, ts_col="ts", value_col="value",
+        key_cols=["event_type"], lo=0.0, hi=100.0, bins=10,
+    )
+    return out.select(
+        "event_type", "bin", "n_base", "n_cur", "p_ppm", "q_ppm"
+    )
+
+
+_CUSUM_H, _CUSUM_MP = 400, 20
+
+
+@register(
+    "cusum_value_shift",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, epoch_ms(ts) AS t, event_id,
+               CAST(round(value * 100) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    tot AS (SELECT event_type, sum(x) AS s, count(*) AS n
+            FROM ev GROUP BY 1),
+    p AS (
+        SELECT ev.*, tot.s, tot.n,
+               sum(x) OVER (PARTITION BY ev.event_type
+                            ORDER BY t, event_id
+                            ROWS UNBOUNDED PRECEDING) AS st,
+               row_number() OVER (PARTITION BY ev.event_type
+                                  ORDER BY t, event_id) AS ti
+        FROM ev JOIN tot USING (event_type)
+    )
+    SELECT event_type, CAST(t AS BIGINT) AS ts,
+           CAST(event_id AS BIGINT) AS event_id,
+           CAST(ti AS BIGINT) AS n_seen,
+           CAST(st::HUGEINT * n - ti::HUGEINT * s AS DOUBLE)
+               / (CAST(ti AS DOUBLE) * n) AS cusum_cents
+    FROM p
+    WHERE ti >= {_CUSUM_MP}
+      AND abs(st::HUGEINT * n - ti::HUGEINT * s)
+          > {_CUSUM_H} * ti::HUGEINT * n
+    """,
+)
+def q_cusum_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift flags (ops.timeseries.cusum_shifts): rows
+    whose running mean deviates from the key's series mean by more than
+    4.00 (400 cents), after a 20-row warm-up. The flag is the exact
+    cross-multiplied integer test |S_t·n − t·S| > h·t·n in
+    decimal(38,0)/HUGEINT; cusum_cents is the one final double chain."""
+    ev = _events(spark, sf_dir)
+    return TS.cusum_shifts(
+        ev, _CUSUM_H, ts_col="ts", key_cols=["event_type"],
+        value_col="value", seq_col="event_id", min_points=_CUSUM_MP,
+    )

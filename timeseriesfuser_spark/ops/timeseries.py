@@ -1041,3 +1041,157 @@ def rolling_corr(
         / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
     )
     return agg.select("bar_ts", "n_bars", r.alias("pearson_r"))
+
+
+def psi_drift(
+    df: DataFrame,
+    split_ts: int,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: Sequence[str] = (),
+    lo: float = 0.0,
+    hi: float = 100.0,
+    bins: int = 10,
+) -> DataFrame:
+    """Population-stability drift bins: the per-bin distribution shift of
+    ``value_col`` between the BASELINE period (ts < split_ts) and the
+    CURRENT period (ts >= split_ts) — the PSI monitoring primitive of a
+    production data pipeline.
+
+    Output per (key, bin): exact counts and integer-DIV ppm shares on
+    both sides, plus ``psi_term`` = (p−q)·ln(p/q) (NULL when either side
+    of the bin is empty — no epsilon fudging; Σ over non-null terms is
+    the classic PSI). The counts/ppm columns are integer-exact and
+    engine-reproducible; ``psi_term`` uses ln, which libm implementations
+    may round differently in the last ulp — keep it OFF any cross-engine
+    hash surface (same policy as ``hll_estimate_corrected``).
+
+    Scale: ONE scan, one conditional aggregation to the (key, bin) grain
+    (map-side combinable, output bounded by #keys × (bins+2)), totals via
+    a window over that tiny grain. Out-of-range values land in the
+    underflow (-1) / overflow (``bins``) buckets; NULL values drop.
+    """
+    if bins < 1 or not hi > lo:
+        raise ValueError(f"need bins >= 1 and hi > lo: {bins}, [{lo}, {hi})")
+    g = list(key_cols)
+    v = F.col(value_col).cast("double")
+    ts = F.col(ts_col).cast("long")
+    raw = F.floor((v - F.lit(float(lo))) * bins / F.lit(float(hi) - float(lo)))
+    bucket = (
+        F.when(v < lo, F.lit(-1).cast("long"))
+        .when(v >= hi, F.lit(bins).cast("long"))
+        .otherwise(F.least(raw, F.lit(bins - 1).cast("long")))
+    )
+    is_base = ts < split_ts
+    cells = (
+        df.filter(v.isNotNull() & ts.isNotNull())
+        .groupBy(*g, bucket.alias("bin"))
+        .agg(
+            F.count(F.when(is_base, F.lit(1))).cast("long").alias("n_base"),
+            F.count(F.when(~is_base, F.lit(1))).cast("long").alias("n_cur"),
+        )
+    )
+    w = Window.partitionBy(*g) if g else Window.partitionBy()
+    cells = cells.withColumn(
+        "__tb", F.sum("n_base").over(w)
+    ).withColumn("__tc", F.sum("n_cur").over(w))
+    ppm = lambda n, t: F.expr(f"({n} * 1000000) DIV {t}")  # noqa: E731
+    out = cells.withColumn(
+        "p_ppm",
+        F.when(F.col("__tb") > 0, ppm("n_base", "__tb")).cast("long"),
+    ).withColumn(
+        "q_ppm",
+        F.when(F.col("__tc") > 0, ppm("n_cur", "__tc")).cast("long"),
+    )
+    p = F.col("p_ppm").cast("double") / 1e6
+    q = F.col("q_ppm").cast("double") / 1e6
+    term = F.when(
+        (F.col("p_ppm") > 0) & (F.col("q_ppm") > 0),
+        (p - q) * F.log(p / q),
+    )
+    return out.select(
+        *g, "bin", "n_base", "n_cur", "p_ppm", "q_ppm",
+        term.alias("psi_term"),
+    )
+
+
+def cusum_shifts(
+    df: DataFrame,
+    threshold_cents: int,
+    *,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = (),
+    value_col: str = "value",
+    seq_col: str = "event_id",
+    min_points: int = 1,
+) -> DataFrame:
+    """CUSUM level-shift detection, EXACT: per key, the running
+    cumulative deviation of the cent-quantized value from the key's own
+    full-series mean; a row is flagged when |running deviation| exceeds
+    ``threshold_cents`` (the classic "has the level shifted by more than
+    h on average-so-far" chart, two-sided, non-resetting).
+
+    No float ever enters the DECISION: with S_t = Σ_{i<=t} x_i (cents)
+    and the key's totals (S, n), the deviation after t points is
+    S_t − t·S/n, and the flag is the cross-multiplied integer test
+    |S_t·n − t·S| > h·t·n in decimal(38,0). The emitted ``cusum_cents``
+    is the one final double chain for humans.
+
+    Scale: one per-key totals aggregation (map-side combinable) joined
+    back, one per-key ordered window for the prefix sum — the sanctioned
+    per-key window shape, no global order. Output: every flagged row
+    with its running statistics. ``min_points`` suppresses the warm-up
+    (the first few rows' running means deviate trivially).
+    """
+    if threshold_cents < 0:
+        raise ValueError(f"threshold_cents must be >= 0: {threshold_cents}")
+    if min_points < 1:
+        raise ValueError(f"min_points must be >= 1: {min_points}")
+    g = list(key_cols)
+    x = _cents(value_col)
+    ts = F.col(ts_col)
+    base = df.filter(
+        F.col(value_col).isNotNull() & ts.isNotNull()
+    ).select(*g, ts.alias(ts_col), F.col(seq_col), x.alias("__x"))
+    tot = base.groupBy(*g).agg(
+        F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    if g:
+        lt, rt = base.alias("__l"), tot.alias("__r")
+        cond = F.lit(True)
+        for k in g:
+            cond = cond & F.col(f"__l.{k}").eqNullSafe(F.col(f"__r.{k}"))
+        j = lt.join(F.broadcast(rt), cond).select(
+            "__l.*", F.col("__r.__s").alias("__s"), F.col("__r.__n").alias("__n")
+        )
+    else:
+        j = base.crossJoin(F.broadcast(tot))
+    w = (
+        Window.partitionBy(*g)
+        .orderBy(ts_col, seq_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = j.withColumn("__st", F.sum("__x").over(w)).withColumn(
+        "__t", F.count(F.lit(1)).over(w).cast("long")
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    dev = d("__st") * d("__n") - d("__t") * d("__s")
+    flag = (
+        F.abs(dev) > F.lit(int(threshold_cents)) * d("__t") * d("__n")
+    ) & (F.col("__t") >= min_points)
+    return (
+        j.withColumn("__dev", dev)
+        .filter(flag)
+        .select(
+            *g,
+            ts_col,
+            seq_col,
+            F.col("__t").alias("n_seen"),
+            # mean running deviation in cents: dev / (t*n), one double chain
+            (
+                F.col("__dev").cast("double")
+                / (F.col("__t").cast("double") * F.col("__n").cast("double"))
+            ).alias("cusum_cents"),
+        )
+    )
