@@ -284,6 +284,28 @@ def run(spark, n: int, only=None) -> dict:
             seq_col="event_id",
         ),
     )
+    from timeseriesfuser_spark.ops.timeseries import (
+        cusum_shifts as _cusop,
+        psi_drift as _psiop,
+    )
+
+    mid = 1_700_000_000_000 + (n * 26_000) // 2
+    t(
+        "psi_drift",
+        _psiop(
+            ev.select("user_id", "__timestamp", "value"),
+            mid, ts_col="__timestamp", key_cols=["user_id"],
+            lo=0.0, hi=100.0, bins=10,
+        ),
+    )
+    t(
+        "cusum_shifts",
+        _cusop(
+            ev.select("user_id", "__timestamp", "event_id", "value"),
+            400, ts_col="__timestamp", key_cols=["user_id"],
+            min_points=20,
+        ),
+    )
     return out
 
 

@@ -840,3 +840,83 @@ def q_cusum_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, _CUSUM_H, ts_col="ts", key_cols=["event_type"],
         value_col="value", seq_col="event_id", min_points=_CUSUM_MP,
     )
+
+
+@register(
+    "streaming_vwap_1d",
+    oracle=f"""
+    WITH ev AS (
+        SELECT epoch_ms(ts) AS t, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CAST(props ->> 'k' AS BIGINT) AS w
+        FROM events
+    )
+    SELECT event_type,
+           CAST({_ff('t', 86_400_000)} AS BIGINT) AS bar_ts,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents * w) AS BIGINT) AS pw_cents,
+           CAST(sum(w) AS BIGINT) AS sum_weight,
+           CASE WHEN sum(w) > 0
+                THEN CAST(sum(cents * w) AS DOUBLE)
+                     / CAST(sum(w) AS DOUBLE) END AS vwap_cents
+    FROM ev GROUP BY event_type, bar_ts
+    -- append mode emits exactly the windows whose END has passed the
+    -- final watermark (= max event time at 0s delay)
+    HAVING bar_ts + 86_400_000 <= (SELECT max(t) FROM ev)
+    """,
+)
+def q_streaming_vwap_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming daily VWAP bars driven THROUGH the driver
+    harness (streaming.vwap_stream): availableNow file stream →
+    watermarked tumbling weighted bars → memory sink. Append mode emits
+    exactly the windows whose end <= final watermark (max event time,
+    0s delay) — the oracle is the batch vwap oracle with that HAVING
+    clause (same emission contract as streaming_ohlc_1h)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from timeseriesfuser_spark.streaming import vwap_stream
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_ms = ts_epoch_ms_col(stream, "ts")
+    ev = stream.select(
+        ts_ms.cast("long").alias("__ts_ms"),
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("long").alias("weight"),
+    )
+    agg = vwap_stream(ev, "1d", ts_col="__ts_ms")
+    name = f"sv_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="tsf_ckpt_")
+    q = None
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "streaming_vwap_1d: query still running after 300s"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+        sink = spark.table(name)
+        return spark.createDataFrame(sink.collect(), sink.schema)
+    finally:
+        if q is not None and q.isActive:
+            q.stop()
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(ckpt, ignore_errors=True)
