@@ -62,6 +62,11 @@ QUERIES = [
     "weighted_sample",
     "value_drift_bins",
     "cusum_value_shift",
+    # round-11: NULL value/event_type rows drop before bar compaction
+    # (acf, seasonal error) and before the median rank windows
+    "acf_value_1d",
+    "robust_outlier_summary",
+    "seasonal_error_7d",
 ]
 
 TABLES = [

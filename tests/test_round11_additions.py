@@ -1,0 +1,245 @@
+"""Round-11 additions (driver round 7, continued):
+
+- TPC-DS fourth wave (Q1 / Q65 cohort-deviation filters, Q39
+  variance-threshold + consecutive-month self-join),
+- ops.timeseries.acf_bars (global-mean ACF on bar closes),
+- ops.timeseries.robust_outlier_summary (exact integer median/MAD),
+- ops.timeseries.seasonal_naive_error (seasonal-naive baseline error).
+
+Property tests compare against brute-force numpy/python on synthetic
+frames; plan gates assert the aggregate-before-window / broadcast-dim
+shapes the 100 TB design requires.
+"""
+
+import math
+import statistics
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesfuser_spark import contract
+from timeseriesfuser_spark.ops import timeseries as TS
+
+SF = "/root/testdata/sf0.001"
+
+
+def formatted_plan(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# ---------------------------------------------------------------------------
+# plan gates
+# ---------------------------------------------------------------------------
+
+
+def test_tpcds_q1_q65_window_on_aggregated_grain(spark):
+    """The cohort windows (nation avg / supplier avg) must run on the
+    AGGREGATED per-entity grain — partial+final aggregation before the
+    window — and every dimension must broadcast."""
+    for name in ("tpcds_q1_return_outliers", "tpcds_q65_low_velocity_parts"):
+        plan = formatted_plan(contract.QUERIES[name](spark, SF))
+        assert "BroadcastHashJoin" in plan, name
+        assert plan.count("HashAggregate") >= 2, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_tpcds_q39_variance_on_aggregated_grain(spark):
+    """Q39's variance screen aggregates to the (part, month) grain
+    (partial+final) BEFORE the consecutive-month self-join; the join is
+    an equi-join on (part, month), never a cartesian."""
+    plan = formatted_plan(
+        contract.QUERIES["tpcds_q39_volatile_parts"](spark, SF)
+    )
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_acf_joins_on_bar_grain(spark):
+    """ACF's lag fan-out and self-join run on the aggregated bar grain:
+    the only non-equi joins are the two single-row broadcasts (stats,
+    denominator); the events relation aggregates map-side first."""
+    plan = formatted_plan(contract.QUERIES["acf_value_1d"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    # single-row stats/den crossJoins are broadcast, never shuffled
+    assert "BroadcastExchange" in plan
+
+
+def test_seasonal_error_no_window(spark):
+    """Seasonal-naive error needs no window at all: bar compaction agg +
+    one equi self-join + final agg."""
+    plan = formatted_plan(contract.QUERIES["seasonal_error_7d"](spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+# ---------------------------------------------------------------------------
+# property / brute-force differential
+# ---------------------------------------------------------------------------
+
+
+def _mk_series(spark, vals, key="k", start=0, step=1000):
+    rows = [
+        (start + i * step, i + 1, key, float(v))
+        for i, v in enumerate(vals)
+        if v is not None
+    ]
+    return spark.createDataFrame(
+        rows, "ts long, event_id long, event_type string, value double"
+    )
+
+
+def test_acf_matches_numpy_dense(spark):
+    """Dense regular series: acf_bars == the textbook global-mean ACF."""
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0, 8.0]
+    df = _mk_series(spark, vals, step=1000)
+    out = {
+        r["lag"]: r
+        for r in TS.acf_bars(
+            df, "k", 3, "1s", ts_col="ts", key_col="event_type",
+            value_col="value", seq_col="event_id",
+        ).collect()
+    }
+    x = [round(v * 100) for v in vals]
+    n = len(x)
+    mu = sum(x) / n
+    den = sum((v - mu) ** 2 for v in x)
+    for lag in (1, 2, 3):
+        num = sum((x[i] - mu) * (x[i + lag] - mu) for i in range(n - lag))
+        assert out[lag]["n_pairs"] == n - lag
+        assert out[lag]["n_bars"] == n
+        assert math.isclose(out[lag]["acf"], num / den, rel_tol=1e-12)
+
+
+def test_acf_gap_convention_pairs_only_where_both_exist(spark):
+    """A missing bar drops exactly the pairs that touch it; the
+    denominator still spans all present bars."""
+    vals = [1.0, 2.0, None, 4.0, 5.0, 6.0]
+    df = _mk_series(spark, vals, step=1000)
+    out = {
+        r["lag"]: r
+        for r in TS.acf_bars(
+            df, "k", 1, "1s", ts_col="ts", key_col="event_type",
+            value_col="value", seq_col="event_id",
+        ).collect()
+    }
+    # pairs at lag 1: (0,1), (3,4), (4,5) — (1,2) and (2,3) touch the gap
+    assert out[1]["n_pairs"] == 3
+    assert out[1]["n_bars"] == 5
+
+
+def test_acf_constant_series_null(spark):
+    df = _mk_series(spark, [5.0] * 8, step=1000)
+    rows = TS.acf_bars(
+        df, "k", 2, "1s", ts_col="ts", key_col="event_type",
+        value_col="value", seq_col="event_id",
+    ).collect()
+    assert len(rows) == 2
+    assert all(r["acf"] is None for r in rows)
+
+
+def test_acf_last_value_per_bucket(spark):
+    """Two events in one bucket: the LATER one (ts, then seq) is the bar."""
+    rows = [
+        (0, 1, "k", 1.0), (500, 2, "k", 7.0),      # bucket 0 -> 7.0
+        (1000, 3, "k", 2.0),                        # bucket 1 -> 2.0
+        (2000, 4, "k", 7.0),                        # bucket 2 -> 7.0
+    ]
+    df = spark.createDataFrame(
+        rows, "ts long, event_id long, event_type string, value double"
+    )
+    out = {
+        r["lag"]: r["acf"]
+        for r in TS.acf_bars(
+            df, "k", 1, "1s", ts_col="ts", key_col="event_type",
+            value_col="value", seq_col="event_id",
+        ).collect()
+    }
+    x = [700, 200, 700]
+    mu = sum(x) / 3
+    num = sum((x[i] - mu) * (x[i + 1] - mu) for i in range(2))
+    den = sum((v - mu) ** 2 for v in x)
+    assert math.isclose(out[1], num / den, rel_tol=1e-12)
+
+
+@pytest.mark.parametrize("vals", [
+    [1.0, 2.0, 3.0, 4.0, 5.0],                      # odd n
+    [1.0, 2.0, 3.0, 4.0, 5.0, 100.0],               # even n, one outlier
+    [7.0] * 9,                                       # constant (MAD = 0)
+    [-5.0, -1.0, 0.0, 1.0, 5.0, 2.5, -2.5, 0.01],   # signed, even
+])
+def test_robust_outliers_match_bruteforce(spark, vals):
+    df = _mk_series(spark, vals)
+    row = TS.robust_outlier_summary(
+        df, group_col="event_type", value_col="value", k=3
+    ).collect()[0]
+    cents = sorted(round(v * 100) for v in vals)
+    med = statistics.median(cents)
+    devs = [abs(c - med) for c in cents]
+    mad = statistics.median(devs)
+    assert row["n"] == len(cents)
+    assert row["med_x2"] == int(2 * med)
+    assert row["mad_x4"] == int(4 * mad)
+    expected_out = sum(1 for d in devs if d > 3 * mad)
+    assert row["n_outliers"] == expected_out
+
+
+def test_robust_outliers_groups_isolated(spark):
+    a = [(i * 10, i + 1, "a", float(i)) for i in range(9)]
+    b = [(i * 10, 100 + i, "b", 50.0) for i in range(4)]
+    df = spark.createDataFrame(
+        a + b, "ts long, event_id long, event_type string, value double"
+    )
+    out = {
+        r["event_type"]: r
+        for r in TS.robust_outlier_summary(
+            df, group_col="event_type", value_col="value", k=3
+        ).collect()
+    }
+    assert out["a"]["n"] == 9 and out["b"]["n"] == 4
+    assert out["a"]["med_x2"] == 2 * 400       # median of 0..800 cents
+    assert out["b"]["med_x2"] == 2 * 5000
+    assert out["b"]["mad_x4"] == 0
+    # constant group: every dev == 0, none exceed 3*MAD=0 strictly
+    assert out["b"]["n_outliers"] == 0
+
+
+def test_seasonal_error_bruteforce(spark):
+    vals = [float(v) for v in [10, 20, 30, 40, 11, 22, 33, 44]]
+    df = _mk_series(spark, vals, step=1000)
+    row = TS.seasonal_naive_error(
+        df, 4, "1s", ts_col="ts", key_col="event_type",
+        value_col="value", seq_col="event_id",
+    ).collect()[0]
+    cents = [round(v * 100) for v in vals]
+    errs = [cents[i] - cents[i - 4] for i in range(4, 8)]
+    assert row["n_pairs"] == 4
+    assert row["sum_abs_err"] == sum(abs(e) for e in errs)
+    assert row["sum_err"] == sum(errs)
+    assert math.isclose(row["mae_cents"], sum(abs(e) for e in errs) / 4)
+
+
+def test_seasonal_error_gap_drops_pair(spark):
+    vals = [1.0, None, 3.0, 4.0, 5.0, 6.0]
+    df = _mk_series(spark, vals, step=1000)
+    row = TS.seasonal_naive_error(
+        df, 3, "1s", ts_col="ts", key_col="event_type",
+        value_col="value", seq_col="event_id",
+    ).collect()[0]
+    # predecessors: bar3<-bar0 (ok), bar4<-bar1 (missing), bar5<-bar2 (ok)
+    assert row["n_pairs"] == 2
+
+
+def test_validation_errors(spark):
+    df = _mk_series(spark, [1.0, 2.0])
+    with pytest.raises(ValueError):
+        TS.acf_bars(df, "k", 0)
+    with pytest.raises(ValueError):
+        TS.robust_outlier_summary(df, k=0)
+    with pytest.raises(ValueError):
+        TS.seasonal_naive_error(df, 0)

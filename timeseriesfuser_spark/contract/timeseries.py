@@ -920,3 +920,169 @@ def q_streaming_vwap_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+_ACF_MAXLAG = 5
+
+
+@register(
+    "acf_value_1d",
+    oracle=f"""
+    WITH ev AS (
+        SELECT epoch_ms(ts) AS t, event_id, value FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND event_type = 'click'
+    ),
+    g AS (
+        SELECT CAST({_ff('t', _D1GAP)} AS BIGINT) AS b,
+               CAST(round(value * 100) AS BIGINT) AS v,
+               row_number() OVER (PARTITION BY {_ff('t', _D1GAP)}
+                                  ORDER BY t DESC, event_id DESC) AS rn
+        FROM ev
+    ),
+    l AS (SELECT b, v FROM g WHERE rn = 1),
+    st AS (SELECT count(*) AS n, sum(CAST(v AS HUGEINT)) AS s FROM l),
+    c AS (SELECT b, CAST(n AS HUGEINT) * v - s AS c, n FROM l, st),
+    den AS (SELECT sum(c * c) AS den, max(n) AS n FROM c),
+    lag_list AS (SELECT unnest([1, 2, 3, 4, 5]) AS lag),
+    a AS (SELECT lag, b + lag * {_D1GAP} AS bb, c AS ca FROM c, lag_list),
+    b2 AS (SELECT b AS bb, c AS cb FROM c),
+    num AS (
+        SELECT lag, count(*) AS n_pairs, sum(ca * cb) AS num
+        FROM a JOIN b2 USING (bb) GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(den.n AS BIGINT) AS n_bars,
+           CASE WHEN den.den > 0 AND n_pairs >= 1
+                THEN CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE)
+           END AS acf
+    FROM num, den
+    """,
+)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (ops.timeseries.acf_bars): global-mean
+    ACF of the 'click' daily bar-close series at lags 1..5 —
+    numerator/denominator are exact cross-multiplied integers
+    (Σ(n·x−S)(n·x'−S) / Σ(n·x−S)², decimal(38,0)/HUGEINT), one double
+    division per lag; everything after the bar compaction runs on the
+    AGGREGATED bar grain."""
+    ev = _events(spark, sf_dir)
+    return TS.acf_bars(
+        ev, "click", _ACF_MAXLAG, "1d",
+        ts_col="ts", key_col="event_type", value_col="value",
+        seq_col="event_id",
+    )
+
+
+@register(
+    "robust_outlier_summary",
+    oracle="""
+    WITH v AS (
+        SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    nr AS (SELECT g, count(*) AS n FROM v GROUP BY g),
+    r AS (SELECT g, v,
+                 row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+          FROM v),
+    med AS (
+        SELECT r.g,
+               CAST(sum(CASE WHEN (n + 1) // 2 = (n + 2) // 2
+                             THEN v * 2 ELSE v END) AS BIGINT) AS med2
+        FROM r JOIN nr ON r.g = nr.g
+        WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        GROUP BY r.g
+    ),
+    d AS (
+        SELECT v.g, abs(v.v * 2 - med.med2) AS dev, med.med2 AS med2
+        FROM v JOIN med ON v.g = med.g
+    ),
+    rd AS (SELECT g, dev,
+                  row_number() OVER (PARTITION BY g ORDER BY dev) AS rn
+           FROM d),
+    mad AS (
+        SELECT rd.g,
+               CAST(sum(CASE WHEN (n + 1) // 2 = (n + 2) // 2
+                             THEN dev * 2 ELSE dev END) AS BIGINT) AS mad4
+        FROM rd JOIN nr ON rd.g = nr.g
+        WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        GROUP BY rd.g
+    )
+    SELECT d.g AS event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           d.med2 AS med_x2,
+           mad.mad4 AS mad_x4,
+           CAST(sum(CASE WHEN d.dev * 2 > 3 * mad.mad4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN mad ON d.g = mad.g
+    GROUP BY d.g, d.med2, mad.mad4
+    """,
+)
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier summary per event_type
+    (ops.timeseries.robust_outlier_summary, k=3): doubled median and
+    doubled-MAD are exact integer order statistics (med_x2 = sum of the
+    two middle order stats; mad_x4 likewise over doubled deviations);
+    the outlier decision 2·dev > k·mad_x4 is all-integer — every output
+    column BIGINT, zero float surface."""
+    ev = _events(spark, sf_dir)
+    return TS.robust_outlier_summary(
+        ev, group_col="event_type", value_col="value", k=3, ts_col="ts"
+    )
+
+
+_SN_SEASON = 7
+
+
+@register(
+    "seasonal_error_7d",
+    oracle=f"""
+    WITH ev AS (
+        SELECT epoch_ms(ts) AS t, event_id, event_type, value FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND event_type IS NOT NULL
+    ),
+    g AS (
+        SELECT event_type AS k,
+               CAST({_ff('t', _D1GAP)} AS BIGINT) AS b,
+               CAST(round(value * 100) AS BIGINT) AS v,
+               row_number() OVER (PARTITION BY event_type, {_ff('t', _D1GAP)}
+                                  ORDER BY t DESC, event_id DESC) AS rn
+        FROM ev
+    ),
+    l AS (SELECT k, b, v FROM g WHERE rn = 1),
+    p AS (
+        SELECT cur.k, cur.v AS x, pr.v AS pv
+        FROM l cur
+        JOIN l pr ON cur.k = pr.k
+                 AND pr.b + {_SN_SEASON} * {_D1GAP} = cur.b
+    ),
+    s AS (
+        SELECT k, count(*) AS n_pairs,
+               CAST(sum(abs(x - pv)) AS BIGINT) AS sum_abs_err,
+               CAST(sum(x - pv) AS BIGINT) AS sum_err
+        FROM p GROUP BY k
+    )
+    SELECT k AS event_type,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           sum_abs_err, sum_err,
+           CAST(sum_abs_err AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+               AS mae_cents,
+           CAST(sum_err AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+               AS bias_cents
+    FROM s
+    """,
+)
+def q_seasonal_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast error (ops.timeseries.seasonal_naive_error):
+    per event_type, predict each daily bar close by the close 7 days
+    earlier; MAE/bias over the bars whose seasonal predecessor exists.
+    Error sums are exact BIGINT cents; mae/bias are one double division
+    each; the seasonal self-join runs on the aggregated bar grain."""
+    ev = _events(spark, sf_dir)
+    return TS.seasonal_naive_error(
+        ev, _SN_SEASON, "1d",
+        ts_col="ts", key_col="event_type", value_col="value",
+        seq_col="event_id",
+    )

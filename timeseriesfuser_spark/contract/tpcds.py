@@ -912,3 +912,232 @@ def q_tpcds_q93_net(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fourth wave: per-entity deviation-from-cohort filters (Q1/Q65) and the
+# variance-threshold + consecutive-period self-join composition (Q39).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpcds_q1_return_outliers",
+    oracle=f"""
+    WITH r AS (
+        SELECT c.c_custkey, c.c_name, c.c_nationkey,
+               sum({_REV4}) AS ret4
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY 1, 2, 3
+    ),
+    w AS (
+        SELECT c_custkey, c_name, c_nationkey, ret4,
+               sum(ret4) OVER (PARTITION BY c_nationkey) AS tot4,
+               count(*) OVER (PARTITION BY c_nationkey) AS n_cust
+        FROM r
+    )
+    SELECT w.c_custkey, w.c_name, n.n_name,
+           CAST(ret4 AS DOUBLE) / 10000 AS return_revenue,
+           CAST(tot4 AS DOUBLE) / 10000 / n_cust AS nation_avg
+    FROM w JOIN nation n ON w.c_nationkey = n.n_nationkey
+    WHERE ret4::HUGEINT * n_cust * 10 > tot4::HUGEINT * 12
+    """,
+)
+def q_tpcds_q1_return_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q1-shape: customers whose returned revenue exceeds 1.2×
+    the average return revenue of their nation's returning customers
+    (real Q1 compares store_returns per customer to 1.2× the store's
+    state average). The cohort window runs on the AGGREGATED per-customer
+    grain (#returning-customers rows, never the fact table); the 1.2×
+    threshold is the exact cross-multiplied integer test
+    ret·n·10 > tot·12 in decimal(38,0); the nation dim broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o.select("o_orderkey", "o_custkey"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_name", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(F.sum(_rev4_col()).alias("ret4"))
+    )
+    w = Window.partitionBy("c_nationkey")
+    d = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    out = (
+        r.withColumn("tot4", F.sum("ret4").over(w))
+        .withColumn("n_cust", F.count(F.lit(1)).over(w))
+        .filter(d("ret4") * F.col("n_cust") * 10 > d("tot4") * 12)
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return out.select(
+        "c_custkey",
+        "c_name",
+        "n_name",
+        (F.col("ret4").cast("double") / 10000).alias("return_revenue"),
+        (
+            F.col("tot4").cast("double") / 10000 / F.col("n_cust")
+        ).alias("nation_avg"),
+    )
+
+
+@register(
+    "tpcds_q65_low_velocity_parts",
+    oracle=f"""
+    WITH g AS (
+        SELECT l_suppkey, l_partkey, sum({_REV4}) AS rev4
+        FROM lineitem
+        GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT l_suppkey, l_partkey, rev4,
+               sum(rev4) OVER (PARTITION BY l_suppkey) AS tot4,
+               count(*) OVER (PARTITION BY l_suppkey) AS n_parts
+        FROM g
+    )
+    SELECT s.s_name, p.p_name,
+           CAST(rev4 AS DOUBLE) / 10000 AS revenue,
+           CAST(tot4 AS DOUBLE) / 10000 / n_parts AS supplier_avg
+    FROM w
+    JOIN supplier s ON w.l_suppkey = s.s_suppkey
+    JOIN part p ON w.l_partkey = p.p_partkey
+    WHERE rev4::HUGEINT * n_parts * 10 <= tot4::HUGEINT
+    """,
+)
+def q_tpcds_q65_low_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q65-shape: (supplier, part) pairs whose revenue is at most
+    10% of that supplier's average per-part revenue (real Q65 finds
+    store items selling at <=10% of the store's average). Cohort window
+    on the AGGREGATED (supplier, part) grain; exact cross-multiplied
+    threshold rev·n·10 <= tot in decimal(38,0); both dims broadcast
+    AFTER the filter (survivors only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    g = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_rev4_col()).alias("rev4"))
+    )
+    w = Window.partitionBy("l_suppkey")
+    d = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    out = (
+        g.withColumn("tot4", F.sum("rev4").over(w))
+        .withColumn("n_parts", F.count(F.lit(1)).over(w))
+        .filter(d("rev4") * F.col("n_parts") * 10 <= d("tot4"))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p.select("p_partkey", "p_name")),
+              F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return out.select(
+        "s_name",
+        "p_name",
+        (F.col("rev4").cast("double") / 10000).alias("revenue"),
+        (
+            F.col("tot4").cast("double") / 10000 / F.col("n_parts")
+        ).alias("supplier_avg"),
+    )
+
+
+@register(
+    "tpcds_q39_volatile_parts",
+    oracle="""
+    WITH g AS (
+        SELECT l_partkey,
+               year(l_shipdate) * 12 + (month(l_shipdate) - 1) AS mth,
+               count(*) AS n,
+               sum(CAST(round(l_quantity) AS BIGINT)) AS s,
+               sum(CAST(round(l_quantity) AS BIGINT)
+                   * CAST(round(l_quantity) AS BIGINT)) AS q
+        FROM lineitem
+        GROUP BY 1, 2
+    ),
+    v AS (
+        SELECT l_partkey, mth, n, s, q
+        FROM g
+        WHERE n >= 2
+          AND n::HUGEINT * (n::HUGEINT * q - s::HUGEINT * s)
+              > (n::HUGEINT - 1) * s::HUGEINT * s
+    )
+    SELECT a.l_partkey,
+           CAST(a.mth // 12 AS BIGINT) * 100 + (a.mth % 12) + 1 AS ym1,
+           CAST(b.mth // 12 AS BIGINT) * 100 + (b.mth % 12) + 1 AS ym2,
+           sqrt(CAST(a.n AS DOUBLE)
+                * CAST(a.n::HUGEINT * a.q - a.s::HUGEINT * a.s AS DOUBLE)
+                / CAST(a.n - 1 AS DOUBLE)) / CAST(a.s AS DOUBLE) AS cov1,
+           sqrt(CAST(b.n AS DOUBLE)
+                * CAST(b.n::HUGEINT * b.q - b.s::HUGEINT * b.s AS DOUBLE)
+                / CAST(b.n - 1 AS DOUBLE)) / CAST(b.s AS DOUBLE) AS cov2
+    FROM v a
+    JOIN v b ON a.l_partkey = b.l_partkey AND b.mth = a.mth + 1
+    """,
+)
+def q_tpcds_q39_volatile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q39-shape: parts whose monthly order-quantity coefficient
+    of variation exceeds 1 in TWO CONSECUTIVE months (real Q39 flags
+    warehouse/item inventory cov > 1 in March and April). The variance
+    grain is the AGGREGATED (part, month) relation; the cov > 1 flag is
+    the exact integer test n·(n·Σx² − S²) > (n−1)·S² (cov² > 1 ⇔
+    sample variance > mean², cross-multiplied — no sqrt enters the
+    DECISION); consecutive months pair via a gap-correct linear month
+    index self-join (a lag() would mis-pair across missing months).
+    The emitted cov values are one fixed sqrt/division chain for
+    humans, identical in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    mth = (F.year("l_shipdate") * 12 + (F.month("l_shipdate") - 1)).cast(
+        "long"
+    )
+    g = (
+        li.groupBy(F.col("l_partkey"), mth.alias("mth"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(qty).alias("s"),
+            F.sum(qty * qty).alias("q"),
+        )
+    )
+    d = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    var_num = d("n") * d("q") - d("s") * d("s")     # n·Σx² − S²  (≥ 0)
+    v = g.filter(
+        (F.col("n") >= 2)
+        & (d("n") * var_num > (d("n") - 1) * d("s") * d("s"))
+    ).withColumn("qd", var_num)
+    a = v.select(
+        F.col("l_partkey"),
+        F.col("mth"),
+        F.col("n").alias("n1"), F.col("s").alias("s1"),
+        F.col("qd").alias("qd1"),
+    )
+    b = v.select(
+        F.col("l_partkey"),
+        (F.col("mth") - 1).alias("mth"),
+        F.col("n").alias("n2"), F.col("s").alias("s2"),
+        F.col("qd").alias("qd2"),
+    )
+    pair = a.join(b, ["l_partkey", "mth"])
+
+    def _cov(n, s, qd):
+        return (
+            F.sqrt(
+                (F.col(n).cast("double") * F.col(qd).cast("double"))
+                / (F.col(n) - 1).cast("double")
+            )
+            / F.col(s).cast("double")
+        )
+
+    ym = lambda m: (  # noqa: E731
+        F.expr(f"CAST({m} DIV 12 AS BIGINT)") * 100
+        + F.expr(f"{m} % 12") + 1
+    ).cast("long")
+    return pair.select(
+        "l_partkey",
+        ym("mth").alias("ym1"),
+        ym("(mth + 1)").alias("ym2"),
+        _cov("n1", "s1", "qd1").alias("cov1"),
+        _cov("n2", "s2", "qd2").alias("cov2"),
+    )

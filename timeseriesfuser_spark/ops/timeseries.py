@@ -1195,3 +1195,247 @@ def cusum_shifts(
             ).alias("cusum_cents"),
         )
     )
+
+
+def acf_bars(
+    df: DataFrame,
+    key,
+    max_lag: int,
+    interval: str = "1d",
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Autocorrelation function of one series' bar closes on a regular
+    grid: for each lag k in 1..``max_lag`` (in grid steps), the
+    mean-centered sample autocorrelation
+    r_k = Σ(x_t − μ)(x_{t+k} − μ) / Σ(x_t − μ)² — the seasonality /
+    momentum screening statistic (statsmodels ``acf`` convention: the
+    GLOBAL series mean μ and the lag-0 denominator, not per-lag Pearson,
+    which :func:`lagged_crosscorr` of a series with itself would give).
+
+    Determinism: the series is reduced to LAST cent-quantized value per
+    bucket (bar-close, exact ints). With S = Σx and n bars, every term
+    cross-multiplies by n: num_k = Σ(n·x_t − S)(n·x_{t+k} − S) and
+    den = Σ(n·x_t − S)², both exact in decimal(38,0); r_k is ONE double
+    division. Calendar gaps: only (t, t+k) pairs where BOTH bars exist
+    contribute to num_k (den is over all bars) — documented gap
+    convention, exact on a dense grid.
+
+    Scale: one map-side-combinable aggregation to the bar grain; the
+    lag fan-out (broadcast #lags relation), the self-join, and the
+    single-row (S, n, den) broadcast all run on the AGGREGATED bar
+    grain — bounded by the time span, never the event count.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1: {max_lag}")
+    step = interval_to_ms(interval)
+    cents = _cents(value_col)
+    ts = F.col(ts_col).cast("long")
+    g = (
+        df.filter(F.col(key_col) == key)
+        .filter(ts.isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(floor_boundary_col(ts, step).alias("__b"))
+        .agg(F.max_by(cents, F.struct(ts, F.col(seq_col))).alias("__v"))
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = g.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__v").alias("__s"),
+    )
+    # centered-×n bar relation: c_t = n·x_t − S (exact decimal)
+    cb = g.crossJoin(F.broadcast(stats)).select(
+        "__b",
+        (d(F.col("__n")) * d(F.col("__v")) - d(F.col("__s"))).alias("__c"),
+        "__n",
+    )
+    den_rel = cb.agg(
+        F.sum(F.col("__c") * F.col("__c")).alias("__den"),
+        F.first("__n").alias("__n"),
+    )
+    lag_rel = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(int(k),) for k in range(1, max_lag + 1)], "lag long"
+        )
+    )
+    a = cb.crossJoin(lag_rel).select(
+        "lag",
+        (F.col("__b") + F.col("lag") * step).alias("__bb"),
+        F.col("__c").alias("__ca"),
+    )
+    b = cb.select(F.col("__b").alias("__bb"), F.col("__c").alias("__cb"))
+    num = (
+        a.join(b, "__bb")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("__ca") * F.col("__cb")).alias("__num"),
+        )
+    )
+    out = num.crossJoin(F.broadcast(den_rel))
+    r = F.when(
+        (F.col("__den") > 0) & (F.col("n_pairs") >= 1),
+        F.col("__num").cast("double") / F.col("__den").cast("double"),
+    )
+    return out.select(
+        "lag",
+        "n_pairs",
+        F.col("__n").alias("n_bars"),
+        r.alias("acf"),
+    ).orderBy("lag")
+
+
+def robust_outlier_summary(
+    df: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    k: int = 3,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-group robust outlier summary via median / MAD (median absolute
+    deviation) — the screening statistic that, unlike
+    :func:`rolling_anomalies`' mean/std z-score, is not itself dragged
+    by the outliers it is hunting.
+
+    EXACT integer order statistics: on cent-quantized values, the
+    doubled median med_x2 = v_(⌊(n+1)/2⌋) + v_(⌈(n+1)/2⌉) (the two
+    middle order stats; equal when n is odd) is an exact integer — the
+    interpolated median is med_x2/2 with no float ever computed.
+    Doubled deviations dev = |2·v − med_x2| (= 2·|v − median|) are
+    exact; their doubled median mad_x4 = 4·MAD likewise. A value is an
+    outlier iff |v − median| > k·MAD ⇔ 2·dev > k·mad_x4 — an
+    all-integer decision (k integer). Output columns are all BIGINT:
+    no cross-engine float hazard at all.
+
+    Scale: exact per-group medians need a per-group sort — two ordered
+    windows partitioned by ``group_col`` (value rank, then deviation
+    rank), each a grouped shuffle that parallelizes across groups, plus
+    two broadcast joins of the #groups-row med/mad relations. This is
+    the honest cost of exactness; for approximate screening at 100 TB
+    use histogram-bin quantiles (``value_equal_depth_bins``) instead.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    gcol = F.col(group_col)
+    v = _cents(value_col)
+    base = df.filter(
+        F.col(value_col).isNotNull() & gcol.isNotNull()
+    ).select(gcol.alias("__g"), v.alias("__v"))
+    cnt = base.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+
+    def _med2(rel: DataFrame, col: str) -> DataFrame:
+        # doubled median of `col` per __g: sum of the two middle order
+        # stats (1-indexed ranks (n+1)//2 and (n+2)//2; equal when odd,
+        # in which case the rank-row is counted twice).
+        w = Window.partitionBy("__g").orderBy(col)
+        rn = rel.join(F.broadcast(cnt), "__g").withColumn(
+            "__rn", F.row_number().over(w)
+        )
+        lo = (F.col("__n") + 1) / 2
+        lo_i = F.floor(lo).cast("long")
+        hi_i = F.floor((F.col("__n") + 2) / 2).cast("long")
+        picked = rn.filter(
+            (F.col("__rn") == lo_i) | (F.col("__rn") == hi_i)
+        )
+        # odd n: lo_i == hi_i, the single middle row must count double
+        return picked.groupBy("__g").agg(
+            F.sum(
+                F.when(lo_i == hi_i, F.col(col) * 2).otherwise(F.col(col))
+            ).alias("__m2")
+        )
+
+    med2 = _med2(base, "__v").withColumnRenamed("__m2", "__med2")
+    devs = base.join(F.broadcast(med2), "__g").select(
+        "__g",
+        F.abs(F.col("__v") * 2 - F.col("__med2")).alias("__dev"),
+        "__med2",
+    )
+    mad4 = _med2(devs.select("__g", "__dev"), "__dev").withColumnRenamed(
+        "__m2", "__mad4"
+    )
+    flagged = (
+        devs.join(F.broadcast(mad4), "__g")
+        .groupBy("__g", "__med2", "__mad4")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("__dev") * 2 > F.lit(int(k)) * F.col("__mad4"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+    return flagged.select(
+        F.col("__g").alias(group_col),
+        "n",
+        F.col("__med2").cast("long").alias("med_x2"),
+        F.col("__mad4").cast("long").alias("mad_x4"),
+        "n_outliers",
+    )
+
+
+def seasonal_naive_error(
+    df: DataFrame,
+    season_bars: int,
+    interval: str = "1d",
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Seasonal-naive forecast error per key: predict each bar close as
+    the close ``season_bars`` grid steps earlier and report the error —
+    the standard sanity baseline every forecasting pipeline must beat
+    (and a direct seasonality-strength readout: small error ⇒ strong
+    seasonality at that period).
+
+    Semantics: LAST cent-quantized value per (key, bucket); only bars
+    whose seasonal predecessor EXISTS on the grid contribute (inner
+    join — no imputation across gaps). sum_abs_err / sum_err are exact
+    BIGINT cent sums; mae_cents and bias_cents are each ONE final
+    double division.
+
+    Scale: one map-side-combinable aggregation to the (key, bar) grain;
+    the seasonal self-join and the per-key final aggregate run on that
+    AGGREGATED grain only — bounded by #keys × time span.
+    """
+    if season_bars < 1:
+        raise ValueError(f"season_bars must be >= 1: {season_bars}")
+    step = interval_to_ms(interval)
+    cents = _cents(value_col)
+    ts = F.col(ts_col).cast("long")
+    g = (
+        df.filter(ts.isNotNull() & F.col(value_col).isNotNull())
+        .filter(F.col(key_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("__k"),
+            floor_boundary_col(ts, step).alias("__b"),
+        )
+        .agg(F.max_by(cents, F.struct(ts, F.col(seq_col))).alias("__v"))
+    )
+    cur = g.select("__k", "__b", F.col("__v").alias("__x"))
+    prior = g.select(
+        "__k",
+        (F.col("__b") + F.lit(season_bars) * step).alias("__b"),
+        F.col("__v").alias("__p"),
+    )
+    pairs = cur.join(prior, ["__k", "__b"])
+    err = F.col("__x") - F.col("__p")
+    agg = pairs.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.abs(err)).cast("long").alias("sum_abs_err"),
+        F.sum(err).cast("long").alias("sum_err"),
+    )
+    n = F.col("n_pairs").cast("double")
+    return agg.select(
+        F.col("__k").alias(key_col),
+        "n_pairs",
+        "sum_abs_err",
+        "sum_err",
+        (F.col("sum_abs_err").cast("double") / n).alias("mae_cents"),
+        (F.col("sum_err").cast("double") / n).alias("bias_cents"),
+    )
