@@ -243,3 +243,110 @@ def test_validation_errors(spark):
         TS.robust_outlier_summary(df, k=0)
     with pytest.raises(ValueError):
         TS.seasonal_naive_error(df, 0)
+
+
+# ---------------------------------------------------------------------------
+# triangle counting / market basket
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "id_a long, id_b long"
+    )
+
+
+def test_triangles_k4(spark):
+    from timeseriesfuser_spark.ops.graph import triangle_counts
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    out = {r["id"]: r["n_triangles"]
+           for r in triangle_counts(_edges(spark, k4)).collect()}
+    # K4 has 4 triangles; every node sits in C(3,2) = 3 of them
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_square_none(spark):
+    from timeseriesfuser_spark.ops.graph import triangle_counts
+    sq = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert triangle_counts(_edges(spark, sq)).count() == 0
+
+
+def test_triangles_canonicalization(spark):
+    from timeseriesfuser_spark.ops.graph import triangle_counts
+    # duplicates, reversed duplicates, and a self-loop must not change
+    # the count of the single (0,1,2) triangle
+    messy = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 2), (0, 1)]
+    out = {r["id"]: r["n_triangles"]
+           for r in triangle_counts(_edges(spark, messy)).collect()}
+    assert out == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangles_hub_star_plus_one(spark):
+    from timeseriesfuser_spark.ops.graph import triangle_counts
+    # star around 0 (no triangles) plus one closing edge (1,2)
+    star = [(0, i) for i in range(1, 8)] + [(1, 2)]
+    out = {r["id"]: r["n_triangles"]
+           for r in triangle_counts(_edges(spark, star)).collect()}
+    assert out == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangles_bruteforce_random(spark):
+    import itertools
+    import random
+    from timeseriesfuser_spark.ops.graph import triangle_counts
+    rng = random.Random(42)
+    nodes = list(range(12))
+    edges = [(a, b) for a, b in itertools.combinations(nodes, 2)
+             if rng.random() < 0.4]
+    es = set(edges)
+    expect = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            for n in (a, b, c):
+                expect[n] = expect.get(n, 0) + 1
+    out = {r["id"]: r["n_triangles"]
+           for r in triangle_counts(_edges(spark, edges)).collect()}
+    assert out == expect
+
+
+def test_copurchase_lift_bruteforce(spark):
+    from timeseriesfuser_spark.ops.behavior import copurchase_lift
+    baskets = {
+        1: [10, 20, 30],
+        2: [10, 20],
+        3: [10, 20, 40],
+        4: [30, 40],
+        5: [10],
+    }
+    rows = [(o, p) for o, ps in baskets.items() for p in ps]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {(r["item_a"], r["item_b"]): r
+           for r in copurchase_lift(df, min_pair_baskets=2).collect()}
+    assert set(out) == {(10, 20)}
+    r = out[(10, 20)]
+    assert r["n_both"] == 3 and r["n_a"] == 4 and r["n_b"] == 3
+    assert r["n_baskets"] == 5
+    assert math.isclose(r["confidence_ab"], 3 / 4)
+    assert math.isclose(r["lift"], (3 * 5) / (4 * 3))
+
+
+def test_copurchase_duplicate_lines_one_vote(spark):
+    from timeseriesfuser_spark.ops.behavior import copurchase_lift
+    # the same (order, part) line twice counts once (distinct baskets)
+    rows = [(1, 10), (1, 10), (1, 20), (2, 10), (2, 20)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    r = copurchase_lift(df, min_pair_baskets=2).collect()[0]
+    assert r["n_both"] == 2 and r["n_a"] == 2 and r["n_b"] == 2
+
+
+def test_triangle_copurchase_plans(spark):
+    """Triangle counting: equi-joins only (the orientation makes every
+    join an equi-join — a cartesian would mean the wedge pivot broke).
+    Lift: single-row totals broadcast; pair agg is partial+final."""
+    plan = formatted_plan(
+        contract.QUERIES["copurchase_triangles"](spark, SF)
+    )
+    assert "CartesianProduct" not in plan
+    plan2 = formatted_plan(contract.QUERIES["copurchase_lift"](spark, SF))
+    assert "CartesianProduct" not in plan2
+    assert plan2.count("HashAggregate") >= 2

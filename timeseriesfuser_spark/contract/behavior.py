@@ -258,3 +258,48 @@ def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
     )
     return merge_upsert(snap, chg, key_cols=("user_id",), op_col="op")
+
+
+_MB_MINSUP = 3
+
+
+@register(
+    "copurchase_lift",
+    oracle=f"""
+    WITH bi AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    nb AS (SELECT count(DISTINCT o) AS n FROM bi),
+    ic AS (SELECT p, count(*) AS c FROM bi GROUP BY p),
+    pr AS (
+        SELECT a.p AS pa, b.p AS pb, count(*) AS n_both
+        FROM bi a JOIN bi b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+        HAVING count(*) >= {_MB_MINSUP}
+    )
+    SELECT pa AS item_a, pb AS item_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(ca.c AS BIGINT) AS n_a,
+           CAST(cb.c AS BIGINT) AS n_b,
+           CAST(nb.n AS BIGINT) AS n_baskets,
+           CAST(n_both AS DOUBLE) / CAST(ca.c AS DOUBLE) AS confidence_ab,
+           CAST(n_both::HUGEINT * nb.n AS DOUBLE)
+               / CAST(ca.c::HUGEINT * cb.c AS DOUBLE) AS lift
+    FROM pr
+    JOIN ic ca ON ca.p = pa
+    JOIN ic cb ON cb.p = pb, nb
+    """,
+)
+def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (ops.behavior.copurchase_lift):
+    part pairs co-purchased in >= 3 orders with exact support counts;
+    confidence and lift are one double division each of exact integer
+    products (decimal(38,0)/HUGEINT). Pair generation is per-basket
+    (Σ|basket|² blowup, bounded by order size), never #items²."""
+    from timeseriesfuser_spark.ops.behavior import copurchase_lift
+    li = _t(spark, sf_dir, "lineitem")
+    return copurchase_lift(
+        li, basket_col="l_orderkey", item_col="l_partkey",
+        min_pair_baskets=_MB_MINSUP,
+    )

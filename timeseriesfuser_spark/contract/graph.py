@@ -148,3 +148,59 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         all_ids=docs.select("doc_id"),
     )
     return ranks.select(F.col("id").alias("doc_id"), "rank")
+
+
+@register(
+    "copurchase_triangles",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    e AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ),
+    deg AS (
+        SELECT n, count(*) AS d
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        GROUP BY n
+    ),
+    o AS (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v)
+                    THEN e.u ELSE e.v END AS a,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v)
+                    THEN e.v ELSE e.u END AS b
+        FROM e
+        JOIN deg du ON du.n = e.u
+        JOIN deg dv ON dv.n = e.v
+    ),
+    w AS (SELECT e1.a, e1.b, e2.b AS c
+          FROM o e1 JOIN o e2 ON e1.b = e2.a),
+    tri AS (SELECT w.a, w.b, w.c
+            FROM w JOIN o ON o.a = w.a AND o.b = w.c),
+    nodes AS (SELECT unnest([a, b, c]) AS id FROM tri)
+    SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY id
+    """,
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation per part over the co-purchase graph
+    (ops.graph.triangle_counts): parts are linked when they share an
+    order; triangles are counted exactly once via degree-ordered
+    orientation (Suri–Vassilvitskii — out-degree bounded O(√E), the
+    scheme that keeps the wedge join hub-safe at 100 TB). All counts
+    BIGINT, no float surface."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = (
+        op.alias("a")
+        .join(op.alias("b"),
+              (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
+        .distinct()
+    )
+    from timeseriesfuser_spark.ops.graph import triangle_counts
+    return triangle_counts(edges)

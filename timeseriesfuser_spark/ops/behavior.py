@@ -301,3 +301,85 @@ def merge_upsert(
             for cc in val_cols
         ],
     )
+
+
+def copurchase_lift(
+    df: DataFrame,
+    *,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_pair_baskets: int = 2,
+) -> DataFrame:
+    """Market-basket association mining: for every item pair co-occurring
+    in at least ``min_pair_baskets`` baskets, the support counts plus
+    confidence and lift — the co-purchase / co-occurrence recommender
+    primitive ("customers who bought A also bought B").
+
+    Exactness: every statistic is an integer count (n_both, n_a, n_b,
+    n_baskets); confidence = n_both/n_a and
+    lift = (n_both·N)/(n_a·n_b) are each ONE double division of exact
+    integer products (products accumulate in decimal(38,0) before the
+    cast), so both engines agree bitwise.
+
+    Scale: the pair space is generated per basket (self-equi-join on the
+    basket key over the DISTINCT (basket, item) relation), so the blowup
+    is Σ|basket|² — bounded by the max basket size, never #items²; the
+    support filter applies before the (broadcastable) item-count joins.
+    For heavy-hitter baskets at 100 TB, cap or salt the basket key
+    upstream (same posture as the dedup blocking knobs).
+    """
+    if min_pair_baskets < 1:
+        raise ValueError(
+            f"min_pair_baskets must be >= 1: {min_pair_baskets}"
+        )
+    bi = (
+        df.select(
+            F.col(basket_col).alias("__o"), F.col(item_col).alias("__p")
+        )
+        .filter(F.col("__o").isNotNull() & F.col("__p").isNotNull())
+        .distinct()
+    )
+    n_rel = bi.agg(
+        F.count_distinct(F.col("__o")).cast("long").alias("n_baskets")
+    )
+    item_counts = bi.groupBy("__p").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    a = bi.alias("a")
+    b = bi.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.__o") == F.col("b.__o"))
+               & (F.col("a.__p") < F.col("b.__p")))
+        .groupBy(
+            F.col("a.__p").alias("item_a"), F.col("b.__p").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= min_pair_baskets)
+    )
+    ca = item_counts.select(
+        F.col("__p").alias("item_a"), F.col("__c").alias("n_a")
+    )
+    cb = item_counts.select(
+        F.col("__p").alias("item_b"), F.col("__c").alias("n_b")
+    )
+    out = (
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
+        .crossJoin(F.broadcast(n_rel))
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        "n_baskets",
+        (
+            F.col("n_both").cast("double") / F.col("n_a").cast("double")
+        ).alias("confidence_ab"),
+        (
+            (d("n_both") * d("n_baskets")).cast("double")
+            / (d("n_a") * d("n_b")).cast("double")
+        ).alias("lift"),
+    )

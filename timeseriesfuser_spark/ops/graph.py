@@ -144,3 +144,79 @@ def pagerank_oracle_sql(
     return (
         "WITH " + ",\n    ".join(ctes) + f"\n    SELECT id, rank FROM r{int(iterations)}"
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph →
+    (id, n_triangles), nodes in at least one triangle — the clustering /
+    community-density primitive (cohesion of near-dup clusters,
+    co-purchase neighborhoods, entity-match sanity: a matched pair whose
+    endpoints share no third neighbor is a likely false positive).
+
+    Algorithm: DEGREE-ORDERED ORIENTATION (the MapReduce-classic
+    Suri–Vassilvitskii scheme). Edges are canonicalized (self-loops and
+    duplicates dropped), each node gets its degree, and every edge is
+    directed from its lower-(degree, id) endpoint to the higher one —
+    a total order, so each triangle materializes exactly once as a
+    directed wedge a→b→c closed by a→c. Out-degrees are bounded by
+    O(√E) under this orientation, so the wedge join never explodes on
+    hub nodes — the property that makes triangle counting feasible at
+    100 TB where a naive src-join would square the hub degree.
+    Deterministic: the orientation is a pure function of the graph (no
+    hashing, no sampling), so the count is exact and engine-portable.
+
+    Scale: one distinct (canonicalize), one degree aggregation joined
+    back (2 equi-joins), one self-equi-join on the wedge pivot, one
+    semi-equi-join to close wedges, one final count aggregation — all
+    shuffle-partitioned by node/edge keys; no windows, no driver data.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("__u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("__v"),
+        )
+        .filter(F.col("__u") != F.col("__v"))
+        .filter(F.col("__u").isNotNull() & F.col("__v").isNotNull())
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("__u").alias("__n"))
+        .unionAll(e.select(F.col("__v").alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).cast("long").alias("__d"))
+    )
+    du = deg.select(F.col("__n").alias("__u"), F.col("__d").alias("__du"))
+    dv = deg.select(F.col("__n").alias("__v"), F.col("__d").alias("__dv"))
+    ann = e.join(du, "__u").join(dv, "__v")
+    # orient from lower (degree, id) to higher (degree, id)
+    lower_first = (F.col("__du") < F.col("__dv")) | (
+        (F.col("__du") == F.col("__dv")) & (F.col("__u") < F.col("__v"))
+    )
+    o = ann.select(
+        F.when(lower_first, F.col("__u")).otherwise(F.col("__v")).alias("__a"),
+        F.when(lower_first, F.col("__v")).otherwise(F.col("__u")).alias("__b"),
+    )
+    w = o.alias("e1").join(
+        o.alias("e2"), F.col("e1.__b") == F.col("e2.__a")
+    ).select(
+        F.col("e1.__a").alias("__a"),
+        F.col("e1.__b").alias("__b"),
+        F.col("e2.__b").alias("__c"),
+    )
+    tri = w.join(
+        o.select(F.col("__a"), F.col("__b").alias("__c")),
+        ["__a", "__c"],
+    )
+    nodes = (
+        tri.select(F.col("__a").alias("__n"))
+        .unionAll(tri.select(F.col("__b").alias("__n")))
+        .unionAll(tri.select(F.col("__c").alias("__n")))
+    )
+    return nodes.groupBy("__n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    ).select(F.col("__n").alias("id"), "n_triangles")
