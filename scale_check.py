@@ -306,6 +306,63 @@ def run(spark, n: int, only=None) -> dict:
             min_points=20,
         ),
     )
+    from timeseriesfuser_spark.ops.timeseries import (
+        acf_bars as _acfop,
+        robust_outlier_summary as _roop,
+        seasonal_naive_error as _snop,
+    )
+
+    # exact per-group median/MAD over 10k user groups (two rank windows)
+    t(
+        "robust_outliers",
+        _roop(
+            ev.select("user_id", "value"),
+            group_col="user_id", value_col="value", k=3,
+        ),
+    )
+    t(
+        "acf_7lag",
+        _acfop(
+            xev, "A", 7, "1h",
+            ts_col="__timestamp", key_col="k", value_col="value",
+            seq_col="event_id",
+        ),
+    )
+    t(
+        "seasonal_naive_24h",
+        _snop(
+            xev, 24, "1h",
+            ts_col="__timestamp", key_col="k", value_col="value",
+            seq_col="event_id",
+        ),
+    )
+    # market-basket relations: baskets of 6, item domain n/10
+    from timeseriesfuser_spark.ops.behavior import copurchase_lift as _mbop
+    from timeseriesfuser_spark.ops.graph import triangle_counts as _triop
+
+    basket = spark.range(0, n, 1, CPUS).select(
+        (F.col("id") / 6).cast("long").alias("l_orderkey"),
+        F.pmod(F.hash(F.col("id")), nodes).alias("l_partkey"),
+    )
+    t(
+        "copurchase_lift",
+        _mbop(basket, min_pair_baskets=2),
+    )
+    t(
+        "triangles",
+        lambda: _triop(
+            basket.alias("a")
+            .join(
+                basket.alias("b"),
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias("id_a"),
+                F.col("b.l_partkey").alias("id_b"),
+            )
+        ),
+    )
     return out
 
 

@@ -350,3 +350,68 @@ def test_triangle_copurchase_plans(spark):
     plan2 = formatted_plan(contract.QUERIES["copurchase_lift"](spark, SF))
     assert "CartesianProduct" not in plan2
     assert plan2.count("HashAggregate") >= 2
+
+
+# ---------------------------------------------------------------------------
+# concentration (Gini / HHI)
+# ---------------------------------------------------------------------------
+
+
+def _conc(spark, rows):
+    from timeseriesfuser_spark.ops.behavior import concentration_stats
+    df = spark.createDataFrame(rows, "g string, v long")
+    return {
+        r["g"]: r
+        for r in concentration_stats(
+            df, group_col="g", value_col="v"
+        ).collect()
+    }
+
+
+def test_concentration_uniform_vs_monopoly(spark):
+    rows = [("u", 100)] * 4 + [("m", 400), ("m", 0), ("m", 0), ("m", 0)]
+    out = _conc(spark, rows)
+    # uniform: gini 0, HHI = 1/n
+    assert out["u"]["gini_ppm"] == 0
+    assert out["u"]["hhi_ppm"] == 250_000
+    # monopoly of 4: gini = (n-1)/n = 0.75, HHI = 1.0
+    assert out["m"]["gini_ppm"] == 750_000
+    assert out["m"]["hhi_ppm"] == 1_000_000
+
+
+def test_concentration_bruteforce(spark):
+    vals = [5, 10, 20, 20, 45]
+    out = _conc(spark, [("g", v) for v in vals])["g"]
+    n, s = len(vals), sum(vals)
+    xs = sorted(vals)
+    ix = sum((i + 1) * x for i, x in enumerate(xs))
+    gini_ppm = (2 * ix - (n + 1) * s) * 1_000_000 // (n * s)
+    hhi_ppm = sum(x * x for x in vals) * 1_000_000 // (s * s)
+    assert out["n"] == n and out["total"] == s
+    assert out["gini_ppm"] == gini_ppm
+    assert out["hhi_ppm"] == hhi_ppm
+
+
+def test_concentration_zero_total_null(spark):
+    out = _conc(spark, [("z", 0), ("z", 0)])
+    assert out["z"]["gini_ppm"] is None
+    assert out["z"]["hhi_ppm"] is None
+    assert out["z"]["total"] == 0
+
+
+def test_concentration_tie_invariance(spark):
+    # equal values in any insertion order produce the same gini
+    a = _conc(spark, [("g", v) for v in [7, 7, 7, 1]])["g"]
+    b = _conc(spark, [("g", v) for v in [1, 7, 7, 7]])["g"]
+    assert a["gini_ppm"] == b["gini_ppm"] == a["gini_ppm"]
+
+
+def test_concentration_plan(spark):
+    """Gini's rank window runs on the aggregated member grain; the
+    nation dim broadcasts; one fact-side aggregation (partial+final)."""
+    plan = formatted_plan(
+        contract.QUERIES["revenue_concentration"](spark, SF)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan

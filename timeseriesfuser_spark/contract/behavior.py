@@ -303,3 +303,65 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, basket_col="l_orderkey", item_col="l_partkey",
         min_pair_baskets=_MB_MINSUP,
     )
+
+
+@register(
+    "revenue_concentration",
+    oracle="""
+    WITH g AS (
+        SELECT s.s_nationkey AS nk,
+               l.l_suppkey,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT nk, cents,
+               row_number() OVER (PARTITION BY nk ORDER BY cents) AS i
+        FROM g
+    ),
+    a AS (
+        SELECT nk,
+               count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS total,
+               sum(i::HUGEINT * cents) AS ix,
+               sum(cents::HUGEINT * cents) AS xx
+        FROM r GROUP BY nk
+    )
+    SELECT n_name,
+           CAST(n AS BIGINT) AS n,
+           total,
+           CASE WHEN total > 0 THEN CAST(
+               (2 * ix - (n::HUGEINT + 1) * total) * 1000000
+               // (n::HUGEINT * total) AS BIGINT) END AS gini_ppm,
+           CASE WHEN total > 0 THEN CAST(
+               xx * 1000000 // (total::HUGEINT * total) AS BIGINT)
+           END AS hhi_ppm
+    FROM a JOIN nation ON a.nk = nation.n_nationkey
+    """,
+)
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-revenue concentration per nation
+    (ops.behavior.concentration_stats): exact integer Gini and
+    Herfindahl in ppm over the AGGREGATED (nation, supplier) cent
+    grain — G = (2Σi·x − (n+1)S)·1e6 DIV (nS), HHI = Σx²·1e6 DIV S²,
+    every output BIGINT (the tie-invariance of Σi·x makes the rank
+    window deterministic). The rank window runs on #suppliers rows,
+    never the fact table; the nation dim broadcasts."""
+    from timeseriesfuser_spark.ops.behavior import concentration_stats
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    g = (
+        li.join(F.broadcast(su.select("s_suppkey", "s_nationkey")),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("s_nationkey").alias("nk"), F.col("l_suppkey"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    out = concentration_stats(g, group_col="nk", value_col="cents")
+    return (
+        out.join(F.broadcast(na.select("n_nationkey", "n_name")),
+                 out.nk == F.col("n_nationkey"))
+        .select("n_name", "n", "total", "gini_ppm", "hhi_ppm")
+    )

@@ -383,3 +383,75 @@ def copurchase_lift(
             / (d("n_a") * d("n_b")).cast("double")
         ).alias("lift"),
     )
+
+
+def concentration_stats(
+    df: DataFrame,
+    *,
+    group_col: str = "group",
+    value_col: str = "value_cents",
+) -> DataFrame:
+    """Per-group concentration/inequality of an integer measure across
+    its members → (group, n, total, gini_ppm, hhi_ppm) — "how dominated
+    is each nation's revenue by a few suppliers", the
+    market-concentration / data-skew screening statistic (an HHI near
+    1e6 on a partition key is also a shuffle-skew early warning).
+
+    EXACT integer statistics (ppm scale, every output BIGINT):
+    - Gini: on the ascending-sorted members x_1..x_n,
+      G = (2·Σi·x_i − (n+1)·S) / (n·S); emitted as
+      gini_ppm = (2·Σi·x_i − (n+1)·S)·1e6 DIV (n·S) in decimal(38,0).
+      Ties are rank-order invariant (equal x contribute the same sum
+      under any permutation of their ranks).
+    - Herfindahl: HHI = Σ(x_i/S)² emitted as Σx²·1e6 DIV S².
+    Both are integer DIV of exact products — no float anywhere.
+
+    Callers pass an already-aggregated integer measure (e.g. cents per
+    (nation, supplier)); NULL groups/values are dropped; groups with
+    S <= 0 are emitted with NULL gini/hhi (the ratios are undefined).
+
+    Scale: HHI is one map-side-combinable aggregation; Gini needs the
+    per-group rank (one window partitioned by group over the AGGREGATED
+    member grain — #members rows, not raw facts). Run it on grains, not
+    events.
+    """
+    g = F.col(group_col)
+    base = df.filter(
+        g.isNotNull() & F.col(value_col).isNotNull()
+    ).select(g.alias("__g"), F.col(value_col).cast("long").alias("__x"))
+    from pyspark.sql.window import Window as W
+
+    rn = F.row_number().over(W.partitionBy("__g").orderBy("__x"))
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    ranked = base.withColumn("__i", rn.cast("long"))
+    agg = ranked.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("total"),
+        F.sum(d("__i") * d("__x")).alias("__ix"),
+        F.sum(d("__x") * d("__x")).alias("__xx"),
+    )
+    s = d("total")
+    n = d("n")
+    gini = F.when(
+        F.col("total") > 0,
+        F.expr(
+            "CAST((2 * __ix - (CAST(n AS DECIMAL(38,0)) + 1)"
+            " * CAST(total AS DECIMAL(38,0))) * 1000000"
+            " DIV (CAST(n AS DECIMAL(38,0))"
+            " * CAST(total AS DECIMAL(38,0))) AS BIGINT)"
+        ),
+    )
+    hhi = F.when(
+        F.col("total") > 0,
+        F.expr(
+            "CAST(__xx * 1000000 DIV (CAST(total AS DECIMAL(38,0))"
+            " * CAST(total AS DECIMAL(38,0))) AS BIGINT)"
+        ),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n",
+        "total",
+        gini.alias("gini_ppm"),
+        hhi.alias("hhi_ppm"),
+    )
