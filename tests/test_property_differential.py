@@ -658,3 +658,85 @@ def test_lttb_matches_python_reference(spark, rows, nb):
         for r in lttb_downsample(df, nb, ts_col="ts").collect()
     )
     assert got == _lttb_ref(pts, nb)
+
+
+# ---------------------------------------------------------------------------
+# round-11: robust median/MAD, concentration, triangles vs brute force
+# ---------------------------------------------------------------------------
+
+_ro_vals = st.lists(
+    st.integers(min_value=-5000, max_value=5000), min_size=1, max_size=40
+)
+
+
+@given(vals=_ro_vals, k=st.sampled_from([1, 2, 3]))
+@SETTINGS
+def test_robust_outliers_vs_python(spark, vals, k):
+    import statistics
+
+    from timeseriesfuser_spark.ops.timeseries import robust_outlier_summary
+
+    df = spark.createDataFrame(
+        [(i, "g", v / 100.0) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    row = robust_outlier_summary(
+        df, group_col="event_type", value_col="value", k=k
+    ).collect()[0]
+    cents = sorted(vals)
+    med = statistics.median(cents)
+    devs = [abs(c - med) for c in cents]
+    mad = statistics.median(devs)
+    assert row["n"] == len(cents)
+    assert row["med_x2"] == int(2 * med)
+    assert row["mad_x4"] == int(4 * mad)
+    assert row["n_outliers"] == sum(1 for d in devs if d > k * mad)
+
+
+@given(vals=st.lists(st.integers(0, 10_000), min_size=1, max_size=30))
+@SETTINGS
+def test_concentration_vs_python(spark, vals):
+    from timeseriesfuser_spark.ops.behavior import concentration_stats
+
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, v long"
+    )
+    row = concentration_stats(df, group_col="g", value_col="v").collect()[0]
+    n, s = len(vals), sum(vals)
+    assert row["n"] == n and row["total"] == s
+    if s == 0:
+        assert row["gini_ppm"] is None and row["hhi_ppm"] is None
+    else:
+        xs = sorted(vals)
+        ix = sum((i + 1) * x for i, x in enumerate(xs))
+        assert row["gini_ppm"] == (2 * ix - (n + 1) * s) * 10**6 // (n * s)
+        assert row["hhi_ppm"] == sum(x * x for x in vals) * 10**6 // (s * s)
+
+
+_tri_edges = st.lists(
+    st.tuples(st.integers(0, 10), st.integers(0, 10)),
+    min_size=0, max_size=40,
+)
+
+
+@given(pairs=_tri_edges)
+@SETTINGS
+def test_triangles_vs_bruteforce(spark, pairs):
+    import itertools
+
+    from timeseriesfuser_spark.ops.graph import triangle_counts
+
+    es = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    expect = {}
+    for a, b, c in itertools.combinations(sorted({n for e in es for n in e}), 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            for node in (a, b, c):
+                expect[node] = expect.get(node, 0) + 1
+    # empty draw: seed a self-loop, which canonicalizes away -> empty out
+    df = spark.createDataFrame(
+        list(pairs) or [(0, 0)], "id_a long, id_b long"
+    )
+    out = {
+        r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    assert out == expect
