@@ -573,3 +573,82 @@ def q_bloom_prefilter_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("false_pos"),
         )
     )
+
+
+@register(
+    "streaming_hll_by_type",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, user_id FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    h AS (SELECT event_type, {_h('99')} AS hv FROM ev),
+    rb AS (SELECT event_type, hv % {_HLL_M} AS bucket,
+                  hv >> {_HLL_P} AS w FROM h),
+    rr AS (SELECT event_type, bucket,
+                  CASE WHEN w > 0 THEN {60 - _HLL_P} + 1 - length(bin(w))
+                       ELSE {60 - _HLL_P + 1} END AS rho
+           FROM rb)
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(max(rho) AS BIGINT) AS register
+    FROM rr GROUP BY event_type, bucket
+    """,
+)
+def q_streaming_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming grouped HyperLogLog registers driven THROUGH
+    the driver harness (streaming.hll_stream): availableNow file stream
+    → per-event-type register MAX → COMPLETE-mode memory sink. Because
+    the register relation is merge-closed bounded state (max is
+    idempotent, 2^p rows per group), the final complete-mode table
+    equals the batch registers of the same rows EXACTLY — no watermark
+    or emission contract needed, the simplest possible streaming/batch
+    parity. Oracle: the batch register SQL grouped by type."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from timeseriesfuser_spark.streaming import hll_stream
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = stream.select("event_type", "user_id").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    regs = hll_stream(ev, "user_id", p=_HLL_P, group_cols=["event_type"])
+    name = f"shll_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="tsf_ckpt_")
+    q = None
+    try:
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "streaming_hll_by_type: query still running after 300s"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+        sink = spark.table(name)
+        out = spark.createDataFrame(sink.collect(), sink.schema)
+        return out.select(
+            "event_type",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("register").cast("long").alias("register"),
+        )
+    finally:
+        if q is not None and q.isActive:
+            q.stop()
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(ckpt, ignore_errors=True)
