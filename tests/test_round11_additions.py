@@ -415,3 +415,62 @@ def test_concentration_plan(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+def _cache_manager(spark):
+    return spark._jsparkSession.sharedState().cacheManager()
+
+
+def test_round11_cache_false_leaves_no_entries(spark):
+    """Every round-11 multi-consumer op honors cache=False (no registered
+    cache entry after consumption) and returns identical results."""
+    from timeseriesfuser_spark.ops.behavior import copurchase_lift
+    from timeseriesfuser_spark.ops.graph import triangle_counts
+    from timeseriesfuser_spark.ops.timeseries import (
+        acf_bars,
+        robust_outlier_summary,
+        seasonal_naive_error,
+    )
+
+    spark.catalog.clearCache()
+    cm = _cache_manager(spark)
+    assert cm.isEmpty()
+    ev = _mk_series(spark, [float(v) for v in range(1, 15)])
+    edges = _edges(spark, [(a, b) for a in range(4) for b in range(a + 1, 4)])
+    basket = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 20)],
+        "l_orderkey long, l_partkey long",
+    )
+    runs = [
+        lambda c: acf_bars(ev, "k", 2, "1s", cache=c),
+        lambda c: robust_outlier_summary(ev, cache=c),
+        lambda c: seasonal_naive_error(ev, 3, "1s", cache=c),
+        lambda c: triangle_counts(edges, cache=c),
+        lambda c: copurchase_lift(basket, min_pair_baskets=2, cache=c),
+    ]
+    for run in runs:
+        cold = sorted(map(tuple, run(False).collect()))
+        assert cm.isEmpty(), "cache=False must register nothing"
+        hot = sorted(map(tuple, run(True).collect()))
+        assert not cm.isEmpty(), "default persists the shared subplan"
+        assert cold == hot
+        spark.catalog.clearCache()
+
+
+def test_round11_single_fact_scan_with_cache(spark):
+    """With the default cache, every round-11 contract query reads its
+    fact table ONCE (Catalyst re-executes shared subplans per consumer;
+    uncached, copurchase_triangles exploded to ~90 parquet scans)."""
+    import re
+
+    for name, max_scans in [
+        ("acf_value_1d", 1),
+        ("seasonal_error_7d", 1),
+        ("robust_outlier_summary", 1),
+        ("copurchase_lift", 1),
+        ("copurchase_triangles", 2),
+    ]:
+        plan = formatted_plan(contract.QUERIES[name](spark, SF))
+        scans = re.findall(r"\(\d+\) Scan parquet", plan)
+        assert len(scans) <= max_scans, (name, len(scans))
+    spark.catalog.clearCache()

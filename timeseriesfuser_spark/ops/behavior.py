@@ -309,6 +309,7 @@ def copurchase_lift(
     basket_col: str = "l_orderkey",
     item_col: str = "l_partkey",
     min_pair_baskets: int = 2,
+    cache: bool = True,
 ) -> DataFrame:
     """Market-basket association mining: for every item pair co-occurring
     in at least ``min_pair_baskets`` baskets, the support counts plus
@@ -327,11 +328,19 @@ def copurchase_lift(
     support filter applies before the (broadcastable) item-count joins.
     For heavy-hitter baskets at 100 TB, cap or salt the basket key
     upstream (same posture as the dedup blocking knobs).
+
+    ``cache``: the distinct (basket, item) relation feeds the totals,
+    the item counts, and both pair-join sides; the default persists it
+    (MEMORY_AND_DISK, evictable — the ``resample_last_interval``
+    contract) so the distinct runs once; ``cache=False`` registers
+    nothing.
     """
     if min_pair_baskets < 1:
         raise ValueError(
             f"min_pair_baskets must be >= 1: {min_pair_baskets}"
         )
+    from pyspark import StorageLevel
+
     bi = (
         df.select(
             F.col(basket_col).alias("__o"), F.col(item_col).alias("__p")
@@ -339,6 +348,8 @@ def copurchase_lift(
         .filter(F.col("__o").isNotNull() & F.col("__p").isNotNull())
         .distinct()
     )
+    if cache:
+        bi = bi.persist(StorageLevel.MEMORY_AND_DISK)
     n_rel = bi.agg(
         F.count_distinct(F.col("__o")).cast("long").alias("n_baskets")
     )

@@ -151,6 +151,7 @@ def triangle_counts(
     *,
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    cache: bool = True,
 ) -> DataFrame:
     """Per-node triangle participation counts over an undirected graph →
     (id, n_triangles), nodes in at least one triangle — the clustering /
@@ -174,7 +175,18 @@ def triangle_counts(
     back (2 equi-joins), one self-equi-join on the wedge pivot, one
     semi-equi-join to close wedges, one final count aggregation — all
     shuffle-partitioned by node/edge keys; no windows, no driver data.
+
+    ``cache``: the canonical edge relation is consumed three times
+    (degree count × 2, orientation) and the oriented relation three
+    more (both wedge sides, the closing join) — Catalyst re-executes
+    shared subplans per consumer, which without caching multiplies into
+    ~90 upstream scans. The default persists both at MEMORY_AND_DISK
+    (evictable; entries live until the caller's unpersist/clearCache —
+    same contract as ``resample_last_interval``). Pass ``cache=False``
+    to register nothing, e.g. when looping in a long-lived session.
     """
+    from pyspark import StorageLevel
+
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("__u"),
@@ -184,6 +196,8 @@ def triangle_counts(
         .filter(F.col("__u").isNotNull() & F.col("__v").isNotNull())
         .distinct()
     )
+    if cache:
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
     deg = (
         e.select(F.col("__u").alias("__n"))
         .unionAll(e.select(F.col("__v").alias("__n")))
@@ -201,6 +215,8 @@ def triangle_counts(
         F.when(lower_first, F.col("__u")).otherwise(F.col("__v")).alias("__a"),
         F.when(lower_first, F.col("__v")).otherwise(F.col("__u")).alias("__b"),
     )
+    if cache:
+        o = o.persist(StorageLevel.MEMORY_AND_DISK)
     w = o.alias("e1").join(
         o.alias("e2"), F.col("e1.__b") == F.col("e2.__a")
     ).select(

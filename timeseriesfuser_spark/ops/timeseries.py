@@ -1207,6 +1207,7 @@ def acf_bars(
     key_col: str = "event_type",
     value_col: str = "value",
     seq_col: str = "event_id",
+    cache: bool = True,
 ) -> DataFrame:
     """Autocorrelation function of one series' bar closes on a regular
     grid: for each lag k in 1..``max_lag`` (in grid steps), the
@@ -1228,9 +1229,19 @@ def acf_bars(
     lag fan-out (broadcast #lags relation), the self-join, and the
     single-row (S, n, den) broadcast all run on the AGGREGATED bar
     grain — bounded by the time span, never the event count.
+
+    ``cache``: the bar relation feeds stats, the denominator, and both
+    join sides; Catalyst re-executes shared subplans per consumer, so
+    without caching the events aggregation (a full fact scan) runs ~6×.
+    The default persists the TINY bar relation at MEMORY_AND_DISK
+    (evictable; lives until unpersist/clearCache — the
+    ``resample_last_interval`` contract); ``cache=False`` registers
+    nothing.
     """
     if max_lag < 1:
         raise ValueError(f"max_lag must be >= 1: {max_lag}")
+    from pyspark import StorageLevel
+
     step = interval_to_ms(interval)
     cents = _cents(value_col)
     ts = F.col(ts_col).cast("long")
@@ -1240,6 +1251,8 @@ def acf_bars(
         .groupBy(floor_boundary_col(ts, step).alias("__b"))
         .agg(F.max_by(cents, F.struct(ts, F.col(seq_col))).alias("__v"))
     )
+    if cache:
+        g = g.persist(StorageLevel.MEMORY_AND_DISK)
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     stats = g.agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
@@ -1294,6 +1307,7 @@ def robust_outlier_summary(
     value_col: str = "value",
     k: int = 3,
     ts_col: str = "ts",
+    cache: bool = True,
 ) -> DataFrame:
     """Per-group robust outlier summary via median / MAD (median absolute
     deviation) — the screening statistic that, unlike
@@ -1316,14 +1330,26 @@ def robust_outlier_summary(
     two broadcast joins of the #groups-row med/mad relations. This is
     the honest cost of exactness; for approximate screening at 100 TB
     use histogram-bin quantiles (``value_equal_depth_bins``) instead.
+
+    ``cache``: the projected value relation feeds the count, the value
+    ranks, and the deviation pass, and the deviation relation feeds the
+    MAD ranks and the final flag count — Catalyst re-executes shared
+    subplans per consumer (~7 upstream scans uncached). The default
+    persists both 2-column projections at MEMORY_AND_DISK (evictable;
+    lives until unpersist/clearCache — the ``resample_last_interval``
+    contract); ``cache=False`` registers nothing.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
+    from pyspark import StorageLevel
+
     gcol = F.col(group_col)
     v = _cents(value_col)
     base = df.filter(
         F.col(value_col).isNotNull() & gcol.isNotNull()
     ).select(gcol.alias("__g"), v.alias("__v"))
+    if cache:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     cnt = base.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("__n"))
 
     def _med2(rel: DataFrame, col: str) -> DataFrame:
@@ -1353,6 +1379,8 @@ def robust_outlier_summary(
         F.abs(F.col("__v") * 2 - F.col("__med2")).alias("__dev"),
         "__med2",
     )
+    if cache:
+        devs = devs.persist(StorageLevel.MEMORY_AND_DISK)
     mad4 = _med2(devs.select("__g", "__dev"), "__dev").withColumnRenamed(
         "__m2", "__mad4"
     )
@@ -1386,6 +1414,7 @@ def seasonal_naive_error(
     key_col: str = "event_type",
     value_col: str = "value",
     seq_col: str = "event_id",
+    cache: bool = True,
 ) -> DataFrame:
     """Seasonal-naive forecast error per key: predict each bar close as
     the close ``season_bars`` grid steps earlier and report the error —
@@ -1402,9 +1431,16 @@ def seasonal_naive_error(
     Scale: one map-side-combinable aggregation to the (key, bar) grain;
     the seasonal self-join and the per-key final aggregate run on that
     AGGREGATED grain only — bounded by #keys × time span.
+
+    ``cache``: the bar relation is both self-join sides; the default
+    persists it (tiny, MEMORY_AND_DISK, evictable — the
+    ``resample_last_interval`` contract) so the fact scan runs once;
+    ``cache=False`` registers nothing.
     """
     if season_bars < 1:
         raise ValueError(f"season_bars must be >= 1: {season_bars}")
+    from pyspark import StorageLevel
+
     step = interval_to_ms(interval)
     cents = _cents(value_col)
     ts = F.col(ts_col).cast("long")
@@ -1417,6 +1453,8 @@ def seasonal_naive_error(
         )
         .agg(F.max_by(cents, F.struct(ts, F.col(seq_col))).alias("__v"))
     )
+    if cache:
+        g = g.persist(StorageLevel.MEMORY_AND_DISK)
     cur = g.select("__k", "__b", F.col("__v").alias("__x"))
     prior = g.select(
         "__k",
