@@ -474,3 +474,27 @@ def test_round11_single_fact_scan_with_cache(spark):
         scans = re.findall(r"\(\d+\) Scan parquet", plan)
         assert len(scans) <= max_scans, (name, len(scans))
     spark.catalog.clearCache()
+
+
+def test_tpcds_q11_q54_single_scan(spark):
+    """Q11's period×channel fan-out folds into ONE conditional-sum scan
+    (the canonical form re-scans the fact four times); Q54's histogram
+    is two stacked aggregations over one scan. Dims broadcast."""
+    import re
+
+    plan = formatted_plan(
+        contract.QUERIES["tpcds_q11_growth_accounts"](spark, SF)
+    )
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) <= 4          # lineitem + orders + customer + nation
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+    plan2 = formatted_plan(
+        contract.QUERIES["tpcds_q54_spend_bands"](spark, SF)
+    )
+    scans2 = set(re.findall(r"\((\d+)\) Scan parquet", plan2))
+    assert len(scans2) <= 2         # lineitem + orders, once each
+    assert plan2.count("HashAggregate") >= 4   # two partial+final levels
+    assert "CartesianProduct" not in plan2

@@ -1141,3 +1141,154 @@ def q_tpcds_q39_volatile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cov("n1", "s1", "qd1").alias("cov1"),
         _cov("n2", "s2", "qd2").alias("cov2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fifth wave: cross-channel growth comparison (Q11/Q74) and the customer
+# spend-band histogram (Q54) — both stated canonically in the oracle,
+# both run as ONE conditional-aggregation scan on the Spark side.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpcds_q11_growth_accounts",
+    oracle=f"""
+    WITH f AS (
+        SELECT c.c_nationkey AS nk,
+               CASE WHEN year(o.o_orderdate) <= 1997 THEN 1 ELSE 2 END
+                   AS per,
+               {_CHANNEL_SQL} AS channel,
+               sum({_REV4}) AS s4
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2, 3
+    ),
+    e1 AS (SELECT nk, s4 FROM f WHERE per = 1 AND channel = 'express'),
+    e2 AS (SELECT nk, s4 FROM f WHERE per = 2 AND channel = 'express'),
+    y1 AS (SELECT nk, s4 FROM f WHERE per = 1 AND channel = 'economy'),
+    y2 AS (SELECT nk, s4 FROM f WHERE per = 2 AND channel = 'economy'),
+    j AS (
+        SELECT e1.nk, e1.s4 AS e1s, e2.s4 AS e2s,
+               y1.s4 AS y1s, y2.s4 AS y2s
+        FROM e1
+        JOIN e2 USING (nk)
+        JOIN y1 USING (nk)
+        JOIN y2 USING (nk)
+    )
+    SELECT n.n_name,
+           CAST(e1s AS DOUBLE) / 10000 AS express_p1,
+           CAST(e2s AS DOUBLE) / 10000 AS express_p2,
+           CAST(y1s AS DOUBLE) / 10000 AS economy_p1,
+           CAST(y2s AS DOUBLE) / 10000 AS economy_p2,
+           CAST(e2s AS DOUBLE) / CAST(e1s AS DOUBLE) AS express_growth,
+           CAST(y2s AS DOUBLE) / CAST(y1s AS DOUBLE) AS economy_growth
+    FROM j JOIN nation n ON j.nk = n.n_nationkey
+    WHERE e1s > 0 AND y1s > 0
+      AND e2s::HUGEINT * y1s > y2s::HUGEINT * e1s
+    """,
+)
+def q_tpcds_q11_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q11/Q74-shape: accounts (nations) whose EXPRESS-channel
+    revenue grew faster between two periods than their ECONOMY-channel
+    revenue (real Q11 compares each customer's web vs store growth
+    across two years). The oracle states the canonical four-CTE join;
+    Spark runs ONE conditional-sum scan to the account grain (period ×
+    channel folded into four conditional aggregates — no self-join, no
+    re-scan), and the growth comparison is the exact cross-multiplied
+    integer test e2·y1 > y2·e1 in decimal(38,0) — a float ratio compare
+    could disagree across engines at equality boundaries. The customer
+    and nation dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    per1 = F.year("o_orderdate") <= 1997
+    express = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    economy = ~F.col("o_orderpriority").isin(
+        "1-URGENT", "2-HIGH", "3-MEDIUM"
+    )
+    rev = _rev4_col()
+    g = (
+        li.join(o.select("o_orderkey", "o_custkey", "o_orderdate",
+                         "o_orderpriority"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.sum(F.when(per1 & express, rev)).alias("e1s"),
+            F.sum(F.when(~per1 & express, rev)).alias("e2s"),
+            F.sum(F.when(per1 & economy, rev)).alias("y1s"),
+            F.sum(F.when(~per1 & economy, rev)).alias("y2s"),
+        )
+    )
+    d = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    out = (
+        g.filter(
+            F.col("e1s").isNotNull() & F.col("e2s").isNotNull()
+            & F.col("y1s").isNotNull() & F.col("y2s").isNotNull()
+            & (F.col("e1s") > 0) & (F.col("y1s") > 0)
+            & (d("e2s") * d("y1s") > d("y2s") * d("e1s"))
+        )
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("nk") == F.col("n_nationkey"))
+    )
+    dbl = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    return out.select(
+        "n_name",
+        (dbl("e1s") / 10000).alias("express_p1"),
+        (dbl("e2s") / 10000).alias("express_p2"),
+        (dbl("y1s") / 10000).alias("economy_p1"),
+        (dbl("y2s") / 10000).alias("economy_p2"),
+        (dbl("e2s") / dbl("e1s")).alias("express_growth"),
+        (dbl("y2s") / dbl("y1s")).alias("economy_growth"),
+    )
+
+
+_Q54_BAND4 = 2_500_000_000  # $250,000 in 1e-4-dollar units
+
+
+@register(
+    "tpcds_q54_spend_bands",
+    oracle=f"""
+    WITH cr AS (
+        SELECT o.o_custkey, sum({_REV4}) AS spend4
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    )
+    SELECT CAST(spend4 // {_Q54_BAND4} AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(spend4::HUGEINT) AS DOUBLE) / 10000 AS band_revenue
+    FROM cr
+    GROUP BY 1
+    """,
+)
+def q_tpcds_q54_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q54-shape: the customer spend-band histogram — total
+    lifetime revenue per customer, bucketed into $250k bands, customers
+    counted per band (real Q54 uses $50 bands on one quarter's
+    revenue). Two-level aggregation: fact → customer grain (map-side
+    combinable), then the #customers-row grain → #bands; the band index
+    is integer DIV on exact 1e-4-dollar units (a double floor would
+    misround past 2^53 — the lttb slot lesson)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cr = (
+        li.join(o.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(_rev4_col()).alias("spend4"))
+    )
+    return (
+        cr.groupBy(
+            F.expr(f"CAST(spend4 DIV {_Q54_BAND4} AS BIGINT)").alias("band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            (
+                F.sum(F.col("spend4").cast("decimal(38,0)")).cast("double")
+                / 10000
+            ).alias("band_revenue"),
+        )
+    )
