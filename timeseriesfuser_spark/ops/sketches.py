@@ -522,6 +522,7 @@ def bloom_prefilter(
     k: int = 4,
     seed: int = 700,
     group_cols: "Sequence[str]" = (),
+    cache: bool = True,
 ) -> DataFrame:
     """Keep the rows of ``fact`` whose ``fact_col`` MIGHT be in the key
     set behind ``bits`` — one-sided: a true member always passes; false
@@ -539,8 +540,20 @@ def bloom_prefilter(
     shuffle moves only survivors. Same plan Spark's runtime row-level
     filtering builds internally — here explicit, composable, and
     oracle-checkable.
+
+    ``cache``: each of the ``k`` broadcast builds references ``bits``,
+    and Catalyst re-executes the shared subplan per consumer — with a
+    bits relation DERIVED from a fact scan (the usual ``bloom_bits``
+    case) that multiplies the build-side scan ``k``-fold. The default
+    persists the BOUNDED bit relation (≤ min(k·n, m_bits) rows,
+    MEMORY_AND_DISK, evictable — the ``resample_last_interval``
+    contract); pass ``cache=False`` if the caller already persisted it.
     """
+    from pyspark import StorageLevel
+
     g = list(group_cols)
+    if cache:
+        bits = bits.persist(StorageLevel.MEMORY_AND_DISK)
     out = fact
     fc = F.col(fact_col).cast("string")
     for i in range(k):
