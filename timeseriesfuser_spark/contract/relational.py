@@ -1721,8 +1721,17 @@ def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    y97 = period(852_076_800_000, 883_612_800_000)
-    y98 = period(883_612_800_000, 915_148_800_000)
+    # each period set feeds all three set ops — persist the small
+    # distinct relations so the events scan runs twice, not six times
+    # (evictable; the resample_last_interval cache contract)
+    from pyspark import StorageLevel
+
+    y97 = period(852_076_800_000, 883_612_800_000).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    y98 = period(883_612_800_000, 915_148_800_000).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     retained = y97.intersect(y98).agg(
         F.count(F.lit(1)).cast("long").alias("retained")
     )
