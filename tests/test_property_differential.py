@@ -740,3 +740,28 @@ def test_triangles_vs_bruteforce(spark, pairs):
         r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()
     }
     assert out == expect
+
+
+@given(vals=st.lists(st.integers(-10_000, 10_000), min_size=1, max_size=35))
+@SETTINGS
+def test_exact_percentiles_vs_fraction(spark, vals):
+    from fractions import Fraction
+
+    from timeseriesfuser_spark.ops.timeseries import exact_percentiles
+
+    df = spark.createDataFrame(
+        [(i, "g", v / 100.0) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    row = exact_percentiles(
+        df, ((1, 2), (9, 10), (99, 100)),
+        group_col="event_type", value_col="value",
+    ).collect()[0]
+    xs = sorted(vals)
+    n = len(xs)
+    for num, den, col in [(1, 2, "p1_2_x2"), (9, 10, "p9_10_x10"),
+                          (99, 100, "p99_100_x100")]:
+        idx = Fraction(num * (n - 1), den)
+        lo, frac = int(idx), idx - int(idx)
+        expect = xs[lo] * (1 - frac) + (xs[lo + 1] * frac if frac else 0)
+        assert row[col] == int(expect * den)

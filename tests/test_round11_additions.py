@@ -498,3 +498,52 @@ def test_tpcds_q11_q54_single_scan(spark):
     assert len(scans2) <= 2         # lineitem + orders, once each
     assert plan2.count("HashAggregate") >= 4   # two partial+final levels
     assert "CartesianProduct" not in plan2
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles
+# ---------------------------------------------------------------------------
+
+
+def test_exact_percentiles_bruteforce(spark):
+    from fractions import Fraction
+
+    from timeseriesfuser_spark.ops.timeseries import exact_percentiles
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.5, 5.0]
+    df = _mk_series(spark, vals)
+    row = exact_percentiles(
+        df, ((1, 2), (9, 10), (99, 100)),
+        group_col="event_type", value_col="value",
+    ).collect()[0]
+    xs = sorted(round(v * 100) for v in vals)
+    n = len(xs)
+    for num, den, col in [(1, 2, "p1_2_x2"), (9, 10, "p9_10_x10"),
+                          (99, 100, "p99_100_x100")]:
+        idx = Fraction(num * (n - 1), den)
+        lo, frac = int(idx), idx - int(idx)
+        expect = xs[lo] * (1 - frac) + (xs[lo + 1] * frac if frac else 0)
+        assert row[col] == int(expect * den), (col, row[col], expect)
+
+
+def test_exact_percentiles_edges(spark):
+    from timeseriesfuser_spark.ops.timeseries import exact_percentiles
+
+    # single value: every percentile is that value
+    df = _mk_series(spark, [7.0])
+    row = exact_percentiles(
+        df, ((0, 1), (1, 2), (1, 1)),
+        group_col="event_type", value_col="value",
+    ).collect()[0]
+    assert row["p0_1_x1"] == 700
+    assert row["p1_2_x2"] == 1400
+    assert row["p1_1_x1"] == 700
+    # p0 / p100 are min / max
+    df2 = _mk_series(spark, [5.0, 1.0, 9.0])
+    row2 = exact_percentiles(
+        df2, ((0, 1), (1, 1)),
+        group_col="event_type", value_col="value",
+    ).collect()[0]
+    assert row2["p0_1_x1"] == 100 and row2["p1_1_x1"] == 900
+    with pytest.raises(ValueError):
+        exact_percentiles(df, ((3, 2),))

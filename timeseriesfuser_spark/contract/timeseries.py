@@ -1086,3 +1086,49 @@ def q_seasonal_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts", key_col="event_type", value_col="value",
         seq_col="event_id",
     )
+
+
+def _pctl_case(num: int, den: int) -> str:
+    # frac carries its OWN parens: `v * frac` must not rebind as
+    # `(v * ...) % den` (multiplication and modulo share precedence)
+    lo = f"(({num} * (n - 1)) // {den} + 1)"
+    frac = f"(({num} * (n - 1)) % {den})"
+    return (
+        f"CAST(sum(CASE WHEN rn = {lo} THEN v * ({den} - {frac}) "
+        f"WHEN {frac} > 0 AND rn = {lo} + 1 THEN v * {frac} END) "
+        f"AS BIGINT) AS p{num}_{den}_x{den}"
+    )
+
+
+@register(
+    "value_percentiles_by_type",
+    oracle=f"""
+    WITH v AS (
+        SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    nr AS (SELECT g, count(*) AS n FROM v GROUP BY g),
+    r AS (SELECT g, v,
+                 row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+          FROM v),
+    j AS (SELECT r.g, r.v, r.rn, nr.n FROM r JOIN nr ON r.g = nr.g)
+    SELECT g AS event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           {_pctl_case(1, 2)},
+           {_pctl_case(9, 10)},
+           {_pctl_case(99, 100)}
+    FROM j GROUP BY g
+    """,
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type percentiles (ops.timeseries.exact_percentiles):
+    the linear-interpolation p50/p90/p99 of cent values as EXACT scaled
+    integers — den·Q_p = x_(lo+1)·(den−frac) + x_(lo+2)·frac with
+    lo/frac from integer division of num·(n−1) by den (the
+    doubled-median trick generalized to any rational p). Every output
+    BIGINT; one rank window per group; no float anywhere."""
+    ev = _events(spark, sf_dir)
+    return TS.exact_percentiles(
+        ev, ((1, 2), (9, 10), (99, 100)),
+        group_col="event_type", value_col="value",
+    )

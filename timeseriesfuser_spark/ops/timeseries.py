@@ -1477,3 +1477,67 @@ def seasonal_naive_error(
         (F.col("sum_abs_err").cast("double") / n).alias("mae_cents"),
         (F.col("sum_err").cast("double") / n).alias("bias_cents"),
     )
+
+
+def exact_percentiles(
+    df: DataFrame,
+    percentiles: "Sequence[tuple]" = ((1, 2), (9, 10), (99, 100)),
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    cache: bool = True,
+) -> DataFrame:
+    """EXACT per-group percentiles as scaled integers — the
+    linear-interpolation quantile (numpy/DuckDB 'linear' convention)
+    with NO float ever computed: for p = num/den on the ascending
+    order statistics x_1..x_n, the index p·(n−1) splits into
+    lo = (num·(n−1)) DIV den and frac_den = (num·(n−1)) MOD den, and
+
+        den · Q_p  =  x_{lo+1}·(den − frac) + x_{lo+2}·frac
+
+    is an exact integer (the doubled-median trick generalized to any
+    rational p). Output one BIGINT column per percentile, named
+    ``p{num}_{den}_x{den}`` (e.g. ``p9_10_x10`` = 10× the p90) — divide
+    by den to read the value; compare cross-engine without any float
+    hazard. Default set: median ×2, p90 ×10, p99 ×100.
+
+    Scale: ONE rank window per group (the sort is the honest cost of
+    exact order statistics — `value_equal_depth_bins` is the
+    approximate screen), then one conditional-sum aggregation selecting
+    the two bracketing order stats per percentile. ``cache`` persists
+    the 2-column projection feeding both the count join and the rank
+    window (the resample_last_interval contract).
+    """
+    ps = [(int(a), int(b)) for a, b in percentiles]
+    for num, den in ps:
+        if not (0 <= num <= den and den >= 1):
+            raise ValueError(f"percentile {num}/{den} not in [0, 1]")
+    from pyspark import StorageLevel
+
+    gcol = F.col(group_col)
+    v = _cents(value_col)
+    base = df.filter(
+        F.col(value_col).isNotNull() & gcol.isNotNull()
+    ).select(gcol.alias("__g"), v.alias("__v"))
+    if cache:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    cnt = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    w = Window.partitionBy("__g").orderBy("__v")
+    rn = base.join(F.broadcast(cnt), "__g").withColumn(
+        "__rn", F.row_number().over(w).cast("long")
+    )
+    aggs = [F.max("__n").cast("long").alias("n")]
+    for num, den in ps:
+        lo = F.expr(f"CAST({num} * (__n - 1) DIV {den} AS BIGINT)") + 1
+        frac = F.expr(f"CAST({num} * (__n - 1) % {den} AS BIGINT)")
+        contrib = F.when(
+            F.col("__rn") == lo, F.col("__v") * (F.lit(den) - frac)
+        ).when(
+            (frac > 0) & (F.col("__rn") == lo + 1), F.col("__v") * frac
+        )
+        aggs.append(
+            F.sum(contrib).cast("long").alias(f"p{num}_{den}_x{den}")
+        )
+    return rn.groupBy("__g").agg(*aggs).withColumnRenamed("__g", group_col)
