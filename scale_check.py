@@ -320,6 +320,18 @@ def run(spark, n: int, only=None) -> dict:
             group_col="user_id", value_col="value", k=3,
         ),
     )
+    from timeseriesfuser_spark.ops.timeseries import (
+        exact_percentiles as _pctop,
+    )
+
+    # exact p50/p90/p99 over 10k user groups (one rank window)
+    t(
+        "exact_percentiles",
+        _pctop(
+            ev.select("user_id", "value"),
+            group_col="user_id", value_col="value",
+        ),
+    )
     t(
         "acf_7lag",
         _acfop(
