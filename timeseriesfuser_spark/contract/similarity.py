@@ -572,3 +572,135 @@ def q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = tagged.filter(F.col("lang") == "en")
     out = bitext_mine(de, en, k=1)
     return out.withColumn("block", F.col("block").cast("long"))
+
+
+def _ivf_pq_oracle_sql(query_pred: str, k: int) -> str:
+    """IVF-ADC top-k oracle (shared by ivf_pq_search and pq_recall so the
+    recall audit can't drift from the index it grades): cosine centroid
+    routing (the similarity_ivf CTE shape), integer-argmin PQ codes (the
+    pq_codes CTE shape), exact integer ADC table-lookup sums."""
+    route = """
+        SELECT nv.vec_id, cents.centroid_id,
+               row_number() OVER (
+                   PARTITION BY nv.vec_id
+                   ORDER BY CASE WHEN cents.cn > 0 AND nv.n > 0
+                                 THEN CAST(list_aggregate([nv.v[i] * cents.cv[i] FOR i IN range(1, len(nv.v) + 1)], 'sum') AS DOUBLE)
+                                      / (sqrt(nv.n) * sqrt(cents.cn))
+                                 ELSE 0.0 END DESC, cents.centroid_id) AS rk
+        FROM nv CROSS JOIN cents"""
+    sub_of = (
+        f"unnest([struct_pack(sub := j, sv := v[j*{_PQ_DSUB}+1:(j+1)*{_PQ_DSUB}])"
+        f" FOR j IN range(0, {_PQ_M})], recursive := true)"
+    )
+    return f"""
+    WITH vecs AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+    nv AS (SELECT vec_id, v, {_NORM} AS n FROM vecs),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv, n AS cn FROM nv
+              ORDER BY vec_id LIMIT {_NC}),
+    c_assign AS (SELECT vec_id AS neighbor_id, centroid_id
+                 FROM ({route}) WHERE rk <= 1),
+    q_probe AS (SELECT vec_id AS query_id, centroid_id
+                FROM ({route} WHERE {query_pred}) WHERE rk <= {_NP}),
+    seeds AS (SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS code
+              FROM nv ORDER BY vec_id LIMIT {_PQ_K}),
+    cb AS (SELECT code,
+                  unnest([struct_pack(sub := j,
+                                      csv := v[j*{_PQ_DSUB}+1:(j+1)*{_PQ_DSUB}])
+                          FOR j IN range(0, {_PQ_M})], recursive := true)
+           FROM seeds),
+    cex AS (SELECT a.neighbor_id, a.centroid_id, {sub_of}
+            FROM c_assign a JOIN nv ON nv.vec_id = a.neighbor_id),
+    cd AS (SELECT neighbor_id, centroid_id, sub, code,
+                  row_number() OVER (PARTITION BY neighbor_id, sub
+                                     ORDER BY d2, code) AS rn
+           FROM (SELECT e.neighbor_id, e.centroid_id, e.sub, cb.code,
+                        CAST(list_aggregate(
+                            [(e.sv[i] - cb.csv[i]) * (e.sv[i] - cb.csv[i])
+                             FOR i IN range(1, len(e.sv) + 1)], 'sum') AS BIGINT) AS d2
+                 FROM cex e JOIN cb ON e.sub = cb.sub)),
+    codes AS (SELECT neighbor_id, centroid_id, sub, code FROM cd WHERE rn = 1),
+    qex AS (SELECT nv.vec_id AS query_id, {sub_of}
+            FROM nv WHERE {query_pred}),
+    adc AS (SELECT e.query_id, e.sub, cb.code,
+                   CAST(list_aggregate(
+                       [(e.sv[i] - cb.csv[i]) * (e.sv[i] - cb.csv[i])
+                        FOR i IN range(1, len(e.sv) + 1)], 'sum') AS BIGINT) AS qd2
+            FROM qex e JOIN cb ON e.sub = cb.sub),
+    cand AS (SELECT p.query_id, c.neighbor_id, c.sub, c.code
+             FROM q_probe p JOIN codes c USING (centroid_id)
+             WHERE p.query_id != c.neighbor_id),
+    s AS (SELECT query_id, neighbor_id, sum(qd2) AS adc_d2
+          FROM cand JOIN adc USING (query_id, sub, code)
+          GROUP BY query_id, neighbor_id)
+    SELECT query_id, neighbor_id, CAST(adc_d2 AS BIGINT) AS adc_d2,
+           rn AS rank
+    FROM (SELECT query_id, neighbor_id, adc_d2,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_d2, neighbor_id) AS rn
+          FROM s)
+    WHERE rn <= {k}
+    """
+
+
+@register("ivf_pq_search", oracle=_ivf_pq_oracle_sql("nv.vec_id < 10", 5))
+def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC search (ops.similarity.ivf_pq_topk): probe nprobe inverted
+    lists, score candidates by exact-integer PQ asymmetric distance (the
+    m-term codebook table-lookup sum) — the billion-vector serving shape
+    where the corpus is m bytes per vector and never shuffles on a data
+    key. Deterministic stub training (lowest-id centroids/codebooks)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_pq_topk(
+        emb, queries, k=5, n_centroids=_NC, nprobe=_NP, m=_PQ_M, pq_k=_PQ_K,
+        id_col="vec_id", vec_col="embedding",
+    )
+
+
+@register(
+    "pq_recall",
+    # Embeds the exact and IVF-ADC oracles as CTEs (the ann_recall
+    # pattern) so the audit can't drift from the operators it grades.
+    oracle=f"""
+    WITH ex AS ({ORACLES["similarity_topk"]}),
+    ap AS ({_ivf_pq_oracle_sql("nv.vec_id < 10", 5)}),
+    hits AS (SELECT ex.query_id, count(*) AS c
+             FROM ex JOIN ap ON ex.query_id = ap.query_id
+                            AND ex.neighbor_id = ap.neighbor_id
+             GROUP BY ex.query_id),
+    base AS (SELECT query_id, count(*) AS n FROM ex GROUP BY query_id)
+    SELECT base.query_id,
+           CAST(n AS BIGINT) AS n_exact,
+           CAST(coalesce(c, 0) AS BIGINT) AS n_hit,
+           CAST(coalesce(c, 0) * 1000000 // n AS BIGINT) AS recall_ppm
+    FROM base LEFT JOIN hits USING (query_id)
+    """,
+)
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF-ADC index vs exact brute-force top-k — the
+    compression-loss audit PQ deployments run before shipping a codebook
+    (ADC distances are approximate even within the probed lists, so this
+    is a strictly harder test than ann_recall's IVF-only routing loss)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(
+        emb, queries, k=5, id_col="vec_id", vec_col="embedding"
+    ).select("query_id", "neighbor_id")
+    approx = S.ivf_pq_topk(
+        emb, queries, k=5, n_centroids=_NC, nprobe=_NP, m=_PQ_M, pq_k=_PQ_K,
+        id_col="vec_id", vec_col="embedding",
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.col("__n").cast("long").alias("n_exact"),
+        F.coalesce("__c", F.lit(0)).cast("long").alias("n_hit"),
+        F.expr("coalesce(__c, 0) * 1000000 DIV __n").cast("long").alias(
+            "recall_ppm"
+        ),
+    )

@@ -873,3 +873,182 @@ def bitext_mine(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    pq_k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF-ADC search (Jégou et al., PQ for nearest neighbor search): the
+    composition that serves billion-vector ANN — probe the ``nprobe``
+    nearest inverted lists only (IVF), then score candidates by PQ
+    asymmetric distance: each corpus vector is its m-byte code, each query
+    precomputes an m×pq_k table of exact integer subspace distances, and
+    the approximate distance is the m-term table-lookup sum.
+
+    Deterministic stub training (the :func:`ivf_cosine_topk` /
+    :func:`pq_codes` convention): centroids = ``n_centroids`` lowest-id
+    corpus vectors, codebooks = ``pq_k`` lowest-id corpus vectors split
+    into ``m`` subspaces; swap in trained relations for production — the
+    plan shape is identical.
+
+    Output: (query_id, neighbor_id, adc_d2, rank) where ``adc_d2`` is the
+    EXACT integer ADC distance in quantized units² (rank ascending,
+    ties → lowest neighbor_id).
+
+    Scale (100 TB posture): the corpus fans out ×m (constant) to compute
+    codes against a BROADCAST codebook, joins a BROADCAST probe map and a
+    BROADCAST Q·m·pq_k ADC table, and aggregates once on
+    (query, neighbor) — the corpus never shuffles on a data-dependent key,
+    and the final top-k window is WindowGroupLimit-bounded. Corpus scan
+    cost is the inverted-list fraction (~nprobe/n_centroids) of the
+    brute-force product, with per-candidate work O(m) lookups instead of
+    O(dim) multiplies.
+    """
+    if m <= 0 or pq_k <= 0 or k <= 0:
+        raise ValueError("m, pq_k and k must be positive")
+
+    c = spread_small_input(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        quantized(F.col(vec_col), scale).alias("__cv"),
+    ).withColumn("__cn", _sq_norm(F.col("__cv")))
+    dim_row = c.select(F.size("__cv").alias("d")).first()
+    if dim_row is None:
+        return c.select(
+            F.lit(None).cast("long").alias("query_id"),
+            F.lit(None).cast("long").alias("neighbor_id"),
+            F.lit(None).cast("long").alias("adc_d2"),
+            F.lit(None).cast("long").alias("rank"),
+        ).limit(0)
+    dim = dim_row["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+
+    cents = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            quantized(F.col(vec_col), scale).alias("__ctv"),
+        )
+        .withColumn("__ctn", _sq_norm(F.col("__ctv")))
+    )
+
+    def nearest(df: DataFrame, idname: str, vecname: str, nname: str, keep: int):
+        # cosine centroid routing — the ivf_cosine_topk convention, so the
+        # two indexes route identically and share oracle CTEs.
+        dot = _dot(F.col(vecname), F.col("__ctv")).cast("double")
+        cos = F.when(
+            (F.col("__ctn") > 0) & (F.col(nname) > 0),
+            dot / (F.sqrt(F.col(nname)) * F.sqrt(F.col("__ctn"))),
+        ).otherwise(F.lit(0.0))
+        w = Window.partitionBy(idname).orderBy(
+            F.desc("__ccos"), F.asc("centroid_id")
+        )
+        return (
+            df.join(F.broadcast(cents))
+            .withColumn("__ccos", cos)
+            .withColumn("__crk", F.row_number().over(w))
+            .filter(F.col("__crk") <= keep)
+            .select(idname, "centroid_id", vecname)
+        )
+
+    def subspaces(vcol, out):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.slice(vcol, j * dsub + 1, dsub).alias(out),
+                    )
+                    for j in range(m)
+                ]
+            )
+        )
+
+    seed_ids = [
+        r["id"]
+        for r in corpus.select(F.col(id_col).alias("id"))
+        .orderBy("id")
+        .limit(pq_k)
+        .collect()
+    ]
+    code_of = F.map_from_arrays(
+        F.array(*[F.lit(i) for i in seed_ids]),
+        F.array(*[F.lit(cd) for cd in range(len(seed_ids))]),
+    )
+    cb = (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            quantized(F.col(vec_col), scale).alias("__cbv"),
+        )
+        .filter(F.col("cid").isin(seed_ids))
+        .withColumn("code", F.element_at(code_of, F.col("cid")))
+        .select("code", subspaces(F.col("__cbv"), "csv").alias("__cs"))
+        .select("code", F.col("__cs.sub").alias("sub"), F.col("__cs.csv").alias("csv"))
+    )
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # Corpus side: IVF list + per-subspace code (integer argmin, tie →
+    # lowest code — the pq_codes convention).
+    c_assigned = nearest(c, "neighbor_id", "__cv", "__cn", 1)
+    codes = (
+        c_assigned.select(
+            "neighbor_id", "centroid_id", subspaces(F.col("__cv"), "sv").alias("__s")
+        )
+        .select(
+            "neighbor_id", "centroid_id",
+            F.col("__s.sub").alias("sub"), F.col("__s.sv").alias("sv"),
+        )
+        .join(F.broadcast(cb), "sub")
+        .withColumn("__d2", d2(F.col("sv"), F.col("csv")))
+        .groupBy("neighbor_id", "centroid_id", "sub")
+        .agg(
+            F.min(
+                F.struct(F.col("__d2").alias("d2"), F.col("code").alias("code"))
+            )["code"].alias("code")
+        )
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantized(F.col(vec_col), scale).alias("__qv"),
+    ).withColumn("__qn", _sq_norm(F.col("__qv")))
+    q_probed = nearest(q, "query_id", "__qv", "__qn", nprobe).select(
+        "query_id", "centroid_id"
+    )
+    # ADC tables: one exact integer subspace distance per (query, sub, code).
+    adc = (
+        q.select("query_id", subspaces(F.col("__qv"), "qsv").alias("__s"))
+        .select("query_id", F.col("__s.sub").alias("sub"), F.col("__s.qsv").alias("qsv"))
+        .join(F.broadcast(cb), "sub")
+        .select("query_id", "sub", "code", d2(F.col("qsv"), F.col("csv")).alias("qd2"))
+    )
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    return (
+        codes.join(F.broadcast(q_probed), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(adc), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd2").cast("long").alias("adc_d2"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
+    )
