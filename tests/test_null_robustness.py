@@ -67,6 +67,10 @@ QUERIES = [
     "acf_value_1d",
     "robust_outlier_summary",
     "seasonal_error_7d",
+    # round-12: NULL-user touches/conversions excluded on both sides;
+    # NULL-value purchase keeps its row with NULL cents
+    "attribution_last_click",
+    "attribution_linear",
 ]
 
 TABLES = [

@@ -136,3 +136,91 @@ def test_pq_recall_bounds(spark):
     for r in rows:
         assert 0 <= r["n_hit"] <= r["n_exact"] == 5
         assert r["recall_ppm"] == r["n_hit"] * 1_000_000 // 5
+
+
+# --------------------------------------------------------------------------- #
+# attribution
+# --------------------------------------------------------------------------- #
+
+from timeseriesfuser_spark.ops.behavior import attribute_conversions
+
+
+def _attr_frames(spark):
+    tch = spark.createDataFrame(
+        [
+            # user 1: two touches inside the window, one outside
+            (10, 1_000, 1, "click"),
+            (11, 5_000, 1, "view"),
+            (12, 100_000, 1, "click"),   # after the conversion
+            # user 2: tie on ts — highest touch_id wins last_touch
+            (20, 7_000, 2, "click"),
+            (21, 7_000, 2, "view"),
+            # user 3: touch exactly at conv_ts (inclusive)
+            (30, 9_000, 3, "click"),
+            # null user: must be excluded
+            (40, 1_000, None, "click"),
+        ],
+        "touch_id long, touch_ts long, user_id long, channel string",
+    )
+    cnv = spark.createDataFrame(
+        [
+            (100, 9_000, 1, 500),
+            (200, 7_500, 2, 300),
+            (300, 9_000, 3, 700),
+            (400, 50_000, 4, 900),   # no touches at all
+            (500, 9_000, None, 100), # null user: excluded entirely
+        ],
+        "conv_id long, conv_ts long, user_id long, cents long",
+    )
+    return tch, cnv
+
+
+def test_attribution_last_touch(spark):
+    tch, cnv = _attr_frames(spark)
+    out = attribute_conversions(
+        tch, cnv, lookback_ms=8_000, model="last_touch", chunk_ms=1_000
+    )
+    rows = {r["conv_id"]: r for r in out.collect()}
+    assert set(rows) == {100, 200, 300, 400}
+    assert rows[100]["touch_id"] == 11 and rows[100]["n_touches"] == 2
+    assert rows[200]["touch_id"] == 21  # ts tie -> highest touch_id
+    assert rows[300]["touch_id"] == 30  # inclusive upper bound
+    assert rows[400]["touch_id"] is None and rows[400]["credit_ppm"] == 0
+    assert all(
+        r["credit_ppm"] == 1_000_000 for c, r in rows.items() if c != 400
+    )
+
+
+def test_attribution_first_touch_and_linear(spark):
+    tch, cnv = _attr_frames(spark)
+    first = attribute_conversions(
+        tch, cnv, lookback_ms=8_000, model="first_touch", chunk_ms=1_000
+    )
+    rows = {r["conv_id"]: r for r in first.collect()}
+    assert rows[100]["touch_id"] == 10
+    assert rows[200]["touch_id"] == 20  # ts tie -> lowest touch_id
+    lin = attribute_conversions(
+        tch, cnv, lookback_ms=8_000, model="linear",
+        include_unattributed=False, cache=False, chunk_ms=1_000,
+    )
+    lrows = [r for r in lin.collect() if r["conv_id"] == 100]
+    assert len(lrows) == 2
+    assert all(r["credit_ppm"] == 500_000 and r["n_touches"] == 2 for r in lrows)
+    # unattributed conversions are absent in this form
+    assert lin.filter(F.col("conv_id") == 400).count() == 0
+
+
+def test_attribution_rejects_unknown_model(spark):
+    tch, cnv = _attr_frames(spark)
+    with pytest.raises(ValueError, match="model"):
+        attribute_conversions(tch, cnv, lookback_ms=1, model="u_shaped")
+
+
+def test_attribution_plan_gate(spark):
+    """The window match must be the chunked equi-join — no nested-loop /
+    cartesian join anywhere in the plan."""
+    plan = formatted_plan(
+        contract.QUERIES["attribution_last_click"](spark, SF)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

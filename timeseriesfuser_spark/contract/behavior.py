@@ -365,3 +365,134 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                  out.nk == F.col("n_nationkey"))
         .select("n_name", "n", "total", "gini_ppm", "hhi_ppm")
     )
+
+
+_ATTR_LB = 24 * 3_600_000  # 24h lookback
+
+
+def _attribution_pairs_sql() -> str:
+    """Shared in-window (conversion, touch) candidate CTE text: clicks and
+    views are touches, purchases convert, window = trailing 24h
+    inclusive on both ends (the Spark side's [conv−lb, conv+1) half-open
+    interval)."""
+    return f"""
+    tch AS (SELECT event_id AS touch_id, epoch_ms(ts) AS touch_ts,
+                   user_id, event_type AS channel
+            FROM events
+            WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL),
+    cnv AS (SELECT event_id AS conv_id, epoch_ms(ts) AS conv_ts, user_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+            WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+    pairs AS (
+        SELECT c.user_id, c.conv_id, c.conv_ts, c.cents,
+               t.touch_id, t.touch_ts, t.channel
+        FROM cnv c JOIN tch t
+          ON t.user_id = c.user_id
+         AND t.touch_ts >= c.conv_ts - {_ATTR_LB}
+         AND t.touch_ts <= c.conv_ts
+    )"""
+
+
+def _attr_inputs(spark: SparkSession, sf_dir: str):
+    ev = _events(spark, sf_dir)
+    tch = ev.filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("ts").alias("touch_ts"),
+        "user_id",
+        F.col("event_type").alias("channel"),
+    )
+    cnv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return tch, cnv
+
+
+_ATTR_COLS = """
+    SELECT user_id, conv_id, CAST(conv_ts AS BIGINT) AS conv_ts, cents,
+           CAST(touch_id AS BIGINT) AS touch_id,
+           CAST(touch_ts AS BIGINT) AS touch_ts, channel,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(credit_ppm AS BIGINT) AS credit_ppm"""
+
+
+@register(
+    "attribution_last_click",
+    oracle=f"""
+    WITH {_attribution_pairs_sql()},
+    ranked AS (
+        SELECT *, count(*) OVER (PARTITION BY user_id, conv_id) AS n_touches,
+               row_number() OVER (PARTITION BY user_id, conv_id
+                                  ORDER BY touch_ts DESC, touch_id DESC) AS rk
+        FROM pairs
+    ),
+    won AS (SELECT user_id, conv_id, conv_ts, cents, touch_id, touch_ts,
+                   channel, n_touches, 1000000 AS credit_ppm
+            FROM ranked WHERE rk = 1),
+    unattr AS (
+        SELECT c.user_id, c.conv_id, c.conv_ts, c.cents,
+               NULL AS touch_id, NULL AS touch_ts, NULL AS channel,
+               0 AS n_touches, 0 AS credit_ppm
+        FROM cnv c ANTI JOIN pairs p
+          ON p.user_id = c.user_id AND p.conv_id = c.conv_id
+    )
+    {_ATTR_COLS} FROM won
+    UNION ALL
+    {_ATTR_COLS} FROM unattr
+    """,
+)
+def q_attribution_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (ops.behavior.attribute_conversions): every
+    purchase credited to the user's latest click/view in the trailing 24h
+    (epoch-chunked interval_join — never a per-user nested loop);
+    conversions with no in-window touch kept as unattributed audit rows."""
+    from timeseriesfuser_spark.ops.behavior import attribute_conversions
+
+    tch, cnv = _attr_inputs(spark, sf_dir)
+    out = attribute_conversions(
+        tch, cnv, lookback_ms=_ATTR_LB, model="last_touch"
+    )
+    return out.select(
+        "user_id", "conv_id", "conv_ts", "cents", "touch_id", "touch_ts",
+        "channel", "n_touches", "credit_ppm",
+    )
+
+
+@register(
+    "attribution_linear",
+    oracle=f"""
+    WITH {_attribution_pairs_sql()},
+    credited AS (
+        SELECT *, count(*) OVER (PARTITION BY user_id, conv_id) AS n_touches
+        FROM pairs
+    )
+    SELECT user_id, conv_id, CAST(conv_ts AS BIGINT) AS conv_ts, cents,
+           CAST(touch_id AS BIGINT) AS touch_id,
+           CAST(touch_ts AS BIGINT) AS touch_ts, channel,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(1000000 // n_touches AS BIGINT) AS credit_ppm
+    FROM credited
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every in-window touch shares the
+    conversion equally (credit_ppm = 1e6 DIV n, exact integer — no float
+    credit drift when re-aggregated per channel). One interval_join + one
+    count window; unattributed conversions excluded (the per-channel
+    rollup reads credited rows only)."""
+    from timeseriesfuser_spark.ops.behavior import attribute_conversions
+
+    tch, cnv = _attr_inputs(spark, sf_dir)
+    out = attribute_conversions(
+        tch, cnv, lookback_ms=_ATTR_LB, model="linear",
+        include_unattributed=False, cache=False,
+    )
+    return out.select(
+        "user_id", "conv_id", "conv_ts", "cents", "touch_id", "touch_ts",
+        "channel", "n_touches", "credit_ppm",
+    )

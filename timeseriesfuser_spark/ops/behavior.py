@@ -466,3 +466,114 @@ def concentration_stats(
         gini.alias("gini_ppm"),
         hhi.alias("hhi_ppm"),
     )
+
+
+def attribute_conversions(
+    touches: DataFrame,
+    conversions: DataFrame,
+    *,
+    lookback_ms: int,
+    model: str = "last_touch",
+    user_col: str = "user_id",
+    touch_ts_col: str = "touch_ts",
+    conv_ts_col: str = "conv_ts",
+    touch_id_col: str = "touch_id",
+    conv_id_col: str = "conv_id",
+    include_unattributed: bool = True,
+    chunk_ms: int = 3_600_000,
+    cache: bool = True,
+) -> DataFrame:
+    """Marketing-attribution join: credit each conversion to the touch
+    event(s) of the same user inside the trailing ``lookback_ms`` window
+    (``conv_ts − lookback ≤ touch_ts ≤ conv_ts``).
+
+    ``model``:
+    - ``last_touch`` / ``first_touch`` — the winning touch gets
+      ``credit_ppm = 1_000_000`` (latest/earliest ts, ties → highest/
+      lowest ``touch_id``);
+    - ``linear`` — every in-window touch gets
+      ``credit_ppm = 1_000_000 DIV n_touches``.
+
+    Output: one row per credited (conversion, touch) with all touch/
+    conversion payload columns, ``n_touches`` and ``credit_ppm``; with
+    ``include_unattributed`` (default), conversions with no in-window
+    touch are kept with NULL touch columns, ``n_touches = 0``,
+    ``credit_ppm = 0`` — the audit-complete form (every conversion
+    appears exactly once under last/first touch).
+
+    NULL handling: rows with a NULL ``user_col`` on either side are
+    excluded (attribution is keyed on the user; an unidentifiable
+    conversion can't be credited) — filter upstream if other semantics
+    are wanted. Non-key column names must be disjoint across the two
+    inputs (the ``interval_join`` contract).
+
+    Scale (100 TB posture): the window match is the epoch-chunked
+    ``operators.rangejoin.interval_join`` — an equi-join on
+    (user, time-chunk), never a per-user nested loop — followed by one
+    window over (user, conversion) whose partition size is the
+    conversion's in-window touch count. ``cache`` persists the matched
+    pairs relation (MEMORY_AND_DISK, evictable) because the
+    unattributed remainder anti-joins against it — the multi-consumer
+    contract of ``bloom_prefilter``; pass ``cache=False`` if
+    ``include_unattributed=False`` or the caller persists.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window as W
+
+    from timeseriesfuser_spark.operators.rangejoin import interval_join
+
+    if model not in ("last_touch", "first_touch", "linear"):
+        raise ValueError(f"unknown attribution model: {model!r}")
+
+    t = touches.filter(F.col(user_col).isNotNull())
+    c = conversions.filter(F.col(user_col).isNotNull())
+    iv = c.withColumn(
+        "__start", F.col(conv_ts_col).cast("long") - F.lit(int(lookback_ms))
+    ).withColumn("__end", F.col(conv_ts_col).cast("long") + F.lit(1))
+    pairs = interval_join(
+        t,
+        iv,
+        point_ts=touch_ts_col,
+        start_col="__start",
+        end_col="__end",
+        keys=[user_col],
+        chunk_ms=chunk_ms,
+    ).drop("__start", "__end")
+    if cache and include_unattributed:
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    part = W.partitionBy(user_col, conv_id_col)
+    n = F.count(F.lit(1)).over(part).cast("long")
+    if model == "linear":
+        out = pairs.withColumn("n_touches", n).withColumn(
+            "credit_ppm", F.expr("1000000 DIV n_touches").cast("long")
+        )
+    else:
+        order = (
+            [F.col(touch_ts_col).desc(), F.col(touch_id_col).desc()]
+            if model == "last_touch"
+            else [F.col(touch_ts_col).asc(), F.col(touch_id_col).asc()]
+        )
+        w = part.orderBy(*order)
+        out = (
+            pairs.withColumn("n_touches", n)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+            .withColumn("credit_ppm", F.lit(1_000_000).cast("long"))
+        )
+    if not include_unattributed:
+        return out
+
+    touch_cols = [col for col in touches.columns if col != user_col]
+    un = c.join(
+        pairs.select(user_col, conv_id_col).distinct(),
+        on=[user_col, conv_id_col],
+        how="left_anti",
+    )
+    for col in touch_cols:
+        un = un.withColumn(col, F.lit(None).cast(dict(touches.dtypes)[col]))
+    un = un.withColumn("n_touches", F.lit(0).cast("long")).withColumn(
+        "credit_ppm", F.lit(0).cast("long")
+    )
+    return out.unionByName(un.select(out.columns))
