@@ -224,3 +224,70 @@ def test_attribution_plan_gate(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------------------------- #
+# rolling active users
+# --------------------------------------------------------------------------- #
+
+from timeseriesfuser_spark.ops.behavior import rolling_active_users
+
+DAY = 86_400_000
+
+
+def test_rolling_active_users_hand_case(spark):
+    ev = spark.createDataFrame(
+        [
+            # day 0: users 1,2 ; day 1: user 1 ; day 4: user 3
+            (1, 0), (2, 10), (1, DAY + 5), (3, 4 * DAY),
+            # dupes within a day collapse
+            (1, 20), (1, DAY + 6),
+            # null user / null ts excluded
+            (None, 0), (9, None),
+        ],
+        "user_id long, ts long",
+    )
+    out = {
+        r["day_start"] // DAY: r
+        for r in rolling_active_users(ev, window_days=3).collect()
+    }
+    assert sorted(out) == [0, 1, 2, 3, 4]
+    assert (out[0]["dau"], out[0]["window_active"]) == (2, 2)
+    assert (out[1]["dau"], out[1]["window_active"]) == (1, 2)
+    assert (out[2]["dau"], out[2]["window_active"]) == (0, 2)
+    # day 3: window = days 1..3 -> user 1 only
+    assert (out[3]["dau"], out[3]["window_active"]) == (0, 1)
+    # day 4: window = days 2..4 -> user 3 only
+    assert (out[4]["dau"], out[4]["window_active"]) == (1, 1)
+    assert out[1]["stickiness_ppm"] == 500_000
+    assert out[2]["stickiness_ppm"] == 0
+
+
+def test_rolling_active_users_dead_zone_null_stickiness(spark):
+    ev = spark.createDataFrame(
+        [(1, 0), (2, 10 * DAY)], "user_id long, ts long"
+    )
+    rows = {
+        r["day_start"] // DAY: r
+        for r in rolling_active_users(ev, window_days=2).collect()
+    }
+    # days 2..9 have an empty trailing window -> NULL stickiness
+    assert rows[5]["window_active"] == 0
+    assert rows[5]["stickiness_ppm"] is None
+    with pytest.raises(ValueError, match="positive"):
+        rolling_active_users(ev, window_days=0)
+
+
+def test_rolling_active_users_plan_gate(spark):
+    """The corpus collapses to the (user, day) grain first; the trailing
+    distinct is the exploded-grain agg — no per-day corpus rescan, no
+    cartesian, exactly one events scan."""
+    import re
+
+    plan = formatted_plan(contract.QUERIES["dau_stickiness_7d"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # the persisted (user, day) grain serves all three consumers: ONE
+    # parquet scan + InMemoryTableScans, never three corpus scans
+    scan_ids = set(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert len(scan_ids) == 1
+    assert "InMemoryTableScan" in plan

@@ -496,3 +496,37 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "conv_id", "conv_ts", "cents", "touch_id", "touch_ts",
         "channel", "n_touches", "credit_ppm",
     )
+
+
+@register(
+    "dau_stickiness_7d",
+    oracle=f"""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, user_id FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    ud AS (SELECT DISTINCT user_id, {_fdiv("t", 86_400_000)} AS day FROM ev),
+    spine AS (SELECT unnest(range((SELECT min(day) FROM ud),
+                                  (SELECT max(day) FROM ud) + 1)) AS day),
+    dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+    win AS (SELECT s.day, count(DISTINCT u.user_id) AS window_active
+            FROM spine s JOIN ud u ON u.day BETWEEN s.day - 6 AND s.day
+            GROUP BY s.day)
+    SELECT CAST(s.day * 86400000 AS BIGINT) AS day_start,
+           CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,
+           CAST(coalesce(win.window_active, 0) AS BIGINT) AS window_active,
+           CASE WHEN coalesce(win.window_active, 0) > 0
+                THEN CAST(coalesce(dau.dau, 0) * 1000000
+                          // win.window_active AS BIGINT)
+                END AS stickiness_ppm
+    FROM spine s
+    LEFT JOIN dau ON dau.day = s.day
+    LEFT JOIN win ON win.day = s.day
+    """,
+)
+def q_dau_stickiness_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement (ops.behavior.rolling_active_users): per
+    calendar day, DAU, trailing-7-day actives, and DAU/WAU stickiness in
+    exact ppm. The trailing distinct is the constant-fan-out explode on
+    the (user, day) grain — never a per-day rescan of the corpus."""
+    from timeseriesfuser_spark.ops.behavior import rolling_active_users
+
+    return rolling_active_users(_events(spark, sf_dir), window_days=7)

@@ -577,3 +577,88 @@ def attribute_conversions(
         "credit_ppm", F.lit(0).cast("long")
     )
     return out.unionByName(un.select(out.columns))
+
+
+def rolling_active_users(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 28,
+    day_ms: int = 86_400_000,
+    cache: bool = True,
+) -> DataFrame:
+    """DAU / trailing-window active users / stickiness — the product
+    engagement triple (DAU/MAU when ``window_days=28``).
+
+    For every calendar day in the observed span: ``dau`` = distinct users
+    active that day, ``window_active`` = distinct users active in the
+    trailing ``window_days`` (inclusive of the day), ``stickiness_ppm`` =
+    dau·1e6 DIV window_active (NULL when the trailing window is empty —
+    a dead zone longer than the window). Rows with NULL user or ts are
+    excluded (both engines must drop them identically).
+
+    Scale (100 TB posture): the corpus collapses to the distinct
+    (user, day) grain first (ONE hash-distinct with map-side partial);
+    the trailing-window distinct is NOT a per-day window scan — each
+    user-day explodes to the ``window_days`` window-end days it covers
+    (constant fan-out on the small grain) and one count-distinct agg per
+    day finishes the job. The day spine is arithmetic (sequence over the
+    min/max bounds row — the resample spine idiom), never a scan.
+
+    ``cache``: the (user, day) grain feeds three consumers (bounds, dau,
+    window) and Catalyst re-executes the shared subplan per consumer —
+    tripling the corpus scan. The default persists the grain
+    (MEMORY_AND_DISK, evictable — the ``resample_last_interval``
+    contract); pass ``cache=False`` if the caller persists upstream.
+    """
+    from pyspark import StorageLevel
+
+    if window_days <= 0:
+        raise ValueError(f"window_days must be positive: {window_days}")
+    d = F.lit(int(day_ms))
+    t = F.col(ts_col).cast("long")
+    day = ((t - F.pmod(t, d)) / d).cast("long")
+    ud = (
+        events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("__u"), day.alias("__day"))
+        .distinct()
+    )
+    if cache:
+        ud = ud.persist(StorageLevel.MEMORY_AND_DISK)
+    bounds = ud.groupBy().agg(
+        F.min("__day").alias("__lo"), F.max("__day").alias("__hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("day")
+    )
+    dau = ud.groupBy(F.col("__day").alias("day")).agg(
+        F.countDistinct("__u").alias("dau")
+    )
+    covered = ud.select(
+        "__u",
+        F.explode(
+            F.sequence(F.col("__day"), F.col("__day") + F.lit(window_days - 1))
+        ).alias("day"),
+    )
+    win = covered.groupBy("day").agg(
+        F.countDistinct("__u").alias("window_active")
+    )
+    out = (
+        spine.join(dau, "day", "left")
+        .join(win, "day", "left")
+        .select(
+            (F.col("day") * d).cast("long").alias("day_start"),
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            F.coalesce("window_active", F.lit(0)).cast("long").alias(
+                "window_active"
+            ),
+        )
+    )
+    return out.withColumn(
+        "stickiness_ppm",
+        F.when(
+            F.col("window_active") > 0,
+            F.expr("dau * 1000000 DIV window_active"),
+        ).cast("long"),
+    )
