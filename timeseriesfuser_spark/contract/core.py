@@ -545,7 +545,11 @@ def q_streaming_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_resample_1h: query still running after 300s"
+            )
         if q.exception() is not None:
             raise q.exception()
         return spark.table(name)
