@@ -291,3 +291,87 @@ def test_rolling_active_users_plan_gate(spark):
     scan_ids = set(re.findall(r"\(\d+\) Scan parquet", plan))
     assert len(scan_ids) == 1
     assert "InMemoryTableScan" in plan
+
+
+# --------------------------------------------------------------------------- #
+# shortest hops (multi-source BFS)
+# --------------------------------------------------------------------------- #
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from timeseriesfuser_spark.ops.graph import shortest_hops
+
+_BFS_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _hops_dict(spark, edges, seeds, **kw):
+    e = spark.createDataFrame(edges or [(None, None)], "id_a long, id_b long")
+    s = spark.createDataFrame([(x,) for x in seeds] or [(None,)], "seed long")
+    return {
+        r["id"]: r["hops"] for r in shortest_hops(e, s, **kw).collect()
+    }
+
+
+def test_shortest_hops_path_and_cycle(spark):
+    # path 1-2-3-4 plus cycle 4-5-6-4; disconnected node via edge (8, 9)
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 4), (8, 9)]
+    out = _hops_dict(spark, edges, [1], max_hops=3)
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+    out = _hops_dict(spark, edges, [1], max_hops=10)
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 4}  # early exit, no 8/9
+    # directed: 4->5->6->4 cycle unreachable backwards from 6
+    out = _hops_dict(spark, edges, [6], max_hops=5, directed=True)
+    assert out == {6: 0, 4: 1, 5: 2}
+
+
+def test_shortest_hops_multi_seed_null_and_bounds(spark):
+    edges = [(1, 2), (2, 3), (None, 1), (3, None)]
+    out = _hops_dict(spark, edges, [1, 3], max_hops=1)
+    assert out == {1: 0, 3: 0, 2: 1}
+    out = _hops_dict(spark, edges, [7], max_hops=2)  # isolated seed
+    assert out == {7: 0}
+    assert _hops_dict(spark, edges, [1], max_hops=0) == {1: 0}
+    with pytest.raises(ValueError, match=">= 0"):
+        _hops_dict(spark, edges, [1], max_hops=-1)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)), max_size=40
+    ),
+    seeds=st.sets(st.integers(0, 14), min_size=1, max_size=3),
+    max_hops=st.integers(0, 4),
+)
+@_BFS_SETTINGS
+def test_shortest_hops_vs_python_bfs(spark, edges, seeds, max_hops):
+    got = _hops_dict(spark, edges, sorted(seeds), max_hops=max_hops)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want, frontier = {s: 0 for s in seeds}, set(seeds)
+    for h in range(1, max_hops + 1):
+        frontier = {
+            v for u in frontier for v in adj.get(u, ()) if v not in want
+        }
+        want.update({v: h for v in frontier})
+    assert got == want
+
+
+def test_shortest_hops_cache_hygiene_and_plan(spark):
+    spark.catalog.clearCache()
+    e = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    s = spark.createDataFrame([(1,)], "seed long")
+    out = shortest_hops(e, s, max_hops=2)
+    out.collect()
+    # the edge relation persist is released before return
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty()
+    plan = formatted_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

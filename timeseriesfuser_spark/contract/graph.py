@@ -204,3 +204,51 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from timeseriesfuser_spark.ops.graph import triangle_counts
     return triangle_counts(edges)
+
+
+def _reach_oracle() -> str:
+    from timeseriesfuser_spark.ops.graph import shortest_hops_oracle_sql
+
+    op = (
+        "SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem "
+        "WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL"
+    )
+    inner = shortest_hops_oracle_sql(
+        f"WITH op AS ({op}) SELECT DISTINCT a.p AS id_a, b.p AS id_b "
+        f"FROM op a JOIN op b ON a.o = b.o AND a.p < b.p",
+        f"WITH op AS ({op}) SELECT p FROM (SELECT DISTINCT p FROM op) "
+        f"ORDER BY p LIMIT 3",
+        directed=False,
+        max_hops=2,
+    )
+    return (
+        f"SELECT CAST(id AS BIGINT) AS part_id, hops FROM ({inner})"
+    )
+
+
+@register("copurchase_reach_2hop", oracle=_reach_oracle())
+def q_copurchase_reach_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (ops.graph.shortest_hops): exact shortest hop
+    distance from the 3 smallest part ids over the co-purchase graph,
+    bounded at 2 hops — the recommendation-radius / blast-radius shape
+    (recursive CTE in ANSI SQL; level-synchronous frontier joins with
+    per-level lineage cuts on Spark). The DuckDB oracle is a genuine
+    WITH RECURSIVE — the first in the registry."""
+    from timeseriesfuser_spark.ops.graph import shortest_hops
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    ).select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = (
+        op.alias("a")
+        .join(op.alias("b"),
+              (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
+        .distinct()
+    )
+    seeds = op.select("p").distinct().orderBy("p").limit(3)
+    reach = shortest_hops(edges, seeds, directed=False, max_hops=2)
+    return reach.select(F.col("id").cast("long").alias("part_id"), "hops")
