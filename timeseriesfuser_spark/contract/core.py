@@ -668,3 +668,84 @@ def q_asof_forward_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="forward",
         tolerance_ms=_FWD_TOL,
     )
+
+
+@register(
+    "streaming_sessionize_30m",
+    oracle=f"""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, user_id FROM events),
+    flagged AS (
+        SELECT user_id, t, event_id,
+               CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > {_GAP}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    sess AS (
+        SELECT user_id, t,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_idx
+        FROM flagged
+    ),
+    agg AS (
+        SELECT user_id, session_idx,
+               min(t) AS session_start, max(t) AS session_end,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, session_idx
+    ),
+    last AS (SELECT user_id, max(session_idx) AS mx FROM agg GROUP BY user_id)
+    SELECT a.user_id, a.session_start, a.session_end, a.n_events
+    FROM agg a JOIN last l
+      ON a.user_id IS NOT DISTINCT FROM l.user_id AND a.session_idx < l.mx
+    """,
+)
+def q_streaming_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming through the driver gate
+    (streaming.sessionize_stream, applyInPandasWithState): gap-based
+    sessions with per-key state across micro-batches. Emission contract
+    (stated by the oracle): a session is emitted only when a LATER event
+    closes it — each user's final (still-open) session stays in the
+    state store, so the oracle is the batch sessionization minus every
+    user's last session. State is O(#active users); Arrow-batched."""
+    import tempfile
+    import uuid
+
+    from timeseriesfuser_spark.streaming import sessionize_stream
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_ms = ts_epoch_ms_col(stream, "ts")
+    ev = stream.select(ts_ms.cast("long").alias("__timestamp"), "user_id")
+    closed = sessionize_stream(ev, _GAP, keys=["user_id"])
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="tsf_ckpt_")
+    try:
+        q = (
+            closed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_sessionize_30m: query still running after 300s"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+        sink = spark.table(name)
+        out = spark.createDataFrame(sink.collect(), sink.schema)
+        return out.select(
+            "user_id", "session_start", "session_end",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
