@@ -375,6 +375,61 @@ def run(spark, n: int, only=None) -> dict:
             )
         ),
     )
+    # round-12: rolling engagement (user-day grain ≈ input size here —
+    # the WORST case: every user active ~once/day; fan-out ×7 on top)
+    from timeseriesfuser_spark.ops.behavior import (
+        rolling_active_users as _rauop,
+        attribute_conversions as _attrop,
+    )
+
+    t(
+        "rolling_active_7d",
+        lambda: _rauop(
+            ev.select("user_id", F.col("__timestamp").alias("ts")),
+            window_days=7,
+        ),
+    )
+    # round-12: attribution — 9/10 of events are touches, 1/10
+    # conversions, 2h lookback (chunked interval join, never cartesian)
+    touches = ev.filter(F.col("event_id") % 10 != 0).select(
+        "user_id",
+        F.col("__timestamp").alias("touch_ts"),
+        F.col("event_id").alias("touch_id"),
+        (F.col("event_id") % 5).cast("string").alias("channel"),
+    )
+    convs = ev.filter(F.col("event_id") % 10 == 0).select(
+        "user_id",
+        F.col("__timestamp").alias("conv_ts"),
+        F.col("event_id").alias("conv_id"),
+        (F.col("event_id") % 100).alias("cents"),
+    )
+    t(
+        "attribution_last",
+        lambda: _attrop(
+            touches, convs, lookback_ms=2 * 3_600_000, model="last_touch",
+        ),
+    )
+    # round-12: multi-source BFS over the co-purchase graph (same edge
+    # relation as triangles; frontier saturates the 1M-node graph fast)
+    from timeseriesfuser_spark.ops.graph import shortest_hops as _bfsop
+
+    t(
+        "bfs_3hop",
+        lambda: _bfsop(
+            basket.alias("a")
+            .join(
+                basket.alias("b"),
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias("id_a"),
+                F.col("b.l_partkey").alias("id_b"),
+            ),
+            spark.range(0, 3).select(F.col("id").alias("seed")),
+            max_hops=3,
+        ),
+    )
     return out
 
 

@@ -375,3 +375,59 @@ def test_shortest_hops_cache_hygiene_and_plan(spark):
     plan = formatted_plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------------------------- #
+# TPC-DS Q97: channel overlap
+# --------------------------------------------------------------------------- #
+
+
+def test_q97_overlap_plan_gate(spark):
+    """The canonical FULL OUTER of the oracle must NOT appear: the Spark
+    rewrite collapses both channel CTEs into one grain aggregation —
+    exactly one lineitem scan, one orders scan, no outer join."""
+    import re
+
+    plan = formatted_plan(
+        contract.QUERIES["tpcds_q97_channel_overlap"](spark, SF)
+    )
+    assert "FullOuter" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 1
+    assert len(re.findall(r"orders\.parquet", plan)) == 1
+
+
+def test_q97_overlap_hand_case(spark):
+    li = spark.createDataFrame(
+        [
+            # order 1 (cust 10): part 1 remote only, part 2 both
+            (1, 1, "O"), (1, 2, "O"), (1, 2, "F"),
+            # order 2 (cust 20): part 1 local only
+            (2, 1, "F"),
+            # order 3 (cust 10): part 2 again remote (dup pair collapses)
+            (3, 2, "O"),
+        ],
+        "l_orderkey long, l_partkey long, l_linestatus string",
+    )
+    o = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 10)], "o_orderkey long, o_custkey long"
+    )
+    remote = F.col("l_linestatus") == "O"
+    grain = (
+        li.select("l_orderkey", "l_partkey", remote.alias("rem"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "l_partkey")
+        .agg(
+            F.max(F.col("rem").cast("int")).alias("has_rem"),
+            F.max((~F.col("rem")).cast("int")).alias("has_loc"),
+        )
+    )
+    rows = {
+        (r["o_custkey"], r["l_partkey"]): (r["has_rem"], r["has_loc"])
+        for r in grain.collect()
+    }
+    assert rows == {
+        (10, 1): (1, 0),   # remote only
+        (10, 2): (1, 1),   # both (dup remote collapses)
+        (20, 1): (0, 1),   # local only
+    }

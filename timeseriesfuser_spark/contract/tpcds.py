@@ -1292,3 +1292,62 @@ def q_tpcds_q54_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band_revenue"),
         )
     )
+
+
+@register(
+    "tpcds_q97_channel_overlap",
+    oracle="""
+    WITH rem AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_linestatus = 'O'
+    ),
+    loc AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_linestatus <> 'O'
+    )
+    SELECT CAST(sum(CASE WHEN rem.c IS NOT NULL AND loc.c IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS remote_only,
+           CAST(sum(CASE WHEN rem.c IS NULL AND loc.c IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS local_only,
+           CAST(sum(CASE WHEN rem.c IS NOT NULL AND loc.c IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS both_channels
+    FROM rem FULL OUTER JOIN loc ON rem.c = loc.c AND rem.p = loc.p
+    """,
+)
+def q_tpcds_q97_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q97-shape: the channel-overlap matrix — how many
+    (customer, item) pairs bought remote-only / local-only / via both
+    channels (remote = open linestatus — the derived channel dim, as in
+    the other tri-fact collapses here). The oracle states the
+    canonical form: two per-channel DISTINCT fact CTEs reconciled with a
+    FULL OUTER JOIN. The Spark side is the single-scan rewrite: ONE
+    lineitem scan aggregated straight to the (customer, item) grain
+    with per-channel presence flags (max of a channel indicator — a
+    map-side-combinable agg), then one conditional sum; the full-outer
+    join disappears entirely because both CTEs derive from the same
+    fact. The orders join runs BEFORE the grain collapse (orderkey →
+    custkey is a fact-to-fact equi-join on the join key both tables
+    are naturally clustered by)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    remote = F.col("l_linestatus") == "O"
+    grain = (
+        li.select("l_orderkey", "l_partkey", remote.alias("rem"))
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "l_partkey")
+        .agg(
+            F.max(F.col("rem").cast("int")).alias("has_rem"),
+            F.max((~F.col("rem")).cast("int")).alias("has_loc"),
+        )
+    )
+    return grain.agg(
+        F.sum(((F.col("has_rem") == 1) & (F.col("has_loc") == 0)).cast("int"))
+        .cast("long").alias("remote_only"),
+        F.sum(((F.col("has_rem") == 0) & (F.col("has_loc") == 1)).cast("int"))
+        .cast("long").alias("local_only"),
+        F.sum(((F.col("has_rem") == 1) & (F.col("has_loc") == 1)).cast("int"))
+        .cast("long").alias("both_channels"),
+    )
