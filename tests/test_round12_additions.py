@@ -431,3 +431,72 @@ def test_q97_overlap_hand_case(spark):
         (10, 2): (1, 1),   # both (dup remote collapses)
         (20, 1): (0, 1),   # local only
     }
+
+
+# --------------------------------------------------------------------------- #
+# 2-D Pareto frontier (skyline)
+# --------------------------------------------------------------------------- #
+
+from timeseriesfuser_spark.ops.scale import pareto_frontier_2d
+
+
+def _frontier_ids(spark, pts, **kw):
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "id long, x long, y long"
+    )
+    return sorted(r["id"] for r in pareto_frontier_2d(df, "x", "y", **kw).collect())
+
+
+def test_pareto_frontier_hand_cases(spark):
+    # (1,5) and (3,2) survive; (3,5) dominated by both; (4,2) by (3,2)
+    assert _frontier_ids(spark, [(1, 5), (3, 2), (3, 5), (4, 2)]) == [0, 1]
+    # duplicates of a frontier point all survive
+    assert _frontier_ids(spark, [(1, 1), (1, 1), (2, 2)]) == [0, 1]
+    # same x, smaller y dominates
+    assert _frontier_ids(spark, [(1, 2), (1, 3)]) == [0]
+    # maximize both flips dominance
+    assert _frontier_ids(
+        spark, [(1, 5), (3, 2), (3, 5), (4, 2)], maximize=(True, True)
+    ) == [2, 3]
+
+
+def test_pareto_frontier_nulls_and_single_bucket(spark):
+    df = spark.createDataFrame(
+        [(0, None, 1), (1, 1, None), (2, 2, 2)], "id long, x long, y long"
+    )
+    out = pareto_frontier_2d(df, "x", "y")
+    assert [r["id"] for r in out.collect()] == [2]
+    # num_buckets=1 (no range partitioning) must agree
+    assert _frontier_ids(
+        spark, [(1, 5), (3, 2), (3, 5), (4, 2)], num_buckets=1
+    ) == [0, 1]
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=30,
+    ),
+    nb=st.sampled_from([1, 3, 16]),
+)
+@_BFS_SETTINGS
+def test_pareto_frontier_vs_brute_force(spark, pts, nb):
+    got = _frontier_ids(spark, pts, num_buckets=nb)
+    want = sorted(
+        i
+        for i, (x, y) in enumerate(pts)
+        if not any(
+            (bx <= x and by <= y and (bx < x or by < y)) for bx, by in pts
+        )
+    )
+    assert got == want
+
+
+def test_part_value_frontier_plan_gate(spark):
+    plan = formatted_plan(contract.QUERIES["part_value_frontier"](spark, SF))
+    # the O(n^2) dominance self-join must NOT appear
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # no global single-task window (the point of the bucketed scheme)
+    assert "SinglePartition" not in plan

@@ -1745,3 +1745,42 @@ def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         retained.crossJoin(F.broadcast(churned))
         .crossJoin(F.broadcast(acquired))
     )
+
+
+@register(
+    "part_value_frontier",
+    oracle="""
+    WITH t AS (
+        SELECT p_partkey,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+               CAST(p_size AS BIGINT) AS p_size
+        FROM part
+        WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+    )
+    SELECT a.p_partkey, a.price_cents, a.p_size
+    FROM t a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM t b
+        WHERE b.price_cents <= a.price_cents AND b.p_size <= a.p_size
+          AND (b.price_cents < a.price_cents OR b.p_size < a.p_size)
+    )
+    """,
+)
+def q_part_value_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (ops.scale.pareto_frontier_2d): the parts no other
+    part beats on BOTH price and size — the canonical Pareto/skyline
+    query. The oracle states the O(n²) NOT-EXISTS dominance form; the
+    Spark side is the sorted prefix-min rewrite on the range-bucketed
+    grain (exact_global_rank idiom) — linear work, no self-join, no
+    single-task window. Price in exact integer cents (tpch_q1
+    convention)."""
+    from timeseriesfuser_spark.ops.scale import pareto_frontier_2d
+
+    t = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    return pareto_frontier_2d(t, "price_cents", "p_size").select(
+        "p_partkey", "price_cents", "p_size"
+    )

@@ -419,3 +419,87 @@ def quantile_bins(
         "bin",
         F.expr(f"(global_rank - 1) * {int(k)} DIV {int(total)}").cast("long"),
     )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    maximize: Sequence[bool] = (False, False),
+    num_buckets: Optional[int] = None,
+) -> DataFrame:
+    """Exact 2-D skyline: the rows not dominated on (``x_col``,
+    ``y_col``) — row B dominates A when B is ≤ A on both dimensions and
+    strictly < on at least one (flip a dimension with ``maximize``).
+    Duplicate points dominate nothing, so every copy of a frontier
+    point survives. Rows with a NULL in either dimension are excluded
+    (dominance is undefined on NULL).
+
+    Scale design: the naive skyline is the O(n²) NOT-EXISTS self-join
+    (the oracle's canonical statement). Here it is a prefix-min: sorted
+    by x, a row is dominated iff min(y) over strictly-smaller x is ≤ y,
+    or some same-x row has smaller y. The global prefix-min uses the
+    two-pass range-bucketed idiom (:func:`exact_global_rank` /
+    operators.fill): quantile-range buckets on x (ties never straddle a
+    bucket), a per-bucket window on the distinct-x GRAIN, and a
+    #buckets-sized driver lookup of cross-bucket prefix minima — no
+    single-task global window anywhere. Supports integral/float
+    dimensions (the driver lookup re-emits collected minima as
+    literals).
+    """
+    from pyspark.sql.window import Window
+
+    from timeseriesfuser_spark.operators.fill import _bucket_col
+
+    mx, my_flip = (list(maximize) + [False, False])[:2]
+    rows = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    sx = (-F.col(x_col)).alias("__sx") if mx else F.col(x_col).alias("__sx")
+    sy = (-F.col(y_col)).alias("__sy") if my_flip else F.col(y_col).alias("__sy")
+    rows = rows.select("*", sx, sy)
+
+    spark = df.sparkSession
+    n = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if n > 1:
+        qs = [i / n for i in range(1, n)]
+        bounds = sorted(set(rows.stat.approxQuantile("__sx", qs, 1.0 / (4 * n))))
+    else:
+        bounds = []
+    b = "__sk_bucket"
+    part = rows.withColumn(
+        b, _bucket_col("__sx", bounds) if bounds else F.lit(0)
+    )
+    # Materialize once: the bucket-min collect and the final plan must
+    # see the same rows (the exact_global_rank discipline).
+    part = part.localCheckpoint(eager=True)
+
+    ytype = part.schema["__sy"].dataType
+    bucket_mins = {
+        r[b]: r["m"]
+        for r in part.groupBy(b).agg(F.min("__sy").alias("m")).collect()
+    }
+    prefix, run = [], None
+    for i in range(len(bounds) + 1):
+        prefix.append(run)
+        m = bucket_mins.get(i)
+        if m is not None:
+            run = m if run is None or m < run else run
+    lut = F.array(*[F.lit(v).cast(ytype) for v in prefix])
+
+    gx = part.groupBy(b, "__sx").agg(F.min("__sy").alias("__my"))
+    w = (
+        Window.partitionBy(b)
+        .orderBy("__sx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gx = gx.select(
+        b, "__sx", "__my",
+        F.least(
+            F.min("__my").over(w), F.element_at(lut, F.col(b) + 1)
+        ).alias("__mlt"),
+    )
+    out = part.join(gx, [b, "__sx"])
+    dominated = (
+        F.col("__mlt").isNotNull() & (F.col("__mlt") <= F.col("__sy"))
+    ) | (F.col("__my") < F.col("__sy"))
+    return out.filter(~dominated).drop(b, "__sx", "__sy", "__my", "__mlt")
