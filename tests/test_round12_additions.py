@@ -500,3 +500,36 @@ def test_part_value_frontier_plan_gate(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # no global single-task window (the point of the bucketed scheme)
     assert "SinglePartition" not in plan
+
+
+# --------------------------------------------------------------------------- #
+# conversion-lag percentiles (cents=False path)
+# --------------------------------------------------------------------------- #
+
+from timeseriesfuser_spark.ops.timeseries import exact_percentiles
+
+
+def test_exact_percentiles_cents_flag(spark):
+    # integer inputs: cents=False must use raw values (median of 1,2,10
+    # is 2 -> p50 x2 = 4); cents=True would scale by 100
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 10)], "g string, v long"
+    )
+    raw = exact_percentiles(
+        df, ((1, 2),), group_col="g", value_col="v", cents=False
+    ).collect()[0]
+    assert (raw["n"], raw["p1_2_x2"]) == (3, 4)
+    money = exact_percentiles(
+        df, ((1, 2),), group_col="g", value_col="v"
+    ).collect()[0]
+    assert money["p1_2_x2"] == 400
+
+
+def test_conversion_lag_hand_case(spark):
+    rows = contract.QUERIES["conversion_lag_percentiles"](spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["cohort"] == "all" and r["n"] > 0
+    # scaled percentiles are monotone: 2*p50 <= ... after de-scaling
+    assert r["p1_2_x2"] * 5 <= r["p9_10_x10"]          # p50 <= p90
+    assert r["p9_10_x10"] * 10 <= r["p99_100_x100"]    # p90 <= p99

@@ -530,3 +530,61 @@ def q_dau_stickiness_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timeseriesfuser_spark.ops.behavior import rolling_active_users
 
     return rolling_active_users(_events(spark, sf_dir), window_days=7)
+
+
+def _lag_pctl_oracle() -> str:
+    from timeseriesfuser_spark.contract.timeseries import _pctl_case
+
+    return f"""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, user_id, event_type FROM events
+                WHERE user_id IS NOT NULL),
+    c AS (SELECT user_id, min(t) AS tc FROM ev
+          WHERE event_type = 'click' GROUP BY user_id),
+    p AS (SELECT e.user_id, min(e.t) AS tp, min(c.tc) AS tc
+          FROM ev e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.t > c.tc
+          GROUP BY e.user_id),
+    v AS (SELECT 'all' AS g, tp - tc AS v FROM p),
+    nr AS (SELECT g, count(*) AS n FROM v GROUP BY g),
+    r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+          FROM v),
+    j AS (SELECT r.g, r.v, r.rn, nr.n FROM r JOIN nr ON r.g = nr.g)
+    SELECT g AS cohort, CAST(max(n) AS BIGINT) AS n,
+           {_pctl_case(1, 2)}, {_pctl_case(9, 10)}, {_pctl_case(99, 100)}
+    FROM j GROUP BY g
+    """
+
+
+@register("conversion_lag_percentiles", oracle=_lag_pctl_oracle())
+def q_conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency distribution: for every user whose first 'click'
+    is later followed by a 'purchase', the click→purchase lag in ms —
+    summarized as EXACT p50×2 / p90×10 / p99×100 (exact_percentiles
+    with ``cents=False``: the lag is already an exact integer; the
+    money scaling would be wrong here). The funnel pair uses
+    funnel_counts' strict-sequence semantics (first purchase STRICTLY
+    after the first click). Two user-keyed aggs + one equi-join — the
+    funnel shape; then the percentile rank window runs on the tiny
+    one-row-per-converting-user relation."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    pairs = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"), F.min("tc").alias("tc"))
+    )
+    lags = pairs.select(
+        F.lit("all").alias("cohort"),
+        (F.col("tp") - F.col("tc")).cast("long").alias("lag_ms"),
+    )
+    return TS.exact_percentiles(
+        lags, ((1, 2), (9, 10), (99, 100)),
+        group_col="cohort", value_col="lag_ms", cents=False,
+    )

@@ -1344,7 +1344,10 @@ def robust_outlier_summary(
     from pyspark import StorageLevel
 
     gcol = F.col(group_col)
-    v = _cents(value_col)
+    # cents=True: money convention (round(value*100), the tpch_q1 rule);
+    # cents=False: the column is already an exact integer (durations,
+    # counts) — scale NOTHING, or sub-unit noise corrupts the order stats.
+    v = _cents(value_col) if cents else F.col(value_col).cast("long")
     base = df.filter(
         F.col(value_col).isNotNull() & gcol.isNotNull()
     ).select(gcol.alias("__g"), v.alias("__v"))
@@ -1485,6 +1488,7 @@ def exact_percentiles(
     *,
     group_col: str = "event_type",
     value_col: str = "value",
+    cents: bool = True,
     cache: bool = True,
 ) -> DataFrame:
     """EXACT per-group percentiles as scaled integers — the
@@ -1515,7 +1519,10 @@ def exact_percentiles(
     from pyspark import StorageLevel
 
     gcol = F.col(group_col)
-    v = _cents(value_col)
+    # cents=True: money convention (round(value*100), the tpch_q1 rule);
+    # cents=False: the column is already an exact integer (durations,
+    # counts) — scale NOTHING, or sub-unit noise corrupts the order stats.
+    v = _cents(value_col) if cents else F.col(value_col).cast("long")
     base = df.filter(
         F.col(value_col).isNotNull() & gcol.isNotNull()
     ).select(gcol.alias("__g"), v.alias("__v"))
