@@ -723,6 +723,7 @@ def q_streaming_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed = sessionize_stream(ev, _GAP, keys=["user_id"])
     name = f"ss_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="tsf_ckpt_")
+    q = None
     try:
         q = (
             closed.writeStream.format("memory")
@@ -733,7 +734,6 @@ def q_streaming_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         if not q.awaitTermination(300):
-            q.stop()
             raise TimeoutError(
                 "streaming_sessionize_30m: query still running after 300s"
             )
@@ -748,4 +748,10 @@ def q_streaming_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         import shutil
 
+        if q is not None and q.isActive:
+            q.stop()
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
         shutil.rmtree(ckpt, ignore_errors=True)

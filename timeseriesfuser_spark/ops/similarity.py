@@ -923,11 +923,15 @@ def ivf_pq_topk(
     ).withColumn("__cn", _sq_norm(F.col("__cv")))
     dim_row = c.select(F.size("__cv").alias("d")).first()
     if dim_row is None:
+        # empty-corpus schema must match the non-empty path: id columns keep
+        # the INPUT id dtype (string ids stay string — the srp_signatures
+        # convention), only the computed columns are fixed bigints.
         return c.select(
-            F.lit(None).cast("long").alias("query_id"),
-            F.lit(None).cast("long").alias("neighbor_id"),
+            F.lit(None).cast(queries.schema[id_col].dataType).alias("query_id"),
+            F.lit(None).cast(corpus.schema[id_col].dataType).alias("neighbor_id"),
             F.lit(None).cast("long").alias("adc_d2"),
-            F.lit(None).cast("long").alias("rank"),
+            # lit(0) keeps rank non-nullable, matching row_number downstream
+            F.lit(0).cast("long").alias("rank"),
         ).limit(0)
     dim = dim_row["d"]
     if dim % m != 0:

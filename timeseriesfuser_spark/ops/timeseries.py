@@ -1306,6 +1306,7 @@ def robust_outlier_summary(
     group_col: str = "event_type",
     value_col: str = "value",
     k: int = 3,
+    cents: bool = True,
     ts_col: str = "ts",
     cache: bool = True,
 ) -> DataFrame:
