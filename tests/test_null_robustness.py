@@ -71,6 +71,9 @@ QUERIES = [
     # NULL-value purchase keeps its row with NULL cents
     "attribution_last_click",
     "attribution_linear",
+    # round-13: token-less docs (NULL/''/whitespace text) route into the
+    # empty-doc star dup-class on both engines, never the chunk join
+    "dedup_simhash",
 ]
 
 TABLES = [

@@ -255,16 +255,27 @@ def _simhash_sql() -> str:
         mask = ((1 << width) - 1) << (c * chunk)
         parts.append(f"SELECT id, sim, {c} AS chunk, sim & {mask} AS ckey FROM sig")
     blocks = "\n        UNION ALL ".join(parts)
+    # Token-less docs form their own trivial dup-class: a star of
+    # (min empty id, other empty id, hamming 0) pairs, never joined with
+    # real text — the op's skew guard semantics (ops/dedup.py
+    # simhash_pairs: at web scale millions of empty docs would otherwise
+    # share one signature-0 bucket and emit C(n,2) pairs in one task).
     return f"""
     WITH hv AS (SELECT doc_id AS id, {hash_list} AS hs
                 FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)),
-    sig AS (SELECT id, {sim} AS sim FROM hv),
+    ne AS (SELECT id, hs FROM hv WHERE hs IS NOT NULL AND len(hs) > 0),
+    em AS (SELECT id FROM hv WHERE hs IS NULL OR len(hs) = 0),
+    sig AS (SELECT id, {sim} AS sim FROM ne),
     blocks AS ({blocks})
     SELECT DISTINCT a.id AS id_a, b.id AS id_b,
            CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
     FROM blocks a
     JOIN blocks b ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.id < b.id
     WHERE bit_count(xor(a.sim, b.sim)) <= {_SHAM}
+    UNION ALL
+    SELECT (SELECT min(id) FROM em) AS id_a, id AS id_b,
+           CAST(0 AS BIGINT) AS hamming
+    FROM em WHERE id != (SELECT min(id) FROM em)
     """
 
 

@@ -118,6 +118,58 @@ def _maybe_cache(df: DataFrame, cache: bool) -> DataFrame:
     return df
 
 
+def _cap_buckets(
+    blocks: DataFrame,
+    key_cols: list,
+    max_bucket: Optional[int],
+    op_name: str,
+) -> DataFrame:
+    """Opt-in hot-bucket guard for LSH candidate generation.
+
+    Any bucketed pair join (MinHash bands, SimHash/SRP pigeonhole chunks)
+    is quadratic PER BUCKET: a bucket of n members emits C(n,2) candidate
+    pairs in one join task. A web-scale corpus full of boilerplate (or a
+    signature collision flood) turns one bucket into a straggler task
+    emitting billions of pairs. With ``max_bucket`` set, buckets larger
+    than the cap are dropped from candidate generation entirely — a
+    RECALL cap, never silent: the number of dropped buckets and member
+    rows is logged at WARNING level, and the count runs eagerly at op
+    construction so the caller sees it before the job.
+
+    Plan: one aggregate over the (cached) block relation to find hot
+    keys (few by construction — only buckets past the cap), then a
+    broadcast left-anti join; the block relation itself never reshuffles.
+    ``max_bucket=None`` (default) leaves the plan untouched.
+
+    Note the interaction with first-agreeing-chunk/band pair dedup: a
+    pair whose first shared bucket was dropped is NOT recovered via a
+    later shared bucket — dropped means every pair meeting in that
+    bucket is skipped, which is exactly the bounded-cardinality contract.
+    """
+    if max_bucket is None:
+        return blocks
+    if max_bucket < 2:
+        raise ValueError("max_bucket must be >= 2 (a 1-member bucket emits no pairs)")
+    counts = blocks.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bn"))
+    hot = counts.filter(F.col("__bn") > max_bucket)
+    stats = hot.agg(
+        F.count(F.lit(1)).alias("b"),
+        F.coalesce(F.sum("__bn"), F.lit(0)).alias("r"),
+    ).first()
+    if stats["b"]:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: bucket cap %d dropped %d hot buckets (%d member rows) "
+            "from candidate generation — pairs meeting only in those "
+            "buckets are skipped",
+            op_name, max_bucket, stats["b"], stats["r"],
+        )
+    return blocks.join(
+        F.broadcast(hot.select(*key_cols)), key_cols, "left_anti"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -413,6 +465,7 @@ def minhash_lsh_pairs(
     verify: bool = True,
     cache: bool = True,
     small_input_bytes: int = SMALL_INPUT_BYTES,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding; candidates sharing ≥1 band bucket
     are (optionally) verified with exact Jaccard ≥ ``threshold``.
@@ -436,10 +489,16 @@ def minhash_lsh_pairs(
     verification is two joins on doc ids. Hot buckets (floods of
     identical docs) fan out k² in the join as in any LSH — AQE skew-join
     splits them; run ``exact_duplicates`` first to collapse identical
-    content.
+    content, and set ``max_bucket`` to drop pathological buckets from
+    candidate generation with a logged count (:func:`_cap_buckets`).
+    Zero-shingle docs never enter the band join (they cannot reach any
+    positive Jaccard threshold).
     """
     darr, buckets = _banded_relation(
         df, id_col, text_col, n, num_hashes, bands, cache, small_input_bytes
+    )
+    buckets = _cap_buckets(
+        buckets, ["band", "bkey"], max_bucket, "minhash_lsh_pairs"
     )
     a, b_ = buckets.alias("a"), buckets.alias("b")
     # Emit each pair only at its FIRST shared band: a codegen predicate in
@@ -493,6 +552,7 @@ def minhash_lsh_pairs_between(
     verify: bool = True,
     cache: bool = True,
     small_input_bytes: int = SMALL_INPUT_BYTES,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Cross-corpus near-dup pairs: every ``df_new`` document that MinHash-
     collides with a ``df_ref`` document (incremental-ingest dedup — each
@@ -513,6 +573,12 @@ def minhash_lsh_pairs_between(
     )
     darr_r, buckets_r = _banded_relation(
         df_ref, id_col, text_col, n, num_hashes, bands, cache, small_input_bytes
+    )
+    # The cap keys on the REF side's bucket sizes: in incremental ingest
+    # the accumulated corpus is where boilerplate floods accrete, and a
+    # dropped ref bucket suppresses the pair on both sides of the join.
+    buckets_r = _cap_buckets(
+        buckets_r, ["band", "bkey"], max_bucket, "minhash_lsh_pairs_between"
     )
     a, b_ = buckets_n.alias("a"), buckets_r.alias("b")
     no_earlier_band = ~F.exists(
@@ -600,6 +666,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     cache: bool = True,
     small_input_bytes: int = SMALL_INPUT_BYTES,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -613,13 +680,27 @@ def simhash_pairs(
     bit's vote one array pass, zero shuffles); large inputs use the
     explode → whole-stage-codegen 48-buffer vote aggregate (one shuffle,
     vectorized). Either way the vote is branch-free: S_i = Σ bit_i(h),
-    positive iff 2·S_i > token count; token-less docs land at sim 0.
+    positive iff 2·S_i > token count.
+
+    Token-less docs (NULL/empty/no-word text) are routed into their own
+    trivial dup-class BEFORE the chunk join: every empty doc pairs with
+    the minimum empty-doc id at hamming 0 (a connectivity-preserving
+    star, n−1 rows), and never pairs with real text. Without this, a
+    web-scale corpus with millions of empty docs puts them all at
+    signature 0 — one join bucket emitting C(n,2) pairs from a single
+    straggler task. SimHash "similarity" between no-token and real docs
+    is an artifact of the 0 signature, not a content judgment, so the
+    split is semantically strictly better.
+
+    ``max_bucket`` (opt-in) additionally drops any chunk bucket larger
+    than the cap from candidate generation with a logged count — see
+    :func:`_cap_buckets` for the recall contract.
     """
     nchunks = max_hamming + 1
     chunk = bits // nchunks
     if _use_perrow_signatures(df, small_input_bytes):
 
-        def sim_of(hs):
+        def sig_struct(hs):
             cnt = F.size(hs)
             out = F.lit(0).cast("long")
             for i in range(bits):
@@ -631,19 +712,20 @@ def simhash_pairs(
                 out = out + F.when(2 * s_i > cnt, F.lit(1 << i)).otherwise(
                     F.lit(0)
                 )
-            return out
+            return F.struct(out.alias("sh"), cnt.alias("nt"))
 
         sig = spread_small_input(df).select(
             F.col(id_col).alias("id"),
             F.element_at(
-                F.transform(F.array(token_hashes(text_col)), sim_of), 1
-            ).alias("sh"),
+                F.transform(F.array(token_hashes(text_col)), sig_struct), 1
+            ).alias("__sc"),
+        ).select(
+            "id", F.col("__sc.sh").alias("sh"), F.col("__sc.nt").alias("__nt")
         )
     else:
         # explode_outer keeps token-less docs as a single null-token row:
-        # the null hash makes every S_i null, `2·null > cnt` is null →
-        # bit 0, so those docs land at simhash 0 without a second input
-        # pass (ids-distinct + left join).
+        # count(__h) counts non-null hashes, so those docs surface as
+        # __nt = 0 without a second input pass (ids-distinct + left join).
         toks = spread_small_input(df).select(
             F.col(id_col).alias("id"),
             F.explode_outer(F.array_distinct(tokens_array(text_col))).alias(
@@ -653,6 +735,7 @@ def simhash_pairs(
         hv = toks.select("id", md5_hash64(F.col("__t")).alias("__h"))
         votes = hv.groupBy("id").agg(
             F.count(F.lit(1)).alias("__cnt"),
+            F.count(F.col("__h")).alias("__nh"),
             *[
                 F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))).alias(
                     f"s{i}"
@@ -665,7 +748,7 @@ def simhash_pairs(
             sim = sim + F.when(
                 2 * F.col(f"s{i}") > F.col("__cnt"), F.lit(1 << i)
             ).otherwise(F.lit(0))
-        sig = votes.select("id", sim.alias("sh"))
+        sig = votes.select("id", sim.alias("sh"), F.col("__nh").alias("__nt"))
     masks = []
     for c in range(nchunks):
         width = chunk if c < nchunks - 1 else bits - chunk * (nchunks - 1)
@@ -677,14 +760,26 @@ def simhash_pairs(
         )
         for c in range(nchunks)
     ]
-    blocks = _maybe_cache(
+    # ONE cached relation serves all three consumers (both join sides +
+    # the empty-doc branch): the chunk-exploded blocks carry the
+    # token-count flag, so the empty branch is a filter on chunk 0 of the
+    # same cache instead of a second signature computation (caching the
+    # pre-explode signature relation instead measured +25% at sf0.1 —
+    # extra stages re-deriving the explode per consumer).
+    allblocks = _maybe_cache(
         sig.select(
-            "id", "sh", F.explode(F.array(*chunk_structs)).alias("cc")
+            "id", "sh", "__nt", F.explode(F.array(*chunk_structs)).alias("cc")
         ).select(
-            "id", "sh", F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey")
+            "id", "sh", "__nt",
+            F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey"),
         ),
         cache,
     )
+    empty_ids = allblocks.filter(
+        (F.col("chunk") == 0) & (F.coalesce(F.col("__nt"), F.lit(0)) <= 0)
+    ).select("id")
+    blocks = allblocks.filter(F.col("__nt") > 0).select("id", "sh", "chunk", "ckey")
+    blocks = _cap_buckets(blocks, ["chunk", "ckey"], max_bucket, "simhash_pairs")
     a, b = blocks.alias("a"), blocks.alias("b")
     xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
     # Emit each pair only at its FIRST agreeing chunk (all lower-chunk
@@ -697,7 +792,7 @@ def simhash_pairs(
         for c2 in range(c):
             cond = cond & (xor.bitwiseAND(F.lit(masks[c2])) != 0)
         first_chunk = F.when(F.col("a.chunk") == c, cond).otherwise(first_chunk)
-    return (
+    main = (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.ckey") == F.col("b.ckey")))
         .filter((F.col("a.id") < F.col("b.id")) & first_chunk)
         .select(
@@ -707,6 +802,17 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    emin = empty_ids.agg(F.min("id").alias("id_a"))
+    star = (
+        empty_ids.crossJoin(F.broadcast(emin))
+        .filter(F.col("id") != F.col("id_a"))
+        .select(
+            "id_a",
+            F.col("id").alias("id_b"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    )
+    return main.unionByName(star)
 
 
 def connected_components(

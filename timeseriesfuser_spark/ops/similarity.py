@@ -176,6 +176,7 @@ def srp_neardup_pairs(
     vec_col: str = "embedding",
     scale: int = 1000,
     cache: bool = True,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via signed-random-projection LSH —
     the blocked scale path for embedding-cosine near-dup (the brute-force
@@ -189,10 +190,21 @@ def srp_neardup_pairs(
     equal), emitted at their first agreeing chunk (no distinct shuffle),
     then verified with exact quantized cosine ≥ ``threshold``.
 
+    Zero-norm vectors never enter the candidate join when
+    ``threshold > 0``: their cosine is defined as 0 so they can never
+    verify, yet every ``dot >= 0`` test puts them all in ONE signature
+    bucket (all bits set) — a corpus with millions of zero/padding
+    embeddings would funnel C(n,2) candidate pairs through a single
+    straggler task for guaranteed-empty output. Output-identical, plan
+    bounded. ``max_bucket`` (opt-in) drops any remaining chunk bucket
+    larger than the cap with a logged count (``ops.dedup._cap_buckets``).
+
     Scale: one broadcast plane join + one groupBy for signatures; the
     candidate join touches only chunk-bucket collisions, never the corpus
     square. Output (id_a, id_b, hamming, cosine), id_a < id_b.
     """
+    from timeseriesfuser_spark.ops.dedup import _cap_buckets
+
     spark = df.sparkSession
     v = _maybe_cache(
         spread_small_input(df).select(
@@ -205,7 +217,8 @@ def srp_neardup_pairs(
         return spark.createDataFrame(
             [], "id_a long, id_b long, hamming int, cosine double"
         )
-    sig = _srp_signatures_from(v, planes, dim_row["d"])
+    vj = v.filter(F.col("n") > 0) if threshold > 0 else v
+    sig = _srp_signatures_from(vj, planes, dim_row["d"])
     nchunks = max_hamming + 1
     chunk = planes // nchunks
     masks = []
@@ -225,6 +238,7 @@ def srp_neardup_pairs(
         ),
         cache,
     )
+    blocks = _cap_buckets(blocks, ["chunk", "ckey"], max_bucket, "srp_neardup_pairs")
     a, b = blocks.alias("a"), blocks.alias("b")
     xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
     first_chunk = F.lit(True)
