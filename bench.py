@@ -70,6 +70,40 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
         print(f"# warm-up failed: {exc}", file=sys.stderr)
 
+    # Same-session machine-speed control: a fixed synthetic workload that
+    # never changes with repo code. Cross-round totals are only
+    # interpretable relative to this number — the same query set has
+    # measured 1.5-2.1x apart on the same machine on the same day
+    # (SCALE.md), so a total delta smaller than the control delta is
+    # environment, not plan. Reported as "control_sec", NOT added to the
+    # headline total (the headline set and total stay the frozen
+    # cross-round trend metric).
+    control = float("inf")
+    try:
+        from pyspark.sql import functions as _F
+
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (
+                spark.range(20_000_000)
+                .select(
+                    (_F.col("id") % 997).alias("k"),
+                    _F.md5(_F.col("id").cast("string")).alias("h"),
+                )
+                .groupBy("k")
+                .agg(
+                    _F.count(_F.lit(1)).alias("n"),
+                    _F.min("h").alias("mn"),
+                    _F.max("h").alias("mx"),
+                )
+                .write.format("noop").mode("overwrite").save()
+            )
+            control = min(control, time.perf_counter() - t0)
+        print(f"# control: {control:.3f}s", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 — control is diagnostic only
+        print(f"# control failed: {exc}", file=sys.stderr)
+        control = None
+
     # Per-query failure isolation: one broken query must cost one entry in
     # "errors", never the whole benchmark (BENCH_r02 died with zero numbers
     # because the first query threw).
@@ -110,6 +144,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "errors": errors,
+                "control_sec": None if control is None else round(control, 3),
                 "sf": sf_val,
             }
         )

@@ -32,6 +32,7 @@ from timeseriesfuser_spark.replay import (
     foreach_batch,
 )
 from timeseriesfuser_spark.sinks import write_batched
+from timeseriesfuser_spark.ops.util import cache_scope
 
 TS_COL = "__timestamp"
 SRC_ID_COL = "__src_id"
@@ -56,6 +57,7 @@ __all__ = [
     "replay",
     "foreach_batch",
     "write_batched",
+    "cache_scope",
     "TS_COL",
     "SRC_ID_COL",
     "SEQ_COL",

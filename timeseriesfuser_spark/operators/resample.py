@@ -42,6 +42,8 @@ from typing import List, Optional, Sequence
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from timeseriesfuser_spark.ops.util import track_persist
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
@@ -154,7 +156,7 @@ def resample_last_interval(
     # after this function returns, so there is no unpersist point);
     # cache=False opts out for loop-calling sessions.
     if cache:
-        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+        buckets = track_persist(buckets.persist(StorageLevel.MEMORY_AND_DISK))
 
     # --- time spine (bounds from the tiny buckets relation) -------------- #
     mx = F.max("__maxts")
@@ -286,7 +288,7 @@ def _gap_fill_tail(
             # actions see the same rows). Lazy MEMORY_AND_DISK, same
             # trade-off note as the buckets persist above.
             if cache:
-                joined = joined.persist(StorageLevel.MEMORY_AND_DISK)
+                joined = track_persist(joined.persist(StorageLevel.MEMORY_AND_DISK))
             joined = forward_fill(
                 joined, [_BUCKET], [_CARRY], bounds=ffill_bounds
             )

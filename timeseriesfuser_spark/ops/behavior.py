@@ -28,6 +28,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from timeseriesfuser_spark.ops.util import track_persist
+
 
 def funnel_counts(
     df: DataFrame,
@@ -349,7 +351,7 @@ def copurchase_lift(
         .distinct()
     )
     if cache:
-        bi = bi.persist(StorageLevel.MEMORY_AND_DISK)
+        bi = track_persist(bi.persist(StorageLevel.MEMORY_AND_DISK))
     n_rel = bi.agg(
         F.count_distinct(F.col("__o")).cast("long").alias("n_baskets")
     )
@@ -540,7 +542,7 @@ def attribute_conversions(
         chunk_ms=chunk_ms,
     ).drop("__start", "__end")
     if cache and include_unattributed:
-        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        pairs = track_persist(pairs.persist(StorageLevel.MEMORY_AND_DISK))
 
     part = W.partitionBy(user_col, conv_id_col)
     n = F.count(F.lit(1)).over(part).cast("long")
@@ -625,7 +627,7 @@ def rolling_active_users(
         .distinct()
     )
     if cache:
-        ud = ud.persist(StorageLevel.MEMORY_AND_DISK)
+        ud = track_persist(ud.persist(StorageLevel.MEMORY_AND_DISK))
     bounds = ud.groupBy().agg(
         F.min("__day").alias("__lo"), F.max("__day").alias("__hi")
     )

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from timeseriesfuser_spark.ops import text as _text
 from timeseriesfuser_spark.ops.util import (
+    track_persist,
     SMALL_INPUT_BYTES,
     estimated_input_bytes,
     spread_small_input,
@@ -112,7 +113,7 @@ def _maybe_cache(df: DataFrame, cache: bool) -> DataFrame:
     if cache:
         from pyspark import StorageLevel
 
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df = track_persist(df.persist(StorageLevel.MEMORY_AND_DISK))
         df.count()
         return df
     return df
@@ -844,7 +845,7 @@ def connected_components(
     # NULL out string ids — the bug class fixed for leakage_safe_split.
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    sym = track_persist(sym.persist(StorageLevel.MEMORY_AND_DISK))
     # Each round MUST cut lineage (eager localCheckpoint): carrying the
     # plan forward nests one join+aggregate deeper per round, and
     # re-optimizing that tower OOMs the driver after ~10 rounds (GraphX

@@ -22,6 +22,8 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from timeseriesfuser_spark.ops.util import track_persist
+
 PPM = 1_000_000
 
 
@@ -63,7 +65,7 @@ def pagerank(
     if not directed:
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    ed = track_persist(e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK))
 
     if all_ids is not None:
         nodes = all_ids.select(
@@ -77,7 +79,7 @@ def pagerank(
             .union(e.select(F.col("dst").alias("id")))
             .distinct()
         )
-    nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = track_persist(nodes.persist(StorageLevel.MEMORY_AND_DISK))
 
     base = PPM - damping_ppm
     r = nodes.withColumn("rank", F.lit(PPM).cast("long"))
@@ -197,7 +199,7 @@ def triangle_counts(
         .distinct()
     )
     if cache:
-        e = e.persist(StorageLevel.MEMORY_AND_DISK)
+        e = track_persist(e.persist(StorageLevel.MEMORY_AND_DISK))
     deg = (
         e.select(F.col("__u").alias("__n"))
         .unionAll(e.select(F.col("__v").alias("__n")))
@@ -216,7 +218,7 @@ def triangle_counts(
         F.when(lower_first, F.col("__v")).otherwise(F.col("__u")).alias("__b"),
     )
     if cache:
-        o = o.persist(StorageLevel.MEMORY_AND_DISK)
+        o = track_persist(o.persist(StorageLevel.MEMORY_AND_DISK))
     w = o.alias("e1").join(
         o.alias("e2"), F.col("e1.__b") == F.col("e2.__a")
     ).select(
@@ -280,7 +282,7 @@ def shortest_hops(
         e = e.unionAll(
             e.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
         )
-    e = e.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    e = track_persist(e.distinct().persist(StorageLevel.MEMORY_AND_DISK))
 
     level = (
         seeds.select(F.col(seeds.columns[0]).alias("id"))

@@ -37,6 +37,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from timeseriesfuser_spark.ops.util import track_persist
+
 from timeseriesfuser_spark.ops.dedup import md5_hash64
 from timeseriesfuser_spark.ops.text import tokens_col
 
@@ -85,7 +87,7 @@ def bigram_lm_score(
     if cache:
         from pyspark import StorageLevel
 
-        bg = bg.persist(StorageLevel.MEMORY_AND_DISK)
+        bg = track_persist(bg.persist(StorageLevel.MEMORY_AND_DISK))
     # Model: bigram counts; left-unigram counts derived FROM the bigram
     # counts (Σ c2 over bigrams sharing w1) — one pass over the much
     # smaller distinct-bigram relation instead of a second pass over the

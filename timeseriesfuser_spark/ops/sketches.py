@@ -22,6 +22,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from timeseriesfuser_spark.ops.util import track_persist
+
 from timeseriesfuser_spark.ops.dedup import md5_hash64
 
 __all__ = [
@@ -553,7 +555,7 @@ def bloom_prefilter(
 
     g = list(group_cols)
     if cache:
-        bits = bits.persist(StorageLevel.MEMORY_AND_DISK)
+        bits = track_persist(bits.persist(StorageLevel.MEMORY_AND_DISK))
     out = fact
     fc = F.col(fact_col).cast("string")
     for i in range(k):

@@ -13,7 +13,7 @@ from typing import Dict, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from timeseriesfuser_spark.ops.util import spread_small_input
+from timeseriesfuser_spark.ops.util import spread_small_input, track_persist
 
 # Word tokens: lowercase alnum runs. Kept regex-dialect-neutral (identical
 # semantics in Java regex and DuckDB's RE2).
@@ -240,7 +240,7 @@ def _maybe_persist(df: DataFrame) -> DataFrame:
     """
     from pyspark import StorageLevel
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return track_persist(df.persist(StorageLevel.MEMORY_AND_DISK))
 
 
 def token_frequencies(

@@ -25,6 +25,8 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from timeseriesfuser_spark.ops.util import track_persist
 from pyspark.sql.window import Window
 
 from timeseriesfuser_spark.intervals import floor_boundary_col, interval_to_ms
@@ -1252,7 +1254,7 @@ def acf_bars(
         .agg(F.max_by(cents, F.struct(ts, F.col(seq_col))).alias("__v"))
     )
     if cache:
-        g = g.persist(StorageLevel.MEMORY_AND_DISK)
+        g = track_persist(g.persist(StorageLevel.MEMORY_AND_DISK))
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     stats = g.agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
@@ -1353,7 +1355,7 @@ def robust_outlier_summary(
         F.col(value_col).isNotNull() & gcol.isNotNull()
     ).select(gcol.alias("__g"), v.alias("__v"))
     if cache:
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base = track_persist(base.persist(StorageLevel.MEMORY_AND_DISK))
     cnt = base.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("__n"))
 
     def _med2(rel: DataFrame, col: str) -> DataFrame:
@@ -1384,7 +1386,7 @@ def robust_outlier_summary(
         "__med2",
     )
     if cache:
-        devs = devs.persist(StorageLevel.MEMORY_AND_DISK)
+        devs = track_persist(devs.persist(StorageLevel.MEMORY_AND_DISK))
     mad4 = _med2(devs.select("__g", "__dev"), "__dev").withColumnRenamed(
         "__m2", "__mad4"
     )
@@ -1458,7 +1460,7 @@ def seasonal_naive_error(
         .agg(F.max_by(cents, F.struct(ts, F.col(seq_col))).alias("__v"))
     )
     if cache:
-        g = g.persist(StorageLevel.MEMORY_AND_DISK)
+        g = track_persist(g.persist(StorageLevel.MEMORY_AND_DISK))
     cur = g.select("__k", "__b", F.col("__v").alias("__x"))
     prior = g.select(
         "__k",
@@ -1528,7 +1530,7 @@ def exact_percentiles(
         F.col(value_col).isNotNull() & gcol.isNotNull()
     ).select(gcol.alias("__g"), v.alias("__v"))
     if cache:
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base = track_persist(base.persist(StorageLevel.MEMORY_AND_DISK))
     cnt = base.groupBy("__g").agg(
         F.count(F.lit(1)).cast("long").alias("__n")
     )

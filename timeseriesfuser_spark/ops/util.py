@@ -2,7 +2,80 @@
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
+
+_scopes = threading.local()
+
+
+class CacheScope:
+    """Collects the MEMORY_AND_DISK intermediates persisted by ops invoked
+    inside a :func:`cache_scope` block, for deterministic release."""
+
+    def __init__(self) -> None:
+        self._dfs: list[DataFrame] = []
+
+    def track(self, df: DataFrame) -> None:
+        self._dfs.append(df)
+
+    def release(self) -> None:
+        """Unpersist every tracked relation (idempotent)."""
+        for df in self._dfs:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — session may already be gone
+                pass
+        self._dfs.clear()
+
+
+@contextmanager
+def cache_scope():
+    """Deterministic lifecycle for operator-internal persists.
+
+    Several ops persist multi-consumer intermediates (resample's gap-fill
+    buckets/spine join, the LSH block relations, …) that outlive the
+    returned DataFrame's plan — lazy evaluation runs after the op
+    returns, so the op itself has no unpersist point. Long-lived sessions
+    calling such ops in a loop accumulate one evictable cache entry per
+    call; the blunt fixes are ``cache=False`` (recompute) or
+    ``spark.catalog.clearCache()`` (nukes the caller's own caches too).
+
+    This scope is the surgical fix::
+
+        with cache_scope():
+            out = resample_last_interval(df, "1h", ...)
+            out.write.parquet(...)          # consume INSIDE the scope
+        # every persist the ops registered is now released
+
+    Scopes nest (inner persists release with the inner scope) and are
+    thread-local: an op must run on the same thread that opened the
+    scope. Consume the result before the scope exits — afterwards the
+    plan recomputes the unpersisted intermediates from scratch (correct,
+    just slower).
+    """
+    stack = getattr(_scopes, "stack", None)
+    if stack is None:
+        stack = _scopes.stack = []
+    scope = CacheScope()
+    stack.append(scope)
+    try:
+        yield scope
+    finally:
+        stack.remove(scope)
+        scope.release()
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """Register a just-persisted relation with the innermost active
+    :func:`cache_scope` (no-op when none is active). Ops call this at
+    every ``persist()`` site so callers get a deterministic release
+    point without the return types changing."""
+    stack = getattr(_scopes, "stack", None)
+    if stack:
+        stack[-1].track(df)
+    return df
 
 
 def spread_small_input(df: DataFrame) -> DataFrame:

@@ -23,6 +23,8 @@ from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from timeseriesfuser_spark.ops.util import track_persist
+
 from timeseriesfuser_spark.sources.readers import SEQ_COL, SRC_ID_COL, TS_COL
 
 
@@ -230,7 +232,7 @@ def foreach_batch(
 
     from pyspark import StorageLevel
 
-    src = df.persist(StorageLevel.MEMORY_AND_DISK)
+    src = track_persist(df.persist(StorageLevel.MEMORY_AND_DISK))
     total = 0
     try:
         n = src.count()
