@@ -703,6 +703,151 @@ def quantize_int8(
     )
 
 
+def pq_train_codebooks(
+    df: DataFrame,
+    *,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> list:
+    """Train per-subspace PQ codebooks with deterministic integer Lloyd
+    iterations — the quality upgrade over the lowest-id seed stub
+    (:func:`pq_codes` / :func:`ivf_pq_topk` default), measured by
+    ``pq_recall`` at the same probe budget.
+
+    All-integer and RNG-free so a SQL oracle reproduces the codebooks
+    bit-for-bit (the :func:`kmeans_fit` convention, per subspace):
+
+    - init: the ``k`` lowest-id vectors' subvectors (one shared seed set
+      for every subspace);
+    - assign: nearest codebook entry by exact integer squared-L2, ties →
+      lowest code, via a broadcast codebook join (the corpus never
+      shuffles on a data key);
+    - update: new entry = element-wise ``floor(sum / count)`` of the
+      members' quantized components — Python floor division on exact
+      BIGINT sums, matching the SQL floor idiom. Empty entries keep their
+      previous value.
+
+    Returns ``codebooks[sub][code] = [dsub ints]`` — driver state is
+    m·k·dsub ints (k=16, m=4, dsub=16 → 1 KiB), never data-proportional;
+    per iteration one broadcast join + one (sub, code, pos) aggregate.
+    """
+    if m <= 0 or k <= 0 or iters < 0:
+        raise ValueError("m, k must be positive and iters >= 0")
+    q = df.select(
+        F.col(id_col).alias("id"), quantized(F.col(vec_col), scale).alias("__v")
+    )
+    seeds = q.orderBy("id").limit(k).collect()
+    if not seeds:
+        raise ValueError("pq_train_codebooks: input has no vectors")
+    dim = len(seeds[0]["__v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    k = min(k, len(seeds))
+    codebooks = [
+        [list(seeds[c]["__v"][j * dsub: (j + 1) * dsub]) for c in range(k)]
+        for j in range(m)
+    ]
+    if iters == 0:
+        return codebooks
+
+    spark = df.sparkSession
+    ex = q.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.slice(F.col("__v"), j * dsub + 1, dsub).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("__s"),
+    ).select("id", F.col("__s.sub").alias("sub"), F.col("__s.sv").alias("sv"))
+    from pyspark import StorageLevel
+
+    from timeseriesfuser_spark.ops.util import track_persist
+
+    ex = track_persist(ex.persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        for _ in range(iters):
+            cb = spark.createDataFrame(
+                [
+                    (j, c, [int(x) for x in codebooks[j][c]])
+                    for j in range(m)
+                    for c in range(k)
+                ],
+                "sub int, code int, csv array<long>",
+            )
+            d2 = F.aggregate(
+                F.zip_with(
+                    F.col("sv"), F.col("csv"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            # min over (d2, code, sv): (d2, code) is unique per group, so
+            # sv rides along without influencing the argmin — the member's
+            # own subvector reaches the update without a second join.
+            assigned = (
+                ex.join(F.broadcast(cb), "sub")
+                .withColumn("__d2", d2)
+                .groupBy("id", "sub")
+                .agg(
+                    F.min(
+                        F.struct(
+                            F.col("__d2").alias("d2"),
+                            F.col("code").alias("code"),
+                            F.col("sv").alias("sv"),
+                        )
+                    ).alias("__m")
+                )
+                .select(
+                    "sub",
+                    F.col("__m.code").alias("code"),
+                    F.col("__m.sv").alias("sv"),
+                )
+            )
+            rows = (
+                assigned.select(
+                    "sub", "code", F.posexplode("sv").alias("pos", "x")
+                )
+                .groupBy("sub", "code", "pos")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            acc: dict = {}
+            for r in rows:
+                acc.setdefault((r["sub"], r["code"]), [None] * dsub)[r["pos"]] = (
+                    r["s"],
+                    r["n"],
+                )
+            for (j, c), comps in acc.items():
+                codebooks[j][c] = [s // n for (s, n) in comps]
+    finally:
+        ex.unpersist()
+    return codebooks
+
+
+def codebook_relation(spark, codebooks: list) -> DataFrame:
+    """(sub, code, csv) relation from a trained codebook list — the
+    broadcast side of :func:`pq_codes` / :func:`ivf_pq_topk`."""
+    return spark.createDataFrame(
+        [
+            (j, c, [int(x) for x in codebooks[j][c]])
+            for j in range(len(codebooks))
+            for c in range(len(codebooks[j]))
+        ],
+        "sub int, code int, csv array<long>",
+    )
+
+
 def pq_codes(
     df: DataFrame,
     centroids: DataFrame = None,
@@ -712,6 +857,7 @@ def pq_codes(
     m: int = 4,
     k: int = 16,
     scale: int = 1000,
+    codebooks: Optional[list] = None,
 ) -> DataFrame:
     """Product-quantization codes: split each vector into ``m`` contiguous
     subvectors and replace each with the id of its nearest codebook entry
@@ -721,8 +867,10 @@ def pq_codes(
 
     ``centroids``: codebook source relation; defaults to the input itself,
     from which the ``k`` lowest-id vectors seed one codebook per subspace
-    (the same deterministic no-RNG init as ``kmeans_fit`` — swap in a
-    trained relation for production codebooks; the plan is identical).
+    (the same deterministic no-RNG init as ``kmeans_fit``).
+    ``codebooks``: a trained list from :func:`pq_train_codebooks` —
+    takes precedence over ``centroids``; the plan is identical either
+    way (literal broadcast relation instead of a seed subquery).
 
     Output: (id, code_0 … code_{m-1} packed as a '-'-joined string ``pq``,
     ``sq_err`` = exact-int total squared quantization error).
@@ -765,27 +913,32 @@ def pq_codes(
             )
         )
 
-    # Codebook: k lowest-id vectors, one entry per (subspace, code). The
-    # code is the 0-based rank of the seed vector (row_number over the k
-    # collected ids — k is tiny, this is driver metadata, not data).
-    seed_ids = [
-        r["id"] for r in
-        cents_src.select(F.col(id_col).alias("id")).orderBy("id").limit(k).collect()
-    ]
-    code_of = F.map_from_arrays(
-        F.array(*[F.lit(i) for i in seed_ids]),
-        F.array(*[F.lit(c) for c in range(len(seed_ids))]),
-    )
-    cb = (
-        cents_src.select(
-            F.col(id_col).alias("cid"),
-            quantized(F.col(vec_col), scale).alias("__cv"),
+    if codebooks is not None:
+        cb = codebook_relation(df.sparkSession, codebooks).select(
+            "code", "sub", F.col("csv")
         )
-        .filter(F.col("cid").isin(seed_ids))
-        .withColumn("code", F.element_at(code_of, F.col("cid")))
-        .select("code", subspaces(F.col("__cv")).alias("__cs"))
-        .select("code", F.col("__cs.sub").alias("sub"), F.col("__cs.sv").alias("csv"))
-    )
+    else:
+        # Codebook: k lowest-id vectors, one entry per (subspace, code). The
+        # code is the 0-based rank of the seed vector (row_number over the k
+        # collected ids — k is tiny, this is driver metadata, not data).
+        seed_ids = [
+            r["id"] for r in
+            cents_src.select(F.col(id_col).alias("id")).orderBy("id").limit(k).collect()
+        ]
+        code_of = F.map_from_arrays(
+            F.array(*[F.lit(i) for i in seed_ids]),
+            F.array(*[F.lit(c) for c in range(len(seed_ids))]),
+        )
+        cb = (
+            cents_src.select(
+                F.col(id_col).alias("cid"),
+                quantized(F.col(vec_col), scale).alias("__cv"),
+            )
+            .filter(F.col("cid").isin(seed_ids))
+            .withColumn("code", F.element_at(code_of, F.col("cid")))
+            .select("code", subspaces(F.col("__cv")).alias("__cs"))
+            .select("code", F.col("__cs.sub").alias("sub"), F.col("__cs.sv").alias("csv"))
+        )
 
     ex = q.select("id", subspaces(F.col("__v")).alias("__s")).select(
         "id", F.col("__s.sub").alias("sub"), F.col("__s.sv").alias("sv")
@@ -901,6 +1054,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    codebooks: Optional[list] = None,
 ) -> DataFrame:
     """IVF-ADC search (Jégou et al., PQ for nearest neighbor search): the
     composition that serves billion-vector ANN — probe the ``nprobe``
@@ -912,8 +1066,10 @@ def ivf_pq_topk(
     Deterministic stub training (the :func:`ivf_cosine_topk` /
     :func:`pq_codes` convention): centroids = ``n_centroids`` lowest-id
     corpus vectors, codebooks = ``pq_k`` lowest-id corpus vectors split
-    into ``m`` subspaces; swap in trained relations for production — the
-    plan shape is identical.
+    into ``m`` subspaces. Pass ``codebooks`` from
+    :func:`pq_train_codebooks` for trained sub-codebooks (better recall
+    at the same probe budget, identical plan shape — a literal broadcast
+    relation replaces the seed subquery).
 
     Output: (query_id, neighbor_id, adc_d2, rank) where ``adc_d2`` is the
     EXACT integer ADC distance in quantized units² (rank ascending,
@@ -994,27 +1150,30 @@ def ivf_pq_topk(
             )
         )
 
-    seed_ids = [
-        r["id"]
-        for r in corpus.select(F.col(id_col).alias("id"))
-        .orderBy("id")
-        .limit(pq_k)
-        .collect()
-    ]
-    code_of = F.map_from_arrays(
-        F.array(*[F.lit(i) for i in seed_ids]),
-        F.array(*[F.lit(cd) for cd in range(len(seed_ids))]),
-    )
-    cb = (
-        corpus.select(
-            F.col(id_col).alias("cid"),
-            quantized(F.col(vec_col), scale).alias("__cbv"),
+    if codebooks is not None:
+        cb = codebook_relation(corpus.sparkSession, codebooks)
+    else:
+        seed_ids = [
+            r["id"]
+            for r in corpus.select(F.col(id_col).alias("id"))
+            .orderBy("id")
+            .limit(pq_k)
+            .collect()
+        ]
+        code_of = F.map_from_arrays(
+            F.array(*[F.lit(i) for i in seed_ids]),
+            F.array(*[F.lit(cd) for cd in range(len(seed_ids))]),
         )
-        .filter(F.col("cid").isin(seed_ids))
-        .withColumn("code", F.element_at(code_of, F.col("cid")))
-        .select("code", subspaces(F.col("__cbv"), "csv").alias("__cs"))
-        .select("code", F.col("__cs.sub").alias("sub"), F.col("__cs.csv").alias("csv"))
-    )
+        cb = (
+            corpus.select(
+                F.col(id_col).alias("cid"),
+                quantized(F.col(vec_col), scale).alias("__cbv"),
+            )
+            .filter(F.col("cid").isin(seed_ids))
+            .withColumn("code", F.element_at(code_of, F.col("cid")))
+            .select("code", subspaces(F.col("__cbv"), "csv").alias("__cs"))
+            .select("code", F.col("__cs.sub").alias("sub"), F.col("__cs.csv").alias("csv"))
+        )
 
     def d2(a, b):
         return F.aggregate(
