@@ -588,3 +588,98 @@ def q_conversion_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         lags, ((1, 2), (9, 10), (99, 100)),
         group_col="cohort", value_col="lag_ms", cents=False,
     )
+
+
+@register(
+    "streaming_latest_by_user",
+    # Emission contract: one row per (key, change) in append mode; the
+    # CURRENT view is the max-(ts, seq) row per key over the emitted
+    # stream, which equals the batch per-key argmax regardless of how
+    # the source split into micro-batches (state keeps the max — late
+    # arrivals never regress it). NULL ordering keys are skipped by the
+    # op; NULL user ids are filtered on both sides.
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value
+                FROM events
+                WHERE ts IS NOT NULL AND event_id IS NOT NULL
+                  AND user_id IS NOT NULL),
+    r AS (SELECT user_id, ts_ms, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts_ms DESC, event_id DESC) AS rn
+          FROM ev)
+    SELECT user_id, ts_ms, event_id, value FROM r WHERE rn = 1
+    """,
+)
+def q_streaming_latest_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming type-1 current view driven THROUGH the driver
+    harness (streaming.latest_stream, applyInPandasWithState): per-user
+    latest (ts, seq)-ordered row maintained across micro-batches — the
+    incremental CDC view whose batch twin is latest_user_state's
+    compaction. The registered result is the FINAL view (max-(ts, seq)
+    over the emitted changes)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from timeseriesfuser_spark.streaming import latest_stream
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_ms = ts_epoch_ms_col(stream, "ts")
+    ev = stream.select(
+        "user_id",
+        ts_ms.cast("long").alias("ts_ms"),
+        "event_id",
+        "value",
+    ).filter(F.col("user_id").isNotNull())
+    view = latest_stream(
+        ev, keys=["user_id"], ts_col="ts_ms", seq_col="event_id",
+        value_cols=["value"],
+    )
+    name = f"sl_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="tsf_ckpt_")
+    q = None
+    try:
+        q = (
+            view.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "streaming_latest_by_user: query still running after 300s"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+        sink = spark.table(name)
+        emitted = spark.createDataFrame(sink.collect(), sink.schema)
+        return (
+            emitted.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("ts_ms", "event_id", "value"),
+                    F.struct("ts_ms", "event_id"),
+                ).alias("__m")
+            )
+            .select(
+                "user_id",
+                F.col("__m.ts_ms").alias("ts_ms"),
+                F.col("__m.event_id").alias("event_id"),
+                F.col("__m.value").alias("value"),
+            )
+        )
+    finally:
+        if q is not None and q.isActive:
+            q.stop()
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -514,3 +514,68 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_containment_pairs(
         _t(spark, sf_dir, "documents"), threshold=_CONT_T
     )
+
+
+@register(
+    "streaming_dedup_exact",
+    # Emission contract: exactly one emitted row per distinct key (exact
+    # all-history dedup, watermark=None -> no state eviction, so the
+    # surviving SET of keys is batch-order-independent even though WHICH
+    # physical row survived is arrival-order-dependent). The registered
+    # result projects only the key columns, the deterministic surface.
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-time exact dedup driven THROUGH the driver
+    harness (streaming.dedup_stream / dropDuplicates): first processed
+    occurrence of each (user_id, event_type) key wins; the emitted key
+    SET equals the batch DISTINCT regardless of micro-batch splits."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from timeseriesfuser_spark.streaming import dedup_stream
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_ms = ts_epoch_ms_col(stream, "ts")
+    ev = stream.select(
+        ts_ms.cast("long").alias("__ts_ms"), "user_id", "event_type"
+    )
+    uniq = dedup_stream(
+        ev, key_cols=["user_id", "event_type"], watermark=None,
+        ts_col="__ts_ms",
+    )
+    name = f"sd_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="tsf_ckpt_")
+    q = None
+    try:
+        q = (
+            uniq.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "streaming_dedup_exact: query still running after 300s"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+        sink = spark.table(name)
+        emitted = spark.createDataFrame(sink.collect(), sink.schema)
+        return emitted.select("user_id", "event_type")
+    finally:
+        if q is not None and q.isActive:
+            q.stop()
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -1132,3 +1132,102 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ((1, 2), (9, 10), (99, 100)),
         group_col="event_type", value_col="value",
     )
+
+
+@register(
+    "streaming_anomaly_zscore",
+    # Emission contract: one row per event (key ordered by ts, event_id
+    # inside each micro-batch; availableNow over one parquet file = one
+    # batch, so the baseline ring buffer sees the full event-time order
+    # and the flags are bit-identical to the batch window). NULL
+    # ts/seq/value/key rows are filtered on both sides — the stream's
+    # exact-int state machine has no place for them.
+    oracle=f"""
+    WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+                WHERE value IS NOT NULL AND ts IS NOT NULL
+                  AND user_id IS NOT NULL AND event_id IS NOT NULL),
+    w AS (SELECT user_id, ts, event_id, cents,
+                 count(*) OVER win AS n_base,
+                 sum(cents) OVER win AS s,
+                 sum(cents * cents) OVER win AS q
+          FROM ev
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {_ZLOOK} PRECEDING AND 1 PRECEDING))
+    SELECT user_id, ts, event_id, cents,
+           CAST(n_base AS BIGINT) AS n_base,
+           (n_base >= {_ZMIN}
+            AND CAST(n_base * cents - s AS HUGEINT)
+                * CAST(n_base * cents - s AS HUGEINT) * (n_base - 1)
+                > CAST({_ZK * _ZK} AS HUGEINT) * n_base
+                  * (CAST(n_base AS HUGEINT) * q
+                     - CAST(s AS HUGEINT) * s)) AS is_anomaly
+    FROM w
+    """,
+)
+def q_streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming anomaly flags driven THROUGH the driver harness
+    (streaming.anomaly_stream, applyInPandasWithState): per-user trailing
+    z-score ring buffer carried in the state store; the anomaly DECISION
+    is the same exact integer inequality as the batch op, so stream ==
+    batch bit-for-bit on the chronological availableNow replay."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from timeseriesfuser_spark.streaming import anomaly_stream
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_ms = ts_epoch_ms_col(stream, "ts")
+    ev = (
+        stream.select(
+            "user_id",
+            ts_ms.cast("long").alias("ts"),
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .filter(
+            F.col("cents").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+    )
+    flags = anomaly_stream(
+        ev, keys=["user_id"], ts_col="ts", seq_col="event_id",
+        cents_col="cents", lookback=_ZLOOK, min_points=_ZMIN, k=_ZK,
+    )
+    name = f"sa_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="tsf_ckpt_")
+    q = None
+    try:
+        q = (
+            flags.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "streaming_anomaly_zscore: query still running after 300s"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+        sink = spark.table(name)
+        return spark.createDataFrame(sink.collect(), sink.schema)
+    finally:
+        if q is not None and q.isActive:
+            q.stop()
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(ckpt, ignore_errors=True)
