@@ -74,6 +74,12 @@ QUERIES = [
     # round-13: token-less docs (NULL/''/whitespace text) route into the
     # empty-doc star dup-class on both engines, never the chunk join
     "dedup_simhash",
+    # round-13: NULL value NaN-poisons the Holt recursion tail as NULL on
+    # both engines; benford keeps the NULL group, excludes NULL/0 values;
+    # NULL-text docs produce zero index postings / NULL token lists
+    "holt_user",
+    "benford_value_digits",
+    "phrase_search",
 ]
 
 TABLES = [

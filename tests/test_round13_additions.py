@@ -1,0 +1,201 @@
+"""Round-13 additions: Holt linear trend, Benford digit profile,
+positional inverted index + phrase search."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesfuser_spark.ops import scale as SC
+from timeseriesfuser_spark.ops import text as X
+from timeseriesfuser_spark.ops import timeseries as TS
+
+
+class TestHoltLinear:
+    def _events(self, spark, vals):
+        rows = [
+            (1, 1000 + i * 10, i, float(v)) for i, v in enumerate(vals)
+        ]
+        return spark.createDataFrame(
+            rows, ["user_id", "ts", "event_id", "value"]
+        )
+
+    def test_matches_python_reference(self, spark):
+        vals = [10.0, 12.0, 15.0, 11.0, 20.0, 25.0]
+        out = (
+            TS.holt_linear(self._events(spark, vals))
+            .orderBy("ts")
+            .collect()
+        )
+        a = b = 0.25
+        lv = tr = 0.0
+        for i, r in enumerate(out):
+            x = float(r.cents)
+            if i == 0:
+                lv, tr = x, 0.0
+            else:
+                prev = lv
+                lv = a * x + (1.0 - a) * (lv + tr)
+                tr = b * (lv - prev) + (1.0 - b) * tr
+            assert r.level == lv and r.trend == tr
+            assert r.forecast == lv + tr
+
+    def test_trend_tracks_linear_series_better_than_ewma(self, spark):
+        vals = [float(100 + 10 * i) for i in range(30)]
+        df = self._events(spark, vals)
+        holt = TS.holt_linear(df).orderBy("ts").collect()
+        ew = TS.ewma(df).orderBy("ts").collect()
+        true_next = (100 + 10 * 30) * 100  # cents
+        holt_err = abs(holt[-1].forecast - true_next)
+        ewma_err = abs(ew[-1].ewma - true_next)
+        assert holt_err < ewma_err
+
+    def test_null_value_poisons_tail_as_null(self, spark):
+        rows = [
+            (1, 1000, 0, 10.0),
+            (1, 1010, 1, None),
+            (1, 1020, 2, 12.0),
+        ]
+        df = spark.createDataFrame(
+            rows, ["user_id", "ts", "event_id", "value"]
+        )
+        out = TS.holt_linear(df).orderBy("ts").collect()
+        assert out[0].level is not None
+        assert out[1].level is None and out[1].forecast is None
+        assert out[2].level is None  # NaN-poisoned, like the SQL NULL chain
+
+    def test_bad_params(self, spark):
+        df = self._events(spark, [1.0])
+        with pytest.raises(ValueError):
+            TS.holt_linear(df, alpha=0.0)
+        with pytest.raises(ValueError):
+            TS.holt_linear(df, beta=1.5)
+
+
+class TestBenfordDigits:
+    def test_digits_and_ppm(self, spark):
+        rows = []
+        # group "a": values 1.00-9.00 once each -> each digit n=1
+        for d in range(1, 10):
+            rows.append((0, "a", float(d)))
+        # group "b": 5 values starting with digit 1
+        for i in range(5):
+            rows.append((0, "b", 1.0 + i * 0.001))
+        df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+        out = SC.benford_digits(df).collect()
+        a = {r.digit: r for r in out if r.event_type == "a"}
+        b = {r.digit: r for r in out if r.event_type == "b"}
+        assert len(a) == 9 and len(b) == 9
+        assert all(a[d].n == 1 for d in range(1, 10))
+        assert a[1].obs_ppm == 1_000_000 // 9
+        assert b[1].n == 5 and b[1].obs_ppm == 1_000_000
+        assert b[2].n == 0 and b[2].obs_ppm == 0
+        for d in range(1, 10):
+            assert a[d].exp_ppm == round(math.log10(1 + 1 / d) * 1_000_000)
+
+    def test_zero_and_null_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a", 0.0), (0, "a", None), (0, "a", 3.5)],
+            ["ts", "event_type", "value"],
+        )
+        out = SC.benford_digits(df).collect()
+        assert sum(r.n for r in out) == 1
+        assert {r.digit for r in out if r.n > 0} == {3}
+
+    def test_negative_values_use_abs(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a", -7.2)], ["ts", "event_type", "value"]
+        )
+        out = {r.digit: r.n for r in SC.benford_digits(df).collect()}
+        assert out[7] == 1
+
+    def test_null_group_kept(self, spark):
+        df = spark.createDataFrame(
+            [(0, None, 5.0)], "ts long, event_type string, value double"
+        )
+        out = SC.benford_digits(df).collect()
+        assert len(out) == 9
+        assert sum(r.n for r in out) == 1
+
+
+class TestPhraseSearch:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "the quick brown fox"),
+                (2, "quick brown shoes and quick brown boots"),
+                (3, "brown quick inverted order"),
+                (4, "quick only here"),
+                (5, None),
+            ],
+            ["doc_id", "text"],
+        )
+
+    def test_phrase_hits_and_positions(self, spark):
+        idx = X.build_token_index(self._docs(spark))
+        out = {
+            r.id: (r.n_matches, r.first_pos)
+            for r in X.phrase_search_indexed(idx, ["quick", "brown"]).collect()
+        }
+        assert out == {1: (1, 2), 2: (2, 1)}
+
+    def test_single_token_phrase(self, spark):
+        idx = X.build_token_index(self._docs(spark))
+        out = {
+            r.id: r.n_matches
+            for r in X.phrase_search_indexed(idx, ["quick"]).collect()
+        }
+        assert out == {1: 1, 2: 2, 3: 1, 4: 1}
+
+    def test_three_token_phrase(self, spark):
+        idx = X.build_token_index(self._docs(spark))
+        out = X.phrase_search_indexed(
+            idx, ["quick", "brown", "fox"]
+        ).collect()
+        assert [(r.id, r.n_matches, r.first_pos) for r in out] == [(1, 1, 2)]
+
+    def test_missing_phrase_empty(self, spark):
+        idx = X.build_token_index(self._docs(spark))
+        assert X.phrase_search_indexed(idx, ["purple", "fox"]).count() == 0
+
+    def test_empty_phrase_raises(self, spark):
+        idx = X.build_token_index(self._docs(spark))
+        with pytest.raises(ValueError):
+            X.phrase_search_indexed(idx, [])
+
+    def test_index_positions_one_based(self, spark):
+        idx = X.build_token_index(self._docs(spark))
+        rows = idx.filter(F.col("id") == 1).orderBy("pos").collect()
+        assert [(r.token, r.pos) for r in rows] == [
+            ("the", 1), ("quick", 2), ("brown", 3), ("fox", 4)
+        ]
+
+
+class TestRound13PlanGates:
+    def _plan(self, df):
+        spark = df.sparkSession
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        return df._jdf.queryExecution().explainString(mode)
+
+    def test_benford_single_input_pass(self, spark):
+        import re
+
+        from timeseriesfuser_spark.contract import QUERIES
+
+        df = QUERIES["benford_value_digits"](spark, "/root/testdata/sf0.001")
+        plan = self._plan(df)
+        # counts is checkpointed after ONE input scan; the final plan
+        # must not rescan the events parquet per branch
+        scans = len(set(re.findall(r"\(\d+\) Scan parquet", plan)))
+        assert scans == 0, plan
+        assert "CartesianProduct" not in plan
+
+    def test_phrase_search_no_cartesian_and_pos_joins(self, spark):
+        from timeseriesfuser_spark.contract import QUERIES
+
+        df = QUERIES["phrase_search"](spark, "/root/testdata/sf0.001")
+        plan = self._plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -1784,3 +1784,39 @@ def q_part_value_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_frontier_2d(t, "price_cents", "p_size").select(
         "p_partkey", "price_cents", "p_size"
     )
+
+
+@register(
+    "benford_value_digits",
+    # exp_ppm literals are Python-precomputed round(log10(1+1/d)*1e6) —
+    # identical integers baked into BOTH plans, so no libm on either
+    # query surface (the hll_estimate_corrected policy).
+    oracle="""
+    WITH base AS (SELECT event_type AS g,
+                         CAST(round(value * 100) AS BIGINT) AS c
+                  FROM events
+                  WHERE value IS NOT NULL AND round(value * 100) != 0),
+    d AS (SELECT g, CAST(substr(CAST(abs(c) AS VARCHAR), 1, 1) AS INT)
+                    AS digit FROM base),
+    cnt AS (SELECT g, digit, count(*) AS n FROM d GROUP BY g, digit),
+    t AS (SELECT g, sum(n) AS tot FROM cnt GROUP BY g),
+    grid AS (SELECT t.g, CAST(dd.range AS INT) AS digit, t.tot
+             FROM t CROSS JOIN range(1, 10) dd)
+    SELECT f.g AS event_type, f.digit,
+           CAST(coalesce(cnt.n, 0) AS BIGINT) AS n,
+           CAST(coalesce(cnt.n, 0) * 1000000 // f.tot AS BIGINT) AS obs_ppm,
+           CAST(CASE f.digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757 END AS BIGINT) AS exp_ppm
+    FROM grid f
+    LEFT JOIN cnt ON cnt.g IS NOT DISTINCT FROM f.g AND cnt.digit = f.digit
+    """,
+)
+def q_benford_value_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile of the value column per event type
+    (ops.scale.benford_digits) — the fabricated-data / truncated-cast
+    screen. Digit = first char of the cent integer's decimal string
+    (exact, no log10 on the query surface); integer-ppm shares; the full
+    (group, digit 1..9) spine with n = 0 rows a drift monitor diffs.
+    One hash-agg + broadcast spine joins, input scanned once."""
+    from timeseriesfuser_spark.ops.scale import benford_digits
+
+    return benford_digits(_events(spark, sf_dir))

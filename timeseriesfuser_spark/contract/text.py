@@ -697,3 +697,44 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") < 10)
     return X.decontaminate_spans(docs, bench, n=3)
+
+
+@register(
+    "phrase_search",
+    # The phrase is DERIVED from the corpus (first two tokens of the
+    # lowest-id doc) identically on both engines, so the query is fixed
+    # yet always matches >= 1 doc on any regenerated testdata. The
+    # oracle verifies by direct list-slice comparison — a deliberately
+    # different formulation from the op's postings intersection.
+    oracle="""
+    WITH ph AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+')[1:2] AS p
+                FROM documents ORDER BY doc_id LIMIT 1),
+    docs AS (SELECT doc_id,
+                    regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+             FROM documents),
+    m AS (SELECT d.doc_id,
+                 [i FOR i IN range(1, len(d.tk) - len(ph.p) + 2)
+                    IF d.tk[i:i + len(ph.p) - 1] = ph.p] AS hits
+          FROM docs d CROSS JOIN ph)
+    SELECT doc_id AS id,
+           CAST(len(hits) AS BIGINT) AS n_matches,
+           CAST(hits[1] AS BIGINT) AS first_pos
+    FROM m WHERE len(hits) > 0
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search via a positional inverted index
+    (ops.text.build_token_index + phrase_search_indexed): the i-th
+    phrase token's postings shift by -i and equi-join on (doc, aligned
+    pos) — k-1 joins over per-token posting lists, never a corpus scan.
+    The oracle re-verifies every match by direct token-slice equality."""
+    docs = _t(spark, sf_dir, "documents")
+    first = (
+        docs.orderBy("doc_id")
+        .limit(1)
+        .select(X._tokens("text").alias("tk"))
+        .first()
+    )
+    phrase = list(first["tk"][:2])
+    idx = X.build_token_index(docs)
+    return X.phrase_search_indexed(idx, phrase)

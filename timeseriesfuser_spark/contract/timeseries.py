@@ -1231,3 +1231,48 @@ def q_streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+_HOLT_A, _HOLT_B = 0.25, 0.25
+
+
+@register(
+    "holt_user",
+    # The trend row recomputes the level expression verbatim (DuckDB has
+    # no lateral alias into the same recursive SELECT) — deterministic,
+    # so the recomputed double is bit-identical to the one emitted.
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+        SELECT user_id AS k, epoch_ms(ts) AS t, event_id AS seq,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ms(ts), event_id) AS rn
+        FROM events),
+    r AS (
+        SELECT k, t, seq, cents, rn,
+               CAST(cents AS DOUBLE) AS level,
+               CAST(0 AS DOUBLE) AS trend
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.k, e.t, e.seq, e.cents, e.rn,
+               {_HOLT_A} * e.cents + {1.0 - _HOLT_A} * (r.level + r.trend),
+               {_HOLT_B} * (({_HOLT_A} * e.cents
+                             + {1.0 - _HOLT_A} * (r.level + r.trend))
+                            - r.level)
+               + {1.0 - _HOLT_B} * r.trend
+        FROM ev e JOIN r ON e.k = r.k AND e.rn = r.rn + 1
+    )
+    SELECT k AS user_id, t AS ts, seq AS event_id, cents,
+           level, trend, level + trend AS forecast
+    FROM r
+    """,
+)
+def q_holt_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt double exponential smoothing
+    (ops.timeseries.holt_linear): level + linear trend + one-step-ahead
+    forecast — the trend-aware upgrade over ewma_user, same recursive
+    applyInPandas/recursive-CTE determinism contract (α = β = 0.25
+    exactly representable → bit-identical IEEE chains)."""
+    return TS.holt_linear(
+        _events(spark, sf_dir), alpha=_HOLT_A, beta=_HOLT_B
+    )

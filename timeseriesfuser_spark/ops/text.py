@@ -848,3 +848,71 @@ def decontaminate_spans(
         F.coalesce(F.size(toks2), F.lit(0)).cast("long").alias("n_tokens"),
         F.size("__cov").cast("long").alias("n_removed"),
     )
+
+
+def build_token_index(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional inverted index: one (token, id, pos) row per token
+    occurrence (1-based position over the ``WORD_RE`` tokenization) —
+    the reusable search structure corpus-scale phrase/proximity queries
+    join against instead of rescanning raw text.
+
+    Scale: one projection + posexplode, no shuffle; persist (or write
+    bucketed BY token) once and amortize across queries — at 100 TB the
+    index build is the one full-corpus pass, every search after it
+    touches only the queried tokens' postings.
+    """
+    from timeseriesfuser_spark.ops.util import spread_small_input
+
+    return (
+        spread_small_input(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(_tokens(text_col)).alias("pos0", "token"),
+        )
+        .select("token", "id", (F.col("pos0") + 1).cast("long").alias("pos"))
+    )
+
+
+def phrase_search_indexed(
+    index: DataFrame,
+    phrase_tokens,
+    *,
+    token_col: str = "token",
+    id_col: str = "id",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Exact phrase search over a :func:`build_token_index` relation:
+    docs where the tokens appear CONSECUTIVELY, via the classic postings
+    intersection — the i-th phrase token's postings are shifted by −i and
+    equi-joined on (doc, aligned position), so a k-token phrase is k−1
+    joins over per-token posting lists (df(token) rows each), never a
+    corpus scan.
+
+    Returns (id, n_matches, first_pos): match count and the 1-based
+    position of the first occurrence per matching doc. Exact-integer
+    output. Skew note: stop-word-sized postings make the join sides
+    large — order the phrase plan by ascending document frequency (or
+    prefilter ids on the rarest token) when searching web-scale indexes;
+    the equi-join shape itself is already the bounded path.
+    """
+    phrase = list(phrase_tokens)
+    if not phrase:
+        raise ValueError("phrase_tokens must be non-empty")
+    cur = index.filter(F.col(token_col) == phrase[0]).select(
+        F.col(id_col).alias("id"), F.col(pos_col).cast("long").alias("pos")
+    )
+    for i, w in enumerate(phrase[1:], start=1):
+        ti = index.filter(F.col(token_col) == w).select(
+            F.col(id_col).alias("id"),
+            (F.col(pos_col).cast("long") - i).alias("pos"),
+        )
+        cur = cur.join(ti, ["id", "pos"])
+    return cur.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("pos").alias("first_pos"),
+    )

@@ -567,6 +567,101 @@ def ewma(
     )
 
 
+def holt_linear(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+    alpha: float = 0.25,
+    beta: float = 0.25,
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing (level + linear trend)
+    of the cent-quantized value, in (ts, seq) order::
+
+        l₀ = x₀,  b₀ = 0
+        lᵢ = α·xᵢ + (1−α)·(lᵢ₋₁ + bᵢ₋₁)
+        bᵢ = β·(lᵢ − lᵢ₋₁) + (1−β)·bᵢ₋₁
+
+    ``forecast = lᵢ + bᵢ`` is the one-step-ahead prediction — the
+    trend-aware upgrade over :func:`ewma` (which lags any drifting
+    series) and the classic lightweight per-entity forecaster.
+
+    Like ewma, the recursion depends on the previous row's OUTPUT —
+    the sanctioned per-key Arrow ``applyInPandas`` case; the SQL twin is
+    a recursive CTE stepping rank-by-rank. With α = β = 0.25 (exactly
+    representable) both engines execute the identical IEEE chain and the
+    floats match bit-for-bit; the trend update recomputes the level
+    expression verbatim on the SQL side, which is deterministic and
+    yields the same double.
+
+    Scale: one shuffle on the key; per-group work is O(rows); keys are
+    the parallelism unit. NULL values NaN-poison the tail of a key's
+    recursion (emitted as NULL, matching SQL NULL propagation).
+
+    Reference scope note: the reference engine (timeseriesfuser) has no
+    forecasting surface; this extends the §2.8-adjacent analytics family
+    with the same determinism contract as ewma.
+    """
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql import types as T
+
+    a, b = float(alpha), float(beta)
+    if not (0.0 < a <= 1.0) or not (0.0 < b <= 1.0):
+        raise ValueError(f"alpha/beta must be in (0, 1]: {alpha}, {beta}")
+    ev = df.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(seq_col).cast("long").alias("seq"),
+        _cents(value_col).alias("cents"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", ev.schema["k"].dataType, True),
+            T.StructField("ts", T.LongType(), True),
+            T.StructField("seq", T.LongType(), True),
+            T.StructField("cents", T.LongType(), True),
+            T.StructField("level", T.DoubleType(), True),
+            T.StructField("trend", T.DoubleType(), True),
+            T.StructField("forecast", T.DoubleType(), True),
+        ]
+    )
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import math
+
+        pdf = pdf.sort_values(["ts", "seq"], ignore_index=True)
+        lv = tr = 0.0
+        levels, trends, fcs = [], [], []
+        for i, x in enumerate(pdf["cents"]):
+            x = float(x)
+            if i == 0:
+                lv, tr = x, 0.0
+            else:
+                prev = lv
+                lv = a * x + (1.0 - a) * (lv + tr)
+                tr = b * (lv - prev) + (1.0 - b) * tr
+            fc = lv + tr
+            levels.append(None if math.isnan(lv) else lv)
+            trends.append(None if math.isnan(tr) else tr)
+            fcs.append(None if math.isnan(fc) else fc)
+        pdf["level"], pdf["trend"], pdf["forecast"] = levels, trends, fcs
+        return pdf
+
+    out = ev.groupBy("k").applyInPandas(fn, schema)
+    return out.select(
+        F.col("k").alias(key_col),
+        F.col("ts").alias(ts_col),
+        F.col("seq").alias(seq_col),
+        "cents",
+        "level",
+        "trend",
+        "forecast",
+    )
+
+
 def pivot_features(
     df: DataFrame,
     *,
