@@ -199,3 +199,119 @@ class TestRound13PlanGates:
         plan = self._plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestJoinViewDelta:
+    def test_ivm_identity_random_split(self, spark):
+        import random
+
+        rng = random.Random(7)
+        a_rows = [(i % 20, f"a{i}") for i in range(100)]
+        b_rows = [(i % 25, i * 10) for i in range(120)]
+        a_split = [rng.random() < 0.6 for _ in a_rows]
+        b_split = [rng.random() < 0.6 for _ in b_rows]
+        from timeseriesfuser_spark.ops.behavior import join_view_delta
+
+        A = spark.createDataFrame(
+            [r for r, s in zip(a_rows, a_split) if s], ["k", "av"]
+        )
+        dA = spark.createDataFrame(
+            [r for r, s in zip(a_rows, a_split) if not s], ["k", "av"]
+        )
+        B = spark.createDataFrame(
+            [r for r, s in zip(b_rows, b_split) if s], ["k", "bv"]
+        )
+        dB = spark.createDataFrame(
+            [r for r, s in zip(b_rows, b_split) if not s], ["k", "bv"]
+        )
+        delta = join_view_delta(A, dA, B, dB, on="k").collect()
+        base = A.join(B, "k").collect()
+        full = A.unionByName(dA).join(B.unionByName(dB), "k").collect()
+        combined = sorted(map(tuple, base)) + sorted(map(tuple, delta))
+        assert sorted(combined) == sorted(map(tuple, full))
+
+    def test_outer_rejected(self, spark):
+        from timeseriesfuser_spark.ops.behavior import join_view_delta
+
+        df = spark.createDataFrame([(1, 1)], ["k", "v"])
+        with pytest.raises(ValueError):
+            join_view_delta(df, df, df, df, on="k", how="left")
+
+
+class TestKcorePeel:
+    def _brute_kcore(self, edges, k, rounds):
+        # symmetrized adjacency peeling, Python reference
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        nodes = set(adj)
+        for _ in range(rounds):
+            drop = {n for n in nodes if len(adj[n] & nodes) < k}
+            if not drop:
+                break
+            nodes -= drop
+        return {n: len(adj[n] & nodes) for n in nodes}
+
+    def test_matches_brute_force(self, spark):
+        import random
+
+        rng = random.Random(11)
+        edges = list({
+            tuple(sorted(rng.sample(range(30), 2))) for _ in range(120)
+        })
+        from timeseriesfuser_spark.ops.graph import kcore_peel
+
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        for k in (2, 3, 4):
+            got = {
+                r.id: r.degree
+                for r in kcore_peel(df, k, rounds=10).collect()
+            }
+            assert got == self._brute_kcore(edges, k, rounds=10), k
+
+    def test_clique_survives_star_peels(self, spark):
+        from timeseriesfuser_spark.ops.graph import kcore_peel
+
+        # K4 clique + star leaves hanging off node 0
+        edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        edges += [(0, 100 + i) for i in range(5)]
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r.id: r.degree for r in kcore_peel(df, 3, rounds=5).collect()}
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_validates(self, spark):
+        from timeseriesfuser_spark.ops.graph import kcore_peel
+
+        df = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+        with pytest.raises(ValueError):
+            kcore_peel(df, 0)
+
+
+class TestLatenessStats:
+    def test_profile(self, spark):
+        # arrival order = event_id; ts stream with two late rows
+        rows = [
+            ("a", 1, 1000), ("a", 2, 2000), ("a", 3, 1500),  # late by 500
+            ("a", 4, 3000), ("a", 5, 2900),                  # late by 100
+            ("b", 6, 100), ("b", 7, 200),                    # in order
+        ]
+        df = spark.createDataFrame(rows, ["event_type", "event_id", "ts"])
+        from timeseriesfuser_spark.ops.timeseries import lateness_stats
+
+        out = {r.event_type: r for r in lateness_stats(df).collect()}
+        a = out["a"]
+        assert (a.n, a.n_late, a.max_late_ms, a.sum_late_ms) == (5, 2, 500, 600)
+        assert a.late_ppm == 2 * 1_000_000 // 5
+        b = out["b"]
+        assert (b.n, b.n_late, b.max_late_ms, b.sum_late_ms) == (2, 0, 0, 0)
+
+    def test_null_ts_excluded(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, 1000), ("a", 2, None), ("a", 3, 900)],
+            "event_type string, event_id long, ts long",
+        )
+        from timeseriesfuser_spark.ops.timeseries import lateness_stats
+
+        out = lateness_stats(df).collect()[0]
+        assert out.n == 2 and out.n_late == 1 and out.max_late_ms == 100

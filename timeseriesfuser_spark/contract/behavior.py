@@ -683,3 +683,69 @@ def q_streaming_latest_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+_IVD_CUT = "1998-01-01"
+
+
+@register(
+    "incremental_join_delta",
+    # The oracle states the SEMANTIC definition — the refreshed full
+    # join minus the base join, per group — a deliberately different
+    # formulation from the op's three-term delta expansion, so the IVM
+    # identity itself is what the parity check proves.
+    oracle=f"""
+    WITH fullv AS (
+        SELECT o_orderpriority AS p, count(*) AS n,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS c
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1),
+    basev AS (
+        SELECT o_orderpriority AS p, count(*) AS n,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS c
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderdate < TIMESTAMP '{_IVD_CUT}'
+          AND l_shipdate < TIMESTAMP '{_IVD_CUT}'
+        GROUP BY 1)
+    SELECT f.p AS o_orderpriority,
+           CAST(f.n - coalesce(b.n, 0) AS BIGINT) AS delta_rows,
+           CAST(f.c - coalesce(b.c, 0) AS BIGINT) AS delta_cents
+    FROM fullv f LEFT JOIN basev b ON f.p IS NOT DISTINCT FROM b.p
+    WHERE f.n - coalesce(b.n, 0) > 0
+    """,
+)
+def q_incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental join-view maintenance (ops.behavior.join_view_delta):
+    orders/lineitem split at a date cutoff into base + insert deltas;
+    the view delta is the three-term IVM expansion ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+    — each term joins a small delta against a base (broadcast-able),
+    never re-joining the bases. The oracle proves the identity against
+    the refreshed-full-minus-base formulation."""
+    from timeseriesfuser_spark.ops.behavior import join_view_delta
+
+    cut = F.lit(_IVD_CUT).cast("timestamp")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_shipdate",
+    )
+    d = join_view_delta(
+        o.filter(F.col("o_orderdate") < cut).drop("o_orderdate"),
+        # the delta is the exact complement — NULL dates land in the
+        # delta, not nowhere (a bare ~(col < cut) drops them from BOTH)
+        o.filter(
+            F.col("o_orderdate").isNull() | (F.col("o_orderdate") >= cut)
+        ).drop("o_orderdate"),
+        li.filter(F.col("l_shipdate") < cut).drop("l_shipdate"),
+        li.filter(
+            F.col("l_shipdate").isNull() | (F.col("l_shipdate") >= cut)
+        ).drop("l_shipdate"),
+        on="o_orderkey",
+    )
+    return d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("delta_rows"),
+        F.sum("cents").cast("long").alias("delta_cents"),
+    )

@@ -252,3 +252,61 @@ def q_copurchase_reach_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = op.select("p").distinct().orderBy("p").limit(3)
     reach = shortest_hops(edges, seeds, directed=False, max_hops=2)
     return reach.select(F.col("id").cast("long").alias("part_id"), "hops")
+
+
+_KC_K, _KC_ROUNDS = 4, 3
+
+
+def _kcore_oracle() -> str:
+    """Unrolled k-core peeling rounds (the pagerank fixed-iteration CTE
+    convention): s0 = symmetrized distinct co-purchase edges; each round
+    keeps edges whose BOTH endpoints have current degree >= k. Early
+    exit in the op is result-identical (a fixpoint round is identity)."""
+    parts = [
+        """op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    und AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+    s0 AS (SELECT u AS src, v AS dst FROM und
+           UNION SELECT v AS src, u AS dst FROM und)"""
+    ]
+    for r in range(1, _KC_ROUNDS + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f"k{r} AS (SELECT src AS n FROM (SELECT src, count(*) AS c"
+            f" FROM {prev} GROUP BY src) WHERE c >= {_KC_K})"
+        )
+        parts.append(
+            f"s{r} AS (SELECT s.src, s.dst FROM {prev} s"
+            f" JOIN k{r} a ON s.src = a.n JOIN k{r} b ON s.dst = b.n)"
+        )
+    final = (
+        f"SELECT src AS id, CAST(count(*) AS BIGINT) AS degree"
+        f" FROM s{_KC_ROUNDS} GROUP BY src"
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + final
+
+
+@register("copurchase_kcore", oracle=_kcore_oracle())
+def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core of the co-purchase graph
+    (ops.graph.kcore_peel, k=4, 3 rounds): the dense-substructure
+    extractor — per round one degree hash-agg + two semi joins with a
+    lineage cut, early-exiting at the fixpoint (result-identical).
+    All-BIGINT output; oracle unrolls the same rounds."""
+    from timeseriesfuser_spark.ops.graph import kcore_peel
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = (
+        op.alias("a")
+        .join(op.alias("b"),
+              (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
+        .distinct()
+    )
+    return kcore_peel(edges, _KC_K, rounds=_KC_ROUNDS)

@@ -1276,3 +1276,35 @@ def q_holt_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.holt_linear(
         _events(spark, sf_dir), alpha=_HOLT_A, beta=_HOLT_B
     )
+
+
+@register(
+    "event_lateness_stats",
+    oracle="""
+    WITH ev AS (SELECT event_type AS g, epoch_ms(ts) AS t, event_id
+                FROM events
+                WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+    w AS (SELECT g,
+                 greatest(coalesce(max(t) OVER (
+                     PARTITION BY g ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     - t, 0), 0) AS late
+          FROM ev)
+    SELECT g AS event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS late_ppm,
+           CAST(max(late) AS BIGINT) AS max_late_ms,
+           CAST(sum(late) AS BIGINT) AS sum_late_ms
+    FROM w GROUP BY g
+    """,
+)
+def q_event_lateness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival profile per event type
+    (ops.timeseries.lateness_stats): event_id as arrival order, lateness
+    = event-time high-water mark ahead of each row — the exact-integer
+    measurement that sizes a streaming watermark delay (max_late_ms is
+    the no-drop bound). One running-max window + one hash-agg."""
+    return TS.lateness_stats(_events(spark, sf_dir))

@@ -664,3 +664,41 @@ def rolling_active_users(
             F.expr("dau * 1000000 DIV window_active"),
         ).cast("long"),
     )
+
+
+def join_view_delta(
+    base_left: DataFrame,
+    delta_left: DataFrame,
+    base_right: DataFrame,
+    delta_right: DataFrame,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Incremental maintenance of an inner-join materialized view under
+    insert-only deltas — the classic IVM identity::
+
+        Δ(A ⋈ B) = (ΔA ⋈ B) ∪ (A ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+
+    so the refreshed view is ``old_view ∪ join_view_delta(...)`` and the
+    base relations are never re-joined. Exact: the three terms partition
+    the new join rows by which side(s) contributed a delta row, so the
+    union (ALL) equals ``(A∪ΔA) ⋈ (B∪ΔB)  MINUS  A ⋈ B`` with
+    multiplicity.
+
+    Scale: each term joins a DELTA against a base (or the tiny Δ⋈Δ) —
+    with typical delta ≪ base, Spark broadcasts the delta side and the
+    base never shuffles; cost is O(|Δ| · matmatch fan-out), not
+    O(|A⋈B|). The streaming analogue is a stream-stream join; this is
+    the batch/backfill form a warehouse MERGE pipeline runs per
+    ingestion tick.
+
+    ``on``: column name (or list of names) shared by both sides; only
+    inner joins are supported (outer IVM needs retraction handling —
+    deletes/updates are out of the insert-only contract).
+    """
+    if how != "inner":
+        raise ValueError("join_view_delta supports inner joins only")
+    t1 = delta_left.join(base_right, on)
+    t2 = base_left.join(delta_right, on)
+    t3 = delta_left.join(delta_right, on)
+    return t1.unionByName(t2).unionByName(t3)

@@ -340,3 +340,67 @@ def shortest_hops_oracle_sql(
     )
     SELECT id, CAST(min(h) AS BIGINT) AS hops FROM reach GROUP BY id
     """
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    *,
+    rounds: int = 5,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Bounded-round k-core peeling: repeatedly drop nodes whose degree
+    in the CURRENT subgraph is < k; what survives ``rounds`` rounds is a
+    superset of (and, once a round removes nothing, exactly) the k-core
+    — the standard dense-substructure / spam-cluster / hub-backbone
+    extractor.
+
+    Returns (id, degree) for surviving nodes, degree measured within the
+    surviving subgraph — exact BIGINTs, no float surface, so a SQL twin
+    unrolls the same rounds as a CTE chain.
+
+    Scale: per round one degree hash-agg + two semi joins on the node
+    set, with an eager ``localCheckpoint`` lineage cut (the pagerank/CC
+    convention — without it the plan doubles per round) and an
+    early-exit when a round removes no edge (a fixpoint is the true
+    k-core, so stopping early is result-identical to running all
+    rounds). Input edges are symmetrized and de-duplicated first.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+    fwd = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    rev = edges.select(
+        F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+    )
+    cur = (
+        fwd.unionByName(rev)
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = cur.count()
+    for _ in range(rounds):
+        if n_edges == 0:
+            break
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
+        keep = deg.filter(F.col("__d") >= k).select(F.col("src").alias("n"))
+        nxt = (
+            cur.join(keep, cur["src"] == keep["n"], "left_semi")
+            .join(
+                keep.withColumnRenamed("n", "n2"),
+                F.col("dst") == F.col("n2"),
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        cur = nxt
+        if n_next == n_edges:
+            break  # fixpoint: further rounds are identity
+        n_edges = n_next
+    return cur.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    ).select(F.col("src").alias("id"), "degree")

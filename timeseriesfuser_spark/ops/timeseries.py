@@ -1646,3 +1646,49 @@ def exact_percentiles(
             F.sum(contrib).cast("long").alias(f"p{num}_{den}_x{den}")
         )
     return rn.groupBy("__g").agg(*aggs).withColumnRenamed("__g", group_col)
+
+
+def lateness_stats(
+    df: DataFrame,
+    *,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Out-of-order arrival profile — the measurement that sizes a
+    Structured Streaming watermark delay: with ``seq_col`` as the
+    ingest/arrival order, a row's lateness is how far the already-seen
+    event-time high-water mark is ahead of its own event time
+    (``max(ts) over arrivals-before-me − ts``, floored at 0). A stream
+    whose p-max lateness is 40 s needs ``withWatermark(..., ">=40s")``
+    to avoid dropping those rows; this op reports the exact profile per
+    group from a batch/backfill sample.
+
+    Output per group: (n, n_late, late_ppm, max_late_ms, sum_late_ms) —
+    all exact integers. Rows with NULL ts/seq carry no arrival position
+    and are excluded. One per-group running-max window + one hash-agg.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(seq_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = F.greatest(
+        F.max(F.col(ts_col)).over(w) - F.col(ts_col), F.lit(0)
+    )
+    per_row = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(seq_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.coalesce(late, F.lit(0)).cast("long").alias("__late"),
+        )
+    )
+    return per_row.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("__late") > 0).cast("long")).cast("long").alias("n_late"),
+        F.expr("sum(CASE WHEN __late > 0 THEN 1 ELSE 0 END) * 1000000 DIV count(*)")
+        .cast("long")
+        .alias("late_ppm"),
+        F.max("__late").cast("long").alias("max_late_ms"),
+        F.sum("__late").cast("long").alias("sum_late_ms"),
+    ).withColumnRenamed("g", group_col)
