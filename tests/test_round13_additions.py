@@ -315,3 +315,38 @@ class TestLatenessStats:
 
         out = lateness_stats(df).collect()[0]
         assert out.n == 2 and out.n_late == 1 and out.max_late_ms == 100
+
+
+class TestRrfFuse:
+    def test_fusion_scores_and_ranks(self, spark):
+        from timeseriesfuser_spark.ops.similarity import rrf_fuse
+
+        r1 = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            ["query_id", "neighbor_id", "rank"],
+        )
+        r2 = spark.createDataFrame(
+            [(1, 11, 1), (1, 10, 2), (1, 13, 3)],
+            ["query_id", "neighbor_id", "rank"],
+        )
+        out = {r.item_id: r for r in rrf_fuse([r1, r2], k=60).collect()}
+        s = lambda rk: 10**9 // (60 + rk)
+        assert out[10].rrf_score == s(1) + s(2)
+        assert out[11].rrf_score == s(2) + s(1)
+        assert out[10].n_lists == 2 and out[12].n_lists == 1
+        # 10 and 11 tie exactly -> lower item id first
+        assert out[10].rank == 1 and out[11].rank == 2
+        assert out[12].rank == 3 and out[13].rank == 4  # tie -> lower id
+
+    def test_top_n_and_validation(self, spark):
+        from timeseriesfuser_spark.ops.similarity import rrf_fuse
+
+        r1 = spark.createDataFrame(
+            [(1, i, i) for i in range(1, 6)],
+            ["query_id", "neighbor_id", "rank"],
+        )
+        assert rrf_fuse([r1], top_n=2).count() == 2
+        with pytest.raises(ValueError):
+            rrf_fuse([])
+        with pytest.raises(ValueError):
+            rrf_fuse([r1], k=0)

@@ -750,3 +750,47 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_ppm"
         ),
     )
+
+
+@register(
+    "hybrid_search_rrf",
+    # Embeds the exact and IVF-ADC ranking oracles as CTEs (the
+    # pq_recall pattern) so the fusion can't drift from the rankers it
+    # combines. Scores in exact integer nano-units: 1e9 // (60 + rank),
+    # every operand positive so DuckDB // and Spark DIV agree.
+    oracle=f"""
+    WITH ex AS ({{SIM_TOPK}}),
+    ap AS ({_ivf_pq_oracle_sql("nv.vec_id < 10", 5)}),
+    u AS (SELECT query_id, neighbor_id AS item_id,
+                 1000000000 // (60 + CAST(rank AS BIGINT)) AS s FROM ex
+          UNION ALL
+          SELECT query_id, neighbor_id,
+                 1000000000 // (60 + CAST(rank AS BIGINT)) FROM ap),
+    agg AS (SELECT query_id, item_id, sum(s) AS rrf_score,
+                   count(*) AS n_lists
+            FROM u GROUP BY 1, 2)
+    SELECT query_id, item_id,
+           CAST(rrf_score AS BIGINT) AS rrf_score,
+           CAST(n_lists AS BIGINT) AS n_lists,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, item_id)
+                AS BIGINT) AS rank
+    FROM agg
+    """.replace("{SIM_TOPK}", ORACLES["similarity_topk"]),
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval lists per query
+    (ops.similarity.rrf_fuse): exact cosine top-5 + trained IVF-ADC
+    top-5, fused by Σ 1e9 DIV (60 + rank) in exact integer nano-units —
+    the calibration-free hybrid-search combiner. The fusion unions two
+    k-bounded relations and aggregates on (query, item); the corpora
+    are never touched again."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, queries, k=5)
+    cbs = S.pq_train_codebooks(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    approx = S.ivf_pq_topk(
+        emb, queries, k=5, n_centroids=_NC, nprobe=_NP, m=_PQ_M, pq_k=_PQ_K,
+        codebooks=cbs,
+    )
+    return S.rrf_fuse([exact, approx], k=60)

@@ -1229,3 +1229,59 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_d2", "rank")
     )
+
+
+def rrf_fuse(
+    rankings,
+    *,
+    k: int = 60,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    top_n: Optional[int] = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) of N per-query rankings —
+    the standard hybrid-retrieval combiner (dense ANN + lexical + any
+    other ranker) that needs no score calibration, only ranks::
+
+        score(d) = Σ_r  1e9 DIV (k + rank_r(d))
+
+    computed in exact integer nano-units (truncating division, every
+    operand positive) so the fused ordering is engine-reproducible —
+    the float 1/(k+r) form would rank identically but hash differently.
+    Ties → lowest item id. Items missing from a ranking contribute 0
+    (the RRF convention).
+
+    Output: (query, item, rrf_score, n_lists, rank). Scale: unions the
+    k-bounded ranking relations (each already top-k per query), one
+    hash-agg on (query, item), one per-query WindowGroupLimit — never
+    touches the corpora themselves.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    scored = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(item_col).alias("item_id"),
+            F.expr(f"1000000000 DIV ({k} + CAST({rank_col} AS BIGINT))")
+            .cast("long")
+            .alias("__s"),
+        )
+        for r in rankings
+    ]
+    u = scored[0]
+    for s in scored[1:]:
+        u = u.unionByName(s)
+    agg = u.groupBy("query_id", "item_id").agg(
+        F.sum("__s").cast("long").alias("rrf_score"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("item_id")
+    )
+    out = agg.withColumn("rank", F.row_number().over(w).cast("long"))
+    if top_n is not None:
+        out = out.filter(F.col("rank") <= top_n)
+    return out
