@@ -350,3 +350,36 @@ class TestRrfFuse:
             rrf_fuse([])
         with pytest.raises(ValueError):
             rrf_fuse([r1], k=0)
+
+
+class TestTpcdsNewShapes:
+    def _plan(self, df):
+        spark = df.sparkSession
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        return df._jdf.queryExecution().explainString(mode)
+
+    def test_q59_single_pipeline_pass_no_cartesian(self, spark):
+        import re
+
+        from timeseriesfuser_spark.contract import QUERIES
+
+        df = QUERIES["tpcds_q59_weekly_yoy"](spark, "/root/testdata/sf0.001")
+        plan = self._plan(df)
+        # wss is checkpointed: the self-join must not re-run the fact join
+        assert len(set(re.findall(r"\(\d+\) Scan parquet", plan))) == 0, plan
+        assert "CartesianProduct" not in plan
+
+    def test_q49_two_scans_no_cartesian(self, spark):
+        import re
+
+        from timeseriesfuser_spark.contract import QUERIES
+
+        df = QUERIES["tpcds_q49_return_ratios"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = self._plan(df)
+        assert len(set(re.findall(r"\(\d+\) Scan parquet", plan))) <= 2
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

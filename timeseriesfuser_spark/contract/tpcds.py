@@ -1351,3 +1351,184 @@ def q_tpcds_q97_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(((F.col("has_rem") == 1) & (F.col("has_loc") == 1)).cast("int"))
         .cast("long").alias("both_channels"),
     )
+
+
+def _q59_wss(alias: str) -> str:
+    """Per-(channel, week) day-of-week revenue pivot — integer day
+    arithmetic only: week = epoch-days DIV 7, dow = (days + 4) % 7
+    (1970-01-01 was a Thursday), so both engines bucket identically
+    with no dayofweek()-convention dependence."""
+    dows = ", ".join(
+        f"sum(CASE WHEN dow = {i} THEN rev4 ELSE 0 END) AS s{i}"
+        for i in range(7)
+    )
+    return f"""
+    SELECT channel, wk, {dows}
+    FROM (
+        SELECT {_CHANNEL_SQL} AS channel,
+               CAST(epoch(o.o_orderdate) AS BIGINT) // 86400 // 7 AS wk,
+               (CAST(epoch(o.o_orderdate) AS BIGINT) // 86400 + 4) % 7 AS dow,
+               lr.rev4
+        FROM orders o JOIN (
+            SELECT l_orderkey, sum({_REV4}) AS rev4
+            FROM lineitem GROUP BY l_orderkey
+        ) lr ON o.o_orderkey = lr.l_orderkey
+        WHERE o.o_orderdate IS NOT NULL
+    ) GROUP BY channel, wk
+    """
+
+
+@register(
+    "tpcds_q59_weekly_yoy",
+    oracle=f"""
+    WITH wss AS ({_q59_wss("w")})
+    SELECT a.channel, CAST(a.wk AS BIGINT) AS week1,
+           {", ".join(
+               f"CASE WHEN b.s{i} > 0 THEN CAST(a.s{i} AS DOUBLE)"
+               f" / CAST(b.s{i} AS DOUBLE) END AS r{i}"
+               for i in range(7)
+           )}
+    FROM wss a JOIN wss b
+      ON a.channel = b.channel AND a.wk + 52 = b.wk
+    """,
+)
+def q_tpcds_q59_weekly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q59-shape: per-channel weekly day-of-week revenue compared
+    against the same week one year (52 weeks) later — the gap-correct
+    self-join idiom (a calendar lag() would mis-pair across absent
+    weeks). Lineitem pre-aggregates to the orderkey grain BEFORE the
+    fact join; the dow pivot is one conditional-sum hash-agg; revenue
+    sums in decimal(38,0) (DuckDB HUGEINT twin) and the only float
+    surface is the final per-dow double ratio of exact sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lr = li.groupBy("l_orderkey").agg(
+        F.sum(_rev4_col().cast("decimal(38,0)")).alias("rev4")
+    )
+    days = F.expr("unix_timestamp(o_orderdate) DIV 86400")
+    base = (
+        o.filter(F.col("o_orderdate").isNotNull())
+        .join(lr, o["o_orderkey"] == lr["l_orderkey"])
+        .select(
+            F.expr(_CHANNEL_SQL).alias("channel"),
+            (days / 7).cast("long").alias("wk"),
+            ((days + 4) % 7).cast("int").alias("dow"),
+            "rev4",
+        )
+    )
+    wss = base.groupBy("channel", "wk").agg(
+        *[
+            F.sum(
+                F.when(F.col("dow") == i, F.col("rev4")).otherwise(F.lit(0))
+            ).alias(f"s{i}")
+            for i in range(7)
+        ]
+    )
+    # the self-join consumes wss twice; without materialization each side
+    # re-runs the full fact join (4 scans measured). wss is tiny
+    # (channels x weeks) -> eager localCheckpoint, the small-relation
+    # pattern.
+    wss = wss.localCheckpoint(eager=True)
+    a, b = wss.alias("a"), wss.alias("b")
+    ratios = [
+        F.when(
+            F.col(f"b.s{i}") > 0,
+            F.col(f"a.s{i}").cast("double") / F.col(f"b.s{i}").cast("double"),
+        ).alias(f"r{i}")
+        for i in range(7)
+    ]
+    return (
+        a.join(
+            b,
+            (F.col("a.channel") == F.col("b.channel"))
+            & (F.col("a.wk") + 52 == F.col("b.wk")),
+        )
+        .select(
+            F.col("a.channel").alias("channel"),
+            F.col("a.wk").cast("long").alias("week1"),
+            *ratios,
+        )
+    )
+
+
+@register(
+    "tpcds_q49_return_ratios",
+    oracle=f"""
+    WITH f AS (
+        SELECT {_CHANNEL_SQL} AS channel, l.l_partkey AS pk,
+               sum(CASE WHEN l.l_returnflag = 'R'
+                   THEN CAST(round(l.l_quantity) AS BIGINT) ELSE 0 END) AS rqty,
+               sum(CAST(round(l.l_quantity) AS BIGINT)) AS tqty,
+               sum(CASE WHEN l.l_returnflag = 'R' THEN {_REV4} ELSE 0 END) AS ramt,
+               sum({_REV4}) AS tamt
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2),
+    r AS (
+        SELECT channel, pk,
+               CAST(rqty AS DOUBLE) / CAST(tqty AS DOUBLE) AS qty_ratio,
+               CAST(ramt AS DOUBLE) / CAST(tamt AS DOUBLE) AS amt_ratio
+        FROM f WHERE tqty > 0 AND tamt > 0),
+    rk AS (
+        SELECT channel, pk, qty_ratio, amt_ratio,
+               row_number() OVER (PARTITION BY channel
+                                  ORDER BY qty_ratio DESC, pk) AS qty_rnk,
+               row_number() OVER (PARTITION BY channel
+                                  ORDER BY amt_ratio DESC, pk) AS amt_rnk
+        FROM r)
+    SELECT channel, CAST(pk AS BIGINT) AS l_partkey, qty_ratio, amt_ratio,
+           CAST(qty_rnk AS BIGINT) AS qty_rnk,
+           CAST(amt_rnk AS BIGINT) AS amt_rnk
+    FROM rk WHERE qty_rnk <= 10 OR amt_rnk <= 10
+    """,
+)
+def q_tpcds_q49_return_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q49-shape: per channel, the 10 worst parts by return-QTY
+    ratio and by return-AMOUNT ratio (union via rank<=10 OR rank<=10) —
+    the dual-ranking excess-returns report. One (channel, part)
+    conditional-sum hash-agg feeds both ranking windows; ratios are
+    single double divisions of exact integer sums (engine-identical),
+    ties -> lowest partkey. Channel joins the order fact once."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr(_CHANNEL_SQL).alias("channel")
+    )
+    qty = F.round(F.col("l_quantity")).cast("long")
+    isret = F.col("l_returnflag") == "R"
+    f = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("channel", "l_partkey")
+        .agg(
+            F.sum(F.when(isret, qty).otherwise(F.lit(0))).alias("rqty"),
+            F.sum(qty).alias("tqty"),
+            F.sum(
+                F.when(isret, _rev4_col()).otherwise(F.lit(0)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("ramt"),
+            F.sum(_rev4_col().cast("decimal(38,0)")).alias("tamt"),
+        )
+        .filter((F.col("tqty") > 0) & (F.col("tamt") > 0))
+        .select(
+            "channel",
+            "l_partkey",
+            (F.col("rqty").cast("double") / F.col("tqty").cast("double"))
+            .alias("qty_ratio"),
+            (F.col("ramt").cast("double") / F.col("tamt").cast("double"))
+            .alias("amt_ratio"),
+        )
+    )
+    wq = Window.partitionBy("channel").orderBy(
+        F.desc("qty_ratio"), F.asc("l_partkey")
+    )
+    wa = Window.partitionBy("channel").orderBy(
+        F.desc("amt_ratio"), F.asc("l_partkey")
+    )
+    return (
+        f.withColumn("qty_rnk", F.row_number().over(wq).cast("long"))
+        .withColumn("amt_rnk", F.row_number().over(wa).cast("long"))
+        .filter((F.col("qty_rnk") <= 10) | (F.col("amt_rnk") <= 10))
+        .select(
+            "channel", "l_partkey", "qty_ratio", "amt_ratio",
+            "qty_rnk", "amt_rnk",
+        )
+    )
