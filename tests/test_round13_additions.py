@@ -383,3 +383,31 @@ class TestTpcdsNewShapes:
         assert len(set(re.findall(r"\(\d+\) Scan parquet", plan))) <= 2
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestPhraseSearchDfOrdering:
+    def test_df_ordered_identical_results(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "the common word " + ("rare " if i == 7 else "filler ")
+              + "the common tail") for i in range(50)],
+            ["doc_id", "text"],
+        )
+        idx = X.build_token_index(docs).cache()
+        try:
+            idx.count()
+            for phrase in (["the", "common", "word"], ["rare", "the"],
+                           ["common", "word"]):
+                a = sorted(map(tuple, X.phrase_search_indexed(
+                    idx, phrase, df_ordered=True).collect()))
+                b = sorted(map(tuple, X.phrase_search_indexed(
+                    idx, phrase, df_ordered=False).collect()))
+                assert a == b, phrase
+        finally:
+            idx.unpersist()
+
+    def test_absent_token_short_circuits(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "the the the the")], ["doc_id", "text"]
+        )
+        idx = X.build_token_index(docs)
+        assert X.phrase_search_indexed(idx, ["the", "missing"]).count() == 0

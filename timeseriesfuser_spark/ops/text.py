@@ -885,6 +885,7 @@ def phrase_search_indexed(
     token_col: str = "token",
     id_col: str = "id",
     pos_col: str = "pos",
+    df_ordered: bool = True,
 ) -> DataFrame:
     """Exact phrase search over a :func:`build_token_index` relation:
     docs where the tokens appear CONSECUTIVELY, via the classic postings
@@ -895,23 +896,45 @@ def phrase_search_indexed(
 
     Returns (id, n_matches, first_pos): match count and the 1-based
     position of the first occurrence per matching doc. Exact-integer
-    output. Skew note: stop-word-sized postings make the join sides
-    large — order the phrase plan by ascending document frequency (or
-    prefilter ids on the rarest token) when searching web-scale indexes;
-    the equi-join shape itself is already the bounded path.
+    output.
+
+    ``df_ordered=True`` (default) joins the posting lists rarest-token
+    first: one tiny aggregate (|phrase| rows) measures each token's
+    posting count, then the join chain starts from the smallest list so
+    every intermediate is bounded by the rarest token's df — the classic
+    conjunctive-query ordering that keeps a stop word in the phrase from
+    making the first join corpus-sized. Join order cannot change the
+    intersection, so results are identical either way; pass
+    ``df_ordered=False`` to skip the planning aggregate for one-shot
+    small searches.
     """
     phrase = list(phrase_tokens)
     if not phrase:
         raise ValueError("phrase_tokens must be non-empty")
-    cur = index.filter(F.col(token_col) == phrase[0]).select(
-        F.col(id_col).alias("id"), F.col(pos_col).cast("long").alias("pos")
-    )
-    for i, w in enumerate(phrase[1:], start=1):
-        ti = index.filter(F.col(token_col) == w).select(
+    order = list(range(len(phrase)))
+    if df_ordered and len(set(phrase)) > 1:
+        counts = {
+            r["t"]: r["n"]
+            for r in index.filter(F.col(token_col).isin(list(set(phrase))))
+            .groupBy(F.col(token_col).alias("t"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # a phrase token absent from the index -> empty result; df 0
+        # sorts first so the very first (empty) relation short-circuits
+        order.sort(key=lambda i: (counts.get(phrase[i], 0), i))
+
+    def postings(i: int):
+        # align every list to the phrase START: token i matches at
+        # pos - i regardless of join order
+        return index.filter(F.col(token_col) == phrase[i]).select(
             F.col(id_col).alias("id"),
             (F.col(pos_col).cast("long") - i).alias("pos"),
         )
-        cur = cur.join(ti, ["id", "pos"])
+
+    cur = postings(order[0])
+    for i in order[1:]:
+        cur = cur.join(postings(i), ["id", "pos"])
     return cur.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_matches"),
         F.min("pos").alias("first_pos"),
