@@ -79,10 +79,13 @@ def main() -> None:
     # headline total (the headline set and total stay the frozen
     # cross-round trend metric).
     control = float("inf")
-    try:
-        from pyspark.sql import functions as _F
+    from pyspark.sql import functions as _F
 
-        for _ in range(3):
+    for _ in range(3):
+        # per-iteration guard: one failed repeat must not discard an
+        # already-valid reading — the drift control matters most on
+        # exactly the flaky sessions
+        try:
             t0 = time.perf_counter()
             (
                 spark.range(20_000_000)
@@ -99,10 +102,13 @@ def main() -> None:
                 .write.format("noop").mode("overwrite").save()
             )
             control = min(control, time.perf_counter() - t0)
-        print(f"# control: {control:.3f}s", file=sys.stderr)
-    except Exception as exc:  # noqa: BLE001 — control is diagnostic only
-        print(f"# control failed: {exc}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — control is diagnostic only
+            print(f"# control iteration failed: {exc}", file=sys.stderr)
+    if control == float("inf"):
         control = None
+        print("# control failed: no successful iteration", file=sys.stderr)
+    else:
+        print(f"# control: {control:.3f}s", file=sys.stderr)
 
     # Per-query failure isolation: one broken query must cost one entry in
     # "errors", never the whole benchmark (BENCH_r02 died with zero numbers

@@ -169,3 +169,48 @@ _H1GAP = 3_600_000
 
 
 _DIFF_MID = 1_705_276_800_000  # 2024-01-15T00:00:00Z — mid-corpus
+
+
+def _run_availablenow_to_memory(stream_df, prefix: str, timeout: int = 300):
+    """Shared streaming-query harness: run an availableNow append query
+    into a uniquely-named memory sink, return the collected rows as a
+    LOCAL DataFrame, and ALWAYS tear down (stop if active, drop the
+    temp view, remove the checkpoint) — the drift-prone
+    uuid/mkdtemp/awaitTermination/finally block previously copy-pasted
+    per harness (one older copy had already drifted and leaked its temp
+    view, ADVICE r7)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    spark = stream_df.sparkSession
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="tsf_ckpt_")
+    q = None
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout):
+            raise TimeoutError(
+                f"{prefix}: streaming query still running after {timeout}s"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+        sink = spark.table(name)
+        # memory-sink rows are driver-resident; materializing lets the
+        # sink table be dropped here instead of leaking for the session
+        return spark.createDataFrame(sink.collect(), sink.schema)
+    finally:
+        if q is not None and q.isActive:
+            q.stop()
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -617,10 +617,9 @@ def q_streaming_latest_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental CDC view whose batch twin is latest_user_state's
     compaction. The registered result is the FINAL view (max-(ts, seq)
     over the emitted changes)."""
-    import shutil
-    import tempfile
-    import uuid
-
+    from timeseriesfuser_spark.contract._base import (
+        _run_availablenow_to_memory,
+    )
     from timeseriesfuser_spark.streaming import latest_stream
 
     schema = _t(spark, sf_dir, "events").schema
@@ -640,49 +639,22 @@ def q_streaming_latest_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, keys=["user_id"], ts_col="ts_ms", seq_col="event_id",
         value_cols=["value"],
     )
-    name = f"sl_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="tsf_ckpt_")
-    q = None
-    try:
-        q = (
-            view.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+    emitted = _run_availablenow_to_memory(view, "sl")
+    return (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("ts_ms", "event_id", "value"),
+                F.struct("ts_ms", "event_id"),
+            ).alias("__m")
         )
-        if not q.awaitTermination(300):
-            raise TimeoutError(
-                "streaming_latest_by_user: query still running after 300s"
-            )
-        if q.exception() is not None:
-            raise q.exception()
-        sink = spark.table(name)
-        emitted = spark.createDataFrame(sink.collect(), sink.schema)
-        return (
-            emitted.groupBy("user_id")
-            .agg(
-                F.max_by(
-                    F.struct("ts_ms", "event_id", "value"),
-                    F.struct("ts_ms", "event_id"),
-                ).alias("__m")
-            )
-            .select(
-                "user_id",
-                F.col("__m.ts_ms").alias("ts_ms"),
-                F.col("__m.event_id").alias("event_id"),
-                F.col("__m.value").alias("value"),
-            )
+        .select(
+            "user_id",
+            F.col("__m.ts_ms").alias("ts_ms"),
+            F.col("__m.event_id").alias("event_id"),
+            F.col("__m.value").alias("value"),
         )
-    finally:
-        if q is not None and q.isActive:
-            q.stop()
-        try:
-            spark.catalog.dropTempView(name)
-        except Exception:
-            pass
-        shutil.rmtree(ckpt, ignore_errors=True)
+    )
 
 
 _IVD_CUT = "1998-01-01"

@@ -530,10 +530,9 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     harness (streaming.dedup_stream / dropDuplicates): first processed
     occurrence of each (user_id, event_type) key wins; the emitted key
     SET equals the batch DISTINCT regardless of micro-batch splits."""
-    import shutil
-    import tempfile
-    import uuid
-
+    from timeseriesfuser_spark.contract._base import (
+        _run_availablenow_to_memory,
+    )
     from timeseriesfuser_spark.streaming import dedup_stream
 
     schema = _t(spark, sf_dir, "events").schema
@@ -550,32 +549,5 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key_cols=["user_id", "event_type"], watermark=None,
         ts_col="__ts_ms",
     )
-    name = f"sd_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="tsf_ckpt_")
-    q = None
-    try:
-        q = (
-            uniq.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            raise TimeoutError(
-                "streaming_dedup_exact: query still running after 300s"
-            )
-        if q.exception() is not None:
-            raise q.exception()
-        sink = spark.table(name)
-        emitted = spark.createDataFrame(sink.collect(), sink.schema)
-        return emitted.select("user_id", "event_type")
-    finally:
-        if q is not None and q.isActive:
-            q.stop()
-        try:
-            spark.catalog.dropTempView(name)
-        except Exception:
-            pass
-        shutil.rmtree(ckpt, ignore_errors=True)
+    emitted = _run_availablenow_to_memory(uniq, "sd")
+    return emitted.select("user_id", "event_type")

@@ -708,7 +708,9 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # different formulation from the op's postings intersection.
     oracle="""
     WITH ph AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+')[1:2] AS p
-                FROM documents ORDER BY doc_id LIMIT 1),
+                FROM documents
+                WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 2
+                ORDER BY doc_id LIMIT 1),
     docs AS (SELECT doc_id,
                     regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
              FROM documents),
@@ -729,12 +731,19 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos) — k-1 joins over per-token posting lists, never a corpus scan.
     The oracle re-verifies every match by direct token-slice equality."""
     docs = _t(spark, sf_dir, "documents")
+    # lowest-id doc WITH >= 2 tokens (a NULL-text/token-less min doc
+    # would crash the slice; both engines use the same predicate)
     first = (
-        docs.orderBy("doc_id")
+        docs.filter(F.size(X._tokens("text")) >= 2)
+        .orderBy("doc_id")
         .limit(1)
         .select(X._tokens("text").alias("tk"))
         .first()
     )
-    phrase = list(first["tk"][:2])
+    if first is None:
+        return spark.createDataFrame(
+            [], "id long, n_matches long, first_pos long"
+        )
+    phrase = [str(w) for w in first["tk"][:2]]
     idx = X.build_token_index(docs)
     return X.phrase_search_indexed(idx, phrase)

@@ -348,7 +348,7 @@ _EWMA_A = 0.25
         UNION ALL
         SELECT e.k, e.t, e.seq, e.cents, e.rn,
                {_EWMA_A} * e.cents + {1.0 - _EWMA_A} * r.ewma
-        FROM ev e JOIN r ON e.k = r.k AND e.rn = r.rn + 1
+        FROM ev e JOIN r ON e.k IS NOT DISTINCT FROM r.k AND e.rn = r.rn + 1
     )
     SELECT k AS user_id, t AS ts, seq AS event_id, cents, ewma FROM r
     """,
@@ -1172,10 +1172,9 @@ def q_streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-score ring buffer carried in the state store; the anomaly DECISION
     is the same exact integer inequality as the batch op, so stream ==
     batch bit-for-bit on the chronological availableNow replay."""
-    import shutil
-    import tempfile
-    import uuid
-
+    from timeseriesfuser_spark.contract._base import (
+        _run_availablenow_to_memory,
+    )
     from timeseriesfuser_spark.streaming import anomaly_stream
 
     schema = _t(spark, sf_dir, "events").schema
@@ -1203,34 +1202,7 @@ def q_streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, keys=["user_id"], ts_col="ts", seq_col="event_id",
         cents_col="cents", lookback=_ZLOOK, min_points=_ZMIN, k=_ZK,
     )
-    name = f"sa_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="tsf_ckpt_")
-    q = None
-    try:
-        q = (
-            flags.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            raise TimeoutError(
-                "streaming_anomaly_zscore: query still running after 300s"
-            )
-        if q.exception() is not None:
-            raise q.exception()
-        sink = spark.table(name)
-        return spark.createDataFrame(sink.collect(), sink.schema)
-    finally:
-        if q is not None and q.isActive:
-            q.stop()
-        try:
-            spark.catalog.dropTempView(name)
-        except Exception:
-            pass
-        shutil.rmtree(ckpt, ignore_errors=True)
+    return _run_availablenow_to_memory(flags, "sa")
 
 
 _HOLT_A, _HOLT_B = 0.25, 0.25
@@ -1260,7 +1232,7 @@ _HOLT_A, _HOLT_B = 0.25, 0.25
                              + {1.0 - _HOLT_A} * (r.level + r.trend))
                             - r.level)
                + {1.0 - _HOLT_B} * r.trend
-        FROM ev e JOIN r ON e.k = r.k AND e.rn = r.rn + 1
+        FROM ev e JOIN r ON e.k IS NOT DISTINCT FROM r.k AND e.rn = r.rn + 1
     )
     SELECT k AS user_id, t AS ts, seq AS event_id, cents,
            level, trend, level + trend AS forecast

@@ -1353,7 +1353,7 @@ def q_tpcds_q97_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q59_wss(alias: str) -> str:
+def _q59_wss() -> str:
     """Per-(channel, week) day-of-week revenue pivot — integer day
     arithmetic only: week = epoch-days DIV 7, dow = (days + 4) % 7
     (1970-01-01 was a Thursday), so both engines bucket identically
@@ -1381,7 +1381,7 @@ def _q59_wss(alias: str) -> str:
 @register(
     "tpcds_q59_weekly_yoy",
     oracle=f"""
-    WITH wss AS ({_q59_wss("w")})
+    WITH wss AS ({_q59_wss()})
     SELECT a.channel, CAST(a.wk AS BIGINT) AS week1,
            {", ".join(
                f"CASE WHEN b.s{i} > 0 THEN CAST(a.s{i} AS DOUBLE)"

@@ -777,14 +777,7 @@ def pq_train_codebooks(
     ex = track_persist(ex.persist(StorageLevel.MEMORY_AND_DISK))
     try:
         for _ in range(iters):
-            cb = spark.createDataFrame(
-                [
-                    (j, c, [int(x) for x in codebooks[j][c]])
-                    for j in range(m)
-                    for c in range(k)
-                ],
-                "sub int, code int, csv array<long>",
-            )
+            cb = codebook_relation(spark, codebooks)
             d2 = F.aggregate(
                 F.zip_with(
                     F.col("sv"), F.col("csv"), lambda a, b: (a - b) * (a - b)

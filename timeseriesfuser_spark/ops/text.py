@@ -866,8 +866,6 @@ def build_token_index(
     index build is the one full-corpus pass, every search after it
     touches only the queried tokens' postings.
     """
-    from timeseriesfuser_spark.ops.util import spread_small_input
-
     return (
         spread_small_input(df)
         .select(
