@@ -411,3 +411,57 @@ class TestPhraseSearchDfOrdering:
         )
         idx = X.build_token_index(docs)
         assert X.phrase_search_indexed(idx, ["the", "missing"]).count() == 0
+
+
+class TestWindowFunnel:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts long, event_type string"
+        )
+
+    def test_any_anchor_semantics(self, spark):
+        from timeseriesfuser_spark.ops.behavior import window_funnel
+
+        rows = [
+            # user 1: first signup goes stale, SECOND signup converts
+            (1, 0, "signup"), (1, 1000, "signup"),
+            (1, 1100, "view"), (1, 1200, "purchase"),
+            # user 2: chain exceeds the window (purchase too late)
+            (2, 0, "signup"), (2, 100, "view"), (2, 5000, "purchase"),
+            # user 3: wrong order
+            (3, 0, "view"), (3, 100, "signup"),
+        ]
+        out = {
+            r.step_idx: r
+            for r in window_funnel(
+                self._ev(spark, rows),
+                ["signup", "view", "purchase"], 500,
+            ).collect()
+        }
+        assert out[0].n_users == 3
+        assert out[1].n_users == 2  # users 1 (2nd anchor) and 2
+        assert out[2].n_users == 1  # only user 1
+        assert out[2].conv_ppm == 1_000_000 // 3
+
+    def test_strict_order_within_anchor(self, spark):
+        from timeseriesfuser_spark.ops.behavior import window_funnel
+
+        rows = [(1, 100, "signup"), (1, 100, "view")]  # same ts: not after
+        out = {
+            r.step_idx: r.n_users
+            for r in window_funnel(
+                self._ev(spark, rows), ["signup", "view"], 10_000
+            ).collect()
+        }
+        assert out == {0: 1, 1: 0}
+
+    def test_validates(self, spark):
+        import pytest as _pytest
+
+        from timeseriesfuser_spark.ops.behavior import window_funnel
+
+        df = self._ev(spark, [(1, 0, "signup")])
+        with _pytest.raises(ValueError):
+            window_funnel(df, [], 100)
+        with _pytest.raises(ValueError):
+            window_funnel(df, ["signup"], 0)

@@ -721,3 +721,49 @@ def q_incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("delta_rows"),
         F.sum("cents").cast("long").alias("delta_cents"),
     )
+
+
+_WF_WITHIN = 3 * 86_400_000  # 3 days
+
+
+@register(
+    "window_funnel_3d",
+    oracle=f"""
+    WITH ev AS (SELECT user_id AS u, epoch_ms(ts) AS t, event_type AS ty
+                FROM events),
+    a0 AS (SELECT u, t AS a, t AS t0 FROM ev WHERE ty = 'signup'),
+    s1 AS (SELECT e.u, a0.a, min(e.t) AS t1 FROM ev e
+           JOIN a0 ON e.u = a0.u
+           WHERE e.ty = 'view' AND e.t > a0.t0
+             AND e.t <= a0.a + {_WF_WITHIN}
+           GROUP BY e.u, a0.a),
+    s2 AS (SELECT e.u, s1.a, min(e.t) AS t2 FROM ev e
+           JOIN s1 ON e.u = s1.u
+           WHERE e.ty = 'purchase' AND e.t > s1.t1
+             AND e.t <= s1.a + {_WF_WITHIN}
+           GROUP BY e.u, s1.a),
+    c AS (SELECT (SELECT count(DISTINCT u) FROM a0) AS c0,
+                 (SELECT count(DISTINCT u) FROM s1) AS c1,
+                 (SELECT count(DISTINCT u) FROM s2) AS c2)
+    SELECT CAST(0 AS BIGINT) AS step_idx, 'signup' AS step,
+           CAST(c0 AS BIGINT) AS n_users,
+           CAST(c0 * 1000000 // c0 AS BIGINT) AS conv_ppm FROM c
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'view', CAST(c1 AS BIGINT),
+           CAST(c1 * 1000000 // c0 AS BIGINT) FROM c
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'purchase', CAST(c2 AS BIGINT),
+           CAST(c2 * 1000000 // c0 AS BIGINT) FROM c
+    """,
+)
+def q_window_funnel_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded ordered funnel (ops.behavior.window_funnel,
+    ClickHouse windowFunnel semantics): signup → view → purchase with
+    the whole chain completing within 3 days of ANY signup anchor —
+    per-step conditional-min agg + user equi-join over the shrinking
+    (user, anchor) relation, exact by the greedy-anchor argument."""
+    from timeseriesfuser_spark.ops.behavior import window_funnel
+
+    return window_funnel(
+        _events(spark, sf_dir), ["signup", "view", "purchase"], _WF_WITHIN
+    )

@@ -702,3 +702,79 @@ def join_view_delta(
     t2 = base_left.join(delta_right, on)
     t3 = delta_left.join(delta_right, on)
     return t1.unionByName(t2).unionByName(t3)
+
+
+def window_funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    within_ms: int,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-bounded ordered funnel (the ClickHouse ``windowFunnel``
+    semantics): per user, the deepest step depth reachable by a strictly
+    ordered chain step₀ < step₁ < … that COMPLETES within ``within_ms``
+    of its step₀ anchor — anchored at ANY step₀ event, not just the
+    first (a user whose first signup went stale but who re-signed-up and
+    converted still counts).
+
+    Exact by the greedy-anchor argument: for a fixed anchor the
+    earliest-next-event chain (tᵢ = min ts of stepᵢ in (tᵢ₋₁, anchor +
+    within]) dominates every other chain from that anchor, so max depth
+    over anchors is exact — no per-user sort-and-walk UDF.
+
+    Output: one row per step — (step_idx, step, n_users, conv_ppm) where
+    n_users counts users reaching depth ≥ step_idx within the window
+    and conv_ppm is the exact-integer share of step-0 users.
+
+    Scale: one conditional-min hash-agg + user equi-join per step over a
+    shrinking (user, anchor) relation; the fan-out per user is
+    (step-0 anchors × step-k events) — per-user-activity bounded, the
+    same posture as attribution's touch×conversion pairing. Each level
+    persists before counting (the funnel_counts convention — Catalyst
+    re-executes shared lineage otherwise).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if within_ms <= 0:
+        raise ValueError("within_ms must be positive")
+    u, t, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
+
+    anchors = (
+        df.filter(ty == steps[0])
+        .select(u.alias("__u"), t.cast("long").alias("__a"))
+        .withColumn("__t", F.col("__a"))
+        .persist()
+    )
+    counts = [anchors.select("__u").distinct().count()]
+    cur = anchors
+    for step in steps[1:]:
+        evs = df.filter(ty == step).select(
+            u.alias("__u"), t.cast("long").alias("__ts")
+        )
+        nxt = (
+            evs.join(cur, "__u")
+            .filter(
+                (F.col("__ts") > F.col("__t"))
+                & (F.col("__ts") <= F.col("__a") + F.lit(within_ms))
+            )
+            .groupBy("__u", "__a")
+            .agg(F.min("__ts").alias("__t"))
+            .persist()
+        )
+        counts.append(nxt.select("__u").distinct().count())
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+
+    base = counts[0]
+    spark = df.sparkSession
+    rows = [
+        (i, s, int(c), int(c * 1_000_000 // base) if base else None)
+        for i, (s, c) in enumerate(zip(steps, counts))
+    ]
+    return spark.createDataFrame(
+        rows, "step_idx long, step string, n_users long, conv_ppm long"
+    )
