@@ -171,7 +171,9 @@ _H1GAP = 3_600_000
 _DIFF_MID = 1_705_276_800_000  # 2024-01-15T00:00:00Z — mid-corpus
 
 
-def _run_availablenow_to_memory(stream_df, prefix: str, timeout: int = 300):
+def _run_availablenow_to_memory(
+    stream_df, prefix: str, timeout: int = 300, output_mode: str = "append"
+):
     """Shared streaming-query harness: run an availableNow append query
     into a uniquely-named memory sink, return the collected rows as a
     LOCAL DataFrame, and ALWAYS tear down (stop if active, drop the
@@ -191,7 +193,7 @@ def _run_availablenow_to_memory(stream_df, prefix: str, timeout: int = 300):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
