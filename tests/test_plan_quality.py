@@ -569,3 +569,23 @@ def test_cusum_per_key_window_only(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
     assert "BroadcastHashJoin" in plan
+
+
+def test_lateness_stats_no_per_group_serial_window(spark):
+    """The lateness running high-water mark must use the two-pass
+    range-bucketed scheme: every Window ordered by the arrival seq must
+    partition by (group, range-bucket), never by group alone — a
+    group-only window serializes each group's whole history through one
+    task. The only group-partitioned window allowed is the prefix-max
+    over the tiny per-bucket seeds relation (ordered by __pid)."""
+    plan = formatted_plan(
+        contract.QUERIES["event_lateness_stats"](spark, SF)
+    )
+    assert "__pid" in plan  # bucketed formulation present
+    spec_lines = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l
+    ]
+    assert spec_lines, "no Window nodes found — plan shape changed"
+    for line in spec_lines:
+        if "__seq#" in line:  # the pass over the full relation
+            assert "__pid#" in line, f"serial per-group window: {line}"

@@ -25,6 +25,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from timeseriesfuser_spark.ops.util import track_persist
 from pyspark.sql.window import Window
@@ -1654,6 +1655,7 @@ def lateness_stats(
     group_col: str = "event_type",
     ts_col: str = "ts",
     seq_col: str = "event_id",
+    num_buckets: "int | None" = None,
 ) -> DataFrame:
     """Out-of-order arrival profile — the measurement that sizes a
     Structured Streaming watermark delay: with ``seq_col`` as the
@@ -1662,26 +1664,89 @@ def lateness_stats(
     (``max(ts) over arrivals-before-me − ts``, floored at 0). A stream
     whose p-max lateness is 40 s needs ``withWatermark(..., ">=40s")``
     to avoid dropping those rows; this op reports the exact profile per
-    group from a batch/backfill sample.
+    group.
 
     Output per group: (n, n_late, late_ppm, max_late_ms, sum_late_ms) —
     all exact integers. Rows with NULL ts/seq carry no arrival position
-    and are excluded. One per-group running-max window + one hash-agg.
+    and are excluded.
+
+    Scale: the running high-water mark is computed with the two-pass
+    range-bucketed scheme from ``operators.fill`` — NOT a per-group
+    serial window, which would pull each group's entire history through
+    one task. Pass 1 buckets rows by ``seq_col`` range (driver quantile
+    sketch on the numeric seq, ``num_buckets`` defaults to
+    ``spark.sql.shuffle.partitions``) and computes the strictly-before
+    running max within each (group, bucket); pass 2 is a tiny
+    per-(group, bucket) max aggregate whose per-group prefix maxima
+    (buckets strictly before mine) come from a window over that
+    #groups×#buckets relation and broadcast-join back. The final
+    high-water mark is ``greatest(local, carry)`` — exact, identical to
+    the serial formulation. A non-numeric ``seq_col`` (cast-to-double →
+    NULL) degrades to one bucket per group, i.e. the serial window.
+    The input is scanned three times (quantile sketch, pass-1 window,
+    pass-2 seeds) and deliberately not persisted — for a parquet scan a
+    re-read beats caching the full relation (the ``operators.fill``
+    measurement); persist upstream if the input is an expensive subplan.
     """
+    from timeseriesfuser_spark.operators.fill import _bucket_col
+
+    base = df.filter(
+        F.col(ts_col).isNotNull() & F.col(seq_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(ts_col).cast("long").alias("__ts"),
+        F.col(seq_col).alias("__seq"),
+    )
+    n = num_buckets or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    numeric_seq = isinstance(
+        base.schema["__seq"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.FloatType, T.DoubleType, T.DecimalType),
+    )
+    if n > 1 and numeric_seq:
+        qs = [i / n for i in range(1, n)]
+        bounds = sorted(
+            set(base.stat.approxQuantile("__seq", qs, 1.0 / (4 * n)))
+        )
+    else:
+        bounds = []
+    part = base.withColumn(
+        "__pid", _bucket_col("__seq", bounds) if bounds else F.lit(0)
+    )
+
+    # Pass 1: strictly-before running max WITHIN each (group, bucket) —
+    # task size bounded by the bucket, parallel across groups × buckets.
     w = (
-        Window.partitionBy(group_col)
-        .orderBy(seq_col)
+        Window.partitionBy("g", "__pid")
+        .orderBy("__seq")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    late = F.greatest(
-        F.max(F.col(ts_col)).over(w) - F.col(ts_col), F.lit(0)
+    local = part.withColumn("__hwm_local", F.max("__ts").over(w))
+
+    # Pass 2: per-(group, bucket) max ts; prefix max over buckets
+    # strictly before mine — a window over the tiny seeds relation
+    # (#groups × #buckets rows), broadcast back.
+    seeds = part.groupBy("g", "__pid").agg(F.max("__ts").alias("__m"))
+    wc = (
+        Window.partitionBy("g")
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    per_row = (
-        df.filter(F.col(ts_col).isNotNull() & F.col(seq_col).isNotNull())
-        .select(
-            F.col(group_col).alias("g"),
-            F.coalesce(late, F.lit(0)).cast("long").alias("__late"),
-        )
+    carry = seeds.select(
+        "g", "__pid", F.max("__m").over(wc).alias("__hwm_carry")
+    )
+
+    joined = local.join(F.broadcast(carry), ["g", "__pid"])
+    # greatest() skips NULLs (returns NULL only when all args are NULL:
+    # the very first arrivals, whose lateness is 0 by definition).
+    hwm = F.greatest(F.col("__hwm_local"), F.col("__hwm_carry"))
+    per_row = joined.select(
+        "g",
+        F.coalesce(
+            F.greatest(hwm - F.col("__ts"), F.lit(0)), F.lit(0)
+        ).cast("long").alias("__late"),
     )
     return per_row.groupBy("g").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
