@@ -40,3 +40,64 @@ class TestLatenessBucketed:
         assert out["a"]["n"] == 3 and out["a"]["n_late"] == 1
         assert out["a"]["max_late_ms"] == 50 and out["a"]["sum_late_ms"] == 50
         assert out["b"]["n"] == 2 and out["b"]["n_late"] == 0
+
+
+class TestFunnelSingleAction:
+    def _df(self, spark):
+        rows = [
+            # u1 completes all 3 within window; u2 stalls at depth 2;
+            # u3 anchors only; u4's chain exceeds the window
+            ("u1", "signup", 0), ("u1", "view", 10), ("u1", "purchase", 20),
+            ("u2", "signup", 0), ("u2", "view", 50),
+            ("u3", "signup", 5),
+            ("u4", "signup", 0), ("u4", "view", 200), ("u4", "purchase", 300),
+        ]
+        return spark.createDataFrame(
+            rows, "user_id string, event_type string, ts long"
+        )
+
+    def test_lazy_construction_no_jobs(self, spark):
+        """The r8 form ran 2 driver actions per step at op-construction
+        time; the rewrite must be fully lazy — zero Spark jobs until the
+        caller's action, independent of step count."""
+        from timeseriesfuser_spark.ops.behavior import window_funnel
+
+        tracker = spark.sparkContext.statusTracker()
+        before = set(tracker.getJobIdsForGroup(None) or [])
+        out = window_funnel(
+            self._df(spark), ["signup", "view", "purchase"], 100
+        )
+        after = set(tracker.getJobIdsForGroup(None) or [])
+        # createDataFrame of the k-row spine runs no job; neither may
+        # the funnel chain itself
+        assert after == before, "window_funnel ran jobs at construction"
+        rows = {r["step_idx"]: r for r in out.collect()}
+        assert rows[0]["n_users"] == 4 and rows[0]["conv_ppm"] == 1_000_000
+        assert rows[1]["n_users"] == 2 and rows[1]["conv_ppm"] == 500_000
+        assert rows[2]["n_users"] == 1 and rows[2]["conv_ppm"] == 250_000
+
+    def test_depth_surface(self, spark):
+        from timeseriesfuser_spark.ops.behavior import window_funnel_depth
+
+        out = {
+            r["user_id"]: r["depth"]
+            for r in window_funnel_depth(
+                self._df(spark), ["signup", "view", "purchase"], 100
+            ).collect()
+        }
+        assert out == {"u1": 3, "u2": 2, "u3": 1, "u4": 1}
+
+    def test_reanchor_still_counts(self, spark):
+        """A stale first anchor must not mask a later completing chain
+        (the ANY-anchor semantics)."""
+        from timeseriesfuser_spark.ops.behavior import window_funnel_depth
+
+        rows = [
+            ("u", "signup", 0), ("u", "signup", 1000),
+            ("u", "view", 1010), ("u", "purchase", 1020),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id string, event_type string, ts long"
+        )
+        out = window_funnel_depth(df, ["signup", "view", "purchase"], 100)
+        assert out.collect()[0]["depth"] == 3

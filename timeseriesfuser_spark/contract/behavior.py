@@ -767,3 +767,40 @@ def q_window_funnel_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_funnel(
         _events(spark, sf_dir), ["signup", "view", "purchase"], _WF_WITHIN
     )
+
+
+@register(
+    "window_funnel_depths",
+    oracle=f"""
+    WITH ev AS (SELECT user_id AS u, epoch_ms(ts) AS t, event_type AS ty
+                FROM events),
+    a0 AS (SELECT u, t AS a, t AS t0 FROM ev WHERE ty = 'signup'),
+    s1 AS (SELECT e.u, a0.a, min(e.t) AS t1 FROM ev e
+           JOIN a0 ON e.u = a0.u
+           WHERE e.ty = 'view' AND e.t > a0.t0
+             AND e.t <= a0.a + {_WF_WITHIN}
+           GROUP BY e.u, a0.a),
+    s2 AS (SELECT e.u, s1.a, min(e.t) AS t2 FROM ev e
+           JOIN s1 ON e.u = s1.u
+           WHERE e.ty = 'purchase' AND e.t > s1.t1
+             AND e.t <= s1.a + {_WF_WITHIN}
+           GROUP BY e.u, s1.a),
+    d AS (SELECT u, 1 AS d FROM a0
+          UNION ALL SELECT u, 2 FROM s1
+          UNION ALL SELECT u, 3 FROM s2)
+    SELECT u AS user_id, CAST(max(d) AS BIGINT) AS depth
+    FROM d GROUP BY u
+    """,
+)
+def q_window_funnel_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel depth (ops.behavior.window_funnel_depth) — the
+    ClickHouse windowFunnel return form for the signup → view → purchase
+    3-day funnel: one row per anchored user with the deepest consecutive
+    step count, as a joinable relation. window_funnel_3d is exactly this
+    relation aggregated to per-step counts, now in one lazy plan with a
+    single caller action."""
+    from timeseriesfuser_spark.ops.behavior import window_funnel_depth
+
+    return window_funnel_depth(
+        _events(spark, sf_dir), ["signup", "view", "purchase"], _WF_WITHIN
+    )

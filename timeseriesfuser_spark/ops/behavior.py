@@ -712,6 +712,7 @@ def window_funnel(
     ts_col: str = "ts",
     user_col: str = "user_id",
     type_col: str = "event_type",
+    cache: bool = True,
 ) -> DataFrame:
     """Time-bounded ordered funnel (the ClickHouse ``windowFunnel``
     semantics): per user, the deepest step depth reachable by a strictly
@@ -732,49 +733,136 @@ def window_funnel(
     Scale: one conditional-min hash-agg + user equi-join per step over a
     shrinking (user, anchor) relation; the fan-out per user is
     (step-0 anchors × step-k events) — per-user-activity bounded, the
-    same posture as attribution's touch×conversion pairing. Each level
-    persists before counting (the funnel_counts convention — Catalyst
-    re-executes shared lineage otherwise).
+    same posture as attribution's touch×conversion pairing. The whole
+    funnel is ONE lazy plan — depth is carried in a single (user,
+    anchor, t, depth) relation through per-level left joins, so the
+    caller's action is the only Spark job regardless of k (the r8 form
+    ran 2 driver actions per step). ``cache=True`` persists each level
+    via :func:`track_persist` (each level feeds both the next level's
+    frontier and its left join — Catalyst re-executes shared lineage
+    otherwise, exponentially in k); release with
+    :func:`~timeseriesfuser_spark.ops.util.cache_scope`.
     """
+    reach = _funnel_reach(
+        df, steps, within_ms, ts_col=ts_col, user_col=user_col,
+        type_col=type_col, cache=cache,
+    )
+    depths = reach.groupBy("__u").agg(F.max("__d").alias("__d"))
+    by_depth = depths.groupBy("__d").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    spark = df.sparkSession
+    from pyspark.sql.window import Window
+
+    spine = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(steps)], "step_idx long, step string"
+    )
+    # n_users at step i = users whose depth ≥ i+1; ≤k-row join, then a
+    # k-row window computes the step-0 base for the exact-int ppm.
+    joined = spine.join(
+        F.broadcast(by_depth),
+        F.col("__d") >= F.col("step_idx") + 1,
+        "left",
+    ).groupBy("step_idx", "step").agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_users")
+    )
+    w = Window.orderBy("step_idx").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return joined.withColumn(
+        "__base", F.first("n_users").over(w)
+    ).select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.when(
+            F.col("__base") > 0,
+            F.expr("n_users * 1000000 DIV __base"),
+        ).cast("long").alias("conv_ppm"),
+    )
+
+
+def _funnel_reach(
+    df: DataFrame,
+    steps: Sequence[str],
+    within_ms: int,
+    *,
+    ts_col: str,
+    user_col: str,
+    type_col: str,
+    cache: bool,
+) -> DataFrame:
+    """The funnel chain as one lazy relation: (__u, __a, __t, __d) — one
+    row per (user, step-0 anchor) with the deepest step depth ``__d``
+    (1-based) reached within ``within_ms`` of the anchor and ``__t`` the
+    time of that depth's event (the greedy earliest-next chain)."""
     if not steps:
         raise ValueError("steps must be non-empty")
     if within_ms <= 0:
         raise ValueError("within_ms must be positive")
-    u, t, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
+    from pyspark import StorageLevel
 
-    anchors = (
-        df.filter(ty == steps[0])
-        .select(u.alias("__u"), t.cast("long").alias("__a"))
-        .withColumn("__t", F.col("__a"))
-        .persist()
+    u, t, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
+    ev = df.filter(ty.isin(list(steps))).select(
+        u.alias("__u"), ty.alias("__ty"), t.cast("long").alias("__ts")
     )
-    counts = [anchors.select("__u").distinct().count()]
-    cur = anchors
-    for step in steps[1:]:
-        evs = df.filter(ty == step).select(
-            u.alias("__u"), t.cast("long").alias("__ts")
+    if cache and len(steps) > 1:
+        ev = track_persist(ev.persist(StorageLevel.MEMORY_AND_DISK))
+    reach = (
+        ev.filter(F.col("__ty") == steps[0])
+        .select("__u", F.col("__ts").alias("__a"))
+        .withColumn("__t", F.col("__a"))
+        .withColumn("__d", F.lit(1).cast("long"))
+    )
+    for k, step in enumerate(steps[1:], start=2):
+        frontier = reach.filter(F.col("__d") == k - 1).select(
+            "__u", "__a", "__t"
         )
-        nxt = (
-            evs.join(cur, "__u")
+        cand = (
+            ev.filter(F.col("__ty") == step)
+            .join(frontier, "__u")
             .filter(
                 (F.col("__ts") > F.col("__t"))
                 & (F.col("__ts") <= F.col("__a") + F.lit(within_ms))
             )
             .groupBy("__u", "__a")
-            .agg(F.min("__ts").alias("__t"))
-            .persist()
+            .agg(F.min("__ts").alias("__nt"))
         )
-        counts.append(nxt.select("__u").distinct().count())
-        cur.unpersist()
-        cur = nxt
-    cur.unpersist()
+        reach = reach.join(cand, ["__u", "__a"], "left").select(
+            "__u",
+            "__a",
+            F.coalesce("__nt", "__t").alias("__t"),
+            F.when(F.col("__nt").isNotNull(), F.lit(k).cast("long"))
+            .otherwise(F.col("__d"))
+            .alias("__d"),
+        )
+        if cache:
+            reach = track_persist(reach.persist(StorageLevel.MEMORY_AND_DISK))
+    return reach
 
-    base = counts[0]
-    spark = df.sparkSession
-    rows = [
-        (i, s, int(c), int(c * 1_000_000 // base) if base else None)
-        for i, (s, c) in enumerate(zip(steps, counts))
-    ]
-    return spark.createDataFrame(
-        rows, "step_idx long, step string, n_users long, conv_ppm long"
+
+def window_funnel_depth(
+    df: DataFrame,
+    steps: Sequence[str],
+    within_ms: int,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    cache: bool = True,
+) -> DataFrame:
+    """Per-user funnel depth — the ClickHouse ``windowFunnel`` return
+    form: for each user with at least one step-0 event, the deepest
+    consecutive step count (1..len(steps)) reachable within ``within_ms``
+    of ANY step-0 anchor. A relation, so it joins downstream (cohort
+    splits, retention by funnel depth) without re-running the funnel;
+    :func:`window_funnel` is exactly this relation aggregated to
+    per-step counts. Columns: (``user_col``, depth) — both exact ints.
+    """
+    reach = _funnel_reach(
+        df, steps, within_ms, ts_col=ts_col, user_col=user_col,
+        type_col=type_col, cache=cache,
     )
+    return reach.groupBy("__u").agg(
+        F.max("__d").cast("long").alias("depth")
+    ).withColumnRenamed("__u", user_col)
