@@ -177,3 +177,35 @@ class TestMaxBucketCap:
         assert (900, 901) in pairs
         assert all(a >= 900 for a, _ in pairs)
         assert any("srp_neardup_pairs" in r.message for r in caplog.records)
+
+
+class TestDefaultOnCap:
+    """Round-14: the cap is DEFAULT-ON ("auto" → DEFAULT_MAX_BUCKET) —
+    an identical-boilerplate flood is bounded under default arguments."""
+
+    def test_minhash_flood_bounded_under_defaults(self, spark, caplog, monkeypatch):
+        import logging
+        monkeypatch.setattr(D, "DEFAULT_MAX_BUCKET", 50)
+        n = 200
+        rows = [(i, "the same boilerplate text repeated in every doc body") for i in range(n)]
+        rows += [
+            (1000, "a genuinely unique document about marmots and glaciers"),
+            (1001, "a genuinely unique document about marmots and glaciers!"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        with caplog.at_level(logging.INFO, logger="timeseriesfuser_spark.ops.dedup"):
+            pairs = {
+                (r.id_a, r.id_b)
+                for r in D.minhash_lsh_pairs(df).collect()  # ALL defaults
+            }
+        assert (1000, 1001) in pairs
+        assert all(a >= 1000 for a, _ in pairs), "flood pairs not bounded"
+        # never silent: cached default path logs measured drop counts
+        assert any("bucket cap" in r.message for r in caplog.records)
+
+    def test_explicit_none_disables(self, spark, monkeypatch):
+        monkeypatch.setattr(D, "DEFAULT_MAX_BUCKET", 50)
+        rows = [(i, "the same boilerplate text repeated in every doc body") for i in range(80)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        n_pairs = D.minhash_lsh_pairs(df, max_bucket=None, cache=False).count()
+        assert n_pairs == 80 * 79 // 2  # uncapped quadratic, by request

@@ -95,7 +95,7 @@ def shingles_df(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
     )
 
 
-def _maybe_cache(df: DataFrame, cache: bool) -> DataFrame:
+def _maybe_cache(df: DataFrame, cache: bool, materialize: bool = True) -> DataFrame:
     """Persist a multiply-consumed intermediate (MEMORY_AND_DISK, spills)
     and materialize it EAGERLY (one count job).
 
@@ -114,57 +114,122 @@ def _maybe_cache(df: DataFrame, cache: bool) -> DataFrame:
         from pyspark import StorageLevel
 
         df = track_persist(df.persist(StorageLevel.MEMORY_AND_DISK))
-        df.count()
+        if materialize:
+            df.count()
         return df
     return df
+
+
+#: Default hot-bucket cap for the LSH family ("auto" mode). Generous by
+#: design: a 10k-member bucket already emits ~50M candidate pairs in one
+#: join task — any legitimate near-dup cluster that large should have
+#: been collapsed by exact_duplicates first.
+DEFAULT_MAX_BUCKET = 10_000
+
+#: Max hot-bucket keys collected driver-side for the literal anti-join;
+#: above this (≥ cap×that many member rows — an extraordinarily flooded
+#: corpus) the cap falls back to an in-plan anti-join.
+_HOT_COLLECT_CAP = 10_000
 
 
 def _cap_buckets(
     blocks: DataFrame,
     key_cols: list,
-    max_bucket: Optional[int],
+    max_bucket,
     op_name: str,
+    eager_stats: bool = True,
 ) -> DataFrame:
-    """Opt-in hot-bucket guard for LSH candidate generation.
+    """Hot-bucket guard for LSH candidate generation — DEFAULT-ON.
 
     Any bucketed pair join (MinHash bands, SimHash/SRP pigeonhole chunks)
     is quadratic PER BUCKET: a bucket of n members emits C(n,2) candidate
     pairs in one join task. A web-scale corpus full of boilerplate (or a
     signature collision flood) turns one bucket into a straggler task
-    emitting billions of pairs. With ``max_bucket`` set, buckets larger
-    than the cap are dropped from candidate generation entirely — a
-    RECALL cap, never silent: the number of dropped buckets and member
-    rows is logged at WARNING level, and the count runs eagerly at op
-    construction so the caller sees it before the job.
+    emitting billions of pairs. Buckets larger than the cap are dropped
+    from candidate generation entirely — a RECALL cap, never silent:
 
-    Plan: one aggregate over the (cached) block relation to find hot
-    keys (few by construction — only buckets past the cap), then a
-    broadcast left-anti join; the block relation itself never reshuffles.
-    ``max_bucket=None`` (default) leaves the plan untouched.
+    - ``max_bucket="auto"`` (the family default): cap at
+      :data:`DEFAULT_MAX_BUCKET`; the cap's presence is logged at INFO.
+    - explicit int: cap at that value.
+    - ``max_bucket=None``: explicit opt-out, plan untouched.
+
+    Eager diagnostics: a small extra job counts the dropped
+    buckets/rows at op-construction time and logs them at WARNING
+    before the main job runs. An EXPLICIT integer cap always runs it —
+    note that with ``cache=False`` this recomputes the block relation
+    once for the stats and again for the main query, and the job fires
+    before any action on the returned DataFrame. In "auto" mode the job
+    runs only when the block relation is cached (callers pass their
+    ``cache`` flag as ``eager_stats``): the cap still applies lazily
+    inside the main plan either way, never silently — auto mode logs
+    its presence at INFO.
+
+    Plan: one aggregate over the block relation to find hot keys (few by
+    construction — only buckets past the cap), then a broadcast
+    left-anti join; the block relation itself never reshuffles.
 
     Note the interaction with first-agreeing-chunk/band pair dedup: a
     pair whose first shared bucket was dropped is NOT recovered via a
     later shared bucket — dropped means every pair meeting in that
     bucket is skipped, which is exactly the bounded-cardinality contract.
     """
+    import logging
+
+    log = logging.getLogger(__name__)
     if max_bucket is None:
         return blocks
+    if max_bucket == "auto":
+        max_bucket = DEFAULT_MAX_BUCKET
+        log.info(
+            "%s: auto bucket cap %d active — buckets larger than the cap "
+            "are dropped from candidate generation; pass max_bucket=<int> "
+            "to tune or max_bucket=None to disable",
+            op_name, max_bucket,
+        )
+    else:
+        eager_stats = True
+    max_bucket = int(max_bucket)
     if max_bucket < 2:
         raise ValueError("max_bucket must be >= 2 (a 1-member bucket emits no pairs)")
     counts = blocks.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bn"))
     hot = counts.filter(F.col("__bn") > max_bucket)
-    stats = hot.agg(
-        F.count(F.lit(1)).alias("b"),
-        F.coalesce(F.sum("__bn"), F.lit(0)).alias("r"),
-    ).first()
-    if stats["b"]:
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "%s: bucket cap %d dropped %d hot buckets (%d member rows) "
-            "from candidate generation — pairs meeting only in those "
-            "buckets are skipped",
-            op_name, max_bucket, stats["b"], stats["r"],
+    if eager_stats:
+        # Collect the hot KEYS (bounded: each hot bucket has > cap
+        # members, so #hot ≤ rows/cap). The common no-flood case then
+        # returns the plan UNTOUCHED — the anti-join (and its bucket
+        # count aggregate, re-executed per self-join side) only enters
+        # the plan when a flood actually exists. Measured: an
+        # in-plan anti-join cost +55% on the sf0.1 MinHash headline
+        # even with zero hot buckets.
+        hot_rows = hot.limit(_HOT_COLLECT_CAP + 1).collect()
+        if not hot_rows:
+            return blocks
+        if len(hot_rows) <= _HOT_COLLECT_CAP:
+            log.warning(
+                "%s: bucket cap %d dropped %d hot buckets (%d member rows) "
+                "from candidate generation — pairs meeting only in those "
+                "buckets are skipped",
+                op_name, max_bucket, len(hot_rows),
+                sum(r["__bn"] for r in hot_rows),
+            )
+            hot_local = blocks.sparkSession.createDataFrame(
+                [tuple(r[k] for k in key_cols) for r in hot_rows],
+                blocks.select(*key_cols).schema,
+            )
+            return blocks.join(
+                F.broadcast(hot_local), key_cols, "left_anti"
+            )
+        log.warning(
+            "%s: bucket cap %d dropped MORE than %d hot buckets — "
+            "candidate generation proceeds with an in-plan anti-join",
+            op_name, max_bucket, _HOT_COLLECT_CAP,
+        )
+    else:
+        log.info(
+            "%s: bucket cap %d applies lazily (uncached input — eager "
+            "drop-count diagnostics skipped to avoid recomputing the "
+            "block relation; use cache=True for measured drop counts)",
+            op_name, max_bucket,
         )
     return blocks.join(
         F.broadcast(hot.select(*key_cols)), key_cols, "left_anti"
@@ -391,6 +456,7 @@ def _banded_relation(
     bands: int,
     cache: bool,
     small_input_bytes: int,
+    materialize_buckets: bool = True,
 ):
     """(darr, buckets) for one corpus: the doc-level shingle-array
     relation and its (id, __bk, band, bkey) banding rows — the shared
@@ -451,6 +517,7 @@ def _banded_relation(
     buckets = _maybe_cache(
         keyed.select("id", "__bk", F.posexplode("__bk").alias("band", "bkey")),
         cache,
+        materialize=materialize_buckets,
     )
     return darr, buckets
 
@@ -466,7 +533,7 @@ def minhash_lsh_pairs(
     verify: bool = True,
     cache: bool = True,
     small_input_bytes: int = SMALL_INPUT_BYTES,
-    max_bucket: Optional[int] = None,
+    max_bucket="auto",
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding; candidates sharing ≥1 band bucket
     are (optionally) verified with exact Jaccard ≥ ``threshold``.
@@ -490,16 +557,22 @@ def minhash_lsh_pairs(
     verification is two joins on doc ids. Hot buckets (floods of
     identical docs) fan out k² in the join as in any LSH — AQE skew-join
     splits them; run ``exact_duplicates`` first to collapse identical
-    content, and set ``max_bucket`` to drop pathological buckets from
-    candidate generation with a logged count (:func:`_cap_buckets`).
+    content; ``max_bucket`` defaults to the family-wide "auto" cap
+    (:data:`DEFAULT_MAX_BUCKET`) dropping pathological buckets from
+    candidate generation with a logged count — ``None`` disables
+    (:func:`_cap_buckets`).
     Zero-shingle docs never enter the band join (they cannot reach any
     positive Jaccard threshold).
     """
+    # when an eager cap-stats job will run, IT materializes the bucket
+    # cache (any full action does) — skip _maybe_cache's own count job
     darr, buckets = _banded_relation(
-        df, id_col, text_col, n, num_hashes, bands, cache, small_input_bytes
+        df, id_col, text_col, n, num_hashes, bands, cache, small_input_bytes,
+        materialize_buckets=not (cache and max_bucket is not None),
     )
     buckets = _cap_buckets(
-        buckets, ["band", "bkey"], max_bucket, "minhash_lsh_pairs"
+        buckets, ["band", "bkey"], max_bucket, "minhash_lsh_pairs",
+        eager_stats=cache,
     )
     a, b_ = buckets.alias("a"), buckets.alias("b")
     # Emit each pair only at its FIRST shared band: a codegen predicate in
@@ -553,7 +626,7 @@ def minhash_lsh_pairs_between(
     verify: bool = True,
     cache: bool = True,
     small_input_bytes: int = SMALL_INPUT_BYTES,
-    max_bucket: Optional[int] = None,
+    max_bucket="auto",
 ) -> DataFrame:
     """Cross-corpus near-dup pairs: every ``df_new`` document that MinHash-
     collides with a ``df_ref`` document (incremental-ingest dedup — each
@@ -569,17 +642,25 @@ def minhash_lsh_pairs_between(
     caller; the join only ever touches shared buckets, never
     |new| × |ref|.
     """
+    mat = not (cache and max_bucket is not None)
     darr_n, buckets_n = _banded_relation(
-        df_new, id_col, text_col, n, num_hashes, bands, cache, small_input_bytes
+        df_new, id_col, text_col, n, num_hashes, bands, cache, small_input_bytes,
+        materialize_buckets=mat,
     )
     darr_r, buckets_r = _banded_relation(
-        df_ref, id_col, text_col, n, num_hashes, bands, cache, small_input_bytes
+        df_ref, id_col, text_col, n, num_hashes, bands, cache, small_input_bytes,
+        materialize_buckets=mat,
     )
     # The cap keys on the REF side's bucket sizes: in incremental ingest
     # the accumulated corpus is where boilerplate floods accrete, and a
     # dropped ref bucket suppresses the pair on both sides of the join.
     buckets_r = _cap_buckets(
-        buckets_r, ["band", "bkey"], max_bucket, "minhash_lsh_pairs_between"
+        buckets_r, ["band", "bkey"], max_bucket, "minhash_lsh_pairs_between(ref)",
+        eager_stats=cache,
+    )
+    buckets_n = _cap_buckets(
+        buckets_n, ["band", "bkey"], max_bucket, "minhash_lsh_pairs_between(new)",
+        eager_stats=cache,
     )
     a, b_ = buckets_n.alias("a"), buckets_r.alias("b")
     no_earlier_band = ~F.exists(
@@ -667,7 +748,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     cache: bool = True,
     small_input_bytes: int = SMALL_INPUT_BYTES,
-    max_bucket: Optional[int] = None,
+    max_bucket="auto",
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -693,7 +774,7 @@ def simhash_pairs(
     is an artifact of the 0 signature, not a content judgment, so the
     split is semantically strictly better.
 
-    ``max_bucket`` (opt-in) additionally drops any chunk bucket larger
+    ``max_bucket`` (default "auto") additionally drops any chunk bucket larger
     than the cap from candidate generation with a logged count — see
     :func:`_cap_buckets` for the recall contract.
     """
@@ -775,12 +856,16 @@ def simhash_pairs(
             F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey"),
         ),
         cache,
+        materialize=not (cache and max_bucket is not None),
     )
     empty_ids = allblocks.filter(
         (F.col("chunk") == 0) & (F.coalesce(F.col("__nt"), F.lit(0)) <= 0)
     ).select("id")
     blocks = allblocks.filter(F.col("__nt") > 0).select("id", "sh", "chunk", "ckey")
-    blocks = _cap_buckets(blocks, ["chunk", "ckey"], max_bucket, "simhash_pairs")
+    blocks = _cap_buckets(
+        blocks, ["chunk", "ckey"], max_bucket, "simhash_pairs",
+        eager_stats=cache,
+    )
     a, b = blocks.alias("a"), blocks.alias("b")
     xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
     # Emit each pair only at its FIRST agreeing chunk (all lower-chunk

@@ -176,7 +176,7 @@ def srp_neardup_pairs(
     vec_col: str = "embedding",
     scale: int = 1000,
     cache: bool = True,
-    max_bucket: Optional[int] = None,
+    max_bucket="auto",
 ) -> DataFrame:
     """Embedding near-duplicate pairs via signed-random-projection LSH —
     the blocked scale path for embedding-cosine near-dup (the brute-force
@@ -196,8 +196,10 @@ def srp_neardup_pairs(
     bucket (all bits set) — a corpus with millions of zero/padding
     embeddings would funnel C(n,2) candidate pairs through a single
     straggler task for guaranteed-empty output. Output-identical, plan
-    bounded. ``max_bucket`` (opt-in) drops any remaining chunk bucket
-    larger than the cap with a logged count (``ops.dedup._cap_buckets``).
+    bounded. ``max_bucket`` defaults to the family-wide "auto" cap
+    (``ops.dedup.DEFAULT_MAX_BUCKET``): chunk buckets larger than the
+    cap are dropped with a logged count when cached, a logged notice
+    otherwise (``ops.dedup._cap_buckets``); ``None`` disables.
 
     Scale: one broadcast plane join + one groupBy for signatures; the
     candidate join touches only chunk-bucket collisions, never the corpus
@@ -237,8 +239,12 @@ def srp_neardup_pairs(
             "id", "sh", F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey")
         ),
         cache,
+        materialize=not (cache and max_bucket is not None),
     )
-    blocks = _cap_buckets(blocks, ["chunk", "ckey"], max_bucket, "srp_neardup_pairs")
+    blocks = _cap_buckets(
+        blocks, ["chunk", "ckey"], max_bucket, "srp_neardup_pairs",
+        eager_stats=cache,
+    )
     a, b = blocks.alias("a"), blocks.alias("b")
     xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
     first_chunk = F.lit(True)
@@ -276,10 +282,10 @@ def srp_neardup_pairs(
     )
 
 
-def _maybe_cache(df: DataFrame, cache: bool) -> DataFrame:
+def _maybe_cache(df: DataFrame, cache: bool, materialize: bool = True) -> DataFrame:
     from timeseriesfuser_spark.ops.dedup import _maybe_cache as _mc
 
-    return _mc(df, cache)
+    return _mc(df, cache, materialize)
 
 
 def assign_to_centroids(
