@@ -101,3 +101,48 @@ class TestFunnelSingleAction:
         )
         out = window_funnel_depth(df, ["signup", "view", "purchase"], 100)
         assert out.collect()[0]["depth"] == 3
+
+
+class TestPersistedTokenIndex:
+    def test_write_load_search_parity_and_plan(self, spark, tmp_path):
+        from timeseriesfuser_spark.ops.text import (
+            build_token_index, load_token_index, phrase_search_indexed,
+            write_token_index,
+        )
+
+        docs = [
+            (i, f"alpha beta gamma doc {i} alpha beta delta") for i in range(200)
+        ] + [(900, "no match here"), (901, None)]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        idx = build_token_index(df)
+        tbl = "tok_idx_r14_test"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        try:
+            write_token_index(idx, tbl, num_buckets=8)
+            loaded = load_token_index(spark, tbl)
+            mem = {
+                r["id"]: (r["n_matches"], r["first_pos"])
+                for r in phrase_search_indexed(idx, ["alpha", "beta"]).collect()
+            }
+            per = {
+                r["id"]: (r["n_matches"], r["first_pos"])
+                for r in phrase_search_indexed(loaded, ["alpha", "beta"]).collect()
+            }
+            assert per == mem and len(per) == 200
+            assert per[0] == (2, 1)
+
+            plan = phrase_search_indexed(loaded, ["alpha", "beta"])._jdf \
+                .queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                    .fromString("formatted"))
+            # bucket pruning reached the scan
+            assert "SelectedBucketsCount: 1 out of 8" in plan
+            # postings join is shuffle-free: broadcast joins only; the
+            # sole shuffle allowed is the final per-doc aggregation
+            import re
+            shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+            assert all("id#" in s_ and "pos#" not in s_ for s_ in shuffles), shuffles
+            assert len(shuffles) <= 1, shuffles
+            assert "BroadcastHashJoin" in plan
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -861,10 +861,11 @@ def build_token_index(
     the reusable search structure corpus-scale phrase/proximity queries
     join against instead of rescanning raw text.
 
-    Scale: one projection + posexplode, no shuffle; persist (or write
-    bucketed BY token) once and amortize across queries — at 100 TB the
-    index build is the one full-corpus pass, every search after it
-    touches only the queried tokens' postings.
+    Scale: one projection + posexplode, no shuffle; persist — or write
+    bucketed BY token with :func:`write_token_index` — once and amortize
+    across queries: at 100 TB the index build is the one full-corpus
+    pass, every search after it touches only the queried tokens'
+    postings (bucket-pruned scans via :func:`load_token_index`).
     """
     return (
         spread_small_input(df)
@@ -884,6 +885,7 @@ def phrase_search_indexed(
     id_col: str = "id",
     pos_col: str = "pos",
     df_ordered: bool = True,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Exact phrase search over a :func:`build_token_index` relation:
     docs where the tokens appear CONSECUTIVELY, via the classic postings
@@ -910,6 +912,7 @@ def phrase_search_indexed(
     if not phrase:
         raise ValueError("phrase_tokens must be non-empty")
     order = list(range(len(phrase)))
+    counts: dict = {}
     if df_ordered and len(set(phrase)) > 1:
         counts = {
             r["t"]: r["n"]
@@ -930,10 +933,65 @@ def phrase_search_indexed(
             (F.col(pos_col).cast("long") - i).alias("pos"),
         )
 
+    # Exact-statistics join planning: the planning aggregate's measured
+    # posting counts drive broadcast hints, so a search over a persisted
+    # (bucket-pruned) index joins with NO shuffle on the postings side —
+    # either the new postings list is broadcast (small token), or the
+    # accumulated intersection is (bounded by the rarest token's df).
     cur = postings(order[0])
+    cur_bound = counts.get(phrase[order[0]], None)
     for i in order[1:]:
-        cur = cur.join(postings(i), ["id", "pos"])
+        p = postings(i)
+        if counts.get(phrase[i], 0) <= broadcast_max_rows and counts:
+            p = F.broadcast(p)
+        elif cur_bound is not None and cur_bound <= broadcast_max_rows:
+            cur = F.broadcast(cur)
+        cur = cur.join(p, ["id", "pos"])
     return cur.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_matches"),
         F.min("pos").alias("first_pos"),
     )
+
+
+def write_token_index(
+    index: DataFrame,
+    table_name: str,
+    *,
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a :func:`build_token_index` relation as a bucketed table —
+    the amortization path the index build promises: at corpus scale the
+    one full-data pass is the index build; every phrase/proximity search
+    afterwards should touch only the queried tokens' postings.
+
+    Layout: ``bucketBy(num_buckets, "token")`` so an equality filter on a
+    phrase token scans ONE bucket's files (Spark bucket pruning —
+    ``SelectedBucketsCount: 1 out of N`` in the plan), plus
+    ``sortBy(token, id, pos)`` so parquet row-group min/max stats on the
+    sorted token column let the pushed-down filter skip row groups
+    within the bucket. Postings come back clustered by (id, pos) — the
+    intersection join's probe order.
+
+    Bucketed writes require the table catalog (``saveAsTable``); pick
+    ``num_buckets`` so one bucket's postings for the hottest expected
+    token fit an executor's scan budget, not by corpus size — pruning
+    makes search cost proportional to the queried tokens' df only.
+    """
+    (
+        index.write.format("parquet")
+        .mode(mode)
+        .bucketBy(num_buckets, "token")
+        .sortBy("token", "id", "pos")
+        .saveAsTable(table_name)
+    )
+
+
+def load_token_index(spark, table_name: str) -> DataFrame:
+    """Load a :func:`write_token_index` table. The bucketing metadata
+    rides along from the catalog, so :func:`phrase_search_indexed` over
+    this relation gets bucket-pruned scans per token filter; with
+    ``df_ordered=True`` the measured posting counts also drive broadcast
+    hints, keeping the intersection joins shuffle-free (no Exchange on
+    the postings side — gated in ``tests/test_plan_quality.py``)."""
+    return spark.table(table_name)
