@@ -146,3 +146,97 @@ class TestPersistedTokenIndex:
             assert "BroadcastHashJoin" in plan
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+class TestWatermarkSizedFromLateness:
+    """The loop lateness_stats opens, closed: size a streaming dedup
+    watermark delay from the batch lateness profile and show (a) parity
+    — late duplicates stay deduplicated, every key exactly once across
+    micro-batches, (b) an undersized delay evicts state early and
+    RE-EMITS the late duplicates (the silent failure the profile
+    prevents). State eviction runs post-batch, so the replay arrives two
+    batches after the original keys with a watermark-advancing batch
+    between."""
+
+    def _write_batches(self, spark, tmp_path):
+        # arrival order = file modification order (maxFilesPerTrigger=1,
+        # sleeps separate mtimes): b0 keys at ts<=10s, b1 advances the
+        # event-time high-water mark to 100s, b2 replays b0's keys 60s
+        # LATE relative to that mark.
+        import time
+
+        src = tmp_path / "src"
+        src.mkdir()
+        schema = "event_id long, user_id string, ts long"
+        batches = [
+            [(i, f"u{i % 7}", 1_000 * (3 + i % 8)) for i in range(1, 30)],
+            [(150, "hw", 100_000)],
+            [(200 + j, f"u{j}", 40_000 + 1_000 * j) for j in range(7)],
+        ]
+        for k, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                str(src / f"b{k}.parquet")
+            )
+            time.sleep(1.2)
+        batch = spark.read.parquet(str(src) + "/*")
+        return src, batch, schema
+
+    def _run_dedup(self, spark, src, schema, delay_s, name):
+        import shutil
+        import tempfile
+
+        from timeseriesfuser_spark.streaming import dedup_stream
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        uniq = dedup_stream(
+            stream, key_cols=["user_id"],
+            watermark=f"{delay_s} seconds", ts_col="ts",
+        )
+        ckpt = tempfile.mkdtemp(prefix="tsf_ckpt_")
+        try:
+            q = (
+                uniq.writeStream.format("memory").queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start()
+            )
+            assert q.awaitTermination(300)
+            if q.exception() is not None:
+                raise q.exception()
+            return [r["user_id"] for r in spark.table(name).collect()]
+        finally:
+            spark.catalog.dropTempView(name)
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    def test_profiled_delay_dedups_late_duplicates(self, spark, tmp_path):
+        from collections import Counter
+
+        from timeseriesfuser_spark.ops.timeseries import lateness_stats
+        import pyspark.sql.functions as F
+
+        src, batch, schema = self._write_batches(spark, tmp_path)
+        # profile on the backfill sample: arrival order = event_id here
+        prof = lateness_stats(
+            batch.withColumn("__g", F.lit(1)), group_col="__g"
+        ).collect()[0]
+        assert prof["max_late_ms"] >= 54_000
+        delay_s = prof["max_late_ms"] // 1000 + 1
+        got = Counter(self._run_dedup(spark, src, schema, delay_s, "wm_ok"))
+        want = {r["user_id"] for r in batch.select("user_id").distinct().collect()}
+        assert set(got) == want
+        assert all(c == 1 for c in got.values()), got  # no re-emission
+
+    def test_undersized_delay_reemits_duplicates(self, spark, tmp_path):
+        from collections import Counter
+
+        src, batch, schema = self._write_batches(spark, tmp_path)
+        got = Counter(self._run_dedup(spark, src, schema, 1, "wm_tight"))
+        # 1s delay << the 60s replay gap: b0 state is evicted when the
+        # watermark reaches 99s at the end of b1, so b2's duplicates are
+        # treated as first occurrences and emitted AGAIN
+        dup_counts = {k: c for k, c in got.items() if c > 1}
+        assert dup_counts, got

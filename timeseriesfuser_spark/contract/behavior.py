@@ -804,3 +804,81 @@ def q_window_funnel_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_funnel_depth(
         _events(spark, sf_dir), ["signup", "view", "purchase"], _WF_WITHIN
     )
+
+
+@register(
+    "streaming_latest_daily_watermarked",
+    # Append mode emits exactly the day windows whose end <= final
+    # watermark = max event time - delay, where the delay is SIZED FROM
+    # the batch lateness profile (global max_late_ms ceiled to seconds
+    # + 1 s) — the oracle derives the same delay from the same data, so
+    # the emitted-window boundary is part of the verified contract.
+    oracle="""
+    WITH ev0 AS (SELECT epoch_ms(ts) AS t, event_id FROM events
+                 WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+    l0 AS (SELECT greatest(coalesce(max(t) OVER (
+               ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - t, 0),
+               0) AS late
+           FROM ev0),
+    lt AS (SELECT max(late) AS ml FROM l0),
+    ev AS (SELECT user_id, epoch_ms(ts) AS t, event_id, value FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_id IS NOT NULL),
+    wm AS (SELECT (SELECT max(t) FROM ev)
+               - ((SELECT ml FROM lt) // 1000 + 1) * 1000 AS w),
+    lab AS (SELECT user_id, t - (t % 86400000) + 86400000 AS b,
+                   t, event_id, value
+            FROM ev),
+    r AS (SELECT user_id, b, t, event_id, value,
+                 row_number() OVER (PARTITION BY user_id, b
+                                    ORDER BY t DESC, event_id DESC) AS rn
+          FROM lab)
+    SELECT CAST(b AS BIGINT) AS ts_ms, user_id, value,
+           event_id
+    FROM r WHERE rn = 1 AND b <= (SELECT w FROM wm)
+    """,
+)
+def q_streaming_latest_daily_watermarked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked per-user DAILY latest (streaming.resample_stream,
+    tumbling 1d windows + max_by) with the watermark delay sized from
+    ops.timeseries.lateness_stats — the windowed, bounded-state
+    complement to the stateful streaming_latest_by_user view: state is
+    one row per (user, open day window) and closed windows are emitted
+    exactly when the lateness-profiled watermark passes them."""
+    from timeseriesfuser_spark.contract._base import (
+        _events,
+        _run_availablenow_to_memory,
+    )
+    from timeseriesfuser_spark.ops.timeseries import lateness_stats
+    from timeseriesfuser_spark.streaming import resample_stream
+
+    prof = (
+        lateness_stats(_events(spark, sf_dir).withColumn("__g", F.lit(1)),
+                       group_col="__g")
+        .agg(F.max("max_late_ms").alias("m"))
+        .first()
+    )
+    delay_s = int((prof["m"] or 0) // 1000 + 1)
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_ms = ts_epoch_ms_col(stream, "ts")
+    ev = stream.select(
+        ts_ms.cast("long").alias("ts_ms"), "user_id", "event_id", "value"
+    ).filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts_ms").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    agg = resample_stream(
+        ev, "1d", keys=["user_id"], value_cols=["value", "event_id"],
+        watermark=f"{delay_s} seconds", ts_col="ts_ms",
+        tiebreak_cols=["event_id"],
+    )
+    return _run_availablenow_to_memory(agg, "sldw")

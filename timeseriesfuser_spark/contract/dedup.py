@@ -551,3 +551,54 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emitted = _run_availablenow_to_memory(uniq, "sd")
     return emitted.select("user_id", "event_type")
+
+
+@register(
+    "streaming_dedup_watermarked",
+    # Same deterministic surface as streaming_dedup_exact: the emitted
+    # key SET. The watermark delay is SIZED FROM the batch lateness
+    # profile (global max_late_ms, ceil-to-seconds + 1 s margin) — the
+    # no-drop bound lateness_stats reports — so no row arrives below the
+    # watermark and the set still equals batch DISTINCT; an undersized
+    # delay would drop late keys (the multi-batch pytest shows exactly
+    # that). State is bounded by the watermark horizon instead of
+    # growing per distinct key forever.
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming exact dedup
+    (streaming.dedup_stream / dropDuplicatesWithinWatermark) with the
+    delay sized from ops.timeseries.lateness_stats — closing the loop
+    the lateness profile opens: measure the out-of-order bound on a
+    backfill sample, then run the bounded-state streaming dedup with
+    exactly that horizon."""
+    from timeseriesfuser_spark.contract._base import (
+        _events,
+        _run_availablenow_to_memory,
+    )
+    from timeseriesfuser_spark.ops.timeseries import lateness_stats
+    from timeseriesfuser_spark.streaming import dedup_stream
+
+    prof = (
+        lateness_stats(_events(spark, sf_dir).withColumn("__g", F.lit(1)),
+                       group_col="__g")
+        .agg(F.max("max_late_ms").alias("m"))
+        .first()
+    )
+    delay_s = int((prof["m"] or 0) // 1000 + 1)
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_ms = ts_epoch_ms_col(stream, "ts")
+    ev = stream.select(
+        ts_ms.cast("long").alias("__ts_ms"), "user_id", "event_type"
+    )
+    uniq = dedup_stream(
+        ev, key_cols=["user_id", "event_type"],
+        watermark=f"{delay_s} seconds", ts_col="__ts_ms",
+    )
+    emitted = _run_availablenow_to_memory(uniq, "sdw")
+    return emitted.select("user_id", "event_type")
