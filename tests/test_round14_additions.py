@@ -240,3 +240,88 @@ class TestWatermarkSizedFromLateness:
         # treated as first occurrences and emitted AGAIN
         dup_counts = {k: c for k, c in got.items() if c > 1}
         assert dup_counts, got
+
+
+class TestResidualPQ:
+    def _clustered(self, spark):
+        # 4 well-separated cluster centers in 8-dim space; members are
+        # center + small structured offsets. Residual PQ only has to
+        # quantize the offsets, so with a trained coarse quantizer its
+        # codes are near-exact while raw-vector codebooks must span the
+        # whole space.
+        import pyspark.sql.functions as F
+
+        # 16 clusters with dense varied centers: a raw codebook of 8
+        # codes per subspace cannot even represent the 16 distinct
+        # center sub-patterns, while the residual codebook only needs
+        # the small offsets.
+        centers = {
+            c: [50.0 * ((c * 13 + j * 7) % 9 - 4) for j in range(8)]
+            for c in range(16)
+        }
+        rows = []
+        for i in range(320):
+            c = centers[i % 16]
+            off = [((i * 11 + j * 5) % 17 - 8) * 0.05 for j in range(8)]
+            rows.append((i, [c[j] + off[j] for j in range(8)]))
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_residual_beats_raw_on_clustered_data(self, spark):
+        import pyspark.sql.functions as F
+
+        from timeseriesfuser_spark.ops import similarity as S
+
+        df = self._clustered(spark)
+        queries = df.filter(F.col("vec_id") < 8)
+        exact = S.cosine_topk(
+            df, queries, k=5, id_col="vec_id", vec_col="embedding"
+        ).select("query_id", "neighbor_id")
+        n = exact.count()
+        km = S.kmeans_fit(df, k=16, iters=3)
+        common = dict(
+            k=5, n_centroids=16, nprobe=1, m=4, pq_k=8,
+            id_col="vec_id", vec_col="embedding",
+        )
+        raw_cb = S.pq_train_codebooks(df, m=4, k=8, iters=2)
+        raw = S.ivf_pq_topk(
+            df, queries, codebooks=raw_cb, centroids=km, **common
+        ).select("query_id", "neighbor_id")
+        res = S.ivf_residuals(df, n_centroids=16, centroids=km)
+        res_cb = S.pq_train_codebooks(
+            res, m=4, k=8, iters=2, vec_col="residual", pre_quantized=True
+        )
+        resid = S.ivf_pq_topk(
+            df, queries, codebooks=res_cb, residual=True, centroids=km,
+            **common
+        ).select("query_id", "neighbor_id")
+        r_raw = exact.join(raw, ["query_id", "neighbor_id"]).count() / n
+        r_res = exact.join(resid, ["query_id", "neighbor_id"]).count() / n
+        assert r_res > r_raw, (r_res, r_raw)
+        assert r_res >= 0.8, r_res
+
+    def test_residual_requires_codebooks(self, spark):
+        from timeseriesfuser_spark.ops import similarity as S
+
+        df = self._clustered(spark)
+        with pytest.raises(ValueError, match="residual"):
+            S.ivf_pq_topk(df, df.limit(1), residual=True)
+
+    def test_ivf_residuals_roundtrip(self, spark):
+        """residual + centroid == quantized vector, exactly."""
+        import pyspark.sql.functions as F
+
+        from timeseriesfuser_spark.ops import similarity as S
+        from timeseriesfuser_spark.ops.similarity import quantized
+
+        df = self._clustered(spark)
+        km = S.kmeans_fit(df, k=16, iters=2)
+        res = S.ivf_residuals(df, n_centroids=16, centroids=km)
+        cents = {i: c for i, c in enumerate(km)}
+        rows = res.join(
+            df.select("vec_id", quantized(F.col("embedding")).alias("__q")),
+            "vec_id",
+        ).collect()
+        assert len(rows) == 320
+        for r in rows:
+            ct = cents[r["centroid_id"]]
+            assert [a + int(b) for a, b in zip(r["residual"], ct)] == list(r["__q"])

@@ -397,7 +397,11 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantize_int8(_t(spark, sf_dir, "embeddings"))
 
 
-_PQ_M, _PQ_K, _PQ_DSUB = 4, 16, 16
+# m=8 x 7-bit codes (pq_k=128): measured recall@5 0.364 vs 0.192 for the
+# old (4, 16) grid at the SAME probe budget (NC=16, NP=4, sf0.01, 250
+# exact pairs) -- still a 36x compression of the 64-dim float vectors.
+# iters stays 2: 5 Lloyd rounds measured no better (training converged).
+_PQ_M, _PQ_K, _PQ_DSUB = 8, 128, 8
 _PQ_ITERS = 2
 
 

@@ -718,6 +718,7 @@ def pq_train_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    pre_quantized: bool = False,
 ) -> list:
     """Train per-subspace PQ codebooks with deterministic integer Lloyd
     iterations — the quality upgrade over the lowest-id seed stub
@@ -743,9 +744,14 @@ def pq_train_codebooks(
     """
     if m <= 0 or k <= 0 or iters < 0:
         raise ValueError("m, k must be positive and iters >= 0")
-    q = df.select(
-        F.col(id_col).alias("id"), quantized(F.col(vec_col), scale).alias("__v")
+    # pre_quantized: the input vectors are ALREADY exact integer arrays
+    # (e.g. ivf_residuals output) — quantizing again would re-scale them.
+    vexpr = (
+        F.col(vec_col).cast("array<long>")
+        if pre_quantized
+        else quantized(F.col(vec_col), scale)
     )
+    q = df.select(F.col(id_col).alias("id"), vexpr.alias("__v"))
     seeds = q.orderBy("id").limit(k).collect()
     if not seeds:
         raise ValueError("pq_train_codebooks: input has no vectors")
@@ -791,10 +797,13 @@ def pq_train_codebooks(
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
             )
-            # min over (d2, code, sv): (d2, code) is unique per group, so
-            # sv rides along without influencing the argmin — the member's
-            # own subvector reaches the update without a second join.
-            assigned = (
+            # Light argmin first (the hash-agg groups carry only two
+            # longs — carrying each member's sv through the k-way fanned
+            # aggregate measured as the spill bottleneck at
+            # 100k x m=8 x k=128 = 102M candidate rows), then one
+            # (id, sub) join back to the persisted subvector relation
+            # feeds the update sums.
+            best = (
                 ex.join(F.broadcast(cb), "sub")
                 .withColumn("__d2", d2)
                 .groupBy("id", "sub")
@@ -803,20 +812,13 @@ def pq_train_codebooks(
                         F.struct(
                             F.col("__d2").alias("d2"),
                             F.col("code").alias("code"),
-                            F.col("sv").alias("sv"),
                         )
-                    ).alias("__m")
-                )
-                .select(
-                    "sub",
-                    F.col("__m.code").alias("code"),
-                    F.col("__m.sv").alias("sv"),
+                    )["code"].alias("code")
                 )
             )
             rows = (
-                assigned.select(
-                    "sub", "code", F.posexplode("sv").alias("pos", "x")
-                )
+                ex.join(best, ["id", "sub"])
+                .select("sub", "code", F.posexplode("sv").alias("pos", "x"))
                 .groupBy("sub", "code", "pos")
                 .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
                 .collect()
@@ -1041,6 +1043,87 @@ def bitext_mine(
     )
 
 
+def _coarse_centroids(
+    corpus: DataFrame,
+    centroids: Optional[list],
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+) -> DataFrame:
+    """(centroid_id, __ctv, __ctn) coarse-quantizer relation: a TRAINED
+    integer centroid list (kmeans_fit output — centroid_id = index) when
+    given, else the deterministic lowest-id stub. Integer vectors either
+    way so residual arithmetic stays exact."""
+    if centroids is not None:
+        return corpus.sparkSession.createDataFrame(
+            [(i, [int(x) for x in c]) for i, c in enumerate(centroids)],
+            "centroid_id int, __ctv array<long>",
+        ).withColumn("__ctn", _sq_norm(F.col("__ctv")))
+    return (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            quantized(F.col(vec_col), scale).alias("__ctv"),
+        )
+        .withColumn("__ctn", _sq_norm(F.col("__ctv")))
+    )
+
+
+def ivf_residuals(
+    corpus: DataFrame,
+    *,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    centroids: Optional[list] = None,
+) -> DataFrame:
+    """(id, centroid_id, residual) — each corpus vector's exact integer
+    residual against its IVF centroid, under the SAME deterministic
+    coarse index as :func:`ivf_pq_topk` (centroids = n_centroids
+    lowest-id vectors, cosine routing, ties -> lowest centroid id).
+
+    This is the training input for residual PQ (IVF-then-PQ-on-residual,
+    Jegou et al. §IV): residuals concentrate around 0 with far less
+    variance than raw vectors, so the same (m, pq_k) codebook budget
+    buys a finer quantization grid. Train with
+    ``pq_train_codebooks(ivf_residuals(...), vec_col="residual",
+    pre_quantized=True)`` and search with
+    ``ivf_pq_topk(..., residual=True)``.
+
+    Scale: one broadcast centroid join + WindowGroupLimit per-vector
+    argmax — the corpus never shuffles on a data key.
+    """
+    c = spread_small_input(corpus).select(
+        F.col(id_col).alias("id"),
+        quantized(F.col(vec_col), scale).alias("__cv"),
+    ).withColumn("__cn", _sq_norm(F.col("__cv")))
+    cents = _coarse_centroids(
+        corpus, centroids, n_centroids, id_col, vec_col, scale
+    )
+    dot = _dot(F.col("__cv"), F.col("__ctv")).cast("double")
+    cos = F.when(
+        (F.col("__ctn") > 0) & (F.col("__cn") > 0),
+        dot / (F.sqrt(F.col("__cn")) * F.sqrt(F.col("__ctn"))),
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy("id").orderBy(F.desc("__ccos"), F.asc("centroid_id"))
+    return (
+        c.join(F.broadcast(cents))
+        .withColumn("__ccos", cos)
+        .withColumn("__crk", F.row_number().over(w))
+        .filter(F.col("__crk") == 1)
+        .select(
+            F.col("id").alias(id_col),
+            "centroid_id",
+            F.zip_with(
+                F.col("__cv"), F.col("__ctv"), lambda a, b: a - b
+            ).alias("residual"),
+        )
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1054,6 +1137,8 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     scale: int = 1000,
     codebooks: Optional[list] = None,
+    residual: bool = False,
+    centroids: Optional[list] = None,
 ) -> DataFrame:
     """IVF-ADC search (Jégou et al., PQ for nearest neighbor search): the
     composition that serves billion-vector ANN — probe the ``nprobe``
@@ -1085,6 +1170,10 @@ def ivf_pq_topk(
     """
     if m <= 0 or pq_k <= 0 or k <= 0:
         raise ValueError("m, pq_k and k must be positive")
+    if residual and codebooks is None:
+        raise ValueError(
+            "residual=True needs codebooks trained on ivf_residuals output"
+        )
 
     c = spread_small_input(corpus).select(
         F.col(id_col).alias("neighbor_id"),
@@ -1107,14 +1196,8 @@ def ivf_pq_topk(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
 
-    cents = (
-        corpus.orderBy(F.col(id_col))
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"),
-            quantized(F.col(vec_col), scale).alias("__ctv"),
-        )
-        .withColumn("__ctn", _sq_norm(F.col("__ctv")))
+    cents = _coarse_centroids(
+        corpus, centroids, n_centroids, id_col, vec_col, scale
     )
 
     def nearest(df: DataFrame, idname: str, vecname: str, nname: str, keep: int):
@@ -1184,6 +1267,17 @@ def ivf_pq_topk(
     # Corpus side: IVF list + per-subspace code (integer argmin, tie →
     # lowest code — the pq_codes convention).
     c_assigned = nearest(c, "neighbor_id", "__cv", "__cn", 1)
+    if residual:
+        # residual encoding: quantize v − centroid(v) against the
+        # residual-trained codebooks (finer grid, same byte budget)
+        ctv = cents.select("centroid_id", "__ctv")
+        c_assigned = (
+            c_assigned.join(F.broadcast(ctv), "centroid_id")
+            .withColumn(
+                "__cv", F.zip_with("__cv", "__ctv", lambda a, b: a - b)
+            )
+            .select("neighbor_id", "centroid_id", "__cv")
+        )
     codes = (
         c_assigned.select(
             "neighbor_id", "centroid_id", subspaces(F.col("__cv"), "sv").alias("__s")
@@ -1206,22 +1300,50 @@ def ivf_pq_topk(
         F.col(id_col).alias("query_id"),
         quantized(F.col(vec_col), scale).alias("__qv"),
     ).withColumn("__qn", _sq_norm(F.col("__qv")))
-    q_probed = nearest(q, "query_id", "__qv", "__qn", nprobe).select(
-        "query_id", "centroid_id"
-    )
-    # ADC tables: one exact integer subspace distance per (query, sub, code).
-    adc = (
-        q.select("query_id", subspaces(F.col("__qv"), "qsv").alias("__s"))
-        .select("query_id", F.col("__s.sub").alias("sub"), F.col("__s.qsv").alias("qsv"))
-        .join(F.broadcast(cb), "sub")
-        .select("query_id", "sub", "code", d2(F.col("qsv"), F.col("csv")).alias("qd2"))
-    )
+    q_probed_v = nearest(q, "query_id", "__qv", "__qn", nprobe)
+    q_probed = q_probed_v.select("query_id", "centroid_id")
+    if residual:
+        # ADC tables per (query, probed centroid): distances measured in
+        # each list's own residual frame — Q·nprobe·m·pq_k rows, still a
+        # broadcast
+        ctv = cents.select("centroid_id", "__ctv")
+        qr = (
+            q_probed_v.join(F.broadcast(ctv), "centroid_id")
+            .withColumn(
+                "__qrv", F.zip_with("__qv", "__ctv", lambda a, b: a - b)
+            )
+        )
+        adc = (
+            qr.select(
+                "query_id", "centroid_id",
+                subspaces(F.col("__qrv"), "qsv").alias("__s"),
+            )
+            .select(
+                "query_id", "centroid_id",
+                F.col("__s.sub").alias("sub"), F.col("__s.qsv").alias("qsv"),
+            )
+            .join(F.broadcast(cb), "sub")
+            .select(
+                "query_id", "centroid_id", "sub", "code",
+                d2(F.col("qsv"), F.col("csv")).alias("qd2"),
+            )
+        )
+        adc_keys = ["query_id", "centroid_id", "sub", "code"]
+    else:
+        # ADC tables: one exact integer subspace distance per (query, sub, code).
+        adc = (
+            q.select("query_id", subspaces(F.col("__qv"), "qsv").alias("__s"))
+            .select("query_id", F.col("__s.sub").alias("sub"), F.col("__s.qsv").alias("qsv"))
+            .join(F.broadcast(cb), "sub")
+            .select("query_id", "sub", "code", d2(F.col("qsv"), F.col("csv")).alias("qd2"))
+        )
+        adc_keys = ["query_id", "sub", "code"]
 
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
     return (
         codes.join(F.broadcast(q_probed), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .join(F.broadcast(adc), ["query_id", "sub", "code"])
+        .join(F.broadcast(adc), adc_keys)
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("qd2").cast("long").alias("adc_d2"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
