@@ -325,3 +325,35 @@ class TestResidualPQ:
         for r in rows:
             ct = cents[r["centroid_id"]]
             assert [a + int(b) for a, b in zip(r["residual"], ct)] == list(r["__q"])
+
+
+class TestAdviceFixesR14:
+    def test_rrf_dedup_inputs_min_rank(self, spark):
+        from timeseriesfuser_spark.ops.similarity import rrf_fuse
+
+        dup = spark.createDataFrame(
+            [(1, 10, 1), (1, 10, 3), (1, 11, 2)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        raw = {r["item_id"]: (r["rrf_score"], r["n_lists"])
+               for r in rrf_fuse([dup], k=60).collect()}
+        # raw: duplicate rows inflate both score and n_lists (documented)
+        assert raw[10][1] == 2
+        ded = {r["item_id"]: (r["rrf_score"], r["n_lists"])
+               for r in rrf_fuse([dup], k=60, dedup_inputs=True).collect()}
+        assert ded[10] == (1_000_000_000 // 61, 1)  # best rank wins
+        assert ded[11] == (1_000_000_000 // 62, 1)
+
+    def test_benford_scale_parameter(self, spark):
+        from timeseriesfuser_spark.ops.scale import benford_digits
+
+        df = spark.createDataFrame(
+            [("a", 1.998), ("a", 0.004)], "event_type string, value double"
+        )
+        at100 = {r["digit"]: r["n"] for r in benford_digits(df).collect()}
+        # cents quantization: 1.998 -> 200 cents -> digit 2; 0.004 excluded
+        assert at100[2] == 1 and at100[1] == 0
+        hi = {r["digit"]: r["n"]
+              for r in benford_digits(df, scale=1_000_000).collect()}
+        # raised precision recovers the true first digits: 1 and 4
+        assert hi[1] == 1 and hi[4] == 1 and hi[2] == 0

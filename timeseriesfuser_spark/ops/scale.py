@@ -510,6 +510,7 @@ def benford_digits(
     *,
     group_col: str = "event_type",
     value_col: str = "value",
+    scale: int = 100,
 ) -> DataFrame:
     """First-significant-digit (Benford) profile per group — the classic
     fabricated-data / instrumentation-bug screen for a metrics column: a
@@ -529,6 +530,15 @@ def benford_digits(
     produced appear with n = 0 (the full spine is what a drift monitor
     diffs) — with (n, obs_ppm, exp_ppm).
 
+    Quantization caveat: the digit comes from ``round(value · scale)``
+    (default ``scale=100`` — the cents/money convention), so rounding
+    carry can shift the first significant digit near a power boundary
+    (1.998 → 200 cents → digit 2, true digit 1) and values with
+    ``|value| < 0.5/scale`` are excluded with the zeros. For sub-unit
+    or near-carry measurements raise ``scale`` (e.g. 1_000_000) until
+    the distortion band is below your data's resolution — the
+    arithmetic stays exact-integer at any scale.
+
     Scale: one hash-agg on (group, digit) — ≤ 9·|groups| rows — then
     group totals and the digit spine are broadcast joins on that
     aggregate; the input is scanned once, nothing data-sized shuffles.
@@ -536,7 +546,7 @@ def benford_digits(
     import math
 
     exp_ppm = {d: round(math.log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)}
-    cents = F.round(F.col(value_col) * 100).cast("long")
+    cents = F.round(F.col(value_col) * scale).cast("long")
     base = (
         df.select(F.col(group_col).alias("g"), cents.alias("__c"))
         .filter(F.col("__c").isNotNull() & (F.col("__c") != 0))

@@ -1360,6 +1360,7 @@ def rrf_fuse(
     item_col: str = "neighbor_id",
     rank_col: str = "rank",
     top_n: Optional[int] = None,
+    dedup_inputs: bool = False,
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack et al.) of N per-query rankings —
     the standard hybrid-retrieval combiner (dense ANN + lexical + any
@@ -1373,6 +1374,14 @@ def rrf_fuse(
     Ties → lowest item id. Items missing from a ranking contribute 0
     (the RRF convention).
 
+    PRECONDITION: each input ranking has at most one row per
+    (query, item) — a duplicated row would inflate both rrf_score and
+    n_lists, since the fusion sums raw rows. Rankings produced by the
+    top-k ops here satisfy this by construction; for inputs that might
+    not, ``dedup_inputs=True`` keeps each input's BEST (minimum) rank
+    per (query, item) — deterministic, at the cost of one extra
+    aggregation per ranking.
+
     Output: (query, item, rrf_score, n_lists, rank). Scale: unions the
     k-bounded ranking relations (each already top-k per query), one
     hash-agg on (query, item), one per-query WindowGroupLimit — never
@@ -1382,15 +1391,26 @@ def rrf_fuse(
         raise ValueError("rankings must be non-empty")
     if k < 1:
         raise ValueError("k must be >= 1")
-    scored = [
+    prepped = [
         r.select(
             F.col(query_col).alias("query_id"),
             F.col(item_col).alias("item_id"),
-            F.expr(f"1000000000 DIV ({k} + CAST({rank_col} AS BIGINT))")
-            .cast("long")
-            .alias("__s"),
+            F.col(rank_col).cast("long").alias("__r"),
         )
         for r in rankings
+    ]
+    if dedup_inputs:
+        prepped = [
+            p.groupBy("query_id", "item_id").agg(F.min("__r").alias("__r"))
+            for p in prepped
+        ]
+    scored = [
+        p.select(
+            "query_id",
+            "item_id",
+            F.expr(f"1000000000 DIV ({k} + __r)").cast("long").alias("__s"),
+        )
+        for p in prepped
     ]
     u = scored[0]
     for s in scored[1:]:
