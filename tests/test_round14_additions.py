@@ -357,3 +357,72 @@ class TestAdviceFixesR14:
               for r in benford_digits(df, scale=1_000_000).collect()}
         # raised precision recovers the true first digits: 1 and 4
         assert hi[1] == 1 and hi[4] == 1 and hi[2] == 0
+
+
+class TestCusumChangepoints:
+    def test_planted_shift_alarms_and_resets(self, spark):
+        from timeseriesfuser_spark.ops.timeseries import cusum_changepoints
+
+        # 10 rows at 10.00, then a jump to 20.00: ref=1000c, slack 50c,
+        # h 500c -> after the jump each row adds 950 to S+; alarm on the
+        # 1st post-jump row (950 >= 500? no: 950 >= 500 yes) -> alarm,
+        # reset, then re-alarm every row while the shift persists
+        rows = [("u", i, i, 10.0 if i < 10 else 20.0) for i in range(20)]
+        df = spark.createDataFrame(rows, "user_id string, ts long, event_id long, value double")
+        out = cusum_changepoints(df, slack_cents=50, threshold_cents=500)
+        rs = sorted(out.collect(), key=lambda r: r["ts"])
+        assert all(r["alarm"] == 0 for r in rs[:10])
+        assert rs[10]["cusum_pos"] == 950 and rs[10]["alarm"] == 1
+        assert rs[11]["cusum_pos"] == 950 and rs[11]["alarm"] == 1  # reset then rebuild
+        assert all(r["cusum_neg"] == 0 for r in rs)
+
+    def test_downward_shift_and_null_exclusion(self, spark):
+        from timeseriesfuser_spark.ops.timeseries import cusum_changepoints
+
+        rows = [("u", i, i, 10.0) for i in range(5)]
+        rows += [("u", 5, 5, None), ("u", 6, 6, 2.0)]
+        df = spark.createDataFrame(rows, "user_id string, ts long, event_id long, value double")
+        out = {r["ts"]: r for r in cusum_changepoints(
+            df, slack_cents=50, threshold_cents=500).collect()}
+        assert 5 not in out  # NULL value row excluded
+        assert out[6]["cusum_neg"] == 750 and out[6]["alarm"] == 1
+
+
+class TestLinkPredict:
+    def test_triangle_closure_and_hub_cap(self, spark, caplog):
+        import logging
+
+        from timeseriesfuser_spark.ops.graph import link_predict_cn
+
+        # path graph 1-2-3 plus 1-4, 3-4: pair (1,3) shares {2, 4}; the
+        # direct edge (1,4) must be excluded from predictions
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 4), (3, 4)], "src long, dst long"
+        )
+        out = {(r["node_a"], r["node_b"]): r for r in link_predict_cn(edges).collect()}
+        assert (1, 3) in out
+        r = out[(1, 3)]
+        assert r["common"] == 2 and r["deg_a"] == 2 and r["deg_b"] == 2
+        assert r["jaccard_ppm"] == 2 * 1_000_000 // 2  # |∩|=2, |∪|=2
+        assert (1, 4) not in out  # already adjacent
+        # hub cap: star center 100 connected to 0..9 — every leaf pair
+        # meets only through the hub; capping degree 5 drops them all
+        star = spark.createDataFrame(
+            [(100, i) for i in range(10)], "src long, dst long"
+        )
+        with caplog.at_level(logging.WARNING,
+                             logger="timeseriesfuser_spark.ops.graph"):
+            n = link_predict_cn(star, max_degree=5).count()
+        assert n == 0
+        assert any("hub middles" in rec.message for rec in caplog.records)
+
+    def test_dedup_and_self_loops(self, spark):
+        from timeseriesfuser_spark.ops.graph import link_predict_cn
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (1, 1), (2, 3)], "src long, dst long"
+        )
+        out = link_predict_cn(edges).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["node_a"], r["node_b"], r["common"]) == (1, 3, 1)

@@ -310,3 +310,73 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return kcore_peel(edges, _KC_K, rounds=_KC_ROUNDS)
+
+
+_LP_MINSUP, _LP_MINCN, _LP_TOPN = 2, 2, 5
+
+
+@register(
+    "copurchase_link_predict",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    e AS (
+        SELECT a.p AS a, b.p AS b
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= {_LP_MINSUP}),
+    adj AS (SELECT a AS n, b AS v FROM e
+            UNION ALL SELECT b AS n, a AS v FROM e),
+    deg AS (SELECT n, count(*) AS c FROM adj GROUP BY n),
+    cn AS (
+        SELECT w1.v AS x, w2.v AS y, count(*) AS common
+        FROM adj w1 JOIN adj w2 ON w1.n = w2.n AND w1.v < w2.v
+        GROUP BY 1, 2 HAVING count(*) >= {_LP_MINCN}),
+    cand AS (
+        SELECT cn.x, cn.y, cn.common FROM cn
+        LEFT JOIN e ON cn.x = e.a AND cn.y = e.b
+        WHERE e.a IS NULL),
+    sc AS (
+        SELECT x, y, common, da.c AS deg_a, db.c AS deg_b,
+               common * 1000000 // (da.c + db.c - common) AS j,
+               row_number() OVER (PARTITION BY x
+                                  ORDER BY common DESC, y) AS rk
+        FROM cand JOIN deg da ON da.n = x JOIN deg db ON db.n = y)
+    SELECT CAST(x AS BIGINT) AS node_a, CAST(y AS BIGINT) AS node_b,
+           CAST(common AS BIGINT) AS common,
+           CAST(deg_a AS BIGINT) AS deg_a, CAST(deg_b AS BIGINT) AS deg_b,
+           CAST(j AS BIGINT) AS jaccard_ppm
+    FROM sc WHERE rk <= {_LP_TOPN}
+    """,
+)
+def q_copurchase_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor/Jaccard link prediction on the (minsup ≥ 2)
+    co-purchase part graph (ops.graph.link_predict_cn): non-adjacent
+    part pairs sharing ≥ 2 co-purchase neighbors, top 5 predictions per
+    part — the recommender primitive. Wedge-join candidate generation
+    (Σ deg(n)², never |V|²), exact-integer Jaccard ppm."""
+    from timeseriesfuser_spark.ops.graph import link_predict_cn
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    ).select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = (
+        op.alias("a")
+        .join(op.alias("b"),
+              (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= _LP_MINSUP)
+        .select("id_a", "id_b")
+    )
+    return link_predict_cn(
+        edges, src_col="id_a", dst_col="id_b",
+        min_common=_LP_MINCN, top_n=_LP_TOPN,
+    ).select(
+        F.col("node_a").cast("long").alias("node_a"),
+        F.col("node_b").cast("long").alias("node_b"),
+        "common", "deg_a", "deg_b", "jaccard_ppm",
+    )

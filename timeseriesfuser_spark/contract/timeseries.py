@@ -1280,3 +1280,66 @@ def q_event_lateness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurement that sizes a streaming watermark delay (max_late_ms is
     the no-drop bound). One running-max window + one hash-agg."""
     return TS.lateness_stats(_events(spark, sf_dir))
+
+
+_PAGE_S, _PAGE_H = 50, 500
+
+
+@register(
+    "cusum_user",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+        SELECT user_id AS k, epoch_ms(ts) AS t, event_id AS seq,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               first_value(CAST(round(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ms(ts), event_id) AS ref,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ms(ts), event_id) AS rn
+        FROM events
+        WHERE value IS NOT NULL AND ts IS NOT NULL
+          AND event_id IS NOT NULL),
+    r AS (
+        SELECT k, t, seq, cents, rn,
+               greatest(0, cents - ref - {_PAGE_S}) AS sp_raw,
+               greatest(0, ref - cents - {_PAGE_S}) AS sn_raw,
+               CASE WHEN greatest(0, cents - ref - {_PAGE_S}) >= {_PAGE_H}
+                      OR greatest(0, ref - cents - {_PAGE_S}) >= {_PAGE_H}
+                    THEN 1 ELSE 0 END AS alarm,
+               ref
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.k, e.t, e.seq, e.cents, e.rn,
+               greatest(0, (CASE WHEN r.alarm = 1 THEN 0 ELSE r.sp_raw END)
+                           + e.cents - e.ref - {_PAGE_S}),
+               greatest(0, (CASE WHEN r.alarm = 1 THEN 0 ELSE r.sn_raw END)
+                           + e.ref - e.cents - {_PAGE_S}),
+               CASE WHEN
+                 greatest(0, (CASE WHEN r.alarm = 1 THEN 0 ELSE r.sp_raw END)
+                             + e.cents - e.ref - {_PAGE_S}) >= {_PAGE_H}
+                 OR greatest(0, (CASE WHEN r.alarm = 1 THEN 0 ELSE r.sn_raw END)
+                             + e.ref - e.cents - {_PAGE_S}) >= {_PAGE_H}
+               THEN 1 ELSE 0 END,
+               e.ref
+        FROM ev e JOIN r ON e.k IS NOT DISTINCT FROM r.k AND e.rn = r.rn + 1
+    )
+    SELECT k AS user_id, t AS ts, seq AS event_id, cents,
+           CAST(sp_raw AS BIGINT) AS cusum_pos,
+           CAST(sn_raw AS BIGINT) AS cusum_neg,
+           CAST(alarm AS BIGINT) AS alarm
+    FROM r
+    """,
+)
+def q_cusum_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user two-sided integer CUSUM drift detection
+    (ops.timeseries.cusum_changepoints): level-shift-from-baseline with
+    slack 50¢ and alarm threshold 500¢, both sides resetting after an
+    alarm. Genuinely recursive (previous OUTPUT feeds each row) — the
+    sanctioned per-key Arrow applyInPandas case; ALL arithmetic is
+    integer max(0, ·) chains, so the recursive-CTE oracle matches with
+    no float involved at all."""
+    return TS.cusum_changepoints(
+        _events(spark, sf_dir),
+        slack_cents=_PAGE_S,
+        threshold_cents=_PAGE_H,
+    )

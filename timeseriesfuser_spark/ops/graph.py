@@ -404,3 +404,102 @@ def kcore_peel(
     return cur.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     ).select(F.col("src").alias("id"), "degree")
+
+
+def link_predict_cn(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_common: int = 1,
+    max_degree: "int | None" = None,
+    top_n: "int | None" = None,
+) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction over an undirected edge
+    list (Liben-Nowell & Kleinberg 2003): for every non-adjacent pair
+    (a, b) sharing ≥ ``min_common`` neighbors, emit the two classic
+    scores — the recommender / entity-resolution primitive ("customers
+    who bought X also…", "these two records share most of their
+    relations").
+
+    Output: (node_a, node_b, common, deg_a, deg_b, jaccard_ppm) with
+    node_a < node_b; ``jaccard_ppm = common·1e6 DIV
+    (deg_a + deg_b − common)`` — exact integers throughout.
+
+    Scale: candidate pairs come from the WEDGE join (adjacency
+    self-joined on the shared middle node), so the fan-out is
+    Σ_n deg(n)² — bounded by real co-occurrence, never |V|². That sum
+    is dominated by hub middles; ``max_degree`` drops nodes above the
+    cap from the MIDDLE position only (their own links still score via
+    their other endpoints) with a WARNING-logged count — the LSH
+    hot-bucket posture. ``top_n`` bounds output per node_a via
+    WindowGroupLimit (rank by common desc, then node_b).
+    """
+    if min_common < 1:
+        raise ValueError("min_common must be >= 1")
+    s, d = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.filter(s.isNotNull() & d.isNotNull() & (s != d))
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+    adj = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+
+    mid = adj.select(F.col("a").alias("n"), F.col("b").alias("v"))
+    if max_degree is not None:
+        import logging
+
+        hubs = deg.filter(F.col("deg") > max_degree).select(
+            F.col("a").alias("n")
+        )
+        n_hubs = hubs.count()
+        if n_hubs:
+            logging.getLogger(__name__).warning(
+                "link_predict_cn: %d hub middles above degree cap %d "
+                "dropped from wedge generation — pairs meeting only "
+                "through them are skipped",
+                n_hubs, max_degree,
+            )
+        mid = mid.join(F.broadcast(hubs), "n", "left_anti")
+
+    w1 = mid.select("n", F.col("v").alias("x"))
+    w2 = mid.select("n", F.col("v").alias("y"))
+    cn = (
+        w1.join(w2, "n")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    cand = cn.join(
+        e, (F.col("x") == F.col("a")) & (F.col("y") == F.col("b")), "left_anti"
+    )
+    da = deg.select(F.col("a").alias("x"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("a").alias("y"), F.col("deg").alias("deg_b"))
+    out = (
+        cand.join(da, "x")
+        .join(db, "y")
+        .select(
+            F.col("x").alias("node_a"),
+            F.col("y").alias("node_b"),
+            "common",
+            "deg_a",
+            "deg_b",
+            F.expr("common * 1000000 DIV (deg_a + deg_b - common)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+    if top_n is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("node_a").orderBy(
+            F.desc("common"), F.asc("node_b")
+        )
+        out = (
+            out.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= top_n)
+            .drop("__rk")
+        )
+    return out

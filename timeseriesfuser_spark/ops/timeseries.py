@@ -1757,3 +1757,100 @@ def lateness_stats(
         F.max("__late").cast("long").alias("max_late_ms"),
         F.sum("__late").cast("long").alias("sum_late_ms"),
     ).withColumnRenamed("g", group_col)
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+    slack_cents: int = 50,
+    threshold_cents: int = 500,
+) -> DataFrame:
+    """Per-key two-sided CUSUM drift detector (Page 1954) over the
+    cent-quantized value, in (ts, seq) order — the classic
+    smallest-sufficient-state changepoint screen a metrics pipeline runs
+    per entity::
+
+        S⁺ᵢ = max(0, S⁺ᵢ₋₁ + xᵢ − ref − slack)
+        S⁻ᵢ = max(0, S⁻ᵢ₋₁ + ref − xᵢ − slack)
+        alarm ⇔ S⁺ᵢ ≥ h  or  S⁻ᵢ ≥ h   (both sides reset to 0 after)
+
+    with ``ref`` = the key's FIRST value (level-shift-from-baseline
+    form; a persistent shift re-alarms every ~h/|shift−slack| rows,
+    the standard repeated-alarm behavior). ALL-INTEGER: cents in,
+    integer slack/threshold, max(0, ·) — so the recursive-CTE oracle
+    matches bit-for-bit with no float hazard at all (stronger than the
+    ewma/holt float-chain argument).
+
+    The recursion depends on the previous row's OUTPUT — the sanctioned
+    per-key Arrow ``applyInPandas`` case (the ewma contract). Rows with
+    NULL value/ts/seq carry no evidence or position and are excluded.
+
+    Output: (key, ts, seq, cents, cusum_pos, cusum_neg, alarm) — the
+    pre-reset statistics plus the 0/1 alarm flag.
+
+    Scale: one shuffle on the key; per-group work is O(rows in group);
+    keys are the parallelism unit.
+    """
+    import pandas as pd  # noqa: F401
+
+    slack = int(slack_cents)
+    h = int(threshold_cents)
+    if slack < 0 or h <= 0:
+        raise ValueError("slack_cents must be >= 0 and threshold_cents > 0")
+    ev = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(seq_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(seq_col).cast("long").alias("seq"),
+        _cents(value_col).alias("cents"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", ev.schema["k"].dataType, True),
+            T.StructField("ts", T.LongType(), True),
+            T.StructField("seq", T.LongType(), True),
+            T.StructField("cents", T.LongType(), True),
+            T.StructField("cusum_pos", T.LongType(), True),
+            T.StructField("cusum_neg", T.LongType(), True),
+            T.StructField("alarm", T.LongType(), True),
+        ]
+    )
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "seq"], ignore_index=True)
+        xs = pdf["cents"].tolist()
+        ref = int(xs[0])
+        sp = sn = 0
+        pos, neg, al = [], [], []
+        for x in xs:
+            x = int(x)
+            sp = max(0, sp + x - ref - slack)
+            sn = max(0, sn + ref - x - slack)
+            a = 1 if (sp >= h or sn >= h) else 0
+            pos.append(sp)
+            neg.append(sn)
+            al.append(a)
+            if a:
+                sp = sn = 0
+        pdf["cusum_pos"] = pos
+        pdf["cusum_neg"] = neg
+        pdf["alarm"] = al
+        return pdf
+
+    out = ev.groupBy("k").applyInPandas(fn, schema)
+    return out.select(
+        F.col("k").alias(key_col),
+        F.col("ts").alias(ts_col),
+        F.col("seq").alias(seq_col),
+        "cents",
+        "cusum_pos",
+        "cusum_neg",
+        "alarm",
+    )
