@@ -426,3 +426,44 @@ class TestLinkPredict:
         assert len(out) == 1
         r = out[0]
         assert (r["node_a"], r["node_b"], r["common"]) == (1, 3, 1)
+
+
+class TestTrendingAndSeasonal:
+    def test_trending_growth_and_first_appearance(self, spark):
+        from timeseriesfuser_spark.ops.behavior import trending_topk
+
+        d = 100
+        rows = (
+            [("a", 0 * d + i) for i in range(2)]        # day0: a=2
+            + [("a", 1 * d + i) for i in range(6)]      # day1: a=6 (+200%)
+            + [("b", 1 * d + i) for i in range(3)]      # day1: b new (3)
+        )
+        df = spark.createDataFrame(rows, "event_type string, ts long")
+        out = {(r["bucket_ts"], r["event_type"]): r
+               for r in trending_topk(df, d, top_n=5).collect()}
+        assert out[(0, "a")]["prev_n"] == 0 and out[(0, "a")]["growth_ppm"] == 2_000_000
+        assert out[(d, "a")]["prev_n"] == 2 and out[(d, "a")]["growth_ppm"] == 2_000_000
+        # new key: prev 0, growth = n*1e6
+        assert out[(d, "b")]["prev_n"] == 0 and out[(d, "b")]["growth_ppm"] == 3_000_000
+        # rank: b (3e6 growth) above a (2e6) on day1
+        assert out[(d, "b")]["rank"] == 1 and out[(d, "a")]["rank"] == 2
+
+    def test_trending_gap_resets_prev(self, spark):
+        from timeseriesfuser_spark.ops.behavior import trending_topk
+
+        d = 100
+        rows = [("a", 0), ("a", 2 * d)]  # day0 then day2 — day1 gap
+        df = spark.createDataFrame(rows, "event_type string, ts long")
+        out = {r["bucket_ts"]: r for r in trending_topk(df, d).collect()}
+        assert out[2 * d]["prev_n"] == 0  # non-adjacent bucket ignored
+
+    def test_seasonal_dow_hour_known_instant(self, spark):
+        from timeseriesfuser_spark.ops.behavior import seasonal_profile
+
+        # 2021-01-01 00:00 UTC = 1609459200000 was a FRIDAY (dow 4),
+        # plus one event 5 hours later
+        rows = [("x", 1_609_459_200_000), ("x", 1_609_459_200_000 + 5 * 3_600_000)]
+        df = spark.createDataFrame(rows, "event_type string, ts long")
+        out = {(r["dow"], r["hour"]): r for r in seasonal_profile(df).collect()}
+        assert (4, 0) in out and (4, 5) in out
+        assert out[(4, 0)]["share_ppm"] == 500_000

@@ -882,3 +882,76 @@ def q_streaming_latest_daily_watermarked(
         tiebreak_cols=["event_id"],
     )
     return _run_availablenow_to_memory(agg, "sldw")
+
+
+_TREND_D = 86_400_000
+
+
+@register(
+    "trending_daily",
+    oracle=f"""
+    WITH ev AS (SELECT event_type AS k, epoch_ms(ts) AS t FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    c AS (SELECT k, t - ((t % {_TREND_D} + {_TREND_D}) % {_TREND_D}) AS b,
+                 count(*) AS n
+          FROM ev GROUP BY 1, 2),
+    l AS (SELECT k, b, n,
+                 lag(b) OVER (PARTITION BY k ORDER BY b) AS pb,
+                 lag(n) OVER (PARTITION BY k ORDER BY b) AS pn
+          FROM c),
+    s AS (SELECT k, b, n,
+                 CASE WHEN pb = b - {_TREND_D} THEN pn ELSE 0 END AS prev_n
+          FROM l),
+    g AS (SELECT k, b, n, prev_n,
+                 (n - prev_n) * 1000000 // greatest(prev_n, 1) AS growth,
+                 row_number() OVER (
+                     PARTITION BY b
+                     ORDER BY (n - prev_n) * 1000000
+                              // greatest(prev_n, 1) DESC, n DESC, k
+                 ) AS rk
+          FROM s)
+    SELECT CAST(b AS BIGINT) AS bucket_ts, k AS event_type,
+           CAST(n AS BIGINT) AS n, CAST(prev_n AS BIGINT) AS prev_n,
+           CAST(growth AS BIGINT) AS growth_ppm, CAST(rk AS BIGINT) AS rank
+    FROM g WHERE rk <= 3
+    """,
+)
+def q_trending_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily trending event types (ops.behavior.trending_topk): top-3
+    per day by exact-integer growth vs the type's own previous day
+    (first appearance = max growth). One hash-agg to the (key, day)
+    grain, a lag window over that aggregated grain only, and a
+    per-bucket WindowGroupLimit — never a window over raw events."""
+    from timeseriesfuser_spark.ops.behavior import trending_topk
+
+    return trending_topk(
+        _events(spark, sf_dir), _TREND_D, key_col="event_type", top_n=3
+    )
+
+
+@register(
+    "seasonal_profile_types",
+    oracle="""
+    WITH ev AS (SELECT event_type AS k, epoch_ms(ts) AS t FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    lab AS (SELECT k,
+                   CAST(((t - ((t % 86400000 + 86400000) % 86400000))
+                         // 86400000 + 3) % 7 AS INT) AS dow,
+                   CAST(((t - ((t % 3600000 + 3600000) % 3600000))
+                         // 3600000) % 24 AS INT) AS hour
+            FROM ev),
+    c AS (SELECT k, dow, hour, count(*) AS n FROM lab GROUP BY 1, 2, 3),
+    tot AS (SELECT k, sum(n) AS kt FROM c GROUP BY 1)
+    SELECT c.k AS event_type, c.dow, c.hour, CAST(c.n AS BIGINT) AS n,
+           CAST(tot.kt AS BIGINT) AS key_total,
+           CAST(c.n * 1000000 // tot.kt AS BIGINT) AS share_ppm
+    FROM c JOIN tot ON c.k = tot.k
+    """,
+)
+def q_seasonal_profile_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTC dow×hour seasonal baseline per event type
+    (ops.behavior.seasonal_profile): one hash-agg to the ≤168·|keys|
+    grain + broadcast totals; exact-integer shares."""
+    from timeseriesfuser_spark.ops.behavior import seasonal_profile
+
+    return seasonal_profile(_events(spark, sf_dir))

@@ -866,3 +866,126 @@ def window_funnel_depth(
     return reach.groupBy("__u").agg(
         F.max("__d").cast("long").alias("depth")
     ).withColumnRenamed("__u", user_col)
+
+
+def trending_topk(
+    df: DataFrame,
+    interval_ms: int,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    top_n: int = 5,
+    min_count: int = 1,
+) -> DataFrame:
+    """Top-k trending keys per time bucket: the keys whose activity grew
+    most versus their own previous bucket — the "what's surging right
+    now" feed a monitoring/discovery surface renders each tick.
+
+    Per (key, bucket): ``n`` = event count; ``prev_n`` = the key's count
+    in the immediately preceding bucket (0 when absent — a key's FIRST
+    appearance is maximal growth, which is exactly what trending means);
+    ``growth_ppm = (n − prev_n)·1e6 DIV max(prev_n, 1)`` — exact
+    integers. Buckets with ``n < min_count`` are not ranked. Rank by
+    growth desc, then n desc, then key (deterministic); keep ``top_n``.
+
+    Scale: one hash-agg to the (key, bucket) grain — millions of times
+    smaller than the input — then a lag window PARTITIONED BY KEY over
+    that aggregated grain (never over raw events) and a per-bucket
+    WindowGroupLimit for the top-k. Absent-previous-bucket handling
+    needs no spine join: lag() + a bucket-adjacency check.
+    """
+    if interval_ms <= 0:
+        raise ValueError("interval_ms must be positive")
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    from pyspark.sql.window import Window
+
+    step = int(interval_ms)
+    ev = df.filter(
+        F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("k"),
+        (F.col(ts_col).cast("long") - (
+            ((F.col(ts_col).cast("long") % step) + step) % step
+        )).alias("bucket_ts"),
+    )
+    counts = ev.groupBy("k", "bucket_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wk = Window.partitionBy("k").orderBy("bucket_ts")
+    lagged = counts.select(
+        "k",
+        "bucket_ts",
+        "n",
+        F.lag("bucket_ts").over(wk).alias("__pb"),
+        F.lag("n").over(wk).alias("__pn"),
+    ).withColumn(
+        "prev_n",
+        F.when(
+            F.col("__pb") == F.col("bucket_ts") - step, F.col("__pn")
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+    scored = lagged.filter(F.col("n") >= min_count).withColumn(
+        "growth_ppm",
+        F.expr("(n - prev_n) * 1000000 DIV greatest(prev_n, 1)").cast("long"),
+    )
+    wb = Window.partitionBy("bucket_ts").orderBy(
+        F.desc("growth_ppm"), F.desc("n"), F.asc("k")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wb).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "bucket_ts", F.col("k").alias(key_col), "n", "prev_n",
+            "growth_ppm", "rank",
+        )
+    )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-of-week × hour-of-day activity profile per key — the seasonal
+    baseline a monitoring pipeline diffs live traffic against (and the
+    watermark/capacity-planning companion to ``lateness_stats``).
+
+    Output: one row per (key, dow 0–6, hour 0–23) that occurred —
+    (n, key_total, share_ppm) with ``share_ppm = n·1e6 DIV key_total``.
+    dow is UTC with 0 = Monday (epoch day 0, 1970-01-01, is a Thursday
+    = 3); hour is the UTC hour. Exact integers end to end.
+
+    Scale: ONE hash-agg to the ≤ 168·|keys| grain plus a broadcast join
+    for totals — the input is scanned once, nothing data-sized shuffles.
+    """
+    d = 86_400_000
+    h = 3_600_000
+    t = F.col(ts_col).cast("long")
+    days = F.expr(f"(CAST({ts_col} AS BIGINT) - pmod({ts_col}, {d})) DIV {d}")
+    ev = df.filter(
+        F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("k"),
+        F.pmod(days + 3, F.lit(7)).cast("int").alias("dow"),
+        F.pmod(
+            F.expr(f"(CAST({ts_col} AS BIGINT) - pmod({ts_col}, {h})) DIV {h}"),
+            F.lit(24),
+        ).cast("int").alias("hour"),
+    )
+    cells = ev.groupBy("k", "dow", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = cells.groupBy("k").agg(F.sum("n").cast("long").alias("key_total"))
+    return (
+        cells.join(F.broadcast(totals), "k")
+        .select(
+            F.col("k").alias(key_col),
+            "dow",
+            "hour",
+            "n",
+            "key_total",
+            F.expr("n * 1000000 DIV key_total").cast("long").alias("share_ppm"),
+        )
+    )
