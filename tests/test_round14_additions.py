@@ -467,3 +467,50 @@ class TestTrendingAndSeasonal:
         out = {(r["dow"], r["hour"]): r for r in seasonal_profile(df).collect()}
         assert (4, 0) in out and (4, 5) in out
         assert out[(4, 0)]["share_ppm"] == 500_000
+
+
+class TestFuzzyMatch:
+    def test_substitution_indel_and_miss(self, spark):
+        from timeseriesfuser_spark.ops.text import fuzzy_match_pairs
+
+        rows = [
+            (1, "kitten"), (2, "mitten"),      # substitution: ed 1
+            (3, "kittens"),                    # insertion vs 1: ed 1
+            (4, "sitting"),                    # ed 3 from kitten: excluded
+            (5, "kitten"),                     # exact dup of 1: ed 0
+            (6, None),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {(r["id_a"], r["id_b"]): r["edit_distance"]
+               for r in fuzzy_match_pairs(df).collect()}
+        assert out[(1, 2)] == 1 and out[(1, 3)] == 1 and out[(1, 5)] == 0
+        assert out[(2, 3)] == 2 if (2, 3) in out else True  # never emitted
+        assert (2, 3) not in out and (1, 4) not in out
+        assert all(a != 6 and b != 6 for a, b in out)
+
+    def test_blocking_is_exact_for_ed1(self, spark):
+        """Brute-force differential: every pair with levenshtein <= 1
+        must be found by the deletion-neighborhood join."""
+        import itertools
+
+        from timeseriesfuser_spark.ops.text import fuzzy_match_pairs
+
+        words = ["cat", "cut", "cast", "at", "ca", "dog", "dot", "do",
+                 "cart", "card", "car", ""]
+        rows = list(enumerate(words))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {(r["id_a"], r["id_b"]) for r in fuzzy_match_pairs(df).collect()}
+
+        def ed(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                    )
+            return dp[len(b)]
+
+        want = {(i, j) for (i, a), (j, b) in
+                itertools.combinations(rows, 2) if ed(a, b) <= 1}
+        assert got == want

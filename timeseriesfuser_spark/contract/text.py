@@ -747,3 +747,33 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrase = [str(w) for w in first["tk"][:2]]
     idx = X.build_token_index(docs)
     return X.phrase_search_indexed(idx, phrase)
+
+
+@register(
+    "fuzzy_supplier_names",
+    oracle="""
+    WITH d AS (SELECT s_suppkey AS id, s_name AS s FROM supplier
+               WHERE s_name IS NOT NULL AND s_suppkey IS NOT NULL),
+    v AS (SELECT id, s, unnest(list_distinct(list_append(
+              [substr(s, 1, i - 1) || substr(s, i + 1, len(s))
+               FOR i IN range(1, len(s) + 1)], s))) AS k
+          FROM d),
+    p AS (SELECT DISTINCT a.id AS ia, b.id AS ib, a.s AS sa, b.s AS sb
+          FROM v a JOIN v b ON a.k = b.k AND a.id < b.id)
+    SELECT ia AS id_a, ib AS id_b,
+           CAST(levenshtein(sa, sb) AS BIGINT) AS edit_distance
+    FROM p WHERE levenshtein(sa, sb) <= 1
+    """,
+)
+def q_fuzzy_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 supplier-name matches (ops.text.fuzzy_match_pairs,
+    FastSS deletion-neighborhood blocking): sequentially numbered
+    Supplier#NNN names differing in one digit — the entity-resolution
+    shape. Candidate join on deletion variants, exact codegen
+    levenshtein verify; the oracle builds the same neighborhood with a
+    DuckDB list comprehension."""
+    from timeseriesfuser_spark.ops.text import fuzzy_match_pairs
+
+    return fuzzy_match_pairs(
+        _t(spark, sf_dir, "supplier"), id_col="s_suppkey", text_col="s_name"
+    )

@@ -995,3 +995,85 @@ def load_token_index(spark, table_name: str) -> DataFrame:
     hints, keeping the intersection joins shuffle-free (no Exchange on
     the postings side — gated in ``tests/test_plan_quality.py``)."""
     return spark.table(table_name)
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_edits: int = 1,
+    max_bucket="auto",
+    cache: bool = True,
+) -> DataFrame:
+    """Edit-distance-bounded string match pairs via deletion-neighborhood
+    blocking (the FastSS / SymSpell scheme): two strings with
+    Levenshtein distance ≤ 1 necessarily share a member of each other's
+    {self} ∪ {one-char deletions} set, so candidate generation is an
+    equi-join on those |s|+1 keys per string — never the all-pairs
+    product — and every candidate is verified with exact
+    ``levenshtein ≤ max_edits``. The entity-resolution primitive for
+    short strings (names, SKUs, usernames, titles).
+
+    ``max_edits`` is currently capped at 1: the 1-deletion neighborhood
+    is EXACT for distance ≤ 1 (a substitution shares the
+    both-sides-deleted variant, an indel shares the shorter string);
+    distance 2 would need the |s|² 2-deletion neighborhood.
+
+    Output: (id_a, id_b, edit_distance), id_a < id_b, distance ≤
+    ``max_edits`` (0 = exact duplicates included).
+
+    Scale: the block join is quadratic PER BLOCK like any blocked
+    pair-generation — ``max_bucket`` (default "auto") applies the LSH
+    family's hot-bucket guard (``ops.dedup._cap_buckets``: dropped
+    buckets WARNING-logged when cached, lazy cap + INFO otherwise).
+    Verification is one codegen ``levenshtein`` per candidate.
+    """
+    if max_edits != 1:
+        raise ValueError(
+            "max_edits must be 1 (the 1-deletion neighborhood is exact "
+            "only for distance <= 1)"
+        )
+    from timeseriesfuser_spark.ops.dedup import _cap_buckets, _maybe_cache
+
+    s = F.col(text_col)
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            s.substr(F.lit(1), i - 1),
+            s.substr(i + 1, F.length(s)),
+        ),
+    )
+    variants = F.array_distinct(F.concat(F.array(s), dels))
+    blocks = _maybe_cache(
+        spread_small_input(df)
+        .filter(s.isNotNull() & F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            s.alias("__s"),
+            F.explode(variants).alias("__k"),
+        ),
+        cache,
+        materialize=not (cache and max_bucket is not None),
+    )
+    blocks = _cap_buckets(
+        blocks, ["__k"], max_bucket, "fuzzy_match_pairs", eager_stats=cache
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.__k") == F.col("b.__k"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.__s").alias("__sa"),
+            F.col("b.__s").alias("__sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("edit_distance",
+                        F.levenshtein("__sa", "__sb").cast("long"))
+        .filter(F.col("edit_distance") <= max_edits)
+        .select("id_a", "id_b", "edit_distance")
+    )
