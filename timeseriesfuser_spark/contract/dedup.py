@@ -602,3 +602,53 @@ def q_streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     emitted = _run_availablenow_to_memory(uniq, "sdw")
     return emitted.select("user_id", "event_type")
+
+
+@register(
+    "lsh_recall_audit",
+    # The exact ground truth is the UNCAPPED all-pairs n-gram Jaccard
+    # (no df cutoff — fine at oracle scale); the found side is the
+    # production MinHash pipeline (verify=True, so found ⊆ exact and
+    # the gap is pure candidate-generation loss). Integer counts only —
+    # no float hash hazard anywhere.
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_REL}),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (SELECT a.id AS ia, b.id AS ib, count(*) AS i
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+              GROUP BY 1, 2),
+    ex AS (SELECT ia, ib FROM inter
+           JOIN sizes sa ON sa.id = ia JOIN sizes sb ON sb.id = ib
+           WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {_MT}),
+    mh AS (SELECT id_a, id_b FROM ({_minhash_sql()})),
+    c AS (SELECT (SELECT count(*) FROM ex) AS n_exact,
+                 (SELECT count(*) FROM mh) AS n_found)
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_found AS BIGINT) AS n_found,
+           CAST(CASE WHEN n_exact > 0
+                     THEN n_found * 1000000 // n_exact END AS BIGINT)
+               AS recall_ppm
+    FROM c
+    """,
+)
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash candidate-generation recall vs exact all-pairs n-gram
+    Jaccard — the LSH twin of ann_recall/pq_recall: verification is
+    exact, so every missed pair is a banding miss; the S-curve says
+    (16 hashes, 4 bands) crosses 50% at s≈0.5 and this audit measures
+    the realized number on the corpus. One row, exact-integer ppm."""
+    docs = _t(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(docs, threshold=_MT)
+    found = D.minhash_lsh_pairs(
+        docs, num_hashes=_NH, bands=_NB, threshold=_MT
+    )
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    nf = found.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+    return ne.crossJoin(nf).select(
+        "n_exact",
+        "n_found",
+        F.when(
+            F.col("n_exact") > 0,
+            F.expr("n_found * 1000000 DIV n_exact"),
+        ).cast("long").alias("recall_ppm"),
+    )
