@@ -104,7 +104,13 @@ def test_minhash_signature_is_projection_not_aggregate(spark):
     from timeseriesfuser_spark.ops import dedup as D
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    cand = D.minhash_lsh_pairs(docs, verify=False, cache=False)
+    # max_bucket=None isolates the signature path: the default "auto"
+    # cap on an UNCACHED input adds its lazy bucket-count aggregate to
+    # the plan (cached inputs collect hot keys eagerly and stay
+    # aggregate-free when no flood exists — r14 cap design).
+    cand = D.minhash_lsh_pairs(
+        docs, verify=False, cache=False, max_bucket=None
+    )
     plan = formatted_plan(cand)
     assert "HashAggregate" not in plan  # neither signature agg nor distinct
     assert "Generate" in plan  # the single posexplode into band rows
