@@ -194,13 +194,36 @@ def _cap_buckets(
     counts = blocks.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bn"))
     hot = counts.filter(F.col("__bn") > max_bucket)
     if eager_stats:
-        # Collect the hot KEYS (bounded: each hot bucket has > cap
-        # members, so #hot ≤ rows/cap). The common no-flood case then
-        # returns the plan UNTOUCHED — the anti-join (and its bucket
+        # Two-phase hot detection, exact but cheap in the common case:
+        # phase 1 counts per xxhash64 of the key — an 8-byte shuffle key
+        # instead of the md5-string bucket key. No hot hash ⇒ no hot
+        # bucket (a hot bucket's own hash is at least as big), so the
+        # plan is returned UNTOUCHED — the anti-join (and its bucket
         # count aggregate, re-executed per self-join side) only enters
-        # the plan when a flood actually exists. Measured: an
-        # in-plan anti-join cost +55% on the sf0.1 MinHash headline
-        # even with zero hot buckets.
+        # when a flood might exist. Measured: an in-plan anti-join cost
+        # +55% on the sf0.1 MinHash headline even with zero hot buckets.
+        # Phase 2 (rare) resolves the true keys exactly — a hash
+        # collision can only send a cold bucket into the exact re-check,
+        # never drop or miss one.
+        hcol = F.xxhash64(*[F.col(c) for c in key_cols])
+        hash_hot = (
+            blocks.groupBy(hcol.alias("__bh"))
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket)
+            .select("__bh")
+            .limit(_HOT_COLLECT_CAP + 1)
+            .collect()
+        )
+        if not hash_hot:
+            return blocks
+        hot_hashes = [r["__bh"] for r in hash_hot]
+        if len(hot_hashes) <= _HOT_COLLECT_CAP:
+            hot = (
+                blocks.filter(hcol.isin(hot_hashes))
+                .groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).alias("__bn"))
+                .filter(F.col("__bn") > max_bucket)
+            )
         hot_rows = hot.limit(_HOT_COLLECT_CAP + 1).collect()
         if not hot_rows:
             return blocks
