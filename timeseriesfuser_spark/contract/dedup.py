@@ -652,3 +652,42 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_found * 1000000 DIV n_exact"),
         ).cast("long").alias("recall_ppm"),
     )
+
+
+@register(
+    "dedup_prefix_filter",
+    # The oracle is the BRUTE-FORCE inverted-index jaccard (every pair
+    # sharing >= 1 bigram shingle, exact integer threshold test) — a
+    # deliberately different formulation from the op's prefix-filtered
+    # candidate generation, so parity proves the prefix filter is
+    # LOSSLESS (AllPairs/PPJoin's exactness claim), not just consistent.
+    oracle="""
+    WITH sh AS (SELECT doc_id AS id, unnest(list_distinct(
+            [array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))])) AS s
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+              FROM documents)),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(i AS BIGINT) AS intersection,
+           CAST(sa.sz + sb.sz - i AS BIGINT) AS union_size,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE i * 5 >= 2 * (sa.sz + sb.sz - i)
+    """,
+)
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join (ops.dedup.set_similarity_pairs):
+    bigram-shingle Jaccard >= 0.4 via AllPairs/PPJoin prefix filtering —
+    sets sorted rarest-token-first, candidates only from prefix-token
+    collisions + the size-ratio prune, exact array_intersect verify with
+    the integer cross-product threshold test. The exact complement to
+    dedup_minhash_lsh's probabilistic banding at the same threshold."""
+    return D.set_similarity_pairs(
+        _t(spark, sf_dir, "documents"), n=2, threshold=(2, 5)
+    )

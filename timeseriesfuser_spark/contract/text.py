@@ -777,3 +777,75 @@ def q_fuzzy_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_match_pairs(
         _t(spark, sf_dir, "supplier"), id_col="s_suppkey", text_col="s_name"
     )
+
+
+@register(
+    "bm25_search",
+    # Query terms are DERIVED from the corpus (document-frequency ranks
+    # 5, 25 and 125 of the distinct-token vocabulary, ties broken by
+    # token text) identically on both engines, so the fixed query spans
+    # a common, a mid and a rare term on any regenerated testdata.
+    # Log-free integer BM25 (k1 = 6/5, b = 3/4): see ops.text.bm25_topk.
+    oracle="""
+    WITH tok AS (SELECT doc_id,
+                        unnest(list_distinct(
+                            regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tk
+                 FROM documents),
+    vdf AS (SELECT tk, count(*) AS dft FROM tok GROUP BY tk),
+    ranked AS (SELECT tk,
+                      row_number() OVER (ORDER BY dft DESC, tk) AS rnk
+               FROM vdf),
+    terms AS (SELECT tk FROM ranked WHERE rnk IN (5, 25, 125)),
+    dl AS (SELECT doc_id AS id,
+                  COALESCE(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 0) AS dl
+           FROM documents),
+    stats AS (SELECT count(*) AS d_n, COALESCE(sum(dl), 0) AS t_n FROM dl),
+    tf AS (SELECT s.doc_id AS id, s.tk AS token, count(*) AS tf
+           FROM (SELECT doc_id,
+                        unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk
+                 FROM documents) s
+           JOIN terms ON s.tk = terms.tk
+           GROUP BY 1, 2),
+    dft2 AS (SELECT token, count(*) AS dft FROM tf GROUP BY token),
+    scored AS (
+        SELECT tf.id,
+               CAST((CAST(d_n * 1000000 // dft AS HUGEINT) * 44 * t_n * tf)
+                    // (CAST(20 AS HUGEINT) * t_n * tf
+                        + CAST(6 AS HUGEINT) * t_n
+                        + CAST(18 AS HUGEINT) * dl * d_n) AS BIGINT) AS s
+        FROM tf
+        JOIN dft2 USING (token)
+        JOIN dl ON dl.id = tf.id
+        CROSS JOIN stats)
+    SELECT id, CAST(sum(s) AS BIGINT) AS bm25_u,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM scored GROUP BY id
+    ORDER BY bm25_u DESC, id LIMIT 20
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical ranked retrieval (ops.text.bm25_topk): log-free integer
+    BM25 over the documents table — tf saturation and length
+    normalization exact (k1 = 6/5, b = 3/4 cleared to one integer
+    fraction in decimal(38,0)), idf the rational N·1e6 DIV df. The
+    three query terms are df-ranks 5/25/125 of the corpus vocabulary,
+    derived identically in the oracle. Completes the retrieval family:
+    phrase (positional index), vector (IVF/PQ), hybrid (RRF) — and now
+    ranked lexical."""
+    docs = _t(spark, sf_dir, "documents")
+    vdf = (
+        docs.select(
+            "doc_id", F.explode_outer(X._tokens("text")).alias("tk")
+        )
+        .filter(F.col("tk").isNotNull())
+        .distinct()
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("dft"))
+    )
+    # top-125 via TakeOrdered (never a single-partition rank window over
+    # the vocabulary), then ranks 5/25/125 picked locally.
+    top = vdf.orderBy(F.desc("dft"), F.asc("tk")).limit(125).collect()
+    terms = [top[i]["tk"] for i in (4, 24, 124) if i < len(top)]
+    if not terms:
+        return spark.createDataFrame([], "id long, bm25_u long, n_terms long")
+    return X.bm25_topk(docs, terms, k=20)

@@ -1077,3 +1077,105 @@ def fuzzy_match_pairs(
         .filter(F.col("edit_distance") <= max_edits)
         .select("id_a", "id_b", "edit_distance")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1=(6, 5),
+    b=(3, 4),
+) -> DataFrame:
+    """Top-``k`` documents for a term query under a log-free integer
+    BM25: per matched term,
+
+        score = idf_ppm · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    with ``idf_ppm = N·1e6 DIV df`` — the Robertson idf's rational core
+    without the logarithm, so every score is an exact integer (summed
+    per doc as ``bm25_u``) and engine-reproducible. Rankings keep BM25's
+    tf saturation and length normalization exactly; only the
+    *cross-term* idf damping differs from the textbook ln form (rare
+    terms weigh linearly, not logarithmically, in N/df) — documented
+    trade for a hash-verifiable oracle (the ln-free policy of
+    ``hll_estimate_corrected`` / ``psi_drift``).
+
+    ``k1``/``b`` are integer rationals (num, den); the whole per-term
+    ratio is cleared to one fraction of exact integers:
+
+        num = tf · (k1n + k1d) · bd · T
+        den = tf · k1d·bd·T + k1n·(bd − bn)·T + k1n·bn·dl·D
+
+    (T = corpus token count, D = doc count, dl = doc length), evaluated
+    in decimal(38,0) — no overflow at any corpus size, and DuckDB's
+    HUGEINT promotion matches it.
+
+    Scale: doc lengths are a zero-shuffle projection; the token stream
+    is filtered to the query's terms BEFORE the tf aggregation (postings
+    volume, never corpus volume — at 100 TB run it over a persisted
+    :func:`write_token_index` table for bucket-pruned postings scans);
+    per-term df and the (D, T) totals are broadcast; the final top-k is
+    a TakeOrdered, not a global sort. Ties break on id ascending.
+
+    Returns (id, bm25_u, n_terms) — BIGINT score in idf-ppm units and
+    the number of distinct query terms matched.
+    """
+    terms = sorted({str(t) for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    k1n, k1d = int(k1[0]), int(k1[1])
+    bn, bd = int(b[0]), int(b[1])
+    if k1n <= 0 or k1d <= 0 or bd <= 0 or bn < 0 or bn > bd:
+        raise ValueError("k1 must be a positive rational, b in [0, 1]")
+
+    base = spread_small_input(df)
+    dl = base.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.size(_tokens(text_col)), F.lit(0))
+        .cast("long")
+        .alias("dl"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("__D"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("__T"),
+    )
+    tf = (
+        base.select(
+            F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("token")
+        )
+        .filter(F.col("token").isin(terms))
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("dft"))
+    c_num = (k1n + k1d) * bd  # tf coefficient of the numerator
+    c_tf = k1d * bd  # tf coefficient of the denominator (×T)
+    c_const = k1n * (bd - bn)  # constant term (×T)
+    c_dl = k1n * bn  # dl coefficient (×D)
+    scored = (
+        tf.join(F.broadcast(dft), "token")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf_ppm", F.expr("__D * 1000000 DIV dft"))
+        .withColumn(
+            "__s",
+            F.expr(
+                f"(CAST(idf_ppm AS DECIMAL(38,0)) * {c_num} * __T * tf)"
+                f" DIV (CAST({c_tf} AS DECIMAL(38,0)) * __T * tf"
+                f" + CAST({c_const} AS DECIMAL(38,0)) * __T"
+                f" + CAST({c_dl} AS DECIMAL(38,0)) * dl * __D)"
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.sum("__s").cast("long").alias("bm25_u"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+        .orderBy(F.desc("bm25_u"), F.asc("id"))
+        .limit(int(k))
+    )
