@@ -1,5 +1,7 @@
-"""Round-15 session additions: log-free integer BM25 ranked retrieval
-and the exact prefix-filtered set-similarity join (AllPairs/PPJoin)."""
+"""Round-15 session additions: log-free integer BM25 ranked retrieval,
+the exact prefix-filtered set-similarity join (AllPairs/PPJoin),
+sequence_match with negation, Theil-Sen robust trend, RFM segmentation
+and the k-anonymity/l-diversity audit."""
 
 import random
 
@@ -176,3 +178,203 @@ class TestSetSimilarityPairs:
         plan = set_similarity_pairs(df, cache=False)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _py_seq_match(events, within=None):
+    """Brute force: per user, exists (A at ta, B at tb), ta < tb,
+    no C strictly between, tb - ta <= within."""
+    import collections
+
+    by_user = collections.defaultdict(list)
+    for u, ty, t in events:
+        if t is not None:
+            by_user[u].append((t, ty))
+    out = {}
+    for u, evs in by_user.items():
+        a_ts = sorted(t for t, ty in evs if ty == "A")
+        if not a_ts:
+            continue
+        b_ts = sorted(t for t, ty in evs if ty == "B")
+        c_ts = sorted(t for t, ty in evs if ty == "C")
+        good = set()
+        for ta in a_ts:
+            for tb in b_ts:
+                if tb <= ta or (within is not None and tb - ta > within):
+                    continue
+                if not any(ta < tc < tb for tc in c_ts):
+                    good.add(ta)
+                    break
+        out[u] = (
+            1 if good else 0,
+            sum(1 for ta in a_ts if ta in good),
+            min(good) if good else None,
+        )
+    return out
+
+
+class TestSequenceMatch:
+    def _run(self, spark, rows, **kw):
+        from timeseriesfuser_spark.ops.behavior import sequence_match
+
+        df = spark.createDataFrame(
+            rows, "user_id string, event_type string, ts long"
+        )
+        got = {
+            r["user_id"]: (r["matched"], r["n_matches"], r["first_anchor_ts"])
+            for r in sequence_match(df, "A", "B", not_between="C", **kw).collect()
+        }
+        return got
+
+    def test_brute_force_differential(self, spark):
+        rng = random.Random(7)
+        rows = [
+            (f"u{rng.randint(0, 15)}", rng.choice("AABBC"), rng.randint(0, 50))
+            for _ in range(400)
+        ]
+        for within in [None, 10, 3]:
+            got = self._run(spark, rows, within_ms=within)
+            assert got == _py_seq_match(rows, within), within
+
+    def test_blocker_at_closing_ts_not_between(self, spark):
+        # C at exactly B's ts is NOT strictly between -> match
+        got = self._run(spark, [("u", "A", 0), ("u", "B", 5), ("u", "C", 5)])
+        assert got["u"] == (1, 1, 0)
+
+    def test_blocker_strictly_between(self, spark):
+        got = self._run(
+            spark, [("u", "A", 0), ("u", "C", 3), ("u", "B", 5)]
+        )
+        assert got["u"] == (0, 0, None)
+
+    def test_later_clean_pair_recovers(self, spark):
+        # first A blocked, second A clean
+        got = self._run(
+            spark,
+            [("u", "A", 0), ("u", "C", 1), ("u", "A", 2), ("u", "B", 4)],
+        )
+        assert got["u"] == (1, 1, 2)
+
+    def test_window_boundary(self, spark):
+        rows = [("u", "A", 0), ("u", "B", 10)]
+        assert self._run(spark, rows, within_ms=10)["u"] == (1, 1, 0)
+        assert self._run(spark, rows, within_ms=9)["u"] == (0, 0, None)
+
+    def test_population_is_anchor_users(self, spark):
+        got = self._run(spark, [("u1", "A", 0), ("u2", "B", 1)])
+        assert set(got) == {"u1"} and got["u1"] == (0, 0, None)
+
+
+class TestTheilSen:
+    def test_python_reference(self, spark):
+        from timeseriesfuser_spark.ops.timeseries import theil_sen_trend
+
+        days = [0, 1, 2, 3, 10]
+        vals = [1.00, 2.00, 3.50, 2.75, 11.00]
+        rows = [
+            ("k", i, d * 86_400_000 + 7, v)
+            for i, (d, v) in enumerate(zip(days, vals))
+        ]
+        df = spark.createDataFrame(
+            rows, "event_type string, event_id long, ts long, value double"
+        )
+        out = theil_sen_trend(df, "1d", cache=False).collect()[0]
+        cents = [round(v * 100) for v in vals]
+        slopes = sorted(
+            (cents[j] - cents[i]) * 1_000_000 // (days[j] - days[i])
+            if (cents[j] - cents[i]) * 1_000_000 % (days[j] - days[i]) == 0
+            or (cents[j] - cents[i]) >= 0
+            else -((-(cents[j] - cents[i]) * 1_000_000) // (days[j] - days[i]))
+            for i in range(5)
+            for j in range(i + 1, 5)
+        )
+        n = len(slopes)
+        want = slopes[(n - 1) // 2] + slopes[n // 2]
+        assert out["n_bars"] == 5 and out["n_pairs"] == 10
+        assert out["slope_x2_u"] == want
+
+    def test_outlier_immunity(self, spark):
+        from timeseriesfuser_spark.ops.timeseries import theil_sen_trend
+
+        # perfect slope 1 cent/day with one wild outlier bar
+        rows = [("k", i, d * 86_400_000, d / 100.0) for i, d in enumerate(range(9))]
+        rows.append(("k", 99, 9 * 86_400_000, 1e6))
+        df = spark.createDataFrame(
+            rows, "event_type string, event_id long, ts long, value double"
+        )
+        out = theil_sen_trend(df, "1d", cache=False).collect()[0]
+        # 45 clean pairs of slope exactly 1e6, 9 outlier pairs; median
+        # of 54 values = doubled middle stats, still 2e6 (= 2 x 1 cent/day)
+        assert out["slope_x2_u"] == 2_000_000
+
+    def test_single_bar_key(self, spark):
+        from timeseriesfuser_spark.ops.timeseries import theil_sen_trend
+
+        df = spark.createDataFrame(
+            [("k", 1, 5, 1.0)],
+            "event_type string, event_id long, ts long, value double",
+        )
+        out = theil_sen_trend(df, "1d", cache=False).collect()[0]
+        assert out["n_bars"] == 1 and out["n_pairs"] == 0
+        assert out["slope_x2_u"] is None
+
+    def test_last_value_wins_within_bar(self, spark):
+        from timeseriesfuser_spark.ops.timeseries import theil_sen_trend
+
+        rows = [
+            ("k", 1, 0, 5.0), ("k", 2, 10, 1.0),      # day 0 close = 1.0
+            ("k", 3, 86_400_000, 2.0),                 # day 1 close = 2.0
+        ]
+        df = spark.createDataFrame(
+            rows, "event_type string, event_id long, ts long, value double"
+        )
+        out = theil_sen_trend(df, "1d", cache=False).collect()[0]
+        assert out["slope_x2_u"] == 2 * 100 * 1_000_000 // 1  # 100 cents/day x2
+
+
+class TestRFMAndKAnon:
+    def test_rfm_bins_hand_check(self, spark):
+        from timeseriesfuser_spark.ops.behavior import rfm_segments
+
+        # 5 users, clearly ordered on each axis
+        rows = []
+        for u in range(5):
+            for j in range(u + 1):  # frequency = u+1
+                rows.append((u, (u * 10 + j) * 86_400_000, float(u + 1)))
+        df = spark.createDataFrame(
+            rows, "o_custkey long, __ms long, o_totalprice double"
+        ).select(
+            "o_custkey",
+            F.timestamp_millis(F.col("__ms")).alias("o_orderdate"),
+            "o_totalprice",
+        )
+        out = {r["o_custkey"]: r for r in rfm_segments(df).collect()}
+        assert [out[u]["f_bin"] for u in range(5)] == [0, 1, 2, 3, 4]
+        assert [out[u]["m_bin"] for u in range(5)] == [0, 1, 2, 3, 4]
+        # user 4 is most recent -> r_bin 0; user 0 least recent -> r_bin 4
+        assert out[4]["r_bin"] == 0 and out[0]["r_bin"] == 4
+        assert out[4]["recency_days"] == 0
+
+    def test_k_anonymity(self, spark):
+        from timeseriesfuser_spark.ops.expect import k_anonymity
+
+        rows = [
+            ("us", "a", 1.0), ("us", "a", 1.0), ("us", "a", 2.0),
+            ("us", "b", None), ("fr", "a", 3.0),
+        ]
+        df = spark.createDataFrame(rows, "nat string, seg string, bal double")
+        out = {
+            (r["nat"], r["seg"]): (r["n"], r["l_distinct"], r["at_risk"])
+            for r in k_anonymity(df, ["nat", "seg"], 2, sensitive_col="bal").collect()
+        }
+        assert out[("us", "a")] == (3, 2, 0)
+        assert out[("us", "b")] == (1, 1, 1)   # NULL counts as one value
+        assert out[("fr", "a")] == (1, 1, 1)
+
+    def test_k_anonymity_validation(self, spark):
+        from timeseriesfuser_spark.ops.expect import k_anonymity
+
+        df = spark.createDataFrame([(1,)], "a long")
+        with pytest.raises(ValueError):
+            k_anonymity(df, [], 2)
+        with pytest.raises(ValueError):
+            k_anonymity(df, ["a"], 0)

@@ -955,3 +955,107 @@ def q_seasonal_profile_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timeseriesfuser_spark.ops.behavior import seasonal_profile
 
     return seasonal_profile(_events(spark, sf_dir))
+
+
+_SEQ_WITHIN = 7 * 24 * 3_600_000  # 7 days
+
+
+@register(
+    "sequence_match_no_error",
+    # Mirrors ops.behavior.sequence_match's strictly-after window
+    # formulation on the per-(user, ts) deduplicated grain: a blocker AT
+    # the closing event's ts is not "strictly between" (next_b <=
+    # next_c), and the pair must close within the window of its anchor.
+    oracle=f"""
+    WITH g AS (SELECT user_id AS u, epoch_ms(ts) AS t,
+                      sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_a,
+                      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_b,
+                      max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_c
+               FROM events WHERE ts IS NOT NULL
+               GROUP BY 1, 2),
+    w AS (SELECT *,
+                 min(CASE WHEN has_b = 1 THEN t END) OVER
+                     (PARTITION BY u ORDER BY t DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_b,
+                 min(CASE WHEN has_c = 1 THEN t END) OVER
+                     (PARTITION BY u ORDER BY t DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_c
+          FROM g),
+    m AS (SELECT u, t, n_a,
+                 (n_a > 0 AND next_b IS NOT NULL
+                  AND (next_c IS NULL OR next_b <= next_c)
+                  AND next_b <= t + {_SEQ_WITHIN}) AS ok
+          FROM w)
+    SELECT u AS user_id,
+           CAST(max(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+           CAST(COALESCE(sum(CASE WHEN ok THEN n_a END), 0) AS BIGINT) AS n_matches,
+           CAST(min(CASE WHEN ok THEN t END) AS BIGINT) AS first_anchor_ts
+    FROM m GROUP BY u
+    HAVING sum(n_a) > 0
+    """,
+)
+def q_sequence_match_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence pattern with negation (ops.behavior.sequence_match, the
+    ClickHouse sequenceMatch '(?1)(?!3)(?2)' shape): users whose signup
+    is followed by a purchase within 7 days with NO error event strictly
+    between — the interrupted-path predicate window_funnel can't
+    express. One strictly-after conditional-min window on the
+    (user, ts) grain; no self-join."""
+    from timeseriesfuser_spark.ops.behavior import sequence_match
+
+    return sequence_match(
+        _events(spark, sf_dir),
+        "signup",
+        "purchase",
+        not_between="error",
+        within_ms=_SEQ_WITHIN,
+    )
+
+
+@register(
+    "rfm_customer_segments",
+    # Mirrors ops.behavior.rfm_segments: per-customer last-activity-day /
+    # order-count / exact cent spend, each equal-depth-binned by the
+    # (rank-1)*k DIV n rule with the customer id as tie break (the
+    # quantile_bins contract — no ntile, no single-partition window).
+    oracle="""
+    WITH base AS (SELECT o_custkey AS u,
+                         epoch_ms(o_orderdate) // 86400000 AS day,
+                         COALESCE(CAST(round(o_totalprice * 100) AS BIGINT), 0)
+                             AS cents
+                  FROM orders
+                  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+    pu AS (SELECT u, max(day) AS last_day, count(*) AS n_orders,
+                  sum(cents) AS monetary
+           FROM base GROUP BY u),
+    mx AS (SELECT max(day) AS max_day FROM base),
+    rel AS (SELECT u, max_day - last_day AS recency_days, n_orders, monetary
+            FROM pu CROSS JOIN mx),
+    tot AS (SELECT count(*) AS n FROM rel),
+    rb AS (SELECT u, (row_number() OVER (ORDER BY recency_days, u) - 1) * 5 // n
+                     AS r_bin FROM rel CROSS JOIN tot),
+    fb AS (SELECT u, (row_number() OVER (ORDER BY n_orders, u) - 1) * 5 // n
+                     AS f_bin FROM rel CROSS JOIN tot),
+    mb AS (SELECT u, (row_number() OVER (ORDER BY monetary, u) - 1) * 5 // n
+                     AS m_bin FROM rel CROSS JOIN tot)
+    SELECT rel.u AS o_custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(monetary AS BIGINT) AS monetary_cents,
+           CAST(r_bin AS BIGINT) AS r_bin,
+           CAST(f_bin AS BIGINT) AS f_bin,
+           CAST(m_bin AS BIGINT) AS m_bin,
+           CAST(r_bin * 100 + f_bin * 10 + m_bin AS BIGINT) AS rfm_code
+    FROM rel JOIN rb ON rb.u = rel.u JOIN fb ON fb.u = rel.u
+    JOIN mb ON mb.u = rel.u
+    """,
+)
+def q_rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (ops.behavior.rfm_segments): recency /
+    frequency / monetary quintiles via the two-pass bucketed global
+    ranking (quantile_bins) — the classic customer-value grid with no
+    single-partition ntile anywhere. Exact integer metrics (day index,
+    counts, cents)."""
+    from timeseriesfuser_spark.ops.behavior import rfm_segments
+
+    return rfm_segments(_t(spark, sf_dir, "orders"))

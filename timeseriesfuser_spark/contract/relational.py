@@ -1820,3 +1820,35 @@ def q_benford_value_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timeseriesfuser_spark.ops.scale import benford_digits
 
     return benford_digits(_events(spark, sf_dir))
+
+
+@register(
+    "k_anon_nation_segment",
+    # l_distinct counts NULL as one value (the Spark side tags presence
+    # in a struct; the SQL adds an any-null indicator to the non-null
+    # distinct count).
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT c_acctbal)
+                + max(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS l_distinct,
+           CAST(count(*) < 10 AS BIGINT) AS at_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def q_k_anon_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (ops.expect.k_anonymity): every
+    (nation, market segment) equivalence class of the customer table
+    with its population, distinct sensitive account-balance values
+    (NULL counted as a value), and the n < 10 re-identification flag.
+    One hash aggregation; output is class-bounded."""
+    from timeseriesfuser_spark.ops.expect import k_anonymity
+
+    return k_anonymity(
+        _t(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        10,
+        sensitive_col="c_acctbal",
+    )

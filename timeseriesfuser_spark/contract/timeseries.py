@@ -1343,3 +1343,52 @@ def q_cusum_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         slack_cents=_PAGE_S,
         threshold_cents=_PAGE_H,
     )
+
+
+@register(
+    "theil_sen_daily",
+    # Mirrors ops.timeseries.theil_sen_trend exactly: last-cent daily
+    # bars (row_number formulation — DuckDB arg_max can't take a struct
+    # key), pairwise slope_u = dv*1e6 // dd (both engines truncate
+    # integer division toward zero, negatives agree), doubled-median
+    # order stats.
+    oracle="""
+    WITH ev AS (SELECT event_type AS k, epoch_ms(ts) // 86400000 AS d,
+                       CAST(round(value * 100) AS BIGINT) AS v,
+                       epoch_ms(ts) AS t, event_id AS s
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                  AND event_type IS NOT NULL),
+    bars AS (SELECT k, d, v FROM (
+                 SELECT *, row_number() OVER (PARTITION BY k, d
+                                              ORDER BY t DESC, s DESC) AS rnk
+                 FROM ev) WHERE rnk = 1),
+    slopes AS (SELECT a.k, CAST(CAST(b.v - a.v AS HUGEINT) * 1000000
+                                // (b.d - a.d) AS BIGINT) AS sl
+               FROM bars a JOIN bars b ON a.k = b.k AND a.d < b.d),
+    cnt AS (SELECT k, count(*) AS n FROM slopes GROUP BY k),
+    rn AS (SELECT s.k, sl, n,
+                  row_number() OVER (PARTITION BY s.k ORDER BY sl) AS rnk
+           FROM slopes s JOIN cnt ON cnt.k = s.k),
+    med AS (SELECT k, n,
+                   CAST(sum(CASE WHEN (n + 1) // 2 = (n + 2) // 2
+                                 THEN sl * 2 ELSE sl END) AS BIGINT)
+                       AS slope_x2_u
+            FROM rn WHERE rnk = (n + 1) // 2 OR rnk = (n + 2) // 2
+            GROUP BY k, n),
+    nb AS (SELECT k, count(*) AS n_bars FROM bars GROUP BY k)
+    SELECT nb.k AS event_type, CAST(n_bars AS BIGINT) AS n_bars,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_pairs, slope_x2_u
+    FROM nb LEFT JOIN med ON med.k = nb.k
+    """,
+)
+def q_theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type
+    (ops.timeseries.theil_sen_trend): median of all pairwise daily-bar
+    slopes in exact integer micro-cent-per-day units (doubled-median
+    order stats, no float surface) — the outlier-immune complement to
+    holt_user's recursive level/trend fit. Pair space is bars², bounded
+    by span/interval, never corpus rows."""
+    from timeseriesfuser_spark.ops.timeseries import theil_sen_trend
+
+    return theil_sen_trend(_events(spark, sf_dir), "1d")

@@ -989,3 +989,176 @@ def seasonal_profile(
             F.expr("n * 1000000 DIV key_total").cast("long").alias("share_ppm"),
         )
     )
+
+
+def sequence_match(
+    df: DataFrame,
+    first: str,
+    then: str,
+    *,
+    not_between: str | None = None,
+    within_ms: int | None = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Event-sequence pattern match with NEGATION (the ClickHouse
+    ``sequenceMatch('(?1)(?!3)(?2)')`` shape): per user, does a
+    ``first`` event precede a ``then`` event with NO ``not_between``
+    event strictly between them (and, with ``within_ms``, the pair
+    closing inside the window)? The funnel family's missing predicate —
+    ``window_funnel`` counts ordered chains, this one EXCLUDES paths
+    interrupted by an error/cancel/refund.
+
+    Exact without pairwise joins: on the per-(user, ts) deduplicated
+    grain, one strictly-after conditional-min window (DESC order,
+    GROWING frame — never a shrinking-frame rescan) yields each
+    anchor's next ``then`` ts and next ``not_between`` ts; an anchor
+    matches iff next_then exists, next_then ≤ next_block (a blocker AT
+    the closing event's ts is not *strictly between*), and next_then ≤
+    anchor + within. An anchor fails this test iff every later ``then``
+    has a blocker strictly inside, so the per-user flag is exact.
+
+    Returns one row per user with ≥1 ``first`` event (ts non-null):
+    (user, matched 0/1, n_matches = anchor events whose pair qualifies,
+    first_anchor_ts = earliest qualifying anchor, NULL if none).
+
+    Scale: one hash-agg to the (user, ts) grain, one per-user window
+    over it — per-user-activity bounded (the ``window_funnel``
+    posture), no self-join, no fan-out.
+    """
+    from pyspark.sql.window import Window
+
+    if within_ms is not None and within_ms <= 0:
+        raise ValueError(f"within_ms must be positive: {within_ms}")
+    ty = F.col(type_col)
+    g = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(user_col).alias("user"), F.col(ts_col).alias("t"))
+        .agg(
+            F.sum(F.when(ty == first, 1).otherwise(0)).alias("n_a"),
+            F.max(F.when(ty == then, 1).otherwise(0)).alias("has_b"),
+            F.max(
+                F.when(ty == not_between, 1).otherwise(0)
+                if not_between is not None
+                else F.lit(0)
+            ).alias("has_c"),
+        )
+    )
+    # strictly-after minima: ts is unique per user on this grain, so
+    # "rows before current in DESC order" == "ts strictly greater".
+    w = (
+        Window.partitionBy("user")
+        .orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = (
+        g.withColumn("next_b", F.min(F.when(F.col("has_b") == 1, F.col("t"))).over(w))
+        .withColumn("next_c", F.min(F.when(F.col("has_c") == 1, F.col("t"))).over(w))
+        .withColumn(
+            "__ok",
+            (F.col("n_a") > 0)
+            & F.col("next_b").isNotNull()
+            & (F.col("next_c").isNull() | (F.col("next_b") <= F.col("next_c")))
+            & (
+                F.lit(True)
+                if within_ms is None
+                else F.col("next_b") <= F.col("t") + F.lit(int(within_ms))
+            ),
+        )
+    )
+    return (
+        flagged.groupBy("user")
+        .agg(
+            F.max(F.when(F.col("__ok"), 1).otherwise(0)).cast("long").alias("matched"),
+            F.coalesce(
+                F.sum(F.when(F.col("__ok"), F.col("n_a"))), F.lit(0)
+            ).cast("long").alias("n_matches"),
+            F.min(F.when(F.col("__ok"), F.col("t"))).cast("long").alias(
+                "first_anchor_ts"
+            ),
+            F.sum("n_a").alias("__total_a"),
+        )
+        .filter(F.col("__total_a") > 0)
+        .drop("__total_a")
+        .withColumnRenamed("user", user_col)
+    )
+
+
+def rfm_segments(
+    df: DataFrame,
+    *,
+    user_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    k: int = 5,
+    num_buckets=None,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the classic
+    customer-value grid: per user, days since last activity, activity
+    count, and exact cent spend, each equal-depth-binned into ``k``
+    quantile bins.
+
+    Bins come from :func:`~timeseriesfuser_spark.ops.scale.quantile_bins`
+    (two-pass range-bucketed global ranking — NO single-partition ntile
+    window anywhere), ascending by raw metric with the user id as tie
+    break: ``r_bin`` 0 = most recent, ``f_bin``/``m_bin`` 0 = lowest.
+    ``rfm_code = r_bin·100 + f_bin·10 + m_bin`` for grid reporting.
+
+    Recency is measured against the corpus max activity day (broadcast
+    1-row aggregate), in whole days of the ts's epoch-ms integer day
+    index — exact BIGINTs end to end.
+
+    Scale: one hash-agg to the per-user grain, then three bucketed
+    global rankings over that grain (#users rows, not events)."""
+    from timeseriesfuser_spark.ops.scale import quantile_bins
+
+    base = df.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("user"),
+        F.expr(f"unix_millis(CAST({ts_col} AS TIMESTAMP)) DIV 86400000")
+        .cast("long")
+        .alias("__day"),
+        F.coalesce(
+            F.round(F.col(amount_col) * 100).cast("long"), F.lit(0)
+        ).alias("__cents"),
+    )
+    per_user = base.groupBy("user").agg(
+        F.max("__day").alias("__last_day"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("__cents").cast("long").alias("monetary_cents"),
+    )
+    maxday = base.agg(F.max("__day").alias("__max_day"))
+    rel = per_user.crossJoin(F.broadcast(maxday)).select(
+        "user",
+        (F.col("__max_day") - F.col("__last_day"))
+        .cast("long")
+        .alias("recency_days"),
+        "n_orders",
+        "monetary_cents",
+    )
+
+    def _bin(col: str, name: str) -> DataFrame:
+        return quantile_bins(
+            rel.select("user", col), col, k,
+            tiebreak_cols=["user"], num_buckets=num_buckets,
+        ).select("user", F.col("bin").alias(name))
+
+    out = (
+        rel.join(_bin("recency_days", "r_bin"), "user")
+        .join(_bin("n_orders", "f_bin"), "user")
+        .join(_bin("monetary_cents", "m_bin"), "user")
+    )
+    return out.select(
+        F.col("user").alias(user_col),
+        "recency_days",
+        "n_orders",
+        "monetary_cents",
+        "r_bin",
+        "f_bin",
+        "m_bin",
+        (F.col("r_bin") * 100 + F.col("f_bin") * 10 + F.col("m_bin"))
+        .cast("long")
+        .alias("rfm_code"),
+    )

@@ -135,3 +135,41 @@ def check_expectations(
         ).otherwise(F.lit(0)).cast("long").alias("violation_ppm"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int,
+    *,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination — the
+    re-identification screen a dataset needs before publication: every
+    equivalence class (distinct quasi-identifier tuple, NULLs grouped
+    like values) with its population ``n`` and ``at_risk = n < k``.
+
+    With ``sensitive_col`` set, also reports ``l_distinct`` (distinct
+    sensitive values inside the class, NULL counted as a value via a
+    presence-tagged pair) — the l-diversity companion: a k-anonymous
+    class with l_distinct = 1 still leaks the attribute.
+
+    Scale: one hash aggregation on the quasi columns (+ one
+    count-distinct Expand when ``sensitive_col`` is set); the output is
+    class-count-bounded, never row-bounded."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(
+                F.struct(
+                    F.col(sensitive_col).isNull().alias("__isnull"),
+                    F.col(sensitive_col).alias("__v"),
+                )
+            ).cast("long").alias("l_distinct")
+        )
+    out = df.groupBy(*quasi_cols).agg(*aggs)
+    return out.withColumn("at_risk", (F.col("n") < k).cast("long"))

@@ -1854,3 +1854,103 @@ def cusum_changepoints(
         "cusum_neg",
         "alarm",
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    interval: str = "1d",
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+    slope_scale: int = 1_000_000,
+    cache: bool = True,
+) -> DataFrame:
+    """Theil–Sen robust trend per key: the MEDIAN of all pairwise bar
+    slopes — up to ~29% contamination cannot move it, unlike the OLS
+    slope Holt/linear fits drag toward outliers.
+
+    Exact integers end to end: bars are the last (ts, seq)-ordered cent
+    value per ``interval`` bucket; each pair's slope is quantized
+    ``slope_u = Δcents·slope_scale DIV Δbar_index`` (both engines
+    truncate integer division toward zero, so negatives agree); the
+    median of the slope_u population is the doubled-median
+    ``slope_x2_u`` (sum of the two middle order stats — the
+    ``robust_outlier_summary`` trick), BIGINT, no float surface.
+
+    Output: (key, n_bars, n_pairs, slope_x2_u) — slope per bar interval
+    in 1/slope_scale cent units, doubled.
+
+    Scale: the pair space is Σ_key n_bars² — bars per key are bounded
+    by span/interval (e.g. 3 years of daily bars = 1095 → 0.6M pairs
+    per key), NOT by corpus rows; the self-join runs on the aggregated
+    bar grain. The median needs one per-key sort of the pair relation
+    (grouped shuffle). For unbounded spans widen ``interval``.
+    """
+    from pyspark import StorageLevel
+
+    ms = interval_to_ms(interval)
+    base = df.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & F.col(key_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.expr(f"{ts_col} DIV {ms}").cast("long").alias("__d"),
+        _cents(value_col).alias("__v"),
+        F.col(ts_col).alias("__t"),
+        F.col(seq_col).alias("__s"),
+    )
+    bars = (
+        base.groupBy("__k", "__d")
+        .agg(
+            F.max_by(
+                F.col("__v"), F.struct(F.col("__t"), F.col("__s"))
+            ).alias("__v")
+        )
+    )
+    if cache:
+        bars = track_persist(bars.persist(StorageLevel.MEMORY_AND_DISK))
+    a, b = bars.alias("a"), bars.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col("a.__k") == F.col("b.__k")) & (F.col("a.__d") < F.col("b.__d")),
+        )
+        .select(
+            F.col("a.__k").alias("__k"),
+            F.expr(
+                f"(CAST(b.__v - a.__v AS DECIMAL(38,0)) * {int(slope_scale)})"
+                " DIV (b.__d - a.__d)"
+            ).cast("long").alias("__sl"),
+        )
+    )
+    if cache:
+        slopes = track_persist(slopes.persist(StorageLevel.MEMORY_AND_DISK))
+    cnt = slopes.groupBy("__k").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    w = Window.partitionBy("__k").orderBy("__sl")
+    rn = slopes.join(F.broadcast(cnt), "__k").withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    lo_i = F.floor((F.col("__n") + 1) / 2).cast("long")
+    hi_i = F.floor((F.col("__n") + 2) / 2).cast("long")
+    med2 = (
+        rn.filter((F.col("__rn") == lo_i) | (F.col("__rn") == hi_i))
+        .groupBy("__k", "__n")
+        .agg(
+            F.sum(
+                F.when(lo_i == hi_i, F.col("__sl") * 2).otherwise(F.col("__sl"))
+            ).cast("long").alias("slope_x2_u")
+        )
+    )
+    nbars = bars.groupBy("__k").agg(F.count(F.lit(1)).cast("long").alias("n_bars"))
+    return (
+        nbars.join(med2, "__k", "left")
+        .select(
+            F.col("__k").alias(key_col),
+            "n_bars",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_pairs"),
+            "slope_x2_u",
+        )
+    )
