@@ -378,3 +378,40 @@ class TestRFMAndKAnon:
             k_anonymity(df, [], 2)
         with pytest.raises(ValueError):
             k_anonymity(df, ["a"], 0)
+
+
+class TestTextQualityOps:
+    def test_script_profile_mixture(self, spark):
+        from timeseriesfuser_spark.ops.text import script_profile
+
+        df = spark.createDataFrame(
+            [(1, "Hello, 世界 Мир 42 done!"), (2, None), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {r["id"]: r for r in script_profile(df).collect()}
+        r = out[1]
+        assert (r["n_chars"], r["n_latin"], r["n_han"], r["n_cyrillic"]) == (
+            22, 9, 2, 3,
+        )
+        assert (r["n_digit"], r["n_space"]) == (2, 4)
+        # remaining: ',' and '!' -> other
+        assert r["n_other"] == 2
+        assert r["latin_ppm"] == 9 * 1_000_000 // 22
+        for i in (2, 3):
+            assert out[i]["n_chars"] == 0 and out[i]["latin_ppm"] == 0
+
+    def test_readability_hand_check(self, spark):
+        from timeseriesfuser_spark.ops.text import readability_scores
+
+        # "See spot run. See spot!" -> 5 words, 2 sentences,
+        # syllables: ee|o|u|ee|o -> 5
+        df = spark.createDataFrame(
+            [(1, "See spot run. See spot!"), (2, None), (3, "no end mark")],
+            "doc_id long, text string",
+        )
+        out = {r["id"]: r for r in readability_scores(df).collect()}
+        r = out[1]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (5, 2, 5)
+        assert r["flesch_milli"] == 206835 - 1015 * 5 // 2 - 84600 * 5 // 5
+        assert out[2]["n_words"] == 0 and out[2]["flesch_milli"] is None
+        assert out[3]["n_sentences"] == 1  # min-1 rule

@@ -849,3 +849,66 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not terms:
         return spark.createDataFrame([], "id long, bm25_u long, n_terms long")
     return X.bm25_topk(docs, terms, k=20)
+
+
+@register(
+    "script_profile_docs",
+    oracle=r"""
+    WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+    c AS (SELECT doc_id AS id,
+                 CAST(length(t) AS BIGINT) AS n_chars,
+                 CAST(length(t) - length(regexp_replace(t, '\p{Latin}', '', 'g'))
+                      AS BIGINT) AS n_latin,
+                 CAST(length(t) - length(regexp_replace(t, '\p{Han}', '', 'g'))
+                      AS BIGINT) AS n_han,
+                 CAST(length(t) - length(regexp_replace(t, '\p{Cyrillic}', '', 'g'))
+                      AS BIGINT) AS n_cyrillic,
+                 CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+                      AS BIGINT) AS n_digit,
+                 CAST(length(t) - length(regexp_replace(t, '\s', '', 'g'))
+                      AS BIGINT) AS n_space
+          FROM base)
+    SELECT *,
+           CAST(n_chars - n_latin - n_han - n_cyrillic - n_digit - n_space
+                AS BIGINT) AS n_other,
+           CAST(CASE WHEN n_chars > 0
+                     THEN n_latin * 1000000 // n_chars ELSE 0 END
+                AS BIGINT) AS latin_ppm
+    FROM c
+    """,
+)
+def q_script_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script composition per doc (ops.text.script_profile):
+    Latin/Han/Cyrillic/digit/whitespace codepoint counts + latin_ppm —
+    the multilingual mixture triage lang_id's single-label prediction
+    can't express. Pure projection, no shuffle; Java \\p{IsLatin} and
+    RE2 \\p{Latin} verified identical cross-engine."""
+    return X.script_profile(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "readability_docs",
+    oracle=r"""
+    WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+    c AS (SELECT doc_id AS id,
+                 CAST(len(regexp_extract_all(lower(t), '[a-z0-9]+')) AS BIGINT)
+                     AS n_words,
+                 CAST(greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS BIGINT)
+                     AS n_sentences,
+                 CAST(len(regexp_extract_all(lower(t), '[aeiouy]+')) AS BIGINT)
+                     AS n_syllables
+          FROM base)
+    SELECT *,
+           CAST(CASE WHEN n_words > 0
+                     THEN 206835 - 1015 * n_words // n_sentences
+                                 - 84600 * n_syllables // n_words
+                END AS BIGINT) AS flesch_milli
+    FROM c
+    """,
+)
+def q_readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease in exact integer milli-units
+    (ops.text.readability_scores): vowel-group syllable heuristic,
+    [.!?]+ sentence runs (min 1), WORD_RE words — the Gopher/C4-style
+    quality gate with no float surface. Pure projection."""
+    return X.readability_scores(_t(spark, sf_dir, "documents"))
