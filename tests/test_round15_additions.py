@@ -415,3 +415,60 @@ class TestTextQualityOps:
         assert r["flesch_milli"] == 206835 - 1015 * 5 // 2 - 84600 * 5 // 5
         assert out[2]["n_words"] == 0 and out[2]["flesch_milli"] is None
         assert out[3]["n_sentences"] == 1  # min-1 rule
+
+
+class TestHITS:
+    def test_star_graph(self, spark):
+        """Star: hub u0 points at v1..v3; one lone edge u1->v1.
+        u0 is the top hub, v1 the top authority."""
+        from timeseriesfuser_spark.ops.graph import hits_scores
+
+        edges = spark.createDataFrame(
+            [("u0", "v1"), ("u0", "v2"), ("u0", "v3"), ("u1", "v1")],
+            "id_a string, id_b string",
+        )
+        out = {
+            (r["role"], r["id"]): r["score_ppm"]
+            for r in hits_scores(edges, checkpoint=False).collect()
+        }
+        assert out[("hub", "u0")] == 1_000_000
+        assert out[("hub", "u1")] < 1_000_000
+        assert out[("authority", "v1")] == 1_000_000
+        assert out[("authority", "v2")] == out[("authority", "v3")]
+        assert out[("authority", "v2")] < 1_000_000
+
+    def test_python_reference(self, spark):
+        """Exact integer iterate reproduced independently."""
+        from timeseriesfuser_spark.ops.graph import hits_scores
+        import collections
+
+        rng = random.Random(3)
+        edges = sorted({(rng.randint(0, 9), rng.randint(10, 19)) for _ in range(40)})
+        a = {d: 1_000_000 for _, d in edges}
+        h = {}
+        for _ in range(2):
+            hr = collections.Counter()
+            for s, d in edges:
+                hr[s] += a[d]
+            m = max(hr.values())
+            h = {k: v * 1_000_000 // m for k, v in hr.items()}
+            ar = collections.Counter()
+            for s, d in edges:
+                ar[d] += h[s]
+            m = max(ar.values())
+            a = {k: v * 1_000_000 // m for k, v in ar.items()}
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            (r["role"], r["id"]): r["score_ppm"]
+            for r in hits_scores(df, checkpoint=False).collect()
+        }
+        want = {("hub", k): v for k, v in h.items()}
+        want.update({("authority", k): v for k, v in a.items()})
+        assert got == want
+
+    def test_validation(self, spark):
+        from timeseriesfuser_spark.ops.graph import hits_scores
+
+        df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        with pytest.raises(ValueError):
+            hits_scores(df, iterations=0)

@@ -380,3 +380,37 @@ def q_copurchase_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node_b").cast("long").alias("node_b"),
         "common", "deg_a", "deg_b", "jaccard_ppm",
     )
+
+
+_HITS_EDGES = """
+    SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_custkey IS NOT NULL AND l.l_partkey IS NOT NULL
+"""
+
+from timeseriesfuser_spark.ops.graph import hits_oracle_sql as _hits_oracle_sql
+
+
+@register("purchase_hits", oracle=_hits_oracle_sql(_HITS_EDGES, iterations=2))
+def q_purchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point HITS (ops.graph.hits_scores) over the
+    customer→part purchase bipartite graph: 2 mutual hub/authority
+    updates with ppm max-normalization — broad buyers are hubs, parts
+    bought by broad buyers are authorities. All-integer arithmetic (the
+    pagerank contract), so the unrolled CTE oracle matches bit for bit;
+    per half-iteration one edge join + one hash-agg."""
+    from timeseriesfuser_spark.ops.graph import hits_scores
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(
+            F.col("o_custkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
+        .select(
+            F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return hits_scores(edges, src_col="src", dst_col="dst", iterations=2)

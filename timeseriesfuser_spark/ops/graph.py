@@ -503,3 +503,121 @@ def link_predict_cn(
             .drop("__rk")
         )
     return out
+
+
+def hits_scores(
+    edges: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    iterations: int = 2,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Integer fixed-point HITS (Kleinberg hubs & authorities) over a
+    DIRECTED edge relation → (role, id, score_ppm) with role ∈
+    {'hub', 'authority'} — the bipartite companion to
+    :func:`pagerank`: hubs point at good authorities, authorities are
+    pointed at by good hubs (customers ↔ products, queries ↔ documents).
+
+    Each iteration is the textbook mutual update with MAX-normalization
+    in ppm — h'(u) = Σ_{u→v} a(v) then h = h'·1e6 DIV max(h'), then the
+    symmetric authority update — every step an integer sum (decimal
+    (38,0), no overflow at any degree) or a truncating integer division,
+    so scores are engine-bit-identical and the fixed iteration count
+    unrolls to a plain CTE chain in the oracle (:func:`hits_oracle_sql`).
+    Max-normalization (not the float L2 norm) keeps the iteration in
+    integers; the score ORDER matches the L2-normalized iterate exactly
+    up to the shared scale factor per round, truncation aside.
+
+    Scale: per half-iteration one equi-join of the #src- or #dst-sized
+    score relation onto the persisted edge list + one hash aggregation —
+    the pagerank shape; the 1-row max joins via broadcast; lineage cut
+    per round.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1: {iterations}")
+    from pyspark import StorageLevel
+
+    e = track_persist(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    auth = e.select(F.col("dst").alias("id")).distinct().withColumn(
+        "a", F.lit(PPM).cast("long")
+    )
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        mx = raw.agg(F.max(col).alias("__mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "id",
+            F.when(
+                F.col("__mx") > 0,
+                F.expr(f"(CAST({col} AS DECIMAL(38,0)) * {PPM}) DIV __mx"),
+            ).otherwise(F.lit(0)).cast("long").alias(col),
+        )
+
+    hub = None
+    for _ in range(int(iterations)):
+        hraw = (
+            e.join(auth.select(F.col("id").alias("dst"), "a"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum(F.expr("CAST(a AS DECIMAL(38,0))")).alias("h"))
+        )
+        hub = _norm(hraw, "h")
+        if checkpoint:
+            hub = hub.localCheckpoint(eager=True)
+        araw = (
+            e.join(hub.select(F.col("id").alias("src"), "h"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.expr("CAST(h AS DECIMAL(38,0))")).alias("a"))
+        )
+        auth = _norm(araw, "a")
+        if checkpoint:
+            auth = auth.localCheckpoint(eager=True)
+    out = hub.select(
+        F.lit("hub").alias("role"), "id", F.col("h").alias("score_ppm")
+    ).unionByName(
+        auth.select(
+            F.lit("authority").alias("role"), "id", F.col("a").alias("score_ppm")
+        )
+    )
+    e.unpersist()
+    return out
+
+
+def hits_oracle_sql(edges_sql: str, *, iterations: int = 2) -> str:
+    """DuckDB/ANSI twin of :func:`hits_scores`: ``edges_sql`` must yield
+    (src, dst). The fixed iteration count unrolls to a CTE chain; HUGEINT
+    sums match the Spark side's decimal(38,0) bit for bit."""
+    ctes = [
+        f"e AS ({edges_sql})",
+        f"a0 AS (SELECT DISTINCT dst AS id, CAST({PPM} AS BIGINT) AS a FROM e)",
+    ]
+    prev_a = "a0"
+    hub = None
+    for i in range(1, int(iterations) + 1):
+        ctes.append(
+            f"hr{i} AS (SELECT e.src AS id, sum(CAST(a.a AS HUGEINT)) AS h"
+            f" FROM e JOIN {prev_a} a ON a.id = e.dst GROUP BY e.src)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT id, CAST(CASE WHEN m > 0 THEN h * {PPM} // m"
+            f" ELSE 0 END AS BIGINT) AS h FROM hr{i}"
+            f" CROSS JOIN (SELECT max(h) AS m FROM hr{i}))"
+        )
+        ctes.append(
+            f"ar{i} AS (SELECT e.dst AS id, sum(CAST(h.h AS HUGEINT)) AS a"
+            f" FROM e JOIN h{i} h ON h.id = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT id, CAST(CASE WHEN m > 0 THEN a * {PPM} // m"
+            f" ELSE 0 END AS BIGINT) AS a FROM ar{i}"
+            f" CROSS JOIN (SELECT max(a) AS m FROM ar{i}))"
+        )
+        prev_a = f"a{i}"
+        hub = f"h{i}"
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT 'hub' AS role, id, h AS score_ppm FROM {hub}"
+        + f"\n    UNION ALL SELECT 'authority' AS role, id, a FROM {prev_a}"
+    )
