@@ -472,3 +472,57 @@ class TestHITS:
         df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
         with pytest.raises(ValueError):
             hits_scores(df, iterations=0)
+
+
+class TestSimHistogram:
+    def test_python_reference(self, spark):
+        """Exact reproduction on a small corpus: same md5 blocks, same
+        quantized cosine, same binning."""
+        from timeseriesfuser_spark.ops.similarity import embedding_sim_histogram
+        import hashlib
+        import math
+        import collections
+
+        rng = random.Random(11)
+        vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(60)}
+        df = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+        )
+        got = {
+            r["bin"]: (r["n_pairs"], r["share_ppm"])
+            for r in embedding_sim_histogram(df, cache=False).collect()
+        }
+
+        def blk(i):
+            return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 8
+
+        q = {
+            i: [round(float(__import__("numpy").float32(x)) * 1000) for x in v]
+            for i, v in vecs.items()
+        }
+        cnt = collections.Counter()
+        for i in q:
+            for j in q:
+                if i < j and blk(i) == blk(j):
+                    na = sum(x * x for x in q[i])
+                    nb = sum(x * x for x in q[j])
+                    if na > 0 and nb > 0:
+                        c = sum(a * b for a, b in zip(q[i], q[j])) / (
+                            math.sqrt(na) * math.sqrt(nb)
+                        )
+                        c = round(c, 6)
+                    else:
+                        c = 0.0
+                    cnt[math.floor(c * 20)] += 1
+        tot = sum(cnt.values())
+        want = {b: (n, n * 1_000_000 // tot) for b, n in cnt.items()}
+        assert got == want
+
+    def test_validation(self, spark):
+        from timeseriesfuser_spark.ops.similarity import embedding_sim_histogram
+
+        df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError):
+            embedding_sim_histogram(df, sample_buckets=0)
+        with pytest.raises(ValueError):
+            embedding_sim_histogram(df, bins=0)

@@ -798,3 +798,44 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebooks=cbs,
     )
     return S.rrf_fuse([exact, approx], k=60)
+
+
+@register(
+    "embedding_sim_histogram",
+    # Same quantized dot/norm/round(…,6) chain as similarity_topk (the
+    # proven bit-identical float surface); block sampling via the
+    # engine-portable md5 hash — pair kept iff both endpoints share one
+    # of 8 md5 blocks.
+    oracle="""
+    WITH vecs AS (SELECT vec_id,
+                         list_transform(embedding,
+                             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+                  FROM embeddings),
+    nv AS (SELECT vec_id, v,
+                  list_aggregate([x * x FOR x IN v], 'sum') AS n,
+                  CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 8 AS bk
+           FROM vecs),
+    pairs AS (
+        SELECT CASE WHEN a.n > 0 AND b.n > 0
+                    THEN round(CAST(list_aggregate(
+                             [a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)],
+                             'sum') AS DOUBLE) / (sqrt(a.n) * sqrt(b.n)), 6)
+                    ELSE 0.0 END AS cosine
+        FROM nv a JOIN nv b ON a.bk = b.bk AND a.vec_id < b.vec_id),
+    c AS (SELECT CAST(floor(cosine * 20) AS BIGINT) AS bin,
+                 count(*) AS n_pairs
+          FROM pairs GROUP BY 1),
+    t AS (SELECT sum(n_pairs) AS tot FROM c)
+    SELECT bin, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_pairs * 1000000 // tot AS BIGINT) AS share_ppm
+    FROM c CROSS JOIN t
+    """,
+)
+def q_embedding_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-geometry diagnostic (ops.similarity.embedding_sim_histogram):
+    histogram of pairwise cosines over a deterministic 1/8 md5-block
+    pair sample — the profile that calibrates near-dup thresholds and
+    ANN recall targets. Scored volume is n²/blocks, never the full pair
+    space; the block count is the scale knob."""
+    return S.embedding_sim_histogram(_t(spark, sf_dir, "embeddings"))

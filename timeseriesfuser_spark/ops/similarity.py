@@ -1426,3 +1426,76 @@ def rrf_fuse(
     if top_n is not None:
         out = out.filter(F.col("rank") <= top_n)
     return out
+
+
+def embedding_sim_histogram(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_buckets: int = 8,
+    bins: int = 20,
+    scale: int = 1000,
+    cache: bool = True,
+) -> DataFrame:
+    """Pairwise-cosine distribution diagnostic: a histogram of cosine
+    similarities over a DETERMINISTIC 1/``sample_buckets`` sample of
+    vector pairs — the corpus-geometry profile that tells you whether a
+    near-dup threshold or ANN recall target is even meaningful (a corpus
+    whose mass sits at cos 0.4 needs different knobs than one at 0.05).
+
+    Sampling without materializing the O(n²) pair space: each vector
+    lands in one of ``sample_buckets`` md5 blocks; only same-block pairs
+    are scored, so every pair is kept with probability 1/buckets and
+    the scored volume is n²/buckets — the block-sample knob IS the scale
+    contract (raise buckets linearly with corpus growth for a constant
+    sample size). No RNG: the block assignment is the engine-portable
+    md5 hash, so the sample — and the histogram — is reproducible
+    anywhere.
+
+    Cosine uses the exact quantized dot/norm chain of
+    :func:`cosine_topk` (identical IEEE operation order on both
+    engines, round-to-6); ``bin = floor(cosine·bins)`` ∈ [−bins, bins]
+    evaluates on that identical double, so binning is hash-stable.
+    Output: (bin, n_pairs, share_ppm).
+    """
+    from pyspark import StorageLevel
+
+    from timeseriesfuser_spark.ops.dedup import md5_hash64
+    from timeseriesfuser_spark.ops.util import track_persist
+
+    if sample_buckets < 1:
+        raise ValueError(f"sample_buckets must be >= 1: {sample_buckets}")
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1: {bins}")
+    rel = df.select(
+        F.col(id_col).alias("id"),
+        quantized(F.col(vec_col), scale).alias("v"),
+    ).withColumn("n", _sq_norm(F.col("v"))).withColumn(
+        "bk", md5_hash64(F.col("id").cast("string")) % sample_buckets
+    )
+    if cache:
+        rel = track_persist(rel.persist(StorageLevel.MEMORY_AND_DISK))
+    a, b = rel.alias("a"), rel.alias("b")
+    cos = F.when(
+        (F.col("a.n") > 0) & (F.col("b.n") > 0),
+        _dot(F.col("a.v"), F.col("b.v")).cast("double")
+        / (F.sqrt(F.col("a.n")) * F.sqrt(F.col("b.n"))),
+    ).otherwise(F.lit(0.0))
+    counts = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.floor(F.round(cos, 6) * bins).cast("long").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    tot = counts.agg(F.sum("n_pairs").alias("__tot"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_pairs",
+        F.expr("n_pairs * 1000000 DIV __tot").cast("long").alias("share_ppm"),
+    )
