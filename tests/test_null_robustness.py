@@ -80,6 +80,16 @@ QUERIES = [
     "holt_user",
     "benford_value_digits",
     "phrase_search",
+    # round-15: NULL text = zero doc length in BM25 stats / empty shingle
+    # set in the prefix-filter join / all-zero script profile / NULL
+    # flesch; NULL event_type is neither anchor, close, nor blocker;
+    # NULL ts/value rows drop before bars and slopes
+    "bm25_search",
+    "dedup_prefix_filter",
+    "script_profile_docs",
+    "readability_docs",
+    "sequence_match_no_error",
+    "theil_sen_daily",
 ]
 
 TABLES = [

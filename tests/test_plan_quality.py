@@ -595,3 +595,71 @@ def test_lateness_stats_no_per_group_serial_window(spark):
     for line in spec_lines:
         if "__seq#" in line:  # the pass over the full relation
             assert "__pid#" in line, f"serial per-group window: {line}"
+
+
+def test_bm25_takeordered_and_broadcasts(spark):
+    """BM25's top-k must be a TakeOrdered (never a global sort), the
+    per-term df and (D, T) totals must broadcast onto the tf relation,
+    and nothing may plan a cartesian on data (the stats cross-join is a
+    1-row broadcast)."""
+    plan = formatted_plan(contract.QUERIES["bm25_search"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2  # dft equi-join + 1-row stats join
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_set_similarity_prefix_join_shape(spark):
+    """The prefix-filter join must be an equi-join on the prefix token
+    (SortMergeJoin or shuffled hash — never cartesian / nested-loop on
+    data), with the verify sides joined back by id."""
+    plan = formatted_plan(contract.QUERIES["dedup_prefix_filter"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # df-annotation aggregate + per-set sort aggregate both present
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_hits_per_round_shape(spark):
+    """Each HITS half-iteration is one edge equi-join + one hash-agg;
+    the 1-row max joins via broadcast; no cartesian on data. The
+    registered query localCheckpoints per round (plan cut), so the gate
+    inspects the checkpoint=False build of the same graph."""
+    from timeseriesfuser_spark.ops.graph import hits_scores
+
+    edges = spark.range(200).selectExpr(
+        "id % 20 AS id_a", "id % 37 AS id_b"
+    )
+    df = hits_scores(edges, iterations=2, checkpoint=False)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # 2 iterations x 2 half-updates: edge equi-joins + hash-aggs
+    assert plan.count("HashAggregate") >= 4
+    # the 1-row max normalizations join via broadcast nested loop (no key)
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
+    df.sparkSession.catalog.clearCache()
+
+
+def test_theil_sen_pairs_on_bar_grain(spark):
+    """The pairwise slope self-join must run on the AGGREGATED bar grain
+    (HashAggregate below the join), never raw events; the median rank
+    window partitions by key (no single-partition window)."""
+    plan = formatted_plan(contract.QUERIES["theil_sen_daily"](spark, SF))
+    assert "CartesianProduct" not in plan
+    agg = plan.count("HashAggregate") + plan.count("SortAggregate")
+    assert agg >= 2  # bar max_by + median pick
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__k" in line  # every window is per-key
+
+
+def test_script_and_readability_zero_shuffle(spark):
+    """Both text-quality profiles are pure projections: no Exchange, no
+    Python eval, whole-stage codegen."""
+    for name in ("script_profile_docs", "readability_docs"):
+        plan = formatted_plan(contract.QUERIES[name](spark, SF))
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "codegen id" in plan
