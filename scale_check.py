@@ -430,6 +430,85 @@ def run(spark, n: int, only=None) -> dict:
             max_hops=3,
         ),
     )
+    # round-15: sequence pattern with negation — one per-user window on
+    # the (user, ts) dedup grain, no self-join
+    from timeseriesfuser_spark.ops.behavior import sequence_match as _seqop
+
+    typed = ev.select(
+        "user_id",
+        F.col("__timestamp").alias("ts"),
+        F.concat(
+            F.lit("T"), (F.col("event_id") % 5).cast("string")
+        ).alias("event_type"),
+    )
+    t(
+        "sequence_match",
+        _seqop(
+            typed, "T0", "T1", not_between="T2", within_ms=3_600_000,
+            ts_col="ts",
+        ),
+    )
+    # round-15: Theil-Sen — pair space = Σ_key bars², bounded by
+    # span/interval (~720 hourly bars/key here), never input rows
+    from timeseriesfuser_spark.ops.timeseries import theil_sen_trend as _tsop
+
+    t(
+        "theil_sen_1h",
+        lambda: _tsop(
+            xev, "1h",
+            ts_col="__timestamp", key_col="k", value_col="value",
+            seq_col="event_id",
+        ),
+    )
+    # round-15: RFM — per-user grain + three bucketed global rankings
+    from timeseriesfuser_spark.ops.behavior import rfm_segments as _rfmop
+
+    t(
+        "rfm_segments",
+        lambda: _rfmop(
+            ev.select(
+                "user_id",
+                F.timestamp_millis(F.col("__timestamp")).alias("o_ts"),
+                F.coalesce(F.col("value"), F.lit(0.0)).alias("amt"),
+            ),
+            user_col="user_id", ts_col="o_ts", amount_col="amt",
+        ),
+    )
+    # round-15: HITS over the order→part bipartite graph (2 iterations,
+    # per-half-round join+agg; max normalization broadcasts)
+    from timeseriesfuser_spark.ops.graph import hits_scores as _hitsop
+
+    t(
+        "hits_2iter",
+        lambda: _hitsop(
+            basket.select(
+                F.col("l_orderkey").alias("id_a"),
+                F.col("l_partkey").alias("id_b"),
+            ).distinct(),
+            iterations=2,
+        ),
+    )
+    # round-15: pairwise-cosine histogram — the block knob MUST scale
+    # with the corpus (k∝N lesson): buckets = nvec²/2e6 keeps the scored
+    # sample ~2M pairs at any n
+    from timeseriesfuser_spark.ops.similarity import (
+        embedding_sim_histogram as _simhop,
+    )
+
+    nvec = max(n // 100, 1000)
+    buckets = max(8, nvec * nvec // 2_000_000)
+    vecs = spark.range(0, nvec, 1, CPUS).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda j: (F.pmod(F.hash(F.col("id") * 32 + j), 2000) - 1000)
+            / 1000.0,
+        ).cast("array<float>").alias("embedding"),
+    )
+    t(
+        "sim_histogram",
+        lambda: _simhop(vecs, sample_buckets=buckets),
+    )
     return out
 
 
@@ -483,9 +562,25 @@ def _docs_ops(spark, n: int) -> dict:
     )
     from timeseriesfuser_spark.ops.packing import length_bucketed_batches
 
+    from timeseriesfuser_spark.ops.dedup import set_similarity_pairs
+    from timeseriesfuser_spark.ops.text import (
+        bm25_topk,
+        readability_scores,
+        script_profile,
+    )
+
     docs = synth_docs(spark, n)
     return {
         "exact_dedup": lambda: exact_duplicates(docs),
+        # round-15: postings-volume scoring (terms exist in the synth
+        # vocab by construction), prefix-filtered exact jaccard at the
+        # minhash threshold, and the two zero-shuffle quality profiles
+        "bm25": lambda: bm25_topk(docs, ["w17", "w1234", "w9001"], k=20),
+        "prefix_filter": lambda: set_similarity_pairs(
+            docs, n=2, threshold=(2, 5)
+        ),
+        "script_profile": lambda: script_profile(docs),
+        "readability": lambda: readability_scores(docs),
         "passage_dedup": lambda: passage_dedup(docs, passage_tokens=16),
         "bigram_lm": lambda: bigram_lm_score(docs),
         "hashed_classifier": lambda: hashed_classifier_score(docs),
@@ -602,6 +697,7 @@ def run_docs(n: int) -> dict:
         "doc_chunks", "cross_corpus", "ngram_novelty", "epoch_shuffle",
         "passage_dedup", "bigram_lm", "hashed_classifier", "length_batches",
         "fuzzy_er", "distinctive_terms", "leakage_split", "ngram_jaccard",
+        "bm25", "prefix_filter", "script_profile", "readability",
     ]:
         r = subprocess.run(
             [sys.executable, __file__, "--docs-one", name, str(n)],
