@@ -449,13 +449,16 @@ def run(spark, n: int, only=None) -> dict:
         ),
     )
     # round-15: Theil-Sen — pair space = Σ_key bars², bounded by
-    # span/interval (~720 hourly bars/key here), never input rows
+    # span/interval. synth_events spans ~n/3472 DAYS (3009 at 10M), so
+    # the interval must scale with the span (the op's own contract —
+    # '1h' here would be 72k bars/key = 2.6B pairs/key, the round-5
+    # dense-grid lesson): '7d' → ~430 bars/key → ~92k pairs/key.
     from timeseriesfuser_spark.ops.timeseries import theil_sen_trend as _tsop
 
     t(
-        "theil_sen_1h",
+        "theil_sen_7d",
         lambda: _tsop(
-            xev, "1h",
+            xev, "7d",
             ts_col="__timestamp", key_col="k", value_col="value",
             seq_col="event_id",
         ),
@@ -579,6 +582,9 @@ def _docs_ops(spark, n: int) -> dict:
         "prefix_filter": lambda: set_similarity_pairs(
             docs, n=2, threshold=(2, 5)
         ),
+        "prefix_filter_08": lambda: set_similarity_pairs(
+            docs, n=2, threshold=(4, 5)
+        ),
         "script_profile": lambda: script_profile(docs),
         "readability": lambda: readability_scores(docs),
         "passage_dedup": lambda: passage_dedup(docs, passage_tokens=16),
@@ -697,7 +703,7 @@ def run_docs(n: int) -> dict:
         "doc_chunks", "cross_corpus", "ngram_novelty", "epoch_shuffle",
         "passage_dedup", "bigram_lm", "hashed_classifier", "length_batches",
         "fuzzy_er", "distinctive_terms", "leakage_split", "ngram_jaccard",
-        "bm25", "prefix_filter", "script_profile", "readability",
+        "bm25", "prefix_filter", "prefix_filter_08", "script_profile", "readability",
     ]:
         r = subprocess.run(
             [sys.executable, __file__, "--docs-one", name, str(n)],

@@ -90,6 +90,10 @@ QUERIES = [
     "readability_docs",
     "sequence_match_no_error",
     "theil_sen_daily",
+    # round-15 wave 2: NULL text -> NULL wrapped html -> NULL clean_text;
+    # NULL event_type renders '' inside the journey path
+    "html_extract_docs",
+    "journey_paths_3",
 ]
 
 TABLES = [

@@ -526,3 +526,95 @@ class TestSimHistogram:
             embedding_sim_histogram(df, sample_buckets=0)
         with pytest.raises(ValueError):
             embedding_sim_histogram(df, bins=0)
+
+
+class TestClusteringJourneyHtml:
+    def test_clustering_hand_check(self, spark):
+        """Triangle 1-2-3 plus pendant 4: cc(1)=cc(2)=1.0 for the pure
+        triangle nodes... wait, 3 also bonds to 4. Hand-derived:
+        deg(1)=2 tri(1)=1 cc=1e6; deg(3)=3 tri(3)=1 cc=2*1e6//6."""
+        from timeseriesfuser_spark.ops.graph import clustering_coefficients
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4)], "id_a long, id_b long"
+        )
+        out = {
+            r["id"]: (r["degree"], r["n_triangles"], r["cc_ppm"])
+            for r in clustering_coefficients(edges, cache=False).collect()
+        }
+        assert out[1] == (2, 1, 1_000_000)
+        assert out[2] == (2, 1, 1_000_000)
+        assert out[3] == (3, 1, 2 * 1_000_000 // 6)
+        assert out[4] == (1, 0, 0)
+
+    def test_clustering_python_reference(self, spark):
+        from timeseriesfuser_spark.ops.graph import clustering_coefficients
+        import itertools
+
+        rng = random.Random(5)
+        edges = sorted({tuple(sorted(rng.sample(range(12), 2))) for _ in range(30)})
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        for v, nb in adj.items():
+            d = len(nb)
+            t = sum(
+                1 for x, y in itertools.combinations(sorted(nb), 2)
+                if y in adj.get(x, ())
+            )
+            want[v] = (d, t, 2 * t * 1_000_000 // (d * (d - 1)) if d >= 2 else 0)
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["id"]: (r["degree"], r["n_triangles"], r["cc_ppm"])
+            for r in clustering_coefficients(df, cache=False).collect()
+        }
+        assert got == want
+
+    def test_journey_paths(self, spark):
+        from timeseriesfuser_spark.ops.behavior import journey_paths
+
+        rows = [
+            ("u1", "a", 1, 1), ("u1", "b", 2, 2), ("u1", "c", 3, 3),
+            ("u1", "d", 4, 4),                     # beyond depth
+            ("u2", "a", 1, 1), ("u2", "b", 2, 2), ("u2", "c", 3, 3),
+            ("u3", "a", 5, 1), ("u3", None, 5, 2),  # tie on ts -> seq; NULL type
+            ("u4", "x", None, 1),                   # NULL ts excluded
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id string, event_type string, ts long, event_id long"
+        )
+        out = {
+            r["path"]: (r["n_steps"], r["n_users"])
+            for r in journey_paths(df, depth=3, top=10).collect()
+        }
+        assert out["a>b>c"] == (3, 2)
+        assert out["a>"] == (2, 1)  # NULL type renders '' at its position
+        assert "x" not in out
+
+    def test_html_extract(self, spark):
+        from timeseriesfuser_spark.ops.text import html_text_extract
+
+        html = (
+            '<html><head><style>p{x}</style></head><body>'
+            "<h1>Hi &amp; bye</h1><!-- c --><p>a &lt;b&gt;  c</p>"
+            '<script>if(1<2){var x="&amp;";}</script></body></html>'
+        )
+        df = spark.createDataFrame(
+            [(1, html), (2, None)], "doc_id long, text string"
+        )
+        out = {r["id"]: r for r in html_text_extract(df).collect()}
+        assert out[1]["clean_text"] == "Hi & bye a <b> c"
+        assert out[2]["clean_text"] is None
+        assert out[2]["n_chars_raw"] == 0
+
+    def test_html_double_encoded_one_level(self, spark):
+        from timeseriesfuser_spark.ops.text import html_text_extract
+
+        df = spark.createDataFrame(
+            [(1, "<p>&amp;lt;tag&amp;gt;</p>")], "doc_id long, text string"
+        )
+        r = html_text_extract(df).collect()[0]
+        # one decode level: &amp;lt; -> &lt; (NOT <)
+        assert r["clean_text"] == "&lt;tag&gt;"

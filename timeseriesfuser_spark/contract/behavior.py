@@ -1059,3 +1059,32 @@ def q_rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timeseriesfuser_spark.ops.behavior import rfm_segments
 
     return rfm_segments(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "journey_paths_3",
+    oracle="""
+    WITH ev AS (SELECT user_id AS u, epoch_ms(ts) AS t, event_id AS s,
+                       COALESCE(CAST(event_type AS VARCHAR), '') AS e
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    rn AS (SELECT *, row_number() OVER (PARTITION BY u ORDER BY t, s) AS rnk
+           FROM ev),
+    p AS (SELECT u, string_agg(e, '>' ORDER BY rnk) AS path,
+                 count(*) AS n_steps
+          FROM rn WHERE rnk <= 3 GROUP BY u)
+    SELECT path, CAST(n_steps AS BIGINT) AS n_steps,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path, n_steps
+    ORDER BY n_users DESC, path LIMIT 20
+    """,
+)
+def q_journey_paths_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top first-3-event user journeys (ops.behavior.journey_paths) —
+    the Sankey/"what do users do first" report. Per-user prefix via one
+    activity-bounded window (event_id tie break), paths reassembled in
+    rank order through sort_array (never collect_list arrival order),
+    TakeOrdered top-20."""
+    from timeseriesfuser_spark.ops.behavior import journey_paths
+
+    return journey_paths(_events(spark, sf_dir), depth=3, top=20)

@@ -414,3 +414,69 @@ def q_purchase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return hits_scores(edges, src_col="src", dst_col="dst", iterations=2)
+
+
+@register(
+    "copurchase_clustering",
+    # Same degree-ordered-orientation triangle CTEs as
+    # copurchase_triangles, extended with the degree relation and the
+    # exact cc_ppm = 2·tri·1e6 // (d·(d−1)) division.
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    e AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ),
+    deg AS (
+        SELECT n, count(*) AS d
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        GROUP BY n
+    ),
+    o AS (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v)
+                    THEN e.u ELSE e.v END AS a,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v)
+                    THEN e.v ELSE e.u END AS b
+        FROM e
+        JOIN deg du ON du.n = e.u
+        JOIN deg dv ON dv.n = e.v
+    ),
+    w AS (SELECT e1.a, e1.b, e2.b AS c
+          FROM o e1 JOIN o e2 ON e1.b = e2.a),
+    tri AS (SELECT w.a, w.b, w.c
+            FROM w JOIN o ON o.a = w.a AND o.b = w.c),
+    tcnt AS (SELECT id, count(*) AS nt
+             FROM (SELECT unnest([a, b, c]) AS id FROM tri) GROUP BY id)
+    SELECT deg.n AS id,
+           CAST(d AS BIGINT) AS degree,
+           CAST(COALESCE(nt, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN d >= 2
+                     THEN 2 * COALESCE(nt, 0) * 1000000 // (d * (d - 1))
+                     ELSE 0 END AS BIGINT) AS cc_ppm
+    FROM deg LEFT JOIN tcnt ON tcnt.id = deg.n
+    """,
+)
+def q_copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per part over the co-purchase graph
+    (ops.graph.clustering_coefficients): exact ppm neighborhood density
+    — separates parts inside tight co-purchase cliques from hubs that
+    merely bridge unrelated baskets. Triangle counts via the hub-safe
+    degree-ordered orientation; one extra degree aggregation."""
+    from timeseriesfuser_spark.ops.graph import clustering_coefficients
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    )
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
+        .distinct()
+    )
+    return clustering_coefficients(edges)

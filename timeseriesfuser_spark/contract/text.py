@@ -912,3 +912,71 @@ def q_readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     [.!?]+ sentence runs (min 1), WORD_RE words — the Gopher/C4-style
     quality gate with no float surface. Pure projection."""
     return X.readability_scores(_t(spark, sf_dir, "documents"))
+
+
+# Deterministic HTML wrapper (both engines build the SAME page around
+# each doc's text, so the extractor runs on real markup with entities,
+# style/script noise and a double-encoded token):
+_HTML_PRE = (
+    '<html><head><style>p{color:red}</style></head><body>'
+    '<h1>T&amp;C &lt;v1&gt; &amp;lt;raw&amp;gt;</h1><p>'
+)
+_HTML_POST = '</p><script>if (1 < 2 && 3 > 2) { var x = "&amp;"; }</script></body></html>'
+
+
+@register(
+    "html_extract_docs",
+    oracle=f"""
+    WITH h AS (SELECT doc_id,
+                      '{_HTML_PRE}' || text || '{_HTML_POST}' AS html
+               FROM documents),
+    s1 AS (SELECT doc_id, html,
+                  regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t1
+           FROM h),
+    s2 AS (SELECT doc_id, html,
+                  regexp_replace(t1, '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t2
+           FROM s1),
+    s3 AS (SELECT doc_id, html,
+                  regexp_replace(
+                      regexp_replace(t2, '(?s)<!--.*?-->', ' ', 'g'),
+                      '<[^>]*>', ' ', 'g') AS t3
+           FROM s2),
+    s4 AS (SELECT doc_id, html,
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(
+                            regexp_replace(t3, '&nbsp;', ' ', 'g'),
+                            '&lt;', '<', 'g'),
+                          '&gt;', '>', 'g'),
+                        '&quot;', '"', 'g'),
+                      '&#39;', chr(39), 'g'),
+                    '&apos;', chr(39), 'g') AS t4
+           FROM s3),
+    s5 AS (SELECT doc_id, html,
+                  trim(regexp_replace(
+                      regexp_replace(t4, '&amp;', '&', 'g'),
+                      '\\s+', ' ', 'g')) AS clean
+           FROM s4)
+    SELECT doc_id AS id, clean AS clean_text,
+           CAST(COALESCE(length(html), 0) AS BIGINT) AS n_chars_raw,
+           CAST(COALESCE(length(clean), 0) AS BIGINT) AS n_chars_clean
+    FROM s5
+    """,
+)
+def q_html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping (ops.text.html_text_extract): each doc
+    wrapped in a deterministic page (style/script blocks, entities, a
+    double-encoded token) on BOTH engines, then script/style/comment
+    removal, tag strip, standard-order entity decode (&amp; last — one
+    level per pass), whitespace collapse. Pure projection, zero
+    shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)).alias(
+            "html"
+        ),
+    )
+    return X.html_text_extract(wrapped, id_col="doc_id", text_col="html")

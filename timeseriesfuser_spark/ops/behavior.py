@@ -1162,3 +1162,68 @@ def rfm_segments(
         .cast("long")
         .alias("rfm_code"),
     )
+
+
+def journey_paths(
+    df: DataFrame,
+    *,
+    depth: int = 3,
+    top: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    sep: str = ">",
+) -> DataFrame:
+    """Top user journeys: each user's first ``depth`` events (by (ts,
+    seq), NULL-ts rows excluded) concatenated into a path string, the
+    ``top`` most common paths returned — the product-analytics "what do
+    users actually do first" report (the Sankey-diagram data).
+
+    Deterministic: the per-user prefix is picked by a row_number window
+    with the sequence column as tie break, reassembled in rank order
+    via sort_array (never collect_list's arrival order); path ties in
+    the top-N break on path text. NULL event types render as '' inside
+    the path (position preserved).
+
+    Output: (path, n_steps, n_users). Scale: one per-user window
+    (activity-bounded partitions), one path hash-agg, TakeOrdered
+    top-N.
+    """
+    from pyspark.sql.window import Window
+
+    if depth < 1 or top < 1:
+        raise ValueError("depth and top must be >= 1")
+    w = Window.partitionBy("__u").orderBy("__t", "__s")
+    pref = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .select(
+            F.col(user_col).alias("__u"),
+            F.col(ts_col).alias("__t"),
+            F.col(seq_col).alias("__s"),
+            F.coalesce(F.col(type_col).cast("string"), F.lit("")).alias("__e"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(depth))
+    )
+    paths = (
+        pref.groupBy("__u")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("__rn"), F.col("__e")))
+                    ),
+                    lambda st: st["__e"],
+                ),
+            ).alias("path"),
+            F.count(F.lit(1)).cast("long").alias("n_steps"),
+        )
+    )
+    return (
+        paths.groupBy("path", "n_steps")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(int(top))
+    )

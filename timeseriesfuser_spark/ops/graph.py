@@ -621,3 +621,57 @@ def hits_oracle_sql(edges_sql: str, *, iterations: int = 2) -> str:
         + f"\n    SELECT 'hub' AS role, id, h AS score_ppm FROM {hub}"
         + f"\n    UNION ALL SELECT 'authority' AS role, id, a FROM {prev_a}"
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    cache: bool = True,
+) -> DataFrame:
+    """Per-node LOCAL clustering coefficient over an undirected graph —
+    how close each node's neighborhood is to a clique, in exact ppm:
+
+        cc_ppm = 2·triangles(v)·1e6 DIV (deg(v)·(deg(v)−1))
+
+    (0 for degree-<2 nodes). The community-density score that separates
+    a node inside a tight near-dup family (cc → 1e6) from a hub that
+    merely bridges unrelated clusters (cc → 0) — the standard
+    false-positive screen on entity-match and co-occurrence graphs.
+
+    Built on :func:`triangle_counts` (degree-ordered orientation — each
+    triangle counted exactly once, hub-safe O(√E) out-degrees) plus one
+    degree aggregation over the canonical edge set; triangle-less nodes
+    left-join to 0. Output (id, degree, n_triangles, cc_ppm), one row
+    per node with ≥1 edge; all integers.
+    """
+    e = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+    ).filter(F.col("a") != F.col("b")).distinct()
+    if cache:
+        from pyspark import StorageLevel
+
+        e = track_persist(e.persist(StorageLevel.MEMORY_AND_DISK))
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_counts(e, src_col="a", dst_col="b", cache=cache)
+    out = deg.join(tri, "id", "left").select(
+        "id",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
+    )
+    return out.withColumn(
+        "cc_ppm",
+        F.when(
+            F.col("degree") >= 2,
+            F.expr("2 * n_triangles * 1000000 DIV (degree * (degree - 1))"),
+        ).otherwise(F.lit(0)).cast("long"),
+    )

@@ -1303,3 +1303,49 @@ def readability_scores(
             - F.expr("84600 * n_syllables DIV n_words"),
         ).cast("long"),
     )
+
+
+def html_text_extract(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate HTML → text extraction — the first step of every
+    web-crawl pipeline: drop <script>/<style> blocks wholesale, strip
+    remaining tags, decode the common HTML entities, collapse
+    whitespace. Deterministic regexp chain (identical semantics in Java
+    regex and RE2; ``(?s)`` dot-matches-newline for block removal),
+    NULL html stays NULL.
+
+    Entity decoding order is the standard one — ``&amp;`` LAST — so
+    double-encoded text (``&amp;lt;``) decodes one level per pass, never
+    two. This is the regex fast path, not a spec parser: good for
+    quality scoring and dedup prep, not for DOM-accurate extraction.
+
+    Output: (id, clean_text, n_chars_raw, n_chars_clean). Pure
+    projection — zero shuffle, whole-stage codegen.
+    """
+    raw = F.col(text_col)
+    t = raw
+    for pat, rep in [
+        (r"(?s)<script[^>]*>.*?</script>", " "),
+        (r"(?s)<style[^>]*>.*?</style>", " "),
+        (r"(?s)<!--.*?-->", " "),
+        (r"<[^>]*>", " "),
+        (r"&nbsp;", " "),
+        (r"&lt;", "<"),
+        (r"&gt;", ">"),
+        (r"&quot;", "\""),
+        (r"&#39;", "'"),
+        (r"&apos;", "'"),
+        (r"&amp;", "&"),
+    ]:
+        t = F.regexp_replace(t, pat, rep)
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.select(
+        F.col(id_col).alias("id"),
+        t.alias("clean_text"),
+        F.coalesce(F.length(raw), F.lit(0)).cast("long").alias("n_chars_raw"),
+        F.coalesce(F.length(t), F.lit(0)).cast("long").alias("n_chars_clean"),
+    )
