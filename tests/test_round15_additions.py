@@ -618,3 +618,85 @@ class TestClusteringJourneyHtml:
         r = html_text_extract(df).collect()[0]
         # one decode level: &amp;lt; -> &lt; (NOT <)
         assert r["clean_text"] == "&lt;tag&gt;"
+
+
+class TestIntervalOverlapJoin:
+    def _join(self, spark, a_rows, b_rows, chunk=10, keys=()):
+        from timeseriesfuser_spark.operators.rangejoin import (
+            interval_overlap_join,
+        )
+
+        a = spark.createDataFrame(
+            a_rows, ("k string, " if keys else "") + "aid long, s1 long, e1 long"
+        )
+        b = spark.createDataFrame(
+            b_rows, ("k string, " if keys else "") + "bid long, s2 long, e2 long"
+        )
+        return interval_overlap_join(
+            a, b, left_start="s1", left_end="e1",
+            right_start="s2", right_end="e2", chunk_ms=chunk, keys=keys,
+        )
+
+    def test_brute_force_differential(self, spark):
+        rng = random.Random(9)
+        a_rows = [
+            (i, s, s + rng.randint(0, 40))
+            for i, s in enumerate(rng.randint(-50, 150) for _ in range(60))
+        ]
+        b_rows = [
+            (i, s, s + rng.randint(0, 25))
+            for i, s in enumerate(rng.randint(-50, 150) for _ in range(40))
+        ]
+        got = {
+            (r["aid"], r["bid"])
+            for r in self._join(spark, a_rows, b_rows, chunk=7).collect()
+        }
+        want = {
+            (ai, bi)
+            for ai, s1, e1 in a_rows
+            for bi, s2, e2 in b_rows
+            if max(s1, s2) < min(e1, e2)
+        }
+        assert got == want
+        # each pair exactly once (no chunk duplicates)
+        rows = self._join(spark, a_rows, b_rows, chunk=7).collect()
+        assert len(rows) == len(got)
+
+    def test_touching_endpoints_do_not_overlap(self, spark):
+        rows = self._join(
+            spark, [(1, 0, 10)], [(1, 10, 20)], chunk=4
+        ).collect()
+        assert rows == []
+        rows = self._join(spark, [(1, 0, 11)], [(1, 10, 20)], chunk=4).collect()
+        assert len(rows) == 1
+
+    def test_empty_interval_matches_nothing(self, spark):
+        assert self._join(spark, [(1, 5, 5)], [(1, 0, 100)]).collect() == []
+
+    def test_keys_isolate(self, spark):
+        rows = self._join(
+            spark,
+            [("x", 1, 0, 10), ("y", 2, 0, 10)],
+            [("x", 1, 5, 15)],
+            keys=["k"],
+        ).collect()
+        assert [(r["aid"], r["bid"]) for r in rows] == [(1, 1)]
+
+    def test_validation(self, spark):
+        from timeseriesfuser_spark.operators.rangejoin import (
+            interval_overlap_join,
+        )
+
+        a = spark.createDataFrame([(1, 0, 1)], "x long, s1 long, e1 long")
+        b = spark.createDataFrame([(1, 0, 1)], "x long, s2 long, e2 long")
+        with pytest.raises(ValueError):  # non-key column collision
+            interval_overlap_join(
+                a, b, left_start="s1", left_end="e1",
+                right_start="s2", right_end="e2",
+            )
+        with pytest.raises(ValueError):
+            interval_overlap_join(
+                a.withColumnRenamed("x", "y"), b,
+                left_start="s1", left_end="e1",
+                right_start="s2", right_end="e2", chunk_ms=0,
+            )

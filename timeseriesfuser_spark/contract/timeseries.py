@@ -1392,3 +1392,77 @@ def q_theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timeseriesfuser_spark.ops.timeseries import theil_sen_trend
 
     return theil_sen_trend(_events(spark, sf_dir), "1d")
+
+
+@register(
+    "session_error_overlap",
+    # Naive range-join oracle (the O(n·m) overlap predicate stated
+    # directly) — parity proves the chunked equi-join + first-shared-
+    # chunk election is exactly the overlap relation.
+    oracle="""
+    WITH ev AS (SELECT user_id AS u, epoch_ms(ts) AS t, event_type AS ty
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    act AS (SELECT u AS user_id,
+                   t // 86400000 AS a_day,
+                   min(t) AS a_start, max(t) + 1 AS a_end
+            FROM ev GROUP BY 1, 2),
+    burst AS (SELECT (t // 3600000) * 3600000 AS b_start,
+                     (t // 3600000) * 3600000 + 3600000 AS b_end,
+                     count(*) AS n_errors
+              FROM ev WHERE ty = 'error'
+              GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT a.user_id, CAST(a.a_day AS BIGINT) AS a_day,
+           CAST(a.a_start AS BIGINT) AS a_start,
+           CAST(a.a_end AS BIGINT) AS a_end,
+           CAST(b.b_start AS BIGINT) AS b_start,
+           CAST(b.b_end AS BIGINT) AS b_end,
+           CAST(b.n_errors AS BIGINT) AS n_errors
+    FROM act a JOIN burst b
+      ON greatest(a.a_start, b.b_start) < least(a.a_end, b.b_end)
+    """,
+)
+def q_session_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join
+    (operators.rangejoin.interval_overlap_join): per-user daily activity
+    spans × corpus-wide error-burst hours (≥2 errors). Both sides
+    explode to epoch chunks and equi-join — never a nested-loop range
+    join; each overlapping pair is elected once in its overlap-start
+    chunk (no distinct). The oracle states the naive O(n·m) overlap
+    predicate, so parity proves the chunked election is exact."""
+    from timeseriesfuser_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    act = (
+        ev.groupBy(
+            "user_id",
+            F.expr("ts DIV 86400000").cast("long").alias("a_day"),
+        )
+        .agg(
+            F.min("ts").cast("long").alias("a_start"),
+            (F.max("ts") + 1).cast("long").alias("a_end"),
+        )
+    )
+    burst = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(
+            (F.expr("ts DIV 3600000") * 3600000).cast("long").alias("b_start")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_errors"))
+        .filter(F.col("n_errors") >= 2)
+        .withColumn("b_end", (F.col("b_start") + 3600000).cast("long"))
+        .select("b_start", "b_end", "n_errors")
+    )
+    return interval_overlap_join(
+        act,
+        burst,
+        left_start="a_start",
+        left_end="a_end",
+        right_start="b_start",
+        right_end="b_end",
+        chunk_ms=3_600_000,
+    )

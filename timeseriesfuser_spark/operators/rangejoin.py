@@ -127,3 +127,80 @@ def interval_join(
         cond = term if cond is None else cond & term
     unmatched = points.join(matched_keys, on=cond, how="left_anti")
     return joined.unionByName(unmatched, allowMissingColumns=True)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str = "start_ms",
+    left_end: str = "end_ms",
+    right_start: str = "r_start_ms",
+    right_end: str = "r_end_ms",
+    keys: Sequence[str] = (),
+    chunk_ms: int = 3_600_000,
+    broadcast_right: Optional[bool] = None,
+) -> DataFrame:
+    """Join two INTERVAL relations on overlap: every (left, right) pair
+    with ``max(starts) < min(ends)`` (half-open ``[start, end)``
+    semantics — touching endpoints do NOT overlap). The sibling of
+    :func:`interval_join` for interval×interval workloads: sessions ×
+    outage windows, campaigns × incidents, validity ranges × validity
+    ranges.
+
+    Scale design: both sides explode to fixed-width epoch chunks and
+    equi-join on (keys, chunk) — never a nested-loop range join — then
+    the exact overlap predicate filters. Each overlapping pair shares
+    every chunk the overlap region covers, so ONE of them is elected
+    representative WITHOUT a distinct shuffle: the pair is kept only in
+    the chunk containing the overlap's first instant (``chunk ==
+    floor(max(starts)/chunk_ms)`` — guaranteed covered by both sides;
+    the simhash first-agreeing-chunk idiom). Fan-out per row is
+    span/chunk_ms: size ``chunk_ms`` near the typical interval length.
+
+    Column contract: the two sides must have disjoint column names
+    apart from ``keys`` (equi-join columns on both). Empty/negative
+    intervals match nothing. ``broadcast_right`` as in
+    :func:`interval_join`.
+    """
+    if chunk_ms <= 0:
+        raise ValueError(f"chunk_ms must be positive: {chunk_ms}")
+    overlap_cols = set(left.columns) & set(right.columns) - set(keys)
+    if overlap_cols:
+        raise ValueError(
+            f"non-key columns present on both sides: {sorted(overlap_cols)}"
+        )
+    c = F.lit(int(chunk_ms))
+
+    def chunked(df: DataFrame, s_col: str, e_col: str) -> DataFrame:
+        s, e = F.col(s_col).cast("long"), F.col(e_col).cast("long")
+        lo = (s - F.pmod(s, c)) / c
+        hi = ((e - 1) - F.pmod(e - 1, c)) / c
+        return df.withColumn(
+            _CHUNK,
+            F.explode(
+                F.when(
+                    e > s, F.sequence(lo.cast("long"), hi.cast("long"))
+                ).otherwise(F.array().cast("array<long>"))
+            ),
+        )
+
+    lv = chunked(left, left_start, left_end)
+    rv = chunked(right, right_start, right_end)
+    if broadcast_right:
+        rv = F.broadcast(rv)
+    elif broadcast_right is False:
+        rv = rv.hint("shuffle_hash")
+    ostart = F.greatest(
+        F.col(left_start).cast("long"), F.col(right_start).cast("long")
+    )
+    oend = F.least(
+        F.col(left_end).cast("long"), F.col(right_end).cast("long")
+    )
+    return (
+        lv.join(rv, on=[*keys, _CHUNK], how="inner")
+        .filter(ostart < oend)
+        # representative election: only the overlap-start chunk emits
+        .filter(F.col(_CHUNK) == ((ostart - F.pmod(ostart, c)) / c).cast("long"))
+        .drop(_CHUNK)
+    )
