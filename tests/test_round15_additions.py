@@ -700,3 +700,46 @@ class TestIntervalOverlapJoin:
                 left_start="s1", left_end="e1",
                 right_start="s2", right_end="e2", chunk_ms=0,
             )
+
+
+class TestPositionAttribution:
+    def test_u_shape_credits(self, spark):
+        from timeseriesfuser_spark.ops.behavior import attribute_conversions
+
+        touches = spark.createDataFrame(
+            [("u", i, i * 10) for i in range(1, 6)],
+            "user_id string, touch_id long, touch_ts long",
+        )
+        convs = spark.createDataFrame(
+            [("u", 100, 60)], "user_id string, conv_id long, conv_ts long"
+        )
+        rows = attribute_conversions(
+            touches, convs, lookback_ms=1000, model="position_based",
+            include_unattributed=False, cache=False,
+        ).collect()
+        credits = {r["touch_id"]: r["credit_ppm"] for r in rows}
+        # 5 touches: first 400k, last 400k + remainder, middles 200000//3
+        mid = 200_000 // 3
+        assert credits[1] == 400_000
+        assert credits[2] == credits[3] == mid
+        assert credits[5] == 400_000 + 200_000 - mid * 3
+        assert sum(credits.values()) == 1_000_000
+
+    def test_small_n(self, spark):
+        from timeseriesfuser_spark.ops.behavior import attribute_conversions
+
+        touches = spark.createDataFrame(
+            [("u", 1, 10), ("v", 1, 10), ("v", 2, 20)],
+            "user_id string, touch_id long, touch_ts long",
+        )
+        convs = spark.createDataFrame(
+            [("u", 9, 50), ("v", 9, 50)],
+            "user_id string, conv_id long, conv_ts long",
+        )
+        rows = attribute_conversions(
+            touches, convs, lookback_ms=1000, model="position_based",
+            include_unattributed=False, cache=False,
+        ).collect()
+        got = {(r["user_id"], r["touch_id"]): r["credit_ppm"] for r in rows}
+        assert got[("u", 1)] == 1_000_000
+        assert got[("v", 1)] == got[("v", 2)] == 500_000

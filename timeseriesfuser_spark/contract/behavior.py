@@ -1088,3 +1088,69 @@ def q_journey_paths_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timeseriesfuser_spark.ops.behavior import journey_paths
 
     return journey_paths(_events(spark, sf_dir), depth=3, top=20)
+
+
+@register(
+    "attribution_position",
+    # U-shaped 40/20/40: rank touches per conversion by (ts, touch_id);
+    # first/last 400k ppm, middles 200000 // (n-2) with the truncation
+    # remainder to the LAST touch — credits sum to exactly 1e6.
+    oracle="""
+    WITH
+    tch AS (SELECT event_id AS touch_id, epoch_ms(ts) AS touch_ts,
+                   user_id, event_type AS channel
+            FROM events
+            WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL),
+    cnv AS (SELECT event_id AS conv_id, epoch_ms(ts) AS conv_ts, user_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+            WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+    pairs AS (
+        SELECT c.user_id, c.conv_id, c.conv_ts, c.cents,
+               t.touch_id, t.touch_ts, t.channel
+        FROM cnv c JOIN tch t
+          ON t.user_id = c.user_id
+         AND t.touch_ts >= c.conv_ts - 86400000
+         AND t.touch_ts <= c.conv_ts
+    ),
+    ranked AS (
+        SELECT *,
+               count(*) OVER (PARTITION BY user_id, conv_id) AS n_touches,
+               row_number() OVER (PARTITION BY user_id, conv_id
+                                  ORDER BY touch_ts, touch_id) AS rk
+        FROM pairs
+    )
+    SELECT user_id, conv_id, CAST(conv_ts AS BIGINT) AS conv_ts, cents,
+           CAST(touch_id AS BIGINT) AS touch_id,
+           CAST(touch_ts AS BIGINT) AS touch_ts, channel,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(CASE WHEN n_touches = 1 THEN 1000000
+                     WHEN n_touches = 2 THEN 500000
+                     WHEN rk = 1 THEN 400000
+                     WHEN rk = n_touches
+                     THEN 400000 + 200000
+                          - (200000 // (n_touches - 2)) * (n_touches - 2)
+                     ELSE 200000 // (n_touches - 2)
+                END AS BIGINT) AS credit_ppm
+    FROM ranked
+    """,
+)
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution
+    (ops.behavior.attribute_conversions, model='position_based'): first
+    and last in-window touch carry 400k ppm each, middles share 200k
+    with the integer-DIV remainder pinned to the last touch — every
+    conversion's credits sum to EXACTLY 1e6 (linear's truncation loss
+    re-aggregates clean per channel here). Same chunked interval_join +
+    per-conversion window as the other models."""
+    from timeseriesfuser_spark.ops.behavior import attribute_conversions
+
+    tch, cnv = _attr_inputs(spark, sf_dir)
+    out = attribute_conversions(
+        tch, cnv, lookback_ms=_ATTR_LB, model="position_based",
+        include_unattributed=False, cache=False,
+    )
+    return out.select(
+        "user_id", "conv_id", "conv_ts", "cents", "touch_id", "touch_ts",
+        "channel", "n_touches", "credit_ppm",
+    )

@@ -494,7 +494,12 @@ def attribute_conversions(
       ``credit_ppm = 1_000_000`` (latest/earliest ts, ties → highest/
       lowest ``touch_id``);
     - ``linear`` — every in-window touch gets
-      ``credit_ppm = 1_000_000 DIV n_touches``.
+      ``credit_ppm = 1_000_000 DIV n_touches``;
+    - ``position_based`` — the U-shaped 40/20/40 model: first and last
+      touch (by ts, touch_id ties) get 400k ppm each, the middles share
+      200k via integer DIV with the truncation remainder assigned to
+      the LAST touch, so every conversion's credits sum to exactly
+      1e6 (n=1 → 1e6, n=2 → 500k/500k).
 
     Output: one row per credited (conversion, touch) with all touch/
     conversion payload columns, ``n_touches`` and ``credit_ppm``; with
@@ -524,7 +529,7 @@ def attribute_conversions(
 
     from timeseriesfuser_spark.operators.rangejoin import interval_join
 
-    if model not in ("last_touch", "first_touch", "linear"):
+    if model not in ("last_touch", "first_touch", "linear", "position_based"):
         raise ValueError(f"unknown attribution model: {model!r}")
 
     t = touches.filter(F.col(user_col).isNotNull())
@@ -549,6 +554,32 @@ def attribute_conversions(
     if model == "linear":
         out = pairs.withColumn("n_touches", n).withColumn(
             "credit_ppm", F.expr("1000000 DIV n_touches").cast("long")
+        )
+    elif model == "position_based":
+        # U-shaped 40/20/40: first and last touch 400k ppm each, middles
+        # share 200k (integer DIV, truncation remainder to the LAST touch
+        # so every conversion's credits sum to exactly 1e6). n=1 -> 1e6,
+        # n=2 -> 500k/500k.
+        w = part.orderBy(F.col(touch_ts_col).asc(), F.col(touch_id_col).asc())
+        out = (
+            pairs.withColumn("n_touches", n)
+            .withColumn("__rk", F.row_number().over(w))
+            .withColumn(
+                "credit_ppm",
+                F.when(F.col("n_touches") == 1, F.lit(1_000_000))
+                .when(F.col("n_touches") == 2, F.lit(500_000))
+                .when(F.col("__rk") == 1, F.lit(400_000))
+                .when(
+                    F.col("__rk") == F.col("n_touches"),
+                    F.lit(400_000)
+                    + F.lit(200_000)
+                    - F.expr("200000 DIV (n_touches - 2)")
+                    * (F.col("n_touches") - 2),
+                )
+                .otherwise(F.expr("200000 DIV (n_touches - 2)"))
+                .cast("long"),
+            )
+            .drop("__rk")
         )
     else:
         order = (
