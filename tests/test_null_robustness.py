@@ -94,6 +94,8 @@ QUERIES = [
     # NULL event_type renders '' inside the journey path
     "html_extract_docs",
     "journey_paths_3",
+    # round-15 wave 3: NULL value/type rows drop before the clamp bounds
+    "winsorized_value_stats",
 ]
 
 TABLES = [

@@ -743,3 +743,51 @@ class TestPositionAttribution:
         got = {(r["user_id"], r["touch_id"]): r["credit_ppm"] for r in rows}
         assert got[("u", 1)] == 1_000_000
         assert got[("v", 1)] == got[("v", 2)] == 500_000
+
+
+class TestWinsorizedStats:
+    def test_python_reference(self, spark):
+        from timeseriesfuser_spark.ops.timeseries import winsorized_stats
+
+        rng = random.Random(13)
+        vals = [round(rng.uniform(-50, 50), 2) for _ in range(97)] + [1e4, -1e4, 9e3]
+        rows = [("k", v) for v in vals]
+        df = spark.createDataFrame(rows, "event_type string, value double")
+        out = winsorized_stats(df, cache=False).collect()[0]
+
+        cents = sorted(round(v * 100) for v in vals)
+        n = len(cents)
+
+        def q_xden(num, den):
+            lo = num * (n - 1) // den
+            fr = num * (n - 1) % den
+            return cents[lo] * (den - fr) + cents[lo + 1] * fr if fr else cents[lo] * den
+
+        p10 = q_xden(1, 10) * 10   # shared D = 100
+        p90 = q_xden(9, 10) * 10
+        s = sum(max(p10, min(p90, c * 100)) for c in cents)
+        assert out["n"] == n
+        assert out["p_lo_xD"] == p10 and out["p_hi_xD"] == p90
+        assert out["winsorized_sum_xD"] == s
+        # truncation toward zero (Spark DIV semantics), sign-aware
+        q = abs(s) * 1000 // (n * 100)
+        assert out["winsorized_mean_milli"] == (q if s >= 0 else -q)
+
+    def test_outlier_clamped(self, spark):
+        from timeseriesfuser_spark.ops.timeseries import winsorized_stats
+
+        rows = [("k", float(i)) for i in range(1, 100)] + [("k", 1e9)]
+        df = spark.createDataFrame(rows, "event_type string, value double")
+        out = winsorized_stats(df, cache=False).collect()[0]
+        # the 1e9 whale is clamped to p90 — mean stays near 50.5
+        # (mean_milli is in the quantized unit: milli-CENTS here)
+        assert out["winsorized_mean_milli"] < 6_000_000
+
+    def test_validation(self, spark):
+        from timeseriesfuser_spark.ops.timeseries import winsorized_stats
+
+        df = spark.createDataFrame([("k", 1.0)], "event_type string, value double")
+        with pytest.raises(ValueError):
+            winsorized_stats(df, lo=(9, 10), hi=(1, 10))
+        with pytest.raises(ValueError):
+            winsorized_stats(df, lo=(11, 10))

@@ -1466,3 +1466,58 @@ def q_session_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_end="b_end",
         chunk_ms=3_600_000,
     )
+
+
+@register(
+    "winsorized_value_stats",
+    # Mirrors ops.timeseries.winsorized_stats: exact p10/p90 clamp
+    # bounds in shared-denominator form (D = 100), clamp in HUGEINT,
+    # one truncating division for the milli mean (negative sums
+    # truncate toward zero in BOTH engines).
+    oracle="""
+    WITH base AS (SELECT event_type AS g,
+                         CAST(round(value * 100) AS BIGINT) AS v
+                  FROM events
+                  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    cnt AS (SELECT g, count(*) AS n FROM base GROUP BY g),
+    rn AS (SELECT b.g, v, n,
+                  row_number() OVER (PARTITION BY b.g ORDER BY v) AS rnk
+           FROM base b JOIN cnt ON cnt.g = b.g),
+    bounds AS (
+        SELECT g, max(n) AS n,
+               CAST(sum(CASE WHEN rnk = (n - 1) // 10 + 1
+                             THEN v * (10 - (n - 1) % 10)
+                             WHEN (n - 1) % 10 > 0
+                              AND rnk = (n - 1) // 10 + 2
+                             THEN v * ((n - 1) % 10) END) * 10 AS BIGINT)
+                   AS p_lo_xD,
+               CAST(sum(CASE WHEN rnk = (9 * (n - 1)) // 10 + 1
+                             THEN v * (10 - (9 * (n - 1)) % 10)
+                             WHEN (9 * (n - 1)) % 10 > 0
+                              AND rnk = (9 * (n - 1)) // 10 + 2
+                             THEN v * ((9 * (n - 1)) % 10) END) * 10
+                    AS BIGINT) AS p_hi_xD
+        FROM rn GROUP BY g),
+    clamped AS (
+        SELECT b.g, bo.n, bo.p_lo_xD, bo.p_hi_xD,
+               sum(greatest(bo.p_lo_xD,
+                            least(bo.p_hi_xD, CAST(b.v AS HUGEINT) * 100)))
+                   AS s
+        FROM base b JOIN bounds bo ON bo.g = b.g
+        GROUP BY 1, 2, 3, 4)
+    SELECT g AS event_type, CAST(n AS BIGINT) AS n, p_lo_xD, p_hi_xD,
+           CAST(s AS BIGINT) AS winsorized_sum_xD,
+           CAST(s * 1000 // (CAST(n AS HUGEINT) * 100) AS BIGINT)
+               AS winsorized_mean_milli
+    FROM clamped
+    """,
+)
+def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type (ops.timeseries.winsorized_stats):
+    values clamped to the exact p10/p90 linear-interpolation order
+    statistics (den-scaled integers, no float) before an exact scaled
+    sum — the whale-proof mean that keeps every row. One rank window +
+    one broadcast bounds join + one hash-agg."""
+    from timeseriesfuser_spark.ops.timeseries import winsorized_stats
+
+    return winsorized_stats(_events(spark, sf_dir))

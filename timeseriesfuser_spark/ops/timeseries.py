@@ -1954,3 +1954,109 @@ def theil_sen_trend(
             "slope_x2_u",
         )
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo=(1, 10),
+    hi=(9, 10),
+    cents: bool = True,
+    cache: bool = True,
+) -> DataFrame:
+    """Per-group winsorized mean — the robust central tendency that
+    keeps every observation (unlike trimming) but clamps the tails to
+    the exact ``lo``/``hi`` percentile values before averaging: the
+    screening mean for heavy-tailed metrics (latency, spend) where one
+    whale drags the plain mean and the median throws information away.
+
+    EXACT integers throughout: the clamp bounds are the
+    :func:`exact_percentiles` linear-interpolation order statistics in
+    den-scaled form (``den·Q_p`` — no float), every value is scaled by
+    the shared denominator and clamped between them, and the winsorized
+    sum is an exact scaled integer. With D = lcm-free shared scale
+    ``den_lo·den_hi``:
+
+        sum_xD = Σ clamp(D·v, lo_bound_xD, hi_bound_xD)
+
+    Output per group: (n, p_lo_xD, p_hi_xD, winsorized_sum_xD,
+    winsorized_mean_milli) — mean_milli = sum_xD·1000 DIV (n·D), one
+    documented truncating (toward-zero, both engines) division, in
+    MILLI-units of the quantized value (milli-cents under
+    ``cents=True``); divide the _xD columns by D to read values. All
+    BIGINT (decimal(38,0) internally — no overflow).
+
+    Scale: the same one-rank-window-per-group cost as
+    ``exact_percentiles`` plus one broadcast join of the #groups-row
+    bounds relation and one final hash-agg.
+    """
+    ln, ld = int(lo[0]), int(lo[1])
+    hn, hd = int(hi[0]), int(hi[1])
+    for num, den in ((ln, ld), (hn, hd)):
+        if not (0 <= num <= den and den >= 1):
+            raise ValueError(f"percentile {num}/{den} not in [0, 1]")
+    if ln * hd > hn * ld:
+        raise ValueError("lo percentile must be <= hi percentile")
+    from pyspark import StorageLevel
+
+    scale = ld * hd
+    gcol = F.col(group_col)
+    v = _cents(value_col) if cents else F.col(value_col).cast("long")
+    base = df.filter(
+        F.col(value_col).isNotNull() & gcol.isNotNull()
+    ).select(gcol.alias("__g"), v.alias("__v"))
+    if cache:
+        base = track_persist(base.persist(StorageLevel.MEMORY_AND_DISK))
+    cnt = base.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    w = Window.partitionBy("__g").orderBy("__v")
+    rn = base.join(F.broadcast(cnt), "__g").withColumn(
+        "__rn", F.row_number().over(w).cast("long")
+    )
+
+    def bound(num: int, den: int, name: str):
+        # den·Q_p rescaled to the shared denominator: (scale/den)·(den·Q_p)
+        mult = scale // den
+        lo_i = F.expr(f"CAST({num} * (__n - 1) DIV {den} AS BIGINT)") + 1
+        frac = F.expr(f"CAST({num} * (__n - 1) % {den} AS BIGINT)")
+        contrib = F.when(
+            F.col("__rn") == lo_i, F.col("__v") * (F.lit(den) - frac)
+        ).when((frac > 0) & (F.col("__rn") == lo_i + 1), F.col("__v") * frac)
+        return (F.sum(contrib) * mult).cast("long").alias(name)
+
+    bounds = rn.groupBy("__g").agg(
+        F.max("__n").cast("long").alias("n"),
+        bound(ln, ld, "p_lo_xD"),
+        bound(hn, hd, "p_hi_xD"),
+    )
+    out = (
+        base.join(F.broadcast(bounds), "__g")
+        .select(
+            "__g",
+            "n",
+            "p_lo_xD",
+            "p_hi_xD",
+            F.greatest(
+                F.col("p_lo_xD"),
+                F.least(F.col("p_hi_xD"), F.col("__v") * scale),
+            ).alias("__c"),
+        )
+        .groupBy("__g", "n", "p_lo_xD", "p_hi_xD")
+        .agg(
+            F.sum(F.expr("CAST(__c AS DECIMAL(38,0))"))
+            .cast("long")
+            .alias("winsorized_sum_xD")
+        )
+    )
+    return out.select(
+        F.col("__g").alias(group_col),
+        "n",
+        "p_lo_xD",
+        "p_hi_xD",
+        "winsorized_sum_xD",
+        F.expr(
+            f"CAST(CAST(winsorized_sum_xD AS DECIMAL(38,0)) * 1000"
+            f" DIV (CAST(n AS DECIMAL(38,0)) * {scale}) AS BIGINT)"
+        ).alias("winsorized_mean_milli"),
+    )
