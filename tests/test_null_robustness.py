@@ -96,6 +96,8 @@ QUERIES = [
     "journey_paths_3",
     # round-15 wave 3: NULL value/type rows drop before the clamp bounds
     "winsorized_value_stats",
+    # NULL-text media rows are excluded from hashing on both sides
+    "image_ahash_dedup",
 ]
 
 TABLES = [

@@ -791,3 +791,36 @@ class TestWinsorizedStats:
             winsorized_stats(df, lo=(9, 10), hi=(1, 10))
         with pytest.raises(ValueError):
             winsorized_stats(df, lo=(11, 10))
+
+
+class TestImageAHash:
+    def test_ahash_bits(self, spark):
+        from timeseriesfuser_spark.ops.multimodal import image_ahash
+
+        rows = [
+            (1, [1.0] * 8 + [3.0] * 8),   # mean 2.0 -> high half set
+            (2, [5.0] * 16),              # all equal -> no bit above mean
+            (3, None),
+        ]
+        df = spark.createDataFrame(
+            rows, "media_id long, features array<float>"
+        )
+        out = {r["id"]: (r["ahash"], r["n_bits"]) for r in image_ahash(df).collect()}
+        assert out[1] == (0xFF00, 8)
+        assert out[2] == (0, 0)
+        assert out[3] == (None, None)
+
+    def test_duplicate_content_same_hash(self, spark):
+        from timeseriesfuser_spark.ops.multimodal import (
+            extract_features,
+            image_ahash,
+            text_to_media,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "same payload"), (2, "same payload"), (3, "different")],
+            "doc_id long, text string",
+        )
+        h = image_ahash(extract_features(text_to_media(docs, "doc_id", "text")))
+        got = {r["id"]: r["ahash"] for r in h.collect()}
+        assert got[1] == got[2] != got[3]

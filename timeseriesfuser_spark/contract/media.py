@@ -129,3 +129,51 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("features", lambda x: F.format_string("%.4f", x)),
         ),
     )
+
+
+@register(
+    "image_ahash_dedup",
+    # The sha-fake feature blocks re-derived in SQL (the
+    # multimodal_features contract), thresholded at their own mean —
+    # exact float32/double agreement because every value is a multiple
+    # of 0.25 and the mean divides by a power of two.
+    oracle="""
+    WITH f AS (SELECT doc_id AS id,
+                      [(CAST(concat('0x', substr(sha256(text), 8*(i%8)+1, 2)) AS BIGINT)
+               + CAST(concat('0x', substr(sha256(text), 8*(i%8)+3, 2)) AS BIGINT)
+               + CAST(concat('0x', substr(sha256(text), 8*(i%8)+5, 2)) AS BIGINT)
+               + CAST(concat('0x', substr(sha256(text), 8*(i%8)+7, 2)) AS BIGINT)) / 4.0 FOR i IN range(16)] AS v
+               FROM documents WHERE text IS NOT NULL),
+    m AS (SELECT id, v, list_aggregate(v, 'sum') / 16 AS mu FROM f),
+    h AS (SELECT id, CAST(CASE WHEN v[1] > mu THEN 1 ELSE 0 END + CASE WHEN v[2] > mu THEN 2 ELSE 0 END + CASE WHEN v[3] > mu THEN 4 ELSE 0 END + CASE WHEN v[4] > mu THEN 8 ELSE 0 END + CASE WHEN v[5] > mu THEN 16 ELSE 0 END + CASE WHEN v[6] > mu THEN 32 ELSE 0 END + CASE WHEN v[7] > mu THEN 64 ELSE 0 END + CASE WHEN v[8] > mu THEN 128 ELSE 0 END + CASE WHEN v[9] > mu THEN 256 ELSE 0 END + CASE WHEN v[10] > mu THEN 512 ELSE 0 END + CASE WHEN v[11] > mu THEN 1024 ELSE 0 END + CASE WHEN v[12] > mu THEN 2048 ELSE 0 END + CASE WHEN v[13] > mu THEN 4096 ELSE 0 END + CASE WHEN v[14] > mu THEN 8192 ELSE 0 END + CASE WHEN v[15] > mu THEN 16384 ELSE 0 END + CASE WHEN v[16] > mu THEN 32768 ELSE 0 END AS BIGINT) AS ahash FROM m)
+    SELECT ahash,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(min(id) AS BIGINT) AS canonical_id,
+           CAST(bit_count(ahash) AS BIGINT) AS n_bits
+    FROM h GROUP BY ahash
+""",
+)
+def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup (ops.multimodal.image_ahash):
+    average-hash over the extracted feature vectors (bit i = feature i
+    above the vector mean), grouped into duplicate classes — the
+    multimodal counterpart of dedup_exact. The binary content dies
+    inside the Arrow mapInPandas feature pass; everything after is a
+    16-bit BIGINT."""
+    from timeseriesfuser_spark.ops.multimodal import (
+        extract_features,
+        image_ahash,
+        text_to_media,
+    )
+    from timeseriesfuser_spark.ops.util import spread_small_input
+
+    docs = spread_small_input(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    feats = extract_features(text_to_media(docs, "doc_id", "text"))
+    h = image_ahash(feats)
+    return h.groupBy("ahash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.min("id").cast("long").alias("canonical_id"),
+        F.max("n_bits").cast("long").alias("n_bits"),
+    )

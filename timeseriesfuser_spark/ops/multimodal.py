@@ -385,3 +385,56 @@ def text_to_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.lit("fake").alias("codec"),
         ).alias("meta"),
     )
+
+
+def image_ahash(
+    features_df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    features_col: str = "features",
+    dim: int = FEATURE_DIM,
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint from a feature
+    vector: bit i is set iff ``features[i] > mean(features)`` — the
+    classic decode-downsample-threshold image signature, computed here
+    over whatever :func:`extract_features` produced (the sha-fake in
+    this sandbox, a real pooled embedding outside it). Images whose
+    content differs only by re-encoding/metadata share a hash; hamming
+    distance between hashes approximates visual distance.
+
+    Exactness: feature values are exact multiples of 0.25 (means of
+    four uint8s) and the mean divides by a power of two, so the
+    float32→double comparison is bit-identical cross-engine — the
+    ``multimodal_features`` oracle contract extended one step.
+
+    Output (id, ahash, n_bits): BIGINT hash with ``dim`` bits and its
+    popcount. NULL feature vectors yield NULL hash (not the all-zero
+    hash). Pure projection over the feature relation — zero shuffle.
+    """
+    f = F.col(features_col)
+    mean = F.aggregate(
+        F.transform(f, lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ) / F.lit(float(dim))
+    terms = " + ".join(
+        f"IF(CAST({features_col}[{i}] AS DOUBLE) > __mean, {1 << i}, 0)"
+        for i in range(int(dim))
+    )
+    out = (
+        features_df.withColumn("__mean", mean)
+        .withColumn(
+            "ahash",
+            F.when(
+                f.isNotNull(), F.expr(f"CAST({terms} AS BIGINT)")
+            ),
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            "ahash",
+            F.when(F.col("ahash").isNotNull(), F.bit_count("ahash"))
+            .cast("long")
+            .alias("n_bits"),
+        )
+    )
+    return out
