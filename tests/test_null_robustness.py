@@ -98,6 +98,9 @@ QUERIES = [
     "winsorized_value_stats",
     # NULL-text media rows are excluded from hashing on both sides
     "image_ahash_dedup",
+    # NULL event_type is neither anchor, close, nor blocker in the
+    # stateful pattern matcher
+    "streaming_sequence_match",
 ]
 
 TABLES = [

@@ -824,3 +824,82 @@ class TestImageAHash:
         h = image_ahash(extract_features(text_to_media(docs, "doc_id", "text")))
         got = {r["id"]: r["ahash"] for r in h.collect()}
         assert got[1] == got[2] != got[3]
+
+
+class TestSequenceMatchStream:
+    def test_matches_batch_across_restart(self, spark, tmp_path):
+        """Pending-anchor state must survive the query restart: anchors
+        arrive in run 1, the closing/killing events in run 2; aggregated
+        emissions == batch sequence_match matched rows."""
+        from pyspark.sql import functions as F
+
+        from timeseriesfuser_spark.ops.behavior import sequence_match
+        from timeseriesfuser_spark.streaming import sequence_match_stream
+
+        rows = [
+            # u1: anchor then clean close (split across runs)
+            ("u1", "A", 10), ("u1", "B", 110),
+            # u2: anchor then blocker then B -> dead
+            ("u2", "A", 10), ("u2", "C", 50), ("u2", "B", 120),
+            # u3: anchor, B at same ts as C -> match (not strictly between)
+            ("u3", "A", 20), ("u3", "B", 130), ("u3", "C", 130),
+            # u4: anchor expires before its B (within=200)
+            ("u4", "A", 5), ("u4", "B", 300),
+            # u5: two anchors, one B closes both
+            ("u5", "A", 30), ("u5", "A", 90), ("u5", "B", 150),
+        ]
+        schema = "user_id string, event_type string, ts long"
+        batch_df = spark.createDataFrame(rows, schema)
+        want = {
+            r["user_id"]: (r["n_matches"], r["first_anchor_ts"])
+            for r in sequence_match(
+                batch_df, "A", "B", not_between="C", within_ms=200
+            ).collect()
+            if r["matched"] == 1
+        }
+        assert set(want) == {"u1", "u3", "u5"}
+        assert want["u5"] == (2, 30)
+
+        d = tmp_path / "seq"
+        ckpt = str(tmp_path / "ckpt_seq")
+        got = []
+
+        def run():
+            stream = spark.readStream.schema(schema).parquet(str(d))
+            out = sequence_match_stream(
+                stream, "A", "B", not_between="C", within_ms=200,
+                keys=["user_id"], ts_col="ts",
+            )
+
+            def sink(bdf, bid):
+                got.extend(bdf.collect())
+
+            q = (
+                out.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            assert q.exception() is None
+
+        first = [r for r in rows if r[2] < 100]
+        second = [r for r in rows if r[2] >= 100]
+        spark.createDataFrame(first, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+        run()
+        spark.createDataFrame(second, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+        run()
+
+        agg = {}
+        for r in got:
+            n, fa = agg.get(r["user_id"], (0, None))
+            agg[r["user_id"]] = (
+                n + r["n_anchor_events"],
+                r["anchor_ts"] if fa is None else min(fa, r["anchor_ts"]),
+            )
+        assert agg == want

@@ -1154,3 +1154,74 @@ def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "conv_id", "conv_ts", "cents", "touch_id", "touch_ts",
         "channel", "n_touches", "credit_ppm",
     )
+
+
+@register(
+    "streaming_sequence_match",
+    # Emission contract: one append row per MATCHED anchor; aggregating
+    # per user equals the batch sequence_match's matched=1 rows
+    # (availableNow over one parquet file = one micro-batch, rows sorted
+    # per group, so the pending-anchor state machine sees full
+    # event-time order).
+    oracle=f"""
+    WITH g AS (SELECT user_id AS u, epoch_ms(ts) AS t,
+                      sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_a,
+                      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_b,
+                      max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_c
+               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+               GROUP BY 1, 2),
+    w AS (SELECT *,
+                 min(CASE WHEN has_b = 1 THEN t END) OVER
+                     (PARTITION BY u ORDER BY t DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_b,
+                 min(CASE WHEN has_c = 1 THEN t END) OVER
+                     (PARTITION BY u ORDER BY t DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_c
+          FROM g),
+    m AS (SELECT u, t, n_a,
+                 (n_a > 0 AND next_b IS NOT NULL
+                  AND (next_c IS NULL OR next_b <= next_c)
+                  AND next_b <= t + {_SEQ_WITHIN}) AS ok
+          FROM w)
+    SELECT u AS user_id,
+           CAST(sum(CASE WHEN ok THEN n_a END) AS BIGINT) AS n_matches,
+           CAST(min(CASE WHEN ok THEN t END) AS BIGINT) AS first_anchor_ts,
+           CAST(count(*) FILTER (ok) AS BIGINT) AS n_anchors_matched
+    FROM m GROUP BY u
+    HAVING max(CASE WHEN ok THEN 1 ELSE 0 END) = 1
+    """,
+)
+def q_streaming_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live pattern-with-negation detection driven through the driver
+    harness (streaming.sequence_match_stream, applyInPandasWithState):
+    pending signup anchors ride the state store; a purchase inside the
+    7-day window matches and clears them, an error kills strictly-
+    earlier anchors. Aggregated append emissions equal the batch
+    sequence_match's matched users exactly."""
+    from timeseriesfuser_spark.contract._base import (
+        _run_availablenow_to_memory,
+    )
+    from timeseriesfuser_spark.streaming import sequence_match_stream
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_ms = ts_epoch_ms_col(stream, "ts")
+    ev = stream.select(
+        "user_id",
+        ts_ms.cast("long").alias("ts"),
+        "event_type",
+    ).filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    hits = sequence_match_stream(
+        ev, "signup", "purchase", not_between="error",
+        within_ms=_SEQ_WITHIN, keys=["user_id"], ts_col="ts",
+    )
+    emitted = _run_availablenow_to_memory(hits, "sq")
+    return emitted.groupBy("user_id").agg(
+        F.sum("n_anchor_events").cast("long").alias("n_matches"),
+        F.min("anchor_ts").cast("long").alias("first_anchor_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_anchors_matched"),
+    )

@@ -835,3 +835,109 @@ def vwap_stream(
             / F.col("sum_weight").cast("double"),
         ).alias("vwap_cents"),
     )
+
+
+def sequence_match_stream(
+    df: DataFrame,
+    first: str,
+    then: str,
+    *,
+    not_between: Optional[str] = None,
+    within_ms: Optional[int] = None,
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = TS_COL,
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of ``ops.behavior.sequence_match`` — live
+    pattern-with-negation detection (A … B with no ``not_between``
+    strictly between, optionally closing within ``within_ms``) via
+    ``applyInPandasWithState``: the pending-anchor set rides the state
+    store across micro-batches and restarts.
+
+    Per user and event-time instant (the batch op's (user, ts) grain
+    semantics, ties included): a ``then`` event MATCHES every pending
+    anchor still inside its window and clears them (a blocker at the
+    same instant is not *strictly between*); a ``not_between`` event
+    kills every strictly-earlier pending anchor; a ``first`` event
+    becomes a pending anchor after the instant's close/kill resolve.
+    Window-expired anchors are dropped as time advances, so state is
+    O(anchors inside one window) per key — pass ``within_ms`` for
+    bounded state on keys that anchor but never close.
+
+    Emits one append row per MATCHED anchor: (keys…, anchor_ts,
+    n_anchor_events, matched_ts). Aggregating emissions per user equals
+    the batch op's ``matched = 1`` rows (``n_matches = Σ
+    n_anchor_events``, ``first_anchor_ts = min(anchor_ts)``) WHEN
+    events arrive in event-time order across micro-batches — the
+    chronological-replay caveat shared with ``anomaly_stream``; within
+    one micro-batch order doesn't matter (rows are sorted per group).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keys = list(keys)
+    key_fields = [
+        T.StructField(kk, df.schema[kk].dataType, True) for kk in keys
+    ]
+    out_schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("anchor_ts", T.LongType(), True),
+            T.StructField("n_anchor_events", T.LongType(), True),
+            T.StructField("matched_ts", T.LongType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ats", T.ArrayType(T.LongType()), True),
+            T.StructField("cnt", T.ArrayType(T.LongType()), True),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        rows = []
+        for pdf in pdfs:
+            for t, ty in zip(pdf[ts_col], pdf[type_col]):
+                if t is not None and not pd.isna(t):
+                    rows.append((int(t), ty))
+        rows.sort(key=lambda r: r[0])
+        if state.exists:
+            pend = list(zip(state.get[0], state.get[1]))
+        else:
+            pend = []
+        out = []
+        i = 0
+        while i < len(rows):
+            j = i
+            T_ = rows[i][0]
+            has_b = has_c = False
+            n_a = 0
+            while j < len(rows) and rows[j][0] == T_:
+                ty = rows[j][1]
+                if ty == then:
+                    has_b = True
+                if not_between is not None and ty == not_between:
+                    has_c = True
+                if ty == first:
+                    n_a += 1
+                j += 1
+            i = j
+            if within_ms is not None:
+                pend = [p for p in pend if p[0] + within_ms >= T_]
+            if has_b:
+                for ta, na in pend:
+                    out.append(
+                        {**dict(zip(keys, key)), "anchor_ts": ta,
+                         "n_anchor_events": na, "matched_ts": T_}
+                    )
+                pend = []
+            if has_c:
+                pend = [p for p in pend if p[0] >= T_]
+            if n_a > 0:
+                pend.append((T_, n_a))
+        state.update(([p[0] for p in pend], [p[1] for p in pend]))
+        yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
