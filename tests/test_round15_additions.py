@@ -903,3 +903,47 @@ class TestSequenceMatchStream:
                 r["anchor_ts"] if fa is None else min(fa, r["anchor_ts"]),
             )
         assert agg == want
+
+
+class TestSortedNeighborhood:
+    def test_brute_force_differential(self, spark):
+        from timeseriesfuser_spark.ops.entity import sorted_neighborhood_pairs
+
+        rng = random.Random(21)
+        names = [
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+            for _ in range(50)
+        ]
+        rows = [(i, nm) for i, nm in enumerate(names)]
+        df = spark.createDataFrame(rows, "id long, name string")
+        for w in (1, 3, 7):
+            got = {
+                (r["id_a"], r["id_b"], r["rank_a"], r["rank_b"])
+                for r in sorted_neighborhood_pairs(df, window=w).collect()
+            }
+            ranked = sorted(rows, key=lambda r: (r[1], r[0]))
+            want = {
+                (ranked[i][0], ranked[j][0], i + 1, j + 1)
+                for i in range(len(ranked))
+                for j in range(i + 1, min(i + w + 1, len(ranked)))
+            }
+            assert got == want, w
+
+    def test_edit_verify_and_nulls(self, spark):
+        from timeseriesfuser_spark.ops.entity import sorted_neighborhood_pairs
+
+        rows = [(1, "acme corp"), (2, "acme corpx"), (3, "zzz"), (4, None)]
+        df = spark.createDataFrame(rows, "id long, name string")
+        got = sorted_neighborhood_pairs(
+            df, window=3, max_edits=1
+        ).collect()
+        assert [(r["id_a"], r["id_b"], r["edit_distance"]) for r in got] == [
+            (1, 2, 1)
+        ]
+
+    def test_validation(self, spark):
+        from timeseriesfuser_spark.ops.entity import sorted_neighborhood_pairs
+
+        df = spark.createDataFrame([(1, "a")], "id long, name string")
+        with pytest.raises(ValueError):
+            sorted_neighborhood_pairs(df, window=0)

@@ -980,3 +980,41 @@ def q_html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return X.html_text_extract(wrapped, id_col="doc_id", text_col="html")
+
+
+@register(
+    "supplier_sorted_neighborhood",
+    # The oracle states the naive rank-difference theta join — parity
+    # proves the asymmetric rank-block equi-join covers every pair
+    # within the window exactly once.
+    oracle="""
+    WITH d AS (SELECT s_suppkey AS id, s_name AS s FROM supplier
+               WHERE s_name IS NOT NULL),
+    rn AS (SELECT id, s,
+                  row_number() OVER (ORDER BY s ASC, id ASC) AS rk
+           FROM d)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(a.rk AS BIGINT) AS rank_a,
+           CAST(b.rk AS BIGINT) AS rank_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS edit_distance
+    FROM rn a JOIN rn b ON b.rk > a.rk AND b.rk - a.rk <= 3
+    WHERE levenshtein(a.s, b.s) <= 2
+    """,
+)
+def q_supplier_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking
+    (ops.entity.sorted_neighborhood_pairs): suppliers sorted by name via
+    the two-pass bucketed global rank, every pair within 3 positions a
+    candidate (asymmetric rank-block equi-join — candidate volume
+    exactly n·window, never a theta join), verified with levenshtein
+    <= 2. The prefix-drift complement to fuzzy_supplier_names' deletion
+    neighborhoods."""
+    from timeseriesfuser_spark.ops.entity import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "supplier"),
+        id_col="s_suppkey",
+        sort_col="s_name",
+        window=3,
+        max_edits=2,
+    )

@@ -95,3 +95,104 @@ def canonical_entities(
         "id",
         F.col("cluster_id").cast(dict(ids.dtypes)["id"]).alias("canonical_id"),
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    sort_col: str = "name",
+    window: int = 3,
+    max_edits: int | None = None,
+    num_buckets=None,
+) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking (Hernández &
+    Stolfo): records sorted by a blocking key; every pair within
+    ``window`` positions of each other is a candidate — the classic
+    complement to equi-key blocking (``fuzzy_match_pairs``' deletion
+    neighborhoods catch typos; sorted neighborhoods catch prefix drift
+    like 'ACME Corp' / 'ACME Corporation' that shares no small edit).
+
+    Scale: ranks come from the two-pass range-bucketed
+    :func:`~timeseriesfuser_spark.ops.scale.exact_global_rank` (never a
+    single-task global window), and the neighbor join is an EQUI-join:
+    each row lands in rank-block ``rank DIV window`` and its successor
+    block, so any pair within ``window`` positions shares a block —
+    2× fan-out, |Δrank| filtered inside the join, never a rank-range
+    theta join. Candidate volume is exactly n·window.
+
+    Rows with a NULL ``sort_col`` are excluded (they have no sort
+    position). Output (id_a, id_b, rank_a, rank_b) ordered pairs with
+    rank_a < rank_b; with ``max_edits`` set, candidates are verified
+    with codegen ``levenshtein`` and an ``edit_distance`` column is
+    appended.
+    """
+    from timeseriesfuser_spark.ops.scale import exact_global_rank
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1: {window}")
+    base = df.filter(F.col(sort_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(sort_col).alias("__s")
+    )
+    # the range bucketer needs a NUMERIC first order column: the first 7
+    # bytes of the (NUL-padded) UTF-8 key as a big-endian integer are
+    # order-consistent with binary string order (s1 < s2 ⇒ bk1 <= bk2),
+    # so ranking by (__bk, __s, id) is the same total order as (__s, id)
+    # and ties of __bk never straddle buckets.
+    base = base.withColumn(
+        "__bk",
+        F.conv(
+            F.hex(
+                F.substring(
+                    F.encode(F.rpad(F.col("__s"), 7, "\u0000"), "UTF-8"), 1, 7
+                )
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    ranked = exact_global_rank(
+        base, ["__bk", "__s", "id"], num_buckets=num_buckets, rank_col="__rk"
+    )
+    w = int(window)
+    # asymmetric blocking, each pair meets EXACTLY once (no distinct, no
+    # election): the lower-rank side joins from its own block AND its
+    # successor block; the higher-rank side sits only in its own block.
+    # For any pair with 0 < Δrank <= w, rb DIV w is either ra DIV w or
+    # ra DIV w + 1 — one of a's two keys, never both.
+    a = ranked.select(
+        "id", "__s", "__rk",
+        F.explode(
+            F.array(
+                F.expr(f"__rk DIV {w}"), F.expr(f"__rk DIV {w} + 1")
+            )
+        ).alias("__b"),
+    ).alias("a")
+    b = ranked.select(
+        "id", "__s", "__rk", F.expr(f"__rk DIV {w}").alias("__b")
+    ).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__b") == F.col("b.__b"))
+            & (F.col("a.__rk") < F.col("b.__rk"))
+            & (F.col("b.__rk") - F.col("a.__rk") <= w),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.__rk").alias("rank_a"),
+            F.col("b.__rk").alias("rank_b"),
+            F.col("a.__s").alias("__sa"),
+            F.col("b.__s").alias("__sb"),
+        )
+    )
+    if max_edits is None:
+        return cand.select("id_a", "id_b", "rank_a", "rank_b")
+    return (
+        cand.withColumn(
+            "edit_distance", F.levenshtein("__sa", "__sb").cast("long")
+        )
+        .filter(F.col("edit_distance") <= int(max_edits))
+        .select("id_a", "id_b", "rank_a", "rank_b", "edit_distance")
+    )
