@@ -101,6 +101,8 @@ QUERIES = [
     # NULL event_type is neither anchor, close, nor blocker in the
     # stateful pattern matcher
     "streaming_sequence_match",
+    # NULL/short text contributes no bigrams and no unigrams
+    "collocations_docs",
 ]
 
 TABLES = [

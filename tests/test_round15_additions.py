@@ -947,3 +947,38 @@ class TestSortedNeighborhood:
         df = spark.createDataFrame([(1, "a")], "id long, name string")
         with pytest.raises(ValueError):
             sorted_neighborhood_pairs(df, window=0)
+
+
+class TestCollocations:
+    def test_lift_hand_check(self, spark):
+        from timeseriesfuser_spark.ops.text import collocations_top
+
+        # "new york" always adjacent; "the cat" adjacent but 'the' common
+        docs = ["new york " * 6 + "the cat the dog the fish the bird the cow"]
+        df = spark.createDataFrame([(1, docs[0])], "doc_id long, text string")
+        out = {
+            (r["token_a"], r["token_b"]): r
+            for r in collocations_top(df, min_count=5, top_k=10).collect()
+        }
+        toks = docs[0].split()
+        T = len(toks)
+        c = {}
+        for t in toks:
+            c[t] = c.get(t, 0) + 1
+        ny = out[("new", "york")]
+        assert ny["n_pair"] == 6 and ny["n_a"] == 6 and ny["n_b"] == 6
+        assert ny["lift_ppm"] == 6 * T * 1_000_000 // (6 * 6)
+        # 'the X' pairs exist but each unique pair has count 1 < min_count
+        assert ("the", "cat") not in out
+
+    def test_null_and_short_docs(self, spark):
+        from timeseriesfuser_spark.ops.text import collocations_top
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "one"), (3, "")] + [(i, "a b") for i in range(4, 10)],
+            "doc_id long, text string",
+        )
+        rows = collocations_top(df, min_count=5, top_k=5).collect()
+        assert [(r["token_a"], r["token_b"], r["n_pair"]) for r in rows] == [
+            ("a", "b", 6)
+        ]

@@ -1018,3 +1018,39 @@ def q_supplier_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFram
         window=3,
         max_edits=2,
     )
+
+
+@register(
+    "collocations_docs",
+    oracle="""
+    WITH tk AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                FROM documents),
+    big AS (SELECT t[i] AS token_a, t[i+1] AS token_b
+            FROM tk, unnest(range(1, len(t))) AS u(i)),
+    uni AS (SELECT unnest(t) AS tk FROM tk),
+    uc AS (SELECT tk, count(*) AS c FROM uni GROUP BY tk),
+    tot AS (SELECT sum(c) AS T FROM uc),
+    pairs AS (SELECT token_a, token_b, count(*) AS n_pair
+              FROM big GROUP BY 1, 2 HAVING count(*) >= 5),
+    scored AS (
+        SELECT p.token_a, p.token_b,
+               CAST(p.n_pair AS BIGINT) AS n_pair,
+               CAST(a.c AS BIGINT) AS n_a,
+               CAST(b.c AS BIGINT) AS n_b,
+               CAST((CAST(p.n_pair AS HUGEINT) * T * 1000000)
+                    // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS lift_ppm
+        FROM pairs p
+        JOIN uc a ON a.tk = p.token_a
+        JOIN uc b ON b.tk = p.token_b
+        CROSS JOIN tot)
+    SELECT * FROM scored
+    ORDER BY lift_ppm DESC, token_a, token_b LIMIT 50
+    """,
+)
+def q_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus collocations (ops.text.collocations_top): adjacent
+    bigrams ranked by integer lift c_ab·T·1e6 DIV (c_a·c_b) — the
+    log-free PMI core, the phrase-mining / tokenizer-merge-candidate
+    report. One bigram explode + three hash-aggs, unigram counts
+    broadcast, TakeOrdered top-k."""
+    return X.collocations_top(_t(spark, sf_dir, "documents"))

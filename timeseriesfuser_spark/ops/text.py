@@ -1349,3 +1349,86 @@ def html_text_extract(
         F.coalesce(F.length(raw), F.lit(0)).cast("long").alias("n_chars_raw"),
         F.coalesce(F.length(t), F.lit(0)).cast("long").alias("n_chars_clean"),
     )
+
+
+def collocations_top(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Corpus collocations: adjacent-token bigrams ranked by integer
+    lift — observed/expected co-occurrence under independence,
+
+        lift_ppm = c_ab·T·scale DIV (c_a·c_b)
+
+    (c_ab = bigram count, c_a/c_b = unigram counts, T = total tokens) —
+    the log-free PMI core (rank-equivalent to pointwise mutual
+    information, which is ln of this ratio). The phrase-mining /
+    tokenizer-merge-candidate primitive: 'new york', 'machine learning'
+    score high because they co-occur far above chance.
+
+    Exact integers end to end (decimal(38,0) for the c_ab·T product —
+    no overflow at any corpus size); ``min_count`` prunes the Zipf tail
+    before ranking (a 1-occurrence bigram of two rare words has huge
+    lift and no support — the standard floor); top_k by (lift desc,
+    bigram text) via TakeOrdered.
+
+    Output: (token_a, token_b, n_pair, n_a, n_b, lift_ppm).
+    Scale: one bigram explode + three hash aggregations; the unigram
+    relation joins back twice (broadcast for a closed vocab — the
+    ``token_rarity`` stance).
+    """
+    if min_count < 1 or top_k < 1:
+        raise ValueError("min_count and top_k must be >= 1")
+    toks = _tokens(text_col)
+    big = spread_small_input(df).select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<a:string,b:string>>")
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("token_a"), F.col("p.b").alias("token_b"))
+    uni = spread_small_input(df).select(
+        F.explode(toks).alias("tk")
+    ).groupBy("tk").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = uni.agg(F.sum("c").cast("long").alias("__T"))
+    pairs = (
+        big.groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= int(min_count))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(uni.select(F.col("tk").alias("token_a"), F.col("c").alias("n_a"))),
+            "token_a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tk").alias("token_b"), F.col("c").alias("n_b"))),
+            "token_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lift_ppm",
+            F.expr(
+                f"CAST((CAST(n_pair AS DECIMAL(38,0)) * __T * {int(scale)})"
+                " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        scored.select("token_a", "token_b", "n_pair", "n_a", "n_b", "lift_ppm")
+        .orderBy(
+            F.desc("lift_ppm"), F.asc("token_a"), F.asc("token_b")
+        )
+        .limit(int(top_k))
+    )
