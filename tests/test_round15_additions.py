@@ -982,3 +982,50 @@ class TestCollocations:
         assert [(r["token_a"], r["token_b"], r["n_pair"]) for r in rows] == [
             ("a", "b", 6)
         ]
+
+
+class TestHilbertKey:
+    def _xy2d(self, x, y, b):
+        d = 0
+        s = 1 << (b - 1)
+        while s:
+            rx = 1 if (x & s) else 0
+            ry = 1 if (y & s) else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s >>= 1
+        return d
+
+    def test_matches_reference_and_bijective(self, spark):
+        from timeseriesfuser_spark.ops.scale import hilbert_key
+
+        b, n = 4, 16
+        df = spark.range(n * n).selectExpr(f"id % {n} AS x", f"id DIV {n} AS y")
+        rows = df.select("x", "y", hilbert_key("x", "y", bits=b).alias("h")).collect()
+        assert all(r["h"] == self._xy2d(r["x"], r["y"], b) for r in rows)
+        assert sorted(r["h"] for r in rows) == list(range(n * n))
+
+    def test_locality_beats_morton_jumps(self, spark):
+        """Consecutive Hilbert positions are always grid-adjacent; Morton
+        makes diagonal jumps. Verify the defining property on 8x8."""
+        from timeseriesfuser_spark.ops.scale import hilbert_key
+
+        b, n = 3, 8
+        df = spark.range(n * n).selectExpr(f"id % {n} AS x", f"id DIV {n} AS y")
+        rows = df.select("x", "y", hilbert_key("x", "y", bits=b).alias("h")).collect()
+        pos = {r["h"]: (r["x"], r["y"]) for r in rows}
+        for h in range(n * n - 1):
+            (x1, y1), (x2, y2) = pos[h], pos[h + 1]
+            assert abs(x1 - x2) + abs(y1 - y2) == 1, h
+
+    def test_validation_and_masking(self, spark):
+        from timeseriesfuser_spark.ops.scale import hilbert_key
+
+        with pytest.raises(ValueError):
+            hilbert_key("x", "y", bits=0)
+        df = spark.createDataFrame([(17, 1)], "x long, y long")  # 17 & 15 = 1
+        a = df.select(hilbert_key("x", "y", bits=4).alias("h")).collect()[0]["h"]
+        assert a == self._xy2d(1, 1, 4)

@@ -1852,3 +1852,33 @@ def q_k_anon_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
         sensitive_col="c_acctbal",
     )
+
+
+def _hilbert_oracle() -> str:
+    from timeseriesfuser_spark.ops.scale import hilbert_key_sql
+
+    k = hilbert_key_sql("l_partkey", "l_suppkey", bits=8)
+    return f"""
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           {k} AS hkey
+    FROM lineitem
+    """
+
+
+@register("hilbert_lineitem", oracle=_hilbert_oracle())
+def q_hilbert_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout key over (l_partkey, l_suppkey)
+    (ops.scale.hilbert_key): the space-filling-curve alternative to
+    zorder_lineitem with no Morton diagonal jumps — adjacent curve
+    positions are always adjacent cells, so range scans cross fewer
+    file boundaries. The per-bit rotate/reflect state machine unrolls
+    to 8 levels of integer CASE arithmetic generated from ONE Python
+    loop for both engines (DuckDB's ^ is power — its twin spells
+    xor()); pure projection, zero shuffle."""
+    from timeseriesfuser_spark.ops.scale import hilbert_key
+
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        hilbert_key("l_partkey", "l_suppkey", bits=8).alias("hkey"),
+    )

@@ -599,3 +599,103 @@ def benford_digits(
             exp_col.cast("long").alias("exp_ppm"),
         )
     )
+
+
+def _hilbert_level(v_x: str, v_y: str, v_d: str, s: int, xor_fmt: str) -> tuple:
+    """One Hilbert xy2d level at cell size ``s`` over the lambda-bound
+    state fields: returns (x_expr, y_expr, d_expr). Quadrant digit is
+    (3·rx) XOR ry; lower quadrants reflect (rx=1) and transpose (ry=0)
+    the frame — the textbook iterative conversion. Expressions reference
+    the VARIABLES, never inline prior levels (an inlined 8-level unroll
+    measured a parser OOM: each level multiplies the text ~5×)."""
+    rx = f"(CASE WHEN ({v_x} & {s}) != 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN ({v_y} & {s}) != 0 THEN 1 ELSE 0 END)"
+    digit = xor_fmt.format(a=f"(3 * {rx})", b=ry)
+    d_expr = f"({v_d} + {s} * {s} * {digit})"
+    x_expr = (
+        f"(CASE WHEN {ry} = 1 THEN {v_x}"
+        f" WHEN {rx} = 1 THEN {s} - 1 - {v_y} ELSE {v_y} END)"
+    )
+    y_expr = (
+        f"(CASE WHEN {ry} = 1 THEN {v_y}"
+        f" WHEN {rx} = 1 THEN {s} - 1 - {v_x} ELSE {v_x} END)"
+    )
+    return x_expr, y_expr, d_expr
+
+
+def _hilbert_chain(x_col: str, y_col: str, bits: int, dialect: str) -> str:
+    """Linear-size Hilbert key expression: each level is a single-element
+    ``transform`` lambda whose body references the bound state struct —
+    the projection-collapse blocker from the MinHash signature lesson,
+    here keeping the PARSER input linear in ``bits`` too."""
+    b = int(bits)
+    if not 1 <= b <= 31:
+        raise ValueError(f"need 1 <= bits <= 31: {bits}")
+    mask = (1 << b) - 1
+    if dialect == "spark":
+        xor_fmt = "({a} ^ {b})"
+        fx, fy, fd = "s.x", "s.y", "s.d"
+
+        def pack(x, y, d):
+            return f"named_struct('x', {x}, 'y', {y}, 'd', {d})"
+
+        def level(prev, body):
+            return f"transform(array({prev}), s -> {body})[0]"
+
+    elif dialect == "duckdb":
+        xor_fmt = "xor({a}, {b})"
+        fx = "struct_extract(s, 'x')"
+        fy = "struct_extract(s, 'y')"
+        fd = "struct_extract(s, 'd')"
+
+        def pack(x, y, d):
+            return f"struct_pack(x := {x}, y := {y}, d := {d})"
+
+        def level(prev, body):
+            return f"list_transform([{prev}], s -> {body})[1]"
+
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    expr = pack(
+        f"(CAST({x_col} AS BIGINT) & {mask})",
+        f"(CAST({y_col} AS BIGINT) & {mask})",
+        "CAST(0 AS BIGINT)",
+    )
+    for lvl in range(b - 1, -1, -1):
+        xe, ye, de = _hilbert_level(fx, fy, fd, 1 << lvl, xor_fmt)
+        expr = level(expr, pack(xe, ye, de))
+    if dialect == "spark":
+        return f"CAST(({expr}).d AS BIGINT)"
+    return f"CAST(struct_extract({expr}, 'd') AS BIGINT)"
+
+
+def hilbert_key(
+    x_col: str,
+    y_col: str,
+    *,
+    bits: int = 8,
+) -> "F.Column":
+    """Hilbert-curve key for two dimensions: like :func:`zorder_key` but
+    on the Hilbert space-filling curve, whose 1-D order never makes the
+    long diagonal jumps Morton does — adjacent curve positions are
+    ALWAYS adjacent cells, so range scans touch fewer file boundaries
+    (the reason Delta/Iceberg offer Hilbert alongside Z-order).
+
+    Inputs are masked to ``bits`` non-negative low bits (pre-bucket raw
+    values so the low bits carry locality); the key is in [0, 4^bits).
+    Pure projection — the per-bit rotate/reflect state machine chains
+    through single-element ``transform`` lambdas (expression size
+    linear in ``bits``; a textual unroll multiplies ~5× per level and
+    OOMs the parser at 8 levels), zero shuffle.
+    :func:`hilbert_key_sql` chains the SAME levels, so keys are
+    engine-bit-identical. Layout usage: :func:`zorder_layout` with this
+    key column instead.
+    """
+    return F.expr(_hilbert_chain(x_col, y_col, bits, "spark")).cast("long")
+
+
+def hilbert_key_sql(x_col: str, y_col: str, *, bits: int = 8) -> str:
+    """DuckDB twin of :func:`hilbert_key` — the same level chain through
+    ``list_transform`` lambdas (DuckDB spells bitwise xor as ``xor()``;
+    its ``^`` is power)."""
+    return _hilbert_chain(x_col, y_col, bits, "duckdb")
