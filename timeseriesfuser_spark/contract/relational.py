@@ -1882,3 +1882,68 @@ def q_hilbert_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").cast("long").alias("l_linenumber"),
         hilbert_key("l_partkey", "l_suppkey", bits=8).alias("hkey"),
     )
+
+
+@register(
+    "lineitem_checksum",
+    # Canonical row string: name=value per column, NULL as a chr(0) tag,
+    # chr(31) separators; 60-bit md5 hash summed in HUGEINT (order- and
+    # partitioning-independent). Doubles are pre-quantized to cents —
+    # double→VARCHAR formatting is NOT engine-portable (Spark uses
+    # scientific notation past 1e7; DuckDB never does).
+    oracle="""
+    WITH p AS (SELECT l_orderkey, l_partkey, l_suppkey,
+                      CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                      l_returnflag, l_linestatus,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+               FROM lineitem),
+    h AS (SELECT l_returnflag,
+                 CAST(concat('0x', substr(md5(
+                     'l_orderkey=' || COALESCE(CAST(l_orderkey AS VARCHAR), chr(0))
+                     || chr(31) ||
+                     'l_partkey=' || COALESCE(CAST(l_partkey AS VARCHAR), chr(0))
+                     || chr(31) ||
+                     'l_suppkey=' || COALESCE(CAST(l_suppkey AS VARCHAR), chr(0))
+                     || chr(31) ||
+                     'l_linenumber=' || COALESCE(CAST(l_linenumber AS VARCHAR), chr(0))
+                     || chr(31) ||
+                     'l_linestatus=' || COALESCE(l_linestatus, chr(0))
+                     || chr(31) ||
+                     'price_cents=' || COALESCE(CAST(price_cents AS VARCHAR), chr(0))
+                 ), 1, 15)) AS BIGINT) AS hh
+          FROM p)
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(hh AS HUGEINT)) AS VARCHAR) AS checksum
+    FROM h GROUP BY l_returnflag
+    """,
+)
+def q_lineitem_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-group content checksum
+    (ops.scale.table_checksum): null-tagged canonical row strings →
+    60-bit md5 hashes → an unwrappable decimal sum, identical under any
+    row order or partitioning — the cross-engine table-equality /
+    replication-verification primitive (shard_manifest is the
+    deliberately order-SENSITIVE sibling). Doubles pre-quantized to
+    cents: double→string formatting is not engine-portable."""
+    from timeseriesfuser_spark.ops.scale import table_checksum
+
+    p = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias(
+            "price_cents"
+        ),
+    )
+    return table_checksum(
+        p,
+        group_cols=["l_returnflag"],
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_linestatus", "price_cents",
+        ],
+    )

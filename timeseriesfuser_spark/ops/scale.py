@@ -699,3 +699,59 @@ def hilbert_key_sql(x_col: str, y_col: str, *, bits: int = 8) -> str:
     ``list_transform`` lambdas (DuckDB spells bitwise xor as ``xor()``;
     its ``^`` is power)."""
     return _hilbert_chain(x_col, y_col, bits, "duckdb")
+
+
+def table_checksum(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str] = (),
+    columns: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Order-independent content checksum — the cross-engine /
+    cross-cluster table-equality primitive (did the migration copy
+    everything? do the replicas agree?) that :func:`shard_manifest`'s
+    order-SENSITIVE digest deliberately is not: each row hashes to a
+    60-bit integer over its null-tagged canonical string, and the
+    checksum is the SUM (mod nothing — decimal(38,0) never wraps), so
+    any row order and any partitioning give the same value. Identical
+    multisets of rows ⇒ identical (n_rows, checksum); a single changed
+    cell moves the sum.
+
+    Row canonicalization: every checked column renders as
+    ``name=value`` with NULL as a distinct tag (``name=\\x00``) —
+    engine-portable (md5 + hex parse), no struct hashing. Pass
+    ``columns`` to check a projection; ``group_cols`` yields per-group
+    checksums (per-partition drill-down when a full-table compare
+    mismatches).
+
+    Scale: one projection + one hash aggregation; map-side partial sums
+    do most of the work.
+    """
+    from timeseriesfuser_spark.ops.dedup import md5_hash64
+
+    cols = list(columns) if columns is not None else [
+        c for c in df.columns if c not in set(group_cols)
+    ]
+    if not cols:
+        raise ValueError("no columns to checksum")
+    parts = []
+    for c in cols:
+        parts.append(
+            F.concat(
+                F.lit(f"{c}="),
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00")),
+            )
+        )
+    canon = F.concat_ws("\x1f", *parts)
+    h = md5_hash64(canon)
+    return (
+        df.select(*group_cols, h.alias("__h"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr("CAST(__h AS DECIMAL(38,0))"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("checksum"),
+        )
+    )
