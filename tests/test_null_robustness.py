@@ -103,6 +103,8 @@ QUERIES = [
     "streaming_sequence_match",
     # NULL/short text contributes no bigrams and no unigrams
     "collocations_docs",
+    # NULL source is its own determinant class; NULL lang a value class
+    "fd_source_lang",
 ]
 
 TABLES = [

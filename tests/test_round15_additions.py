@@ -1074,3 +1074,35 @@ class TestTableChecksum:
         df = spark.createDataFrame([(1,)], "g long")
         with pytest.raises(ValueError):
             table_checksum(df, group_cols=["g"])
+
+
+class TestFDViolations:
+    def test_majority_and_violations(self, spark):
+        from timeseriesfuser_spark.ops.expect import fd_violations
+
+        rows = [
+            ("s1", "en"), ("s1", "en"), ("s1", "fr"),
+            ("s2", "de"),
+            ("s3", "en"), ("s3", "fr"),      # tie -> 'en' (value asc)
+            ("s4", None), ("s4", None), ("s4", "en"),
+        ]
+        df = spark.createDataFrame(rows, "source string, lang string")
+        out = {
+            r["source"]: (
+                r["n_rows"], r["n_distinct"], r["majority_value"],
+                r["n_violations"], r["violation_ppm"],
+            )
+            for r in fd_violations(df, ["source"], "lang").collect()
+        }
+        assert out["s1"] == (3, 2, "en", 1, 333_333)
+        assert out["s2"] == (1, 1, "de", 0, 0)
+        assert out["s3"] == (2, 2, "en", 1, 500_000)
+        # NULL is a real value class and here the majority
+        assert out["s4"] == (3, 2, "\x00", 1, 333_333)
+
+    def test_validation(self, spark):
+        from timeseriesfuser_spark.ops.expect import fd_violations
+
+        df = spark.createDataFrame([(1, 2)], "a long, b long")
+        with pytest.raises(ValueError):
+            fd_violations(df, [], "b")

@@ -1947,3 +1947,46 @@ def q_lineitem_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linestatus", "price_cents",
         ],
     )
+
+
+@register(
+    "fd_source_lang",
+    # Majority = (count DESC, value ASC); DuckDB arg_min can't take a
+    # composite key (round-4 gotcha) — the row_number-CASE formulation
+    # replicates the Spark min_by struct key. NULL dependents carry the
+    # chr(0) tag (a real violation class).
+    oracle="""
+    WITH grain AS (SELECT source,
+                          COALESCE(CAST(lang AS VARCHAR), chr(0)) AS v,
+                          count(*) AS c
+                   FROM documents GROUP BY 1, 2),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY source
+                                            ORDER BY c DESC, v) AS rnk
+               FROM grain),
+    agg AS (SELECT source,
+                   sum(c) AS n_rows,
+                   count(*) AS n_distinct,
+                   max(c) AS maxc,
+                   min(CASE WHEN rnk = 1 THEN v END) AS majority_value
+            FROM ranked GROUP BY source)
+    SELECT source,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           majority_value,
+           CAST(n_rows - maxc AS BIGINT) AS n_violations,
+           CAST((n_rows - maxc) * 1000000 // n_rows AS BIGINT)
+               AS violation_ppm
+    FROM agg
+    """,
+)
+def q_fd_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional dependency audit
+    (ops.expect.fd_violations): does source → lang hold in the
+    documents table, and by how much does each source violate it?
+    Reports distinct dependents, the majority value (count desc, value
+    asc — the repair suggestion) and violation ppm per source. Two
+    map-side-combinable aggregations, output bounded by distinct
+    sources."""
+    from timeseriesfuser_spark.ops.expect import fd_violations
+
+    return fd_violations(_t(spark, sf_dir, "documents"), ["source"], "lang")

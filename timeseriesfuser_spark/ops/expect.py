@@ -173,3 +173,60 @@ def k_anonymity(
         )
     out = df.groupBy(*quasi_cols).agg(*aggs)
     return out.withColumn("at_risk", (F.col("n") < k).cast("long"))
+
+
+def fd_violations(
+    df: DataFrame,
+    determinant_cols: Sequence[str],
+    dependent_col: str,
+) -> DataFrame:
+    """Approximate-functional-dependency audit: does ``determinant_cols``
+    → ``dependent_col`` hold, and where does it break? For every
+    determinant tuple: the number of distinct dependent values, the
+    majority value (ties broken by value text — deterministic), and the
+    violation count (rows disagreeing with the majority) — the
+    data-quality primitive behind "one SKU should map to one brand" /
+    "one source should have one language" checks, and the repair
+    suggestion (the majority) in the same pass.
+
+    NULL dependents count as a value (a determinant mapping to NULL and
+    'en' is a real violation); NULL determinant tuples form their own
+    class, like any groupBy.
+
+    Output: (determinant_cols…, n_rows, n_distinct, majority_value
+    (string), n_violations, violation_ppm). Scale: one
+    (determinant, dependent) hash-agg, then one min_by-on-struct
+    aggregate over that grain — both map-side combinable; output
+    bounded by distinct determinant tuples.
+    """
+    dets = list(determinant_cols)
+    if not dets:
+        raise ValueError("determinant_cols must be non-empty")
+    dv = F.coalesce(F.col(dependent_col).cast("string"), F.lit("\x00"))
+    grain = df.groupBy(*dets, dv.alias("__v")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    out = grain.groupBy(*dets).agg(
+        F.sum("__c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("__c").alias("__maxc"),
+        # majority = (count desc, value asc) in ONE aggregate: min_by on
+        # struct(-count, value) — no second consumer of the grain
+        # relation (Catalyst would re-execute it per consumer)
+        F.min_by(
+            "__v", F.struct((-F.col("__c")).alias("nc"), F.col("__v"))
+        ).alias("majority_value"),
+    )
+    return (
+        out.withColumn(
+            "n_violations", (F.col("n_rows") - F.col("__maxc")).cast("long")
+        )
+        .withColumn(
+            "violation_ppm",
+            F.expr("n_violations * 1000000 DIV n_rows").cast("long"),
+        )
+        .select(
+            *dets, "n_rows", "n_distinct", "majority_value",
+            "n_violations", "violation_ppm",
+        )
+    )
