@@ -512,6 +512,61 @@ def run(spark, n: int, only=None) -> dict:
         "sim_histogram",
         lambda: _simhop(vecs, sample_buckets=buckets),
     )
+    # round-15 wave 2: interval×interval overlap (user-day activity
+    # spans × global burst hours), exact winsorized mean over 10k user
+    # groups, FD audit on the (user, type) grain, order-independent
+    # checksum (pure projection + agg)
+    from timeseriesfuser_spark.operators.rangejoin import (
+        interval_overlap_join as _ovlop,
+    )
+
+    act = ev.groupBy(
+        "user_id", F.expr("__timestamp DIV 86400000").alias("__d")
+    ).agg(
+        F.min("__timestamp").alias("a_start"),
+        (F.max("__timestamp") + 1).alias("a_end"),
+    )
+    burst = (
+        ev.filter(F.col("event_id") % 7 == 0)
+        .groupBy((F.expr("__timestamp DIV 3600000") * 3600000).alias("b_start"))
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .filter(F.col("n_ev") >= 3)
+        .withColumn("b_end", F.col("b_start") + 3600000)
+    )
+    t(
+        "interval_overlap",
+        lambda: _ovlop(
+            act, burst,
+            left_start="a_start", left_end="a_end",
+            right_start="b_start", right_end="b_end",
+            chunk_ms=3_600_000,
+        ),
+    )
+    from timeseriesfuser_spark.ops.timeseries import (
+        winsorized_stats as _winop,
+    )
+
+    t(
+        "winsorized_10k_groups",
+        lambda: _winop(
+            ev.select("user_id", "value"),
+            group_col="user_id", value_col="value",
+        ),
+    )
+    from timeseriesfuser_spark.ops.expect import fd_violations as _fdop
+    from timeseriesfuser_spark.ops.scale import table_checksum as _ckop
+
+    typed2 = ev.select(
+        "user_id", (F.col("event_id") % 5).cast("string").alias("ty")
+    )
+    t("fd_audit", lambda: _fdop(typed2, ["user_id"], "ty"))
+    t(
+        "table_checksum",
+        lambda: _ckop(
+            ev.select("event_id", "user_id", "__timestamp"),
+            group_cols=["user_id"],
+        ),
+    )
     return out
 
 
