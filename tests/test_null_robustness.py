@@ -105,6 +105,8 @@ QUERIES = [
     "collocations_docs",
     # NULL source is its own determinant class; NULL lang a value class
     "fd_source_lang",
+    # NULL ts/type rows drop before bar aggregation
+    "burst_flags_1h",
 ]
 
 TABLES = [

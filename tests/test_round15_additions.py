@@ -1106,3 +1106,32 @@ class TestFDViolations:
         df = spark.createDataFrame([(1, 2)], "a long, b long")
         with pytest.raises(ValueError):
             fd_violations(df, [], "b")
+
+
+class TestBurstFlags:
+    def test_hysteresis_hand_check(self, spark):
+        from timeseriesfuser_spark.ops.timeseries import burst_flags
+
+        # counts per hour: 2(dead) 6(enter) 3(hold) 1(exit) 6(enter) 0-gap 2(dead->holds 0? no: after exit)...
+        counts = [2, 6, 3, 1, 6, 2, 1, 7]
+        rows = []
+        eid = 0
+        for h, c in enumerate(counts):
+            for _ in range(c):
+                rows.append(("k", h * 3_600_000 + 5, eid)); eid += 1
+        df = spark.createDataFrame(rows, "event_type string, ts long, event_id long")
+        out = sorted(
+            burst_flags(df, "1h", hi=5, lo=1).collect(),
+            key=lambda r: r["bar_start"],
+        )
+        assert [r["n_events"] for r in out] == counts
+        assert [r["in_burst"] for r in out] == [0, 1, 1, 0, 1, 1, 0, 1]
+        assert [r["entered"] for r in out] == [0, 1, 0, 0, 1, 0, 0, 1]
+        assert [r["burst_id"] for r in out] == [None, 1, 1, None, 2, 2, None, 3]
+
+    def test_validation(self, spark):
+        from timeseriesfuser_spark.ops.timeseries import burst_flags
+
+        df = spark.createDataFrame([("k", 1, 1)], "event_type string, ts long, event_id long")
+        with pytest.raises(ValueError):
+            burst_flags(df, hi=2, lo=2)

@@ -1521,3 +1521,49 @@ def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timeseriesfuser_spark.ops.timeseries import winsorized_stats
 
     return winsorized_stats(_events(spark, sf_dir))
+
+
+@register(
+    "burst_flags_1h",
+    # Hysteresis as LOCF over decisive bars: state = last non-NULL of
+    # (1 at >= hi, 0 at <= lo, NULL in the dead band), default 0;
+    # burst_id = running count of entries while in-burst.
+    oracle=f"""
+    WITH bars AS (SELECT event_type AS key,
+                         {_ff("epoch_ms(ts)", 3_600_000)} AS bar_start,
+                         count(*) AS n_events
+                  FROM events
+                  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                  GROUP BY 1, 2),
+    d AS (SELECT *, CASE WHEN n_events >= 5 THEN 1
+                         WHEN n_events <= 1 THEN 0 END AS dec
+          FROM bars),
+    st AS (SELECT *, COALESCE(last_value(dec IGNORE NULLS) OVER
+                         (PARTITION BY key ORDER BY bar_start
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     0) AS in_burst
+           FROM d),
+    en AS (SELECT *, CASE WHEN in_burst = 1 AND COALESCE(lag(in_burst) OVER
+                          (PARTITION BY key ORDER BY bar_start), 0) = 0
+                          THEN 1 ELSE 0 END AS entered
+           FROM st)
+    SELECT key, CAST(bar_start AS BIGINT) AS bar_start,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(in_burst AS BIGINT) AS in_burst,
+           CAST(entered AS BIGINT) AS entered,
+           CAST(CASE WHEN in_burst = 1 THEN sum(entered) OVER
+                    (PARTITION BY key ORDER BY bar_start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                END AS BIGINT) AS burst_id
+    FROM en
+    """,
+)
+def q_burst_flags_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hysteresis burst detection per event type
+    (ops.timeseries.burst_flags): enter at >= 5 events/hour, exit at
+    <= 1 — the flap-suppression state machine, computed RELATIONALLY as
+    last-decisive-value LOCF (no recursion, no per-row UDF); burst_id
+    numbers each episode. Windows run on the bar grain only."""
+    from timeseriesfuser_spark.ops.timeseries import burst_flags
+
+    return burst_flags(_events(spark, sf_dir), "1h", hi=5, lo=1)

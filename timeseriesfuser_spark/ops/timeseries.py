@@ -2060,3 +2060,85 @@ def winsorized_stats(
             f" DIV (CAST(n AS DECIMAL(38,0)) * {scale}) AS BIGINT)"
         ).alias("winsorized_mean_milli"),
     )
+
+
+def burst_flags(
+    df: DataFrame,
+    interval: str = "1h",
+    *,
+    hi: int = 5,
+    lo: int = 1,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Hysteresis burst detection per key — the flap-suppression
+    alerting primitive: a key ENTERS burst state when a bar's event
+    count reaches ``hi`` and stays in it until a bar drops to ``lo`` or
+    below (bars in the (lo, hi) dead band inherit the previous state),
+    so a rate oscillating around one threshold never flaps.
+
+    The hysteresis "recursion" is relational: a bar is *decisive* when
+    it crosses a threshold (state 1 at ≥ hi, 0 at ≤ lo, NULL in the
+    dead band), and the state is simply the LAST decisive value —
+    ``last(decisive) IGNORE NULLS`` over the bar order, default 0.
+    ``burst_id`` numbers each burst per key (running count of entries),
+    NULL outside bursts. All exact integers.
+
+    Gap semantics: only bars WITH events exist on the grain — an empty
+    bar (count 0 ≤ lo) would end any burst, so a gap between event bars
+    longer than one interval ends the burst at the next observed bar
+    iff that bar itself is ≤ lo; a dead-band bar after a gap inherits.
+    For strict wall-clock semantics resample to a dense spine first.
+
+    Output: (key, bar_start, n_events, in_burst, entered, burst_id).
+    Scale: one (key, bar) hash-agg, then per-key windows on the BAR
+    grain — span/interval bounded, never event rows.
+    """
+    if not (0 <= lo < hi):
+        raise ValueError(f"need 0 <= lo < hi: lo={lo}, hi={hi}")
+    ms = interval_to_ms(interval)
+    bars = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("key"),
+            floor_boundary_col(F.col(ts_col).cast("long"), ms).alias(
+                "bar_start"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = Window.partitionBy("key").orderBy("bar_start")
+    decisive = (
+        F.when(F.col("n_events") >= int(hi), F.lit(1))
+        .when(F.col("n_events") <= int(lo), F.lit(0))
+    )
+    flagged = (
+        bars.withColumn("__dec", decisive)
+        .withColumn(
+            "in_burst",
+            F.coalesce(
+                F.last("__dec", ignorenulls=True).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn(
+            "entered",
+            (
+                (F.col("in_burst") == 1)
+                & (
+                    F.coalesce(
+                        F.lag("in_burst").over(w), F.lit(0)
+                    ) == 0
+                )
+            ).cast("long"),
+        )
+    )
+    return flagged.withColumn(
+        "burst_id",
+        F.when(
+            F.col("in_burst") == 1,
+            F.sum("entered").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        ).cast("long"),
+    ).select("key", "bar_start", "n_events", "in_burst", "entered", "burst_id")
