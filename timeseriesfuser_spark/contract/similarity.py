@@ -839,3 +839,79 @@ def q_embedding_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN recall targets. Scored volume is n²/blocks, never the full pair
     space; the block count is the scale knob."""
     return S.embedding_sim_histogram(_t(spark, sf_dir, "embeddings"))
+
+
+def _matryoshka_exact_sql(vexpr: str) -> str:
+    return f"""
+    WITH vecs AS (SELECT vec_id,
+                         list_transform({vexpr},
+                             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+                  FROM embeddings),
+    nv AS (SELECT vec_id, v,
+                  list_aggregate([x * x FOR x IN v], 'sum') AS n FROM vecs),
+    q AS (SELECT vec_id AS query_id, v, n FROM nv WHERE vec_id < 10),
+    pairs AS (
+        SELECT qa.query_id, qb.vec_id AS neighbor_id,
+               CASE WHEN qa.n > 0 AND qb.n > 0
+                    THEN round(CAST(list_aggregate(
+                        [qa.v[i] * qb.v[i] FOR i IN range(1, len(qa.v) + 1)],
+                        'sum') AS DOUBLE) / (sqrt(qa.n) * sqrt(qb.n)), 6)
+                    ELSE 0.0 END AS cosine
+        FROM q qa JOIN nv qb ON qa.query_id != qb.vec_id)
+    SELECT query_id, neighbor_id
+    FROM (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM pairs)
+    WHERE rn <= 5
+    """
+
+
+@register(
+    "matryoshka_recall",
+    # Both rankings embed the exact-topk oracle — full 64-dim vs the
+    # first-32-dims truncation (the Matryoshka deployment question:
+    # how much recall does halving the vector cost?).
+    oracle=f"""
+    WITH ex AS ({_matryoshka_exact_sql("embedding")}),
+    tr AS ({_matryoshka_exact_sql("embedding[1:32]")}),
+    hits AS (SELECT ex.query_id, count(*) AS c
+             FROM ex JOIN tr ON tr.query_id = ex.query_id
+                            AND tr.neighbor_id = ex.neighbor_id
+             GROUP BY ex.query_id),
+    base AS (SELECT query_id, count(*) AS n FROM ex GROUP BY query_id)
+    SELECT base.query_id,
+           CAST(n AS BIGINT) AS n_exact,
+           CAST(COALESCE(c, 0) AS BIGINT) AS n_hit,
+           CAST(COALESCE(c, 0) * 1000000 // n AS BIGINT) AS recall_ppm
+    FROM base LEFT JOIN hits ON hits.query_id = base.query_id
+    """,
+)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: per-query recall@5 of exact search
+    over the FIRST 32 of 64 embedding dims vs the full-dim exact top-k
+    — the measurement behind serving truncated (MRL-style) embeddings
+    at half the memory/compute. Two k-bounded rankings, one equi-join;
+    the truncation is a zero-copy array slice on both engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    q_full = emb.filter(F.col("vec_id") < 10)
+    q_tr = trunc.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, q_full, k=5).select("query_id", "neighbor_id")
+    tr = S.cosine_topk(trunc, q_tr, k=5).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(tr, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.col("__n").cast("long").alias("n_exact"),
+        F.coalesce("__c", F.lit(0)).cast("long").alias("n_hit"),
+        F.expr("coalesce(__c, 0) * 1000000 DIV __n").cast("long").alias(
+            "recall_ppm"
+        ),
+    )
