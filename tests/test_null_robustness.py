@@ -107,6 +107,7 @@ QUERIES = [
     "fd_source_lang",
     # NULL ts/type rows drop before bar aggregation
     "burst_flags_1h",
+    "interarrival_gaps",
 ]
 
 TABLES = [

@@ -1135,3 +1135,30 @@ class TestBurstFlags:
         df = spark.createDataFrame([("k", 1, 1)], "event_type string, ts long, event_id long")
         with pytest.raises(ValueError):
             burst_flags(df, hi=2, lo=2)
+
+
+class TestInterarrival:
+    def test_python_reference(self, spark):
+        from timeseriesfuser_spark.ops.timeseries import interarrival_stats
+
+        rng = random.Random(31)
+        rows = [
+            ("k", rng.randint(0, 10_000), i) for i in range(41)
+        ] + [("solo", 5, 99)]  # single event -> no gaps -> no row
+        df = spark.createDataFrame(rows, "event_type string, ts long, event_id long")
+        out = {r["event_type"]: r for r in interarrival_stats(df, cache=False).collect()}
+        assert "solo" not in out
+        ts = sorted((t, q) for k, t, q in rows if k == "k")
+        gaps = sorted(ts[i + 1][0] - ts[i][0] for i in range(len(ts) - 1))
+        n = len(gaps)
+
+        def q_xden(num, den):
+            lo = num * (n - 1) // den
+            fr = num * (n - 1) % den
+            return gaps[lo] * den if fr == 0 else gaps[lo] * (den - fr) + gaps[lo + 1] * fr
+
+        r = out["k"]
+        assert r["n_gaps"] == n
+        assert r["sum_gap_ms"] == sum(gaps) and r["max_gap_ms"] == max(gaps)
+        assert r["p50_x2"] == q_xden(1, 2)
+        assert r["p90_x10"] == q_xden(9, 10)

@@ -1567,3 +1567,53 @@ def q_burst_flags_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timeseriesfuser_spark.ops.timeseries import burst_flags
 
     return burst_flags(_events(spark, sf_dir), "1h", hi=5, lo=1)
+
+
+@register(
+    "interarrival_gaps",
+    # Gaps in (ts, event_id) order per type; p50/p90 are the exact
+    # den-scaled linear-interpolation order stats (x2 / x10).
+    oracle="""
+    WITH ev AS (SELECT event_type AS k, epoch_ms(ts) AS t, event_id AS q
+                FROM events
+                WHERE ts IS NOT NULL AND event_id IS NOT NULL
+                  AND event_type IS NOT NULL),
+    g AS (SELECT k, t - lag(t) OVER (PARTITION BY k ORDER BY t, q) AS gap
+          FROM ev),
+    gaps AS (SELECT k, gap FROM g WHERE gap IS NOT NULL),
+    cnt AS (SELECT k, count(*) AS n FROM gaps GROUP BY k),
+    rn AS (SELECT gaps.k, gap, n,
+                  row_number() OVER (PARTITION BY gaps.k ORDER BY gap) AS rnk
+           FROM gaps JOIN cnt ON cnt.k = gaps.k),
+    pct AS (SELECT k, max(n) AS n_gaps,
+                   CAST(sum(CASE WHEN rnk = (n - 1) // 2 + 1
+                                 THEN gap * (2 - (n - 1) % 2)
+                                 WHEN (n - 1) % 2 > 0
+                                  AND rnk = (n - 1) // 2 + 2
+                                 THEN gap * ((n - 1) % 2) END) AS BIGINT)
+                       AS p50_x2,
+                   CAST(sum(CASE WHEN rnk = (9 * (n - 1)) // 10 + 1
+                                 THEN gap * (10 - (9 * (n - 1)) % 10)
+                                 WHEN (9 * (n - 1)) % 10 > 0
+                                  AND rnk = (9 * (n - 1)) // 10 + 2
+                                 THEN gap * ((9 * (n - 1)) % 10) END)
+                        AS BIGINT) AS p90_x10
+            FROM rn GROUP BY k),
+    agg AS (SELECT k, CAST(sum(gap) AS BIGINT) AS sum_gap_ms,
+                   CAST(max(gap) AS BIGINT) AS max_gap_ms
+            FROM gaps GROUP BY k)
+    SELECT pct.k AS event_type, CAST(n_gaps AS BIGINT) AS n_gaps,
+           sum_gap_ms, max_gap_ms, p50_x2, p90_x10
+    FROM pct JOIN agg ON agg.k = pct.k
+    """,
+)
+def q_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap profile per event type
+    (ops.timeseries.interarrival_stats): exact count/sum/max and
+    den-scaled p50/p90 order statistics of consecutive-event gaps — the
+    feed-liveness measurement whose p90 growth flags degradation before
+    the mean moves. One per-key lag window + the exact_percentiles rank
+    machinery on the persisted gap relation."""
+    from timeseriesfuser_spark.ops.timeseries import interarrival_stats
+
+    return interarrival_stats(_events(spark, sf_dir))

@@ -2142,3 +2142,67 @@ def burst_flags(
             F.sum("entered").over(w.rowsBetween(Window.unboundedPreceding, 0)),
         ).cast("long"),
     ).select("key", "bar_start", "n_events", "in_burst", "entered", "burst_id")
+
+
+def interarrival_stats(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    cache: bool = True,
+) -> DataFrame:
+    """Per-key inter-arrival gap profile — the heartbeat-health /
+    feed-liveness measurement: for each key, the exact count, sum, max,
+    median (×2) and p90 (×10) of the gaps between consecutive events in
+    (ts, seq) order. A feed whose p90 gap grows is degrading long
+    before its mean moves; the percentiles are the
+    :func:`exact_percentiles` den-scaled order statistics (no float).
+
+    Keys with fewer than 2 events emit nothing (no gaps exist). NULL
+    ts/seq rows are excluded (no arrival position). Output: (key,
+    n_gaps, sum_gap_ms, max_gap_ms, p50_x2, p90_x10) — all BIGINT.
+
+    Scale: one per-key lag window on event rows (per-key-activity
+    bounded partitions — the behavior-family posture), the gap relation
+    persisted once and consumed by the percentile rank window and the
+    sum/max aggregate.
+    """
+    from pyspark import StorageLevel
+
+    base = df.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(seq_col).isNotNull()
+        & F.col(key_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).cast("long").alias("__t"),
+        F.col(seq_col).alias("__q"),
+    )
+    w = Window.partitionBy("__k").orderBy("__t", "__q")
+    gaps = (
+        base.withColumn("__prev", F.lag("__t").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select("__k", (F.col("__t") - F.col("__prev")).alias("__gap"))
+    )
+    if cache:
+        gaps = track_persist(gaps.persist(StorageLevel.MEMORY_AND_DISK))
+    pct = exact_percentiles(
+        gaps, ((1, 2), (9, 10)),
+        group_col="__k", value_col="__gap", cents=False, cache=False,
+    ).withColumnRenamed("n", "n_gaps")
+    agg = gaps.groupBy("__k").agg(
+        F.sum("__gap").cast("long").alias("sum_gap_ms"),
+        F.max("__gap").cast("long").alias("max_gap_ms"),
+    )
+    return (
+        pct.join(agg, "__k")
+        .select(
+            F.col("__k").alias(key_col),
+            "n_gaps",
+            "sum_gap_ms",
+            "max_gap_ms",
+            F.col("p1_2_x2").alias("p50_x2"),
+            F.col("p9_10_x10").alias("p90_x10"),
+        )
+    )
