@@ -1162,3 +1162,51 @@ class TestInterarrival:
         assert r["sum_gap_ms"] == sum(gaps) and r["max_gap_ms"] == max(gaps)
         assert r["p50_x2"] == q_xden(1, 2)
         assert r["p90_x10"] == q_xden(9, 10)
+
+
+class TestBalancedSample:
+    def test_rates_and_balance(self, spark):
+        from timeseriesfuser_spark.ops.sampling import balanced_sample
+
+        rows = (
+            [(i, "big") for i in range(600)]
+            + [(1000 + i, "mid") for i in range(200)]
+            + [(2000 + i, "small") for i in range(100)]
+            + [(9000, None), (None, "big")]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = balanced_sample(df, keep_only=False)
+        rates = {
+            r["source"]: r["rate_ppm"]
+            for r in out.select("source", "rate_ppm").distinct().collect()
+        }
+        assert rates == {
+            "big": 100 * 1_000_000 // 600,
+            "mid": 500_000,
+            "small": 1_000_000,
+        }
+        kept = out.filter("keep").groupBy("source").count().collect()
+        by = {r["source"]: r["count"] for r in kept}
+        # minority kept whole; majorities near 100 in expectation
+        assert by["small"] == 100
+        assert 60 <= by["big"] <= 140 and 60 <= by["mid"] <= 140
+        # NULL stratum / NULL id rows excluded entirely
+        assert out.count() == 900
+
+    def test_nested_subset_property(self, spark):
+        """The md5 rule is nested: the balanced sample is a subset of
+        any higher-rate stratified sample of the same strata."""
+        from timeseriesfuser_spark.ops.sampling import (
+            balanced_sample,
+            stratified_sample,
+        )
+
+        rows = [(i, "a") for i in range(300)] + [(500 + i, "b") for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        bal = {r["doc_id"] for r in balanced_sample(df).collect()}
+        full = {
+            r["doc_id"]
+            for r in stratified_sample(df, {"a": 0.5, "b": 1.0}).collect()
+        }
+        # rate('a') = 50/300 < 0.5 -> balanced 'a' rows ⊂ the 0.5 sample
+        assert {d for d in bal if d < 500} <= {d for d in full if d < 500}

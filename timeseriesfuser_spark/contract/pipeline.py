@@ -606,3 +606,47 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
         "hash_ppm", "rate_ppm",
     )
+
+
+@register(
+    "balanced_sample_docs",
+    # Rates are exact integers computed in SQL (min_count*1e6 // count);
+    # the keep rule is stratified_sample's null-propagating || hash. The
+    # class is a derived 60/30/10 split (the raw sources are perfectly
+    # uniform on this corpus — balancing would be a no-op).
+    oracle=f"""
+    WITH base AS (SELECT doc_id,
+                         CASE WHEN doc_id % 10 < 6 THEN 'major'
+                              WHEN doc_id % 10 < 9 THEN 'mid'
+                              ELSE 'minor' END AS klass
+                  FROM documents WHERE doc_id IS NOT NULL),
+    cnt AS (SELECT klass AS st, count(*) AS n FROM base GROUP BY klass),
+    mn AS (SELECT min(n) AS m FROM cnt),
+    rates AS (SELECT st, m * 1000000 // n AS rate_ppm
+              FROM cnt CROSS JOIN mn)
+    SELECT b.doc_id, b.klass,
+           {_sql_hash64("b.klass || ':' || CAST(b.doc_id AS VARCHAR)")}
+               % 1000000 AS hash_ppm,
+           CAST(r.rate_ppm AS BIGINT) AS rate_ppm
+    FROM base b JOIN rates r ON r.st = b.klass
+    WHERE {_sql_hash64("b.klass || ':' || CAST(b.doc_id AS VARCHAR)")}
+              % 1000000 < r.rate_ppm
+    """,
+)
+def q_balanced_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced corpus downsampling (ops.sampling.balanced_sample):
+    a derived 60/30/10 class split Bernoulli-thinned to the smallest
+    class's expected size with exact in-plan integer rates (no driver
+    collect, no float rounding) and the reproducible md5 keep rule. One
+    counts aggregate broadcast back; the corpus never reshuffles."""
+    from timeseriesfuser_spark.ops.sampling import balanced_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 6, "major")
+        .when(F.col("doc_id") % 10 < 9, "mid")
+        .otherwise("minor")
+        .alias("klass"),
+    )
+    out = balanced_sample(docs, strata_col="klass", id_col="doc_id")
+    return out.select("doc_id", "klass", "hash_ppm", "rate_ppm")

@@ -318,3 +318,55 @@ def weighted_sample(
     if keep_only:
         return out.filter(keep)
     return out.withColumn("keep", keep)
+
+
+def balanced_sample(
+    df: DataFrame,
+    *,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    keep_only: bool = True,
+) -> DataFrame:
+    """Class-balanced downsampling: every stratum is Bernoulli-sampled
+    at ``rate_ppm = min_stratum_count·1e6 DIV stratum_count``, so all
+    classes converge to the smallest class's expected size — the
+    training-data rebalancer (majority classes thinned, the minority
+    kept whole: its rate is exactly 1e6).
+
+    Rates are computed IN-PLAN as exact integers (one stratum count
+    aggregate + a broadcast 1-row min — no driver collect, no float
+    rounding to diverge between engines), and the keep rule is
+    :func:`stratified_sample`'s reproducible hash Bernoulli
+    (``md5(stratum:id) mod 1e6 < rate_ppm`` — deterministic, nested,
+    growth-stable). Rows with a NULL stratum or NULL id are excluded
+    (no class / no sampling identity).
+
+    Output: input columns + (hash_ppm, rate_ppm), filtered to kept rows
+    (``keep_only=False`` adds a ``keep`` flag instead). Scale: one
+    hash-agg for counts (broadcast back) + one projection — the corpus
+    never reshuffles.
+    """
+    base = df.filter(
+        F.col(strata_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+    cnt = base.groupBy(F.col(strata_col).alias("__st")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    mn = cnt.agg(F.min("__n").alias("__mn"))
+    rates = cnt.crossJoin(F.broadcast(mn)).select(
+        "__st",
+        F.expr(f"__mn * {PPM} DIV __n").cast("long").alias("rate_ppm"),
+    )
+    h = md5_hash64(
+        F.concat(F.col(strata_col), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    out = (
+        base.join(
+            F.broadcast(rates), base[strata_col] == rates["__st"]
+        )
+        .drop("__st")
+        .withColumn("hash_ppm", F.pmod(h, F.lit(PPM)).cast("long"))
+    )
+    if keep_only:
+        return out.filter(F.col("hash_ppm") < F.col("rate_ppm"))
+    return out.withColumn("keep", F.col("hash_ppm") < F.col("rate_ppm"))
