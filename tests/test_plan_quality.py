@@ -663,3 +663,16 @@ def test_script_and_readability_zero_shuffle(spark):
         assert "Exchange" not in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "codegen id" in plan
+
+
+def test_tpcds_q90_q62_single_pass(spark):
+    """Q90's am/pm counts and Q62's five latency bands must each be ONE
+    conditional-aggregation pass — never per-band self-joined scans."""
+    import re
+
+    plan = formatted_plan(contract.QUERIES["tpcds_q90_ampm_ratio"](spark, SF))
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+    plan = formatted_plan(contract.QUERIES["tpcds_q62_ship_latency"](spark, SF))
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 2  # lineitem + orders, once each
+    assert "CartesianProduct" not in plan

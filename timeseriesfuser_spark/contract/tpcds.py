@@ -31,7 +31,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from timeseriesfuser_spark.contract._base import (  # noqa: F401
+from timeseriesfuser_spark.contract._base import (
+    _events,  # noqa: F401
     ORACLES,
     QUERIES,
     _t,
@@ -1531,4 +1532,105 @@ def q_tpcds_q49_return_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
             "channel", "l_partkey", "qty_ratio", "amt_ratio",
             "qty_rnk", "amt_rnk",
         )
+    )
+
+
+@register(
+    "tpcds_q90_ampm_ratio",
+    # Hour from integer epoch arithmetic ((t DIV 3600000) % 24, UTC) —
+    # never the session-tz hour() function. Ratio in exact ppm with a
+    # zero-guard (ANSI DIV 0 throws).
+    oracle="""
+    WITH ev AS (SELECT event_type,
+                       (epoch_ms(ts) // 3600000) % 24 AS hr
+                FROM events WHERE ts IS NOT NULL),
+    c AS (SELECT event_type,
+                 count(CASE WHEN hr >= 8 AND hr < 10 THEN 1 END) AS am_ct,
+                 count(CASE WHEN hr >= 19 AND hr < 21 THEN 1 END) AS pm_ct
+          FROM ev GROUP BY event_type)
+    SELECT event_type,
+           CAST(am_ct AS BIGINT) AS am_ct,
+           CAST(pm_ct AS BIGINT) AS pm_ct,
+           CAST(CASE WHEN pm_ct > 0 THEN am_ct * 1000000 // pm_ct END
+                AS BIGINT) AS ampm_ratio_ppm
+    FROM c
+    """,
+)
+def q_tpcds_q90_ampm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q90-shape: morning/evening activity ratio per type — the
+    real Q90 runs two self-joined subqueries for the am and pm counts;
+    the scale-correct plan is ONE conditional-count scan (the q88
+    collapse) with the ratio in exact integer ppm. Hour comes from
+    integer epoch arithmetic, immune to the session timezone."""
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    hr = F.expr("ts DIV 3600000 % 24")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.when((hr >= 8) & (hr < 10), F.lit(1)))
+        .cast("long")
+        .alias("am_ct"),
+        F.count(F.when((hr >= 19) & (hr < 21), F.lit(1)))
+        .cast("long")
+        .alias("pm_ct"),
+    )
+    return c.withColumn(
+        "ampm_ratio_ppm",
+        F.when(
+            F.col("pm_ct") > 0, F.expr("am_ct * 1000000 DIV pm_ct")
+        ).cast("long"),
+    )
+
+
+_Q62_BANDS = ((0, 31), (31, 61), (61, 91), (91, 121), (121, 100000))
+
+
+@register(
+    "tpcds_q62_ship_latency",
+    oracle="""
+    WITH j AS (SELECT l.l_returnflag || l.l_linestatus AS ship_mode,
+                      o.o_orderpriority,
+                      (epoch_ms(l.l_shipdate) - epoch_ms(o.o_orderdate))
+                          // 86400000 AS d
+               FROM lineitem l JOIN orders o
+                 ON o.o_orderkey = l.l_orderkey
+               WHERE l.l_shipdate IS NOT NULL
+                 AND o.o_orderdate IS NOT NULL)
+    SELECT ship_mode, o_orderpriority,
+    """ + ",\n           ".join(
+        f"CAST(count(CASE WHEN d >= {lo} AND d < {hi} THEN 1 END)"
+        f" AS BIGINT) AS days_{lo}_{hi}"
+        for lo, hi in _Q62_BANDS
+    ) + """
+    FROM j GROUP BY ship_mode, o_orderpriority
+    """,
+)
+def q_tpcds_q62_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q62-shape: days-to-ship latency distribution per derived
+    ship mode (returnflag||linestatus — the synthetic tables carry no
+    l_shipmode) and order priority: one fact-fact equi-join on the
+    order key + one conditional-count aggregation — the real Q62's
+    five CASE bands in a single pass, never five scans."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    j = li.join(o, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat("l_returnflag", "l_linestatus").alias("ship_mode"),
+        "o_orderpriority",
+        (
+            (
+                F.unix_millis(F.col("l_shipdate").cast("timestamp"))
+                - F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+            )
+            / F.lit(86400000)
+        ).cast("long").alias("__d"),
+    )
+    return j.groupBy("ship_mode", "o_orderpriority").agg(
+        *[
+            F.count(
+                F.when((F.col("__d") >= lo) & (F.col("__d") < hi), F.lit(1))
+            )
+            .cast("long")
+            .alias(f"days_{lo}_{hi}")
+            for lo, hi in _Q62_BANDS
+        ]
     )
