@@ -108,6 +108,7 @@ QUERIES = [
     # NULL ts/type rows drop before bar aggregation
     "burst_flags_1h",
     "interarrival_gaps",
+    "spearman_click_purchase",
 ]
 
 TABLES = [

@@ -1210,3 +1210,58 @@ class TestBalancedSample:
         }
         # rate('a') = 50/300 < 0.5 -> balanced 'a' rows ⊂ the 0.5 sample
         assert {d for d in bal if d < 500} <= {d for d in full if d < 500}
+
+
+class TestSpearman:
+    def test_scipy_free_reference(self, spark):
+        from timeseriesfuser_spark.ops.timeseries import spearman_corr
+
+        rng = random.Random(17)
+        rows = []
+        for d in range(40):
+            rows.append(("A", 1000 + d, d * 86_400_000, float(rng.randint(0, 20))))
+            rows.append(("B", 2000 + d, d * 86_400_000, float(rng.randint(0, 20))))
+        df = spark.createDataFrame(
+            rows, "event_type string, event_id long, ts long, value double"
+        )
+        out = spearman_corr(df, "A", "B", "1d").collect()[0]
+
+        va = [round(v * 100) for k, _, _, v in rows if k == "A"]
+        vb = [round(v * 100) for k, _, _, v in rows if k == "B"]
+
+        def dranks(vals):
+            order = sorted(vals)
+            return [
+                2 * (order.index(v) + 1) + order.count(v) - 1 for v in vals
+            ]
+
+        ra, rb = dranks(va), dranks(vb)
+        n = len(ra)
+        sx, sy = sum(ra), sum(rb)
+        sxy = sum(a * b for a, b in zip(ra, rb))
+        sxx = sum(a * a for a in ra)
+        syy = sum(b * b for b in rb)
+        import math
+
+        want = round(
+            (n * sxy - sx * sy)
+            / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)),
+            6,
+        )
+        assert out["n_pairs"] == n and out["rho"] == want
+
+    def test_monotone_is_one_and_constant_is_null(self, spark):
+        from timeseriesfuser_spark.ops.timeseries import spearman_corr
+
+        rows = []
+        for d in range(10):
+            rows.append(("A", d, d * 86_400_000, float(d)))
+            rows.append(("B", 100 + d, d * 86_400_000, float(d * d)))
+            rows.append(("C", 200 + d, d * 86_400_000, 5.0))
+        df = spark.createDataFrame(
+            rows, "event_type string, event_id long, ts long, value double"
+        )
+        r = spearman_corr(df, "A", "B", "1d").collect()[0]
+        assert abs(r["rho"] - 1.0) < 2e-6  # perfectly monotone (nonlinear!)
+        r = spearman_corr(df, "A", "C", "1d").collect()[0]
+        assert r["rho"] is None  # constant side -> undefined

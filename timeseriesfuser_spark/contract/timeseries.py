@@ -1617,3 +1617,55 @@ def q_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timeseriesfuser_spark.ops.timeseries import interarrival_stats
 
     return interarrival_stats(_events(spark, sf_dir))
+
+
+@register(
+    "spearman_click_purchase",
+    # Doubled average ranks (2·rank + ties − 1, exact ints) → exact
+    # HUGEINT sums → ONE double chain; NULL for constant sides / n < 2.
+    oracle="""
+    WITH ev AS (SELECT event_type AS k, epoch_ms(ts) // 86400000 AS d,
+                       CAST(round(value * 100) AS BIGINT) AS v,
+                       epoch_ms(ts) AS t, event_id AS s
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                  AND event_type IN ('click', 'purchase')),
+    bars AS (SELECT k, d, v FROM (
+                 SELECT *, row_number() OVER (PARTITION BY k, d
+                                              ORDER BY t DESC, s DESC) AS rnk
+                 FROM ev) WHERE rnk = 1),
+    paired AS (SELECT a.d, a.v AS va, b.v AS vb
+               FROM bars a JOIN bars b ON b.d = a.d
+               WHERE a.k = 'click' AND b.k = 'purchase'),
+    ranked AS (SELECT
+                   rank() OVER (ORDER BY va) * 2
+                       + count(*) OVER (PARTITION BY va) - 1 AS ra,
+                   rank() OVER (ORDER BY vb) * 2
+                       + count(*) OVER (PARTITION BY vb) - 1 AS rb
+               FROM paired),
+    agg AS (SELECT count(*) AS n,
+                   sum(CAST(ra AS HUGEINT)) AS sx,
+                   sum(CAST(rb AS HUGEINT)) AS sy,
+                   sum(CAST(ra AS HUGEINT) * rb) AS sxy,
+                   sum(CAST(ra AS HUGEINT) * ra) AS sxx,
+                   sum(CAST(rb AS HUGEINT) * rb) AS syy
+            FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                     AND n * syy - sy * sy > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           END AS rho
+    FROM agg
+    """,
+)
+def q_spearman_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of click vs purchase daily closes
+    (ops.timeseries.spearman_corr): Pearson of doubled average ranks —
+    exact integer rank sums, one fixed double chain — the
+    outlier-immune association screen beside crosscorr's Pearson. Rank
+    windows run on the paired BAR grain only."""
+    from timeseriesfuser_spark.ops.timeseries import spearman_corr
+
+    return spearman_corr(_events(spark, sf_dir), "click", "purchase", "1d")

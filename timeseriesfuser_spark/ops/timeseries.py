@@ -2206,3 +2206,99 @@ def interarrival_stats(
             F.col("p9_10_x10").alias("p90_x10"),
         )
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    key_a,
+    key_b,
+    interval: str = "1d",
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Spearman rank correlation between two series' bar closes — the
+    outlier-immune monotone-association screen: Pearson r of the
+    within-pair ranks, so one whale bar can move ρ by at most its rank
+    step (the :func:`rolling_corr` Pearson would follow it anywhere).
+
+    Exactness: both series reduce to last-cent bars per ``interval``;
+    the ranks are DOUBLED AVERAGE ranks (tie group of size c at min
+    rank r has average rank r + (c−1)/2 — doubled: 2r + c − 1, an exact
+    integer; both engines compute rank()/count() identically), every Σ
+    over them is exact in decimal(38,0), and ρ is the one fixed double
+    chain (nΣxy − ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) — bit-identical
+    cross-engine; NULL for constant sides or n < 2.
+
+    Scale: events collapse to the (key, bucket) grain first; the rank
+    windows run on the PAIRED bar grain (span/interval bounded), the
+    final aggregate is one row.
+
+    Output: one row (n_pairs, rho).
+    """
+    ms = interval_to_ms(interval)
+    base = df.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & F.col(key_col).isin([key_a, key_b])
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.expr(f"{ts_col} DIV {ms}").cast("long").alias("__d"),
+        _cents(value_col).alias("__v"),
+        F.col(ts_col).alias("__t"),
+        F.col(seq_col).alias("__s"),
+    )
+    bars = base.groupBy("__k", "__d").agg(
+        F.max_by(F.col("__v"), F.struct(F.col("__t"), F.col("__s"))).alias(
+            "__v"
+        )
+    )
+    a = bars.filter(F.col("__k") == key_a).select(
+        "__d", F.col("__v").alias("__va")
+    )
+    b = bars.filter(F.col("__k") == key_b).select(
+        "__d", F.col("__v").alias("__vb")
+    )
+    paired = a.join(b, "__d")
+    wa = Window.orderBy("__va")
+    wb = Window.orderBy("__vb")
+    # doubled average rank: 2·rank() + count(ties) − 1. The global
+    # windows run on the PAIRED BAR grain (span/interval bounded — the
+    # rolling_corr bar-grain posture), never on events.
+    ranked = paired.withColumn(
+        "__ra",
+        (
+            F.rank().over(wa) * 2
+            + F.count(F.lit(1)).over(Window.partitionBy("__va"))
+            - 1
+        ).cast("long"),
+    ).withColumn(
+        "__rb",
+        (
+            F.rank().over(wb) * 2
+            + F.count(F.lit(1)).over(Window.partitionBy("__vb"))
+            - 1
+        ).cast("long"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.expr("CAST(__ra AS DECIMAL(38,0))")).alias("__sx"),
+        F.sum(F.expr("CAST(__rb AS DECIMAL(38,0))")).alias("__sy"),
+        F.sum(F.expr("CAST(__ra AS DECIMAL(38,0)) * __rb")).alias("__sxy"),
+        F.sum(F.expr("CAST(__ra AS DECIMAL(38,0)) * __ra")).alias("__sxx"),
+        F.sum(F.expr("CAST(__rb AS DECIMAL(38,0)) * __rb")).alias("__syy"),
+    )
+    num = F.expr("CAST(n_pairs * __sxy - __sx * __sy AS DOUBLE)")
+    vx = F.expr("CAST(n_pairs * __sxx - __sx * __sx AS DOUBLE)")
+    vy = F.expr("CAST(n_pairs * __syy - __sy * __sy AS DOUBLE)")
+    return agg.select(
+        "n_pairs",
+        F.when(
+            (F.col("n_pairs") >= 2)
+            & (F.expr("n_pairs * __sxx - __sx * __sx") > 0)
+            & (F.expr("n_pairs * __syy - __sy * __sy") > 0),
+            F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6),
+        ).alias("rho"),
+    )
