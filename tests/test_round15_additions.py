@@ -1265,3 +1265,38 @@ class TestSpearman:
         assert abs(r["rho"] - 1.0) < 2e-6  # perfectly monotone (nonlinear!)
         r = spearman_corr(df, "A", "C", "1d").collect()[0]
         assert r["rho"] is None  # constant side -> undefined
+
+
+class TestEmbeddingDrift:
+    def test_identical_slices_cosine_one(self, spark):
+        from timeseriesfuser_spark.ops.similarity import embedding_drift
+
+        rng = random.Random(23)
+        vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        r = embedding_drift(df, df).collect()[0]
+        assert r["n_a"] == r["n_b"] == 30 and r["dim"] == 8
+        assert abs(r["cosine"] - 1.0) < 2e-6
+
+    def test_opposite_slices_cosine_minus_one(self, spark):
+        from timeseriesfuser_spark.ops.similarity import embedding_drift
+
+        a = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0]), (2, [2.0, 4.0, 6.0])],
+            "vec_id long, embedding array<float>",
+        )
+        b = spark.createDataFrame(
+            [(9, [-1.0, -2.0, -3.0])], "vec_id long, embedding array<float>"
+        )
+        r = embedding_drift(a, b).collect()[0]
+        assert r["cosine"] == -1.0 and (r["n_a"], r["n_b"]) == (2, 1)
+
+    def test_empty_side_null(self, spark):
+        from timeseriesfuser_spark.ops.similarity import embedding_drift
+
+        a = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        b = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        r = embedding_drift(a, b).collect()[0]
+        assert r["cosine"] is None and r["n_b"] == 0

@@ -915,3 +915,50 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_ppm"
         ),
     )
+
+
+@register(
+    "embedding_drift_halves",
+    # cos(mean_a, mean_b) == cos(sum_a, sum_b): no division before the
+    # final double chain; per-dimension sums exact in HUGEINT.
+    oracle="""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                          AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    ex AS (SELECT vec_id, i, v[i] AS x
+           FROM q, unnest(range(1, len(v) + 1)) AS u(i)),
+    sa AS (SELECT i, sum(CAST(x AS HUGEINT)) AS s_a FROM ex
+           WHERE vec_id % 2 = 0 GROUP BY i),
+    sb AS (SELECT i, sum(CAST(x AS HUGEINT)) AS s_b FROM ex
+           WHERE vec_id % 2 = 1 GROUP BY i),
+    agg AS (SELECT count(*) AS dim,
+                   sum(s_a * s_b) AS dot,
+                   sum(s_a * s_a) AS na,
+                   sum(s_b * s_b) AS nb
+            FROM sa JOIN sb USING (i)),
+    cnt AS (SELECT count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS n_a,
+                   count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS n_b
+            FROM q)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(dim AS BIGINT) AS dim,
+           CASE WHEN na > 0 AND nb > 0
+                THEN round(CAST(dot AS DOUBLE)
+                           / (sqrt(CAST(na AS DOUBLE))
+                              * sqrt(CAST(nb AS DOUBLE))), 6)
+           END AS cosine
+    FROM agg CROSS JOIN cnt
+    """,
+)
+def q_embedding_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic drift monitor (ops.similarity.embedding_drift): cosine
+    between the mean embeddings of the even- and odd-id corpus halves
+    (the old-vs-new-ingest proxy on this table). Per-dimension exact
+    integer sums — cos(mean, mean) == cos(sum, sum), so no division
+    exists before the single double chain."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )

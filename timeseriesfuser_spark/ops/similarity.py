@@ -1499,3 +1499,73 @@ def embedding_sim_histogram(
         "n_pairs",
         F.expr("n_pairs * 1000000 DIV __tot").cast("long").alias("share_ppm"),
     )
+
+
+def embedding_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Semantic drift between two corpus slices: the cosine between the
+    slices' MEAN embedding vectors — the one-number monitor that flags a
+    shifted ingest distribution (new source mix, changed upstream
+    encoder) before any downstream metric moves.
+
+    Exactness: quantized vectors sum per dimension as exact integers
+    (posexplode → one (dim) hash-agg each — the sum vector is exact, so
+    the un-normalized mean comparison needs no division at all:
+    cos(mean_a, mean_b) = cos(sum_a, sum_b)); the cosine is the usual
+    exact-int dot/norm + one double chain, round-to-6. NULL vectors are
+    excluded (they have no direction).
+
+    Output: one row (n_a, n_b, dim, cosine) — cosine NULL when either
+    slice is empty or zero-norm. Scale: two linear passes + two
+    dim-sized aggregates joined on dimension index; driver never holds
+    more than the dim-row sum relation.
+    """
+
+    def sums(df: DataFrame, side: str) -> DataFrame:
+        v = quantized(F.col(vec_col), scale)
+        return (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.posexplode(v).alias("__i", "__x"))
+            .groupBy("__i")
+            .agg(
+                F.sum(F.expr("CAST(__x AS DECIMAL(38,0))")).alias(f"s_{side}")
+            )
+        )
+
+    # lazy 1-row count relations (no construction-time driver action —
+    # the window_funnel zero-jobs contract)
+    ca = df_a.filter(F.col(vec_col).isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_a")
+    )
+    cb = df_b.filter(F.col(vec_col).isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b")
+    )
+    j = sums(df_a, "a").join(sums(df_b, "b"), "__i")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("dim"),
+        F.sum(F.expr("s_a * s_b")).alias("__dot"),
+        F.sum(F.expr("s_a * s_a")).alias("__na"),
+        F.sum(F.expr("s_b * s_b")).alias("__nb"),
+    ).crossJoin(F.broadcast(ca)).crossJoin(F.broadcast(cb))
+    return agg.select(
+        "n_a",
+        "n_b",
+        "dim",
+        F.when(
+            (F.col("__na") > 0) & (F.col("__nb") > 0),
+            F.round(
+                F.expr("CAST(__dot AS DOUBLE)")
+                / (
+                    F.sqrt(F.expr("CAST(__na AS DOUBLE)"))
+                    * F.sqrt(F.expr("CAST(__nb AS DOUBLE)"))
+                ),
+                6,
+            ),
+        ).alias("cosine"),
+    )
