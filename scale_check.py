@@ -567,6 +567,38 @@ def run(spark, n: int, only=None) -> dict:
             group_cols=["user_id"],
         ),
     )
+    # round-15 wave 3: burst/gap/rank-correlation cells
+    from timeseriesfuser_spark.ops.timeseries import (
+        burst_flags as _bfop,
+        interarrival_stats as _iaop,
+        spearman_corr as _spop,
+    )
+
+    typed3 = ev.select(
+        (F.col("user_id") % 100).cast("string").alias("event_type"),
+        F.col("__timestamp").alias("ts"),
+        "event_id",
+        "value",
+    )
+    t("burst_flags", lambda: _bfop(typed3, "1h", hi=80, lo=20))
+    t(
+        "interarrival_10k_users",
+        lambda: _iaop(
+            ev.select(
+                F.col("user_id").alias("event_type"),
+                F.col("__timestamp").alias("ts"),
+                "event_id",
+            )
+        ),
+    )
+    t(
+        "spearman_7d",
+        lambda: _spop(
+            xev, "A", "B", "7d",
+            ts_col="__timestamp", key_col="k", value_col="value",
+            seq_col="event_id",
+        ),
+    )
     return out
 
 

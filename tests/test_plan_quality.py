@@ -676,3 +676,41 @@ def test_tpcds_q90_q62_single_pass(spark):
     scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
     assert len(scans) == 2  # lineitem + orders, once each
     assert "CartesianProduct" not in plan
+
+
+def test_collocations_single_pass_shapes(spark):
+    """Collocations: bigram + unigram aggregations with the unigram
+    relation broadcast back; top-k via TakeOrdered, never a global
+    sort; no Python eval."""
+    plan = formatted_plan(contract.QUERIES["collocations_docs"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hilbert_and_checksum_shapes(spark):
+    """Hilbert key is a pure projection (no Exchange beyond the
+    small-input spread, no Python); the checksum is one projection +
+    one partial+final aggregate."""
+    plan = formatted_plan(contract.QUERIES["hilbert_lineitem"](spark, SF))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    plan = formatted_plan(contract.QUERIES["lineitem_checksum"](spark, SF))
+    assert plan.count("HashAggregate") >= 2  # map-side partial sums
+    assert "BatchEvalPython" not in plan
+
+
+def test_spearman_windows_on_bar_grain(spark):
+    """The rank windows must sit ABOVE the bar aggregation (paired-bar
+    grain), never over raw events: a HashAggregate/SortAggregate exists
+    below every Window in the plan tree."""
+    plan = formatted_plan(
+        contract.QUERIES["spearman_click_purchase"](spark, SF)
+    )
+    first_agg = min(
+        i for i in (plan.find("HashAggregate"), plan.find("SortAggregate"))
+        if i != -1
+    )
+    first_window = plan.find("Window")
+    assert first_window == -1 or first_agg < first_window
+    assert "CartesianProduct" not in plan
