@@ -3,7 +3,8 @@
 documents/embeddings tables: quality gate → exact dedup → near-dup
 clustering (MinHash-LSH + connected components) → contamination check →
 tf-idf keywords → stratified sample → sliding-window chunking → sequence
-packing, plus embedding-side ANN and compression. Run:
+packing, plus embedding-side ANN and compression, BM25 retrieval,
+corpus-geometry diagnostics, class balancing and a k-anonymity audit. Run:
 
     python examples/demo_llm_pipeline.py [sf_dir]   # default sf0.01
 """
@@ -106,6 +107,32 @@ def main() -> None:
     prefiltered = bloom_prefilter(docs, bits, "doc_id", m_bits=65536, k=3)
     print(f"bloom pre-filter: {prefiltered.count()} candidate rows reach the "
           f"exact survivor join (of {docs.count()})")
+
+    # 10b. Retrieval over the curated corpus: BM25 lexical ranking (the
+    #      query terms here are just the corpus's own df-mid tokens),
+    #      and the corpus-geometry histogram that calibrates near-dup /
+    #      ANN thresholds.
+    vocab = (
+        docs.select(F.explode(X.tokens_col(F.col("text"))).alias("tk"))
+        .groupBy("tk").count().orderBy(F.desc("count"), F.asc("tk"))
+        .limit(30).collect()
+    )
+    terms = [vocab[i]["tk"] for i in (9, 19, 29) if i < len(vocab)]
+    top = X.bm25_topk(docs, terms, k=5).collect()
+    print(f"bm25 top-5 for {terms}: "
+          + ", ".join(f"doc {r['id']} ({r['bm25_u']}u)" for r in top))
+    S.embedding_sim_histogram(emb, sample_buckets=8).orderBy("bin").show()
+
+    # 10c. Class balance + governance: rebalance the corpus to its
+    #      smallest source and audit quasi-identifier re-identification
+    #      risk before publishing.
+    from timeseriesfuser_spark.ops.expect import k_anonymity
+    from timeseriesfuser_spark.ops.sampling import balanced_sample
+
+    bal = balanced_sample(docs, strata_col="source", id_col="doc_id")
+    print(f"balanced sample: {bal.count()} docs kept")
+    risky = k_anonymity(docs, ["source", "lang"], 5).filter("at_risk = 1")
+    print(f"k-anonymity: {risky.count()} (source, lang) classes under k=5")
 
     # 11. Publish gate: declarative expectations over the curated corpus.
     #     The demo exercises BOTH paths: the clean corpus must pass (the
