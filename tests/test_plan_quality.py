@@ -714,3 +714,26 @@ def test_spearman_windows_on_bar_grain(spark):
     first_window = plan.find("Window")
     assert first_window == -1 or first_agg < first_window
     assert "CartesianProduct" not in plan
+
+
+def test_region_share_window_over_aggregated_grain(spark):
+    """The share window must run over the 25-row nation aggregate, and
+    the dims broadcast — one lineitem scan only."""
+    import re
+
+    plan = formatted_plan(
+        contract.QUERIES["region_revenue_share"](spark, SF)
+    )
+    scans = re.findall(r"Location.*?(\w+)\.parquet", plan)
+    assert scans.count("lineitem") == 1
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the share window partitions by the AGGREGATED grain's region key —
+    # its windowspec must reference n_regionkey, never raw fact columns
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs and all("n_regionkey" in l for l in specs)
+
+
+def test_top_parts_with_ties_group_limit(spark):
+    """rank() <= k must plan a WindowGroupLimit (rank-limit pushdown)."""
+    plan = formatted_plan(contract.QUERIES["top_parts_with_ties"](spark, SF))
+    assert "WindowGroupLimit" in plan

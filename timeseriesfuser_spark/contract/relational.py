@@ -1990,3 +1990,102 @@ def q_fd_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timeseriesfuser_spark.ops.expect import fd_violations
 
     return fd_violations(_t(spark, sf_dir, "documents"), ["source"], "lang")
+
+
+@register(
+    "region_revenue_share",
+    # Ratio-to-report: nation revenue share within its region, computed
+    # as a window over the AGGREGATED nation grain (25 rows) — never a
+    # second scan; exact integer cents and ppm.
+    oracle="""
+    WITH rev AS (SELECT n.n_regionkey, n.n_name,
+                        sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                            AS cents
+                 FROM lineitem l
+                 JOIN orders o ON o.o_orderkey = l.l_orderkey
+                 JOIN customer c ON c.c_custkey = o.o_custkey
+                 JOIN nation n ON n.n_nationkey = c.c_nationkey
+                 GROUP BY 1, 2)
+    SELECT r.r_name AS region, rev.n_name AS nation,
+           CAST(cents AS BIGINT) AS revenue_cents,
+           CAST(cents * 1000000 //
+                sum(cents) OVER (PARTITION BY rev.n_regionkey) AS BIGINT)
+               AS region_share_ppm
+    FROM rev JOIN region r ON r.r_regionkey = rev.n_regionkey
+    """,
+)
+def q_region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue share within its region in
+    exact ppm — the classic BI percent-of-parent shape, with the share
+    window running over the 25-row AGGREGATED nation grain (one fact
+    pass, dims broadcast), never a second fact scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(c), c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .groupBy("n_regionkey", "n_name")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents")
+        )
+    )
+    w = Window.partitionBy("n_regionkey")
+    return (
+        rev.withColumn(
+            "region_share_ppm",
+            F.expr(
+                "revenue_cents * 1000000 DIV sum(revenue_cents)"
+                " OVER (PARTITION BY n_regionkey)"
+            ).cast("long"),
+        )
+        .join(F.broadcast(_t(spark, sf_dir, "region")),
+              F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "revenue_cents",
+            "region_share_ppm",
+        )
+    )
+
+
+@register(
+    "top_parts_with_ties",
+    # rank() <= k keeps EVERY part tied at the boundary — the tie-aware
+    # top-k semantics row_number-based top-k queries deliberately avoid;
+    # quantity sums are exact integers so ties are real.
+    oracle="""
+    WITH q AS (SELECT l_returnflag, l_partkey,
+                      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+               FROM lineitem GROUP BY 1, 2)
+    SELECT l_returnflag, l_partkey, qty,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, rank() OVER (PARTITION BY l_returnflag
+                                 ORDER BY qty DESC) AS rnk
+          FROM q)
+    WHERE rnk <= 3
+    """,
+)
+def q_top_parts_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware top-k: the 3 highest-quantity parts per return flag
+    with rank() semantics — every part tied at the boundary survives
+    (row_number top-k would break ties arbitrarily and need an explicit
+    tiebreaker to stay deterministic; rank keeps the honest set). The
+    window runs over the aggregated (flag, part) grain and Spark's
+    rank-limit pushdown plans a partial WindowGroupLimit before the
+    exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("qty"))
+    return (
+        q.withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
