@@ -109,6 +109,7 @@ QUERIES = [
     "burst_flags_1h",
     "interarrival_gaps",
     "spearman_click_purchase",
+    "funnel_step_lags",
 ]
 
 TABLES = [

@@ -1300,3 +1300,33 @@ class TestEmbeddingDrift:
         b = spark.createDataFrame([], "vec_id long, embedding array<float>")
         r = embedding_drift(a, b).collect()[0]
         assert r["cosine"] is None and r["n_b"] == 0
+
+
+class TestFunnelStepLags:
+    def test_greedy_chain_lags(self, spark):
+        from timeseriesfuser_spark.ops.behavior import funnel_step_lags
+
+        rows = [
+            # u1: A@0, B@10 (greedy, ignores B@50), C@25
+            ("u1", "A", 0), ("u1", "B", 10), ("u1", "B", 50), ("u1", "C", 25),
+            # u2: A@0, B@30, no C
+            ("u2", "A", 0), ("u2", "B", 30),
+            # u3: B before A -> never converts step 1
+            ("u3", "B", 5), ("u3", "A", 9),
+        ]
+        df = spark.createDataFrame(rows, "user_id string, event_type string, ts long")
+        out = {r["step_idx"]: r for r in funnel_step_lags(df, ["A", "B", "C"]).collect()}
+        r1 = out[1]
+        assert (r1["from_step"], r1["to_step"], r1["n_users"]) == ("A", "B", 2)
+        lags1 = sorted([10, 30])
+        assert r1["p50_x2"] == lags1[0] + lags1[1]
+        assert r1["max_lag_ms"] == 30
+        r2 = out[2]
+        assert (r2["n_users"], r2["p50_x2"], r2["max_lag_ms"]) == (1, 30, 15)
+
+    def test_validation(self, spark):
+        from timeseriesfuser_spark.ops.behavior import funnel_step_lags
+
+        df = spark.createDataFrame([("u", "A", 1)], "user_id string, event_type string, ts long")
+        with pytest.raises(ValueError):
+            funnel_step_lags(df, ["A"])

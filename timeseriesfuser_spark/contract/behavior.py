@@ -1225,3 +1225,59 @@ def q_streaming_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("anchor_ts").cast("long").alias("first_anchor_ts"),
         F.count(F.lit(1)).cast("long").alias("n_anchors_matched"),
     )
+
+
+@register(
+    "funnel_step_lags",
+    # The greedy funnel chain unrolls step by step (min ts strictly
+    # after the previous step's time); lag percentiles are den-scaled
+    # exact order statistics per transition.
+    oracle="""
+    WITH ev AS (SELECT user_id AS u, epoch_ms(ts) AS t, event_type AS ty
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    s0 AS (SELECT u, min(t) AS t0 FROM ev WHERE ty = 'signup' GROUP BY u),
+    s1 AS (SELECT e.u, s0.t0, min(e.t) AS t1
+           FROM ev e JOIN s0 ON s0.u = e.u AND e.t > s0.t0
+           WHERE e.ty = 'view' GROUP BY 1, 2),
+    s2 AS (SELECT e.u, s1.t1, min(e.t) AS t2
+           FROM ev e JOIN s1 ON s1.u = e.u AND e.t > s1.t1
+           WHERE e.ty = 'purchase' GROUP BY 1, 2),
+    lags AS (SELECT 1 AS step_idx, 'signup' AS from_step, 'view' AS to_step,
+                    t1 - t0 AS lag FROM s1
+             UNION ALL
+             SELECT 2, 'view', 'purchase', t2 - t1 FROM s2),
+    cnt AS (SELECT step_idx, count(*) AS n FROM lags GROUP BY step_idx),
+    rn AS (SELECT l.step_idx, l.from_step, l.to_step, lag, n,
+                  row_number() OVER (PARTITION BY l.step_idx ORDER BY lag)
+                      AS rnk
+           FROM lags l JOIN cnt ON cnt.step_idx = l.step_idx)
+    SELECT step_idx, min(from_step) AS from_step, min(to_step) AS to_step,
+           CAST(max(n) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN rnk = (n - 1) // 2 + 1
+                         THEN lag * (2 - (n - 1) % 2)
+                         WHEN (n - 1) % 2 > 0 AND rnk = (n - 1) // 2 + 2
+                         THEN lag * ((n - 1) % 2) END) AS BIGINT) AS p50_x2,
+           CAST(sum(CASE WHEN rnk = (9 * (n - 1)) // 10 + 1
+                         THEN lag * (10 - (9 * (n - 1)) % 10)
+                         WHEN (9 * (n - 1)) % 10 > 0
+                          AND rnk = (9 * (n - 1)) // 10 + 2
+                         THEN lag * ((9 * (n - 1)) % 10) END) AS BIGINT)
+               AS p90_x10,
+           CAST(max(lag) AS BIGINT) AS max_lag_ms
+    FROM rn GROUP BY step_idx
+    """,
+)
+def q_funnel_step_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-transition time-to-convert for the signup→view→purchase
+    funnel (ops.behavior.funnel_step_lags): exact lag medians/p90s over
+    the greedy strict-sequence chain — WHERE the funnel loses time, the
+    companion to funnel_conversion's where-it-loses-users. One
+    shrinking conditional-min join per step, percentile rank windows on
+    converting users only."""
+    from timeseriesfuser_spark.ops.behavior import funnel_step_lags
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    return funnel_step_lags(ev, ["signup", "view", "purchase"])

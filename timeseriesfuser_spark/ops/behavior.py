@@ -1258,3 +1258,83 @@ def journey_paths(
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(int(top))
     )
+
+
+def funnel_step_lags(
+    df: DataFrame,
+    steps: Sequence[str],
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert per funnel transition: for every consecutive step
+    pair of the strict-sequence funnel (the :func:`funnel_counts`
+    chain — tᵢ = min ts of stepᵢ strictly after tᵢ₋₁), the exact lag
+    distribution over converting users — WHERE the funnel loses time,
+    not just where it loses users.
+
+    Output per transition: (step_idx, from_step, to_step, n_users,
+    p50_x2, p90_x10, max_lag_ms) — median/p90 as den-scaled exact order
+    statistics (the :func:`exact_percentiles` machinery), all BIGINT.
+
+    Scale: the chain is one conditional-min aggregate + user equi-join
+    per step on a SHRINKING per-user relation (the funnel shape); the
+    percentile rank windows partition by transition over the converting
+    users only. The whole result is ONE lazy plan — no per-step driver
+    actions (each level localCheckpoints eagerly, the bounded per-user
+    grain)."""
+    from timeseriesfuser_spark.ops.timeseries import exact_percentiles
+
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("need at least 2 steps for a transition")
+    u, t, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
+    reached = (
+        df.filter(ty == steps[0])
+        .groupBy(u.alias("__u"))
+        .agg(F.min(t).cast("long").alias("__t"))
+        .localCheckpoint(eager=True)
+    )
+    lag_rels = []
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            df.filter(ty == step)
+            .select(u.alias("__u"), t.cast("long").alias("__ts"))
+            .join(reached, "__u")
+            .filter(F.col("__ts") > F.col("__t"))
+            .groupBy("__u", F.col("__t").alias("__prev"))
+            .agg(F.min("__ts").alias("__t"))
+            .select("__u", "__t", (F.col("__t") - F.col("__prev")).alias("__lag"))
+            .localCheckpoint(eager=True)
+        )
+        lag_rels.append(
+            nxt.select(
+                F.lit(i).cast("long").alias("step_idx"),
+                F.lit(steps[i - 1]).alias("from_step"),
+                F.lit(step).alias("to_step"),
+                F.col("__lag"),
+            )
+        )
+        reached = nxt.select("__u", "__t")
+    lags = lag_rels[0]
+    for rel in lag_rels[1:]:
+        lags = lags.unionByName(rel)
+    pct = exact_percentiles(
+        lags, ((1, 2), (9, 10)),
+        group_col="step_idx", value_col="__lag", cents=False, cache=False,
+    ).withColumnRenamed("n", "n_users")
+    mx = lags.groupBy("step_idx").agg(
+        F.max("__lag").cast("long").alias("max_lag_ms"),
+        F.min("from_step").alias("from_step"),
+        F.min("to_step").alias("to_step"),
+    )
+    return (
+        pct.join(mx, "step_idx")
+        .select(
+            "step_idx", "from_step", "to_step", "n_users",
+            F.col("p1_2_x2").alias("p50_x2"),
+            F.col("p9_10_x10").alias("p90_x10"),
+            "max_lag_ms",
+        )
+    )
