@@ -1330,3 +1330,33 @@ class TestFunnelStepLags:
         df = spark.createDataFrame([("u", "A", 1)], "user_id string, event_type string, ts long")
         with pytest.raises(ValueError):
             funnel_step_lags(df, ["A"])
+
+
+class TestCohortLTV:
+    def test_triangle_hand_check(self, spark):
+        from timeseriesfuser_spark.ops.behavior import cohort_ltv
+
+        W = 7 * 86_400_000
+        rows = [
+            # u1 cohort week 0: orders in weeks 0, 0, 2
+            (1, 0, 10.0), (1, 3 * 86_400_000, 5.0), (1, 2 * W, 20.0),
+            # u2 cohort week 1: order in week 1 only (NULL amount -> 0)
+            (2, W + 5, None),
+        ]
+        df = spark.createDataFrame(
+            rows, "o_custkey long, __ms long, o_totalprice double"
+        ).select(
+            "o_custkey",
+            F.timestamp_millis(F.col("__ms")).alias("o_orderdate"),
+            "o_totalprice",
+        )
+        out = {
+            (r["cohort_period"], r["periods_since"]): (
+                r["n_orders"], r["revenue_cents"], r["cum_revenue_cents"]
+            )
+            for r in cohort_ltv(df).collect()
+        }
+        assert out[(0, 0)] == (2, 1500, 1500)
+        assert out[(0, 2)] == (1, 2000, 3500)
+        assert out[(1, 0)] == (1, 0, 0)
+        assert (0, 1) not in out  # no orders that week -> no cell

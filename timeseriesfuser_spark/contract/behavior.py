@@ -1281,3 +1281,44 @@ def q_funnel_step_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
     return funnel_step_lags(ev, ["signup", "view", "purchase"])
+
+
+@register(
+    "cohort_ltv_weekly",
+    # Cohort = first-order week (pmod-floor per _ff); cumulative revenue
+    # runs over the aggregated (cohort, weeks-since) grain.
+    oracle=f"""
+    WITH base AS (SELECT o_custkey AS u,
+                         {_ff("epoch_ms(o_orderdate)", 7 * 86_400_000)}
+                             // {7 * 86_400_000} AS p,
+                         COALESCE(CAST(round(o_totalprice * 100) AS BIGINT), 0)
+                             AS cents
+                  FROM orders
+                  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+    first AS (SELECT u, min(p) AS cohort FROM base GROUP BY u),
+    grain AS (SELECT f.cohort AS cohort_period,
+                     b.p - f.cohort AS periods_since,
+                     count(*) AS n_orders,
+                     sum(b.cents) AS revenue_cents
+              FROM base b JOIN first f ON f.u = b.u
+              GROUP BY 1, 2)
+    SELECT CAST(cohort_period AS BIGINT) AS cohort_period,
+           CAST(periods_since AS BIGINT) AS periods_since,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(revenue_cents AS BIGINT) AS revenue_cents,
+           CAST(sum(revenue_cents) OVER
+                    (PARTITION BY cohort_period ORDER BY periods_since
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_revenue_cents
+    FROM grain
+    """,
+)
+def q_cohort_ltv_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort LTV triangle (ops.behavior.cohort_ltv): customers
+    cohorted by first-order week; per (cohort, weeks-since) cell the
+    period revenue and the running cumulative — the LTV curve behind
+    'what is a week-N customer worth', the revenue companion to
+    retention_7d. Cumulative window on the aggregated grain only."""
+    from timeseriesfuser_spark.ops.behavior import cohort_ltv
+
+    return cohort_ltv(_t(spark, sf_dir, "orders"))

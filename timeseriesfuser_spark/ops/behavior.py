@@ -1338,3 +1338,68 @@ def funnel_step_lags(
             "max_lag_ms",
         )
     )
+
+
+def cohort_ltv(
+    orders: DataFrame,
+    *,
+    user_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    period_ms: int = 7 * 86_400_000,
+) -> DataFrame:
+    """Cohort lifetime-value triangle: users cohorted by their FIRST
+    purchase period; for every (cohort, periods-since) cell, the period
+    revenue and the RUNNING cumulative revenue per cohort — the
+    LTV-curve data behind "how much is a week-N customer worth", the
+    revenue companion to :func:`retention_cohorts`' activity matrix.
+
+    Exact integers: cents revenue, period indices via pmod-floor
+    (negative-safe), the cumulative sum a window over the AGGREGATED
+    (cohort × periods-since) grain — #cohorts × #periods rows, never
+    order rows. Rows with NULL user/ts are excluded; NULL amounts count
+    as zero revenue (the order still anchors its cohort).
+
+    Output: (cohort_period, periods_since, n_orders, revenue_cents,
+    cum_revenue_cents) — all BIGINT.
+    """
+    from pyspark.sql.window import Window
+
+    p = int(period_ms)
+    if p <= 0:
+        raise ValueError(f"period_ms must be positive: {period_ms}")
+    base = orders.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.expr(
+            f"unix_millis(CAST({ts_col} AS TIMESTAMP))"
+        ).alias("__t"),
+        F.coalesce(
+            F.round(F.col(amount_col) * 100).cast("long"), F.lit(0)
+        ).alias("__cents"),
+    ).withColumn(
+        "__p", (F.col("__t") - F.pmod(F.col("__t"), F.lit(p))) / p
+    ).withColumn("__p", F.col("__p").cast("long"))
+    first = base.groupBy("__u").agg(F.min("__p").alias("__cohort"))
+    grain = (
+        base.join(first, "__u")
+        .groupBy(
+            F.col("__cohort").alias("cohort_period"),
+            (F.col("__p") - F.col("__cohort")).cast("long").alias(
+                "periods_since"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("__cents").cast("long").alias("revenue_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_period")
+        .orderBy("periods_since")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grain.withColumn(
+        "cum_revenue_cents", F.sum("revenue_cents").over(w).cast("long")
+    )
