@@ -110,6 +110,7 @@ QUERIES = [
     "interarrival_gaps",
     "spearman_click_purchase",
     "funnel_step_lags",
+    "realized_vol_daily",
 ]
 
 TABLES = [

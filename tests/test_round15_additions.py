@@ -1360,3 +1360,51 @@ class TestCohortLTV:
         assert out[(0, 2)] == (1, 2000, 3500)
         assert out[(1, 0)] == (1, 0, 0)
         assert (0, 1) not in out  # no orders that week -> no cell
+
+
+class TestAssortativity:
+    def test_star_is_disassortative(self, spark):
+        from timeseriesfuser_spark.ops.graph import degree_assortativity
+
+        # star: hub degree 5, leaves degree 1 -> rho = -1
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 6)], "id_a long, id_b long"
+        )
+        r = degree_assortativity(edges).collect()[0]
+        assert r["n_edges"] == 5 and r["rho"] == -1.0
+
+    def test_regular_graph_null(self, spark):
+        from timeseriesfuser_spark.ops.graph import degree_assortativity
+
+        # cycle: every degree 2 -> zero variance -> NULL
+        edges = spark.createDataFrame(
+            [(i, (i + 1) % 6) for i in range(6)], "id_a long, id_b long"
+        )
+        r = degree_assortativity(edges).collect()[0]
+        assert r["n_edges"] == 6 and r["rho"] is None
+
+    def test_python_reference(self, spark):
+        from timeseriesfuser_spark.ops.graph import degree_assortativity
+        import math
+
+        rng = random.Random(29)
+        edges = sorted({tuple(sorted(rng.sample(range(15), 2))) for _ in range(35)})
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        pairs = [(deg[a], deg[b]) for a, b in edges] + [
+            (deg[b], deg[a]) for a, b in edges
+        ]
+        m = len(pairs)
+        sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs); syy = sum(y * y for _, y in pairs)
+        want = round(
+            (m * sxy - sx * sy)
+            / (math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy)),
+            6,
+        )
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        r = degree_assortativity(df).collect()[0]
+        assert r["n_edges"] == len(edges) and r["rho"] == want

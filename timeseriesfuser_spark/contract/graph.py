@@ -480,3 +480,62 @@ def q_copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return clustering_coefficients(edges)
+
+
+@register(
+    "copurchase_assortativity",
+    # Newman assortativity: Pearson of endpoint degrees over BOTH
+    # orientations of every canonical edge; exact HUGEINT sums, one
+    # double chain.
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    e AS (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+    deg AS (SELECT n, count(*) AS d
+            FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+            GROUP BY n),
+    orient AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    paired AS (SELECT du.d AS dx, dv.d AS dy
+               FROM orient
+               JOIN deg du ON du.n = orient.u
+               JOIN deg dv ON dv.n = orient.v),
+    agg AS (SELECT count(*) AS m,
+                   sum(CAST(dx AS HUGEINT)) AS sx,
+                   sum(CAST(dy AS HUGEINT)) AS sy,
+                   sum(CAST(dx AS HUGEINT) * dy) AS sxy,
+                   sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+                   sum(CAST(dy AS HUGEINT) * dy) AS syy
+            FROM paired)
+    SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+           CASE WHEN m >= 2 AND m * sxx - sx * sx > 0
+                     AND m * syy - sy * sy > 0
+                THEN round(CAST(m * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+           END AS rho
+    FROM agg
+    """,
+)
+def q_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph
+    (ops.graph.degree_assortativity): do high-degree parts co-purchase
+    with other hubs or with leaves? Exact integer degree sums over both
+    edge orientations, one double chain — the one-number topology
+    fingerprint beside clustering coefficients."""
+    from timeseriesfuser_spark.ops.graph import degree_assortativity
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    )
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
+        .distinct()
+    )
+    return degree_assortativity(edges)

@@ -1669,3 +1669,65 @@ def q_spearman_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timeseriesfuser_spark.ops.timeseries import spearman_corr
 
     return spearman_corr(_events(spark, sf_dir), "click", "purchase", "1d")
+
+
+@register(
+    "realized_vol_daily",
+    # RV_day = Σ (Δclose_cents)² over the day's consecutive 1h bars —
+    # exact HUGEINT sums; bar closes are the last-(ts, seq) cent value.
+    oracle="""
+    WITH ev AS (SELECT event_type AS k, epoch_ms(ts) AS t, event_id AS s,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                  AND event_type IS NOT NULL),
+    bars AS (SELECT k, t // 3600000 AS h, v FROM (
+                 SELECT *, row_number() OVER (PARTITION BY k, t // 3600000
+                                              ORDER BY t DESC, s DESC) AS rnk
+                 FROM ev) WHERE rnk = 1),
+    d AS (SELECT k, h, v,
+                 v - lag(v) OVER (PARTITION BY k ORDER BY h) AS dv
+          FROM bars)
+    SELECT k AS event_type,
+           CAST(h // 24 AS BIGINT) AS day,
+           CAST(count(dv) AS BIGINT) AS n_returns,
+           CAST(sum(CAST(dv AS HUGEINT) * dv) AS BIGINT) AS rv_cents2
+    FROM d WHERE dv IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_realized_vol_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily realized volatility per type: Σ of squared hourly bar-close
+    changes in exact cent² integers (HUGEINT/decimal sums) — the
+    classic high-frequency variance estimator, built on the house bar
+    conventions (last-(ts, seq) closes, lag on the bar grain only)."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        F.col("event_type").alias("k"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    bars = ev.groupBy(
+        "k", F.expr("ts DIV 3600000").cast("long").alias("h")
+    ).agg(
+        F.max_by(
+            F.col("v"), F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("v")
+    )
+    w = Window.partitionBy("k").orderBy("h")
+    d = bars.withColumn("dv", F.col("v") - F.lag("v").over(w)).filter(
+        F.col("dv").isNotNull()
+    )
+    return d.groupBy(
+        F.col("k").alias("event_type"),
+        F.expr("h DIV 24").cast("long").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_returns"),
+        F.sum(F.expr("CAST(dv AS DECIMAL(38,0)) * dv"))
+        .cast("long")
+        .alias("rv_cents2"),
+    )

@@ -675,3 +675,65 @@ def clustering_coefficients(
             F.expr("2 * n_triangles * 1000000 DIV (degree * (degree - 1))"),
         ).otherwise(F.lit(0)).cast("long"),
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Degree assortativity of an undirected graph: the Pearson
+    correlation of endpoint degrees over all edge endpoint pairs (each
+    undirected edge contributes both orientations — the standard Newman
+    definition). Positive = hubs link to hubs (social nets), negative =
+    hubs link to leaves (the near-dup star topologies LSH produces) —
+    the one-number topology fingerprint for match graphs.
+
+    Exactness: degrees are exact integers; every Σ over the oriented
+    edge relation accumulates in decimal(38,0); r is the single fixed
+    double chain (the :func:`~timeseriesfuser_spark.ops.timeseries.
+    spearman_corr` contract), NULL for degree-regular graphs (zero
+    variance) or empty edge sets.
+
+    Scale: one canonical-edge distinct, one degree aggregate joined
+    back to both endpoints, one global 1-row aggregate. Output:
+    (n_edges, rho).
+    """
+    e = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+    ).filter(F.col("a") != F.col("b")).distinct()
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    oriented = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    paired = (
+        oriented.join(deg.withColumnsRenamed({"id": "a", "d": "dx"}), "a")
+        .join(deg.withColumnsRenamed({"id": "b", "d": "dy"}), "b")
+    )
+    agg = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("__m"),
+        F.sum(F.expr("CAST(dx AS DECIMAL(38,0))")).alias("__sx"),
+        F.sum(F.expr("CAST(dy AS DECIMAL(38,0))")).alias("__sy"),
+        F.sum(F.expr("CAST(dx AS DECIMAL(38,0)) * dy")).alias("__sxy"),
+        F.sum(F.expr("CAST(dx AS DECIMAL(38,0)) * dx")).alias("__sxx"),
+        F.sum(F.expr("CAST(dy AS DECIMAL(38,0)) * dy")).alias("__syy"),
+    )
+    num = F.expr("CAST(__m * __sxy - __sx * __sy AS DOUBLE)")
+    vx = F.expr("CAST(__m * __sxx - __sx * __sx AS DOUBLE)")
+    vy = F.expr("CAST(__m * __syy - __sy * __sy AS DOUBLE)")
+    return agg.select(
+        (F.col("__m") / 2).cast("long").alias("n_edges"),
+        F.when(
+            (F.col("__m") >= 2)
+            & (F.expr("__m * __sxx - __sx * __sx") > 0)
+            & (F.expr("__m * __syy - __sy * __sy") > 0),
+            F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6),
+        ).alias("rho"),
+    )
