@@ -2089,3 +2089,82 @@ def q_top_parts_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.withColumn("rnk", F.rank().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "basket_size_hist",
+    oracle="""
+    WITH b AS (SELECT l_orderkey, count(DISTINCT l_partkey) AS n_parts
+               FROM lineitem
+               WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+               GROUP BY l_orderkey)
+    SELECT CAST(n_parts AS BIGINT) AS basket_size,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM b GROUP BY n_parts
+    """,
+)
+def q_basket_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: distinct parts per order → order count
+    per size — the market-basket shape prior every co-purchase analysis
+    should check first (the Σ|basket|² pair-space cost of
+    copurchase_lift/triangles is THIS histogram's second moment). Two
+    hash aggregations, output bounded by max basket size."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+    )
+    b = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_partkey").cast("long").alias("basket_size")
+    )
+    return b.groupBy("basket_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+@register(
+    "part_supplier_hhi",
+    # Grouped HHI: per part, Σ over suppliers of (share_ppm)² with
+    # share_ppm = qty·1e6 DIV total — exact integers (HUGEINT squares);
+    # 1e12 = single-supplier monopoly. Ties/ordering irrelevant (a sum).
+    oracle="""
+    WITH sq AS (SELECT l_partkey, l_suppkey,
+                       sum(CAST(l_quantity AS BIGINT)) AS q
+                FROM lineitem
+                WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+                GROUP BY 1, 2),
+    tot AS (SELECT l_partkey, sum(q) AS tq, count(*) AS n_suppliers
+            FROM sq GROUP BY l_partkey)
+    SELECT sq.l_partkey,
+           CAST(max(n_suppliers) AS BIGINT) AS n_suppliers,
+           CAST(sum(CAST(q * 1000000 // tq AS HUGEINT)
+                    * (q * 1000000 // tq)) AS BIGINT) AS hhi_ppm2
+    FROM sq JOIN tot ON tot.l_partkey = sq.l_partkey
+    GROUP BY sq.l_partkey
+    """,
+)
+def q_part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply concentration per part: Herfindahl–Hirschman index of
+    supplier quantity shares in exact ppm² (1e12 = single-supplier
+    monopoly) — the supply-chain-risk screen, the grouped sibling of
+    revenue_concentration's corpus-level HHI. Two hash aggregations +
+    one grain join; output bounded by distinct parts."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
+    sq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("q")
+    )
+    tot = sq.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("q").alias("tq"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    return (
+        sq.join(tot, sq["l_partkey"] == tot["__pk"])
+        .withColumn("__share", F.expr("q * 1000000 DIV tq"))
+        .groupBy("l_partkey")
+        .agg(
+            F.max("n_suppliers").cast("long").alias("n_suppliers"),
+            F.sum(F.expr("CAST(__share AS DECIMAL(38,0)) * __share"))
+            .cast("long")
+            .alias("hhi_ppm2"),
+        )
+    )
