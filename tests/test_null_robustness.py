@@ -111,6 +111,7 @@ QUERIES = [
     "spearman_click_purchase",
     "funnel_step_lags",
     "realized_vol_daily",
+    "streaming_burst_flags",
 ]
 
 TABLES = [

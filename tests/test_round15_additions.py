@@ -1408,3 +1408,66 @@ class TestAssortativity:
         df = spark.createDataFrame(edges, "id_a long, id_b long")
         r = degree_assortativity(df).collect()[0]
         assert r["n_edges"] == len(edges) and r["rho"] == want
+
+
+class TestBurstFlagsStream:
+    def test_matches_batch_across_restart(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from timeseriesfuser_spark.ops.timeseries import burst_flags
+        from timeseriesfuser_spark.streaming import burst_flags_stream
+
+        counts = [2, 6, 3, 1, 6, 2, 1, 7]
+        rows = []
+        eid = 0
+        for h, c in enumerate(counts):
+            for j in range(c):
+                rows.append(("k", h * 100 + j, eid)); eid += 1
+        schema = "event_type string, ts long, event_id long"
+        batch_df = spark.createDataFrame(rows, schema)
+        want_all = {
+            r["bar_start"]: (r["n_events"], r["in_burst"], r["entered"], r["burst_id"])
+            for r in burst_flags(batch_df, "100l", hi=5, lo=1).collect()
+        }
+        last_bar = max(want_all)
+        want = {k: v for k, v in want_all.items() if k < last_bar}
+
+        d = tmp_path / "bf"
+        ckpt = str(tmp_path / "ckpt_bf")
+        got = []
+
+        def run():
+            stream = spark.readStream.schema(schema).parquet(str(d))
+            out = burst_flags_stream(
+                stream, 100, hi=5, lo=1, keys=["event_type"], ts_col="ts"
+            )
+
+            def sink(bdf, bid):
+                got.extend(bdf.collect())
+
+            q = (
+                out.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            assert q.exception() is None
+
+        # split mid-bar: the open bar's count must carry across restarts
+        first = [r for r in rows if r[1] < 450]
+        second = [r for r in rows if r[1] >= 450]
+        spark.createDataFrame(first, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+        run()
+        spark.createDataFrame(second, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+        run()
+        agg = {
+            r["bar_start"]: (r["n_events"], r["in_burst"], r["entered"], r["burst_id"])
+            for r in got
+        }
+        assert agg == want

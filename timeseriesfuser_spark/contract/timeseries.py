@@ -1731,3 +1731,68 @@ def q_realized_vol_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rv_cents2"),
     )
+
+
+@register(
+    "streaming_burst_flags",
+    # Emission contract: a bar emits when the key's NEXT bar opens, so
+    # the stream equals the batch hysteresis rows MINUS each key's final
+    # bar (the append-emission pattern of streaming_resample_1h).
+    oracle=f"""
+    WITH bars AS (SELECT event_type AS key,
+                         {_ff("epoch_ms(ts)", 3_600_000)} AS bar_start,
+                         count(*) AS n_events
+                  FROM events
+                  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                  GROUP BY 1, 2),
+    d AS (SELECT *, CASE WHEN n_events >= 5 THEN 1
+                         WHEN n_events <= 1 THEN 0 END AS dec
+          FROM bars),
+    st AS (SELECT *, COALESCE(last_value(dec IGNORE NULLS) OVER
+                         (PARTITION BY key ORDER BY bar_start
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     0) AS in_burst,
+                 max(bar_start) OVER (PARTITION BY key) AS last_bar
+           FROM d),
+    en AS (SELECT *, CASE WHEN in_burst = 1 AND COALESCE(lag(in_burst) OVER
+                          (PARTITION BY key ORDER BY bar_start), 0) = 0
+                          THEN 1 ELSE 0 END AS entered
+           FROM st)
+    SELECT key, CAST(bar_start AS BIGINT) AS bar_start,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(in_burst AS BIGINT) AS in_burst,
+           CAST(entered AS BIGINT) AS entered,
+           CAST(CASE WHEN in_burst = 1 THEN sum(entered) OVER
+                    (PARTITION BY key ORDER BY bar_start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                END AS BIGINT) AS burst_id
+    FROM en WHERE bar_start < last_bar
+    """,
+)
+def q_streaming_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live hysteresis burst detection driven through the driver harness
+    (streaming.burst_flags_stream, applyInPandasWithState): the open
+    bar's count and the enter/exit state machine ride the state store; a
+    bar emits when its key's next bar opens. 14th driver-checked
+    streaming query; oracle = the batch hysteresis minus each key's
+    final (never-closing) bar."""
+    from timeseriesfuser_spark.contract._base import (
+        _run_availablenow_to_memory,
+    )
+    from timeseriesfuser_spark.streaming import burst_flags_stream
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_ms = ts_epoch_ms_col(stream, "ts")
+    ev = stream.select(
+        "event_type", ts_ms.cast("long").alias("ts")
+    ).filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+    flags = burst_flags_stream(
+        ev, 3_600_000, hi=5, lo=1, keys=["event_type"], ts_col="ts"
+    )
+    out = _run_availablenow_to_memory(flags, "bf")
+    return out.withColumnRenamed("event_type", "key")

@@ -941,3 +941,97 @@ def sequence_match_stream(
     return df.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def burst_flags_stream(
+    df: DataFrame,
+    interval_ms: int,
+    *,
+    hi: int,
+    lo: int,
+    keys: Sequence[str] = ("event_type",),
+    ts_col: str = TS_COL,
+) -> DataFrame:
+    """Streaming twin of ``ops.timeseries.burst_flags``: live hysteresis
+    burst state per key, with the open bar's count and the
+    (in_burst, burst counter) machine carried in the state store.
+
+    A bar EMITS when the key's next bar opens (the only moment its
+    count is final — the batch op's event-bar grain has no empty bars,
+    so closure is exactly "a later event arrived"); the stream's last
+    open bar per key never closes and is NOT emitted, so aggregated
+    emissions equal the batch op's rows MINUS each key's final bar —
+    the streaming_resample append-emission contract. Chronological
+    arrival across micro-batches required, as with every stateful twin
+    here; within a batch rows are sorted.
+
+    Emits (keys…, bar_start, n_events, in_burst, entered, burst_id).
+    State is 4 longs per key.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if not (0 <= int(lo) < int(hi)):
+        raise ValueError(f"need 0 <= lo < hi: lo={lo}, hi={hi}")
+    ms = int(interval_ms)
+    keys = list(keys)
+    key_fields = [
+        T.StructField(kk, df.schema[kk].dataType, True) for kk in keys
+    ]
+    out_schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("bar_start", T.LongType(), True),
+            T.StructField("n_events", T.LongType(), True),
+            T.StructField("in_burst", T.LongType(), True),
+            T.StructField("entered", T.LongType(), True),
+            T.StructField("burst_id", T.LongType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("bar", T.LongType(), True),
+            T.StructField("cnt", T.LongType(), True),
+            T.StructField("inb", T.LongType(), True),
+            T.StructField("bursts", T.LongType(), True),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        ts = []
+        for pdf in pdfs:
+            ts.extend(
+                int(t) for t in pdf[ts_col] if t is not None and not pd.isna(t)
+            )
+        ts.sort()
+        if state.exists:
+            bar, cnt, inb, bursts = state.get
+        else:
+            bar = None
+        out = []
+        for t in ts:
+            b = t // ms
+            if bar is None:
+                bar, cnt, inb, bursts = b, 1, 0, 0
+            elif b == bar:
+                cnt += 1
+            else:
+                dec = 1 if cnt >= hi else (0 if cnt <= lo else None)
+                new_inb = inb if dec is None else dec
+                entered = 1 if (new_inb == 1 and inb == 0) else 0
+                bursts += entered
+                out.append(
+                    {**dict(zip(keys, key)), "bar_start": bar * ms,
+                     "n_events": cnt, "in_burst": new_inb,
+                     "entered": entered,
+                     "burst_id": bursts if new_inb == 1 else None}
+                )
+                inb = new_inb
+                bar, cnt = b, 1
+        if bar is not None:
+            state.update((bar, cnt, inb, bursts))
+        yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
