@@ -112,6 +112,7 @@ QUERIES = [
     "funnel_step_lags",
     "realized_vol_daily",
     "streaming_burst_flags",
+    "user_activity_span",
 ]
 
 TABLES = [

@@ -1322,3 +1322,41 @@ def q_cohort_ltv_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timeseriesfuser_spark.ops.behavior import cohort_ltv
 
     return cohort_ltv(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "user_activity_span",
+    oracle="""
+    WITH ev AS (SELECT user_id AS u, epoch_ms(ts) AS t,
+                       epoch_ms(ts) // 86400000 AS d
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+    SELECT u AS user_id,
+           CAST(min(t) AS BIGINT) AS first_ts,
+           CAST(max(t) AS BIGINT) AS last_ts,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT d) AS BIGINT) AS n_active_days,
+           CAST(max(d) - min(d) + 1 AS BIGINT) AS span_days,
+           CAST(count(DISTINCT d) * 1000000 // (max(d) - min(d) + 1)
+                AS BIGINT) AS density_ppm
+    FROM ev GROUP BY u
+    """,
+)
+def q_user_activity_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime span and activity density: first/last event,
+    active-day count, calendar span and the active/span ratio in exact
+    ppm — the engagement-segmentation base table (tourists vs
+    regulars). One hash aggregation with a count-distinct Expand."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).withColumn("__d", F.expr("ts DIV 86400000").cast("long"))
+    return ev.groupBy("user_id").agg(
+        F.min("ts").cast("long").alias("first_ts"),
+        F.max("ts").cast("long").alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("__d").cast("long").alias("n_active_days"),
+        (F.max("__d") - F.min("__d") + 1).cast("long").alias("span_days"),
+        F.expr(
+            "count(DISTINCT __d) * 1000000 DIV (max(__d) - min(__d) + 1)"
+        ).cast("long").alias("density_ppm"),
+    )

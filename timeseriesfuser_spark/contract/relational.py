@@ -2168,3 +2168,62 @@ def q_part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hhi_ppm2"),
         )
     )
+
+
+@register(
+    "discount_quantity_corr",
+    # Discount in exact basis points, quantity exact ints; every Σ in
+    # HUGEINT/decimal; one double chain (the crosscorr contract).
+    oracle="""
+    WITH b AS (SELECT CAST(round(l_discount * 10000) AS BIGINT) AS x,
+                      CAST(l_quantity AS BIGINT) AS y
+               FROM lineitem
+               WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL),
+    agg AS (SELECT count(*) AS n,
+                   sum(CAST(x AS HUGEINT)) AS sx,
+                   sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM b)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                     AND n * syy - sy * sy > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           END AS r
+    FROM agg
+    """,
+)
+def q_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-elasticity proxy: Pearson correlation of discount (exact
+    basis points) vs quantity across all lineitems — exact integer sums,
+    one double chain (the house correlation contract). One
+    map-side-combinable aggregate; a single-row answer at any scale."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_discount").isNotNull() & F.col("l_quantity").isNotNull()
+    ).select(
+        F.round(F.col("l_discount") * 10000).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    agg = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("__sx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).alias("__sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("__sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("__sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("__syy"),
+    )
+    num = F.expr("CAST(n_rows * __sxy - __sx * __sy AS DOUBLE)")
+    vx = F.expr("CAST(n_rows * __sxx - __sx * __sx AS DOUBLE)")
+    vy = F.expr("CAST(n_rows * __syy - __sy * __sy AS DOUBLE)")
+    return agg.select(
+        "n_rows",
+        F.when(
+            (F.col("n_rows") >= 2)
+            & (F.expr("n_rows * __sxx - __sx * __sx") > 0)
+            & (F.expr("n_rows * __syy - __sy * __sy") > 0),
+            F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6),
+        ).alias("r"),
+    )
