@@ -113,6 +113,7 @@ QUERIES = [
     "realized_vol_daily",
     "streaming_burst_flags",
     "user_activity_span",
+    "peak_concurrency_daily",
 ]
 
 TABLES = [

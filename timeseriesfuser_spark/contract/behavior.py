@@ -1360,3 +1360,84 @@ def q_user_activity_span(spark: SparkSession, sf_dir: str) -> DataFrame:
             "count(DISTINCT __d) * 1000000 DIV (max(__d) - min(__d) + 1)"
         ).cast("long").alias("density_ppm"),
     )
+
+
+@register(
+    "peak_concurrency_daily",
+    # Sweep line over session boundaries: +1 at start, −1 at end+1
+    # (inclusive-end sessions), ordered (t, delta) so a session ending
+    # strictly before another's start never overlaps it; the default
+    # RANGE window frame makes tie groups cumulative as a unit on both
+    # engines. Sessions are assigned to their START day.
+    oracle="""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, user_id FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    flagged AS (SELECT user_id, t,
+                       CASE WHEN lag(t) OVER w IS NULL
+                                 OR t - lag(t) OVER w > 1800000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM ev WINDOW w AS (PARTITION BY user_id
+                                     ORDER BY t, event_id)),
+    sess AS (SELECT user_id,
+                    sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sid,
+                    t
+             FROM flagged),
+    spans AS (SELECT min(t) AS s, max(t) AS e,
+                     min(t) // 86400000 AS day
+              FROM sess GROUP BY user_id, sid),
+    bounds AS (SELECT day, s AS t, 1 AS delta FROM spans
+               UNION ALL
+               SELECT day, e + 1, -1 FROM spans),
+    swept AS (SELECT day,
+                     sum(delta) OVER (PARTITION BY day ORDER BY t, delta)
+                         AS cur
+              FROM bounds)
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST((SELECT count(*) FROM spans s2 WHERE s2.day = swept.day)
+                AS BIGINT) AS n_sessions,
+           CAST(max(cur) AS BIGINT) AS peak_concurrent
+    FROM swept GROUP BY day
+    """,
+)
+def q_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous sessions per day: 30-min-gap sessions swept as
+    +1/−1 boundary events with a per-day cumulative-sum max — the
+    capacity-planning number (how many concurrent users must the
+    serving tier hold). The sweep window partitions by day over the
+    SESSION-BOUNDARY grain (2 rows per session), never events."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(F.col("ts").alias("t"), "event_id", "user_id")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    lag_t = F.lag("t").over(w)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(lag_t.isNull() | (F.col("t") - lag_t > 1_800_000), 1)
+        .otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = sess.groupBy("user_id", "sid").agg(
+        F.min("t").alias("s"), F.max("t").alias("e")
+    ).withColumn("day", F.expr("s DIV 86400000").cast("long"))
+    bounds = spans.select(
+        "day", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select("day", (F.col("e") + 1).alias("t"),
+                     F.lit(-1).alias("delta"))
+    )
+    sweep = Window.partitionBy("day").orderBy("t", "delta")
+    swept = bounds.withColumn("cur", F.sum("delta").over(sweep))
+    peaks = swept.groupBy("day").agg(
+        F.max("cur").cast("long").alias("peak_concurrent")
+    )
+    counts = spans.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    return counts.join(peaks, "day").select(
+        "day", "n_sessions", "peak_concurrent"
+    )
