@@ -1138,22 +1138,31 @@ def rfm_segments(
 
     Recency is measured against the corpus max activity day (broadcast
     1-row aggregate), in whole days of the ts's epoch-ms integer day
-    index — exact BIGINTs end to end.
+    index — exact BIGINTs end to end. The day index is session-timezone
+    independent for TIMESTAMP / DATE / integer-epoch inputs
+    (:func:`~timeseriesfuser_spark.timeutils.ts_epoch_ms_col`); only
+    TIMESTAMP_NTZ columns assume a UTC session timezone.
 
     Scale: one hash-agg to the per-user grain, then three bucketed
     global rankings over that grain (#users rows, not events)."""
     from timeseriesfuser_spark.ops.scale import quantile_bins
 
+    from timeseriesfuser_spark.timeutils import ts_epoch_ms_col
+
     base = df.filter(
         F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
     ).select(
         F.col(user_col).alias("user"),
-        F.expr(f"unix_millis(CAST({ts_col} AS TIMESTAMP)) DIV 86400000")
-        .cast("long")
-        .alias("__day"),
+        # tz-independent epoch-ms (DATE → unix_date; bigint → unit
+        # heuristic — never CAST-as-seconds), then truncating day DIV.
+        ts_epoch_ms_col(df, ts_col).alias("__ms"),
         F.coalesce(
             F.round(F.col(amount_col) * 100).cast("long"), F.lit(0)
         ).alias("__cents"),
+    ).select(
+        "user",
+        F.expr("__ms DIV 86400000").cast("long").alias("__day"),
+        "__cents",
     )
     per_user = base.groupBy("user").agg(
         F.max("__day").alias("__last_day"),
@@ -1368,13 +1377,15 @@ def cohort_ltv(
     p = int(period_ms)
     if p <= 0:
         raise ValueError(f"period_ms must be positive: {period_ms}")
+    from timeseriesfuser_spark.timeutils import ts_epoch_ms_col
+
     base = orders.filter(
         F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
     ).select(
         F.col(user_col).alias("__u"),
-        F.expr(
-            f"unix_millis(CAST({ts_col} AS TIMESTAMP))"
-        ).alias("__t"),
+        # tz-independent epoch-ms (ADVICE r9: CAST(date AS TIMESTAMP) is
+        # session-timezone dependent; bigint CAST reads SECONDS).
+        ts_epoch_ms_col(orders, ts_col).alias("__t"),
         F.coalesce(
             F.round(F.col(amount_col) * 100).cast("long"), F.lit(0)
         ).alias("__cents"),

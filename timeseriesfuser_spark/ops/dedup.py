@@ -248,10 +248,14 @@ def _cap_buckets(
             op_name, max_bucket, _HOT_COLLECT_CAP,
         )
     else:
-        log.info(
+        # WARNING, not INFO: on this path the drop count is never measured,
+        # so pair output may shrink with no other signal (ADVICE r9).
+        log.warning(
             "%s: bucket cap %d applies lazily (uncached input — eager "
             "drop-count diagnostics skipped to avoid recomputing the "
-            "block relation; use cache=True for measured drop counts)",
+            "block relation; buckets above the cap ARE still dropped, "
+            "unmeasured; use cache=True for measured drop counts or "
+            "max_bucket=None to disable)",
             op_name, max_bucket,
         )
     return blocks.join(
@@ -674,9 +678,10 @@ def minhash_lsh_pairs_between(
         df_ref, id_col, text_col, n, num_hashes, bands, cache, small_input_bytes,
         materialize_buckets=mat,
     )
-    # The cap keys on the REF side's bucket sizes: in incremental ingest
-    # the accumulated corpus is where boilerplate floods accrete, and a
-    # dropped ref bucket suppresses the pair on both sides of the join.
+    # The cap applies to BOTH sides' bucket sizes independently: a pair is
+    # suppressed if either side's bucket is hot. The ref side (accumulated
+    # corpus, where boilerplate floods accrete) and the new side (a flooded
+    # incoming shard) can each turn one bucket into a quadratic straggler.
     buckets_r = _cap_buckets(
         buckets_r, ["band", "bkey"], max_bucket, "minhash_lsh_pairs_between(ref)",
         eager_stats=cache,

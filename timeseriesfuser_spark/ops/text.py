@@ -1079,6 +1079,12 @@ def fuzzy_match_pairs(
     )
 
 
+# Package-level alias: ``ops.entity.fuzzy_match_pairs`` (block-Levenshtein
+# entity matcher) owns the bare name in ``timeseriesfuser_spark.ops``; this
+# deletion-neighborhood text op is exported there as ``fuzzy_text_pairs``.
+fuzzy_text_pairs = fuzzy_match_pairs
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms,

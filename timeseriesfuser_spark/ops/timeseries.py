@@ -1658,7 +1658,15 @@ def lateness_stats(
     num_buckets: "int | None" = None,
 ) -> DataFrame:
     """Out-of-order arrival profile — the measurement that sizes a
-    Structured Streaming watermark delay: with ``seq_col`` as the
+    Structured Streaming watermark delay.
+
+    CONSTRUCTION-TIME ACTION: when ``seq_col`` is numeric this op runs
+    a driver ``approxQuantile`` job at call time (one extra input scan)
+    to pick the pass-1 bucket bounds — the same eager pattern as
+    ``_cap_buckets``. Callers composing it into lazy plans should call
+    it once and reuse the returned DataFrame.
+
+    With ``seq_col`` as the
     ingest/arrival order, a row's lateness is how far the already-seen
     event-time high-water mark is ahead of its own event time
     (``max(ts) over arrivals-before-me − ts``, floored at 0). A stream

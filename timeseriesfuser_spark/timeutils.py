@@ -78,8 +78,11 @@ def ts_epoch_ms_col(df, col: str, *, int_epoch: str = "heuristic"):
     - ``timestamp`` (LTZ) → ``unix_millis``;
     - ``timestamp_ntz`` → cast to TIMESTAMP first (callers pin the session
       TZ to UTC, so the wall-clock is interpreted as UTC — matching DuckDB's
-      ``epoch_ms`` on the same naive value), then ``unix_millis``;
-    - ``date`` → midnight UTC;
+      ``epoch_ms`` on the same naive value), then ``unix_millis``; this is
+      the ONE branch that still depends on the session timezone;
+    - ``date`` → midnight UTC via ``unix_date`` (days-since-epoch ×
+      86 400 000 — session-timezone INDEPENDENT, unlike a cast to
+      TIMESTAMP which lands on local midnight);
     - integer epochs: with ``int_epoch="heuristic"``, a per-row magnitude
       CASE picks the unit — ≥1e17 nanoseconds, ≥1e14 microseconds, ≥1e11
       milliseconds, else seconds (each band spans years 1973–5138). All
@@ -94,7 +97,9 @@ def ts_epoch_ms_col(df, col: str, *, int_epoch: str = "heuristic"):
     c = F.col(col)
     if dtype == "timestamp":
         return F.unix_millis(c).cast("long")
-    if dtype in ("timestamp_ntz", "date"):
+    if dtype == "date":
+        return (F.unix_date(c).cast("long") * F.lit(86400000)).cast("long")
+    if dtype == "timestamp_ntz":
         return F.unix_millis(c.cast("timestamp")).cast("long")
     if int_epoch == "ms":
         return c.cast("long")
