@@ -132,6 +132,38 @@ DEFAULT_MAX_BUCKET = 10_000
 _HOT_COLLECT_CAP = 10_000
 
 
+def _cms_max_key_bound(raw: bytes) -> int:
+    """Exact upper bound on the hottest key's count from a serialized
+    Spark ``count_min_sketch`` aggregate result.
+
+    Spark's ``CountMinSketchImpl`` writes (big-endian): version int,
+    totalCount long, depth int, width int, depth hashA seed longs, then
+    depth×width long counters (row-major). The exact layout is pinned by
+    a length check (header + seeds + table must be the whole buffer) AND
+    a sanity check (each row of a count-min table sums to totalCount) —
+    misparsing seeds as counters reads giant pseudo-random values, which
+    both checks catch. For ANY key, true count ≤ CMS estimate = min over
+    rows of its cell ≤ min over rows of that row's max cell — so the
+    returned bound can only ERR HIGH (extra cold keys pass to the next
+    exact rung), never low. Unknown serialization versions return a
+    maxed bound, forcing the exact path rather than guessing.
+    """
+    import struct
+
+    if len(raw) < 20:
+        return 1 << 62
+    version, total, depth, width = struct.unpack(">iqii", raw[:20])
+    start = 20 + 8 * depth
+    need = start + 8 * depth * width
+    if version != 1 or depth <= 0 or width <= 0 or len(raw) != need:
+        return 1 << 62
+    table = struct.unpack(f">{depth * width}q", raw[start:need])
+    rows = [table[r * width : (r + 1) * width] for r in range(depth)]
+    if any(sum(row) != total for row in rows):
+        return 1 << 62
+    return min(max(row) for row in rows)
+
+
 def _cap_buckets(
     blocks: DataFrame,
     key_cols: list,
@@ -194,20 +226,72 @@ def _cap_buckets(
     counts = blocks.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bn"))
     hot = counts.filter(F.col("__bn") > max_bucket)
     if eager_stats:
-        # Two-phase hot detection, exact but cheap in the common case:
-        # phase 1 counts per xxhash64 of the key — an 8-byte shuffle key
-        # instead of the md5-string bucket key. No hot hash ⇒ no hot
-        # bucket (a hot bucket's own hash is at least as big), so the
-        # plan is returned UNTOUCHED — the anti-join (and its bucket
-        # count aggregate, re-executed per self-join side) only enters
-        # when a flood might exist. Measured: an in-plan anti-join cost
-        # +55% on the sf0.1 MinHash headline even with zero hot buckets.
-        # Phase 2 (rare) resolves the true keys exactly — a hash
-        # collision can only send a cold bucket into the exact re-check,
-        # never drop or miss one.
+        # Laddered hot detection, exact at every rung but count-cheap in
+        # the common (no-flood) case. Every rung is one-sided: it can
+        # only send extra COLD keys forward, never drop or miss a hot
+        # one, so the final drop set is exactly
+        # {buckets with > cap members}.
+        #
+        # Rung 0 — count-min sketch PIGGYBACKED on the materialization
+        # count via Observation: ONE job total, the same job the cap-off
+        # path runs to materialize the caller's cache, plus per-row
+        # sketch updates — measured +0.05 s over a plain count() on the
+        # sf0.1 simhash headline. (The r9/r10 profile showed any
+        # SEPARATE probe job — even a bounded-cell groupBy or a scalar
+        # CMS aggregate — costing a fixed ~0.1-0.3 s of plan/schedule
+        # overhead, +10-20% on the sub-2 s headline; and a WIDE sketch's
+        # task partials dominating the merge: depth 4 × width 16384 =
+        # 512 KiB/task cost +0.30 s, depth 1 × width 8192 = 64 KiB costs
+        # +0.05 s.) Any key's true count ≤ its CMS estimate ≤ the
+        # sketch row's MAX cell, so a bound ≤ cap proves no hot bucket —
+        # plan returned UNTOUCHED. Saturation: average cell load is
+        # N/8192, so the rung stops short-circuiting somewhere below
+        # N ≈ 80M block rows; past that the deeper exact rungs run,
+        # proportionally cheap at that scale. Measured motivation for
+        # short-circuiting at all: an in-plan anti-join cost +55% on the
+        # sf0.1 MinHash headline even with zero hot buckets.
+        #
+        # Rung 1 — bounded-cell grouped counts on pmod(xxhash64(key), W)
+        # (W=65536-entry hashmap, not per-distinct-key) to localize the
+        # flood; rung 2 — per-key xxhash64 counts restricted to flagged
+        # cells; rung 3 — resolve true keys exactly, broadcast anti-join.
+        from pyspark.sql import Observation
+
         hcol = F.xxhash64(*[F.col(c) for c in key_cols])
+        qkeys = ", ".join(f"`{c}`" for c in key_cols)
+        # depth 1 / width 8192 (eps=2/w, conf→depth per Spark's
+        # CountMinSketch formulas); 64 KiB per task partial, exact
+        # integer merges — deterministic for fixed data + seed.
+        obs = Observation()
+        blocks.observe(
+            obs,
+            F.expr(
+                f"count_min_sketch(xxhash64({qkeys}), "
+                "CAST(0.000244140625 AS DOUBLE), CAST(0.5 AS DOUBLE), 42)"
+            ).alias("__cms"),
+        ).count()
+        raw = obs.get["__cms"]
+        if raw is not None and _cms_max_key_bound(bytes(raw)) <= max_bucket:
+            return blocks
+        _W = 65536
+        _CELL_COLLECT_CAP = 4096
+        cell_hot = (
+            blocks.groupBy(F.pmod(hcol, F.lit(_W)).alias("__cell"))
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket)
+            .select("__cell")
+            .limit(_CELL_COLLECT_CAP + 1)
+            .collect()
+        )
+        if not cell_hot:
+            return blocks
+        phase1_rows = blocks
+        if len(cell_hot) <= _CELL_COLLECT_CAP:
+            phase1_rows = blocks.filter(
+                F.pmod(hcol, F.lit(_W)).isin([r["__cell"] for r in cell_hot])
+            )
         hash_hot = (
-            blocks.groupBy(hcol.alias("__bh"))
+            phase1_rows.groupBy(hcol.alias("__bh"))
             .agg(F.count(F.lit(1)).alias("__bn"))
             .filter(F.col("__bn") > max_bucket)
             .select("__bh")
