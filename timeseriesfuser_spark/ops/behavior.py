@@ -38,6 +38,7 @@ def funnel_counts(
     ts_col: str = "ts",
     user_col: str = "user_id",
     type_col: str = "event_type",
+    cache: bool = True,
 ) -> DataFrame:
     """Ordered-funnel conversion: how many users performed ``steps[0]``,
     then ``steps[1]`` STRICTLY AFTER it, then ``steps[2]`` after that, …
@@ -45,45 +46,96 @@ def funnel_counts(
     Output: one row per step — (step_idx, step, n_users, conv_ppm) where
     ``conv_ppm`` is the exact-integer share (ppm) of step-0 users still
     present. The "first qualifying time" chain (tᵢ = min ts of stepᵢ with
-    ts > tᵢ₋₁) is the standard strict-sequence funnel semantics.
+    ts > tᵢ₋₁) is the standard strict-sequence funnel semantics — exact
+    because with no time bound the earliest chain dominates every other.
+
+    The whole funnel is ONE lazy plan (the :func:`window_funnel`
+    posture): depth rides a single per-user (``__u``, ``__t``, ``__d``)
+    relation through per-level conditional-min joins, so the caller's
+    action is the only Spark job regardless of k — construction launches
+    nothing (the pre-r10 form ran one persist + one count action per
+    step and assembled counts driver-side). ``cache=True`` persists each
+    level via :func:`track_persist` (each level feeds both the next
+    level's candidate join and its own left join — Catalyst re-executes
+    shared lineage otherwise); release with
+    :func:`~timeseriesfuser_spark.ops.util.cache_scope`.
+
+    Scale: one conditional-min hash-agg + user equi-join per step over a
+    per-user relation that never exceeds |step-0 users| rows.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
-    u, t, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
+    from pyspark import StorageLevel
 
-    # Each level is persisted before its count so the next level's join
-    # consumes the materialized relation instead of re-running the whole
-    # cascade (Catalyst re-executes shared lineage otherwise).
-    reached = (
-        df.filter(ty == steps[0])
-        .groupBy(u.alias("__u"))
-        .agg(F.min(t).alias("__t"))
-        .persist()
+    u, t, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
+    ev = df.filter(ty.isin(list(steps))).select(
+        u.alias("__u"), ty.alias("__ty"), t.alias("__ts")
     )
-    counts = [reached.count()]
-    for step in steps[1:]:
-        nxt = (
-            df.filter(ty == step)
-            .select(u.alias("__u"), t.alias("__ts"))
-            .join(reached, "__u")
+    if cache and len(steps) > 1:
+        ev = track_persist(ev.persist(StorageLevel.MEMORY_AND_DISK))
+    reach = (
+        ev.filter(F.col("__ty") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__ts").alias("__t"))
+        .withColumn("__d", F.lit(1).cast("long"))
+    )
+    for k, step in enumerate(steps[1:], start=2):
+        frontier = reach.filter(F.col("__d") == k - 1).select("__u", "__t")
+        cand = (
+            ev.filter(F.col("__ty") == step)
+            .join(frontier, "__u")
             .filter(F.col("__ts") > F.col("__t"))
             .groupBy("__u")
-            .agg(F.min("__ts").alias("__t"))
-            .persist()
+            .agg(F.min("__ts").alias("__nt"))
         )
-        counts.append(nxt.count())
-        reached.unpersist()
-        reached = nxt
-    reached.unpersist()
+        reach = reach.join(cand, "__u", "left").select(
+            "__u",
+            F.coalesce("__nt", "__t").alias("__t"),
+            F.when(F.col("__nt").isNotNull(), F.lit(k).cast("long"))
+            .otherwise(F.col("__d"))
+            .alias("__d"),
+        )
+        if cache:
+            reach = track_persist(reach.persist(StorageLevel.MEMORY_AND_DISK))
+    return _funnel_report(
+        df.sparkSession, steps, reach.select("__u", "__d")
+    )
 
-    base = counts[0]
-    spark = df.sparkSession
-    rows = [
-        (i, s, int(c), int(c * 1_000_000 // base) if base else None)
-        for i, (s, c) in enumerate(zip(steps, counts))
-    ]
-    return spark.createDataFrame(
-        rows, "step_idx long, step string, n_users long, conv_ppm long"
+
+def _funnel_report(spark, steps: Sequence[str], depths: DataFrame) -> DataFrame:
+    """(step_idx, step, n_users, conv_ppm) from a per-user max-depth
+    relation (``__u``, ``__d``): n_users at step i = |{__d ≥ i+1}| via a
+    ≤k-row broadcast theta join on the step spine; conv_ppm is the
+    exact-integer ppm share of the step-0 base (NULL when the base is
+    empty). All lazy — no job until the caller's action."""
+    from pyspark.sql.window import Window
+
+    by_depth = depths.groupBy("__d").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    spine = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(steps)], "step_idx long, step string"
+    )
+    joined = spine.join(
+        F.broadcast(by_depth),
+        F.col("__d") >= F.col("step_idx") + 1,
+        "left",
+    ).groupBy("step_idx", "step").agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_users")
+    )
+    w = Window.orderBy("step_idx").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return joined.withColumn(
+        "__base", F.first("n_users").over(w)
+    ).select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.when(
+            F.col("__base") > 0,
+            F.expr("n_users * 1000000 DIV __base"),
+        ).cast("long").alias("conv_ppm"),
     )
 
 
@@ -779,38 +831,7 @@ def window_funnel(
         type_col=type_col, cache=cache,
     )
     depths = reach.groupBy("__u").agg(F.max("__d").alias("__d"))
-    by_depth = depths.groupBy("__d").agg(
-        F.count(F.lit(1)).cast("long").alias("__c")
-    )
-    spark = df.sparkSession
-    from pyspark.sql.window import Window
-
-    spine = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(steps)], "step_idx long, step string"
-    )
-    # n_users at step i = users whose depth ≥ i+1; ≤k-row join, then a
-    # k-row window computes the step-0 base for the exact-int ppm.
-    joined = spine.join(
-        F.broadcast(by_depth),
-        F.col("__d") >= F.col("step_idx") + 1,
-        "left",
-    ).groupBy("step_idx", "step").agg(
-        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_users")
-    )
-    w = Window.orderBy("step_idx").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    return joined.withColumn(
-        "__base", F.first("n_users").over(w)
-    ).select(
-        "step_idx",
-        "step",
-        "n_users",
-        F.when(
-            F.col("__base") > 0,
-            F.expr("n_users * 1000000 DIV __base"),
-        ).cast("long").alias("conv_ppm"),
-    )
+    return _funnel_report(df.sparkSession, steps, depths)
 
 
 def _funnel_reach(
