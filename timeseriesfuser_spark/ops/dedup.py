@@ -1409,11 +1409,13 @@ def set_similarity_pairs(
             F.count(F.lit(1)).cast("long").alias("sz"),
         )
     )
-    # prefix length: sz − ceil(t·sz) + 1, ceil via (tn·sz + td − 1) DIV td
+    # prefix length: sz − ceil(t·sz) + 1, ceil via (tn·sz + td − 1) DIV td.
+    # posexplode keeps each token's 1-based rank in the df-sorted set for
+    # the PPJoin positional filter below.
     pre = ordered.select(
         "id",
         "sz",
-        F.explode(
+        F.posexplode(
             F.slice(
                 "__ord",
                 F.lit(1),
@@ -1423,19 +1425,54 @@ def set_similarity_pairs(
                     + F.lit(1)
                 ).cast("int"),
             )
-        ).alias("__p"),
-    ).select(F.col("__p.tk").alias("tk"), "id", "sz")
+        ).alias("__i", "__p"),
+    ).select(
+        F.col("__p.tk").alias("tk"),
+        "id",
+        "sz",
+        (F.col("__i") + 1).cast("long").alias("pos"),
+    )
+    # The prefix relation feeds BOTH self-join sides (plus the cap
+    # probe); uncached, each side re-runs the dominant ordered-set build
+    # (df join + per-doc sort — 30 s of the 1M-doc cell, measured r10).
+    # As elsewhere, the cap's rung-0 observed count doubles as the
+    # materializer when the cap is active.
+    pre = _maybe_cache(
+        pre, cache, materialize=not (cache and max_bucket is not None)
+    )
     pre = _cap_buckets(
         pre, ["tk"], max_bucket, "set_similarity_pairs", eager_stats=cache
     )
     a, b = pre.alias("a"), pre.alias("b")
+    # PPJoin positional filter (Xiao et al. WWW'08): a shared token at
+    # 1-based sorted ranks (pa, pb) bounds the overlap by
+    # 1 + min(sz_a − pa, sz_b − pb); Jaccard ≥ tn/td needs overlap
+    # ≥ ceil(tn·(sz_a+sz_b)/(tn+td)), so rows failing
+    # (1 + min(...))·(tn+td) ≥ tn·(sz_a+sz_b) cannot certify the pair.
+    # Lossless through the .distinct(): the bound is LOOSEST at a pair's
+    # first shared prefix token (smallest ranks), and the PPJoin lemma
+    # guarantees a truly similar pair passes there — later shared-token
+    # rows may fail, but one surviving row keeps the pair. Typical 2-5×
+    # candidate cut at low thresholds, zero semantic change (the
+    # brute-force oracle proves it).
     cand = (
         a.join(
             b,
             (F.col("a.tk") == F.col("b.tk"))
             & (F.col("a.id") < F.col("b.id"))
             & (F.col("a.sz") * td >= F.col("b.sz") * tn)
-            & (F.col("b.sz") * td >= F.col("a.sz") * tn),
+            & (F.col("b.sz") * td >= F.col("a.sz") * tn)
+            & (
+                (
+                    F.lit(1)
+                    + F.least(
+                        F.col("a.sz") - F.col("a.pos"),
+                        F.col("b.sz") - F.col("b.pos"),
+                    )
+                )
+                * F.lit(tn + td)
+                >= F.lit(tn) * (F.col("a.sz") + F.col("b.sz"))
+            ),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
