@@ -430,6 +430,33 @@ def run(spark, n: int, only=None) -> dict:
             max_hops=3,
         ),
     )
+    # round-16: shared edge relation (VERDICT r9 item #6) — build the
+    # co-purchase edge list ONCE (eager persist) and measure each graph
+    # op's INCREMENTAL cost on the shared cache; compare against the
+    # standalone cells (triangles, bfs_3hop, hits_2iter) where every op
+    # pays the two-distinct build again. NOTE: no clearCache between the
+    # incremental cells — sharing the cache is the point.
+    if only is None or "graph_shared" in only:
+        from timeseriesfuser_spark.ops.graph import (
+            build_edges as _beop,
+            degree_assortativity as _daop,
+            kcore_peel as _kcop,
+        )
+
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        sh_edges = _beop(basket)
+        out["graph_shared_build"] = round(time.perf_counter() - t0, 2)
+        for nm, thunk in [
+            ("graph_shared_triangles", lambda: _triop(sh_edges)),
+            ("graph_shared_kcore", lambda: _kcop(sh_edges, 4, rounds=3)),
+            ("graph_shared_assort", lambda: _daop(sh_edges)),
+        ]:
+            t0 = time.perf_counter()
+            thunk().write.format("noop").mode("overwrite").save()
+            out[nm] = round(time.perf_counter() - t0, 2)
+        sh_edges.unpersist()
+
     # round-15: sequence pattern with negation — one per-user window on
     # the (user, ts) dedup grain, no self-join
     from timeseriesfuser_spark.ops.behavior import sequence_match as _seqop

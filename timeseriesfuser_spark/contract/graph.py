@@ -191,19 +191,13 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation (Suri–Vassilvitskii — out-degree bounded O(√E), the
     scheme that keeps the wedge join hub-safe at 100 TB). All counts
     BIGINT, no float surface."""
+    from timeseriesfuser_spark.ops.graph import build_edges, triangle_counts
+
     li = _t(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    edges = (
-        op.alias("a")
-        .join(op.alias("b"),
-              (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
-        .distinct()
-    )
-    from timeseriesfuser_spark.ops.graph import triangle_counts
-    return triangle_counts(edges)
+    # cache=False: the driver runs each query standalone — the lazy plan
+    # is identical to the pre-r10 inline build. Multi-op pipelines share
+    # one materialized build via build_edges(cache=True).
+    return triangle_counts(build_edges(li, cache=False))
 
 
 def _reach_oracle() -> str:
@@ -234,7 +228,7 @@ def q_copurchase_reach_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     (recursive CTE in ANSI SQL; level-synchronous frontier joins with
     per-level lineage cuts on Spark). The DuckDB oracle is a genuine
     WITH RECURSIVE — the first in the registry."""
-    from timeseriesfuser_spark.ops.graph import shortest_hops
+    from timeseriesfuser_spark.ops.graph import build_edges, shortest_hops
 
     li = _t(spark, sf_dir, "lineitem")
     op = li.filter(
@@ -242,13 +236,7 @@ def q_copurchase_reach_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
-    edges = (
-        op.alias("a")
-        .join(op.alias("b"),
-              (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
-        .distinct()
-    )
+    edges = build_edges(li, cache=False)
     seeds = op.select("p").distinct().orderBy("p").limit(3)
     reach = shortest_hops(edges, seeds, directed=False, max_hops=2)
     return reach.select(F.col("id").cast("long").alias("part_id"), "hops")
@@ -296,20 +284,10 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     extractor — per round one degree hash-agg + two semi joins with a
     lineage cut, early-exiting at the fixpoint (result-identical).
     All-BIGINT output; oracle unrolls the same rounds."""
-    from timeseriesfuser_spark.ops.graph import kcore_peel
+    from timeseriesfuser_spark.ops.graph import build_edges, kcore_peel
 
     li = _t(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    edges = (
-        op.alias("a")
-        .join(op.alias("b"),
-              (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
-        .distinct()
-    )
-    return kcore_peel(edges, _KC_K, rounds=_KC_ROUNDS)
+    return kcore_peel(build_edges(li, cache=False), _KC_K, rounds=_KC_ROUNDS)
 
 
 _LP_MINSUP, _LP_MINCN, _LP_TOPN = 2, 2, 5
@@ -465,21 +443,10 @@ def q_copurchase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     — separates parts inside tight co-purchase cliques from hubs that
     merely bridge unrelated baskets. Triangle counts via the hub-safe
     degree-ordered orientation; one extra degree aggregation."""
-    from timeseriesfuser_spark.ops.graph import clustering_coefficients
+    from timeseriesfuser_spark.ops.graph import build_edges, clustering_coefficients
 
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
-    )
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
-        .distinct()
-    )
-    return clustering_coefficients(edges)
+    li = _t(spark, sf_dir, "lineitem")
+    return clustering_coefficients(build_edges(li, cache=False))
 
 
 @register(
@@ -524,18 +491,7 @@ def q_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     with other hubs or with leaves? Exact integer degree sums over both
     edge orientations, one double chain — the one-number topology
     fingerprint beside clustering coefficients."""
-    from timeseriesfuser_spark.ops.graph import degree_assortativity
+    from timeseriesfuser_spark.ops.graph import build_edges, degree_assortativity
 
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
-    )
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
-        .distinct()
-    )
-    return degree_assortativity(edges)
+    li = _t(spark, sf_dir, "lineitem")
+    return degree_assortativity(build_edges(li, cache=False))

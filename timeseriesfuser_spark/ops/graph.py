@@ -27,6 +27,59 @@ from timeseriesfuser_spark.ops.util import track_persist
 PPM = 1_000_000
 
 
+def build_edges(
+    df: DataFrame,
+    *,
+    group_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    cache: bool = True,
+) -> DataFrame:
+    """Shared co-membership edge builder: items are linked when they
+    appear in the same group (parts in one order, docs in one cluster) →
+    the distinct canonical edge list (id_a, id_b), id_a < id_b.
+
+    This is the relation every graph op in this module consumes, and at
+    10M input rows its two distincts (memberships, then pairs) dominate
+    single-op wall time — HITS spent most of its 62.4 s here (SCALE.md
+    round-15). Build it ONCE and feed it to pagerank / kcore_peel /
+    triangle_counts / clustering_coefficients / hits_scores /
+    link_predict_cn together instead of re-deriving it per op.
+
+    CONSTRUCTION-TIME ACTION with ``cache=True`` (the default): the edge
+    relation is persisted via :func:`track_persist` AND eagerly
+    materialized (one count job) so every downstream op shares the one
+    build — this helper is a materializer, the ``write_token_index``
+    posture, not a lazy operator. Pass ``cache=False`` for the plain
+    lazy plan (zero jobs; used by the single-op contract queries).
+
+    Scale: one distinct on the (group, item) grain, one same-group
+    self-join emitting C(k,2) pairs per group, one distinct on the pair
+    grain — all hash-shuffles on their natural keys. A group with k
+    items emits k²/2 pairs; cap pathological groups upstream (the same
+    quadratic-flood argument as the LSH ``max_bucket``).
+    """
+    from pyspark import StorageLevel
+
+    g, i = F.col(group_col), F.col(item_col)
+    op = df.filter(g.isNotNull() & i.isNotNull()).select(
+        g.alias("__g"), i.alias("__i")
+    ).distinct()
+    edges = (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.__g") == F.col("b.__g"))
+            & (F.col("a.__i") < F.col("b.__i")),
+        )
+        .select(F.col("a.__i").alias("id_a"), F.col("b.__i").alias("id_b"))
+        .distinct()
+    )
+    if cache:
+        edges = track_persist(edges.persist(StorageLevel.MEMORY_AND_DISK))
+        edges.count()
+    return edges
+
+
 def pagerank(
     edges: DataFrame,
     *,
