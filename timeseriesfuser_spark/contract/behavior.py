@@ -1441,3 +1441,81 @@ def q_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(peaks, "day").select(
         "day", "n_sessions", "peak_concurrent"
     )
+
+
+@register(
+    "streaming_peak_concurrency",
+    # The batch sweep (peak_concurrency_daily) restricted to FINALIZED
+    # days — the streaming op's emission contract: with late_ms=0 the
+    # high-water mark wm is the corpus max event time; a day emits iff
+    # wm is past its midnight AND every session anchored to it has
+    # gap-closed (max session end + gap < wm). Trailing days stay in
+    # state, the sessionize_stream open-session caveat.
+    oracle="""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, user_id FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    flagged AS (SELECT user_id, t,
+                       CASE WHEN lag(t) OVER w IS NULL
+                                 OR t - lag(t) OVER w > 1800000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM ev WINDOW w AS (PARTITION BY user_id
+                                     ORDER BY t, event_id)),
+    sess AS (SELECT user_id,
+                    sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sid,
+                    t
+             FROM flagged),
+    spans AS (SELECT min(t) AS s, max(t) AS e,
+                     min(t) // 86400000 AS day
+              FROM sess GROUP BY user_id, sid),
+    wm AS (SELECT max(t) AS m FROM ev),
+    final_days AS (SELECT day FROM spans GROUP BY day
+                   HAVING (day + 1) * 86400000 <= (SELECT m FROM wm)
+                      AND max(e) + 1800000 < (SELECT m FROM wm)),
+    fs AS (SELECT * FROM spans WHERE day IN (SELECT day FROM final_days)),
+    bounds AS (SELECT day, s AS t, 1 AS delta FROM fs
+               UNION ALL
+               SELECT day, e + 1, -1 FROM fs),
+    swept AS (SELECT day,
+                     sum(delta) OVER (PARTITION BY day ORDER BY t, delta)
+                         AS cur
+              FROM bounds)
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST((SELECT count(*) FROM fs s2 WHERE s2.day = swept.day)
+                AS BIGINT) AS n_sessions,
+           CAST(max(cur) AS BIGINT) AS peak_concurrent
+    FROM swept GROUP BY day
+    """,
+)
+def q_streaming_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live capacity planning through the driver harness
+    (streaming.peak_concurrency_stream, applyInPandasWithState): per-day
+    session counts and peak simultaneous sessions on the
+    session-boundary grain, finalized by the event-time high-water mark
+    — the streaming twin of peak_concurrency_daily. One append row per
+    finalized day; state (open sessions + pending day boundaries) rides
+    the checkpoint and survives restarts (pinned by the restart pytest).
+    """
+    from timeseriesfuser_spark.contract._base import (
+        _run_availablenow_to_memory,
+    )
+    from timeseriesfuser_spark.streaming import peak_concurrency_stream
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_ms = ts_epoch_ms_col(stream, "ts")
+    ev = stream.select(
+        ts_ms.cast("long").alias("__timestamp"), "user_id"
+    ).filter(F.col("user_id").isNotNull())
+    days = peak_concurrency_stream(ev, 1_800_000)
+    emitted = _run_availablenow_to_memory(days, "spc")
+    return emitted.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.col("peak_concurrent").cast("long").alias("peak_concurrent"),
+    )

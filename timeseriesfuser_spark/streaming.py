@@ -1035,3 +1035,143 @@ def burst_flags_stream(
     return df.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def peak_concurrency_stream(
+    df: DataFrame,
+    gap_ms: int = 1_800_000,
+    *,
+    shard_keys: Sequence[str] = (),
+    user_col: str = "user_id",
+    ts_col: str = TS_COL,
+    late_ms: int = 0,
+) -> DataFrame:
+    """Streaming twin of the batch ``peak_concurrency_daily`` sweep-line
+    (contract/behavior.py): live per-day session counts and PEAK
+    simultaneous sessions — the capacity-planning number — via ONE
+    watermarked ``applyInPandasWithState`` counter on the
+    session-boundary grain.
+
+    Semantics (exactly the batch query's): events sessionize per user on
+    a ``gap_ms`` inactivity gap; a session belongs to its START day and
+    contributes +1 at its start and −1 at end+1 to that day's sweep;
+    the day's peak is the max of the running sum over (t, delta)-ordered
+    boundaries, −1 before +1 on ties.
+
+    Emission contract (append, ONE row per day): a day finalizes — and
+    emits (day, n_sessions, peak_concurrent) — once the event-time
+    high-water mark ``wm = max(ts seen) − late_ms`` proves it can no
+    longer change: ``wm`` is past the day's midnight (no new session can
+    start in it) AND every session anchored to it has been gap-closed
+    (``session_end + gap_ms < wm``). Trailing days at the head of the
+    stream never finalize — the streaming-twin caveat shared with
+    ``sessionize_stream``'s open sessions. Events older than ``wm`` may
+    be mis-sessionized (standard watermark drop semantics); feed
+    micro-batches in event-time order, as with ``anomaly_stream``.
+
+    Scale: state per shard is O(open sessions + boundary pairs of
+    not-yet-final days) — the session-boundary grain, bounded by the
+    gap/lateness horizon, NEVER the event count. With the default
+    ``shard_keys=()`` the counter is ONE state group (a global
+    concurrency number is inherently a single total order — the batch
+    twin's per-day sweep is equally serial per day); shard by
+    tenant/region via ``shard_keys`` for a distributed family of exact
+    per-shard peaks. State rides the checkpoint (JSON-encoded — survives
+    restarts; pinned by the restart pytest).
+    """
+    import json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if gap_ms <= 0:
+        raise ValueError(f"gap_ms must be positive: {gap_ms}")
+    if late_ms < 0:
+        raise ValueError(f"late_ms must be >= 0: {late_ms}")
+    shard_keys = list(shard_keys)
+    day_ms = 86_400_000
+    src = df
+    if not shard_keys:
+        src = df.withColumn("__shard", F.lit(0))
+        group_cols = ["__shard"]
+        key_fields: list = []
+    else:
+        group_cols = shard_keys
+        key_fields = [
+            T.StructField(k, df.schema[k].dataType, True) for k in shard_keys
+        ]
+    out_schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("day", T.LongType(), True),
+            T.StructField("n_sessions", T.LongType(), True),
+            T.StructField("peak_concurrent", T.LongType(), True),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("js", T.StringType(), True)])
+    out_cols = [f.name for f in out_schema.fields]
+    emit_keys = shard_keys  # [] → no key columns in the output rows
+
+    def fn(key, pdfs, state):
+        rows = []
+        for pdf in pdfs:
+            for u, t in zip(pdf[user_col], pdf[ts_col]):
+                if u is None or t is None or pd.isna(t):
+                    continue
+                rows.append((int(t), u))
+        rows.sort(key=lambda r: r[0])
+        if state.exists and state.get[0]:
+            st = json.loads(state.get[0])
+        else:
+            st = {"open": {}, "days": {}, "max": None}
+        open_s = {k: v for k, v in st["open"].items()}   # user(str) → [s, e, day]
+        days = {int(k): v for k, v in st["days"].items()}  # day → [n, [[t, d], …]]
+        mx = st["max"]
+
+        def close(sess):
+            s, e, d = sess
+            rec = days.setdefault(d, [0, []])
+            rec[0] += 1
+            rec[1].append([s, 1])
+            rec[1].append([e + 1, -1])
+
+        for t, u in rows:
+            uk = str(u)
+            cur = open_s.get(uk)
+            if cur is None:
+                open_s[uk] = [t, t, t // day_ms]
+            elif t - cur[1] > gap_ms:
+                close(cur)
+                open_s[uk] = [t, t, t // day_ms]
+            else:
+                cur[1] = max(cur[1], t)
+            mx = t if mx is None else max(mx, t)
+
+        out = []
+        if mx is not None:
+            wm = mx - late_ms
+            # gap-close sessions no future event can extend
+            for uk in [k for k, v in open_s.items() if v[1] + gap_ms < wm]:
+                close(open_s.pop(uk))
+            anchored = {v[2] for v in open_s.values()}
+            for d in sorted(days):
+                if (d + 1) * day_ms <= wm and d not in anchored:
+                    n, bounds = days.pop(d)
+                    bounds.sort()  # (t asc, delta asc) → −1 before +1 on ties
+                    cur = peak = 0
+                    for _, delta in bounds:
+                        cur += delta
+                        peak = max(peak, cur)
+                    out.append(
+                        {**dict(zip(emit_keys, key)), "day": d,
+                         "n_sessions": n, "peak_concurrent": peak}
+                    )
+        state.update((json.dumps(
+            {"open": open_s, "days": {str(k): v for k, v in days.items()},
+             "max": mx}
+        ),))
+        yield pd.DataFrame(out, columns=out_cols)
+
+    return src.groupBy(*group_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
