@@ -755,3 +755,59 @@ def q_streaming_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@register(
+    "streaming_resample_2d",
+    # Midnight-anchored 'Nd' day-grid streaming resample (the batch T2
+    # 'Nd'/tz semantics' streaming twin): per event the label is the
+    # next 2-day midnight-anchored boundary — for UTC exactly
+    # (t DIV 86400000 + 2) * 86400000. The day path groups on the
+    # watermarked LABEL column, so EVERY label emits (the grouping key
+    # IS the bucket end) — no trailing-bucket exclusion, unlike
+    # streaming_resample_1h's window() path.
+    oracle="""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, event_type, value
+                FROM events WHERE ts IS NOT NULL),
+    lab AS (SELECT (t // 86400000 + 2) * 86400000 AS b,
+                   event_type, value, t, event_id
+            FROM ev),
+    r AS (SELECT *, row_number() OVER (PARTITION BY b, event_type
+                                       ORDER BY t DESC, event_id DESC) AS rn
+          FROM lab)
+    SELECT CAST(b AS BIGINT) AS __timestamp, event_type, value
+    FROM r WHERE rn = 1
+    """,
+)
+def q_streaming_resample_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming day-grid resample through the driver harness
+    (streaming.resample_stream day path, VERDICT r9 item #8): 'Nd'
+    intervals anchor at each event's (local) midnight — reference
+    classes.py:787-795 — which F.window's fixed startTime cannot
+    express, so the day path aggregates on the watermarked DST-correct
+    boundary-label column (intervals.day_boundary_label_col). The tz
+    variant is pinned against the batch resampler across a DST
+    transition in tests/test_resample_stream_day_tz.py (DuckDB-side tz
+    math would need the ICU extension, so the driver oracle runs the
+    UTC grid)."""
+    from timeseriesfuser_spark.contract._base import (
+        _run_availablenow_to_memory,
+    )
+    from timeseriesfuser_spark.streaming import resample_stream
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_ms = ts_epoch_ms_col(stream, "ts")
+    ev = stream.select(
+        ts_ms.cast("long").alias("__timestamp"), "event_id", "event_type",
+        "value",
+    )
+    agg = resample_stream(
+        ev, "2d", keys=["event_type"], value_cols=["value"],
+        tiebreak_cols=["event_id"],
+    )
+    return _run_availablenow_to_memory(agg, "sr2d")

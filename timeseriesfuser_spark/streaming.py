@@ -131,6 +131,7 @@ def resample_stream(
     watermark: str = "0 seconds",
     ts_col: str = TS_COL,
     tiebreak_cols: Optional[Sequence[str]] = None,
+    tz: Optional[str] = None,
 ) -> DataFrame:
     """Watermarked tumbling-bucket last-value aggregation (T3, streaming).
 
@@ -139,8 +140,28 @@ def resample_stream(
     bucket is emitted at — next boundary strictly after each event), keys,
     last-event values. Event-time watermark bounds state; rows later than
     the watermark are dropped (the reference's late-data semantics).
+
+    ``tz`` (day intervals only): boundaries are local MIDNIGHTS in that
+    timezone, DST-correct — the batch T2 ``'1d'``-tz semantics
+    (``intervals.day_boundary_label_col``; reference classes.py:787-795).
+    ``F.window`` can only express fixed-step epoch-offset grids (its
+    ``startTime`` is one constant — a DST-crossing day grid is NOT a
+    fixed-step grid), so the day path groups directly on the watermarked
+    boundary-LABEL column: the label is a monotone function of the event
+    time, so watermark eviction semantics carry over; a bucket's state
+    closes once the watermark passes its label. As in batch, ``'Nd'``
+    with N > 1 routes through the midnight-anchored path even without
+    ``tz`` (reference parity); ``'1d'`` without ``tz`` stays on the
+    epoch-anchored fast path (grid-identical). Emission asymmetry,
+    pinned in ``tests/test_resample_stream_day_tz.py``: the window()
+    fast path HOLDS the trailing bucket until the watermark passes
+    ``window.end``, while on the day path the grouping key IS the
+    bucket end, so the final label emits at stream end.
     """
     step = interval_to_ms(interval)
+    unit = interval.strip()[-1]
+    if tz is not None and unit != "d":
+        raise ValueError("tz is only meaningful for day ('d') intervals")
     keys = list(keys)
     if value_cols is None:
         value_cols = [
@@ -148,19 +169,33 @@ def resample_stream(
         ]
     if tiebreak_cols is None:
         tiebreak_cols = [c for c in (SRC_ID_COL,) if c in df.columns]
+    order_key = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak_cols])
+    last_agg = F.max_by(
+        F.struct(*[F.col(c) for c in value_cols]), order_key
+    ).alias("__row")
+    if unit == "d" and (tz is not None or step > 86_400_000):
+        from timeseriesfuser_spark.intervals import day_boundary_label_col
+
+        days = step // 86_400_000
+        label = day_boundary_label_col(F.col(ts_col), days, tz or "UTC")
+        wdf = df.withColumn("__evt", F.timestamp_millis(label)).withWatermark(
+            "__evt", watermark
+        )
+        return (
+            wdf.groupBy(*keys, "__evt")
+            .agg(last_agg)
+            .select(
+                F.unix_millis(F.col("__evt")).alias(ts_col),
+                *keys,
+                *[F.col("__row")[c].alias(c) for c in value_cols],
+            )
+        )
     event_time = F.timestamp_millis(F.col(ts_col))
     wdf = df.withColumn("__evt", event_time).withWatermark("__evt", watermark)
-    order_key = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak_cols])
     win = F.window("__evt", f"{step} milliseconds")
     agg = (
         wdf.groupBy(*keys, win)
-        .agg(
-            *[
-                F.max_by(F.struct(*[F.col(c) for c in value_cols]), order_key).alias(
-                    "__row"
-                )
-            ]
-        )
+        .agg(last_agg)
         .select(
             # window end == next boundary strictly after every event in the
             # bucket == the batch resampler's emission label.
