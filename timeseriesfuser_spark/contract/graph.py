@@ -495,3 +495,75 @@ def q_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return degree_assortativity(build_edges(li, cache=False))
+
+
+@register(
+    "copurchase_graph_profile",
+    # One-row topology fingerprint off the SHARED edge relation
+    # (ops.graph.build_edges): node/edge counts, exact triangle total
+    # (per-node participation sum DIV 3 — each triangle touches 3
+    # nodes), max degree. The oracle re-derives the same degree-ordered
+    # triangle orientation as the copurchase_triangles oracle.
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    e AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ),
+    deg AS (
+        SELECT n, count(*) AS d
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        GROUP BY n
+    ),
+    o AS (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v)
+                    THEN e.u ELSE e.v END AS a,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v)
+                    THEN e.v ELSE e.u END AS b
+        FROM e
+        JOIN deg du ON du.n = e.u
+        JOIN deg dv ON dv.n = e.v
+    ),
+    w AS (SELECT e1.a, e1.b, e2.b AS c
+          FROM o e1 JOIN o e2 ON e1.b = e2.a),
+    tri AS (SELECT w.a, w.b, w.c
+            FROM w JOIN o ON o.a = w.a AND o.b = w.c)
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM tri) AS BIGINT) AS total_triangles,
+           CAST((SELECT max(d) FROM deg) AS BIGINT) AS max_degree
+    """,
+)
+def q_copurchase_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph profile off ONE shared edge build (ops.graph.build_edges,
+    cache=True — the r10 shared-relation path, driver-certified): the
+    persisted co-purchase edge list feeds three consumers (edge count,
+    degree profile, triangle counter) without re-deriving the
+    two-distinct build per branch — the pattern the 10M-row SCALE cells
+    measure (build 8.4 s once vs per-op rebuilds)."""
+    from timeseriesfuser_spark.ops.graph import build_edges, triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = build_edges(li)  # persisted + materialized: 3 consumers below
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    deg = (
+        edges.select(F.col("id_a").alias("n"))
+        .unionByName(edges.select(F.col("id_b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    nodes = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.max("d").cast("long").alias("max_degree"),
+    )
+    tri = triangle_counts(edges).agg(
+        F.expr("sum(n_triangles) DIV 3").cast("long").alias("total_triangles")
+    )
+    return (
+        nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "total_triangles", "max_degree")
+    )

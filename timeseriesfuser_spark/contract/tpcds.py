@@ -1634,3 +1634,42 @@ def q_tpcds_q62_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             for lo, hi in _Q62_BANDS
         ]
     )
+
+
+@register(
+    "tpcds_q88_hour_bands",
+    # TPC-DS Q88 shape: the real query is EIGHT self-joined scalar
+    # subqueries (one per half-hour band); the scale-correct plan is ONE
+    # conditional-count scan emitting all eight bands — the same
+    # collapse as Q90, at the full Q88 width. Hour from integer epoch
+    # arithmetic (session-tz immune); one output row.
+    oracle="""
+    WITH ev AS (SELECT (epoch_ms(ts) // 3600000) % 24 AS hr, value
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+    SELECT
+        CAST(count(CASE WHEN hr =  8 THEN 1 END) AS BIGINT) AS h8,
+        CAST(count(CASE WHEN hr =  9 THEN 1 END) AS BIGINT) AS h9,
+        CAST(count(CASE WHEN hr = 10 THEN 1 END) AS BIGINT) AS h10,
+        CAST(count(CASE WHEN hr = 11 THEN 1 END) AS BIGINT) AS h11,
+        CAST(count(CASE WHEN hr = 12 THEN 1 END) AS BIGINT) AS h12,
+        CAST(count(CASE WHEN hr = 13 THEN 1 END) AS BIGINT) AS h13,
+        CAST(count(CASE WHEN hr = 14 THEN 1 END) AS BIGINT) AS h14,
+        CAST(count(CASE WHEN hr = 15 THEN 1 END) AS BIGINT) AS h15
+    FROM ev
+    """,
+)
+def q_tpcds_q88_hour_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88-shape: eight time-band counts in ONE scan (the real
+    Q88 runs eight self-joined scalar subqueries over store_sales —
+    8 scans). One conditional-count hash-agg; a single output row; all
+    BIGINT. The one-scan property is plan-gated in the round-16 tests."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    hr = F.expr("ts DIV 3600000 % 24")
+    return ev.agg(
+        *[
+            F.count(F.when(hr == h, F.lit(1))).cast("long").alias(f"h{h}")
+            for h in range(8, 16)
+        ]
+    )
