@@ -1148,13 +1148,8 @@ def peak_concurrency_stream(
     emit_keys = shard_keys  # [] → no key columns in the output rows
 
     def fn(key, pdfs, state):
-        rows = []
-        for pdf in pdfs:
-            for u, t in zip(pdf[user_col], pdf[ts_col]):
-                if u is None or t is None or pd.isna(t):
-                    continue
-                rows.append((int(t), u))
-        rows.sort(key=lambda r: r[0])
+        import numpy as np
+
         if state.exists and state.get[0]:
             st = json.loads(state.get[0])
         else:
@@ -1170,17 +1165,54 @@ def peak_concurrency_stream(
             rec[1].append([s, 1])
             rec[1].append([e + 1, -1])
 
-        for t, u in rows:
-            uk = str(u)
-            cur = open_s.get(uk)
-            if cur is None:
-                open_s[uk] = [t, t, t // day_ms]
-            elif t - cur[1] > gap_ms:
-                close(cur)
-                open_s[uk] = [t, t, t // day_ms]
-            else:
-                cur[1] = max(cur[1], t)
-            mx = t if mx is None else max(mx, t)
+        # Vectorized in-batch sessionization (numpy, not a per-event
+        # Python loop — 164.8 s → seconds for a 10M-event batch,
+        # SCALE.md r16): maximal gap-sessions per user computed over the
+        # (user, ts)-sorted batch, then a per-SESSION walk merges them
+        # with the carried open session. Exactly the per-event loop:
+        # within an in-batch session consecutive gaps are ≤ gap_ms, so
+        # no carried end can introduce a break there; breaks are only
+        # possible at in-batch session boundaries, and the walk
+        # re-evaluates each against the running (possibly larger)
+        # carried end — so stale-state bridging merges identically.
+        parts = [
+            pdf[[user_col, ts_col]].dropna() for pdf in pdfs
+        ]
+        parts = [p for p in parts if len(p)]
+        if parts:
+            b = pd.concat(parts, ignore_index=True)
+            u_arr = b[user_col].to_numpy()
+            t_arr = b[ts_col].to_numpy(dtype="int64")
+            order = np.lexsort((t_arr, u_arr))
+            u_arr, t_arr = u_arr[order], t_arr[order]
+            brk = np.ones(len(t_arr), dtype=bool)
+            if len(t_arr) > 1:
+                brk[1:] = (u_arr[1:] != u_arr[:-1]) | (
+                    t_arr[1:] - t_arr[:-1] > gap_ms
+                )
+            starts = np.flatnonzero(brk)
+            ends = np.append(starts[1:] - 1, len(t_arr) - 1)
+            mx_batch = int(t_arr.max())
+            mx = mx_batch if mx is None else max(mx, mx_batch)
+            prev_uk = None
+            cur = None
+            for s_i, e_i in zip(starts, ends):
+                uk = str(u_arr[s_i])
+                s, e = int(t_arr[s_i]), int(t_arr[e_i])
+                if uk != prev_uk:
+                    if prev_uk is not None:
+                        open_s[prev_uk] = cur
+                    cur = open_s.get(uk)
+                    prev_uk = uk
+                if cur is None:
+                    cur = [s, e, s // day_ms]
+                elif s - cur[1] > gap_ms:
+                    close(cur)
+                    cur = [s, e, s // day_ms]
+                else:
+                    cur[1] = max(cur[1], e)
+            if prev_uk is not None:
+                open_s[prev_uk] = cur
 
         out = []
         if mx is not None:
