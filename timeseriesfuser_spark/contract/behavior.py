@@ -1519,3 +1519,75 @@ def q_streaming_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_sessions").cast("long").alias("n_sessions"),
         F.col("peak_concurrent").cast("long").alias("peak_concurrent"),
     )
+
+
+@register(
+    "streaming_window_funnel",
+    # Per-anchor funnel depths over RETIRED anchors — the streaming op's
+    # emission contract: an anchor (distinct step-0 instant) emits when
+    # its chain completes (depth 3) or when its window expires against
+    # the user's own event-time high mark (anchor + within < the user's
+    # max event ts). The oracle unrolls the same greedy per-anchor chain
+    # as window_funnel_depths and applies that retirement filter.
+    oracle=f"""
+    WITH ev AS (SELECT user_id AS u, epoch_ms(ts) AS t, event_type AS ty
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    um AS (SELECT u, max(t) AS umax FROM ev GROUP BY u),
+    a0 AS (SELECT DISTINCT u, t AS a FROM ev WHERE ty = 'signup'),
+    s1 AS (SELECT e.u, a0.a, min(e.t) AS t1 FROM ev e
+           JOIN a0 ON e.u = a0.u
+           WHERE e.ty = 'view' AND e.t > a0.a
+             AND e.t <= a0.a + {_WF_WITHIN}
+           GROUP BY e.u, a0.a),
+    s2 AS (SELECT e.u, s1.a, min(e.t) AS t2 FROM ev e
+           JOIN s1 ON e.u = s1.u
+           WHERE e.ty = 'purchase' AND e.t > s1.t1
+             AND e.t <= s1.a + {_WF_WITHIN}
+           GROUP BY e.u, s1.a),
+    d AS (SELECT a0.u, a0.a,
+                 CASE WHEN s2.a IS NOT NULL THEN 3
+                      WHEN s1.a IS NOT NULL THEN 2
+                      ELSE 1 END AS depth
+          FROM a0
+          LEFT JOIN s1 ON s1.u = a0.u AND s1.a = a0.a
+          LEFT JOIN s2 ON s2.u = a0.u AND s2.a = a0.a)
+    SELECT d.u AS user_id,
+           CAST(d.a AS BIGINT) AS anchor_ts,
+           CAST(d.depth AS BIGINT) AS depth
+    FROM d JOIN um ON um.u = d.u
+    WHERE d.depth = 3 OR d.a + {_WF_WITHIN} < um.umax
+    """,
+)
+def q_streaming_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live time-bounded funnel through the driver harness
+    (streaming.window_funnel_stream, applyInPandasWithState): the
+    signup → view → purchase 3-day funnel's pending-anchor set rides the
+    checkpointed state; one append row per retired anchor (completed or
+    window-expired against the user's event-time high mark) — the 16th
+    driver-checked streaming query, the ClickHouse-windowFunnel shape
+    live."""
+    from timeseriesfuser_spark.contract._base import (
+        _run_availablenow_to_memory,
+    )
+    from timeseriesfuser_spark.streaming import window_funnel_stream
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_ms = ts_epoch_ms_col(stream, "ts")
+    ev = stream.select(
+        ts_ms.cast("long").alias("__timestamp"), "user_id", "event_type"
+    ).filter(F.col("user_id").isNotNull())
+    out = window_funnel_stream(
+        ev, ["signup", "view", "purchase"], _WF_WITHIN, keys=["user_id"]
+    )
+    emitted = _run_availablenow_to_memory(out, "swf")
+    return emitted.select(
+        "user_id",
+        F.col("anchor_ts").cast("long").alias("anchor_ts"),
+        F.col("depth").cast("long").alias("depth"),
+    )

@@ -1242,3 +1242,127 @@ def peak_concurrency_stream(
     return src.groupBy(*group_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def window_funnel_stream(
+    df: DataFrame,
+    steps: Sequence[str],
+    within_ms: int,
+    *,
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = TS_COL,
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of ``ops.behavior.window_funnel_depth`` — live
+    time-bounded ordered funnels via ``applyInPandasWithState``: the
+    pending-anchor set (anchor ts, chain position ts, depth) rides the
+    checkpointed state across micro-batches and restarts.
+
+    Semantics (exactly the batch op's, per anchor): a funnel anchors at
+    every DISTINCT step-0 instant; for a fixed anchor the greedy chain
+    tᵢ = min ts of stepᵢ in (tᵢ₋₁, anchor + within] is exact; depth is
+    the deepest step reached. Within one event-time instant a chain
+    never advances twice (strictly-increasing ts), so processing order
+    among same-instant events cannot change the result.
+
+    Emission contract (append, one row per retired anchor —
+    (keys…, anchor_ts, depth)): an anchor retires when its chain
+    COMPLETES (depth = len(steps), emitted immediately) or when its
+    window expires against the key's OWN event-time high mark
+    (anchor + within < a later event's ts — no in-window event remains
+    unseen on an in-order feed, the ``sequence_match_stream`` caveat).
+    Trailing in-window anchors at stream end stay in state and never
+    emit. Aggregating emissions per key (max depth, count per depth)
+    reproduces the batch ``window_funnel`` report over retired anchors.
+
+    Scale: state is O(anchors inside one window) per key; retirement
+    advances with event time, so state never grows with history.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if within_ms <= 0:
+        raise ValueError(f"within_ms must be positive: {within_ms}")
+    steps = list(steps)
+    k = len(steps)
+    keys = list(keys)
+    key_fields = [
+        T.StructField(kk, df.schema[kk].dataType, True) for kk in keys
+    ]
+    out_schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("anchor_ts", T.LongType(), True),
+            T.StructField("depth", T.LongType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("a", T.ArrayType(T.LongType()), True),
+            T.StructField("ct", T.ArrayType(T.LongType()), True),
+            T.StructField("d", T.ArrayType(T.LongType()), True),
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def fn(key, pdfs, state):
+        rows = []
+        for pdf in pdfs:
+            for t, ty in zip(pdf[ts_col], pdf[type_col]):
+                if t is not None and not pd.isna(t):
+                    rows.append((int(t), ty))
+        rows.sort(key=lambda r: r[0])
+        if state.exists:
+            pend = {
+                a: [ct, d]
+                for a, ct, d in zip(state.get[0], state.get[1], state.get[2])
+            }
+        else:
+            pend = {}
+        out = []
+
+        def emit(a, depth):
+            out.append(
+                {**dict(zip(keys, key)), "anchor_ts": a, "depth": depth}
+            )
+
+        i = 0
+        while i < len(rows):
+            T_ = rows[i][0]
+            types = set()
+            n0 = False
+            while i < len(rows) and rows[i][0] == T_:
+                types.add(rows[i][1])
+                i += 1
+            n0 = steps[0] in types
+            # retire expired anchors BEFORE advancing at this instant
+            for a in [a for a in pend if a + within_ms < T_]:
+                emit(a, pend.pop(a)[1])
+            # advance: at most once per anchor per instant (strict chain)
+            for a, st_ in list(pend.items()):
+                ct, d = st_
+                if d < k and steps[d] in types and T_ > ct and T_ <= a + within_ms:
+                    if d + 1 == k:
+                        emit(a, k)
+                        del pend[a]
+                    else:
+                        pend[a] = [T_, d + 1]
+            if n0 and T_ not in pend:
+                if k == 1:
+                    emit(T_, 1)
+                else:
+                    pend[T_] = [T_, 1]
+        state.update(
+            (
+                list(pend),
+                [v[0] for v in pend.values()],
+                [v[1] for v in pend.values()],
+            )
+        )
+        yield pd.DataFrame(out, columns=out_cols)
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
