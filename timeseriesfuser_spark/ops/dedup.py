@@ -478,32 +478,44 @@ def _minhash_col(hs, i: int) -> Column:
     )
 
 
-def _band_keys_col(shs_col, num_hashes: int, bands: int) -> Column:
+def _band_keys_col(shs_name: str, num_hashes: int, bands: int) -> Column:
     """All LSH band keys of one document as a per-row ``array<string>`` —
     MinHash signatures need NO explode and NO aggregation shuffle, just
-    this projection.
+    this projection, applied to the shingle-array column ``shs_name``.
 
     The double-hash array is bound through a single-element ``transform``
     lambda: Catalyst's projection collapse would otherwise inline the
     md5-per-shingle expression into every one of the ``num_hashes`` min
     terms (recomputing each shingle's md5 ``num_hashes`` times); a lambda
-    variable is evaluated once per row, then referenced."""
-    r = num_hashes // bands
+    variable is evaluated once per row, then referenced.
 
-    def keys(hs):
-        return F.array(
-            *[
-                F.md5(
-                    F.concat_ws(
-                        ",", *[_minhash_col(hs, b * r + j) for j in range(r)]
-                    )
-                )
-                for b in range(bands)
-            ]
+    Built as ONE SQL string (same structure, parsed JVM-side): the
+    Column-API composition of the 32 min terms cost thousands of py4j
+    round-trips — ~1 s of driver time per call (the r10 profile; the
+    simhash vote had the same disease). Bit-identity with the Column
+    build is pinned in tests/test_round16_additions.py."""
+    r = num_hashes // bands
+    dh_sql = (
+        f"transform(`{shs_name}`, s -> named_struct("
+        "'h1', CAST(conv(substring(md5(s), 1, 13), 16, 10) AS BIGINT), "
+        "'h2', CAST(conv(substring(md5(s), 14, 13), 16, 10) AS BIGINT)))"
+    )
+
+    def mh(i: int) -> str:
+        return (
+            f"array_min(transform(hs, x -> (x.h1 + {i}L * x.h2) "
+            f"& {MINHASH_MASK}L))"
         )
 
-    return F.element_at(
-        F.transform(F.array(_double_hash_structs(shs_col)), keys), 1
+    band_keys = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(mh(b * r + j) for j in range(r))
+        + "))"
+        for b in range(bands)
+    )
+    return F.expr(
+        f"element_at(transform(array({dh_sql}), hs -> "
+        f"array({band_keys})), 1)"
     )
 
 
@@ -592,7 +604,7 @@ def _banded_relation(
     nonempty = darr.filter(F.size("shs") > 0)
     if _use_perrow_signatures(df, small_input_bytes):
         keyed = nonempty.select(
-            "id", _band_keys_col(F.col("shs"), num_hashes, bands).alias("__bk")
+            "id", _band_keys_col("shs", num_hashes, bands).alias("__bk")
         )
     else:
         sh = nonempty.select("id", F.explode("shs").alias("sh"))
@@ -894,25 +906,37 @@ def simhash_pairs(
     chunk = bits // nchunks
     if _use_perrow_signatures(df, small_input_bytes):
 
-        def sig_struct(hs):
-            cnt = F.size(hs)
-            out = F.lit(0).cast("long")
-            for i in range(bits):
-                s_i = F.aggregate(
-                    hs,
-                    F.lit(0).cast("long"),
-                    lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)),
-                )
-                out = out + F.when(2 * s_i > cnt, F.lit(1 << i)).otherwise(
-                    F.lit(0)
-                )
-            return F.struct(out.alias("sh"), cnt.alias("nt"))
+        # ONE SQL string instead of per-bit Column composition: building
+        # the 48-bit vote through the Column API costs ~7,300 py4j
+        # round-trips (~1.3 s of DRIVER time per call, profiled r10);
+        # the textually identical expression parses JVM-side in one
+        # call. Same structure exactly — the single-element transform
+        # lambda still binds the token-hash array once (the r3
+        # projection-collapse blocker), and the expression is LINEAR in
+        # bits (the parser-OOM hazard is per-level multiplication, not
+        # flat sums). Bit-identity with the old Column build is pinned
+        # in tests/test_round16_additions.py.
+        from timeseriesfuser_spark.ops import text as _text
 
+        word_re = _text.WORD_RE.replace("'", "''")
+        hs_sql = (
+            "transform(array_distinct(regexp_extract_all("
+            f"lower(`{text_col}`), '{word_re}', 0)), "
+            "t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+        )
+        vote_sql = " + ".join(
+            f"(CASE WHEN 2 * aggregate(x, 0L, (acc, h) -> "
+            f"acc + (shiftright(h, {i}) & 1)) > size(x) "
+            f"THEN {1 << i}L ELSE 0L END)"
+            for i in range(bits)
+        )
+        sig_sql = (
+            f"element_at(transform(array({hs_sql}), x -> named_struct("
+            f"'sh', CAST({vote_sql} AS BIGINT), 'nt', size(x))), 1)"
+        )
         sig = spread_small_input(df).select(
             F.col(id_col).alias("id"),
-            F.element_at(
-                F.transform(F.array(token_hashes(text_col)), sig_struct), 1
-            ).alias("__sc"),
+            F.expr(sig_sql).alias("__sc"),
         ).select(
             "id", F.col("__sc.sh").alias("sh"), F.col("__sc.nt").alias("__nt")
         )
