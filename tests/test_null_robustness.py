@@ -114,6 +114,14 @@ QUERIES = [
     "streaming_burst_flags",
     "user_activity_span",
     "peak_concurrency_daily",
+    # round-16: NULL event_type is no funnel step (neither anchor nor
+    # advance) and sessionizes normally in the concurrency counter; NULL
+    # value rows drop from the Q88 bands on both sides but still elect
+    # last-in-bucket (as NULL) in the day-grid resample
+    "streaming_peak_concurrency",
+    "streaming_window_funnel",
+    "streaming_resample_2d",
+    "tpcds_q88_hour_bands",
 ]
 
 TABLES = [
