@@ -737,3 +737,17 @@ def test_top_parts_with_ties_group_limit(spark):
     """rank() <= k must plan a WindowGroupLimit (rank-limit pushdown)."""
     plan = formatted_plan(contract.QUERIES["top_parts_with_ties"](spark, SF))
     assert "WindowGroupLimit" in plan
+
+
+def test_prefix_filter_join_reads_persisted_prefixes(spark):
+    """set_similarity_pairs (r10): the prefix relation feeds BOTH
+    self-join sides from the persist — uncached, each side re-ran the
+    ordered-set build (31M-bigram df join + per-doc sort, the dominant
+    1M-doc cost). Gate: ≥2 InMemoryTableScans in the executed plan and
+    at most the docs-cache's scans of the raw parquet."""
+    from timeseriesfuser_spark.ops.util import cache_scope
+
+    with cache_scope():
+        df = contract.QUERIES["dedup_prefix_filter"](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 2, plan
