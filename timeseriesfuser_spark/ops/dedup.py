@@ -594,12 +594,19 @@ def _banded_relation(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
+    # materialize=False: every caller eagerly materializes the BUCKETS
+    # relation (its count, or the cap's rung-0 observed count), and that
+    # job populates this parent cache on the way — sequentially within
+    # one job, so the 5× concurrent-recompute race the eager counts
+    # guard against cannot occur. A separate darr count was one whole
+    # redundant pass over the corpus per call (r10).
     darr = _maybe_cache(
         spread_small_input(df).select(
             F.col(id_col).alias("id"),
             shingle_array(text_col, n).alias("shs"),
         ),
         cache,
+        materialize=False,
     )
     nonempty = darr.filter(F.size("shs") > 0)
     if _use_perrow_signatures(df, small_input_bytes):
@@ -1412,6 +1419,10 @@ def set_similarity_pairs(
     tn, td = int(threshold[0]), int(threshold[1])
     if not (0 < tn <= td):
         raise ValueError(f"threshold must be a rational in (0, 1]: {threshold}")
+    # materialize=False: the prefix relation below is eagerly
+    # materialized (count or cap probe) and that job populates this
+    # parent cache sequentially on the way — a separate docs count was
+    # one redundant shingle pass per call (the minhash darr lesson, r10).
     docs = _maybe_cache(
         spread_small_input(df).select(
             F.col(id_col).alias("id"),
@@ -1420,6 +1431,7 @@ def set_similarity_pairs(
             ).alias("__set"),
         ),
         cache,
+        materialize=False,
     )
     tok = docs.select("id", F.explode("__set").alias("tk"))
     dfreq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("__df"))

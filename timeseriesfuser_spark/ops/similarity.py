@@ -208,11 +208,17 @@ def srp_neardup_pairs(
     from timeseriesfuser_spark.ops.dedup import _cap_buckets
 
     spark = df.sparkSession
+    # materialize=False: the dim probe right below computes ONE cached
+    # partition (limit-1), and the blocks relation's eager materializer
+    # (count or cap probe) fills the rest through this parent — a
+    # separate full count was a redundant pass (the minhash darr lesson,
+    # r10).
     v = _maybe_cache(
         spread_small_input(df).select(
             F.col(id_col).alias("id"), quantized(F.col(vec_col), scale).alias("v")
         ).withColumn("n", _sq_norm(F.col("v"))),
         cache,
+        materialize=False,
     )
     dim_row = v.select(F.size("v").alias("d")).first()
     if dim_row is None:
