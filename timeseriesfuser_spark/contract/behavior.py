@@ -1372,14 +1372,15 @@ def q_user_activity_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, user_id FROM events
                 WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-    flagged AS (SELECT user_id, t,
+    flagged AS (SELECT user_id, t, event_id,
                        CASE WHEN lag(t) OVER w IS NULL
                                  OR t - lag(t) OVER w > 1800000
                             THEN 1 ELSE 0 END AS is_new
                 FROM ev WINDOW w AS (PARTITION BY user_id
                                      ORDER BY t, event_id)),
     sess AS (SELECT user_id,
-                    sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                    sum(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY t, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING
                                       AND CURRENT ROW) AS sid,
                     t
@@ -1454,14 +1455,15 @@ def q_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, user_id FROM events
                 WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-    flagged AS (SELECT user_id, t,
+    flagged AS (SELECT user_id, t, event_id,
                        CASE WHEN lag(t) OVER w IS NULL
                                  OR t - lag(t) OVER w > 1800000
                             THEN 1 ELSE 0 END AS is_new
                 FROM ev WINDOW w AS (PARTITION BY user_id
                                      ORDER BY t, event_id)),
     sess AS (SELECT user_id,
-                    sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                    sum(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY t, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING
                                       AND CURRENT ROW) AS sid,
                     t

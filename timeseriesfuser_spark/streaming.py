@@ -149,7 +149,15 @@ def resample_stream(
     fixed-step grid), so the day path groups directly on the watermarked
     boundary-LABEL column: the label is a monotone function of the event
     time, so watermark eviction semantics carry over; a bucket's state
-    closes once the watermark passes its label. As in batch, ``'Nd'``
+    closes once the watermark passes its label. NOTE: on this day path
+    the ``watermark`` delay is therefore measured in LABEL space, not
+    event-time space — once any event crosses a midnight the label (and
+    with it the watermark) leaps a full interval step, so a delay like
+    ``'1 hour'`` gives effectively zero tolerance for event-time-late
+    rows in the prior bucket. Size the delay as (interval step + the
+    intended event-time lateness, e.g. from ``lateness_stats``) on this
+    path; the window() fast path measures the same argument in
+    event-time space. As in batch, ``'Nd'``
     with N > 1 routes through the midnight-anchored path even without
     ``tz`` (reference parity); ``'1d'`` without ``tz`` stays on the
     epoch-anchored fast path (grid-identical). Emission asymmetry,
@@ -1072,6 +1080,21 @@ def burst_flags_stream(
     )
 
 
+def _typed_state_key(u):
+    """Type-tagged state-key encoding for per-user streaming state:
+    ``json.dumps`` distinguishes int ``1`` / str ``'1'`` / float ``1.0``
+    (distinct user ids whose ``str()`` forms collide must not merge into
+    one session chain). numpy scalars unwrap via ``.item()``; anything
+    JSON can't encode falls back to a tagged ``repr``."""
+    import json
+
+    v = u.item() if hasattr(u, "item") else u
+    try:
+        return json.dumps(v)
+    except TypeError:
+        return "r:" + repr(v)
+
+
 def peak_concurrency_stream(
     df: DataFrame,
     gap_ms: int = 1_800_000,
@@ -1100,9 +1123,12 @@ def peak_concurrency_stream(
     start in it) AND every session anchored to it has been gap-closed
     (``session_end + gap_ms < wm``). Trailing days at the head of the
     stream never finalize — the streaming-twin caveat shared with
-    ``sessionize_stream``'s open sessions. Events older than ``wm`` may
-    be mis-sessionized (standard watermark drop semantics); feed
-    micro-batches in event-time order, as with ``anomaly_stream``.
+    ``sessionize_stream``'s open sessions. Events older than the
+    watermark at batch START (the prior batch's high mark − ``late_ms``)
+    are DROPPED before sessionization — true watermark drop semantics,
+    so a late event can never re-create (and double-emit) an
+    already-finalized day; feed micro-batches in event-time order, as
+    with ``anomaly_stream``.
 
     Scale: state per shard is O(open sessions + boundary pairs of
     not-yet-final days) — the session-boundary grain, bounded by the
@@ -1154,9 +1180,13 @@ def peak_concurrency_stream(
             st = json.loads(state.get[0])
         else:
             st = {"open": {}, "days": {}, "max": None}
-        open_s = {k: v for k, v in st["open"].items()}   # user(str) → [s, e, day]
+        open_s = {k: v for k, v in st["open"].items()}   # _ukey(user) → [s, e, day]
         days = {int(k): v for k, v in st["days"].items()}  # day → [n, [[t, d], …]]
         mx = st["max"]
+        # Watermark at batch start: rows at/below it are dropped BEFORE
+        # sessionization (a late event anchored to an already-emitted day
+        # would otherwise recreate the day in state and double-emit it).
+        wm_in = None if mx is None else mx - late_ms
 
         def close(sess):
             s, e, d = sess
@@ -1179,8 +1209,10 @@ def peak_concurrency_stream(
             pdf[[user_col, ts_col]].dropna() for pdf in pdfs
         ]
         parts = [p for p in parts if len(p)]
-        if parts:
-            b = pd.concat(parts, ignore_index=True)
+        b = pd.concat(parts, ignore_index=True) if parts else None
+        if b is not None and wm_in is not None:
+            b = b[b[ts_col] >= wm_in]  # watermark drop (see docstring)
+        if b is not None and len(b):
             u_arr = b[user_col].to_numpy()
             t_arr = b[ts_col].to_numpy(dtype="int64")
             order = np.lexsort((t_arr, u_arr))
@@ -1197,7 +1229,7 @@ def peak_concurrency_stream(
             prev_uk = None
             cur = None
             for s_i, e_i in zip(starts, ends):
-                uk = str(u_arr[s_i])
+                uk = _typed_state_key(u_arr[s_i])
                 s, e = int(t_arr[s_i]), int(t_arr[e_i])
                 if uk != prev_uk:
                     if prev_uk is not None:
@@ -1271,8 +1303,11 @@ def window_funnel_stream(
     window expires against the key's OWN event-time high mark
     (anchor + within < a later event's ts — no in-window event remains
     unseen on an in-order feed, the ``sequence_match_stream`` caveat).
-    Trailing in-window anchors at stream end stay in state and never
-    emit. Aggregating emissions per key (max depth, count per depth)
+    A retired anchor can never re-anchor: a per-key high-water mark of
+    retired anchors rides the state, so a late or batch-straddling
+    duplicate step-0 event at (or below) a retired instant is ignored —
+    exactly one row per (keys…, anchor_ts), ever. Trailing in-window
+    anchors at stream end stay in state and never emit. Aggregating emissions per key (max depth, count per depth)
     reproduces the batch ``window_funnel`` report over retired anchors.
 
     Scale: state is O(anchors inside one window) per key; retirement
@@ -1303,6 +1338,11 @@ def window_funnel_stream(
             T.StructField("a", T.ArrayType(T.LongType()), True),
             T.StructField("ct", T.ArrayType(T.LongType()), True),
             T.StructField("d", T.ArrayType(T.LongType()), True),
+            # high-water mark of retired anchors: a late or
+            # batch-straddling duplicate step-0 event at an already
+            # retired anchor instant must not re-anchor (one row per
+            # anchor, ever — the emission contract).
+            T.StructField("hw", T.LongType(), True),
         ]
     )
     out_cols = [f.name for f in out_schema.fields]
@@ -1319,11 +1359,15 @@ def window_funnel_stream(
                 a: [ct, d]
                 for a, ct, d in zip(state.get[0], state.get[1], state.get[2])
             }
+            hw = state.get[3]
         else:
             pend = {}
+            hw = None
         out = []
 
         def emit(a, depth):
+            nonlocal hw
+            hw = a if hw is None else max(hw, a)
             out.append(
                 {**dict(zip(keys, key)), "anchor_ts": a, "depth": depth}
             )
@@ -1349,7 +1393,7 @@ def window_funnel_stream(
                         del pend[a]
                     else:
                         pend[a] = [T_, d + 1]
-            if n0 and T_ not in pend:
+            if n0 and T_ not in pend and (hw is None or T_ > hw):
                 if k == 1:
                     emit(T_, 1)
                 else:
@@ -1359,6 +1403,7 @@ def window_funnel_stream(
                 list(pend),
                 [v[0] for v in pend.values()],
                 [v[1] for v in pend.values()],
+                hw,
             )
         )
         yield pd.DataFrame(out, columns=out_cols)
