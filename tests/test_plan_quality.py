@@ -597,6 +597,26 @@ def test_lateness_stats_no_per_group_serial_window(spark):
             assert "__pid#" in line, f"serial per-group window: {line}"
 
 
+def test_peak_concurrency_no_per_day_serial_sweep(spark):
+    """The daily peak-concurrency sweep must be the two-level bucketed
+    scheme: every Window over the BOUNDARY grain (ordered by (t, delta))
+    must partition by (day, range-bucket), never by day alone — a
+    day-only window walks the hottest day's whole boundary list in one
+    task. The only day-partitioned window allowed is the offset merge
+    over the tiny per-bucket totals (ordered by __bucket)."""
+    plan = formatted_plan(
+        contract.QUERIES["peak_concurrency_daily"](spark, SF)
+    )
+    assert "__bucket" in plan  # bucketed formulation present
+    spec_lines = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l
+    ]
+    assert spec_lines, "no Window nodes found — plan shape changed"
+    for line in spec_lines:
+        if "delta#" in line:  # the pass over the boundary relation
+            assert "__bucket#" in line, f"serial per-day sweep: {line}"
+
+
 def test_bm25_takeordered_and_broadcasts(spark):
     """BM25's top-k must be a TakeOrdered (never a global sort), the
     per-term df and (D, T) totals must broadcast onto the tf relation,

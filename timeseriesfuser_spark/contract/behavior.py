@@ -1404,44 +1404,17 @@ def q_user_activity_span(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak simultaneous sessions per day: 30-min-gap sessions swept as
-    +1/−1 boundary events with a per-day cumulative-sum max — the
-    capacity-planning number (how many concurrent users must the
-    serving tier hold). The sweep window partitions by day over the
-    SESSION-BOUNDARY grain (2 rows per session), never events."""
-    ev = _events(spark, sf_dir).filter(
-        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
-    ).select(F.col("ts").alias("t"), "event_id", "user_id")
-    w = Window.partitionBy("user_id").orderBy("t", "event_id")
-    lag_t = F.lag("t").over(w)
-    flagged = ev.withColumn(
-        "is_new",
-        F.when(lag_t.isNull() | (F.col("t") - lag_t > 1_800_000), 1)
-        .otherwise(0),
+    +1/−1 boundary events — the capacity-planning number (how many
+    concurrent users must the serving tier hold). Runs the DISTRIBUTED
+    two-level sweep (``ops.behavior.peak_concurrency``): per-(day,
+    range-bucket) local running maxima merged on the tiny per-bucket
+    grain — never one window task walking a whole day's boundaries."""
+    from timeseriesfuser_spark.ops.behavior import peak_concurrency
+
+    ev = _events(spark, sf_dir).select(
+        F.col("ts").alias("t"), "user_id"
     )
-    sess = flagged.withColumn(
-        "sid",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    spans = sess.groupBy("user_id", "sid").agg(
-        F.min("t").alias("s"), F.max("t").alias("e")
-    ).withColumn("day", F.expr("s DIV 86400000").cast("long"))
-    bounds = spans.select(
-        "day", F.col("s").alias("t"), F.lit(1).alias("delta")
-    ).unionByName(
-        spans.select("day", (F.col("e") + 1).alias("t"),
-                     F.lit(-1).alias("delta"))
-    )
-    sweep = Window.partitionBy("day").orderBy("t", "delta")
-    swept = bounds.withColumn("cur", F.sum("delta").over(sweep))
-    peaks = swept.groupBy("day").agg(
-        F.max("cur").cast("long").alias("peak_concurrent")
-    )
-    counts = spans.groupBy("day").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sessions")
-    )
-    return counts.join(peaks, "day").select(
-        "day", "n_sessions", "peak_concurrent"
-    )
+    return peak_concurrency(ev, 1_800_000, ts_col="t")
 
 
 @register(

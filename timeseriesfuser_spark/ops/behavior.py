@@ -1435,3 +1435,104 @@ def cohort_ltv(
     return grain.withColumn(
         "cum_revenue_cents", F.sum("revenue_cents").over(w).cast("long")
     )
+
+
+def peak_concurrency(
+    df: DataFrame,
+    gap_ms: int = 1_800_000,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_ms: int = 3_600_000,
+    day_ms: int = 86_400_000,
+) -> DataFrame:
+    """Per-day session counts and PEAK simultaneous sessions — the exact
+    sweep-line statistic, fully distributed (VERDICT r10 #4).
+
+    Events sessionize per user on a ``gap_ms`` inactivity gap; a session
+    belongs to its START day and contributes +1 at its start and −1 at
+    ``end + 1`` to that day's sweep; the day's peak is the max running
+    sum over boundaries ordered ``(t asc, delta asc)`` (−1 before +1 on
+    ties, so back-to-back sessions never count as concurrent).
+
+    Scale design — the naive sweep is a single window partitioned by
+    day: one task per day walking every boundary, serial within the
+    hottest day (the batch twin of ``peak_concurrency_stream``'s global
+    state group). Here the sweep is TWO-LEVEL, the prefix-aggregate
+    scheme ``operators/fill.py`` uses for global LOCF:
+
+    1. boundaries bucket by ``bucket_ms`` ranges of t — ties (equal t)
+       can never straddle a bucket edge, so within-bucket
+       ``(t, delta)`` order is the global order restricted;
+    2. one window per ``(day, bucket)`` computes the LOCAL running sum's
+       max and the bucket's total delta — tasks bounded by a bucket's
+       boundary density, never a whole day;
+    3. a tiny merge on the per-bucket grain (≤ a few hundred rows per
+       day) turns exclusive prefix sums of bucket totals into offsets:
+       ``peak(day) = max over buckets (offset + local_max)`` — exact,
+       because the running max of a concatenation is the max over
+       segments of (segment offset + segment-internal running max).
+
+    The per-user sessionization windows partition on ``user_col``
+    (high-cardinality); nothing in the plan partitions on day alone at
+    the boundary grain — gated in ``tests/test_plan_quality.py``.
+
+    Output: ``(day, n_sessions, peak_concurrent)``, one row per day
+    with at least one session start. Negative (pre-1970) timestamps are
+    floor-bucketed (pmod idiom), never truncated toward zero.
+    """
+    from pyspark.sql.window import Window
+
+    if gap_ms <= 0:
+        raise ValueError(f"gap_ms must be positive: {gap_ms}")
+    if bucket_ms <= 0:
+        raise ValueError(f"bucket_ms must be positive: {bucket_ms}")
+    ev = df.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(F.col(ts_col).cast("long").alias("t"), F.col(user_col).alias("__u"))
+    w = Window.partitionBy("__u").orderBy("t")
+    lag_t = F.lag("t").over(w)
+    sess = ev.withColumn(
+        "__new",
+        F.when(lag_t.isNull() | (F.col("t") - lag_t > gap_ms), 1).otherwise(0),
+    ).withColumn(
+        "__sid", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = (
+        sess.groupBy("__u", "__sid")
+        .agg(F.min("t").alias("s"), F.max("t").alias("e"))
+        .withColumn(
+            "day", F.expr(f"(s - pmod(s, {day_ms})) DIV {day_ms}").cast("long")
+        )
+    )
+    bounds = spans.select(
+        "day", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select("day", (F.col("e") + 1).alias("t"), F.lit(-1).alias("delta"))
+    ).withColumn(
+        "__bucket", F.expr(f"(t - pmod(t, {bucket_ms})) DIV {bucket_ms}")
+    )
+    local = Window.partitionBy("day", "__bucket").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    seg = (
+        bounds.withColumn("__cur", F.sum("delta").over(local))
+        .groupBy("day", "__bucket")
+        .agg(F.max("__cur").alias("__lmax"), F.sum("delta").alias("__tot"))
+    )
+    merge = Window.partitionBy("day").orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    peaks = (
+        seg.withColumn("__off", F.coalesce(F.sum("__tot").over(merge), F.lit(0)))
+        .groupBy("day")
+        .agg(F.max(F.col("__off") + F.col("__lmax")).cast("long").alias(
+            "peak_concurrent"
+        ))
+    )
+    counts = spans.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    return counts.join(peaks, "day").select(
+        "day", "n_sessions", "peak_concurrent"
+    )
