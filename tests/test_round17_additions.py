@@ -109,3 +109,174 @@ def test_peak_concurrency_validates_args(spark):
         peak_concurrency(df, 0)
     with pytest.raises(ValueError):
         peak_concurrency(df, 1000, bucket_ms=0)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 #3: block-size cap for the blocked-cosine family
+
+
+def _emb_rows(n, block_of, dim=8, seed=3):
+    rows = []
+    state = seed
+    for i in range(n):
+        vec = []
+        for d in range(dim):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            vec.append(((state % 2001) - 1000) / 1000.0)
+        rows.append((i, block_of(i), vec))
+    return rows
+
+
+def _brute_pairs(rows, threshold, scale=1000):
+    """Reference pairs via the op's own quantized-integer arithmetic."""
+    import math
+
+    out = set()
+    q = {i: [round(x * scale) for x in v] for i, _, v in rows}
+    blk = {i: b for i, b, _ in rows}
+    norms = {i: sum(x * x for x in v) for i, v in q.items()}
+    ids = sorted(q)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if blk[a] != blk[b] or norms[a] == 0 or norms[b] == 0:
+                continue
+            dot = sum(x * y for x, y in zip(q[a], q[b]))
+            cos = round(dot / (math.sqrt(norms[a]) * math.sqrt(norms[b])), 6)
+            if cos >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_blocked_cosine_exact_below_cap(spark):
+    """Every block at/under the cap: result == brute force (the cap is
+    invisible — plan untouched, zero recall loss)."""
+    from timeseriesfuser_spark import ops
+
+    rows = _emb_rows(60, lambda i: i % 6)  # blocks of 10
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label bigint, embedding array<double>"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ops.blocked_cosine_pairs(
+            df, threshold=-1.0, max_block=10
+        ).collect()
+    }
+    assert got == _brute_pairs(rows, -1.0)
+
+
+def test_blocked_cosine_hot_block_split_is_deterministic_subset(spark):
+    """One giant block over an explicit cap: emitted pairs are exactly
+    the brute-force pairs whose endpoints share a hash sub-block — a
+    deterministic, bounded subset; no false pairs, and two runs agree."""
+    from pyspark.sql import functions as F
+
+    from timeseriesfuser_spark import ops
+
+    rows = _emb_rows(60, lambda i: 0)  # ONE block of 60
+    cap = 7
+    n_sub = -(-60 // cap)  # ceil
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label bigint, embedding array<double>"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ops.blocked_cosine_pairs(
+            df, threshold=-1.0, max_block=cap
+        ).collect()
+    }
+    sub = {
+        r["vec_id"]: r["s"]
+        for r in df.select(
+            "vec_id", F.pmod(F.xxhash64("vec_id"), F.lit(n_sub)).alias("s")
+        ).collect()
+    }
+    want = {
+        (a, b) for a, b in _brute_pairs(rows, -1.0) if sub[a] == sub[b]
+    }
+    assert got == want and got  # non-trivial subset survives
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in ops.blocked_cosine_pairs(
+            df, threshold=-1.0, max_block=cap
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_blocked_cosine_planted_pair_recall_with_cap(spark):
+    """A planted identical pair in a SMALL block survives any cap
+    (exactness below the cap is the recall contract)."""
+    from timeseriesfuser_spark import ops
+
+    rows = _emb_rows(40, lambda i: 0 if i < 30 else 1)
+    # plant an identical pair in the small block (ids 38, 39)
+    rows[38] = (38, 1, rows[39][2])
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label bigint, embedding array<double>"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ops.blocked_cosine_pairs(
+            df, threshold=0.999, max_block=12
+        ).collect()
+    }
+    assert (38, 39) in got
+
+
+def test_blocked_cosine_cap_off_and_auto_match_below_default(spark):
+    """max_block=None and the 'auto' default agree when no block nears
+    DEFAULT_MAX_BLOCK (the common certified-scale case)."""
+    from timeseriesfuser_spark import ops
+
+    rows = _emb_rows(50, lambda i: i % 5)
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label bigint, embedding array<double>"
+    )
+    a = {
+        (r["id_a"], r["id_b"])
+        for r in ops.blocked_cosine_pairs(df, threshold=-1.0).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"])
+        for r in ops.blocked_cosine_pairs(
+            df, threshold=-1.0, max_block=None
+        ).collect()
+    }
+    assert a == b == _brute_pairs(rows, -1.0)
+
+
+def test_semantic_dedup_pairs_cap_param(spark):
+    """semantic_dedup_pairs: the cluster-blocked family shares the same
+    guard — an explicit cap on a hot cluster bounds pairs to sub-blocks,
+    and auto (no hot clusters) equals None."""
+    from timeseriesfuser_spark import ops
+
+    rows = _emb_rows(30, lambda i: 0)
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label bigint, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [rows[0], rows[15]], "vec_id bigint, label bigint, embedding array<double>"
+    )
+    base = {
+        (r["keep_id"], r["drop_id"])
+        for r in ops.semantic_dedup_pairs(
+            df, cents, threshold=-1.0, max_block=None
+        ).collect()
+    }
+    auto = {
+        (r["keep_id"], r["drop_id"])
+        for r in ops.semantic_dedup_pairs(
+            df, cents, threshold=-1.0
+        ).collect()
+    }
+    assert auto == base and base
+    capped = {
+        (r["keep_id"], r["drop_id"])
+        for r in ops.semantic_dedup_pairs(
+            df, cents, threshold=-1.0, max_block=5
+        ).collect()
+    }
+    assert capped < base  # strict subset: the hot cluster was split

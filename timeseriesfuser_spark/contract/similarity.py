@@ -226,35 +226,16 @@ _NDT = 0.25
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked on `label` (the cluster
-    assignment) so the pair space is per-block, not corpus²."""
+    assignment) so the pair space is per-block, not corpus² — via
+    ``ops.similarity.blocked_cosine_pairs``, whose default-on
+    ``max_block`` guard splits degenerate hot blocks (the 23.9× sf1
+    ladder artifact, SCALE.md r10) into bounded hash sub-blocks."""
     from timeseriesfuser_spark.ops.util import spread_small_input
 
     emb = spread_small_input(_t(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("label").cast("long").alias("label"),
-        S.quantized(F.col("embedding")).alias("v"),
-    ).withColumn("n", S._sq_norm(F.col("v")))
-    a = emb.alias("a")
-    b = emb.alias("b")
-    dot = S._dot(F.col("a.v"), F.col("b.v"))
-    cos = F.round(
-        dot.cast("double") / (F.sqrt(F.col("a.n")) * F.sqrt(F.col("b.n"))), 6
+        "vec_id", F.col("label").cast("long").alias("label"), "embedding"
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter((F.col("a.n") > 0) & (F.col("b.n") > 0))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= _NDT)
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.col("a.label").alias("label"),
-            "cosine",
-        )
-    )
+    return S.blocked_cosine_pairs(emb, block_col="label", threshold=_NDT)
 
 
 _SRP_P = 16

@@ -294,6 +294,132 @@ def _maybe_cache(df: DataFrame, cache: bool, materialize: bool = True) -> DataFr
     return _mc(df, cache, materialize)
 
 
+#: Default per-block row cap for the blocked-cosine family (mirrors
+#: ``ops.dedup.DEFAULT_MAX_BUCKET``): a block of n rows costs n²·dim
+#: multiply-adds in the self-join, so one boilerplate/mega-cluster block
+#: turns the whole op into a single straggler task. Blocks past the cap
+#: are SPLIT (not dropped — SemDeDup blocks carry real recall), bounding
+#: per-sub-block cost at cap²·dim.
+DEFAULT_MAX_BLOCK = 10_000
+
+
+def _split_hot_blocks(
+    rel: DataFrame,
+    key_cols: list,
+    id_col: str,
+    max_block,
+    op_name: str,
+) -> tuple[DataFrame, list]:
+    """Quadratic-flood guard for blocked pairwise ops — DEFAULT-ON.
+
+    Any block-keyed self-join is quadratic PER BLOCK. Blocks larger than
+    the cap are split into ``ceil(n/cap)`` deterministic sub-blocks
+    (``pmod(xxhash64(id), n_sub)``) and the join key becomes
+    ``(block, __sub)``: per-task cost is bounded by ``cap²``, exactness
+    is preserved for every block at/under the cap, and pairs whose
+    endpoints land in different sub-blocks of a HOT block are skipped —
+    a RECALL cap, logged at WARNING with the affected block/row counts,
+    never silent. (Splitting a hot cluster is just finer clustering —
+    the same approximation dial SemDeDup's k already is; the LSH family
+    drops hot buckets instead because a flooded signature bucket carries
+    no recall worth keeping.)
+
+    - ``max_block="auto"`` (default): cap at :data:`DEFAULT_MAX_BLOCK`.
+    - explicit int: cap at that value.
+    - ``max_block=None``: opt-out, relation returned untouched.
+
+    Returns ``(relation, join_key_cols)``. The hot-block probe is the
+    ``_cap_buckets`` rung-0 pattern: a depth-1 count-min sketch of the
+    block key PIGGYBACKED via ``Observation`` on one ``count()`` — the
+    same job that materializes the caller's (not-yet-materialized)
+    persist, so the no-flood common case costs ZERO extra jobs over the
+    pre-cap plan. A sketch bound ≤ cap proves no hot block (one-sided —
+    it can only err toward the exact rung) and returns the plan
+    UNTOUCHED; past the bound, one exact aggregate on the block-key
+    grain (tiny — block cardinality = k clusters / labels) resolves the
+    real hot set. With an UNCACHED input the probe job recomputes the
+    relation once — the LSH explicit-cap caveat. More hot blocks than
+    the collect cap (pathological) fall back to an in-plan broadcast
+    join.
+    """
+    import logging
+
+    log = logging.getLogger(__name__)
+    if max_block is None:
+        return rel, list(key_cols)
+    if max_block == "auto":
+        max_block = DEFAULT_MAX_BLOCK
+        log.info(
+            "%s: auto block cap %d active — blocks larger than the cap are "
+            "split into hash sub-blocks (cross-sub pairs skipped); pass "
+            "max_block=<int> to tune or max_block=None to disable",
+            op_name, max_block,
+        )
+    max_block = int(max_block)
+    if max_block < 2:
+        raise ValueError("max_block must be >= 2 (a 1-member block emits no pairs)")
+    from pyspark.sql import Observation
+
+    from timeseriesfuser_spark.ops.dedup import (
+        _HOT_COLLECT_CAP,
+        _cms_max_key_bound,
+    )
+
+    qkeys = ", ".join(f"`{c}`" for c in key_cols)
+    obs = Observation()
+    rel.observe(
+        obs,
+        F.expr(
+            f"count_min_sketch(xxhash64({qkeys}), "
+            "CAST(0.000244140625 AS DOUBLE), CAST(0.5 AS DOUBLE), 42)"
+        ).alias("__cms"),
+    ).count()
+    raw = obs.get["__cms"]
+    if raw is not None and _cms_max_key_bound(bytes(raw)) <= max_block:
+        return rel, list(key_cols)
+    counts = rel.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bn"))
+    hot_rows = (
+        counts.filter(F.col("__bn") > max_block)
+        .limit(_HOT_COLLECT_CAP + 1)
+        .collect()
+    )
+    if not hot_rows:
+        return rel, list(key_cols)
+    sub_of = F.pmod(F.xxhash64(F.col(id_col)), F.ceil(F.col("__bn") / max_block))
+    if len(hot_rows) <= _HOT_COLLECT_CAP:
+        log.warning(
+            "%s: block cap %d split %d hot blocks (%d member rows, largest "
+            "%d) into hash sub-blocks — pairs across sub-blocks of those "
+            "blocks are skipped",
+            op_name, max_block, len(hot_rows),
+            sum(r["__bn"] for r in hot_rows),
+            max(r["__bn"] for r in hot_rows),
+        )
+        hot_local = rel.sparkSession.createDataFrame(
+            [tuple(r[k] for k in key_cols) + (r["__bn"],) for r in hot_rows],
+            rel.select(*key_cols).withColumn(
+                "__bn", F.lit(0).cast("long")
+            ).schema,
+        )
+        capped = rel.join(F.broadcast(hot_local), list(key_cols), "left")
+    else:
+        log.warning(
+            "%s: block cap %d found MORE than %d hot blocks — splitting "
+            "via an in-plan broadcast of the hot-count relation",
+            op_name, max_block, _HOT_COLLECT_CAP,
+        )
+        capped = rel.join(
+            F.broadcast(counts.filter(F.col("__bn") > max_block)),
+            list(key_cols),
+            "left",
+        )
+    capped = capped.withColumn(
+        "__sub",
+        F.when(F.col("__bn").isNull(), F.lit(0)).otherwise(sub_of).cast("long"),
+    ).drop("__bn")
+    return capped, list(key_cols) + ["__sub"]
+
+
 def assign_to_centroids(
     df: DataFrame,
     centroids: DataFrame,
@@ -613,6 +739,7 @@ def semantic_dedup_pairs(
     cent_vec_col: str = "embedding",
     scale: int = 1000,
     round_to: Optional[int] = 6,
+    max_block="auto",
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: cluster-blocked
     pairwise cosine (Abbas et al. 2023's recipe — k-means partition, then
@@ -626,8 +753,12 @@ def semantic_dedup_pairs(
     cost is sum over clusters of |c|^2, bounded by the centroid count k
     (pick k ~ N/target_cluster_size; SemDeDup used 11k clusters for LAION).
     Two shuffles of the corpus (centroid argmin groupBy, cluster-key
-    self-join); centroids broadcast. Skew = the largest cluster, an
-    inherent property of the method, controlled by k.
+    self-join); centroids broadcast. Skew = the largest cluster: when k
+    is under-provisioned for N (the 23.9× sf1 ladder artifact, SCALE.md
+    r10), ``max_block`` bounds it — hot clusters split into
+    ``ceil(n/cap)`` hash sub-blocks (:func:`_split_hot_blocks`; pairs
+    across sub-blocks of a HOT cluster are skipped, WARNING-logged),
+    capping per-task cost at cap²·dim no matter how wrong k is.
     """
     a = assign_to_centroids(
         df, centroids,
@@ -638,9 +769,14 @@ def semantic_dedup_pairs(
     v = df.select(
         F.col(id_col).alias("id"), quantized(F.col(vec_col), scale).alias("__v")
     ).withColumn("__n", _sq_norm(F.col("__v")))
-    withv = _maybe_cache(a.join(v, "id"), True)
+    # the split probe's observed count() doubles as the materializer —
+    # only materialize here when the probe is disabled (max_block=None)
+    withv = _maybe_cache(a.join(v, "id"), True, materialize=max_block is None)
+    rel, jkeys = _split_hot_blocks(
+        withv, ["cluster_id"], "id", max_block, "semantic_dedup_pairs"
+    )
 
-    x, y = withv.alias("x"), withv.alias("y")
+    x, y = rel.alias("x"), rel.alias("y")
     dot = _dot(F.col("x.__v"), F.col("y.__v"))
     cos = F.when(
         (F.col("x.__n") > 0) & (F.col("y.__n") > 0),
@@ -648,18 +784,78 @@ def semantic_dedup_pairs(
     ).otherwise(F.lit(0.0))
     if round_to is not None:
         cos = F.round(cos, round_to)
+    cond = F.col("x.id") < F.col("y.id")
+    for k in jkeys:
+        cond = (F.col(f"x.{k}") == F.col(f"y.{k}")) & cond
     return (
-        x.join(
-            y,
-            (F.col("x.cluster_id") == F.col("y.cluster_id"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
+        x.join(y, cond)
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select(
             F.col("x.cluster_id").alias("cluster_id"),
             F.col("x.id").alias("keep_id"),
             F.col("y.id").alias("drop_id"),
+            "cosine",
+        )
+    )
+
+
+def blocked_cosine_pairs(
+    df: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    round_to: Optional[int] = 6,
+    max_block="auto",
+    cache: bool = True,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs blocked on a caller-chosen
+    key column (label / shard / language — any pre-existing partition of
+    the corpus): all-pairs cosine WITHIN each block only, the
+    :func:`semantic_dedup_pairs` recipe minus the k-means assignment.
+
+    Output: (id_a, id_b, <block_col>, cosine) for every within-block
+    pair with cosine >= threshold, id_a < id_b; zero-norm vectors are
+    excluded (their cosine is defined 0 and can't meet a positive
+    threshold).
+
+    Scale: pair space is Σ|block|², never corpus² — and ``max_block``
+    (default-on, :data:`DEFAULT_MAX_BLOCK`) bounds the hottest block by
+    splitting it into hash sub-blocks, so a degenerate blocking column
+    (one giant block) degrades to bounded work + a WARNING, not a
+    quadratic flood. One shuffle of the corpus (the block-key
+    self-join).
+    """
+    rel = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("__b"),
+        quantized(F.col(vec_col), scale).alias("__v"),
+    ).withColumn("__n", _sq_norm(F.col("__v")))
+    rel = _maybe_cache(
+        rel.filter(F.col("__n") > 0), cache,
+        materialize=cache and max_block is None,
+    )
+    rel, jkeys = _split_hot_blocks(
+        rel, ["__b"], "id", max_block, "blocked_cosine_pairs"
+    )
+    x, y = rel.alias("x"), rel.alias("y")
+    dot = _dot(F.col("x.__v"), F.col("y.__v"))
+    cos = dot.cast("double") / (F.sqrt(F.col("x.__n")) * F.sqrt(F.col("y.__n")))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    cond = F.col("x.id") < F.col("y.id")
+    for k in jkeys:
+        cond = (F.col(f"x.{k}") == F.col(f"y.{k}")) & cond
+    return (
+        x.join(y, cond)
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.__b").alias(block_col),
             "cosine",
         )
     )
