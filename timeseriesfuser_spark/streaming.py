@@ -350,6 +350,7 @@ def sessionize_stream(
     *,
     keys: Sequence[str] = ("user_id",),
     ts_col: str = TS_COL,
+    flush_on_close: bool = False,
 ) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): gap-based
     sessionization with state carried across micro-batches and restarts.
@@ -359,7 +360,11 @@ def sessionize_stream(
     session per key lives in the state store (checkpointed; survives query
     restarts). This is the streaming twin of the batch `sessionize` window
     query; the batch form emits open sessions too, the stream by
-    construction cannot until they close.
+    construction cannot until they close — unless the caller finalizes
+    with ``flush_on_close=True`` and a :data:`FLUSH_SENTINEL_TS` row per
+    key as the stream's last input: the key's open session then emits
+    and its state clears, so total emissions equal the batch op
+    (pinned in ``tests/test_flush_on_close.py``).
 
     State is O(#active keys), Arrow-batched per group — the scalable shape
     for custom stateful ops the built-in windows can't express.
@@ -391,8 +396,14 @@ def sessionize_stream(
 
     def fn(key, pdfs, state):
         ts_all = []
+        flush = False
         for pdf in pdfs:
-            ts_all.extend(int(t) for t in pdf[ts_col])
+            for t in pdf[ts_col]:
+                t = int(t)
+                if flush_on_close and t >= FLUSH_SENTINEL_TS:
+                    flush = True
+                else:
+                    ts_all.append(t)
         ts_all.sort()
         if state.exists:
             start, end, n = state.get
@@ -410,6 +421,9 @@ def sessionize_stream(
             else:
                 end = t
                 n += 1
+        if flush and start is not None:
+            closed.append((start, end, n))
+            start, end, n = None, None, 0
         state.update((start, end, n))
         out = pd.DataFrame(
             [
@@ -1080,6 +1094,21 @@ def burst_flags_stream(
     )
 
 
+#: End-of-stream flush sentinel (shared across the stateful twins that
+#: hold open state at stream end — ``sessionize_stream``,
+#: ``peak_concurrency_stream``, ``window_funnel_stream``): when a twin
+#: is built with ``flush_on_close=True``, an event whose ``ts_col`` is
+#: at/above this value (reaching a key's state group — so per key for
+#: the keyed twins, one row per shard for the sharded counter) is
+#: consumed as a FINALIZE signal, never as data: the group emits all
+#: pending state (open sessions / unfinalized days / in-window anchors)
+#: and clears it, making end-to-end batch parity achievable. Feed the
+#: sentinel as the stream's last file, e.g.
+#: ``df.select(*keys).distinct().withColumn(ts, F.lit(FLUSH_SENTINEL_TS))``
+#: written after the data files.
+FLUSH_SENTINEL_TS = 1 << 62
+
+
 def _typed_state_key(u):
     """Type-tagged state-key encoding for per-user streaming state:
     ``json.dumps`` distinguishes int ``1`` / str ``'1'`` / float ``1.0``
@@ -1103,6 +1132,7 @@ def peak_concurrency_stream(
     user_col: str = "user_id",
     ts_col: str = TS_COL,
     late_ms: int = 0,
+    flush_on_close: bool = False,
 ) -> DataFrame:
     """Streaming twin of the batch ``peak_concurrency_daily`` sweep-line
     (contract/behavior.py): live per-day session counts and PEAK
@@ -1123,7 +1153,11 @@ def peak_concurrency_stream(
     start in it) AND every session anchored to it has been gap-closed
     (``session_end + gap_ms < wm``). Trailing days at the head of the
     stream never finalize — the streaming-twin caveat shared with
-    ``sessionize_stream``'s open sessions. Events older than the
+    ``sessionize_stream``'s open sessions — unless the caller finalizes
+    with ``flush_on_close=True`` and one :data:`FLUSH_SENTINEL_TS` row
+    per shard as the stream's last input: every open session gap-closes
+    and every pending day emits, so total emissions equal the batch
+    ``ops.behavior.peak_concurrency``. Events older than the
     watermark at batch START (the prior batch's high mark − ``late_ms``)
     are DROPPED before sessionization — true watermark drop semantics,
     so a late event can never re-create (and double-emit) an
@@ -1205,11 +1239,17 @@ def peak_concurrency_stream(
         # possible at in-batch session boundaries, and the walk
         # re-evaluates each against the running (possibly larger)
         # carried end — so stale-state bridging merges identically.
-        parts = [
-            pdf[[user_col, ts_col]].dropna() for pdf in pdfs
-        ]
+        parts = [pdf[[user_col, ts_col]] for pdf in pdfs]
         parts = [p for p in parts if len(p)]
         b = pd.concat(parts, ignore_index=True) if parts else None
+        flush = False
+        if b is not None and flush_on_close:
+            m = b[ts_col].notna() & (b[ts_col] >= FLUSH_SENTINEL_TS)
+            if m.any():
+                flush = True
+                b = b[~m]
+        if b is not None:
+            b = b.dropna()
         if b is not None and wm_in is not None:
             b = b[b[ts_col] >= wm_in]  # watermark drop (see docstring)
         if b is not None and len(b):
@@ -1265,6 +1305,22 @@ def peak_concurrency_stream(
                         {**dict(zip(emit_keys, key)), "day": d,
                          "n_sessions": n, "peak_concurrent": peak}
                     )
+        if flush:
+            # FINALIZE (sentinel seen): gap-close every open session,
+            # emit every pending day, clear state — batch parity.
+            for uk in list(open_s):
+                close(open_s.pop(uk))
+            for d in sorted(days):
+                n, bounds = days.pop(d)
+                bounds.sort()
+                cur = peak = 0
+                for _, delta in bounds:
+                    cur += delta
+                    peak = max(peak, cur)
+                out.append(
+                    {**dict(zip(emit_keys, key)), "day": d,
+                     "n_sessions": n, "peak_concurrent": peak}
+                )
         state.update((json.dumps(
             {"open": open_s, "days": {str(k): v for k, v in days.items()},
              "max": mx}
@@ -1284,6 +1340,7 @@ def window_funnel_stream(
     keys: Sequence[str] = ("user_id",),
     ts_col: str = TS_COL,
     type_col: str = "event_type",
+    flush_on_close: bool = False,
 ) -> DataFrame:
     """Streaming twin of ``ops.behavior.window_funnel_depth`` — live
     time-bounded ordered funnels via ``applyInPandasWithState``: the
@@ -1307,7 +1364,13 @@ def window_funnel_stream(
     retired anchors rides the state, so a late or batch-straddling
     duplicate step-0 event at (or below) a retired instant is ignored —
     exactly one row per (keys…, anchor_ts), ever. Trailing in-window
-    anchors at stream end stay in state and never emit. Aggregating emissions per key (max depth, count per depth)
+    anchors at stream end stay in state and never emit — unless the
+    caller finalizes with ``flush_on_close=True`` and a
+    :data:`FLUSH_SENTINEL_TS` row per key as the stream's last input:
+    pending anchors then retire at their current depth (final on an
+    in-order feed — no in-window event remains unseen) and state
+    clears, so total emissions equal the batch per-anchor chain.
+    Aggregating emissions per key (max depth, count per depth)
     reproduces the batch ``window_funnel`` report over retired anchors.
 
     Scale: state is O(anchors inside one window) per key; retirement
@@ -1349,10 +1412,15 @@ def window_funnel_stream(
 
     def fn(key, pdfs, state):
         rows = []
+        flush = False
         for pdf in pdfs:
             for t, ty in zip(pdf[ts_col], pdf[type_col]):
                 if t is not None and not pd.isna(t):
-                    rows.append((int(t), ty))
+                    t = int(t)
+                    if flush_on_close and t >= FLUSH_SENTINEL_TS:
+                        flush = True
+                    else:
+                        rows.append((t, ty))
         rows.sort(key=lambda r: r[0])
         if state.exists:
             pend = {
@@ -1398,6 +1466,12 @@ def window_funnel_stream(
                     emit(T_, 1)
                 else:
                     pend[T_] = [T_, 1]
+        if flush:
+            # FINALIZE (sentinel seen): retire every pending anchor at
+            # its current depth and clear state — batch parity.
+            for a in sorted(pend):
+                emit(a, pend[a][1])
+            pend = {}
         state.update(
             (
                 list(pend),
