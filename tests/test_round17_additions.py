@@ -280,3 +280,37 @@ def test_semantic_dedup_pairs_cap_param(spark):
         ).collect()
     }
     assert capped < base  # strict subset: the hot cluster was split
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 #8: tools/ab.py — interleaved A/B harness
+
+
+def test_interleaved_ab_structure_and_interleaving(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.ab import interleaved_ab
+
+    calls = []
+
+    def arm_a(s):
+        calls.append("a")
+        return s.range(1000)
+
+    def arm_b(s):
+        calls.append("b")
+
+    out = interleaved_ab(
+        spark, {"a": arm_a, "b": arm_b}, rounds=2, warmup=1,
+        control_rounds=1,
+    )
+    # interleaved: a,b,a,b,a,b (3 rounds incl. warmup), never a,a,a,b,b,b
+    assert calls == ["a", "b"] * 3
+    assert set(out["arms"]) == {"a", "b"}
+    for st in out["arms"].values():
+        assert len(st["times"]) == 2  # warmup round discarded
+        assert st["min"] <= st["median"]
+        assert st["normalized"] is not None
+    assert out["control_sec"] > 0
+    assert "ratio_min" in out
