@@ -1,0 +1,90 @@
+"""Cap-ladder rungs PAST rung-0 saturation (VERDICT r10 #1).
+
+The rung-0 count-min probe proves "no hot bucket" only while the sketch
+bound (≈ N_block_rows / 8192 on uniform keys) stays at/under the cap;
+past that density the exact rungs 1-3 (bounded-cell counts → per-key
+counts in flagged cells → true-key resolve + anti-join) carry the
+guard. Here the corpus is sized so the bound EXCEEDS the cap (the same
+regime as ~80M+ block rows under the default 10k cap, reached cheaply
+with an explicit small cap), and the planted flood must still be
+dropped EXACTLY: every flood-only pair gone, every cold-bucket pair
+kept."""
+
+import logging
+
+from pyspark.sql import functions as F
+
+
+def _corpus(spark):
+    # 55k unique docs → ~440k band-block rows at bands=8: the d1×w8192
+    # sketch's per-cell load (~54) sits ABOVE the cap below, so rung 0
+    # cannot short-circuit and rungs 1-3 must resolve exactly.
+    base = spark.range(55_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("w"), (F.col("id") * 7 + j).cast("string"))
+                for j in range(5)
+            ],
+        ).alias("text"),
+    )
+    flood = spark.range(200).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.lit("flood alpha beta gamma delta").alias("text"),
+    )
+    planted = spark.createDataFrame(
+        [
+            (2_000_001, "planted one two three four"),
+            (2_000_002, "planted one two three four"),
+        ],
+        "doc_id long, text string",
+    )
+    return base.unionByName(flood).unionByName(planted)
+
+
+def test_flood_dropped_exactly_past_rung0(spark, caplog):
+    from timeseriesfuser_spark.ops.dedup import minhash_lsh_pairs
+
+    docs = _corpus(spark)
+    with caplog.at_level(logging.WARNING, logger="timeseriesfuser_spark.ops.dedup"):
+        pairs = minhash_lsh_pairs(
+            docs, threshold=0.5, max_bucket=50, cache=True
+        ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    # the planted identical pair in a COLD bucket survives
+    assert (2_000_001, 2_000_002) in ids
+    # every flood-only pair is gone (the 200-member bucket > cap in all
+    # 8 bands — C(200,2) pairs would otherwise dominate the join)
+    assert not any(
+        a >= 1_000_000 and a < 2_000_000 and b >= 1_000_000 and b < 2_000_000
+        for a, b in ids
+    )
+    # and the drop was LOUD: the rung-3 resolve names the hot buckets
+    msgs = [r.message for r in caplog.records if "hot bucket" in r.message]
+    assert msgs and "dropped 8 hot buckets" in msgs[-1]
+    # 8 bands × 200 members = 1600 member rows reported
+    assert "1600 member rows" in msgs[-1]
+
+
+def test_no_flood_same_pairs_as_cap_off_past_rung0(spark):
+    """Without a flood, the ladder (forced past rung 0 by the small cap)
+    changes NOTHING: pair set == cap-off run."""
+    from timeseriesfuser_spark.ops.dedup import minhash_lsh_pairs
+
+    docs = _corpus(spark).filter(
+        (F.col("doc_id") < 1_000_000) | (F.col("doc_id") >= 2_000_000)
+    )
+    on = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.5, max_bucket=250, cache=True
+        ).collect()
+    }
+    off = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.5, max_bucket=None, cache=True
+        ).collect()
+    }
+    assert on == off

@@ -314,3 +314,32 @@ def test_interleaved_ab_structure_and_interleaving(spark):
         assert st["normalized"] is not None
     assert out["control_sec"] > 0
     assert "ratio_min" in out
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 #6: PPJoin positional filter A/B toggle
+
+
+def test_positional_filter_toggle_is_result_invariant(spark):
+    """_positional_filter=False (the benchmark A/B arm) changes only
+    candidate volume, never the exact verified result."""
+    from timeseriesfuser_spark.ops.dedup import set_similarity_pairs
+
+    rows = []
+    for i in range(40):
+        toks = [f"w{(i * 3 + j) % 25}" for j in range(8)]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    on = {
+        (r["id_a"], r["id_b"], r["intersection"], r["union_size"])
+        for r in set_similarity_pairs(
+            df, n=1, threshold=(2, 5), cache=False
+        ).collect()
+    }
+    off = {
+        (r["id_a"], r["id_b"], r["intersection"], r["union_size"])
+        for r in set_similarity_pairs(
+            df, n=1, threshold=(2, 5), cache=False, _positional_filter=False
+        ).collect()
+    }
+    assert on == off and on

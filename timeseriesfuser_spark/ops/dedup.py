@@ -1384,6 +1384,7 @@ def set_similarity_pairs(
     threshold: tuple = (2, 5),
     cache: bool = True,
     max_bucket="auto",
+    _positional_filter: bool = True,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (the
     AllPairs / PPJoin candidate scheme, Bayardo et al. WWW'07 / Xiao et
@@ -1488,28 +1489,33 @@ def set_similarity_pairs(
     # Lossless through the .distinct(): the bound is LOOSEST at a pair's
     # first shared prefix token (smallest ranks), and the PPJoin lemma
     # guarantees a truly similar pair passes there — later shared-token
-    # rows may fail, but one surviving row keeps the pair. Typical 2-5×
-    # candidate cut at low thresholds, zero semantic change (the
-    # brute-force oracle proves it).
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tk") == F.col("b.tk"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (F.col("a.sz") * td >= F.col("b.sz") * tn)
-            & (F.col("b.sz") * td >= F.col("a.sz") * tn)
-            & (
-                (
-                    F.lit(1)
-                    + F.least(
-                        F.col("a.sz") - F.col("a.pos"),
-                        F.col("b.sz") - F.col("b.pos"),
-                    )
+    # rows may fail, but one surviving row keeps the pair. Candidate cut
+    # measured: −13% on the synthetic-footer corpus (candidates not the
+    # bottleneck there) and the real win on collision-heavy Zipf corpora
+    # (SCALE.md round-17 A/B); zero semantic change either way (the
+    # brute-force oracle proves it). ``_positional_filter=False`` is the
+    # benchmark A/B toggle — results identical, only candidate volume
+    # differs.
+    cond = (
+        (F.col("a.tk") == F.col("b.tk"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (F.col("a.sz") * td >= F.col("b.sz") * tn)
+        & (F.col("b.sz") * td >= F.col("a.sz") * tn)
+    )
+    if _positional_filter:
+        cond = cond & (
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("a.sz") - F.col("a.pos"),
+                    F.col("b.sz") - F.col("b.pos"),
                 )
-                * F.lit(tn + td)
-                >= F.lit(tn) * (F.col("a.sz") + F.col("b.sz"))
-            ),
+            )
+            * F.lit(tn + td)
+            >= F.lit(tn) * (F.col("a.sz") + F.col("b.sz"))
         )
+    cand = (
+        a.join(b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
