@@ -1497,6 +1497,97 @@ def q_streaming_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_peak_flush",
+    # The FULL batch sweep — no final_days filter: flush_on_close plus a
+    # FLUSH_SENTINEL_TS row as the stream's last input finalizes every
+    # open session and pending day, so streaming emissions equal the
+    # batch peak_concurrency_daily exactly (VERDICT r10 #5's Done
+    # criterion, driver-certified).
+    oracle="""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, user_id FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    flagged AS (SELECT user_id, t, event_id,
+                       CASE WHEN lag(t) OVER w IS NULL
+                                 OR t - lag(t) OVER w > 1800000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM ev WINDOW w AS (PARTITION BY user_id
+                                     ORDER BY t, event_id)),
+    sess AS (SELECT user_id,
+                    sum(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY t, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sid,
+                    t
+             FROM flagged),
+    spans AS (SELECT min(t) AS s, max(t) AS e,
+                     min(t) // 86400000 AS day
+              FROM sess GROUP BY user_id, sid),
+    bounds AS (SELECT day, s AS t, 1 AS delta FROM spans
+               UNION ALL
+               SELECT day, e + 1, -1 FROM spans),
+    swept AS (SELECT day,
+                     sum(delta) OVER (PARTITION BY day ORDER BY t, delta)
+                         AS cur
+              FROM bounds)
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST((SELECT count(*) FROM spans s2 WHERE s2.day = swept.day)
+                AS BIGINT) AS n_sessions,
+           CAST(max(cur) AS BIGINT) AS peak_concurrent
+    FROM swept GROUP BY day
+    """,
+)
+def q_streaming_peak_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end batch parity for the stateful streaming counter: the
+    peak-concurrency twin run with ``flush_on_close=True`` and a
+    :data:`FLUSH_SENTINEL_TS` row fed as the stream's last input — the
+    finalize signal closes every open session and emits every pending
+    day, so the append emissions equal the FULL batch sweep (the
+    ``peak_concurrency_daily`` oracle verbatim, trailing days
+    included). The events relation is pre-normalized to
+    (user_id, epoch-ms) and staged to a temp dir so the sentinel file
+    shares its schema; teardown removes the staging dir after the
+    memory-sink rows are driver-local.
+    """
+    import shutil
+    import tempfile
+
+    from timeseriesfuser_spark.contract._base import (
+        _run_availablenow_to_memory,
+    )
+    from timeseriesfuser_spark.streaming import (
+        FLUSH_SENTINEL_TS,
+        peak_concurrency_stream,
+    )
+
+    src = _t(spark, sf_dir, "events")
+    ev = src.select(
+        ts_epoch_ms_col(src, "ts").cast("long").alias("__timestamp"),
+        "user_id",
+    ).filter(
+        F.col("user_id").isNotNull() & F.col("__timestamp").isNotNull()
+    )
+    tmp = tempfile.mkdtemp(prefix="tsf_flush_")
+    try:
+        ev.write.mode("overwrite").parquet(f"{tmp}/in")
+        ev.limit(1).select(
+            F.lit(FLUSH_SENTINEL_TS).cast("long").alias("__timestamp"),
+            "user_id",
+        ).write.mode("append").parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(ev.schema).parquet(f"{tmp}/in")
+        days = peak_concurrency_stream(
+            stream, 1_800_000, flush_on_close=True
+        )
+        emitted = _run_availablenow_to_memory(days, "spf")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return emitted.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.col("peak_concurrent").cast("long").alias("peak_concurrent"),
+    )
+
+
+@register(
     "streaming_window_funnel",
     # Per-anchor funnel depths over RETIRED anchors — the streaming op's
     # emission contract: an anchor (distinct step-0 instant) emits when
