@@ -251,6 +251,14 @@ def _cap_buckets(
         # short-circuiting at all: an in-plan anti-join cost +55% on the
         # sf0.1 MinHash headline even with zero hot buckets.
         #
+        # MEASURED COST PAST SATURATION (SCALE.md round-17): at 100M
+        # block rows per call the bound can no longer pass (avg cell
+        # 12.2k > default cap) and the ladder costs +56% (+133 s) when
+        # the corpus is clean — repaid as soon as ONE dup class reaches
+        # ~the cap size (break-even ≈ 10k members; a planted 30k flood
+        # made cap-off 4.6× slower). On corpora KNOWN clean past that
+        # density, raise the cap or pass max_bucket=None.
+        #
         # Rung 1 — bounded-cell grouped counts on pmod(xxhash64(key), W)
         # (W=65536-entry hashmap, not per-distinct-key) to localize the
         # flood; rung 2 — per-key xxhash64 counts restricted to flagged
