@@ -67,24 +67,52 @@ def test_flood_dropped_exactly_past_rung0(spark, caplog):
     assert "1600 member rows" in msgs[-1]
 
 
-def test_no_flood_same_pairs_as_cap_off_past_rung0(spark):
-    """Without a flood, the ladder (forced past rung 0 by the small cap)
-    changes NOTHING: pair set == cap-off run."""
-    from timeseriesfuser_spark.ops.dedup import minhash_lsh_pairs
+def test_no_flood_same_pairs_as_cap_off_past_rung0(spark, monkeypatch):
+    """Without a flood, the ladder — FORCED past rung 0: the narrow
+    sketch is pinned (the adaptive width would otherwise pick the wide
+    one for this non-file-backed input) and the cap sits below the
+    pigeonhole bound ceil(440k/8192) = 54, so the CMS can never prove
+    no-hot and rung 1 must run — changes NOTHING: pair set == cap-off."""
+    from timeseriesfuser_spark.ops import dedup
 
+    monkeypatch.setattr(dedup, "_CMS_WIDTH_LARGE", 8192)
     docs = _corpus(spark).filter(
         (F.col("doc_id") < 1_000_000) | (F.col("doc_id") >= 2_000_000)
     )
     on = {
         (r["id_a"], r["id_b"])
-        for r in minhash_lsh_pairs(
-            docs, threshold=0.5, max_bucket=250, cache=True
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.5, max_bucket=50, cache=True
         ).collect()
     }
     off = {
         (r["id_a"], r["id_b"])
-        for r in minhash_lsh_pairs(
+        for r in dedup.minhash_lsh_pairs(
             docs, threshold=0.5, max_bucket=None, cache=True
         ).collect()
     }
     assert on == off
+
+
+def test_adaptive_probe_width(spark, tmp_path):
+    """_cms_probe_expr picks the narrow sketch for known-small
+    file-backed inputs (the headline-latency contract) and the wide one
+    for unknown-size inputs (synthetic/in-memory/post-shuffle — the
+    shapes that reach saturating block-row counts)."""
+    from timeseriesfuser_spark.ops.dedup import (
+        _CMS_WIDTH_LARGE,
+        _CMS_WIDTH_SMALL,
+        _cms_probe_expr,
+    )
+
+    def width_of(df):
+        expr = str(_cms_probe_expr(df, ["v"]))
+        for w in (_CMS_WIDTH_SMALL, _CMS_WIDTH_LARGE):
+            if repr(2.0 / w) in expr:
+                return w
+        raise AssertionError(f"no known width in {expr}")
+
+    p = tmp_path / "small.parquet"
+    spark.range(100).selectExpr("id AS v").write.parquet(str(p))
+    assert width_of(spark.read.parquet(str(p))) == _CMS_WIDTH_SMALL
+    assert width_of(spark.range(100).selectExpr("id AS v")) == _CMS_WIDTH_LARGE

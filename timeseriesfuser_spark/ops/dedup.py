@@ -164,6 +164,40 @@ def _cms_max_key_bound(raw: bytes) -> int:
     return min(max(row) for row in rows)
 
 
+#: Rung-0 sketch widths (depth 1; eps = 2/width per Spark's CountMinSketch
+#: formulas). Saturation point ≈ width × cap block rows: the narrow sketch
+#: is headline-safe (64 KiB task partials, +0.05 s measured r16) but
+#: saturates at ~80M rows under the default cap; the wide one (1 MiB)
+#: defers that 16× and its merge cost only matters on inputs too small to
+#: ever need it — hence the file-size gate.
+_CMS_WIDTH_SMALL = 8192
+_CMS_WIDTH_LARGE = 131072
+_CMS_WIDE_INPUT_BYTES = 256 * 1024 * 1024
+
+
+def _cms_probe_expr(blocks: DataFrame, key_cols: list):
+    """The rung-0 count-min aggregate for ``Observation`` piggybacking,
+    width chosen from input statistics (``estimated_input_bytes``: known
+    small file-backed inputs → narrow; large or UNKNOWN → wide, the
+    conservative choice — unknowns are synthetic ranges and post-shuffle
+    intermediates, exactly the shapes that reach block-row counts a
+    narrow sketch can't resolve)."""
+    from timeseriesfuser_spark.ops.util import estimated_input_bytes
+
+    qkeys = ", ".join(f"`{c}`" for c in key_cols)
+    est = estimated_input_bytes(blocks)
+    width = (
+        _CMS_WIDTH_SMALL
+        if est is not None and est < _CMS_WIDE_INPUT_BYTES
+        else _CMS_WIDTH_LARGE
+    )
+    eps = 2.0 / width
+    return F.expr(
+        f"count_min_sketch(xxhash64({qkeys}), "
+        f"CAST({eps!r} AS DOUBLE), CAST(0.5 AS DOUBLE), 42)"
+    ).alias("__cms")
+
+
 def _cap_buckets(
     blocks: DataFrame,
     key_cols: list,
@@ -251,13 +285,21 @@ def _cap_buckets(
         # short-circuiting at all: an in-plan anti-join cost +55% on the
         # sf0.1 MinHash headline even with zero hot buckets.
         #
-        # MEASURED COST PAST SATURATION (SCALE.md round-17): at 100M
-        # block rows per call the bound can no longer pass (avg cell
-        # 12.2k > default cap) and the ladder costs +56% (+133 s) when
-        # the corpus is clean — repaid as soon as ONE dup class reaches
-        # ~the cap size (break-even ≈ 10k members; a planted 30k flood
-        # made cap-off 4.6× slower). On corpora KNOWN clean past that
-        # density, raise the cap or pass max_bucket=None.
+        # MEASURED COST PAST SATURATION (SCALE.md round-17): with the
+        # small 8192-cell sketch, 100M block rows per call pushed the
+        # bound past the default cap (avg cell 12.2k) and the ladder
+        # cost +56% (+133 s) on a clean corpus — the rung-1 pass ran
+        # every call. Hence the ADAPTIVE width below: file-backed small
+        # inputs keep the 64 KiB sketch (the r16 A/B: bigger partials
+        # cost +0.3 s on the sub-2 s sf0.1 headline), while large or
+        # unknown-size inputs get the 1 MiB sketch whose resolution
+        # defers saturation 16× (to ~1.3B block rows at the default
+        # cap) — its merge cost is noise at the scales that need it,
+        # and the per-row update cost is width-independent. Repayment
+        # math unchanged: break-even ≈ one dup class of ~the cap size
+        # (a planted 30k flood made cap-off 4.6× slower). On corpora
+        # KNOWN clean past saturation, raise the cap or pass
+        # max_bucket=None.
         #
         # Rung 1 — bounded-cell grouped counts on pmod(xxhash64(key), W)
         # (W=65536-entry hashmap, not per-distinct-key) to localize the
@@ -266,18 +308,8 @@ def _cap_buckets(
         from pyspark.sql import Observation
 
         hcol = F.xxhash64(*[F.col(c) for c in key_cols])
-        qkeys = ", ".join(f"`{c}`" for c in key_cols)
-        # depth 1 / width 8192 (eps=2/w, conf→depth per Spark's
-        # CountMinSketch formulas); 64 KiB per task partial, exact
-        # integer merges — deterministic for fixed data + seed.
         obs = Observation()
-        blocks.observe(
-            obs,
-            F.expr(
-                f"count_min_sketch(xxhash64({qkeys}), "
-                "CAST(0.000244140625 AS DOUBLE), CAST(0.5 AS DOUBLE), 42)"
-            ).alias("__cms"),
-        ).count()
+        blocks.observe(obs, _cms_probe_expr(blocks, key_cols)).count()
         raw = obs.get["__cms"]
         if raw is not None and _cms_max_key_bound(bytes(raw)) <= max_bucket:
             return blocks

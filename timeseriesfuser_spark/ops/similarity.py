@@ -363,17 +363,11 @@ def _split_hot_blocks(
     from timeseriesfuser_spark.ops.dedup import (
         _HOT_COLLECT_CAP,
         _cms_max_key_bound,
+        _cms_probe_expr,
     )
 
-    qkeys = ", ".join(f"`{c}`" for c in key_cols)
     obs = Observation()
-    rel.observe(
-        obs,
-        F.expr(
-            f"count_min_sketch(xxhash64({qkeys}), "
-            "CAST(0.000244140625 AS DOUBLE), CAST(0.5 AS DOUBLE), 42)"
-        ).alias("__cms"),
-    ).count()
+    rel.observe(obs, _cms_probe_expr(rel, key_cols)).count()
     raw = obs.get["__cms"]
     if raw is not None and _cms_max_key_bound(bytes(raw)) <= max_block:
         return rel, list(key_cols)
