@@ -94,11 +94,13 @@ def test_no_flood_same_pairs_as_cap_off_past_rung0(spark, monkeypatch):
     assert on == off
 
 
-def test_adaptive_probe_width(spark, tmp_path):
-    """_cms_probe_expr picks the narrow sketch for known-small
-    file-backed inputs (the headline-latency contract) and the wide one
-    for unknown-size inputs (synthetic/in-memory/post-shuffle — the
-    shapes that reach saturating block-row counts)."""
+def test_adaptive_probe_width(spark, tmp_path, monkeypatch):
+    """_cms_probe_expr widens the rung-0 sketch ONLY on positive
+    evidence of a large input (big scan bytes, or more files than the
+    stat helper will touch); small file-backed AND unknown-size inputs
+    stay narrow — an unknown→wide default taxed the sf0.1 dedup
+    headlines +0.4-0.6 s each (bench A/B, round 17)."""
+    from timeseriesfuser_spark.ops import util
     from timeseriesfuser_spark.ops.dedup import (
         _CMS_WIDTH_LARGE,
         _CMS_WIDTH_SMALL,
@@ -114,5 +116,16 @@ def test_adaptive_probe_width(spark, tmp_path):
 
     p = tmp_path / "small.parquet"
     spark.range(100).selectExpr("id AS v").write.parquet(str(p))
-    assert width_of(spark.read.parquet(str(p))) == _CMS_WIDTH_SMALL
-    assert width_of(spark.range(100).selectExpr("id AS v")) == _CMS_WIDTH_LARGE
+    small_file = spark.read.parquet(str(p))
+    unknown = spark.range(100).selectExpr("id AS v")
+    assert width_of(small_file) == _CMS_WIDTH_SMALL
+    assert width_of(unknown) == _CMS_WIDTH_SMALL  # unknown stays narrow
+    # positive size evidence → wide
+    monkeypatch.setattr(util, "estimated_input_bytes", lambda df: 1 << 30)
+    assert width_of(small_file) == _CMS_WIDTH_LARGE
+    # too many files to stat (the 100 TB signature) → wide
+    monkeypatch.setattr(util, "estimated_input_bytes", lambda df: None)
+    monkeypatch.setattr(
+        type(unknown), "inputFiles", lambda self: ["f"] * 10_001
+    )
+    assert width_of(unknown) == _CMS_WIDTH_LARGE

@@ -177,21 +177,29 @@ _CMS_WIDE_INPUT_BYTES = 256 * 1024 * 1024
 
 def _cms_probe_expr(blocks: DataFrame, key_cols: list):
     """The rung-0 count-min aggregate for ``Observation`` piggybacking,
-    width chosen from input statistics (``estimated_input_bytes``: known
-    small file-backed inputs → narrow; large or UNKNOWN → wide, the
-    conservative choice — unknowns are synthetic ranges and post-shuffle
-    intermediates, exactly the shapes that reach block-row counts a
-    narrow sketch can't resolve)."""
+    width chosen from input statistics: wide ONLY on positive evidence
+    of a large input — total scan bytes ≥ the threshold, or more files
+    than ``estimated_input_bytes`` will stat (>10k files IS the
+    large-corpus signature at 100 TB). UNKNOWN size (inputFiles
+    unresolvable through the derived plan — the shape every sf0.1
+    headline block relation has) stays NARROW: a first cut defaulted
+    unknown→wide and silently cost the minhash/simhash/neardup
+    headlines +0.4-0.6 s each from 1 MiB task partials (bench A/B,
+    round 17) — the saturation tax only exists past ~80M block rows,
+    where the input is never a small derived test frame."""
     from timeseriesfuser_spark.ops.util import estimated_input_bytes
 
     qkeys = ", ".join(f"`{c}`" for c in key_cols)
     est = estimated_input_bytes(blocks)
-    width = (
-        _CMS_WIDTH_SMALL
-        if est is not None and est < _CMS_WIDE_INPUT_BYTES
-        else _CMS_WIDTH_LARGE
-    )
-    eps = 2.0 / width
+    if est is None:
+        try:
+            nfiles = len(blocks.inputFiles())
+        except Exception:
+            nfiles = 0
+        wide = nfiles > 10_000
+    else:
+        wide = est >= _CMS_WIDE_INPUT_BYTES
+    eps = 2.0 / (_CMS_WIDTH_LARGE if wide else _CMS_WIDTH_SMALL)
     return F.expr(
         f"count_min_sketch(xxhash64({qkeys}), "
         f"CAST({eps!r} AS DOUBLE), CAST(0.5 AS DOUBLE), 42)"
@@ -289,13 +297,15 @@ def _cap_buckets(
         # small 8192-cell sketch, 100M block rows per call pushed the
         # bound past the default cap (avg cell 12.2k) and the ladder
         # cost +56% (+133 s) on a clean corpus — the rung-1 pass ran
-        # every call. Hence the ADAPTIVE width below: file-backed small
-        # inputs keep the 64 KiB sketch (the r16 A/B: bigger partials
-        # cost +0.3 s on the sub-2 s sf0.1 headline), while large or
-        # unknown-size inputs get the 1 MiB sketch whose resolution
-        # defers saturation 16× (to ~1.3B block rows at the default
-        # cap) — its merge cost is noise at the scales that need it,
-        # and the per-row update cost is width-independent. Repayment
+        # every call. Hence the ADAPTIVE width below: inputs with
+        # POSITIVE evidence of size (≥256 MiB of scan files, or >10k
+        # files) get the 1 MiB sketch whose resolution defers
+        # saturation 16× (to ~1.3B block rows at the default cap);
+        # everything else — including unknown-size derived frames —
+        # keeps the 64 KiB sketch (the r16 A/B: bigger partials cost
+        # +0.3 s on the sub-2 s sf0.1 headline, and an unknown→wide
+        # default measurably taxed the headline, see _cms_probe_expr).
+        # The per-row update cost is width-independent. Repayment
         # math unchanged: break-even ≈ one dup class of ~the cap size
         # (a planted 30k flood made cap-off 4.6× slower). On corpora
         # KNOWN clean past saturation, raise the cap or pass
