@@ -129,3 +129,77 @@ def test_adaptive_probe_width(spark, tmp_path, monkeypatch):
         type(unknown), "inputFiles", lambda self: ["f"] * 10_001
     )
     assert width_of(unknown) == _CMS_WIDTH_LARGE
+
+
+def test_size_hint_overrides_unknown_and_file_evidence(spark, tmp_path, monkeypatch):
+    """VERDICT r11 #1: the explicit ``size_hint`` channel. A derived
+    (inputFiles-less) relation hinted LARGE gets the wide sketch — the
+    100 TB post-join corpus no longer silently pays the +56%
+    saturated-rung tax — and a hint always WINS over file evidence in
+    both directions (the caller's row count is better information than
+    scan bytes)."""
+    from timeseriesfuser_spark.ops import util
+    from timeseriesfuser_spark.ops.dedup import (
+        _CMS_WIDE_HINT_ROWS,
+        _CMS_WIDTH_LARGE,
+        _CMS_WIDTH_SMALL,
+        _cms_probe_expr,
+    )
+
+    def width_of(df, hint):
+        expr = str(_cms_probe_expr(df, ["v"], size_hint=hint))
+        for w in (_CMS_WIDTH_SMALL, _CMS_WIDTH_LARGE):
+            if repr(2.0 / w) in expr:
+                return w
+        raise AssertionError(f"no known width in {expr}")
+
+    derived = spark.range(100).selectExpr("id AS v")  # inputFiles: []
+    assert width_of(derived, _CMS_WIDE_HINT_ROWS) == _CMS_WIDTH_LARGE
+    assert width_of(derived, _CMS_WIDE_HINT_ROWS - 1) == _CMS_WIDTH_SMALL
+    # a hint beats contradicting file evidence, both ways
+    monkeypatch.setattr(util, "estimated_input_bytes", lambda df: 1 << 40)
+    assert width_of(derived, 1000) == _CMS_WIDTH_SMALL
+    monkeypatch.setattr(util, "estimated_input_bytes", lambda df: 1)
+    assert width_of(derived, 10**9) == _CMS_WIDTH_LARGE
+
+
+def test_size_hint_threads_through_public_ops(spark, monkeypatch):
+    """The public ``size_hint`` params reach the rung-0 probe scaled by
+    each op's block fan-out (minhash ×bands, simhash ×chunks,
+    blocked-cosine/semantic ×1) — pinned by capturing the probe calls."""
+    from timeseriesfuser_spark.ops import dedup, similarity
+
+    seen = []
+    real = dedup._cms_probe_expr
+
+    def spy(blocks, key_cols, size_hint=None):
+        seen.append(size_hint)
+        return real(blocks, key_cols, size_hint)
+
+    monkeypatch.setattr(dedup, "_cms_probe_expr", spy)
+    # similarity imports the symbol inside _split_hot_blocks at call
+    # time via `from ... import _cms_probe_expr` — patch the module attr
+    # it resolves from (the dedup module), which the local import reads.
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
+        "doc_id long, text string",
+    )
+    dedup.minhash_lsh_pairs(docs, bands=8, size_hint=5_000_000, cache=True).collect()
+    assert seen[-1] == 40_000_000
+    dedup.simhash_pairs(docs, max_hamming=3, size_hint=9_000_000, cache=True).collect()
+    assert seen[-1] == 36_000_000
+
+    emb = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 0, [1.0, 0.01]), (3, 1, [0.0, 1.0])],
+        "vec_id long, label long, embedding array<double>",
+    )
+    similarity.blocked_cosine_pairs(
+        emb, block_col="label", threshold=0.5, size_hint=77_000_000
+    ).collect()
+    assert seen[-1] == 77_000_000
+    cents = emb.filter("vec_id < 2")
+    similarity.semantic_dedup_pairs(
+        emb, cents, threshold=0.5, size_hint=88_000_000
+    ).collect()
+    assert seen[-1] == 88_000_000

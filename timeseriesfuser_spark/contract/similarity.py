@@ -227,15 +227,23 @@ _NDT = 0.25
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked on `label` (the cluster
     assignment) so the pair space is per-block, not corpus² — via
-    ``ops.similarity.blocked_cosine_pairs``, whose default-on
-    ``max_block`` guard splits degenerate hot blocks (the 23.9× sf1
-    ladder artifact, SCALE.md r10) into bounded hash sub-blocks."""
+    ``ops.similarity.blocked_cosine_pairs``.
+
+    ``max_block=None`` here, NOT the ops default: the registered DuckDB
+    oracle is exact all-pairs-per-block, and the default-on split guard
+    would silently (WARNING log only) drop cross-sub-block pairs on
+    exactly the hot-block corpora it targets, breaking oracle parity at
+    scale (ADVICE r11). The guard remains the right default for the
+    *ops* API — this contract query opts out so "registered exact"
+    stays exact against its oracle at every scale factor."""
     from timeseriesfuser_spark.ops.util import spread_small_input
 
     emb = spread_small_input(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("label").cast("long").alias("label"), "embedding"
     )
-    return S.blocked_cosine_pairs(emb, block_col="label", threshold=_NDT)
+    return S.blocked_cosine_pairs(
+        emb, block_col="label", threshold=_NDT, max_block=None
+    )
 
 
 _SRP_P = 16
@@ -341,10 +349,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs
     (ops.similarity.semantic_dedup_pairs): exact-integer nearest-centroid
     blocking (8 lowest-id vectors as centroids), then pairwise quantized
-    cosine ONLY within each cluster — never corpus^2. Survivor = lower id."""
+    cosine ONLY within each cluster — never corpus^2. Survivor = lower id.
+
+    ``max_block=None`` (not the ops-API "auto" cap): the oracle is exact
+    all-pairs-per-cluster, so the hot-block split guard must not engage
+    for the registered query (ADVICE r11) — see q_embedding_neardup."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 8)
-    return S.semantic_dedup_pairs(emb, cents, threshold=_SEM_TAU)
+    return S.semantic_dedup_pairs(emb, cents, threshold=_SEM_TAU, max_block=None)
 
 
 @register(

