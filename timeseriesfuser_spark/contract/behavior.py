@@ -1555,7 +1555,7 @@ def q_streaming_peak_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
         _run_availablenow_to_memory,
     )
     from timeseriesfuser_spark.streaming import (
-        FLUSH_SENTINEL_TS,
+        close_stream,
         peak_concurrency_stream,
     )
 
@@ -1569,10 +1569,11 @@ def q_streaming_peak_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="tsf_flush_")
     try:
         ev.write.mode("overwrite").parquet(f"{tmp}/in")
-        ev.limit(1).select(
-            F.lit(FLUSH_SENTINEL_TS).cast("long").alias("__timestamp"),
-            "user_id",
-        ).write.mode("append").parquet(f"{tmp}/in")
+        # default counter = ONE state group → keys=(): one global
+        # sentinel row (with shard_keys you'd pass them here — the
+        # close_stream helper exists precisely so the per-group
+        # contract can't be silently under-fed, VERDICT r11 #3)
+        close_stream(ev, keys=(), ts_col="__timestamp", path=f"{tmp}/in")
         stream = spark.readStream.schema(ev.schema).parquet(f"{tmp}/in")
         days = peak_concurrency_stream(
             stream, 1_800_000, flush_on_close=True
@@ -1652,6 +1653,93 @@ def q_streaming_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["signup", "view", "purchase"], _WF_WITHIN, keys=["user_id"]
     )
     emitted = _run_availablenow_to_memory(out, "swf")
+    return emitted.select(
+        "user_id",
+        F.col("anchor_ts").cast("long").alias("anchor_ts"),
+        F.col("depth").cast("long").alias("depth"),
+    )
+
+
+@register(
+    "streaming_funnel_flush",
+    # The KEYED flush-parity twin of streaming_peak_flush (VERDICT r11
+    # #3): window_funnel_stream finalized with flush_on_close=True and
+    # ONE sentinel PER USER (close_stream builds the distinct-key
+    # sentinel relation — a single hand-rolled sentinel row would flush
+    # one user and strand every other user's pending anchors). With
+    # every anchor retired, emissions equal the FULL per-anchor greedy
+    # chain — the streaming_window_funnel oracle WITHOUT its
+    # window-expiry retirement filter.
+    oracle=f"""
+    WITH ev AS (SELECT user_id AS u, epoch_ms(ts) AS t, event_type AS ty
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    a0 AS (SELECT DISTINCT u, t AS a FROM ev WHERE ty = 'signup'),
+    s1 AS (SELECT e.u, a0.a, min(e.t) AS t1 FROM ev e
+           JOIN a0 ON e.u = a0.u
+           WHERE e.ty = 'view' AND e.t > a0.a
+             AND e.t <= a0.a + {_WF_WITHIN}
+           GROUP BY e.u, a0.a),
+    s2 AS (SELECT e.u, s1.a, min(e.t) AS t2 FROM ev e
+           JOIN s1 ON e.u = s1.u
+           WHERE e.ty = 'purchase' AND e.t > s1.t1
+             AND e.t <= s1.a + {_WF_WITHIN}
+           GROUP BY e.u, s1.a)
+    SELECT a0.u AS user_id,
+           CAST(a0.a AS BIGINT) AS anchor_ts,
+           CAST(CASE WHEN s2.a IS NOT NULL THEN 3
+                     WHEN s1.a IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS depth
+    FROM a0
+    LEFT JOIN s1 ON s1.u = a0.u AND s1.a = a0.a
+    LEFT JOIN s2 ON s2.u = a0.u AND s2.a = a0.a
+    """,
+)
+def q_streaming_funnel_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end batch parity for the KEYED stateful funnel: the
+    signup → view → purchase stream finalized with ``flush_on_close``
+    plus :func:`streaming.close_stream`'s per-user sentinel relation as
+    the stream's last file — every pending in-window anchor retires at
+    its (final, in-order-feed) depth, so the append emissions equal the
+    complete batch per-anchor chain including the trailing anchors the
+    un-flushed twin must hold back. Events are pre-normalized and
+    staged to a temp dir so the sentinel file shares their schema."""
+    import shutil
+    import tempfile
+
+    from timeseriesfuser_spark.contract._base import (
+        _run_availablenow_to_memory,
+    )
+    from timeseriesfuser_spark.streaming import (
+        close_stream,
+        window_funnel_stream,
+    )
+
+    src = _t(spark, sf_dir, "events")
+    ev = src.select(
+        ts_epoch_ms_col(src, "ts").cast("long").alias("__timestamp"),
+        "user_id",
+        "event_type",
+    ).filter(
+        F.col("user_id").isNotNull() & F.col("__timestamp").isNotNull()
+    )
+    tmp = tempfile.mkdtemp(prefix="tsf_ffl_")
+    try:
+        ev.write.mode("overwrite").parquet(f"{tmp}/in")
+        close_stream(
+            ev, keys=["user_id"], ts_col="__timestamp", path=f"{tmp}/in"
+        )
+        stream = spark.readStream.schema(ev.schema).parquet(f"{tmp}/in")
+        out = window_funnel_stream(
+            stream,
+            ["signup", "view", "purchase"],
+            _WF_WITHIN,
+            keys=["user_id"],
+            flush_on_close=True,
+        )
+        emitted = _run_availablenow_to_memory(out, "sff")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return emitted.select(
         "user_id",
         F.col("anchor_ts").cast("long").alias("anchor_ts"),
