@@ -1505,6 +1505,31 @@ def peak_concurrency(
             "day", F.expr(f"(s - pmod(s, {day_ms})) DIV {day_ms}").cast("long")
         )
     )
+    return sweep_spans(spans, bucket_ms=bucket_ms)
+
+
+def sweep_spans(
+    spans: DataFrame, *, bucket_ms: int = 3_600_000
+) -> DataFrame:
+    """The distributed two-level sweep over a SESSION-SPAN relation
+    ``(day, s, e)`` — steps 1-3 of :func:`peak_concurrency`'s scale
+    design, factored out so any producer of exact session spans (the
+    batch sessionizer above, or the sharded streaming stage
+    ``streaming.session_spans_stream``'s emitted rows) composes the same
+    exact per-day ``(n_sessions, peak_concurrent)``.
+
+    Exactness is the segment-max decomposition on the TIME axis:
+    boundaries bucket by ``bucket_ms`` ranges of t (ties can't straddle
+    a bucket edge), one window per (day, bucket) computes the local
+    running-sum max + total delta, and the per-day merge turns exclusive
+    prefix sums of bucket totals into offsets —
+    ``peak(day) = max over buckets (offset + local_max)``. No plan node
+    partitions on day alone at the boundary grain.
+    """
+    from pyspark.sql.window import Window
+
+    if bucket_ms <= 0:
+        raise ValueError(f"bucket_ms must be positive: {bucket_ms}")
     bounds = spans.select(
         "day", F.col("s").alias("t"), F.lit(1).alias("delta")
     ).unionByName(

@@ -1426,6 +1426,177 @@ def peak_concurrency_stream(
     )
 
 
+def session_spans_stream(
+    df: DataFrame,
+    gap_ms: int = 1_800_000,
+    *,
+    n_shards: int = 32,
+    user_col: str = "user_id",
+    ts_col: str = TS_COL,
+    late_ms: int = 0,
+    flush_on_close: bool = False,
+    day_ms: int = 86_400_000,
+) -> DataFrame:
+    """Stage 1 of the DISTRIBUTED streaming peak-concurrency sweep
+    (VERDICT r11 #2): hash-sharded stateful sessionization that emits
+    one append row per GAP-CLOSED session — ``(day, session_start,
+    session_end)``, day = the start's floor day — leaving the sweep
+    itself to :func:`ops.behavior.sweep_spans` over the emitted span
+    relation (a plain distributed batch job in the sink / downstream).
+
+    Why this decomposition: ``peak_concurrency_stream``'s default is ONE
+    state group because a global concurrency number needs a total order
+    over boundaries — 116.8 s for a pathological 10M-event batch
+    (SCALE.md r16). But only the SWEEP needs the total order, and the
+    batch twin proved it distributes exactly on the time axis
+    (segment-max over ``bucket_ms`` buckets). Sessionization, the
+    actually stateful part, is per-user — so state groups here are
+    ``pmod(xxhash64(user), n_shards)`` user shards (every user's events
+    reach exactly one shard; shard count bounds per-task state, not
+    correctness), each carrying only its users' OPEN sessions (no day
+    buffering at all — strictly less state than the one-group twin).
+    The sweep then runs over the emitted spans with full parallelism.
+
+    Emission contract (append): a session emits once it gap-closes
+    against the SHARD's event-time high mark ``wm = max(ts seen) −
+    late_ms`` (``session_end + gap_ms < wm``) — final, since any later
+    event that could extend it is above the mark by definition. Open
+    sessions at stream end hold until ``flush_on_close=True`` plus one
+    :data:`FLUSH_SENTINEL_TS` row PER USER (``close_stream(ev,
+    [user_col], path=...)`` — per-user sentinels route to every
+    populated shard by the same hash) finalizes them; flushed output
+    equals the batch sessionizer exactly, so
+    ``sweep_spans(collected_spans)`` equals the batch
+    ``peak_concurrency``. Events below the batch-start watermark are
+    dropped and counted at WARNING, as in ``peak_concurrency_stream``.
+
+    Scale: state per shard is O(open sessions of its users); emission
+    work is one row per closed session, spread over ``n_shards`` tasks —
+    the 10M-session single-group walk becomes ~10M/n_shards per task.
+    Size ``n_shards`` to the cluster's cores, not the user count.
+    """
+    import json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if gap_ms <= 0:
+        raise ValueError(f"gap_ms must be positive: {gap_ms}")
+    if late_ms < 0:
+        raise ValueError(f"late_ms must be >= 0: {late_ms}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    src = df.withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col(user_col)), F.lit(n_shards))
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("day", T.LongType(), True),
+            T.StructField("session_start", T.LongType(), True),
+            T.StructField("session_end", T.LongType(), True),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("js", T.StringType(), True)])
+    out_cols = [f.name for f in out_schema.fields]
+
+    def fn(key, pdfs, state):
+        import numpy as np
+
+        if state.exists and state.get[0]:
+            st = json.loads(state.get[0])
+        else:
+            st = {"open": {}, "max": None}
+        open_s = {k: v for k, v in st["open"].items()}  # _ukey(user) → [s, e]
+        mx = st["max"]
+        wm_in = None if mx is None else mx - late_ms
+
+        parts = [pdf[[user_col, ts_col]] for pdf in pdfs]
+        parts = [p for p in parts if len(p)]
+        b = pd.concat(parts, ignore_index=True) if parts else None
+        flush = False
+        if b is not None and flush_on_close:
+            m = b[ts_col].notna() & (b[ts_col] >= FLUSH_SENTINEL_TS)
+            if m.any():
+                flush = True
+                b = b[~m]
+        if b is not None:
+            b = b.dropna()
+        if b is not None and wm_in is not None:
+            n_pre = len(b)
+            b = b[b[ts_col] >= wm_in]
+            n_drop = n_pre - len(b)
+            if n_drop:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "session_spans_stream: dropped %d event(s) below the "
+                    "batch-start watermark %d (late_ms=%d)",
+                    n_drop, wm_in, late_ms,
+                )
+        # vectorized in-batch sessionization — the peak_concurrency_
+        # stream numpy scheme verbatim, minus the day bookkeeping
+        if b is not None and len(b):
+            u_arr = b[user_col].to_numpy()
+            t_arr = b[ts_col].to_numpy(dtype="int64")
+            order = np.lexsort((t_arr, u_arr))
+            u_arr, t_arr = u_arr[order], t_arr[order]
+            brk = np.ones(len(t_arr), dtype=bool)
+            if len(t_arr) > 1:
+                brk[1:] = (u_arr[1:] != u_arr[:-1]) | (
+                    t_arr[1:] - t_arr[:-1] > gap_ms
+                )
+            starts = np.flatnonzero(brk)
+            ends = np.append(starts[1:] - 1, len(t_arr) - 1)
+            mx_batch = int(t_arr.max())
+            mx = mx_batch if mx is None else max(mx, mx_batch)
+            prev_uk = None
+            cur = None
+            closed = []
+            for s_i, e_i in zip(starts, ends):
+                uk = _typed_state_key(u_arr[s_i])
+                s, e = int(t_arr[s_i]), int(t_arr[e_i])
+                if uk != prev_uk:
+                    if prev_uk is not None:
+                        open_s[prev_uk] = cur
+                    cur = open_s.get(uk)
+                    prev_uk = uk
+                if cur is None:
+                    cur = [s, e]
+                elif s - cur[1] > gap_ms:
+                    closed.append(cur)
+                    cur = [s, e]
+                else:
+                    cur[1] = max(cur[1], e)
+            if prev_uk is not None:
+                open_s[prev_uk] = cur
+        else:
+            closed = []
+
+        out = [
+            {"day": s // day_ms, "session_start": s, "session_end": e}
+            for s, e in closed
+        ]
+        if mx is not None:
+            wm = mx - late_ms
+            for uk in [k for k, v in open_s.items() if v[1] + gap_ms < wm]:
+                s, e = open_s.pop(uk)
+                out.append(
+                    {"day": s // day_ms, "session_start": s, "session_end": e}
+                )
+        if flush:
+            for uk in list(open_s):
+                s, e = open_s.pop(uk)
+                out.append(
+                    {"day": s // day_ms, "session_start": s, "session_end": e}
+                )
+        state.update((json.dumps({"open": open_s, "max": mx}),))
+        yield pd.DataFrame(out, columns=out_cols)
+
+    return src.groupBy("__shard").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def window_funnel_stream(
     df: DataFrame,
     steps: Sequence[str],
