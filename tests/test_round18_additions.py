@@ -232,3 +232,34 @@ def test_session_spans_emit_midstream_without_flush(spark, tmp_path):
     # user 1's first session [1000, 2000] closed by the event at
     # 2000+GAP+1; the tail session and user 2's lone event stay open
     assert got == [(0, 1000, 2000)]
+
+
+def test_suffix_filter_toggle_is_result_invariant(spark):
+    """PPJoin+ suffix filter (VERDICT r11 #4): the pair-level
+    c + min(sz − pa*, sz − pb*) overlap bound changes only verify-join
+    volume, never the exact result — in all four toggle combinations
+    (the suffix bound must stay lossless both on full shared-token rows
+    and on the positional-filtered prefix of them)."""
+    from timeseriesfuser_spark.ops.dedup import set_similarity_pairs
+
+    rows = []
+    for i in range(40):
+        toks = [f"w{(i * 3 + j) % 25}" for j in range(8)]
+        rows.append((i, " ".join(toks)))
+    # near-identical cluster (exercises high-overlap pairs) + singleton
+    rows += [(100, "a b c d e f"), (101, "a b c d e g"), (102, "z y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(**kw):
+        return {
+            (r["id_a"], r["id_b"], r["intersection"], r["union_size"])
+            for r in set_similarity_pairs(
+                df, n=1, threshold=(2, 5), cache=False, **kw
+            ).collect()
+        }
+
+    base = run(_positional_filter=False, _suffix_filter=False)
+    assert base
+    assert run(_positional_filter=True, _suffix_filter=False) == base
+    assert run(_positional_filter=False, _suffix_filter=True) == base
+    assert run(_positional_filter=True, _suffix_filter=True) == base
