@@ -1467,7 +1467,8 @@ def set_similarity_pairs(
     cache: bool = True,
     max_bucket="auto",
     _positional_filter: bool = True,
-    _suffix_filter: bool = True,
+    _suffix_filter: bool = False,
+    _cand_only: bool = False,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (the
     AllPairs / PPJoin candidate scheme, Bayardo et al. WWW'07 / Xiao et
@@ -1597,24 +1598,29 @@ def set_similarity_pairs(
             * F.lit(tn + td)
             >= F.lit(tn) * (F.col("a.sz") + F.col("b.sz"))
         )
-    # Pair-level PPJoin+ SUFFIX filter (VERDICT r11 #4): the same
-    # shuffle the plain .distinct() paid now aggregates, per pair, the
-    # shared-prefix-token COUNT c and the ranks (pa*, pb*) of the LAST
-    # shared prefix token (positions at both ends — map-side partial agg,
-    # so shuffle volume is per-pair, as before). Every shared token
-    # beyond those c is strictly greater than that last token in the
-    # global (df, tk) sort, hence sits at rank > pa* in A AND > pb* in
-    # B, so overlap ≤ c + min(sz_a − pa*, sz_b − pb*); pairs whose bound
-    # can't reach the required ceil(tn·(sz_a+sz_b)/(tn+td)) skip the
-    # exact array_intersect verify entirely — the Zipf cell's 650:1
-    # verify-to-hit ratio is the target. LOSSLESS composed with the
-    # row-level positional filter: surviving rows are a PREFIX of the
-    # pair's shared tokens (the per-row bound is monotone decreasing in
-    # rank), and the suffix argument above holds verbatim for "beyond
-    # the last SURVIVING token". At c = 1 the bound equals the
-    # positional one; for c ≥ 2 it is strictly tighter.
-    # ``_suffix_filter=False`` restores the plain distinct (A/B toggle;
-    # results identical, pinned like the positional toggle).
+    # Pair-level PPJoin+ SUFFIX filter (VERDICT r11 #4) — implemented,
+    # proven lossless, and DEFAULT-OFF on measurement. The idea: the
+    # shuffle the plain .distinct() pays could instead aggregate, per
+    # pair, the shared-prefix-token COUNT c and the ranks (pa*, pb*) of
+    # the LAST shared prefix token; every shared token beyond those c is
+    # strictly greater than that last token in the global (df, tk)
+    # sort, hence sits at rank > pa* in A AND > pb* in B, so overlap ≤
+    # c + min(sz_a − pa*, sz_b − pb*), and pairs whose bound can't reach
+    # ceil(tn·(sz_a+sz_b)/(tn+td)) would skip the exact verify. The
+    # bound stays lossless composed with the row-level positional
+    # filter (survivors are a rank-PREFIX of the pair's shared tokens,
+    # so "beyond the last surviving token" holds verbatim); at c = 1 it
+    # EQUALS the positional bound, strictly tighter only for c ≥ 2.
+    # MEASURED on the collision-heavy Zipf corpus the verify-bound
+    # regime lives on (SCALE.md round-18): pairs there meet via ONE
+    # shared rare token (c = 1 throughout), the bound pruned exactly 0
+    # of 223.7M candidates, and the 4-key groupBy + 3 aggregates cost
+    # +50% wall over the 2-column distinct's leaner partial dedup.
+    # Enable (_suffix_filter=True) only on corpora where candidate
+    # pairs share MULTIPLE prefix tokens (long prefixes / low
+    # thresholds with mid-frequency token collisions); results are
+    # identical either way (invariance pinned in all four toggle
+    # combinations, tests/test_round18_additions.py).
     cand_rows = a.join(b, cond)
     if _suffix_filter:
         cand = (
@@ -1646,6 +1652,10 @@ def set_similarity_pairs(
         cand = cand_rows.select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         ).distinct()
+    if _cand_only:
+        # analysis surface: the verify-join INPUT (for measuring what
+        # the prefix/positional/suffix filters cut), not a result
+        return cand
     out = (
         cand.join(
             docs.select(F.col("id").alias("id_a"), F.col("__set").alias("__sa")),
