@@ -52,3 +52,20 @@ def test_headline_parity_sf01(spark, ddb01, name):
     ddf = ddb01.sql(oracles[name]).df()
     assert len(sdf) > 0, f"{name}: empty at sf0.1"
     assert_parity(sdf, ddf, name)
+
+
+# Round-18's stateful-streaming registrations: the flush/shard paths
+# move real volume through applyInPandasWithState at sf0.1 (~10× the
+# driver's certification rows), where state-size and multi-batch
+# effects would surface if they existed.
+STREAMING_R18 = ["streaming_funnel_flush", "streaming_peak_sharded"]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", STREAMING_R18)
+def test_streaming_r18_parity_sf01(spark, ddb01, name):
+    queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    sdf = queries[name](spark, SF_DIR).toPandas()
+    ddf = ddb01.sql(oracles[name]).df()
+    assert len(sdf) > 0, f"{name}: empty at sf0.1"
+    assert_parity(sdf, ddf, name)
