@@ -58,7 +58,11 @@ def test_headline_parity_sf01(spark, ddb01, name):
 # move real volume through applyInPandasWithState at sf0.1 (~10× the
 # driver's certification rows), where state-size and multi-batch
 # effects would surface if they existed.
-STREAMING_R18 = ["streaming_funnel_flush", "streaming_peak_sharded"]
+STREAMING_R18 = [
+    "streaming_funnel_flush",
+    "streaming_peak_sharded",
+    "streaming_sessionize_flush",
+]
 
 
 @pytest.mark.slow
