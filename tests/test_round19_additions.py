@@ -1,0 +1,260 @@
+"""Round-19 additions: streaming state-blob versioning (VERDICT r12 #6),
+the carried-session straggler-start fix (ADVICE r12 #1), and the
+close_stream sentinel-mtime bump (ADVICE r12 #2)."""
+
+import os
+import time
+
+import pytest
+
+DAY = 86_400_000
+GAP = 1_800_000
+M = 60_000
+SCHEMA = "user_id bigint, __timestamp bigint"
+
+
+# ---------------------------------------------------------------- blobs
+
+
+def test_state_blob_roundtrip_and_legacy_rejection():
+    from timeseriesfuser_spark.streaming import (
+        StaleCheckpointError,
+        _dump_state_blob,
+        _load_state_blob,
+    )
+
+    st = {"open": {"1": [5, 9]}, "max": 9}
+    assert _load_state_blob(_dump_state_blob(st), "t") == st
+
+    # the exact blob layout the r12 code wrote (no version tag)
+    import json
+
+    legacy = json.dumps({"open": {}, "max": None})
+    with pytest.raises(StaleCheckpointError, match="stale checkpoint"):
+        _load_state_blob(legacy, "session_spans_stream")
+
+    # future/mismatched version
+    with pytest.raises(StaleCheckpointError, match="version 99"):
+        _load_state_blob(_dump_state_blob(st, 99), "t")
+
+    # undecodable garbage is also named, not a raw ValueError
+    with pytest.raises(StaleCheckpointError, match="undecodable"):
+        _load_state_blob("{not json", "t")
+
+
+def _run_peak(spark, d, ckpt, rows_out, **kw):
+    from timeseriesfuser_spark.streaming import peak_concurrency_stream
+
+    stream = spark.readStream.schema(SCHEMA).parquet(str(d))
+    out = peak_concurrency_stream(stream, GAP, **kw)
+
+    def sink(batch_df, batch_id):
+        rows_out.extend(
+            (r["day"], r["n_sessions"], r["peak_concurrent"])
+            for r in batch_df.collect()
+        )
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.exception() is not None:
+        raise q.exception()
+
+
+def test_restart_from_old_blob_raises_named_error(spark, tmp_path):
+    """End-to-end VERDICT r12 #6: batch 1 writes state under blob
+    version 1 (the knob stands in for 'an older release wrote this
+    checkpoint'); the restart under the current version must fail with
+    the named stale-checkpoint message, not a KeyError."""
+    d = tmp_path / "sv_in"
+    ckpt = str(tmp_path / "ck")
+    got = []
+    spark.createDataFrame(
+        [(1, 0), (1, 10 * M)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    _run_peak(spark, d, ckpt, got, _state_version=1)
+    assert got == []  # day 0 still open
+
+    spark.createDataFrame(
+        [(1, 30 * M), (9, DAY + GAP + 10 * M), (9, DAY + GAP + 11 * M)],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    with pytest.raises(Exception, match="stale checkpoint"):
+        _run_peak(spark, d, ckpt, got)
+
+
+def test_restart_same_version_still_resumes(spark, tmp_path):
+    """The version tag must not break the normal resume path (the r9
+    restart contract re-pinned under the tagged layout)."""
+    d = tmp_path / "sv2_in"
+    ckpt = str(tmp_path / "ck")
+    got = []
+    spark.createDataFrame(
+        [(1, 0), (1, 10 * M), (2, 5 * M)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    _run_peak(spark, d, ckpt, got)
+    assert got == []
+    spark.createDataFrame(
+        [(1, 30 * M), (2, 25 * M),
+         (9, DAY + GAP + 10 * M), (9, DAY + GAP + 11 * M)],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    _run_peak(spark, d, ckpt, got)
+    assert got == [(0, 2, 2)]  # sessions stitched across the restart
+
+
+# ------------------------------------------- straggler start extension
+
+
+def test_peak_straggler_extends_carried_session_start(spark, tmp_path):
+    """ADVICE r12 #1 (peak twin): batch 2 delivers an in-horizon
+    straggler BELOW the carried session's stored start but within
+    gap_ms of it — the session's start (and day anchoring) must extend
+    downward. Here the carried session starts at day-1 00:10 and the
+    straggler lands at day-0 23:55 (15 min earlier, within the 30-min
+    gap), so the ONE session re-anchors to day 0: day 0 must finalize
+    with n_sessions=1, and day 1 with 0 of its own would never emit."""
+    d = tmp_path / "st_in"
+    ckpt = str(tmp_path / "ck")
+    got = []
+    late = 2 * 3600_000  # 2h disorder horizon
+    s0 = DAY + 10 * M  # day-1 00:10
+    spark.createDataFrame(
+        [(1, s0), (1, s0 + 5 * M)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    _run_peak(spark, d, ckpt, got, late_ms=late)
+    assert got == []
+
+    straggler = DAY - 5 * M  # day-0 23:55, 15 min before s0
+    adv = DAY + GAP + late + 3 * 3600_000  # push wm past day 0 + gap
+    spark.createDataFrame(
+        [(1, straggler), (9, adv), (9, adv + M)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    _run_peak(spark, d, ckpt, got, late_ms=late)
+    assert got == [(0, 1, 1)]
+
+
+def test_peak_straggler_separate_earlier_session(spark, tmp_path):
+    """A straggler group ending MORE than gap_ms before the carried
+    start is its own earlier session: day 0 must count 2 sessions (the
+    straggler's and the carried one, both starting day 0 here), peak 1
+    (they never overlap)."""
+    d = tmp_path / "st2_in"
+    ckpt = str(tmp_path / "ck")
+    got = []
+    late = 4 * 3600_000
+    s0 = 3 * 3600_000  # day-0 03:00
+    spark.createDataFrame(
+        [(1, s0), (1, s0 + 5 * M)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    _run_peak(spark, d, ckpt, got, late_ms=late)
+
+    straggler = s0 - GAP - 10 * M  # > gap before s0
+    adv = DAY + GAP + late + 3600_000
+    spark.createDataFrame(
+        [(1, straggler), (9, adv), (9, adv + M)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    _run_peak(spark, d, ckpt, got, late_ms=late)
+    assert got == [(0, 2, 1)]
+
+
+def test_session_spans_straggler_extends_start(spark, tmp_path):
+    """ADVICE r12 #1 (spans twin): same downward extension through
+    session_spans_stream — the emitted span must carry the straggler's
+    start and its day."""
+    from timeseriesfuser_spark.streaming import session_spans_stream
+
+    d = tmp_path / "ss_in"
+    ckpt = str(tmp_path / "ck")
+    late = 2 * 3600_000
+    got = []
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(str(d))
+        out = session_spans_stream(stream, GAP, n_shards=4, late_ms=late)
+
+        def sink(batch_df, batch_id):
+            got.extend(
+                (r["day"], r["session_start"], r["session_end"])
+                for r in batch_df.collect()
+            )
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    s0 = DAY + 10 * M
+    spark.createDataFrame(
+        [(1, s0), (1, s0 + 5 * M)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    run()
+    assert got == []
+
+    # the advancer must reach user 1's OWN hash shard (state and
+    # watermark are per shard), so user 1 itself advances: the gap
+    # break closes the carried span in-batch.
+    straggler = DAY - 5 * M
+    adv = DAY + GAP + late + 3 * 3600_000
+    spark.createDataFrame(
+        [(1, straggler), (1, adv)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(d))
+    run()
+    spans = [r for r in got if r[1] < adv]
+    assert spans == [(0, straggler, s0 + 5 * M)]
+
+
+# --------------------------------------------------- sentinel mtime
+
+
+def test_close_stream_sentinel_mtime_bumped(spark, tmp_path):
+    """ADVICE r12 #2: even when staged data files carry FUTURE mtimes
+    (coarse clocks / copy tools preserving timestamps), every sentinel
+    file close_stream appends must sort strictly AFTER them by mtime."""
+    from timeseriesfuser_spark.streaming import close_stream
+
+    d = str(tmp_path / "cs_in")
+    df = spark.createDataFrame([(1, 0), (2, 5 * M)], SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(d)
+    data_files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(d)
+        for f in fs
+    ]
+    future = time.time() + 30
+    for f in data_files:
+        os.utime(f, (future, future))
+
+    close_stream(df, keys=["user_id"], path=d)
+
+    new_files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(d)
+        for f in fs
+        if os.path.join(r, f) not in set(data_files)
+    ]
+    assert new_files, "sentinel append wrote nothing"
+    max_data = max(os.path.getmtime(f) for f in data_files)
+    for f in new_files:
+        assert os.path.getmtime(f) > max_data
+
+
+def test_close_stream_fresh_dir_still_works(spark, tmp_path):
+    """The mtime bump must not break the fresh-directory append path."""
+    from timeseriesfuser_spark.streaming import close_stream
+
+    d = str(tmp_path / "cs_fresh")
+    df = spark.createDataFrame([(1, 0)], SCHEMA)
+    rel = close_stream(df, keys=["user_id"], path=d)
+    assert rel.count() == 1
+    assert os.path.isdir(d)

@@ -1140,8 +1140,20 @@ def close_stream(
     Writer glue: with ``path`` given, the relation is APPENDED there in
     ``fmt`` — stage the stream's data files first, then
     ``close_stream(ev, keys, path=staging_dir)``, then start the
-    availableNow read; the file source orders the sentinel file last by
-    modification time. Returns the sentinel relation either way.
+    availableNow read. The file source orders files by modification
+    time, so after the append every just-written sentinel file's mtime
+    is explicitly bumped past the newest staged data file (ADVICE r12:
+    coarse-granularity mtime ties, or a source split across
+    micro-batches via ``maxFilesPerTrigger``/``maxBytesPerTrigger``,
+    could otherwise deliver the sentinel BEFORE later data files — the
+    flush would clear state and strand everything built afterwards).
+    The bump is best-effort on local filesystems (the only kind this
+    sandbox runs); on object stores order the upload yourself. Even
+    with the bump, per-batch flush semantics are only guaranteed when
+    the sentinel reaches each state group no earlier than its data —
+    a single-batch ``availableNow`` read (no ``maxFilesPerTrigger``)
+    is the pattern every registered query uses. Returns the sentinel
+    relation either way.
     """
     keys = list(keys)
     names = [f.name for f in df.schema.fields]
@@ -1173,8 +1185,54 @@ def close_stream(
     )
     rel = base.select(*cols)
     if path is not None:
+        before = _local_files(path)
         rel.write.mode("append").format(fmt).save(path)
+        _bump_past_siblings(path, before)
     return rel
+
+
+def _local_files(path: str) -> Optional[set]:
+    """Recursive file set of a LOCAL directory (``file:`` URIs
+    normalized); ``None`` when the path isn't a local filesystem dir —
+    callers then skip the mtime bump (best-effort contract)."""
+    import os
+
+    p = path[len("file:"):] if path.startswith("file:") else path
+    if "://" in p:
+        return None
+    if not os.path.isdir(p):
+        return set()  # fresh dir: the append creates it; bump still runs
+    out = set()
+    for root, _dirs, files in os.walk(p):
+        for f in files:
+            out.add(os.path.join(root, f))
+    return out
+
+
+def _bump_past_siblings(path: str, before: Optional[set]) -> None:
+    """Set every file created since ``before`` to mtime =
+    max(older files' mtime, now) + 2s, so Spark's file stream source
+    (which orders by modification time) always delivers the sentinel
+    files AFTER every staged data file, even when the staging writes
+    landed within the filesystem's mtime granularity."""
+    import os
+    import time
+
+    if before is None:
+        return
+    after = _local_files(path)
+    if not after:
+        return
+    new = after - before
+    if not new:
+        return
+    old_mt = [os.path.getmtime(f) for f in (after & before)]
+    target = max(old_mt + [time.time()]) + 2.0
+    for f in new:
+        try:
+            os.utime(f, (target, target))
+        except OSError:  # pragma: no cover - racing cleanup
+            pass
 
 
 def _typed_state_key(u):
@@ -1192,6 +1250,53 @@ def _typed_state_key(u):
         return "r:" + repr(v)
 
 
+#: Schema version of the JSON state blobs held by the stateful twins
+#: (``peak_concurrency_stream`` / ``session_spans_stream``). Bump on ANY
+#: change to the blob's keys or value layout: the version is written
+#: into every blob and checked on read, so a checkpoint written by an
+#: older layout fails fast with :class:`StaleCheckpointError` instead of
+#: a KeyError/IndexError deep inside the merge loop. (The tuple-schema
+#: states — sessionize/funnel/resample — are already guarded by Spark's
+#: own state-store schema check; only the opaque string blobs need
+#: application-level versioning.)
+_STATE_BLOB_VERSION = 2
+
+
+class StaleCheckpointError(RuntimeError):
+    """A streaming checkpoint holds state written by an incompatible
+    (older/newer) blob layout. State-blob layouts are NOT migrated:
+    restart the query from a FRESH checkpoint directory and replay the
+    source (the twins are deterministic over a replayed feed)."""
+
+
+def _dump_state_blob(st: dict, version: int = _STATE_BLOB_VERSION) -> str:
+    import json
+
+    return json.dumps({"v": version, **st})
+
+
+def _load_state_blob(
+    js: str, op: str, version: int = _STATE_BLOB_VERSION
+) -> dict:
+    import json
+
+    try:
+        st = json.loads(js)
+    except ValueError as e:  # pragma: no cover - corrupt store
+        raise StaleCheckpointError(
+            f"{op}: undecodable state blob in checkpoint: {e}"
+        ) from e
+    v = st.pop("v", None) if isinstance(st, dict) else None
+    if v != version:
+        raise StaleCheckpointError(
+            f"{op}: stale checkpoint — state blob version {v!r} != "
+            f"current {version}. State layouts are not migrated: "
+            "restart from a fresh checkpointLocation and replay the "
+            "source."
+        )
+    return st
+
+
 def peak_concurrency_stream(
     df: DataFrame,
     gap_ms: int = 1_800_000,
@@ -1201,6 +1306,7 @@ def peak_concurrency_stream(
     ts_col: str = TS_COL,
     late_ms: int = 0,
     flush_on_close: bool = False,
+    _state_version: Optional[int] = None,
 ) -> DataFrame:
     """Streaming twin of the batch ``peak_concurrency_daily`` sweep-line
     (contract/behavior.py): live per-day session counts and PEAK
@@ -1251,10 +1357,13 @@ def peak_concurrency_stream(
     twin's per-day sweep is equally serial per day); shard by
     tenant/region via ``shard_keys`` for a distributed family of exact
     per-shard peaks. State rides the checkpoint (JSON-encoded — survives
-    restarts; pinned by the restart pytest).
+    restarts; pinned by the restart pytest). Blobs carry
+    :data:`_STATE_BLOB_VERSION`; a checkpoint written under a different
+    layout fails fast with :class:`StaleCheckpointError` (restart from a
+    fresh checkpointLocation). ``_state_version`` overrides the tag —
+    a test/ops knob, not API.
     """
-    import json
-
+    ver = _STATE_BLOB_VERSION if _state_version is None else int(_state_version)
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -1290,7 +1399,7 @@ def peak_concurrency_stream(
         import numpy as np
 
         if state.exists and state.get[0]:
-            st = json.loads(state.get[0])
+            st = _load_state_blob(state.get[0], "peak_concurrency_stream", ver)
         else:
             st = {"open": {}, "days": {}, "max": None}
         open_s = {k: v for k, v in st["open"].items()}   # _ukey(user) → [s, e, day]
@@ -1375,7 +1484,28 @@ def peak_concurrency_stream(
                 elif s - cur[1] > gap_ms:
                     close(cur)
                     cur = [s, e, s // day_ms]
+                elif cur[0] - e > gap_ms:
+                    # In-horizon straggler group STRICTLY before the
+                    # carried session with a real gap on both sides: an
+                    # earlier, complete session of its own (eager-close,
+                    # like the watermark close below); the carried
+                    # session is untouched. Only reachable when late_ms
+                    # admits events below the stored session start.
+                    close([s, e, s // day_ms])
                 else:
+                    # Chains with the carried session — overlap, or
+                    # within gap_ms on either side. A group below the
+                    # stored start extends the start DOWNWARD and
+                    # re-anchors the day (ADVICE r12: previously the
+                    # later start/day was kept, mis-attributing the
+                    # span exactly in the reordering regime late_ms is
+                    # documented to support). Cannot resurrect an
+                    # emitted day: emission requires the whole day
+                    # below the watermark, and stragglers at/above the
+                    # watermark are the only ones admitted.
+                    if s < cur[0]:
+                        cur[0] = s
+                        cur[2] = s // day_ms
                     cur[1] = max(cur[1], e)
             if prev_uk is not None:
                 open_s[prev_uk] = cur
@@ -1415,9 +1545,10 @@ def peak_concurrency_stream(
                     {**dict(zip(emit_keys, key)), "day": d,
                      "n_sessions": n, "peak_concurrent": peak}
                 )
-        state.update((json.dumps(
+        state.update((_dump_state_blob(
             {"open": open_s, "days": {str(k): v for k, v in days.items()},
-             "max": mx}
+             "max": mx},
+            ver,
         ),))
         yield pd.DataFrame(out, columns=out_cols)
 
@@ -1436,6 +1567,7 @@ def session_spans_stream(
     late_ms: int = 0,
     flush_on_close: bool = False,
     day_ms: int = 86_400_000,
+    _state_version: Optional[int] = None,
 ) -> DataFrame:
     """Stage 1 of the DISTRIBUTED streaming peak-concurrency sweep
     (VERDICT r11 #2): hash-sharded stateful sessionization that emits
@@ -1474,9 +1606,10 @@ def session_spans_stream(
     work is one row per closed session, spread over ``n_shards`` tasks —
     the 10M-session single-group walk becomes ~10M/n_shards per task.
     Size ``n_shards`` to the cluster's cores, not the user count.
+    State blobs are version-tagged like ``peak_concurrency_stream``'s
+    (:class:`StaleCheckpointError` on mismatch).
     """
-    import json
-
+    ver = _STATE_BLOB_VERSION if _state_version is None else int(_state_version)
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -1503,7 +1636,7 @@ def session_spans_stream(
         import numpy as np
 
         if state.exists and state.get[0]:
-            st = json.loads(state.get[0])
+            st = _load_state_blob(state.get[0], "session_spans_stream", ver)
         else:
             st = {"open": {}, "max": None}
         open_s = {k: v for k, v in st["open"].items()}  # _ukey(user) → [s, e]
@@ -1565,7 +1698,19 @@ def session_spans_stream(
                 elif s - cur[1] > gap_ms:
                     closed.append(cur)
                     cur = [s, e]
+                elif cur[0] - e > gap_ms:
+                    # Straggler group strictly before the carried
+                    # session with a real gap: an earlier, complete
+                    # session — close it; carried session untouched
+                    # (ADVICE r12; mirrors peak_concurrency_stream).
+                    closed.append([s, e])
                 else:
+                    # Chains with the carried session: a group below
+                    # the stored start extends the start downward so
+                    # the emitted span/day reflect the true first event
+                    # (previously the later start was kept).
+                    if s < cur[0]:
+                        cur[0] = s
                     cur[1] = max(cur[1], e)
             if prev_uk is not None:
                 open_s[prev_uk] = cur
@@ -1589,7 +1734,7 @@ def session_spans_stream(
                 out.append(
                     {"day": s // day_ms, "session_start": s, "session_end": e}
                 )
-        state.update((json.dumps({"open": open_s, "max": mx}),))
+        state.update((_dump_state_blob({"open": open_s, "max": mx}, ver),))
         yield pd.DataFrame(out, columns=out_cols)
 
     return src.groupBy("__shard").applyInPandasWithState(
