@@ -258,3 +258,100 @@ def test_close_stream_fresh_dir_still_works(spark, tmp_path):
     rel = close_stream(df, keys=["user_id"], path=d)
     assert rel.count() == 1
     assert os.path.isdir(d)
+
+
+# ----------------------------------------- pixel aHash (VERDICT #7)
+
+
+def _pnm_media(spark, payloads):
+    rows = [(i, bytearray(b), "image", None) for i, b in enumerate(payloads)]
+    from timeseriesfuser_spark.ops.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_pixel_ahash_end_to_end_and_reencode_invariance(spark):
+    """bytes → netpbm decode → 8x8 → threshold → hash, fully in-sandbox:
+    the SAME picture as (a) P5 gray, (b) P6 RGB with equal channels,
+    (c) P5 with a header comment must share ONE hash; a visually
+    different picture must not."""
+    import numpy as np
+
+    from timeseriesfuser_spark.ops.multimodal import (
+        encode_netpbm,
+        pixel_ahash,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(32, 24), dtype=np.uint8)
+    p5 = encode_netpbm(img)
+    p6 = encode_netpbm(np.repeat(img[:, :, None], 3, axis=2))
+    commented = p5.replace(b"P5\n", b"P5\n# re-encoded\n", 1)
+    other = encode_netpbm(255 - img)
+
+    df = _pnm_media(spark, [p5, p6, commented, other])
+    got = {r["media_id"]: (r["ahash"], r["n_bits"])
+           for r in pixel_ahash(df).collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[3] != got[0]
+    assert got[0][0] is not None and 0 < got[0][1] < 64
+
+    # hash equals the local reference computation, sign bit included
+    small_src = img.astype(np.float32)
+    ys = np.minimum(((np.arange(8) + 0.5) * 32 / 8).astype(int), 31)
+    xs = np.minimum(((np.arange(8) + 0.5) * 24 / 8).astype(int), 23)
+    small = small_src[ys][:, xs]
+    bits = (small > small.mean()).reshape(-1)
+    expect = sum(1 << i for i, b in enumerate(bits) if b)
+    if expect >= 1 << 63:
+        expect -= 1 << 64
+    assert got[0][0] == expect
+
+
+def test_pixel_ahash_dedup_composition(spark):
+    """The decode-path dedup: groupBy the pixel hash keeps one id per
+    visually-identical group — image_ahash_dedup's contract, now from
+    real bytes."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from timeseriesfuser_spark.ops.multimodal import (
+        encode_netpbm,
+        pixel_ahash,
+    )
+
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+    b = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+    df = _pnm_media(
+        spark,
+        [encode_netpbm(a),
+         encode_netpbm(np.repeat(a[:, :, None], 3, axis=2)),  # dup of a
+         encode_netpbm(b)],
+    )
+    kept = (
+        pixel_ahash(df)
+        .groupBy("ahash")
+        .agg(F.min("media_id").alias("keep_id"), F.count("*").alias("n"))
+        .orderBy("keep_id")
+        .collect()
+    )
+    assert [(r["keep_id"], r["n"]) for r in kept] == [(0, 2), (2, 1)]
+
+
+def test_pixel_ahash_null_and_codec_gate(spark):
+    from timeseriesfuser_spark.ops.multimodal import pixel_ahash
+
+    df = _pnm_media(spark, [b""]).selectExpr(
+        "media_id", "CAST(NULL AS BINARY) AS content",
+        "media_type", "meta"
+    )
+    r = pixel_ahash(df).collect()
+    assert [(x["ahash"], x["n_bits"]) for x in r] == [(None, None)]
+
+    jpeg_ish = _pnm_media(spark, [b"\xff\xd8\xff\xe0 not decodable"])
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        pixel_ahash(jpeg_ish).collect()
+
+    with pytest.raises(ValueError, match="size"):
+        pixel_ahash(jpeg_ish, size=9)
