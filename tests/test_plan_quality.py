@@ -771,3 +771,35 @@ def test_prefix_filter_join_reads_persisted_prefixes(spark):
         df = contract.QUERIES["dedup_prefix_filter"](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_asof_nearest_carry_scan_not_range_join(spark):
+    """direction='nearest' must stay in the union+carry cost class: the
+    left/right pairing happens via two Window scans over ONE keyed
+    Exchange — never a join operator (a nearest range join would be
+    quadratic), never a SinglePartition window."""
+    plan = formatted_plan(contract.QUERIES["asof_nearest_quote"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    # both carry directions present: >= 2 full-frame Windows beyond the
+    # right-side dedup's WindowGroupLimit
+    assert plan.count("Window") >= 2
+
+
+def test_tpcds_q44_topk_not_global_sort(spark):
+    """Q44's two opposite-order rankings must run as TakeOrderedAndProject
+    (per-partition heap + k-row driver merge), not as global-sort rank
+    windows over the whole parts relation; the 10-row pairing join must
+    broadcast."""
+    plan = formatted_plan(
+        contract.QUERIES["tpcds_q44_best_worst"](spark, SF)
+    )
+    # two top-k nodes (each appears twice in formatted mode: tree + detail)
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # no full-relation sort: every Sort in this plan would be a global
+    # rank window's — TakeOrdered subsumes ordering
+    assert "+- Sort" not in plan

@@ -671,6 +671,50 @@ def q_asof_forward_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_nearest_quote",
+    oracle="""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, user_id, event_type, value
+                FROM events),
+    l AS (SELECT t AS __timestamp, event_id, user_id, value FROM ev
+          WHERE event_type IN ('click', 'view')),
+    r AS (SELECT user_id, t AS __timestamp, value AS quote_value
+          FROM (SELECT user_id, t, value,
+                       row_number() OVER (PARTITION BY user_id, t
+                                          ORDER BY event_id DESC) AS rn
+                FROM ev WHERE event_type NOT IN ('click', 'view'))
+          WHERE rn = 1)
+    SELECT l.__timestamp, l.event_id, l.user_id, l.value,
+           n.__timestamp AS __timestamp_right, n.quote_value
+    FROM l LEFT JOIN LATERAL (
+        SELECT r.__timestamp, r.quote_value
+        FROM r WHERE r.user_id IS NOT DISTINCT FROM l.user_id
+        ORDER BY abs(r.__timestamp - l.__timestamp), r.__timestamp
+        LIMIT 1
+    ) n ON TRUE
+    """,
+)
+def q_asof_nearest_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (operators.asof direction='nearest', VERDICT
+    r12 #8): each click/view event joined to the user's transaction with
+    the minimal |Δts| — distance ties resolve backward, the
+    pandas.merge_asof convention. Physically BOTH carry scans share one
+    union and one Exchange on the key (two Sorts), then a per-row
+    distance pick — never a quadratic range join. Oracle = DuckDB
+    LATERAL min-distance probe (ORDER BY abs(Δ), ts → the same backward
+    tie rule)."""
+    from timeseriesfuser_spark.operators.asof import asof_join
+
+    left, right = _asof_streams(spark, sf_dir, "quote_value")
+    return asof_join(
+        left,
+        right,
+        keys=["user_id"],
+        right_cols=["quote_value"],
+        direction="nearest",
+    )
+
+
+@register(
     "streaming_sessionize_30m",
     oracle=f"""
     WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, user_id FROM events),

@@ -1673,3 +1673,77 @@ def q_tpcds_q88_hour_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             for h in range(8, 16)
         ]
     )
+
+
+@register(
+    "tpcds_q44_best_worst",
+    oracle=f"""
+    WITH pp AS (
+        SELECT l_partkey, sum({_REV4}) AS s4
+        FROM lineitem WHERE l_returnflag <> 'R'
+        GROUP BY 1
+    ),
+    best AS (
+        SELECT * FROM (
+            SELECT l_partkey, s4,
+                   row_number() OVER (ORDER BY s4 DESC, l_partkey ASC)
+                       AS rnk
+            FROM pp) WHERE rnk <= 10
+    ),
+    worst AS (
+        SELECT * FROM (
+            SELECT l_partkey, s4,
+                   row_number() OVER (ORDER BY s4 ASC, l_partkey ASC)
+                       AS rnk
+            FROM pp) WHERE rnk <= 10
+    )
+    SELECT CAST(b.rnk AS BIGINT) AS rnk,
+           CAST(b.l_partkey AS BIGINT) AS best_partkey,
+           CAST(b.s4 AS DOUBLE) / 10000 AS best_revenue,
+           CAST(w.l_partkey AS BIGINT) AS worst_partkey,
+           CAST(w.s4 AS DOUBLE) / 10000 AS worst_revenue
+    FROM best b JOIN worst w ON b.rnk = w.rnk
+    """,
+)
+def q_tpcds_q44_best_worst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q44-shape: the best-10 and worst-10 performers PAIRED by
+    rank — canonical Q44 ranks items by avg net profit ascending and
+    descending and joins the two rankings (here: net revenue per part,
+    exact integer 1e-4 units; ties pinned by partkey). The plan idiom is
+    new to the registry: the canonical form's two global-sort rank
+    windows over the parts relation are rewritten as two
+    ``TakeOrderedAndProject`` top-k's (per-partition heap + driver-side
+    merge of k rows — no global Sort, no full-relation SinglePartition
+    window even at 10⁹ parts); only the two 10-row results see a window
+    (to number ranks) and a broadcast join (to pair them)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pp = (
+        li.filter(F.col("l_returnflag") != "R")
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev4_col()).alias("s4"))
+    )
+
+    def topk(order, id_alias, rev_alias):
+        w = Window.orderBy(*order)
+        return (
+            pp.orderBy(*order)
+            .limit(10)
+            .select(
+                F.row_number().over(w).cast("long").alias("rnk"),
+                F.col("l_partkey").alias(id_alias),
+                (F.col("s4").cast("double") / F.lit(10000.0)).alias(
+                    rev_alias
+                ),
+            )
+        )
+
+    best = topk(
+        [F.desc("s4"), F.asc("l_partkey")], "best_partkey", "best_revenue"
+    )
+    worst = topk(
+        [F.asc("s4"), F.asc("l_partkey")], "worst_partkey", "worst_revenue"
+    )
+    return best.join(worst, "rnk").select(
+        "rnk", "best_partkey", "best_revenue",
+        "worst_partkey", "worst_revenue",
+    )

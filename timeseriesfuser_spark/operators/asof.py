@@ -64,11 +64,20 @@ def asof_join(
     ``left.ts + tolerance_ms``. Among equal right timestamps the
     last-arriving row wins in both directions.
 
+    ``direction='nearest'``: the right row minimizing
+    ``abs(right.ts - left.ts)`` — both carry scans over the SAME
+    union/shuffle (one Exchange, two Sorts), then a per-row distance
+    pick. Equal distances resolve BACKWARD (the at-or-before row), the
+    ``pandas.merge_asof`` convention; ``tolerance_ms`` bounds the
+    distance on both sides.
+
     Right columns that collide with left ones are suffixed. The right
     row's timestamp is exposed as ``{ts_col}{suffix}``.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction!r}"
+        )
     keys = list(keys)
     if right_cols is None:
         right_cols = [c for c in right.columns if c != ts_col and c not in keys]
@@ -97,36 +106,64 @@ def asof_join(
     # order by -ts and "last right at or before" becomes "first right at
     # or after". The negated order column keeps the keyless path on the
     # two-pass LOCF (whose range buckets split on the first order column).
-    if direction == "forward":
-        unioned = unioned.withColumn(_ORD, -F.col(ts_col))
-        order = [_ORD, _SIDE, _SEQ]
-    else:
-        order = [ts_col, _SIDE, _SEQ]
-    if keys:
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(*[F.col(c) for c in order])
-            .rowsBetween(Window.unboundedPreceding, 0)
+    # Nearest = BOTH scans, then a per-row distance pick below.
+    order_b = [ts_col, _SIDE, _SEQ]
+    unioned = unioned.withColumn(_ORD, -F.col(ts_col))
+    order_f = [_ORD, _SIDE, _SEQ]
+    scans = {"backward": [order_b], "forward": [order_f]}.get(
+        direction, [order_b, order_f]
+    )
+    pay_cols = (
+        [_PAYLOAD]
+        if direction != "nearest"
+        else [_PAYLOAD + "_b", _PAYLOAD + "_f"]
+    )
+    if direction == "nearest":
+        unioned = unioned.withColumn(pay_cols[0], F.col(_PAYLOAD)).withColumn(
+            pay_cols[1], F.col(_PAYLOAD)
         )
-        filled = unioned.withColumn(
-            _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
-        )
-    else:
-        # Keyless global as-of join → scalable two-pass LOCF, no
-        # single-task window.
-        filled = forward_fill(unioned, order, [_PAYLOAD])
-
-    out = filled.filter(F.col(_SIDE) == 1)
-    payload = F.col(_PAYLOAD)
-    if tolerance_ms is not None:
-        if direction == "forward":
-            payload = F.when(
-                payload["__rts"] <= F.col(ts_col) + F.lit(tolerance_ms), payload
+    filled = unioned
+    for pcol, order in zip(pay_cols, scans):
+        if keys:
+            w = (
+                Window.partitionBy(*keys)
+                .orderBy(*[F.col(c) for c in order])
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            filled = filled.withColumn(
+                pcol, F.last(pcol, ignorenulls=True).over(w)
             )
         else:
-            payload = F.when(
-                payload["__rts"] >= F.col(ts_col) - F.lit(tolerance_ms), payload
-            )
+            # Keyless global as-of join → scalable two-pass LOCF, no
+            # single-task window.
+            filled = forward_fill(filled, order, [pcol])
+
+    out = filled.filter(F.col(_SIDE) == 1)
+    if direction == "nearest":
+        pb, pf = F.col(pay_cols[0]), F.col(pay_cols[1])
+        if tolerance_ms is not None:
+            tol = F.lit(tolerance_ms)
+            pb = F.when(pb["__rts"] >= F.col(ts_col) - tol, pb)
+            pf = F.when(pf["__rts"] <= F.col(ts_col) + tol, pf)
+        dist_b = F.col(ts_col) - pb["__rts"]
+        dist_f = pf["__rts"] - F.col(ts_col)
+        # ties (dist_b == dist_f) take the backward row — merge_asof's rule
+        payload = F.when(
+            pb.isNotNull() & (pf.isNull() | (dist_b <= dist_f)), pb
+        ).otherwise(pf)
+    else:
+        payload = F.col(_PAYLOAD)
+        if tolerance_ms is not None:
+            if direction == "forward":
+                payload = F.when(
+                    payload["__rts"] <= F.col(ts_col) + F.lit(tolerance_ms),
+                    payload,
+                )
+            else:
+                payload = F.when(
+                    payload["__rts"] >= F.col(ts_col) - F.lit(tolerance_ms),
+                    payload,
+                )
     left_names = set(left.columns)
     proj = [F.col(c) for c in left.columns]
     proj.append(payload["__rts"].alias(f"{ts_col}{suffix}"))
