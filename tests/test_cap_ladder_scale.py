@@ -203,3 +203,79 @@ def test_size_hint_threads_through_public_ops(spark, monkeypatch):
         emb, cents, threshold=0.5, size_hint=88_000_000
     ).collect()
     assert seen[-1] == 88_000_000
+
+
+def test_auto_size_evidence_reprobes_wide_and_short_circuits(
+    spark, monkeypatch
+):
+    """VERDICT r12 #3 — rung 0.5: a HINT-LESS derived relation whose
+    narrow rung-0 bound fails, but whose (already-paid) materialization
+    count measures large, re-probes ONCE with the count as the size
+    hint; on a clean corpus the wide bound passes and the ladder
+    short-circuits with the plan untouched — no rung-1 pass, no manual
+    size_hint needed. Thresholds scaled down so the 92M-row regime is
+    reproduced with 5k rows: the narrow sketch is pinned tiny (saturates
+    instantly) and the wide-hint bar lowered below the count."""
+    from timeseriesfuser_spark.ops import dedup
+
+    monkeypatch.setattr(dedup, "_CMS_WIDE_HINT_ROWS", 1_000)
+    monkeypatch.setattr(dedup, "_CMS_WIDTH_SMALL", 4)
+    seen = []
+    real = dedup._cms_probe_expr
+
+    def spy(blocks, key_cols, size_hint=None):
+        seen.append(size_hint)
+        return real(blocks, key_cols, size_hint)
+
+    monkeypatch.setattr(dedup, "_cms_probe_expr", spy)
+    blocks = spark.range(5_000).selectExpr("id AS k")  # derived, clean
+    out = dedup._cap_buckets(blocks, ["k"], 50, "t", eager_stats=True)
+    # two probes: the narrow one (no hint) then the auto-hinted wide one
+    assert seen == [None, 5_000]
+    # short-circuited: the input plan object itself comes back
+    assert out is blocks
+
+
+def test_auto_size_evidence_skipped_when_already_wide(spark, monkeypatch):
+    """No re-probe when the first probe already ran wide (caller hint) —
+    a failed wide bound means rung 1, not a redundant second sketch."""
+    from timeseriesfuser_spark.ops import dedup
+
+    monkeypatch.setattr(dedup, "_CMS_WIDE_HINT_ROWS", 1_000)
+    monkeypatch.setattr(dedup, "_CMS_WIDTH_LARGE", 4)  # wide saturates too
+    seen = []
+    real = dedup._cms_probe_expr
+
+    def spy(blocks, key_cols, size_hint=None):
+        seen.append(size_hint)
+        return real(blocks, key_cols, size_hint)
+
+    monkeypatch.setattr(dedup, "_cms_probe_expr", spy)
+    blocks = spark.range(5_000).selectExpr("id AS k")
+    out = dedup._cap_buckets(
+        blocks, ["k"], 50, "t", eager_stats=True, size_hint=2_000
+    )
+    assert seen == [2_000]  # one probe only; rungs 1+ carry on
+    # clean corpus: the exact rungs find nothing hot → plan untouched
+    assert out is blocks
+
+
+def test_auto_size_evidence_small_counts_never_reprobe(spark, monkeypatch):
+    """A genuinely small derived frame whose bound fails (tiny pinned
+    sketch) must go straight to the exact rungs — the re-probe fires
+    only on measured-large relations."""
+    from timeseriesfuser_spark.ops import dedup
+
+    monkeypatch.setattr(dedup, "_CMS_WIDTH_SMALL", 4)
+    seen = []
+    real = dedup._cms_probe_expr
+
+    def spy(blocks, key_cols, size_hint=None):
+        seen.append(size_hint)
+        return real(blocks, key_cols, size_hint)
+
+    monkeypatch.setattr(dedup, "_cms_probe_expr", spy)
+    blocks = spark.range(5_000).selectExpr("id AS k")
+    out = dedup._cap_buckets(blocks, ["k"], 50, "t", eager_stats=True)
+    assert seen == [None]  # count 5k < _CMS_WIDE_HINT_ROWS: no re-probe
+    assert out is blocks

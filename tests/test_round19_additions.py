@@ -355,3 +355,81 @@ def test_pixel_ahash_null_and_codec_gate(spark):
 
     with pytest.raises(ValueError, match="size"):
         pixel_ahash(jpeg_ish, size=9)
+
+
+# ---------------------------------- bucket-count bound (VERDICT #2)
+
+
+def _brute_jaccard_pairs(rows, tn, td, n=1):
+    out = set()
+    sets = {}
+    for i, txt in rows:
+        toks = txt.split()
+        sets[i] = set(
+            " ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)
+        )
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            union = len(a | b)
+            if inter * td >= tn * union:
+                out.add((ids[x], ids[y], inter, union))
+    return out
+
+
+def test_bound_filter_lossless_vs_brute_force(spark):
+    """The bucket-count bound must be invisible in the result: random
+    Zipf-ish corpus, brute force == bound ON == bound OFF."""
+    import numpy as np
+
+    from timeseriesfuser_spark.ops.dedup import set_similarity_pairs
+
+    rng = np.random.RandomState(19)
+    vocab = [f"w{i}" for i in range(30)]
+    p = np.array([1.0 / (i + 1) for i in range(30)])
+    p /= p.sum()
+    rows = []
+    for i in range(70):
+        k = rng.randint(4, 13)
+        toks = list(dict.fromkeys(rng.choice(vocab, size=k, p=p)))
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(**kw):
+        return {
+            (r["id_a"], r["id_b"], r["intersection"], r["union_size"])
+            for r in set_similarity_pairs(
+                df, n=1, threshold=(3, 10), cache=False, **kw
+            ).collect()
+        }
+
+    brute = _brute_jaccard_pairs(rows, 3, 10)
+    assert brute  # non-degenerate fixture
+    on = run(_bound_filter=True)
+    off = run(_bound_filter=False)
+    assert on == off == brute
+
+
+def test_bound_filter_lossless_under_saturation(spark, monkeypatch):
+    """Byte lanes saturate at 127; with _SK_LANES monkeypatched to 1
+    (8 buckets) a 3000-token doc saturates every lane — identical docs
+    (both sides saturated → the lane reads as ∞) MUST still pair."""
+    import timeseriesfuser_spark.ops.dedup as dd
+
+    monkeypatch.setattr(dd, "_SK_LANES", 1)
+    big = " ".join(f"t{i}" for i in range(3000))
+    other = " ".join(f"z{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(0, big), (1, big), (2, other)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["intersection"])
+        for r in dd.set_similarity_pairs(
+            df, n=1, threshold=(9, 10), cache=False
+        ).collect()
+    }
+    assert got == {(0, 1, 3000)}

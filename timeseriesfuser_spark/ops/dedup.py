@@ -181,6 +181,25 @@ _CMS_WIDE_INPUT_BYTES = 256 * 1024 * 1024
 _CMS_WIDE_HINT_ROWS = 32_000_000
 
 
+def _cms_probe_wide(blocks: DataFrame, size_hint=None) -> bool:
+    """The rung-0 width decision, shared by :func:`_cms_probe_expr` and
+    the cap ladder's automatic re-probe: wide on a caller ``size_hint``
+    ≥ :data:`_CMS_WIDE_HINT_ROWS`, else on file evidence (scan bytes ≥
+    threshold, or >10k files); unknown-size derived frames stay narrow."""
+    from timeseriesfuser_spark.ops.util import estimated_input_bytes
+
+    if size_hint is not None:
+        return int(size_hint) >= _CMS_WIDE_HINT_ROWS
+    est = estimated_input_bytes(blocks)
+    if est is None:
+        try:
+            nfiles = len(blocks.inputFiles())
+        except Exception:
+            nfiles = 0
+        return nfiles > 10_000
+    return est >= _CMS_WIDE_INPUT_BYTES
+
+
 def _cms_probe_expr(blocks: DataFrame, key_cols: list, size_hint=None):
     """The rung-0 count-min aggregate for ``Observation`` piggybacking,
     width chosen from input statistics: wide ONLY on positive evidence
@@ -198,22 +217,12 @@ def _cms_probe_expr(blocks: DataFrame, key_cols: list, size_hint=None):
     ``size_hint`` channel (VERDICT r11 #1) is how a genuinely huge
     DERIVED relation asserts its size and dodges the measured +56%
     saturated-rung tax."""
-    from timeseriesfuser_spark.ops.util import estimated_input_bytes
-
     qkeys = ", ".join(f"`{c}`" for c in key_cols)
-    if size_hint is not None:
-        wide = int(size_hint) >= _CMS_WIDE_HINT_ROWS
-    else:
-        est = estimated_input_bytes(blocks)
-        if est is None:
-            try:
-                nfiles = len(blocks.inputFiles())
-            except Exception:
-                nfiles = 0
-            wide = nfiles > 10_000
-        else:
-            wide = est >= _CMS_WIDE_INPUT_BYTES
-    eps = 2.0 / (_CMS_WIDTH_LARGE if wide else _CMS_WIDTH_SMALL)
+    eps = 2.0 / (
+        _CMS_WIDTH_LARGE
+        if _cms_probe_wide(blocks, size_hint)
+        else _CMS_WIDTH_SMALL
+    )
     return F.expr(
         f"count_min_sketch(xxhash64({qkeys}), "
         f"CAST({eps!r} AS DOUBLE), CAST(0.5 AS DOUBLE), 42)"
@@ -334,10 +343,37 @@ def _cap_buckets(
 
         hcol = F.xxhash64(*[F.col(c) for c in key_cols])
         obs = Observation()
-        blocks.observe(obs, _cms_probe_expr(blocks, key_cols, size_hint)).count()
+        n_rows = blocks.observe(
+            obs, _cms_probe_expr(blocks, key_cols, size_hint)
+        ).count()
         raw = obs.get["__cms"]
         if raw is not None and _cms_max_key_bound(bytes(raw)) <= max_bucket:
             return blocks
+        # Rung 0.5 — AUTOMATIC size evidence (VERDICT r12 #3): the
+        # materialization count above is an exact, already-paid row
+        # count; when the first probe ran NARROW (no hint, no file
+        # evidence — the shape of every derived post-join relation) yet
+        # the relation measured large enough that narrow-sketch
+        # saturation is the expected cause of the failed bound, re-probe
+        # ONCE with the count as the size hint (→ the 1 MiB sketch,
+        # 16× the resolution) before paying rung 1. A clean-but-huge
+        # derived corpus now short-circuits here instead of paying the
+        # r17-measured +56% saturated-rung tax every call — and the
+        # measured count also OVERRIDES a wrong caller hint (measured
+        # beats estimated). Cost: one extra scan+sketch pass, no
+        # shuffle, only on the (narrow ∧ bound-failed ∧ large) path.
+        if n_rows >= _CMS_WIDE_HINT_ROWS and not _cms_probe_wide(
+            blocks, size_hint
+        ):
+            obs_w = Observation()
+            blocks.observe(
+                obs_w, _cms_probe_expr(blocks, key_cols, size_hint=n_rows)
+            ).count()
+            raw_w = obs_w.get["__cms"]
+            if raw_w is not None and (
+                _cms_max_key_bound(bytes(raw_w)) <= max_bucket
+            ):
+                return blocks
         _W = 65536
         _CELL_COLLECT_CAP = 4096
         cell_hot = (
@@ -1457,6 +1493,44 @@ def ngram_containment_pairs(
     return out.select("id_a", "id_b", "intersection", "min_size", "containment")
 
 
+#: Bucket-count bound sketch geometry: ``_SK_LANES`` longs of 8
+#: saturating byte lanes each = 64 hash buckets. Per-doc distinct-token
+#: counts per bucket, saturated at 127 (127 is read as "≥127", i.e. ∞,
+#: when both sides saturate — never an underestimate; the cap stays
+#: below 128 so the top byte lane never touches the long's sign bit,
+#: keeping accumulation ANSI-overflow-safe).
+_SK_LANES = 8
+
+
+def _sketch_sql(set_col: str, lanes: int) -> str:
+    """SQL for the per-doc bucket-count sketch: array<bigint>[lanes],
+    lane i packing saturating byte counts of hash buckets 8i..8i+7."""
+    nb = lanes * 8
+    return (
+        f"transform(sequence(0, {lanes - 1}), i -> aggregate("
+        f"filter(transform({set_col}, x -> pmod(hash(x), {nb})),"
+        " b -> b div 8 = i), 0L,"
+        " (acc, b) -> IF(((acc >> ((b % 8) * 8)) & 255) >= 127,"
+        " acc, acc + shiftleft(1L, (b % 8) * 8))))"
+    )
+
+
+def _bound_sum_sql(a: str, b: str) -> str:
+    """SQL for Σ_buckets min(count_a, count_b) over two packed sketches
+    (saturated lanes where BOTH sides read 255 count as +100000 — an
+    over-estimate, preserving the upper-bound property)."""
+    terms = " + ".join(
+        f"(CASE WHEN ((x >> {8 * j}) & 255) >= 127"
+        f" AND ((y >> {8 * j}) & 255) >= 127 THEN 100000L"
+        f" ELSE LEAST((x >> {8 * j}) & 255, (y >> {8 * j}) & 255) END)"
+        for j in range(8)
+    )
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> {terms}), 0L,"
+        " (s, e) -> s + e)"
+    )
+
+
 def set_similarity_pairs(
     df: DataFrame,
     *,
@@ -1468,6 +1542,7 @@ def set_similarity_pairs(
     max_bucket="auto",
     _positional_filter: bool = True,
     _suffix_filter: bool = False,
+    _bound_filter: bool = True,
     _cand_only: bool = False,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (the
@@ -1652,9 +1727,56 @@ def set_similarity_pairs(
         cand = cand_rows.select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         ).distinct()
+    # Bucket-count bound filter (VERDICT r12 #2): a second, far cheaper
+    # exact-overlap UPPER BOUND applied between candidate generation and
+    # the exact verify. Each doc gets a 64-bucket token-count sketch
+    # (8 longs of saturating byte lanes, built once from the cached
+    # ``docs``); for a pair, |A∩B| = Σ_b |A∩B ∩ bucket b| ≤
+    # Σ_b min(cnt_a[b], cnt_b[b]) — and Jaccard ≥ tn/td requires
+    # overlap·(tn+td) ≥ tn·(sz_a+sz_b), so pairs whose bound fails that
+    # cannot be similar. LOSSLESS: saturation reads 127 as "≥127" (the
+    # both-saturated lane contributes +100000, an over-estimate), so the
+    # bound never under-counts. The win: the bound is ~60 byte-extract
+    # integer ops inside whole-stage codegen on a 64-byte payload —
+    # versus array_intersect's per-pair hash-set build over the FULL
+    # shingle arrays, which additionally ride the pair shuffle (the
+    # dominant byte volume of the verify stage). On candidate-dominated
+    # corpora (the Zipf cell: 650:1 verify-to-hit) most pairs die here
+    # and never touch an array. Measured cells in SCALE.md round-19;
+    # result-invariance pinned with the other toggles.
+    if _bound_filter:
+        sk = docs.select(
+            "id",
+            F.size("__set").cast("long").alias("__szk"),
+            F.expr(_sketch_sql("__set", _SK_LANES)).alias("__sk"),
+        )
+        bound_ok = (
+            f"{_bound_sum_sql('__ska', '__skb')} * {tn + td}"
+            f" >= {tn} * (__sza + __szb)"
+        )
+        cand = (
+            cand.join(
+                sk.select(
+                    F.col("id").alias("id_a"),
+                    F.col("__szk").alias("__sza"),
+                    F.col("__sk").alias("__ska"),
+                ),
+                "id_a",
+            )
+            .join(
+                sk.select(
+                    F.col("id").alias("id_b"),
+                    F.col("__szk").alias("__szb"),
+                    F.col("__sk").alias("__skb"),
+                ),
+                "id_b",
+            )
+            .filter(F.expr(bound_ok))
+            .select("id_a", "id_b")
+        )
     if _cand_only:
         # analysis surface: the verify-join INPUT (for measuring what
-        # the prefix/positional/suffix filters cut), not a result
+        # the prefix/positional/suffix/bound filters cut), not a result
         return cand
     out = (
         cand.join(
