@@ -415,9 +415,11 @@ def test_bound_filter_lossless_vs_brute_force(spark):
 
 
 def test_bound_filter_lossless_under_saturation(spark, monkeypatch):
-    """Byte lanes saturate at 127; with _SK_LANES monkeypatched to 1
-    (8 buckets) a 3000-token doc saturates every lane — identical docs
-    (both sides saturated → the lane reads as ∞) MUST still pair."""
+    """Sets far larger than the bucket space (with _SK_LANES
+    monkeypatched to 1 = 64 buckets, a 3000-token doc sets every bit):
+    the bitmap bound degrades to min(sz_a, sz_b) — no pruning — and
+    identical big docs MUST still pair (losslessness at the sketch's
+    resolution floor)."""
     import timeseriesfuser_spark.ops.dedup as dd
 
     monkeypatch.setattr(dd, "_SK_LANES", 1)

@@ -1493,41 +1493,47 @@ def ngram_containment_pairs(
     return out.select("id_a", "id_b", "intersection", "min_size", "containment")
 
 
-#: Bucket-count bound sketch geometry: ``_SK_LANES`` longs of 8
-#: saturating byte lanes each = 64 hash buckets. Per-doc distinct-token
-#: counts per bucket, saturated at 127 (127 is read as "≥127", i.e. ∞,
-#: when both sides saturate — never an underestimate; the cap stays
-#: below 128 so the top byte lane never touches the long's sign bit,
-#: keeping accumulation ANSI-overflow-safe).
-_SK_LANES = 8
+#: Bitmap bound-sketch geometry: ``_SK_LANES`` longs = 64·lanes hash
+#: buckets, bit b set iff some token of the set hashes to bucket b.
+_SK_LANES = 4
 
 
-def _sketch_sql(set_col: str, lanes: int) -> str:
-    """SQL for the per-doc bucket-count sketch: array<bigint>[lanes],
-    lane i packing saturating byte counts of hash buckets 8i..8i+7."""
-    nb = lanes * 8
+def _sketch_lane_sql(set_col: str, lane: int, lanes: int) -> str:
+    """SQL for ONE lane of the per-doc bucket BITMAP: a bigint whose
+    bit j is set iff some token hashes to bucket 64·lane + j.
+    Higher-order functions are fine HERE — the sketch is built once per
+    DOC (doc-count-sized relation), never per pair."""
+    nb = lanes * 64
     return (
-        f"transform(sequence(0, {lanes - 1}), i -> aggregate("
+        "aggregate("
         f"filter(transform({set_col}, x -> pmod(hash(x), {nb})),"
-        " b -> b div 8 = i), 0L,"
-        " (acc, b) -> IF(((acc >> ((b % 8) * 8)) & 255) >= 127,"
-        " acc, acc + shiftleft(1L, (b % 8) * 8))))"
+        f" b -> b div 64 = {lane}), 0L,"
+        " (acc, b) -> acc | shiftleft(1L, b % 64))"
     )
 
 
-def _bound_sum_sql(a: str, b: str) -> str:
-    """SQL for Σ_buckets min(count_a, count_b) over two packed sketches
-    (saturated lanes where BOTH sides read 255 count as +100000 — an
-    over-estimate, preserving the upper-bound property)."""
-    terms = " + ".join(
-        f"(CASE WHEN ((x >> {8 * j}) & 255) >= 127"
-        f" AND ((y >> {8 * j}) & 255) >= 127 THEN 100000L"
-        f" ELSE LEAST((x >> {8 * j}) & 255, (y >> {8 * j}) & 255) END)"
-        for j in range(8)
+def _bound_pred_sql(lanes: int, tn: int, td: int) -> str:
+    """The pair-level overlap-bound predicate over bitmap sketches held
+    as plain bigint COLUMNS ``__ska{i}``/``__skb{i}`` plus sizes
+    ``__sza``/``__szb``. Every token of A hashing into a bucket whose
+    bit is ABSENT from B's bitmap is provably not shared, so
+    |A∩B| ≤ sz_a − popcount(bits_a & ~bits_b), symmetrically for B, and
+    Jaccard ≥ tn/td needs overlap·(tn+td) ≥ tn·(sz_a+sz_b). Tiny and
+    built-in on purpose (2·lanes ``bit_count`` calls): the first cut
+    used zip_with+aggregate count sketches — the higher-order lambdas
+    fell out of whole-stage codegen and made the filter SLOWER than no
+    filter at 135M candidates (SCALE.md round-19); a flat 64-term CASE
+    chain was no better once Catalyst inlined it into the join
+    condition. ``bit_count`` is one Long.bitCount each."""
+    miss_a = " + ".join(
+        f"bit_count(__ska{i} & ~__skb{i})" for i in range(lanes)
+    )
+    miss_b = " + ".join(
+        f"bit_count(__skb{i} & ~__ska{i})" for i in range(lanes)
     )
     return (
-        f"aggregate(zip_with({a}, {b}, (x, y) -> {terms}), 0L,"
-        " (s, e) -> s + e)"
+        f"LEAST(__sza - ({miss_a}), __szb - ({miss_b})) * {tn + td}"
+        f" >= {tn} * (__sza + __szb)"
     )
 
 
@@ -1727,39 +1733,41 @@ def set_similarity_pairs(
         cand = cand_rows.select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         ).distinct()
-    # Bucket-count bound filter (VERDICT r12 #2): a second, far cheaper
+    # Bitmap bound filter (VERDICT r12 #2): a second, far cheaper
     # exact-overlap UPPER BOUND applied between candidate generation and
-    # the exact verify. Each doc gets a 64-bucket token-count sketch
-    # (8 longs of saturating byte lanes, built once from the cached
-    # ``docs``); for a pair, |A∩B| = Σ_b |A∩B ∩ bucket b| ≤
-    # Σ_b min(cnt_a[b], cnt_b[b]) — and Jaccard ≥ tn/td requires
-    # overlap·(tn+td) ≥ tn·(sz_a+sz_b), so pairs whose bound fails that
-    # cannot be similar. LOSSLESS: saturation reads 127 as "≥127" (the
-    # both-saturated lane contributes +100000, an over-estimate), so the
-    # bound never under-counts. The win: the bound is ~60 byte-extract
-    # integer ops inside whole-stage codegen on a 64-byte payload —
-    # versus array_intersect's per-pair hash-set build over the FULL
-    # shingle arrays, which additionally ride the pair shuffle (the
-    # dominant byte volume of the verify stage). On candidate-dominated
-    # corpora (the Zipf cell: 650:1 verify-to-hit) most pairs die here
-    # and never touch an array. Measured cells in SCALE.md round-19;
-    # result-invariance pinned with the other toggles.
+    # the exact verify. Each doc gets a 256-bucket token BITMAP (4 longs,
+    # built once from the cached ``docs``); tokens of A hashing into
+    # buckets ABSENT from B's bitmap are provably unshared, so
+    # |A∩B| ≤ min(sz_a − popcount(A&~B), sz_b − popcount(B&~A)) — and
+    # Jaccard ≥ tn/td requires overlap·(tn+td) ≥ tn·(sz_a+sz_b), so
+    # pairs whose bound fails that cannot be similar (LOSSLESS by
+    # construction, no saturation cases). The bound is 8 ``bit_count``
+    # calls inside whole-stage codegen on a 32-byte payload — versus
+    # array_intersect's per-pair hash-set build over the FULL shingle
+    # arrays, which additionally ride the pair shuffle. On
+    # candidate-dominated corpora (the Zipf cell: 650:1 verify-to-hit)
+    # most pairs die here and never touch an array. Measured cells in
+    # SCALE.md round-19; result-invariance pinned with the toggles.
     if _bound_filter:
+        lanes = _SK_LANES
         sk = docs.select(
             "id",
             F.size("__set").cast("long").alias("__szk"),
-            F.expr(_sketch_sql("__set", _SK_LANES)).alias("__sk"),
+            *[
+                F.expr(_sketch_lane_sql("__set", i, lanes)).alias(f"__sk{i}")
+                for i in range(lanes)
+            ],
         )
-        bound_ok = (
-            f"{_bound_sum_sql('__ska', '__skb')} * {tn + td}"
-            f" >= {tn} * (__sza + __szb)"
-        )
+        bound_ok = _bound_pred_sql(lanes, tn, td)
         cand = (
             cand.join(
                 sk.select(
                     F.col("id").alias("id_a"),
                     F.col("__szk").alias("__sza"),
-                    F.col("__sk").alias("__ska"),
+                    *[
+                        F.col(f"__sk{i}").alias(f"__ska{i}")
+                        for i in range(lanes)
+                    ],
                 ),
                 "id_a",
             )
@@ -1767,7 +1775,10 @@ def set_similarity_pairs(
                 sk.select(
                     F.col("id").alias("id_b"),
                     F.col("__szk").alias("__szb"),
-                    F.col("__sk").alias("__skb"),
+                    *[
+                        F.col(f"__sk{i}").alias(f"__skb{i}")
+                        for i in range(lanes)
+                    ],
                 ),
                 "id_b",
             )
