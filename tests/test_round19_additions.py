@@ -435,3 +435,75 @@ def test_bound_filter_lossless_under_saturation(spark, monkeypatch):
         ).collect()
     }
     assert got == {(0, 1, 3000)}
+
+
+# ------------------------------ graceful cache downgrade (VERDICT #4)
+
+
+def test_cache_downgrade_skips_persist_over_budget(spark, monkeypatch, caplog):
+    """_maybe_cache with a footprint estimate over the storage budget
+    must SKIP the persist (loud), not attempt it — the measured 16g/92M
+    OOM regime degrades to recomputation instead of a dead JVM."""
+    import logging
+
+    from timeseriesfuser_spark.ops import dedup
+
+    df = spark.range(100).selectExpr("id AS v")
+    monkeypatch.setattr(dedup, "_storage_budget_bytes", lambda s: 1_000)
+    with caplog.at_level(logging.WARNING,
+                         logger="timeseriesfuser_spark.ops.dedup"):
+        out = dedup._maybe_cache(df, True, footprint_bytes=2_000)
+    assert out.storageLevel.useMemory is False  # not persisted
+    assert any("persist SKIPPED" in r.message for r in caplog.records)
+
+    # under budget → normal persist
+    kept = dedup._maybe_cache(df, True, footprint_bytes=500)
+    assert kept.storageLevel.useMemory is True
+    kept.unpersist()
+
+    # no estimate → behavior unchanged (persist attempted)
+    kept2 = dedup._maybe_cache(df, True)
+    assert kept2.storageLevel.useMemory is True
+    kept2.unpersist()
+
+
+def test_minhash_threads_footprint_to_caches(spark, monkeypatch):
+    """size_hint reaches _maybe_cache as a footprint estimate for BOTH
+    LSH caches (shingle arrays + banding rows), and the result is
+    unchanged when the downgrade fires."""
+    from timeseriesfuser_spark.ops import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon"),
+         (3, "zz yy xx ww")],
+        "doc_id long, text string",
+    )
+
+    seen = []
+    real = dedup._maybe_cache
+
+    def spy(df, cache, materialize=True, footprint_bytes=None):
+        seen.append(footprint_bytes)
+        return real(df, cache, materialize, footprint_bytes)
+
+    monkeypatch.setattr(dedup, "_maybe_cache", spy)
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, n=1, threshold=0.5, cache=True
+        ).collect()
+    }
+    assert base == {(1, 2)}
+    assert seen[-2:] == [None, None]  # no hint, no file evidence
+
+    seen.clear()
+    monkeypatch.setattr(dedup, "_storage_budget_bytes", lambda s: 10)
+    hinted = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, n=1, threshold=0.5, cache=True, size_hint=5_000_000
+        ).collect()
+    }
+    expect_fp = 5_000_000 * (8 * 48 + 400)
+    assert seen[-2:] == [expect_fp, expect_fp]
+    assert hinted == base  # downgrade fired (budget 10) — same pairs

@@ -95,7 +95,31 @@ def shingles_df(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
     )
 
 
-def _maybe_cache(df: DataFrame, cache: bool, materialize: bool = True) -> DataFrame:
+def _storage_budget_bytes(spark) -> "int | None":
+    """HALF the aggregate storage capacity the cluster reports (Σ max
+    storage memory over live executors; in local mode, the one JVM's
+    unified pool). Half because the columnar build transiently holds
+    builder buffers + unroll copies on top of the stored bytes, and the
+    LSH ops cache TWO relations — the 16g/92M-row OOM cell sat at ~95%
+    of the raw pool by estimate and still died. ``None`` when
+    unreadable — callers then keep current behavior."""
+    try:
+        mm = spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
+        it = mm.iterator()
+        total = 0
+        while it.hasNext():
+            total += it.next()._2()._1()
+        return (total // 2) or None
+    except Exception:
+        return None
+
+
+def _maybe_cache(
+    df: DataFrame,
+    cache: bool,
+    materialize: bool = True,
+    footprint_bytes: "int | None" = None,
+) -> DataFrame:
     """Persist a multiply-consumed intermediate (MEMORY_AND_DISK, spills)
     and materialize it EAGERLY (one count job).
 
@@ -109,10 +133,37 @@ def _maybe_cache(df: DataFrame, cache: bool, materialize: bool = True) -> DataFr
     LRU under pressure; pass ``cache=False`` to trade recomputation for
     zero cache footprint (e.g. when the exploded relation is too big even
     for disk).
-    """
+
+    GRACEFUL DEGRADATION (VERDICT r12 #4): when the caller supplies a
+    ``footprint_bytes`` estimate and it exceeds the cluster's reported
+    storage capacity, the persist is SKIPPED with a WARNING instead of
+    attempted. Measured motivation (SCALE.md round-19): building the
+    columnar cache of a 92M-row band relation in one 16g JVM dies in
+    OutOfMemoryError — the batch builders and unroll buffers are
+    untracked allocations that the memory manager cannot spill (the
+    MEMORY_AND_DISK/DISK_ONLY levels and a 10×-smaller columnar batch
+    size all OOMed identically), while the UNCACHED pipeline completes
+    at the same heap (494 s at 16g, vs ~390 s cached at 100g). Skipping
+    the cache trades bounded recomputation for survival — degrade, not
+    die."""
     if cache:
         from pyspark import StorageLevel
 
+        if footprint_bytes is not None:
+            budget = _storage_budget_bytes(df.sparkSession)
+            if budget is not None and footprint_bytes > budget:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "estimated cached footprint ~%.1f GiB exceeds the "
+                    "cluster's reported storage capacity ~%.1f GiB — "
+                    "persist SKIPPED (consumers recompute the relation; "
+                    "columnar cache builds of this size OOM a JVM this "
+                    "small outright). Add executors/memory, or pass "
+                    "cache=False to silence this.",
+                    footprint_bytes / 2**30, budget / 2**30,
+                )
+                return df
         df = track_persist(df.persist(StorageLevel.MEMORY_AND_DISK))
         if materialize:
             df.count()
@@ -671,6 +722,26 @@ def minhash_signatures(
     )
 
 
+def _lsh_cache_footprint(df: DataFrame, size_hint, bands: int) -> "int | None":
+    """Rough upper estimate of the bytes the LSH caches (shingle-array
+    relation + banding rows) would occupy, from whichever evidence
+    exists: scan bytes ×6 (shingle text expansion + ids + headers) or a
+    doc-count hint × (48 B/band row + 400 B/doc of shingles). ``None``
+    with no evidence — behavior then unchanged (cache attempted). The
+    constants are deliberately generous: a FALSE skip costs bounded
+    recomputation, a false cache attempt at the wrong scale kills the
+    JVM (SCALE.md round-19)."""
+    from timeseriesfuser_spark.ops.util import estimated_input_bytes
+
+    cands = []
+    est = estimated_input_bytes(df)
+    if est is not None:
+        cands.append(est * 6)
+    if size_hint is not None:
+        cands.append(int(size_hint) * (bands * 48 + 400))
+    return max(cands) if cands else None
+
+
 def _banded_relation(
     df: DataFrame,
     id_col: str,
@@ -681,6 +752,7 @@ def _banded_relation(
     cache: bool,
     small_input_bytes: int,
     materialize_buckets: bool = True,
+    footprint_bytes: "int | None" = None,
 ):
     """(darr, buckets) for one corpus: the doc-level shingle-array
     relation and its (id, __bk, band, bkey) banding rows — the shared
@@ -708,6 +780,7 @@ def _banded_relation(
         ),
         cache,
         materialize=False,
+        footprint_bytes=footprint_bytes,
     )
     nonempty = darr.filter(F.size("shs") > 0)
     if _use_perrow_signatures(df, small_input_bytes):
@@ -749,6 +822,7 @@ def _banded_relation(
         keyed.select("id", "__bk", F.posexplode("__bk").alias("band", "bkey")),
         cache,
         materialize=materialize_buckets,
+        footprint_bytes=footprint_bytes,
     )
     return darr, buckets
 
@@ -809,6 +883,7 @@ def minhash_lsh_pairs(
     darr, buckets = _banded_relation(
         df, id_col, text_col, n, num_hashes, bands, cache, small_input_bytes,
         materialize_buckets=not (cache and max_bucket is not None),
+        footprint_bytes=_lsh_cache_footprint(df, size_hint, bands),
     )
     buckets = _cap_buckets(
         buckets, ["band", "bkey"], max_bucket, "minhash_lsh_pairs",

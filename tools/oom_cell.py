@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--driver-mem", default="16g")
     ap.add_argument("--max-bucket", default="auto")
     ap.add_argument("--cache", default="true")
+    ap.add_argument("--size-hint", type=int, default=None)
+    ap.add_argument("--plant", type=int, default=0)
     ap.add_argument("--cpus", default="32")
     args = ap.parse_args()
     mb = args.max_bucket
@@ -51,8 +53,10 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # 5 unique words per doc (disjoint across docs except the planted
-    # pair) — the test_cap_ladder_scale corpus shape at 11.5M docs.
+    # 5 unique words per doc (disjoint across docs) — the
+    # test_cap_ladder_scale corpus shape at scale. --plant N adds N
+    # exact-duplicate twins (doc i and 10⁹+i share text) so the pair
+    # checksum is non-trivial for drop-decision equality comparisons.
     docs = spark.range(args.docs).select(
         F.col("id").alias("doc_id"),
         F.concat_ws(
@@ -63,13 +67,20 @@ def main():
             ],
         ).alias("text"),
     )
+    if args.plant:
+        stride = max(1, args.docs // args.plant)
+        twins = docs.filter(F.col("doc_id") % stride == 0).select(
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
+        )
+        docs = docs.unionByName(twins)
     from timeseriesfuser_spark.ops.dedup import minhash_lsh_pairs
 
     t0 = time.perf_counter()
     out = {"docs": args.docs, "driver_mem": args.driver_mem,
            "max_bucket": args.max_bucket, "cache": cache}
     pairs = minhash_lsh_pairs(
-        docs, n=1, threshold=0.5, bands=8, cache=cache, max_bucket=mb
+        docs, n=1, threshold=0.5, bands=8, cache=cache, max_bucket=mb,
+        size_hint=args.size_hint,
     )
     row = pairs.agg(
         F.count(F.lit(1)).alias("n"),
