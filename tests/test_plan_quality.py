@@ -803,3 +803,29 @@ def test_tpcds_q44_topk_not_global_sort(spark):
     # no full-relation sort: every Sort in this plan would be a global
     # rank window's — TakeOrdered subsumes ordering
     assert "+- Sort" not in plan
+
+
+def test_set_similarity_bound_filter_stays_in_codegen(spark):
+    """The bitmap overlap bound must stay a flat bit_count predicate
+    over plain long columns: the measured failure modes were HOF
+    lambdas (zip_with/aggregate — interpreted per pair, 1.9× slower
+    than no filter at 135M candidates) and a 64-term CASE chain (4.3×
+    slower inlined into the SMJ condition). Gate: the verify-input plan
+    contains bit_count and NO higher-order array expressions in the
+    pair-side (post-explode) region."""
+    from timeseriesfuser_spark.ops.dedup import set_similarity_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    df = set_similarity_pairs(
+        docs, n=1, threshold=(2, 5), cache=False, _cand_only=True
+    )
+    plan = formatted_plan(df)
+    assert "bit_count" in plan
+    # the per-PAIR predicate must not be a lambda expression; the only
+    # lambdas allowed are the per-DOC sketch builders (aggregate over
+    # the shingle array), which appear with the `shingle`/`lambda b`
+    # shape — so specifically forbid zip_with, the pair-side marker
+    assert "zip_with" not in plan
