@@ -507,3 +507,36 @@ def test_minhash_threads_footprint_to_caches(spark, monkeypatch):
     expect_fp = 5_000_000 * (8 * 48 + 400)
     assert seen[-2:] == [expect_fp, expect_fp]
     assert hinted == base  # downgrade fired (budget 10) — same pairs
+
+
+def test_ngram_jaccard_maxdf_bound_lossless(spark):
+    """The bitmap bound generalized to ngram_jaccard_pairs' max_df
+    branch: toggle-invariant and equal to the in-engine exact baseline
+    (max_df high enough that candidate generation is complete, so the
+    only difference is the bound)."""
+    import numpy as np
+
+    from timeseriesfuser_spark.ops.dedup import ngram_jaccard_pairs
+
+    rng = np.random.RandomState(23)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = []
+    for i in range(60):
+        k = rng.randint(4, 10)
+        toks = list(dict.fromkeys(rng.choice(vocab, size=k)))
+        rows.append((i, " ".join(toks)))
+    rows += [(100, "a b c d e"), (101, "a b c d e"), (102, "a b c d f")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(**kw):
+        return {
+            (r["id_a"], r["id_b"], r["intersection"], r["union_size"])
+            for r in ngram_jaccard_pairs(
+                df, n=1, threshold=0.3, cache=False, **kw
+            ).collect()
+        }
+
+    exact = run(max_df=None)  # the all-pairs inverted-index baseline
+    assert exact
+    assert run(max_df=10_000, _bound_filter=True) == exact
+    assert run(max_df=10_000, _bound_filter=False) == exact

@@ -507,6 +507,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     cache: bool = True,
     max_df: int | None = None,
+    _bound_filter: bool = True,
 ) -> DataFrame:
     """Exact near-duplicate pairs: word-``n``-gram Jaccard ≥ ``threshold``.
 
@@ -571,6 +572,25 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("__shared_rare"))
         .drop("__shared_rare")
     )
+    if _bound_filter:
+        # Bitmap overlap bound before the exact verify (the
+        # set_similarity_pairs round-19 scheme — see _join_bound_sketches
+        # / SCALE.md). The float-threshold predicate uses the SAME double
+        # division as the final jaccard filter: bound ≥ inter and
+        # union_from_bound ≤ true union, so bound/(sza+szb−bound) ≥
+        # inter/union in reals, and double rounding is monotone — a pair
+        # the final filter keeps always passes here. Lossless, pinned by
+        # the brute-force differential.
+        joined, bound = _join_bound_sketches(cand, docs, "__shs")
+        cand = (
+            joined.withColumn("__bnd", F.expr(bound))
+            .filter(
+                F.col("__bnd").cast("double")
+                / (F.col("__sza") + F.col("__szb") - F.col("__bnd"))
+                >= F.lit(float(threshold))
+            )
+            .select("id_a", "id_b")
+        )
     out = (
         cand.join(
             docs.select(F.col("id").alias("id_a"), F.col("__shs").alias("__shs_a")),
@@ -1587,29 +1607,59 @@ def _sketch_lane_sql(set_col: str, lane: int, lanes: int) -> str:
     )
 
 
-def _bound_pred_sql(lanes: int, tn: int, td: int) -> str:
-    """The pair-level overlap-bound predicate over bitmap sketches held
-    as plain bigint COLUMNS ``__ska{i}``/``__skb{i}`` plus sizes
-    ``__sza``/``__szb``. Every token of A hashing into a bucket whose
-    bit is ABSENT from B's bitmap is provably not shared, so
-    |A∩B| ≤ sz_a − popcount(bits_a & ~bits_b), symmetrically for B, and
-    Jaccard ≥ tn/td needs overlap·(tn+td) ≥ tn·(sz_a+sz_b). Tiny and
-    built-in on purpose (2·lanes ``bit_count`` calls): the first cut
-    used zip_with+aggregate count sketches — the higher-order lambdas
-    fell out of whole-stage codegen and made the filter SLOWER than no
-    filter at 135M candidates (SCALE.md round-19); a flat 64-term CASE
-    chain was no better once Catalyst inlined it into the join
-    condition. ``bit_count`` is one Long.bitCount each."""
+def _bound_sql(lanes: int) -> str:
+    """SQL for the pair-level exact-overlap UPPER BOUND over bitmap
+    sketches held as plain bigint COLUMNS ``__ska{i}``/``__skb{i}`` plus
+    sizes ``__sza``/``__szb``. Every token of A hashing into a bucket
+    whose bit is ABSENT from B's bitmap is provably not shared, so
+    |A∩B| ≤ min(sz_a − popcount(bits_a & ~bits_b),
+    sz_b − popcount(bits_b & ~bits_a)). Tiny and built-in on purpose
+    (2·lanes ``bit_count`` calls): the first cut used zip_with+aggregate
+    count sketches — the higher-order lambdas fell out of whole-stage
+    codegen and made the filter SLOWER than no filter at 135M
+    candidates (SCALE.md round-19); a flat 64-term CASE chain was no
+    better once Catalyst inlined it into the join condition.
+    ``bit_count`` is one Long.bitCount each."""
     miss_a = " + ".join(
         f"bit_count(__ska{i} & ~__skb{i})" for i in range(lanes)
     )
     miss_b = " + ".join(
         f"bit_count(__skb{i} & ~__ska{i})" for i in range(lanes)
     )
-    return (
-        f"LEAST(__sza - ({miss_a}), __szb - ({miss_b})) * {tn + td}"
-        f" >= {tn} * (__sza + __szb)"
+    return f"LEAST(__sza - ({miss_a}), __szb - ({miss_b}))"
+
+
+def _join_bound_sketches(cand: DataFrame, docs: DataFrame, set_col: str):
+    """Join per-doc bitmap sketches (built from the cached ``docs``
+    id/set relation) onto an (id_a, id_b) candidate relation. Returns
+    (joined, bound_sql): the caller filters with its own threshold
+    predicate over ``bound_sql`` / ``__sza`` / ``__szb`` and projects
+    back to (id_a, id_b)."""
+    lanes = _SK_LANES
+    sk = docs.select(
+        "id",
+        F.size(set_col).cast("long").alias("__szk"),
+        *[
+            F.expr(_sketch_lane_sql(set_col, i, lanes)).alias(f"__sk{i}")
+            for i in range(lanes)
+        ],
     )
+    joined = cand.join(
+        sk.select(
+            F.col("id").alias("id_a"),
+            F.col("__szk").alias("__sza"),
+            *[F.col(f"__sk{i}").alias(f"__ska{i}") for i in range(lanes)],
+        ),
+        "id_a",
+    ).join(
+        sk.select(
+            F.col("id").alias("id_b"),
+            F.col("__szk").alias("__szb"),
+            *[F.col(f"__sk{i}").alias(f"__skb{i}") for i in range(lanes)],
+        ),
+        "id_b",
+    )
+    return joined, _bound_sql(lanes)
 
 
 def set_similarity_pairs(
@@ -1824,42 +1874,10 @@ def set_similarity_pairs(
     # most pairs die here and never touch an array. Measured cells in
     # SCALE.md round-19; result-invariance pinned with the toggles.
     if _bound_filter:
-        lanes = _SK_LANES
-        sk = docs.select(
-            "id",
-            F.size("__set").cast("long").alias("__szk"),
-            *[
-                F.expr(_sketch_lane_sql("__set", i, lanes)).alias(f"__sk{i}")
-                for i in range(lanes)
-            ],
-        )
-        bound_ok = _bound_pred_sql(lanes, tn, td)
-        cand = (
-            cand.join(
-                sk.select(
-                    F.col("id").alias("id_a"),
-                    F.col("__szk").alias("__sza"),
-                    *[
-                        F.col(f"__sk{i}").alias(f"__ska{i}")
-                        for i in range(lanes)
-                    ],
-                ),
-                "id_a",
-            )
-            .join(
-                sk.select(
-                    F.col("id").alias("id_b"),
-                    F.col("__szk").alias("__szb"),
-                    *[
-                        F.col(f"__sk{i}").alias(f"__skb{i}")
-                        for i in range(lanes)
-                    ],
-                ),
-                "id_b",
-            )
-            .filter(F.expr(bound_ok))
-            .select("id_a", "id_b")
-        )
+        joined, bound = _join_bound_sketches(cand, docs, "__set")
+        cand = joined.filter(
+            F.expr(f"({bound}) * {tn + td} >= {tn} * (__sza + __szb)")
+        ).select("id_a", "id_b")
     if _cand_only:
         # analysis surface: the verify-join INPUT (for measuring what
         # the prefix/positional/suffix/bound filters cut), not a result
