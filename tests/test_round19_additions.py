@@ -494,7 +494,10 @@ def test_minhash_threads_footprint_to_caches(spark, monkeypatch):
         ).collect()
     }
     assert base == {(1, 2)}
-    assert seen[-2:] == [None, None]  # no hint, no file evidence
+    # no hint, no file evidence → deferred-evidence mode (r20): built
+    # unpersisted, then persisted with the MEASURED rung-0 footprint
+    assert seen[:2] == [None, None]
+    assert seen[-2:] == [dedup._lsh_measured_footprint(3 * 8, 8)] * 2
 
     seen.clear()
     monkeypatch.setattr(dedup, "_storage_budget_bytes", lambda s: 10)

@@ -1,0 +1,148 @@
+"""Round-20 additions (VERDICT r13): deferred measured-count cache
+footprints for hint-less derived LSH relations, the executor-only
+storage budget, and the rotation-floor constant."""
+
+import logging
+
+from pyspark.sql import functions as F
+
+
+def _derived_docs(spark, n=400):
+    """A DERIVED relation: post-join, no input files, no size hint —
+    exactly the shape whose footprint `_lsh_cache_footprint` cannot see."""
+    left = spark.range(n).select(F.col("id").alias("doc_id"))
+    right = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("w"), (F.col("id") * 7 + j).cast("string"))
+                for j in range(5)
+            ],
+        ).alias("text"),
+    )
+    return left.join(right, "doc_id")
+
+
+def test_hintless_derived_relation_downgrades_instead_of_persisting(
+    spark, monkeypatch, caplog
+):
+    """VERDICT r13 #1 spy test: a hint-less derived relation whose
+    MEASURED footprint exceeds the budget must SKIP the persists (loud
+    warning), not attempt them — and still return the right pairs."""
+    from timeseriesfuser_spark.ops import dedup
+
+    docs = _derived_docs(spark).unionByName(
+        spark.createDataFrame(
+            [(1_000_001, "p q r s t"), (1_000_002, "p q r s t")],
+            "doc_id long, text string",
+        )
+    )
+    assert docs.inputFiles() == []  # genuinely derived: no scan evidence
+
+    seen = []
+    real = dedup._maybe_cache
+
+    def spy(df, cache, materialize=True, footprint_bytes=None):
+        seen.append((cache, footprint_bytes))
+        return real(df, cache, materialize, footprint_bytes)
+
+    monkeypatch.setattr(dedup, "_maybe_cache", spy)
+    monkeypatch.setattr(dedup, "_storage_budget_bytes", lambda s: 1)
+    with caplog.at_level(
+        logging.WARNING, logger="timeseriesfuser_spark.ops.dedup"
+    ):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_pairs(
+                docs, n=1, threshold=0.5, cache=True
+            ).collect()
+        }
+    assert pairs == {(1_000_001, 1_000_002)}
+    # _banded_relation built UNPERSISTED (cache=False, no evidence), then
+    # the deferred decision ran with the MEASURED footprint
+    assert seen[0] == (False, None) and seen[1] == (False, None)
+    mfp = dedup._lsh_measured_footprint(402 * 8, 8)
+    assert seen[2:] == [(True, mfp), (True, mfp)]
+    assert any("persist SKIPPED" in r.message for r in caplog.records)
+
+
+def test_hintless_derived_relation_persists_within_budget(spark, monkeypatch):
+    """Same shape, generous budget: the deferred persists DO fire with
+    the measured footprint (degradation is evidence-driven, not blanket)."""
+    from timeseriesfuser_spark.ops import dedup
+    from timeseriesfuser_spark.ops.util import cache_scope
+
+    docs = _derived_docs(spark, n=50)
+    seen = []
+    real = dedup._maybe_cache
+
+    def spy(df, cache, materialize=True, footprint_bytes=None):
+        out = real(df, cache, materialize, footprint_bytes)
+        seen.append((cache, footprint_bytes, out.storageLevel.useMemory))
+        return out
+
+    monkeypatch.setattr(dedup, "_maybe_cache", spy)
+    with cache_scope():
+        dedup.minhash_lsh_pairs(docs, n=1, threshold=0.5, cache=True).collect()
+        mfp = dedup._lsh_measured_footprint(50 * 8, 8)
+        assert (True, mfp, True) in seen  # deferred persist fired
+
+
+def test_between_defers_per_side(spark, monkeypatch, tmp_path):
+    """Cross-corpus variant: the file-backed side keeps its scan-byte
+    evidence, the derived side defers to the measured count."""
+    from timeseriesfuser_spark.ops import dedup
+    from timeseriesfuser_spark.ops.util import cache_scope
+
+    ref = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j")], "doc_id long, text string"
+    )
+    refp = str(tmp_path / "ref.parquet")
+    ref.write.parquet(refp)
+    ref_fb = spark.read.parquet(refp)
+    new = _derived_docs(spark, n=30).unionByName(
+        spark.createDataFrame([(900, "a b c d e")], "doc_id long, text string")
+    )
+
+    seen = []
+    real = dedup._maybe_cache
+
+    def spy(df, cache, materialize=True, footprint_bytes=None):
+        seen.append((cache, footprint_bytes))
+        return real(df, cache, materialize, footprint_bytes)
+
+    monkeypatch.setattr(dedup, "_maybe_cache", spy)
+    with cache_scope():
+        got = {
+            (r["new_id"], r["ref_id"])
+            for r in dedup.minhash_lsh_pairs_between(
+                new, ref_fb, n=1, threshold=0.9, cache=True
+            ).collect()
+        }
+    assert got == {(900, 1)}
+    # new side: two (False, None) builds then a deferred measured persist
+    assert (False, None) in seen
+    mfp_new = dedup._lsh_measured_footprint(31 * 8, 8)
+    assert (True, mfp_new) in seen
+    # ref side: file-backed → non-deferred, footprint from scan bytes
+    fb = [fp for c, fp in seen if c is True and fp not in (None, mfp_new)]
+    assert fb and all(fp > 0 for fp in fb)
+
+
+def test_storage_budget_local_mode_positive(spark):
+    """The executor-id-aware budget still resolves in local mode (the
+    single 'driver' block manager IS the storage pool there)."""
+    from timeseriesfuser_spark.ops.dedup import _storage_budget_bytes
+
+    b = _storage_budget_bytes(spark)
+    assert b is not None and b > 0
+
+
+def test_rotation_floor_constant():
+    """ADVICE r13: the empty-history floor is the documented convention
+    constant, and history presence overrides it."""
+    import tools.sf01_rotation as rot
+
+    assert rot.next_round(root="/nonexistent") == rot.FIRST_ROTATION_ROUND
+    assert rot.FIRST_ROTATION_ROUND == 13

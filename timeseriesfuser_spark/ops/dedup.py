@@ -21,6 +21,7 @@ No Python UDFs anywhere; everything stays in whole-stage codegen.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame
@@ -97,18 +98,28 @@ def shingles_df(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
 
 def _storage_budget_bytes(spark) -> "int | None":
     """HALF the aggregate storage capacity the cluster reports (Σ max
-    storage memory over live executors; in local mode, the one JVM's
-    unified pool). Half because the columnar build transiently holds
-    builder buffers + unroll copies on top of the stored bytes, and the
-    LSH ops cache TWO relations — the 16g/92M-row OOM cell sat at ~95%
-    of the raw pool by estimate and still died. ``None`` when
-    unreadable — callers then keep current behavior."""
+    storage memory over live EXECUTORS; in local mode, the one JVM's
+    unified pool). Half because the budget models the COLUMNAR-BUILD
+    TRANSIENT, not stored-bytes capacity: the build holds builder
+    buffers + unroll copies on top of the stored bytes, and the LSH ops
+    cache TWO relations — the 16g/92M-row OOM cell sat at ~95% of the
+    raw pool by estimate and still died (SCALE.md round-19; the halving
+    is calibrated against that local-mode cell). In cluster deployments
+    the driver's own block manager is EXCLUDED — cached partitions live
+    on executors, and counting the driver would inflate the budget
+    exactly where the OOM-skip heuristic matters (ADVICE r13). ``None``
+    when unreadable — callers then keep current behavior."""
     try:
-        mm = spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
-        it = mm.iterator()
-        total = 0
-        while it.hasNext():
-            total += it.next()._2()._1()
+        statuses = (
+            spark.sparkContext._jsc.sc()
+            .env().blockManager().master().getStorageStatus()
+        )
+        entries = [
+            (s.blockManagerId().executorId(), s.maxMem()) for s in statuses
+        ]
+        if any(eid != "driver" for eid, _ in entries):
+            entries = [e for e in entries if e[0] != "driver"]
+        total = sum(mx for _, mx in entries)
         return (total // 2) or None
     except Exception:
         return None
@@ -287,8 +298,17 @@ def _cap_buckets(
     op_name: str,
     eager_stats: bool = True,
     size_hint=None,
+    rows_sink: "dict | None" = None,
 ) -> DataFrame:
     """Hot-bucket guard for LSH candidate generation — DEFAULT-ON.
+
+    ``rows_sink``: optional dict that receives ``{"rows": n}`` — the
+    EXACT block-relation row count measured by the rung-0
+    materialization job — when the eager ladder runs. Callers in
+    deferred-evidence mode (VERDICT r13 #1) thread this measured count
+    into their cache-footprint estimate so hint-less derived relations
+    downgrade instead of OOMing; it costs nothing extra (the count is
+    the ladder's already-paid rung-0 job).
 
     Any bucketed pair join (MinHash bands, SimHash/SRP pigeonhole chunks)
     is quadratic PER BUCKET: a bucket of n members emits C(n,2) candidate
@@ -397,6 +417,8 @@ def _cap_buckets(
         n_rows = blocks.observe(
             obs, _cms_probe_expr(blocks, key_cols, size_hint)
         ).count()
+        if rows_sink is not None:
+            rows_sink["rows"] = n_rows
         raw = obs.get["__cms"]
         if raw is not None and _cms_max_key_bound(bytes(raw)) <= max_bucket:
             return blocks
@@ -762,6 +784,17 @@ def _lsh_cache_footprint(df: DataFrame, size_hint, bands: int) -> "int | None":
     return max(cands) if cands else None
 
 
+def _lsh_measured_footprint(block_rows: int, bands: int) -> int:
+    """Cache-footprint estimate from the cap ladder's MEASURED
+    block-relation row count (``block_rows`` = nonempty docs × bands),
+    using the same per-doc constants as the ``size_hint`` arm of
+    :func:`_lsh_cache_footprint`. Measured beats estimated: this is the
+    deferred-evidence path (VERDICT r13 #1) that lets a hint-less
+    DERIVED relation — no scan bytes, no caller hint — downgrade its
+    persists instead of OOMing the JVM during the columnar build."""
+    return (int(block_rows) // max(int(bands), 1)) * (int(bands) * 48 + 400)
+
+
 def _banded_relation(
     df: DataFrame,
     id_col: str,
@@ -860,9 +893,20 @@ def minhash_lsh_pairs(
     small_input_bytes: int = SMALL_INPUT_BYTES,
     max_bucket="auto",
     size_hint: int | None = None,
+    band_batches: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding; candidates sharing ≥1 band bucket
     are (optionally) verified with exact Jaccard ≥ ``threshold``.
+
+    ``band_batches``: opt-in peak-shuffle-disk bound. With ``B > 1`` the
+    band self-join runs in B sequential batches of ~bands/B bands each,
+    each batch eagerly materialized (localCheckpoint) and its shuffle
+    files released before the next runs — peak shuffle footprint ∝ 1/B,
+    results identical (band batches are independent under the global
+    first-shared-band rule). Costs laziness (batch jobs run at
+    op-construction) and, when the block relations are uncached,
+    B recomputations of them. Use when a single-pass run exhausts
+    shuffle scratch disk (the 11.5M-doc/63 G ENOSPC regime, SCALE.md).
 
     ``size_hint``: approximate row count of ``df`` (documents), for when
     the input is a DERIVED relation (post-join/filter — ``inputFiles``
@@ -900,34 +944,112 @@ def minhash_lsh_pairs(
     """
     # when an eager cap-stats job will run, IT materializes the bucket
     # cache (any full action does) — skip _maybe_cache's own count job
+    fp = _lsh_cache_footprint(df, size_hint, bands)
+    # DEFERRED-EVIDENCE MODE (VERDICT r13 #1): with no footprint evidence
+    # at persist time (derived relation, no hint) and a cap ladder about
+    # to measure the block relation anyway, build the relations
+    # UNPERSISTED, let rung 0's materialization count measure them, and
+    # only then decide the persist with the measured footprint. A
+    # hint-less 9M-doc derived relation now downgrades automatically
+    # (the persist attempt was the r19-measured JVM killer); the price
+    # is one extra pass to populate the caches when they DO fit —
+    # only ever paid on the no-evidence path (file-backed inputs keep
+    # the single-pass behavior via scan-byte evidence).
+    defer = cache and fp is None and max_bucket is not None
     darr, buckets = _banded_relation(
-        df, id_col, text_col, n, num_hashes, bands, cache, small_input_bytes,
+        df, id_col, text_col, n, num_hashes, bands,
+        cache and not defer, small_input_bytes,
         materialize_buckets=not (cache and max_bucket is not None),
-        footprint_bytes=_lsh_cache_footprint(df, size_hint, bands),
+        footprint_bytes=fp,
     )
-    buckets = _cap_buckets(
+    rows_sink: dict = {}
+    capped = _cap_buckets(
         buckets, ["band", "bkey"], max_bucket, "minhash_lsh_pairs",
         eager_stats=cache,
         size_hint=None if size_hint is None else int(size_hint) * bands,
+        rows_sink=rows_sink if defer else None,
     )
-    a, b_ = buckets.alias("a"), buckets.alias("b")
-    # Emit each pair only at its FIRST shared band: a codegen predicate in
-    # the join replaces the global distinct (which would re-shuffle the
-    # whole candidate relation). Exact: if two docs share band c' < c they
-    # necessarily co-occur in that bucket too, so exactly one band emits.
-    no_earlier_band = ~F.exists(
-        F.slice(
-            F.zip_with(F.col("a.__bk"), F.col("b.__bk"), lambda p, q: p == q),
-            F.lit(1),
-            F.col("a.band"),
-        ),
-        lambda e: e,
-    )
-    cand = (
-        a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
-        .filter((F.col("a.id") < F.col("b.id")) & no_earlier_band)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    )
+    if defer and rows_sink.get("rows") is not None:
+        mfp = _lsh_measured_footprint(rows_sink["rows"], bands)
+        # persist darr FIRST so the buckets materialization populates it
+        # on the way through (same sequencing note as _banded_relation)
+        darr = _maybe_cache(darr, True, materialize=False, footprint_bytes=mfp)
+        _maybe_cache(buckets, True, materialize=True, footprint_bytes=mfp)
+    buckets = capped
+
+    def _pair_join(grp: DataFrame) -> DataFrame:
+        a, b_ = grp.alias("a"), grp.alias("b")
+        # Emit each pair only at its FIRST shared band: a codegen
+        # predicate in the join replaces the global distinct (which would
+        # re-shuffle the whole candidate relation). Exact: if two docs
+        # share band c' < c they necessarily co-occur in that bucket too,
+        # so exactly one band emits. The check scans the FULL __bk array,
+        # so it stays exact under band batching: a pair meeting in a
+        # later batch whose first shared band was in an earlier batch is
+        # suppressed here and emitted by the earlier batch.
+        no_earlier_band = ~F.exists(
+            F.slice(
+                F.zip_with(
+                    F.col("a.__bk"), F.col("b.__bk"), lambda p, q: p == q
+                ),
+                F.lit(1),
+                F.col("a.band"),
+            ),
+            lambda e: e,
+        )
+        return (
+            a.join(
+                b_,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey")),
+            )
+            .filter((F.col("a.id") < F.col("b.id")) & no_earlier_band)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+
+    if band_batches is not None and int(band_batches) > 1:
+        # BAND-BATCHED STAGING (VERDICT r13 #2) — bound PEAK shuffle disk.
+        # Band groups are independent (a pair's emitting band is fixed by
+        # the global first-shared-band rule), so processing ceil(bands/B)
+        # bands per batch and unioning gives IDENTICAL pairs while each
+        # batch's band self-join only exchanges ~1/B of the block
+        # relation. Each batch is materialized EAGERLY via
+        # localCheckpoint (truncating lineage so the batch's shuffle
+        # files become unreachable) and a GC nudge lets ContextCleaner
+        # delete them before the next batch shuffles — peak shuffle
+        # footprint ∝ 1/B by construction instead of Σ over bands.
+        # Measured motivation (SCALE.md round-19/20): the 11.5M-doc cell
+        # died of ENOSPC at ~63 G free with all 8 bands' join shuffles
+        # coexisting. Opt-in: the eager per-batch jobs run AT
+        # OP-CONSTRUCTION TIME (this function stops being lazy), and
+        # with cache=False/downgraded relations each batch recomputes
+        # the block relation — disk bounded, compute ∝ B.
+        B = int(band_batches)
+        if B > bands:
+            raise ValueError(
+                f"band_batches ({B}) must be <= bands ({bands})"
+            )
+        sc = df.sparkSession.sparkContext
+        parts = []
+        edges = [round(i * bands / B) for i in range(B + 1)]
+        for i in range(B):
+            lo, hi = edges[i], edges[i + 1]
+            if lo == hi:
+                continue
+            grp = buckets.filter(
+                (F.col("band") >= lo) & (F.col("band") < hi)
+            )
+            cg = _pair_join(grp).localCheckpoint(eager=True)
+            parts.append(cg)
+            # the finished batch's shuffle deps are now unreachable
+            # (lineage truncated) — nudge the JVM so ContextCleaner
+            # frees their disk before the next batch writes its own
+            sc._jvm.System.gc()
+        cand = functools.reduce(
+            lambda x, y: x.unionByName(y), parts
+        )
+    else:
+        cand = _pair_join(buckets)
     if not verify:
         return cand
     ja = darr.select(F.col("id").alias("id_a"), F.col("shs").alias("__shs_a"))
@@ -979,26 +1101,46 @@ def minhash_lsh_pairs_between(
     |new| × |ref|.
     """
     mat = not (cache and max_bucket is not None)
+    fp_n = _lsh_cache_footprint(df_new, None, bands)
+    fp_r = _lsh_cache_footprint(df_ref, None, bands)
+    # per-side deferred-evidence mode — same contract as the self-join:
+    # a side with no footprint evidence builds unpersisted, the cap's
+    # rung-0 count measures it, and the persist decision follows.
+    defer_n = cache and fp_n is None and max_bucket is not None
+    defer_r = cache and fp_r is None and max_bucket is not None
     darr_n, buckets_n = _banded_relation(
-        df_new, id_col, text_col, n, num_hashes, bands, cache, small_input_bytes,
-        materialize_buckets=mat,
+        df_new, id_col, text_col, n, num_hashes, bands,
+        cache and not defer_n, small_input_bytes,
+        materialize_buckets=mat, footprint_bytes=fp_n,
     )
     darr_r, buckets_r = _banded_relation(
-        df_ref, id_col, text_col, n, num_hashes, bands, cache, small_input_bytes,
-        materialize_buckets=mat,
+        df_ref, id_col, text_col, n, num_hashes, bands,
+        cache and not defer_r, small_input_bytes,
+        materialize_buckets=mat, footprint_bytes=fp_r,
     )
     # The cap applies to BOTH sides' bucket sizes independently: a pair is
     # suppressed if either side's bucket is hot. The ref side (accumulated
     # corpus, where boilerplate floods accrete) and the new side (a flooded
     # incoming shard) can each turn one bucket into a quadratic straggler.
-    buckets_r = _cap_buckets(
+    sink_r: dict = {}
+    sink_n: dict = {}
+    capped_r = _cap_buckets(
         buckets_r, ["band", "bkey"], max_bucket, "minhash_lsh_pairs_between(ref)",
-        eager_stats=cache,
+        eager_stats=cache, rows_sink=sink_r if defer_r else None,
     )
-    buckets_n = _cap_buckets(
+    capped_n = _cap_buckets(
         buckets_n, ["band", "bkey"], max_bucket, "minhash_lsh_pairs_between(new)",
-        eager_stats=cache,
+        eager_stats=cache, rows_sink=sink_n if defer_n else None,
     )
+    if defer_r and sink_r.get("rows") is not None:
+        mfp = _lsh_measured_footprint(sink_r["rows"], bands)
+        darr_r = _maybe_cache(darr_r, True, materialize=False, footprint_bytes=mfp)
+        _maybe_cache(buckets_r, True, materialize=True, footprint_bytes=mfp)
+    if defer_n and sink_n.get("rows") is not None:
+        mfp = _lsh_measured_footprint(sink_n["rows"], bands)
+        darr_n = _maybe_cache(darr_n, True, materialize=False, footprint_bytes=mfp)
+        _maybe_cache(buckets_n, True, materialize=True, footprint_bytes=mfp)
+    buckets_r, buckets_n = capped_r, capped_n
     a, b_ = buckets_n.alias("a"), buckets_r.alias("b")
     no_earlier_band = ~F.exists(
         F.slice(

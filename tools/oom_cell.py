@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--max-bucket", default="auto")
     ap.add_argument("--cache", default="true")
     ap.add_argument("--size-hint", type=int, default=None)
+    ap.add_argument("--band-batches", type=int, default=None)
     ap.add_argument("--plant", type=int, default=0)
     ap.add_argument("--cpus", default="32")
     args = ap.parse_args()
@@ -80,7 +81,7 @@ def main():
            "max_bucket": args.max_bucket, "cache": cache}
     pairs = minhash_lsh_pairs(
         docs, n=1, threshold=0.5, bands=8, cache=cache, max_bucket=mb,
-        size_hint=args.size_hint,
+        size_hint=args.size_hint, band_batches=args.band_batches,
     )
     row = pairs.agg(
         F.count(F.lit(1)).alias("n"),

@@ -50,13 +50,21 @@ def history(root: str = REPO) -> dict:
     return hist
 
 
+#: Driver round in which the rotation convention started — the floor for
+#: artifact numbering when no ``SF01CERT_r*.json`` history is present
+#: (the first rotation artifact was SF01CERT_r13). A cleaned checkout
+#: restarts here by design; regenerated artifacts for rounds that already
+#: ran elsewhere should be restored from git history, not re-numbered.
+FIRST_ROTATION_ROUND = 13
+
+
 def next_round(root: str = REPO) -> int:
     rounds = [
         int(m.group(1))
         for p in glob.glob(os.path.join(root, "SF01CERT_r*.json"))
         if (m := re.search(r"SF01CERT_r(\d+)\.json$", p))
     ]
-    return (max(rounds) + 1) if rounds else 13
+    return (max(rounds) + 1) if rounds else FIRST_ROTATION_ROUND
 
 
 def rotation(k: int = 50, root: str = REPO) -> list:
