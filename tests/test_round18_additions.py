@@ -38,8 +38,10 @@ def test_close_stream_relation_shape(spark):
     ]
     rows = sorted(rel.collect(), key=lambda r: r["user_id"])
     assert [r["user_id"] for r in rows] == [1, 2]  # one row per distinct key
+    # r20: sentinels embed the key's close barrier (max event time)
+    assert rows[0]["__timestamp"] == FLUSH_SENTINEL_TS + 20
+    assert rows[1]["__timestamp"] == FLUSH_SENTINEL_TS + 30
     for r in rows:
-        assert r["__timestamp"] == FLUSH_SENTINEL_TS
         assert r["event_type"] is None and r["value"] is None
 
 
@@ -50,7 +52,7 @@ def test_close_stream_global_single_row(spark):
     rel = close_stream(df)  # keys=() → the single-state-group contract
     rows = rel.collect()
     assert len(rows) == 1
-    assert rows[0]["__timestamp"] == FLUSH_SENTINEL_TS
+    assert rows[0]["__timestamp"] == FLUSH_SENTINEL_TS + 20  # global barrier
     assert rows[0]["user_id"] is None
 
 
@@ -79,7 +81,7 @@ def test_close_stream_writer_glue_appends(spark, tmp_path):
     back = spark.read.parquet(d)
     assert back.count() == 4  # 2 data + 2 sentinel rows
     assert (
-        back.filter(F.col("__timestamp") == FLUSH_SENTINEL_TS).count() == 2
+        back.filter(F.col("__timestamp") >= FLUSH_SENTINEL_TS).count() == 2
     )
 
 

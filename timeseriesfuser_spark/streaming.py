@@ -366,6 +366,16 @@ def sessionize_stream(
     and its state clears, so total emissions equal the batch op
     (pinned in ``tests/test_flush_on_close.py``).
 
+    Barrier-gated flush (VERDICT r13 #4): a :func:`close_stream`
+    sentinel embeds the key's close barrier ``T`` (its max event time);
+    the flush applies only once the key's own event-time high mark
+    reaches ``T`` — so a sentinel delivered before late-staged data
+    files (``maxFilesPerTrigger`` splits) parks in state instead of
+    clearing it early. Plain hand-rolled sentinels carry ``T = 0`` and
+    flush immediately (legacy behavior). State-format note: the barrier
+    added a 4th state field — restart barrier-era jobs from a fresh
+    checkpoint (Spark's own state schema check rejects the old layout).
+
     State is O(#active keys), Arrow-batched per group — the scalable shape
     for custom stateful ops the built-in windows can't express.
     """
@@ -391,25 +401,32 @@ def sessionize_stream(
             T.StructField("start", T.LongType(), True),
             T.StructField("end", T.LongType(), True),
             T.StructField("n", T.LongType(), True),
+            # pending close barrier: flush once `end` (the key's
+            # event-time high mark) reaches it; None = no close pending
+            T.StructField("close_at", T.LongType(), True),
         ]
     )
 
     def fn(key, pdfs, state):
         ts_all = []
-        flush = False
+        close_req = None
         for pdf in pdfs:
             for t in pdf[ts_col]:
                 t = int(t)
                 if flush_on_close and t >= FLUSH_SENTINEL_TS:
-                    flush = True
+                    bar = t - FLUSH_SENTINEL_TS
+                    close_req = bar if close_req is None else max(close_req, bar)
                 else:
                     ts_all.append(t)
         ts_all.sort()
         if state.exists:
-            start, end, n = state.get
+            start, end, n, close_at = state.get
         else:
             start = end = None
             n = 0
+            close_at = None
+        if close_req is not None:
+            close_at = close_req if close_at is None else max(close_at, close_req)
         closed = []
         for t in ts_all:
             if start is None:
@@ -421,10 +438,17 @@ def sessionize_stream(
             else:
                 end = t
                 n += 1
-        if flush and start is not None:
-            closed.append((start, end, n))
-            start, end, n = None, None, 0
-        state.update((start, end, n))
+        # barrier-gated flush: `end` is the key's event-time high mark
+        # (monotone while state exists), so the close applies exactly
+        # when every data row at/below the barrier has been ingested
+        if close_at is not None and (
+            close_at <= 0 or (end is not None and end >= close_at)
+        ):
+            if start is not None:
+                closed.append((start, end, n))
+                start, end, n = None, None, 0
+            close_at = None
+        state.update((start, end, n, close_at))
         out = pd.DataFrame(
             [
                 {**dict(zip(keys, key)), "session_start": s, "session_end": e,
@@ -1148,12 +1172,23 @@ def close_stream(
     could otherwise deliver the sentinel BEFORE later data files — the
     flush would clear state and strand everything built afterwards).
     The bump is best-effort on local filesystems (the only kind this
-    sandbox runs); on object stores order the upload yourself. Even
-    with the bump, per-batch flush semantics are only guaranteed when
-    the sentinel reaches each state group no earlier than its data —
-    a single-batch ``availableNow`` read (no ``maxFilesPerTrigger``)
-    is the pattern every registered query uses. Returns the sentinel
-    relation either way.
+    sandbox runs); on object stores order the upload yourself.
+
+    ORDERING-PROOF BARRIER (VERDICT r13 #4): delivery order is only a
+    heuristic, so each sentinel also EMBEDS its group's close barrier —
+    the key's max event time in ``df`` — as ``FLUSH_SENTINEL_TS + T``
+    (``T`` clamped at 0; epoch-ms fits with 2⁶¹ to spare). A
+    ``flush_on_close`` twin that receives the sentinel does NOT flush
+    until the group's own event-time high mark reaches ``T``: a
+    sentinel delivered BEFORE late-staged data files (the
+    ``maxFilesPerTrigger`` split) simply parks the barrier in state and
+    the flush fires in the batch where the last data row lands. A
+    hand-rolled plain ``FLUSH_SENTINEL_TS`` row carries ``T = 0`` and
+    keeps the legacy flush-immediately behavior, as does an all-negative
+    event-time stream (the clamp; barrier deferral needs the canonical
+    non-negative epoch-ms regime). The sentinel write is coalesced to
+    ONE file so a group's barrier cannot itself split across
+    micro-batches. Returns the sentinel relation either way.
     """
     keys = list(keys)
     names = [f.name for f in df.schema.fields]
@@ -1170,23 +1205,34 @@ def close_stream(
             f"{ts_col!r} must be LongType (epoch-ms) to hold the "
             f"FLUSH_SENTINEL_TS value; got {ts_type.simpleString()}"
         )
+    # per-group close barrier: the key's max event time (pre-existing
+    # sentinel rows excluded; all-null/negative → 0 = flush immediately)
+    data = df.filter(
+        F.col(ts_col).isNull() | (F.col(ts_col) < F.lit(FLUSH_SENTINEL_TS))
+    )
+    bar = F.greatest(
+        F.coalesce(F.max(ts_col), F.lit(0).cast("long")),
+        F.lit(0).cast("long"),
+    ).alias("__bar")
+    base = (
+        data.groupBy(*keys).agg(bar) if keys else data.agg(bar)
+    )
     cols = []
     for f in df.schema.fields:
         if f.name == ts_col:
-            cols.append(F.lit(FLUSH_SENTINEL_TS).cast(f.dataType).alias(f.name))
+            cols.append(
+                (F.lit(FLUSH_SENTINEL_TS) + F.col("__bar"))
+                .cast(f.dataType).alias(f.name)
+            )
         elif f.name in keys:
             cols.append(F.col(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-    base = (
-        df.select(*keys).distinct()
-        if keys
-        else df.sparkSession.range(1).drop("id")
-    )
     rel = base.select(*cols)
     if path is not None:
         before = _local_files(path)
-        rel.write.mode("append").format(fmt).save(path)
+        # ONE file: a group's barrier must not split across micro-batches
+        rel.coalesce(1).write.mode("append").format(fmt).save(path)
         _bump_past_siblings(path, before)
     return rel
 
@@ -1404,7 +1450,30 @@ def peak_concurrency_stream(
             st = {"open": {}, "days": {}, "max": None}
         open_s = {k: v for k, v in st["open"].items()}   # _ukey(user) → [s, e, day]
         days = {int(k): v for k, v in st["days"].items()}  # day → [n, [[t, d], …]]
+        # earlier PENDING sessions per user (ADVICE r13 #1): sorted by
+        # start, mutually gap-separated, all strictly before the user's
+        # carried session. Kept in state until end + gap_ms < watermark
+        # so a chaining straggler in a later micro-batch can still merge
+        # — the eager close previously split one batch-semantics session
+        # in two. Additive blob key: version-2 blobs without it load as
+        # "no pending stragglers".
+        strag = {
+            k: [list(x) for x in v] for k, v in st.get("strag", {}).items()
+        }
+        close_at = st.get("close_at")  # pending close barrier (r13 #4)
         mx = st["max"]
+
+        def strag_add(uk, sess):
+            lst = strag.setdefault(uk, [])
+            lst.append(sess)
+            lst.sort(key=lambda x: x[0])
+            merged = []
+            for x in lst:
+                if merged and x[0] - merged[-1][1] <= gap_ms:
+                    merged[-1][1] = max(merged[-1][1], x[1])
+                else:
+                    merged.append(x)
+            strag[uk] = merged
         # Watermark at batch start: rows at/below it are dropped BEFORE
         # sessionization (a late event anchored to an already-emitted day
         # would otherwise recreate the day in state and double-emit it).
@@ -1430,11 +1499,11 @@ def peak_concurrency_stream(
         parts = [pdf[[user_col, ts_col]] for pdf in pdfs]
         parts = [p for p in parts if len(p)]
         b = pd.concat(parts, ignore_index=True) if parts else None
-        flush = False
         if b is not None and flush_on_close:
             m = b[ts_col].notna() & (b[ts_col] >= FLUSH_SENTINEL_TS)
             if m.any():
-                flush = True
+                bar = int(b.loc[m, ts_col].max()) - FLUSH_SENTINEL_TS
+                close_at = bar if close_at is None else max(close_at, bar)
                 b = b[~m]
         if b is not None:
             b = b.dropna()
@@ -1482,16 +1551,22 @@ def peak_concurrency_stream(
                 if cur is None:
                     cur = [s, e, s // day_ms]
                 elif s - cur[1] > gap_ms:
-                    close(cur)
+                    # the carried session LOOKS complete, but its
+                    # end + gap_ms may still be at/above the watermark —
+                    # park it as pending so a chaining straggler in a
+                    # later micro-batch can still merge (ADVICE r13);
+                    # the watermark close below emits it once eligible
+                    strag_add(uk, cur)
                     cur = [s, e, s // day_ms]
                 elif cur[0] - e > gap_ms:
                     # In-horizon straggler group STRICTLY before the
                     # carried session with a real gap on both sides: an
-                    # earlier, complete session of its own (eager-close,
-                    # like the watermark close below); the carried
-                    # session is untouched. Only reachable when late_ms
-                    # admits events below the stored session start.
-                    close([s, e, s // day_ms])
+                    # earlier session of its own — pending, not
+                    # eager-closed (same watermark eligibility as any
+                    # close); the carried session is untouched. Only
+                    # reachable when late_ms admits events below the
+                    # stored session start.
+                    strag_add(uk, [s, e, s // day_ms])
                 else:
                     # Chains with the carried session — overlap, or
                     # within gap_ms on either side. A group below the
@@ -1510,13 +1585,42 @@ def peak_concurrency_stream(
             if prev_uk is not None:
                 open_s[prev_uk] = cur
 
+        # a downward-extended carried session may now chain with its
+        # user's pending tail(s) — absorb them (batch semantics: one
+        # session); pending lists stay strictly below the carried start
+        for uk in list(strag):
+            cur = open_s.get(uk)
+            lst = strag[uk]
+            if cur is not None:
+                while lst and cur[0] - lst[-1][1] <= gap_ms:
+                    tail = lst.pop()
+                    if tail[0] < cur[0]:
+                        cur[0], cur[2] = tail[0], tail[2]
+                    cur[1] = max(cur[1], tail[1])
+            if not lst:
+                del strag[uk]
+
         out = []
         if mx is not None:
             wm = mx - late_ms
-            # gap-close sessions no future event can extend
+            # gap-close sessions no future event can extend — pending
+            # stragglers under the SAME eligibility gate as open ones
+            for uk in list(strag):
+                keep = []
+                for sess in strag[uk]:
+                    if sess[1] + gap_ms < wm:
+                        close(sess)
+                    else:
+                        keep.append(sess)
+                if keep:
+                    strag[uk] = keep
+                else:
+                    del strag[uk]
             for uk in [k for k, v in open_s.items() if v[1] + gap_ms < wm]:
                 close(open_s.pop(uk))
-            anchored = {v[2] for v in open_s.values()}
+            anchored = {v[2] for v in open_s.values()} | {
+                x[2] for lst in strag.values() for x in lst
+            }
             for d in sorted(days):
                 if (d + 1) * day_ms <= wm and d not in anchored:
                     n, bounds = days.pop(d)
@@ -1529,9 +1633,17 @@ def peak_concurrency_stream(
                         {**dict(zip(emit_keys, key)), "day": d,
                          "n_sessions": n, "peak_concurrent": peak}
                     )
-        if flush:
-            # FINALIZE (sentinel seen): gap-close every open session,
-            # emit every pending day, clear state — batch parity.
+        if close_at is not None and (
+            close_at <= 0 or (mx is not None and mx >= close_at)
+        ):
+            # FINALIZE (close barrier reached — r13 #4: a sentinel that
+            # outran late-staged data parks `close_at` and lands here in
+            # the batch carrying the last data row): gap-close every
+            # pending and open session, emit every pending day, clear
+            # state — batch parity.
+            for uk in list(strag):
+                for sess in strag.pop(uk):
+                    close(sess)
             for uk in list(open_s):
                 close(open_s.pop(uk))
             for d in sorted(days):
@@ -1545,9 +1657,10 @@ def peak_concurrency_stream(
                     {**dict(zip(emit_keys, key)), "day": d,
                      "n_sessions": n, "peak_concurrent": peak}
                 )
+            close_at = None
         state.update((_dump_state_blob(
             {"open": open_s, "days": {str(k): v for k, v in days.items()},
-             "max": mx},
+             "max": mx, "strag": strag, "close_at": close_at},
             ver,
         ),))
         yield pd.DataFrame(out, columns=out_cols)
@@ -1640,17 +1753,36 @@ def session_spans_stream(
         else:
             st = {"open": {}, "max": None}
         open_s = {k: v for k, v in st["open"].items()}  # _ukey(user) → [s, e]
+        # pending earlier sessions per user + pending close barrier —
+        # same contract as peak_concurrency_stream (ADVICE r13 #1,
+        # VERDICT r13 #4); additive version-2 blob keys
+        strag = {
+            k: [list(x) for x in v] for k, v in st.get("strag", {}).items()
+        }
+        close_at = st.get("close_at")
         mx = st["max"]
         wm_in = None if mx is None else mx - late_ms
+
+        def strag_add(uk, sess):
+            lst = strag.setdefault(uk, [])
+            lst.append(sess)
+            lst.sort(key=lambda x: x[0])
+            merged = []
+            for x in lst:
+                if merged and x[0] - merged[-1][1] <= gap_ms:
+                    merged[-1][1] = max(merged[-1][1], x[1])
+                else:
+                    merged.append(x)
+            strag[uk] = merged
 
         parts = [pdf[[user_col, ts_col]] for pdf in pdfs]
         parts = [p for p in parts if len(p)]
         b = pd.concat(parts, ignore_index=True) if parts else None
-        flush = False
         if b is not None and flush_on_close:
             m = b[ts_col].notna() & (b[ts_col] >= FLUSH_SENTINEL_TS)
             if m.any():
-                flush = True
+                bar = int(b.loc[m, ts_col].max()) - FLUSH_SENTINEL_TS
+                close_at = bar if close_at is None else max(close_at, bar)
                 b = b[~m]
         if b is not None:
             b = b.dropna()
@@ -1684,7 +1816,6 @@ def session_spans_stream(
             mx = mx_batch if mx is None else max(mx, mx_batch)
             prev_uk = None
             cur = None
-            closed = []
             for s_i, e_i in zip(starts, ends):
                 uk = _typed_state_key(u_arr[s_i])
                 s, e = int(t_arr[s_i]), int(t_arr[e_i])
@@ -1696,14 +1827,19 @@ def session_spans_stream(
                 if cur is None:
                     cur = [s, e]
                 elif s - cur[1] > gap_ms:
-                    closed.append(cur)
+                    # looks complete, but may still be extendable by a
+                    # later-batch straggler — park as pending; the
+                    # watermark close below emits it once
+                    # end + gap_ms < wm (ADVICE r13)
+                    strag_add(uk, cur)
                     cur = [s, e]
                 elif cur[0] - e > gap_ms:
                     # Straggler group strictly before the carried
-                    # session with a real gap: an earlier, complete
-                    # session — close it; carried session untouched
-                    # (ADVICE r12; mirrors peak_concurrency_stream).
-                    closed.append([s, e])
+                    # session with a real gap: an earlier session of
+                    # its own — pending, same watermark eligibility;
+                    # carried session untouched (mirrors
+                    # peak_concurrency_stream).
+                    strag_add(uk, [s, e])
                 else:
                     # Chains with the carried session: a group below
                     # the stored start extends the start downward so
@@ -1714,27 +1850,63 @@ def session_spans_stream(
                     cur[1] = max(cur[1], e)
             if prev_uk is not None:
                 open_s[prev_uk] = cur
-        else:
-            closed = []
 
-        out = [
-            {"day": s // day_ms, "session_start": s, "session_end": e}
-            for s, e in closed
-        ]
+        # absorb pending tails that a downward-extended carried session
+        # now chains with (one batch-semantics session, not two)
+        for uk in list(strag):
+            cur = open_s.get(uk)
+            lst = strag[uk]
+            if cur is not None:
+                while lst and cur[0] - lst[-1][1] <= gap_ms:
+                    tail = lst.pop()
+                    if tail[0] < cur[0]:
+                        cur[0] = tail[0]
+                    cur[1] = max(cur[1], tail[1])
+            if not lst:
+                del strag[uk]
+
+        out = []
         if mx is not None:
             wm = mx - late_ms
+            for uk in list(strag):
+                keep = []
+                for s, e in strag[uk]:
+                    if e + gap_ms < wm:
+                        out.append(
+                            {"day": s // day_ms, "session_start": s,
+                             "session_end": e}
+                        )
+                    else:
+                        keep.append([s, e])
+                if keep:
+                    strag[uk] = keep
+                else:
+                    del strag[uk]
             for uk in [k for k, v in open_s.items() if v[1] + gap_ms < wm]:
                 s, e = open_s.pop(uk)
                 out.append(
                     {"day": s // day_ms, "session_start": s, "session_end": e}
                 )
-        if flush:
+        if close_at is not None and (
+            close_at <= 0 or (mx is not None and mx >= close_at)
+        ):
+            # close barrier reached (r13 #4) — final flush
+            for uk in list(strag):
+                for s, e in strag.pop(uk):
+                    out.append(
+                        {"day": s // day_ms, "session_start": s,
+                         "session_end": e}
+                    )
             for uk in list(open_s):
                 s, e = open_s.pop(uk)
                 out.append(
                     {"day": s // day_ms, "session_start": s, "session_end": e}
                 )
-        state.update((_dump_state_blob({"open": open_s, "max": mx}, ver),))
+            close_at = None
+        state.update((_dump_state_blob(
+            {"open": open_s, "max": mx, "strag": strag, "close_at": close_at},
+            ver,
+        ),))
         yield pd.DataFrame(out, columns=out_cols)
 
     return src.groupBy("__shard").applyInPandasWithState(
@@ -1824,19 +1996,29 @@ def window_funnel_stream(
             # retired anchor instant must not re-anchor (one row per
             # anchor, ever — the emission contract).
             T.StructField("hw", T.LongType(), True),
+            # event-time high mark + pending close barrier (VERDICT r13
+            # #4): a close_stream sentinel parks its barrier in `cl` and
+            # the flush fires once `hm` reaches it — ordering-proof
+            # under maxFilesPerTrigger splits. Barrier-era layout;
+            # restart pre-barrier checkpoints fresh.
+            T.StructField("hm", T.LongType(), True),
+            T.StructField("cl", T.LongType(), True),
         ]
     )
     out_cols = [f.name for f in out_schema.fields]
 
     def fn(key, pdfs, state):
         rows = []
-        flush = False
+        close_req = None
         for pdf in pdfs:
             for t, ty in zip(pdf[ts_col], pdf[type_col]):
                 if t is not None and not pd.isna(t):
                     t = int(t)
                     if flush_on_close and t >= FLUSH_SENTINEL_TS:
-                        flush = True
+                        bar = t - FLUSH_SENTINEL_TS
+                        close_req = (
+                            bar if close_req is None else max(close_req, bar)
+                        )
                     else:
                         rows.append((t, ty))
         rows.sort(key=lambda r: r[0])
@@ -1846,9 +2028,17 @@ def window_funnel_stream(
                 for a, ct, d in zip(state.get[0], state.get[1], state.get[2])
             }
             hw = state.get[3]
+            hm = state.get[4]
+            cl = state.get[5]
         else:
             pend = {}
             hw = None
+            hm = None
+            cl = None
+        if rows:
+            hm = rows[-1][0] if hm is None else max(hm, rows[-1][0])
+        if close_req is not None:
+            cl = close_req if cl is None else max(cl, close_req)
         out = []
 
         def emit(a, depth):
@@ -1884,18 +2074,23 @@ def window_funnel_stream(
                     emit(T_, 1)
                 else:
                     pend[T_] = [T_, 1]
-        if flush:
-            # FINALIZE (sentinel seen): retire every pending anchor at
-            # its current depth and clear state — batch parity.
+        if cl is not None and (cl <= 0 or (hm is not None and hm >= cl)):
+            # FINALIZE (barrier reached): retire every pending anchor at
+            # its current depth and clear state — batch parity. A
+            # sentinel that outran late-staged data parks above and
+            # lands here in the batch carrying the last data row.
             for a in sorted(pend):
                 emit(a, pend[a][1])
             pend = {}
+            cl = None
         state.update(
             (
                 list(pend),
                 [v[0] for v in pend.values()],
                 [v[1] for v in pend.values()],
                 hw,
+                hm,
+                cl,
             )
         )
         yield pd.DataFrame(out, columns=out_cols)
