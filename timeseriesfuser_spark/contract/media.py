@@ -244,3 +244,93 @@ def q_pixel_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("media_id").cast("long").alias("canonical_id"),
         F.max("n_bits").cast("long").alias("n_bits"),
     )
+
+
+def _pixel_phash_oracle() -> str:
+    """DuckDB twin of the integer pHash path (VERDICT r13 #5). The
+    registered query feeds the same synthesized P5 payload as
+    ``pixel_ahash_dedup`` (8×8 raster = the doc's md5 hex twice), so
+    every pixel is ``ascii(md5[i % 32])``. The engine's pipeline —
+    nearest-neighbor 8→32 upsample, Q20 integer DCT
+    (``ops.multimodal.phash_dct_table``), top-left 8×8 minus DC, median
+    threshold — is EXACT integer arithmetic, so the oracle re-derives
+    each of the 63 low-band coefficients as a 32-term integer linear
+    form over the md5 chars: the 4×4 pixel blocks of the upsample
+    collapse the 32×32 DCT row-sums into B[u,i] = Σ_{x∈block i}
+    A32[u,x], and the raster's md5 repetition folds (i,j) and (i+4,j)
+    into one weight per md5 position. Median of 63 ints =
+    list_sort(...)[32]; bits are strict '>' comparisons — all exact."""
+    import numpy as np
+
+    from timeseriesfuser_spark.ops.multimodal import phash_dct_table
+
+    A = phash_dct_table(32)[:8]  # only the first 8 frequency rows used
+    B = A.reshape(8, 8, 4).sum(axis=2)  # B[u, i] = Σ_{x in 4-block i}
+    # weight of md5 position m in coefficient (u, v): rows m//8 and
+    # m//8+4 of the 8×8 raster both read md5 char m%... (position
+    # p = i*8+j reads md5[p % 32], so i and i+4 share chars)
+    pl = ", ".join(f"ascii(substr(hx, {m + 1}, 1))" for m in range(32))
+    coefs = []
+    for u in range(8):
+        for v in range(8):
+            if u == 0 and v == 0:
+                continue
+            terms = []
+            for m in range(32):
+                i, j = m // 8, m % 8
+                w = int((B[u, i] + B[u, i + 4]) * B[v, j])
+                if w:
+                    terms.append(f"({w})*pl[{m + 1}]")
+            coefs.append(" + ".join(terms) if terms else "0")
+    clist = ", ".join(coefs)
+    bits = " + ".join(
+        f"(CASE WHEN l[{b + 1}] > med THEN {1 << b} ELSE 0 END)"
+        for b in range(63)
+    )
+    return f"""
+    WITH x AS (SELECT doc_id, md5(text) AS hx FROM documents
+               WHERE text IS NOT NULL),
+    p AS (SELECT doc_id, [{pl}] AS pl FROM x),
+    c AS (SELECT doc_id, [{clist}] AS l FROM p),
+    m AS (SELECT doc_id, l, list_sort(l)[32] AS med FROM c),
+    h AS (SELECT doc_id, CAST({bits} AS BIGINT) AS phash FROM m)
+    SELECT phash,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(bit_count(phash) AS BIGINT) AS n_bits
+    FROM h GROUP BY phash
+    """
+
+
+@register("pixel_phash_dedup", oracle=_pixel_phash_oracle())
+def q_pixel_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT-pHash perceptual dedup on the REAL decode path (VERDICT r13
+    #5): the ``pixel_ahash_dedup`` P5 payload synthesis feeds
+    ``ops.multimodal.pixel_phash`` — bytes → netpbm decode → 8→32
+    nearest upsample → Q20 integer DCT → low-band median threshold —
+    one Arrow ``mapInPandas`` pass, then a 24-byte-row rollup. Where
+    aHash thresholds pixels at the mean (high-frequency jitter flips
+    bits), pHash thresholds low-frequency structure — brightness/
+    contrast-shifted re-encodes collapse to one class (pinned by the
+    invariance tests in tests/test_pixel_phash.py)."""
+    from timeseriesfuser_spark.ops.multimodal import pixel_phash
+    from timeseriesfuser_spark.ops.util import spread_small_input
+
+    docs = spread_small_input(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    md = F.md5(F.encode(F.col("text"), "UTF-8"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.encode(F.lit("P5\n8 8\n255\n"), "UTF-8"),
+            F.encode(md, "UTF-8"),
+            F.encode(md, "UTF-8"),
+        ).alias("content"),
+    )
+    h = pixel_phash(media)
+    return h.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.min("media_id").cast("long").alias("canonical_id"),
+        F.max("n_bits").cast("long").alias("n_bits"),
+    )

@@ -461,6 +461,110 @@ def pixel_ahash(
     return df.mapInPandas(batches, schema=_PIXEL_AHASH_SCHEMA)
 
 
+#: Fixed-point scale of the integer DCT table used by
+#: :func:`pixel_phash` (Q20: round(α·cos) · 2²⁰). Integer weights make
+#: the whole hash EXACT integer arithmetic — reproducible bit-for-bit in
+#: any engine with 64-bit ints (the repo-wide determinism stance that
+#: makes DuckDB oracles possible), the same practice as JPEG's integer
+#: DCT. Precision loss vs the float DCT is ~1e-6 relative — far below
+#: any perceptual margin.
+PHASH_DCT_SCALE = 1 << 20
+
+
+def phash_dct_table(n: int) -> "np.ndarray":
+    """The Q20 orthonormal DCT-II matrix: ``A[u, x] = round(2²⁰ · α(u) ·
+    cos((2x+1)uπ / 2n))`` with α(0)=√(1/n), α(u>0)=√(2/n). Shared by the
+    engine op and the oracle generator (contract/media.py) so both sides
+    compute the SAME integers."""
+    u = np.arange(n)[:, None].astype(np.float64)
+    x = np.arange(n)[None, :].astype(np.float64)
+    a = np.cos((2 * x + 1) * u * np.pi / (2 * n))
+    a *= np.where(u == 0, np.sqrt(1.0 / n), np.sqrt(2.0 / n))
+    return np.rint(a * PHASH_DCT_SCALE).astype(np.int64)
+
+
+_PIXEL_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("n_bits", T.LongType(), True),
+    ]
+)
+
+
+def pixel_phash(
+    df: DataFrame,
+    *,
+    dct_size: int = 32,
+    k: int = 8,
+    decode_fn: Optional[Callable[[bytes], "np.ndarray"]] = None,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """DCT perceptual hash (pHash) from REAL decoded pixels — bytes →
+    decode → integer grayscale (channel sum) → ``dct_size``² nearest-
+    neighbor downsample → integer 2-D DCT-II (Q20 table,
+    :func:`phash_dct_table`) → top-left ``k``×``k`` low-frequency block
+    minus the DC term → threshold at the MEDIAN → ``k²−1``-bit
+    fingerprint — one Arrow-batched ``mapInPandas`` pass (VERDICT r13
+    #5).
+
+    Where :func:`pixel_ahash` thresholds raw pixels at their mean (so
+    any high-frequency jitter near the mean flips bits), pHash
+    thresholds low-frequency STRUCTURE: gain/offset shifts and
+    high-frequency noise leave the low-band DCT sign pattern intact.
+    Exact invariances of this integer formulation: contrast scaling by
+    any positive integer (all coefficients and the median scale
+    together), P5 vs P6 re-encodings of the same gray content (channel
+    sum = 3× scale), header comments/padding; brightness offsets touch
+    non-DC coefficients only through the Q20 rounding residue of
+    Σcos ≈ 0 — orders of magnitude below structural coefficients.
+
+    All arithmetic is exact int64 (coefficients bounded by
+    dct_size²·765·2⁴⁰ < 2⁶⁰ at the defaults; the median of an odd count
+    of ints is an element, not an average), so a SQL oracle reproduces
+    the hash exactly. ``k²−1 ≤ 63`` keeps the hash a non-negative
+    BIGINT. Decode contract and null handling as :func:`pixel_ahash`.
+    Output (media_id, phash, n_bits); the binary dies inside the UDF.
+    """
+    n = int(dct_size)
+    kk = int(k)
+    if not 2 <= kk <= 8:
+        raise ValueError(f"k must be in [2, 8] to fit BIGINT: {k}")
+    if n < kk:
+        raise ValueError(f"dct_size ({n}) must be >= k ({kk})")
+    A = phash_dct_table(n)
+    nbits = kk * kk - 1
+    weights = (np.uint64(1) << np.arange(nbits, dtype=np.uint64))
+
+    def one(b):
+        if b is None:
+            return None, None
+        arr = decode_image(bytes(b), decode_fn=decode_fn)
+        if arr.ndim == 3:
+            arr = arr.sum(axis=2)
+        px = np.rint(resize_nearest(arr, n, n)).astype(np.int64)
+        coef = A @ px @ A.T
+        low = coef[:kk, :kk].reshape(-1)[1:]  # row-major, DC dropped
+        med = int(np.sort(low)[(nbits - 1) // 2])
+        bits = low > med
+        h = int(bits.astype(np.uint64) @ weights)
+        return h, int(bits.sum())
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pairs = [one(b) for b in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "phash": pd.array([p[0] for p in pairs], dtype="Int64"),
+                    "n_bits": pd.array([p[1] for p in pairs], dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=_PIXEL_PHASH_SCHEMA)
+
+
 def image_ahash(
     features_df: DataFrame,
     *,
