@@ -829,3 +829,45 @@ def test_set_similarity_bound_filter_stays_in_codegen(spark):
     # the shingle array), which appear with the `shingle`/`lambda b`
     # shape — so specifically forbid zip_with, the pair-side marker
     assert "zip_with" not in plan
+
+
+def test_tpcds_q64_preaggregates_before_fact_fact_join(spark):
+    """Q64-shape gate (VERDICT r13 #6a): the canonical three-fact-
+    instance chain must collapse to ONE conditional-aggregation pass per
+    self-join side — so exactly TWO lineitem scans (not three fact
+    slices), exactly ONE row-grain-free SortMergeJoin (the (customer,
+    year) self-join of aggregated outputs), and the aggregates sitting
+    below it. The only joins touching raw lineitem rows are the
+    fact-dimension orderkey joins."""
+    import re
+
+    plan = formatted_plan(
+        contract.QUERIES["tpcds_q64_repeat_purchases"](spark, SF)
+    )
+    assert plan.count("lineitem.parquet") == 2
+    assert plan.count("orders.parquet") == 2
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 1
+
+
+def test_sessionize_native_parity_and_plan(spark):
+    """session_window twin gate (VERDICT r13 #6c): the native form must
+    (a) agree row-for-row with the lag+cumsum formulation, and (b) plan
+    as ONE keyed Exchange feeding a MergingSessions pass — one
+    full-relation pass emitting session rows, vs the lag+cumsum form's
+    two per-event Window passes + aggregation on the same Exchange. The
+    idx window touches only the session-grain rows."""
+    import re
+
+    native = contract.QUERIES["sessionize_30m_native"](spark, SF)
+    legacy = contract.QUERIES["sessionize_30m"](spark, SF)
+    # plans BEFORE execution: post-collect explain adds AQE's final-plan
+    # section and every node would count twice
+    plan = formatted_plan(native)
+    legacy_plan = formatted_plan(legacy)
+    assert "MergingSessions" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", legacy_plan)) >= 2  # the cost it saves
+    a = {tuple(r) for r in native.collect()}
+    b = {tuple(r) for r in legacy.collect()}
+    assert a == b and len(a) > 0

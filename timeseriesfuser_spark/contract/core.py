@@ -930,3 +930,130 @@ def q_streaming_resample_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_cols=["event_id"],
     )
     return _run_availablenow_to_memory(agg, "sr2d")
+
+
+_NEAR_TOL = 10 * 60 * 1000  # 10 min audit tolerance
+
+
+@register(
+    "asof_tolerance_audit",
+    oracle=f"""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, user_id, event_type, value
+                FROM events),
+    l AS (SELECT t AS __timestamp, event_id, user_id FROM ev
+          WHERE event_type IN ('click', 'view')),
+    r AS (SELECT user_id, t AS __timestamp
+          FROM (SELECT user_id, t,
+                       row_number() OVER (PARTITION BY user_id, t
+                                          ORDER BY event_id DESC) AS rn
+                FROM ev WHERE event_type NOT IN ('click', 'view'))
+          WHERE rn = 1),
+    j AS (SELECT l.user_id, l.__timestamp, n.__timestamp AS rt
+          FROM l LEFT JOIN LATERAL (
+              SELECT r.__timestamp
+              FROM r WHERE r.user_id IS NOT DISTINCT FROM l.user_id
+                AND abs(r.__timestamp - l.__timestamp) <= {_NEAR_TOL}
+              ORDER BY abs(r.__timestamp - l.__timestamp), r.__timestamp
+              LIMIT 1
+          ) n ON TRUE)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(rt) AS BIGINT) AS n_matched,
+           CAST(coalesce(sum(abs(rt - __timestamp)), 0) AS BIGINT)
+               AS sum_abs_delta_ms
+    FROM j GROUP BY user_id
+    """,
+)
+def q_asof_tolerance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped as-of TOLERANCE audit (VERDICT r13 #6b): every click/view
+    event nearest-joined to the user's transaction stream within a
+    10-minute tolerance (operators.asof direction='nearest',
+    tolerance_ms — the per-side in-tolerance filter runs BEFORE the
+    distance pick, = pandas.merge_asof's nearest-within-tolerance), then
+    rolled up per user into the data-quality numbers an alignment
+    pipeline monitors: event count, matched count, summed |Δts| of the
+    matches (exact integer ms). Oracle = DuckDB LATERAL min-|Δ| probe
+    with the tolerance inside the probe. Same single-keyed-Exchange
+    cost class as the nearest join; the audit adds one aggregation at
+    the already-keyed grain."""
+    from timeseriesfuser_spark.operators.asof import asof_join
+
+    left, right = _asof_streams(spark, sf_dir, "quote_value")
+    joined = asof_join(
+        left,
+        right.select("user_id", "__timestamp", "quote_value"),
+        keys=["user_id"],
+        right_cols=["quote_value"],
+        direction="nearest",
+        tolerance_ms=_NEAR_TOL,
+    )
+    rt = F.col("__timestamp_right")
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count(rt).cast("long").alias("n_matched"),
+        F.coalesce(
+            F.sum(F.abs(rt - F.col("__timestamp"))), F.lit(0)
+        ).cast("long").alias("sum_abs_delta_ms"),
+    )
+
+
+@register(
+    "sessionize_30m_native",
+    oracle=f"""
+    WITH ev AS (SELECT epoch_ms(ts) AS t, event_id, user_id FROM events),
+    flagged AS (
+        SELECT user_id, t, event_id,
+               CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > {_GAP}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    sess AS (
+        SELECT user_id, t,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, session_idx,
+           min(t) AS session_start, max(t) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def q_sessionize_30m_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` twin of ``sessionize_30m`` (VERDICT r13
+    #6c): the same gap-session semantics expressed through Spark's
+    built-in session-window aggregation instead of the lag+cumsum window
+    pair. Gap is ``{_GAP}+1 ms`` because ``session_window`` merges on
+    STRICT overlap (next < end + gap) while the contract (and the
+    reference's interval semantics) merges at exactly gap_ms, too.
+    ``session_idx`` is re-derived by numbering the per-user session
+    rows by start — a window over the already-aggregated (tiny) grain.
+
+    Which formulation wins at scale (measured in
+    tests/test_plan_quality.py::test_sessionize_native_parity_and_plan):
+    both shuffle once on user; the lag+cumsum form then runs two window
+    passes over EVERY EVENT plus a hash aggregation, while the native
+    form sorts once and merges sessions in a single pass emitting one
+    row per session — fewer full-relation passes, and the idx window
+    touches only session rows. The native form is the better plan; the
+    lag+cumsum form remains the portable oracle shape."""
+    ev = _events(spark, sf_dir).select(
+        F.col("ts").alias("t"), "event_id", "user_id"
+    )
+    sw = F.session_window(
+        F.timestamp_millis(F.col("t")), f"{_GAP + 1} milliseconds"
+    )
+    agg = ev.groupBy("user_id", sw).agg(
+        F.min("t").alias("session_start"),
+        F.max("t").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    iw = Window.partitionBy("user_id").orderBy("session_start")
+    return agg.select(
+        "user_id",
+        F.row_number().over(iw).cast("long").alias("session_idx"),
+        "session_start",
+        "session_end",
+        "n_events",
+    )

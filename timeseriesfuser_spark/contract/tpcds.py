@@ -1747,3 +1747,80 @@ def q_tpcds_q44_best_worst(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk", "best_partkey", "best_revenue",
         "worst_partkey", "worst_revenue",
     )
+
+
+@register(
+    "tpcds_q64_repeat_purchases",
+    oracle=f"""
+    WITH j AS (
+        SELECT o.o_custkey AS c, year(o.o_orderdate) AS y,
+               l.l_returnflag AS rf, {_REV4} AS r4
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    s AS (SELECT c, y, sum(r4) AS s4, count(*) AS n FROM j
+          WHERE rf <> 'R' GROUP BY 1, 2),
+    r AS (SELECT c, y, sum(r4) AS s4, count(*) AS n FROM j
+          WHERE rf = 'R' GROUP BY 1, 2)
+    SELECT CAST(s1.c AS BIGINT) AS custkey,
+           CAST(s1.y AS BIGINT) AS year1,
+           CAST(s1.s4 AS DOUBLE) / 10000 AS y1_sales,
+           CAST(r.s4 AS DOUBLE) / 10000 AS y1_returned,
+           CAST(r.n AS BIGINT) AS n_returns,
+           CAST(s2.s4 AS DOUBLE) / 10000 AS y2_sales
+    FROM s s1
+    JOIN r  ON s1.c = r.c AND s1.y = r.y
+    JOIN s s2 ON s1.c = s2.c AND s2.y = s1.y + 1
+    """,
+)
+def q_tpcds_q64_repeat_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q64-shape — the registry's first FACT-FACT-FACT plan
+    (VERDICT r13 #6a): customers who bought AND returned in year Y and
+    still bought in year Y+1, with the money of all three fact slices
+    (canonical Q64 chains store_sales ⋈ store_returns ⋈ a second-year
+    sales instance through the item/customer dimension chain; here the
+    two fact slices are the lineitem return-flag split and the
+    dimension chain is orders = customer + year).
+
+    The plan idiom under gate (test_plan_quality): the canonical
+    three-fact-instance join is rewritten as ONE conditional
+    aggregation pass over the fact-dimension join — sales and returns
+    become `sum(CASE)` columns at the (customer, year) grain — followed
+    by a single self-join of the AGGREGATED relation on (c, y+1). No
+    fact-fact join ever happens at row grain: the only joins touching
+    raw lineitem rows are fact-dimension (orderkey), and the (c, y)
+    self-join sees two already-aggregated inputs — the shape that holds
+    at 10⁹ customers where the canonical form's row-grain fact-fact
+    join would shuffle the fact three times."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        o["o_custkey"].alias("c"),
+        F.year(o["o_orderdate"]).alias("y"),
+        li["l_returnflag"].alias("rf"),
+        _rev4_col().alias("r4"),
+    )
+    isr = F.col("rf") == "R"
+    a = j.groupBy("c", "y").agg(
+        F.sum(F.when(~isr, F.col("r4"))).alias("s4_sales"),
+        F.count(F.when(~isr, F.lit(1))).alias("n_sales"),
+        F.sum(F.when(isr, F.col("r4"))).alias("s4_ret"),
+        F.count(F.when(isr, F.lit(1))).alias("n_ret"),
+    )
+    y1 = a.filter((F.col("n_sales") > 0) & (F.col("n_ret") > 0)).select(
+        "c", "y", "s4_sales", "s4_ret", "n_ret"
+    )
+    y2 = a.filter(F.col("n_sales") > 0).select(
+        F.col("c").alias("c2"),
+        (F.col("y") - 1).alias("y1m"),
+        F.col("s4_sales").alias("s4_next"),
+    )
+    return y1.join(
+        y2, (F.col("c") == F.col("c2")) & (F.col("y") == F.col("y1m"))
+    ).select(
+        F.col("c").cast("long").alias("custkey"),
+        F.col("y").cast("long").alias("year1"),
+        (F.col("s4_sales").cast("double") / 10000).alias("y1_sales"),
+        (F.col("s4_ret").cast("double") / 10000).alias("y1_returned"),
+        F.col("n_ret").cast("long").alias("n_returns"),
+        (F.col("s4_next").cast("double") / 10000).alias("y2_sales"),
+    )
