@@ -146,3 +146,50 @@ def test_rotation_floor_constant():
 
     assert rot.next_round(root="/nonexistent") == rot.FIRST_ROTATION_ROUND
     assert rot.FIRST_ROTATION_ROUND == 13
+
+
+def test_hamming_pairs_matches_brute_force(spark):
+    """Generic pigeonhole hamming join (r20): exact vs the all-pairs
+    brute force on random 48-bit hashes, across budgets."""
+    import itertools
+    import random
+
+    from timeseriesfuser_spark.ops.dedup import hamming_pairs
+
+    rng = random.Random(3)
+    base = [rng.getrandbits(48) for _ in range(60)]
+    # plant near-twins at controlled distances
+    rows = [(i, h) for i, h in enumerate(base)]
+    for d in (1, 2, 3, 4):
+        h = base[d] ^ sum(1 << (3 * j) for j in range(d))
+        rows.append((100 + d, h))
+    rows.append((200, None))  # null never pairs
+    df = spark.createDataFrame(rows, "id long, h long")
+    for mh in (2, 4):
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hamming_pairs(
+                df, hash_col="h", id_col="id", bits=48, max_hamming=mh,
+                cache=False,
+            ).collect()
+        }
+        want = set()
+        vals = [(i, h) for i, h in rows if h is not None]
+        for (ia, ha), (ib, hb) in itertools.combinations(vals, 2):
+            d = bin(ha ^ hb).count("1")
+            if d <= mh:
+                a, b = sorted((ia, ib))
+                want.add((a, b, d))
+        assert got == want and got  # nonempty by construction
+
+
+def test_hamming_pairs_validation(spark):
+    import pytest as _pytest
+
+    from timeseriesfuser_spark.ops.dedup import hamming_pairs
+
+    df = spark.createDataFrame([(1, 5)], "id long, h long")
+    with _pytest.raises(ValueError, match="bits"):
+        hamming_pairs(df, hash_col="h", id_col="id", bits=65)
+    with _pytest.raises(ValueError, match="max_hamming"):
+        hamming_pairs(df, hash_col="h", id_col="id", bits=4, max_hamming=4)

@@ -260,15 +260,27 @@ def _pixel_phash_oracle() -> str:
     A32[u,x], and the raster's md5 repetition folds (i,j) and (i+4,j)
     into one weight per md5 position. Median of 63 ints =
     list_sort(...)[32]; bits are strict '>' comparisons — all exact."""
-    import numpy as np
+    return f"""
+    WITH h AS ({_phash_select("md5(text)")})
+    SELECT phash,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(bit_count(phash) AS BIGINT) AS n_bits
+    FROM h GROUP BY phash
+    """
 
+
+def _phash_select(hx_expr: str) -> str:
+    """SELECT doc_id, phash FROM documents — the integer-pHash core over
+    the P5 raster ``hx || hx`` where hx = ``hx_expr`` (a 32-char
+    expression); shared by the dedup-rollup and hamming-pair oracles."""
     from timeseriesfuser_spark.ops.multimodal import phash_dct_table
 
     A = phash_dct_table(32)[:8]  # only the first 8 frequency rows used
     B = A.reshape(8, 8, 4).sum(axis=2)  # B[u, i] = Σ_{x in 4-block i}
-    # weight of md5 position m in coefficient (u, v): rows m//8 and
-    # m//8+4 of the 8×8 raster both read md5 char m%... (position
-    # p = i*8+j reads md5[p % 32], so i and i+4 share chars)
+    # weight of raster-hex position m in coefficient (u, v): raster rows
+    # m//8 and m//8+4 both read char m (position p = i*8+j reads
+    # hx[p % 32], so i and i+4 share chars)
     pl = ", ".join(f"ascii(substr(hx, {m + 1}, 1))" for m in range(32))
     coefs = []
     for u in range(8):
@@ -288,17 +300,12 @@ def _pixel_phash_oracle() -> str:
         for b in range(63)
     )
     return f"""
-    WITH x AS (SELECT doc_id, md5(text) AS hx FROM documents
-               WHERE text IS NOT NULL),
-    p AS (SELECT doc_id, [{pl}] AS pl FROM x),
-    c AS (SELECT doc_id, [{clist}] AS l FROM p),
-    m AS (SELECT doc_id, l, list_sort(l)[32] AS med FROM c),
-    h AS (SELECT doc_id, CAST({bits} AS BIGINT) AS phash FROM m)
-    SELECT phash,
-           CAST(count(*) AS BIGINT) AS n_images,
-           CAST(min(doc_id) AS BIGINT) AS canonical_id,
-           CAST(bit_count(phash) AS BIGINT) AS n_bits
-    FROM h GROUP BY phash
+        SELECT doc_id, CAST({bits} AS BIGINT) AS phash
+        FROM (SELECT doc_id, l, list_sort(l)[32] AS med
+              FROM (SELECT doc_id, [{clist}] AS l
+                    FROM (SELECT doc_id, [{pl}] AS pl
+                          FROM (SELECT doc_id, ({hx_expr}) AS hx
+                                FROM documents WHERE text IS NOT NULL))))
     """
 
 
@@ -333,4 +340,71 @@ def q_pixel_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_images"),
         F.min("media_id").cast("long").alias("canonical_id"),
         F.max("n_bits").cast("long").alias("n_bits"),
+    )
+
+
+_PHASH_HAM = 6  # distance budget → 7 pigeonhole chunks of the 63 bits
+
+
+def _phash_hamming_oracle() -> str:
+    """All-pairs ground truth for the pigeonhole join — EQUIVALENT to
+    the engine's blocking because pigeonhole candidate generation is
+    lossless (any pair within the budget agrees on ≥1 whole chunk).
+    Two payload families: each doc's base raster (md5) and a jittered
+    twin (first hex char replaced by 'g' — a 2-pixel perturbation whose
+    resulting bit distance is data-dependent), twins at doc_id + 10⁹."""
+    return f"""
+    WITH h1 AS ({_phash_select("md5(text)")}),
+    h2 AS ({_phash_select("'g' || substr(md5(text), 2, 31)")}),
+    u AS (SELECT doc_id AS id, phash FROM h1
+          UNION ALL
+          SELECT doc_id + 1000000000 AS id, phash FROM h2)
+    SELECT CAST(a.id AS BIGINT) AS id_a,
+           CAST(b.id AS BIGINT) AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM u a JOIN u b
+      ON a.id < b.id
+     AND bit_count(xor(a.phash, b.phash)) <= {_PHASH_HAM}
+    """
+
+
+@register("phash_hamming_dedup", oracle=_phash_hamming_oracle())
+def q_phash_hamming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual NEAR-duplicate pairs: ``ops.dedup.hamming_pairs`` over
+    real-decode-path ``pixel_phash`` values — the pigeonhole chunk join
+    (7 chunks for a ≤6-bit budget, first-agreeing-chunk emission,
+    bit_count verify in codegen, capped buckets) instead of the all-pairs
+    scan the oracle states. The corpus plants nontrivial distances: each
+    document contributes its base P5 raster AND a 2-pixel jittered twin,
+    so pairs span hamming 0 (exact text dups) through the budget edge.
+    At 10⁹ images this is one equi-join on 7·N chunk rows — never N²."""
+    from timeseriesfuser_spark.ops.dedup import hamming_pairs
+    from timeseriesfuser_spark.ops.multimodal import pixel_phash
+    from timeseriesfuser_spark.ops.util import spread_small_input
+
+    docs = spread_small_input(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    md = F.md5(F.encode(F.col("text"), "UTF-8"))
+    md_j = F.concat(F.lit("g"), F.substring(md, 2, 31))
+
+    def payload(hx):
+        return F.concat(
+            F.encode(F.lit("P5\n8 8\n255\n"), "UTF-8"),
+            F.encode(hx, "UTF-8"),
+            F.encode(hx, "UTF-8"),
+        )
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), payload(md).alias("content")
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") + F.lit(1_000_000_000)).alias("media_id"),
+            payload(md_j).alias("content"),
+        )
+    )
+    h = pixel_phash(media)
+    return hamming_pairs(
+        h, hash_col="phash", id_col="media_id", bits=63,
+        max_hamming=_PHASH_HAM,
     )

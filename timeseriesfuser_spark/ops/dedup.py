@@ -1399,6 +1399,96 @@ def simhash_pairs(
     return main.unionByName(star)
 
 
+def hamming_pairs(
+    df: DataFrame,
+    *,
+    hash_col: str = "hash",
+    id_col: str = "id",
+    bits: int = 64,
+    max_hamming: int = 3,
+    cache: bool = True,
+    max_bucket="auto",
+    size_hint: int | None = None,
+) -> DataFrame:
+    """Pairs within Hamming distance ≤ ``max_hamming`` over an ARBITRARY
+    precomputed ``bits``-bit integer hash column — the generic pigeonhole
+    join behind :func:`simhash_pairs`, exposed for hash spaces computed
+    elsewhere (SimHash votes, SRP sketches, :func:`multimodal.pixel_phash`
+    perceptual hashes).
+
+    Pigeonhole blocking (exact, never all-pairs): the hash splits into
+    ``max_hamming + 1`` chunks; a pair within the distance budget must
+    agree on ≥1 whole chunk, so candidate generation is one equi-join on
+    (chunk, chunk-key) with the first-agreeing-chunk bitwise predicate
+    replacing a global distinct; verification is one
+    ``bit_count(a XOR b)`` in the join's codegen. ``max_bucket``
+    (default "auto") drops flooded chunk buckets exactly as in the text
+    ops — identical hashes at web scale (e.g. millions of byte-identical
+    images) belong in exact dedup first. Output (id_a, id_b, hamming),
+    id_a < id_b, hamming as BIGINT. Null hashes never pair.
+    """
+    nchunks = int(max_hamming) + 1
+    bits = int(bits)
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64]: {bits}")
+    if nchunks > bits:
+        raise ValueError(
+            f"max_hamming + 1 ({nchunks}) must be <= bits ({bits})"
+        )
+    chunk = bits // nchunks
+    masks = []
+    for c in range(nchunks):
+        width = chunk if c < nchunks - 1 else bits - chunk * (nchunks - 1)
+        masks.append(((1 << width) - 1) << (c * chunk))
+    src = df.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("sh")
+    )
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.col("sh").bitwiseAND(F.lit(masks[c])).alias("ckey"),
+        )
+        for c in range(nchunks)
+    ]
+    blocks = _maybe_cache(
+        src.select(
+            "id", "sh", F.explode(F.array(*chunk_structs)).alias("cc")
+        ).select(
+            "id", "sh",
+            F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey"),
+        ),
+        cache,
+        materialize=not (cache and max_bucket is not None),
+    )
+    blocks = _cap_buckets(
+        blocks, ["chunk", "ckey"], max_bucket, "hamming_pairs",
+        eager_stats=cache,
+        size_hint=None if size_hint is None else int(size_hint) * nchunks,
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+    first_chunk = F.lit(True)
+    for c in range(1, nchunks):
+        cond = F.lit(True)
+        for c2 in range(c):
+            cond = cond & (xor.bitwiseAND(F.lit(masks[c2])) != 0)
+        first_chunk = F.when(F.col("a.chunk") == c, cond).otherwise(first_chunk)
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey")),
+        )
+        .filter((F.col("a.id") < F.col("b.id")) & first_chunk)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(xor).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     *,
