@@ -193,3 +193,53 @@ def test_hamming_pairs_validation(spark):
         hamming_pairs(df, hash_col="h", id_col="id", bits=65)
     with _pytest.raises(ValueError, match="max_hamming"):
         hamming_pairs(df, hash_col="h", id_col="id", bits=4, max_hamming=4)
+
+
+def test_simhash_and_hamming_defer_to_measured_footprint(spark, monkeypatch, caplog):
+    """The deferred-evidence contract extends to the pigeonhole chunk
+    caches: hint-less derived inputs to simhash_pairs / hamming_pairs
+    skip the persist (loud) when the MEASURED footprint exceeds the
+    budget, with results unchanged."""
+    import logging
+
+    from timeseriesfuser_spark.ops import dedup
+
+    monkeypatch.setattr(dedup, "_storage_budget_bytes", lambda s: 1)
+
+    docs = _derived_docs(spark, n=60).unionByName(
+        spark.createDataFrame(
+            [(1_000_001, "p q r s t"), (1_000_002, "p q r s t")],
+            "doc_id long, text string",
+        )
+    )
+    with caplog.at_level(
+        logging.WARNING, logger="timeseriesfuser_spark.ops.dedup"
+    ):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.simhash_pairs(
+                docs, max_hamming=0, cache=True
+            ).collect()
+        }
+    assert (1_000_001, 1_000_002) in got
+    assert any("persist SKIPPED" in r.message for r in caplog.records)
+
+    caplog.clear()
+    hashes = spark.range(40).selectExpr(
+        "id", "xxhash64(id) AS h"
+    ).unionByName(
+        spark.createDataFrame([(900, 7), (901, 7)], "id long, h long")
+    )
+    assert hashes.inputFiles() == []
+    with caplog.at_level(
+        logging.WARNING, logger="timeseriesfuser_spark.ops.dedup"
+    ):
+        pairs = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup.hamming_pairs(
+                hashes, hash_col="h", id_col="id", max_hamming=2,
+                cache=True,
+            ).collect()
+        }
+    assert (900, 901, 0) in pairs
+    assert any("persist SKIPPED" in r.message for r in caplog.records)

@@ -784,6 +784,32 @@ def _lsh_cache_footprint(df: DataFrame, size_hint, bands: int) -> "int | None":
     return max(cands) if cands else None
 
 
+def _chunk_cache_footprint(
+    df: DataFrame, size_hint, nchunks: int
+) -> "int | None":
+    """Footprint evidence for the pigeonhole chunk-block caches
+    (simhash/hamming): scan bytes ×6 (generous — tiny docs expand into
+    per-chunk rows) or a doc-count hint × ~48 B per chunk row + 64 B of
+    signature; ``None`` with no evidence (the deferred-evidence path
+    then measures)."""
+    from timeseriesfuser_spark.ops.util import estimated_input_bytes
+
+    cands = []
+    est = estimated_input_bytes(df)
+    if est is not None:
+        cands.append(est * 6)
+    if size_hint is not None:
+        cands.append(int(size_hint) * (nchunks * 48 + 64))
+    return max(cands) if cands else None
+
+
+def _chunk_measured_footprint(block_rows: int, nchunks: int) -> int:
+    """Measured-count arm of :func:`_chunk_cache_footprint`
+    (block_rows = docs × nchunks)."""
+    n = max(int(nchunks), 1)
+    return (int(block_rows) // n) * (n * 48 + 64)
+
+
 def _lsh_measured_footprint(block_rows: int, bands: int) -> int:
     """Cache-footprint estimate from the cap ladder's MEASURED
     block-relation row count (``block_rows`` = nonempty docs × bands),
@@ -1345,6 +1371,12 @@ def simhash_pairs(
     # same cache instead of a second signature computation (caching the
     # pre-explode signature relation instead measured +25% at sf0.1 —
     # extra stages re-deriving the explode per consumer).
+    # Footprint evidence + deferred-evidence mode — the minhash contract
+    # (VERDICT r13 #1) applied to the chunk-block cache: with no
+    # evidence, build unpersisted, let the cap's rung-0 count measure,
+    # then decide the persist with the measured footprint.
+    fp = _chunk_cache_footprint(df, size_hint, nchunks)
+    defer = cache and fp is None and max_bucket is not None
     allblocks = _maybe_cache(
         sig.select(
             "id", "sh", "__nt", F.explode(F.array(*chunk_structs)).alias("cc")
@@ -1352,18 +1384,28 @@ def simhash_pairs(
             "id", "sh", "__nt",
             F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey"),
         ),
-        cache,
+        cache and not defer,
         materialize=not (cache and max_bucket is not None),
+        footprint_bytes=fp,
     )
     empty_ids = allblocks.filter(
         (F.col("chunk") == 0) & (F.coalesce(F.col("__nt"), F.lit(0)) <= 0)
     ).select("id")
     blocks = allblocks.filter(F.col("__nt") > 0).select("id", "sh", "chunk", "ckey")
+    rows_sink: dict = {}
     blocks = _cap_buckets(
         blocks, ["chunk", "ckey"], max_bucket, "simhash_pairs",
         eager_stats=cache,
         size_hint=None if size_hint is None else int(size_hint) * nchunks,
+        rows_sink=rows_sink if defer else None,
     )
+    if defer and rows_sink.get("rows") is not None:
+        _maybe_cache(
+            allblocks, True, materialize=True,
+            footprint_bytes=_chunk_measured_footprint(
+                rows_sink["rows"], nchunks
+            ),
+        )
     a, b = blocks.alias("a"), blocks.alias("b")
     xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
     # Emit each pair only at its FIRST agreeing chunk (all lower-chunk
@@ -1439,7 +1481,10 @@ def hamming_pairs(
     masks = []
     for c in range(nchunks):
         width = chunk if c < nchunks - 1 else bits - chunk * (nchunks - 1)
-        masks.append(((1 << width) - 1) << (c * chunk))
+        m = ((1 << width) - 1) << (c * chunk)
+        # a top chunk reaching bit 63 wraps to the signed BIGINT literal
+        # (two's complement — bitwiseAND is unaffected)
+        masks.append(m if m < 1 << 63 else m - (1 << 64))
     src = df.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("sh")
     )
@@ -1450,6 +1495,9 @@ def hamming_pairs(
         )
         for c in range(nchunks)
     ]
+    # footprint evidence + deferred-evidence mode, as in simhash_pairs
+    fp = _chunk_cache_footprint(df, size_hint, nchunks)
+    defer = cache and fp is None and max_bucket is not None
     blocks = _maybe_cache(
         src.select(
             "id", "sh", F.explode(F.array(*chunk_structs)).alias("cc")
@@ -1457,14 +1505,25 @@ def hamming_pairs(
             "id", "sh",
             F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey"),
         ),
-        cache,
+        cache and not defer,
         materialize=not (cache and max_bucket is not None),
+        footprint_bytes=fp,
     )
+    cached_blocks = blocks
+    rows_sink: dict = {}
     blocks = _cap_buckets(
         blocks, ["chunk", "ckey"], max_bucket, "hamming_pairs",
         eager_stats=cache,
         size_hint=None if size_hint is None else int(size_hint) * nchunks,
+        rows_sink=rows_sink if defer else None,
     )
+    if defer and rows_sink.get("rows") is not None:
+        _maybe_cache(
+            cached_blocks, True, materialize=True,
+            footprint_bytes=_chunk_measured_footprint(
+                rows_sink["rows"], nchunks
+            ),
+        )
     a, b = blocks.alias("a"), blocks.alias("b")
     xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
     first_chunk = F.lit(True)
