@@ -550,7 +550,12 @@ def ngram_jaccard_pairs(
     shingles already cover. ``None`` keeps the exact all-pairs baseline.
     """
     if max_df is None:
-        sh = _maybe_cache(shingles_df(df, id_col, text_col, n), cache)
+        # scan-byte footprint evidence (bands arm unused): a file-backed
+        # corpus too big for the exploded-shingle cache downgrades loud
+        sh = _maybe_cache(
+            shingles_df(df, id_col, text_col, n), cache,
+            footprint_bytes=_lsh_cache_footprint(df, None, 1),
+        )
         sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
         a, b = sh.alias("a"), sh.alias("b")
         inter = (
@@ -580,6 +585,7 @@ def ngram_jaccard_pairs(
             shingle_array(text_col, n).alias("__shs"),
         ),
         cache,
+        footprint_bytes=_lsh_cache_footprint(df, None, 1),
     )
     sh = docs.select("id", F.explode("__shs").alias("sh"))
     # document frequency per shingle: one linear hash-agg + one equi-join
@@ -1857,7 +1863,10 @@ def ngram_containment_pairs(
     oracle-exact. Output (id_a, id_b, intersection, min_size,
     containment), id_a < id_b.
     """
-    sh = _maybe_cache(shingles_df(df, id_col, text_col, n), cache)
+    sh = _maybe_cache(
+        shingles_df(df, id_col, text_col, n), cache,
+        footprint_bytes=_lsh_cache_footprint(df, None, 1),
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -2005,6 +2014,12 @@ def set_similarity_pairs(
     # materialized (count or cap probe) and that job populates this
     # parent cache sequentially on the way — a separate docs count was
     # one redundant shingle pass per call (the minhash darr lesson, r10).
+    # footprint evidence + deferred-evidence mode (the minhash contract):
+    # with neither scan bytes nor a measurable cap count, the persists
+    # would be blind — so a hint-less derived input builds unpersisted
+    # and the cap's rung-0 count decides below.
+    fp = _lsh_cache_footprint(df, None, 1)
+    defer = cache and fp is None and max_bucket is not None
     docs = _maybe_cache(
         spread_small_input(df).select(
             F.col(id_col).alias("id"),
@@ -2012,8 +2027,9 @@ def set_similarity_pairs(
                 shingle_array(text_col, n), F.array().cast("array<string>")
             ).alias("__set"),
         ),
-        cache,
+        cache and not defer,
         materialize=False,
+        footprint_bytes=fp,
     )
     tok = docs.select("id", F.explode("__set").alias("tk"))
     dfreq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("__df"))
@@ -2055,12 +2071,26 @@ def set_similarity_pairs(
     # (df join + per-doc sort — 30 s of the 1M-doc cell, measured r10).
     # As elsewhere, the cap's rung-0 observed count doubles as the
     # materializer when the cap is active.
-    pre = _maybe_cache(
-        pre, cache, materialize=not (cache and max_bucket is not None)
+    cached_pre = pre = _maybe_cache(
+        pre, cache and not defer,
+        materialize=not (cache and max_bucket is not None),
+        footprint_bytes=fp,
     )
+    rows_sink: dict = {}
     pre = _cap_buckets(
-        pre, ["tk"], max_bucket, "set_similarity_pairs", eager_stats=cache
+        pre, ["tk"], max_bucket, "set_similarity_pairs", eager_stats=cache,
+        rows_sink=rows_sink if defer else None,
     )
+    if defer and rows_sink.get("rows") is not None:
+        # measured footprint covering BOTH caches: ~72 B per prefix row
+        # (short token + 3 longs) plus the doc-level shingle arrays,
+        # generously folded to 500 B per prefix row (prefixes are ~60%
+        # of shingles; a false skip only costs bounded recomputation)
+        mfp = int(rows_sink["rows"]) * 500
+        docs = _maybe_cache(
+            docs, True, materialize=False, footprint_bytes=mfp
+        )
+        _maybe_cache(cached_pre, True, materialize=True, footprint_bytes=mfp)
     a, b = pre.alias("a"), pre.alias("b")
     # PPJoin positional filter (Xiao et al. WWW'08): a shared token at
     # 1-based sorted ranks (pa, pb) bounds the overlap by
