@@ -196,3 +196,71 @@ def test_cross_format_reencode_collapses_pixel_hashes(spark):
     )
     assert len({r["ahash"] for r in pixel_ahash(df).collect()}) == 1
     assert len({r["phash"] for r in pixel_phash(df).collect()}) == 1
+
+
+# ------------------------------------------------------- WAV (audio)
+
+
+def test_wav_roundtrip_mono8_and_stereo16():
+    from timeseriesfuser_spark.ops.multimodal import decode_wav, encode_wav
+
+    m = _rand((50,), seed=20)
+    s, rate = decode_wav(encode_wav(m, 8000))
+    assert rate == 8000 and s.dtype == np.uint8 and (s == m).all()
+
+    st = (
+        np.random.default_rng(21).integers(-30000, 30000, (40, 2))
+    ).astype(np.int16)
+    s2, rate2 = decode_wav(encode_wav(st, 44100))
+    assert rate2 == 44100 and s2.dtype == np.int16
+    assert s2.shape == (40, 2) and (s2 == st).all()
+
+
+def test_wav_error_gates():
+    from timeseriesfuser_spark.ops.multimodal import decode_wav, encode_wav
+    import struct
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + b"\x00" * 40)
+    good = encode_wav(_rand((8,), seed=22), 8000)
+    i = good.index(b"fmt ") + 8
+    bad = good[:i] + struct.pack("<H", 3) + good[i + 2 :]  # float fmt
+    with pytest.raises(NotImplementedError, match="PCM"):
+        decode_wav(bad)
+
+
+def test_audio_features_exact_and_zero_convention(spark):
+    """Zero samples inherit the previous sign (no phantom crossings),
+    and every feature is the exact integer the docstring promises."""
+    from timeseriesfuser_spark.ops.multimodal import audio_features, encode_wav
+
+    s = np.array([10, -5, 0, 0, 3, -3], dtype=np.int16)
+    # signs: + - (- -) + -  → crossings at 1, 4, 5 → 3
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(s, 16000))), (2, None)],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in audio_features(df).collect()}
+    r = rows[1]
+    assert r["n_samples"] == 6 and r["sample_rate"] == 16000
+    assert r["n_channels"] == 1
+    assert r["sum_sq_centered"] == 100 + 25 + 9 + 9
+    assert r["peak_abs"] == 10
+    assert r["zero_crossings"] == 3
+    assert rows[2]["n_samples"] is None
+
+
+def test_audio_features_multichannel_zc(spark):
+    """Stereo crossings count per channel — interleaving must not
+    manufacture crossings across channels."""
+    from timeseriesfuser_spark.ops.multimodal import audio_features, encode_wav
+
+    left = np.array([5, -5, 5], dtype=np.int16)     # 2 crossings
+    right = np.array([7, 7, 7], dtype=np.int16)     # 0 crossings
+    st = np.stack([left, right], axis=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(st, 8000)))],
+        "media_id long, content binary",
+    )
+    r = audio_features(df).collect()[0]
+    assert r["n_channels"] == 2 and r["zero_crossings"] == 2

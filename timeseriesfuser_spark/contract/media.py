@@ -476,3 +476,76 @@ def q_pixel_phash_png_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("media_id").cast("long").alias("canonical_id"),
         F.max("n_bits").cast("long").alias("n_bits"),
     )
+
+
+def _wav_stats_oracle() -> str:
+    """Integer ground truth for the REAL WAV decode path: the payload's
+    64 8-bit samples are ascii(md5-hex) with +64 on odd positions, so
+    the centered value at position m is ascii(hx[m%32]) + 64·(m%2) −
+    128 — digits land negative and letters positive on odd positions,
+    making the zero-crossing count data-dependent. All features are
+    exact integer arithmetic (the audio_features contract)."""
+    vs = ", ".join(
+        f"(ascii(substr(hx, {(m % 32) + 1}, 1)) + {64 * (m % 2)} - 128)"
+        for m in range(64)
+    )
+    zc = " + ".join(
+        f"(CASE WHEN v[{i}] * v[{i + 1}] < 0 THEN 1 ELSE 0 END)"
+        for i in range(1, 64)
+    )
+    return f"""
+    WITH x AS (SELECT doc_id, md5(text) AS hx FROM documents
+               WHERE text IS NOT NULL),
+    s AS (SELECT doc_id, [{vs}] AS v FROM x)
+    SELECT doc_id AS media_id,
+           CAST(64 AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(list_aggregate(list_transform(v, x -> x * x), 'sum')
+                AS BIGINT) AS sum_sq_centered,
+           CAST(list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                AS BIGINT) AS peak_abs,
+           CAST({zc} AS BIGINT) AS zero_crossings
+    FROM s
+    """
+
+
+@register("wav_audio_stats", oracle=_wav_stats_oracle())
+def q_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL audio decode path under the driver gate: each document
+    becomes a genuine 8-bit PCM RIFF/WAVE payload
+    (``ops.multimodal.encode_wav`` — 64 samples derived from the doc's
+    md5 hex, +64 on odd positions so the centered signal changes sign
+    data-dependently), and ``audio_features`` runs the full bytes →
+    RIFF parse → PCM decode → exact-integer waveform features (energy,
+    peak, zero crossings) in one Arrow ``mapInPandas`` pass. Audio
+    joins images as a REAL modality: container parsing and sample math
+    need no codec library; only compressed audio stays gated."""
+    import pandas as pd
+
+    from timeseriesfuser_spark.ops.multimodal import audio_features, encode_wav
+    from timeseriesfuser_spark.ops.util import spread_small_input
+
+    docs = spread_small_input(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    md = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("hx"),
+    )
+
+    def build(it):
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for hx in pdf["hx"]:
+                s = np.frombuffer((hx * 2).encode(), dtype=np.uint8).copy()
+                s[1::2] += 64
+                payloads.append(encode_wav(s, 8000))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": payloads}
+            )
+
+    media = md.mapInPandas(build, schema="media_id long, content binary")
+    return audio_features(media)

@@ -377,6 +377,143 @@ def encode_bmp(arr: "np.ndarray") -> bytes:
     return head + info + pal + body
 
 
+def decode_wav(data: bytes) -> "tuple[np.ndarray, int]":
+    """REAL WAV decode (pure struct + numpy): RIFF/WAVE with a PCM
+    ``fmt `` chunk (format 1), 8-bit unsigned or 16-bit signed samples.
+    Returns ``(samples, sample_rate)`` with samples shaped ``(n,)`` for
+    mono or ``(n, channels)`` — 8-bit as uint8 (0-255, 128 center),
+    16-bit as int16. Compressed/float formats raise
+    ``NotImplementedError`` (inject a library decoder outside the
+    sandbox; the pipeline shape never changes)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("wav: bad RIFF/WAVE signature")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + sz + (sz & 1)  # chunks pad to even
+    if fmt is None or raw is None:
+        raise ValueError("wav: missing fmt/data chunk")
+    audio_fmt, ch, rate, _byterate, _align, bits = fmt
+    if audio_fmt != 1:
+        raise NotImplementedError(f"wav: format {audio_fmt} (only PCM)")
+    if bits == 8:
+        s = np.frombuffer(raw, dtype=np.uint8)
+    elif bits == 16:
+        s = np.frombuffer(raw, dtype="<i2")
+    else:
+        raise NotImplementedError(f"wav: {bits}-bit samples")
+    if ch > 1:
+        s = s[: (len(s) // ch) * ch].reshape(-1, ch)
+    return s, rate
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int) -> bytes:
+    """Minimal PCM WAV writer: uint8 → 8-bit, int16 → 16-bit; (n,) mono
+    or (n, ch)."""
+    import struct
+
+    s = np.asarray(samples)
+    if s.dtype == np.uint8:
+        bits = 8
+    elif s.dtype == np.int16:
+        bits = 16
+    else:
+        raise ValueError(f"expected uint8 or int16 samples, got {s.dtype}")
+    ch = 1 if s.ndim == 1 else s.shape[1]
+    raw = s.astype("<u1" if bits == 8 else "<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate,
+        sample_rate * ch * bits // 8, ch * bits // 8, bits,
+    )
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    if len(raw) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+_AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_channels", T.LongType(), True),
+        T.StructField("sum_sq_centered", T.LongType(), True),
+        T.StructField("peak_abs", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """WAV bytes → exact-integer waveform features in one Arrow
+    ``mapInPandas`` pass: sample/rate/channel counts, centered energy
+    Σ(s−center)² (center 128 for 8-bit, 0 for 16-bit), peak |s−center|,
+    and zero crossings (sign changes of the centered signal, zeros
+    carrying the previous sign; multichannel counts each channel). All
+    integers — engine-reproducible, hence DuckDB-oracle-able, the house
+    determinism rule. The binary dies inside the UDF; downstream
+    shuffles 7 longs per clip. Null content → null features."""
+
+    def one(b):
+        if b is None:
+            return (None,) * 6
+        s, rate = decode_wav(bytes(b))
+        center = 128 if s.dtype == np.uint8 else 0
+        c = s.astype(np.int64) - center
+        flat = c if c.ndim == 1 else c.T.reshape(-1)  # per channel runs
+        if len(flat):
+            sgn = np.sign(flat)
+            # zeros inherit the previous sign (classic ZC convention)
+            for i in range(1, len(sgn)):
+                if sgn[i] == 0:
+                    sgn[i] = sgn[i - 1]
+            if c.ndim == 1:
+                zc = int((sgn[1:] * sgn[:-1] < 0).sum())
+            else:
+                n = c.shape[0]
+                per = sgn.reshape(c.shape[1], n)
+                zc = int(sum((p[1:] * p[:-1] < 0).sum() for p in per))
+        else:
+            zc = 0
+        n_samp = c.shape[0]
+        ch = 1 if c.ndim == 1 else c.shape[1]
+        return (
+            int(n_samp), int(rate), ch,
+            int((c * c).sum()), int(np.abs(c).max()) if len(flat) else 0,
+            zc,
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [one(b) for b in pdf[content_col]]
+            out = {"media_id": pdf[id_col]}
+            names = [
+                "n_samples", "sample_rate", "n_channels",
+                "sum_sq_centered", "peak_abs", "zero_crossings",
+            ]
+            for i, nm in enumerate(names):
+                out[nm] = pd.array([r[i] for r in rows], dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=_AUDIO_FEATURES_SCHEMA)
+
+
 def decode_image(
     data: bytes,
     *,
