@@ -264,3 +264,50 @@ def test_audio_features_multichannel_zc(spark):
     )
     r = audio_features(df).collect()[0]
     assert r["n_channels"] == 2 and r["zero_crossings"] == 2
+
+
+# ----------------------------------------------------- AVI (video)
+
+
+def test_avi_roundtrip_and_frame_sampling(spark):
+    """Uncompressed-AVI demux composes with sample_frames and the BMP
+    decoder: every_n=2 keeps frames 0 and 2, each decoding to the
+    original RGB pixels."""
+    from timeseriesfuser_spark.ops.multimodal import (
+        decode_bmp,
+        encode_avi,
+        sample_frames,
+        split_avi,
+    )
+
+    frames = [_rand((6, 5, 3), seed=30 + i) for i in range(4)]
+    avi = encode_avi(frames, fps=10)
+    got = list(split_avi(avi))
+    assert [g[0] for g in got] == [0, 1, 2, 3]
+    for (idx, bmp, w, h), orig in zip(got, frames):
+        assert (w, h) == (5, 6) and (decode_bmp(bmp) == orig).all()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(avi), "video", None)],
+        "media_id long, content binary, media_type string, "
+        "meta map<string,string>",
+    )
+    rows = sample_frames(df, 2, split_fn=split_avi).collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 2]
+    for r in rows:
+        assert (decode_bmp(bytes(r["content"]))
+                == frames[r["frame_idx"]]).all()
+
+
+def test_avi_error_gates():
+    import struct
+
+    from timeseriesfuser_spark.ops.multimodal import encode_avi, split_avi
+
+    with pytest.raises(ValueError, match="signature"):
+        list(split_avi(b"RIFF\x00\x00\x00\x00WAVE"))
+    avi = encode_avi([_rand((3, 3, 3), seed=40)])
+    i = avi.index(b"strf") + 8 + 16  # biCompression field
+    bad = avi[:i] + struct.pack("<I", 1) + avi[i + 4 :]
+    with pytest.raises(NotImplementedError, match="biCompression"):
+        list(split_avi(bad))

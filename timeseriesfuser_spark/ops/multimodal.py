@@ -764,6 +764,129 @@ def sample_frames(
     return df.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+def split_avi(data: bytes):
+    """REAL video demux for uncompressed RIFF AVI (pure struct): yields
+    ``(frame_idx, bmp_bytes, width, height)`` for every ``##db`` video
+    frame, each re-wrapped as a standalone BMP (file header + the
+    stream's BITMAPINFOHEADER + the frame's DIB bytes) so
+    :func:`decode_bmp` decodes it unchanged — the demuxer and the image
+    codec compose instead of duplicating pixel logic. Plug directly into
+    :func:`sample_frames` as ``split_fn=split_avi``. Compressed streams
+    (``biCompression != 0`` or ``##dc`` frames) raise
+    ``NotImplementedError`` — entropy codecs stay honestly gated."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("avi: bad RIFF/AVI signature")
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            cid = data[pos : pos + 4]
+            (sz,) = struct.unpack_from("<I", data, pos + 4)
+            body_lo = pos + 8
+            yield cid, body_lo, body_lo + sz
+            pos = body_lo + sz + (sz & 1)
+
+    strf = None
+    movi = None
+    for cid, lo, hi in walk(12, len(data)):
+        if cid == b"LIST":
+            ltype = data[lo : lo + 4]
+            if ltype == b"hdrl":
+                for c2, lo2, hi2 in walk(lo + 4, hi):
+                    if c2 == b"LIST" and data[lo2 : lo2 + 4] == b"strl":
+                        is_video = False
+                        for c3, lo3, hi3 in walk(lo2 + 4, hi2):
+                            if c3 == b"strh":
+                                is_video = data[lo3 : lo3 + 4] == b"vids"
+                            elif c3 == b"strf" and is_video and strf is None:
+                                strf = data[lo3:hi3]
+            elif ltype == b"movi":
+                movi = (lo + 4, hi)
+    if strf is None or movi is None:
+        raise ValueError("avi: missing video strf/movi")
+    w, h_signed = struct.unpack_from("<ii", strf, 4)
+    (comp,) = struct.unpack_from("<I", strf, 16)
+    if comp != 0:
+        raise NotImplementedError(
+            f"avi: biCompression {comp} (only uncompressed DIB frames)"
+        )
+    h = abs(h_signed)
+    idx = 0
+    for cid, lo, hi in walk(*movi):
+        if cid[2:4] == b"dc":
+            raise NotImplementedError("avi: compressed (##dc) frames")
+        if cid[2:4] != b"db":
+            continue  # audio/index chunks interleave in movi
+        off = 14 + len(strf)
+        dib = data[lo:hi]
+        bmp = (
+            b"BM"
+            + struct.pack("<IHHI", off + len(dib), 0, 0, off)
+            + strf
+            + dib
+        )
+        yield idx, bmp, w, h
+        idx += 1
+
+
+def encode_avi(frames: "list[np.ndarray]", fps: int = 25) -> bytes:
+    """Minimal uncompressed-AVI writer: uint8 (h,w,3) RGB frames →
+    RIFF AVI with 24-bit BGR bottom-up DIB ``00db`` chunks (the
+    :func:`split_avi` round-trip fixture; real encoders live outside)."""
+    import struct
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    a0 = np.asarray(frames[0], dtype=np.uint8)
+    if a0.ndim != 3 or a0.shape[2] != 3:
+        raise ValueError(f"expected (h,w,3) uint8 frames, got {a0.shape}")
+    h, w = a0.shape[:2]
+    stride = (w * 3 + 3) & ~3
+
+    def dib(arr):
+        rows = arr[:, :, ::-1].reshape(h, w * 3)
+        return b"".join(
+            rows[y].tobytes() + b"\x00" * (stride - w * 3)
+            for y in range(h - 1, -1, -1)
+        )
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", *([0] * 12))
+    )
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, 0, 0, 0, len(frames), 0, 1, stride * h, w, h,
+        0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(
+        b"movi",
+        b"".join(
+            chunk(b"00db", dib(np.asarray(f, dtype=np.uint8)))
+            for f in frames
+        ),
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def text_to_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Test fixture builder: wrap a text column's UTF-8 bytes as a media
     table (deterministic binary payloads without binary testdata)."""
