@@ -80,6 +80,11 @@ def test_band_batches_validation(spark):
     docs = _corpus(spark).limit(10)
     with pytest.raises(ValueError, match="band_batches"):
         minhash_lsh_pairs(docs, n=1, band_batches=9)  # > bands=8
+    # < 1 is a caller typo, not a silent single-pass (ADVICE r14)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        minhash_lsh_pairs(docs, n=1, band_batches=0)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        minhash_lsh_pairs(docs, n=1, band_batches=-4)
     # B=1 / None are the lazy single-pass plan (no eager jobs)
     lazy = minhash_lsh_pairs(docs, n=1, cache=False, band_batches=1)
     assert lazy.columns == ["id_a", "id_b", "jaccard"]

@@ -266,6 +266,33 @@ def test_audio_features_multichannel_zc(spark):
     assert r["n_channels"] == 2 and r["zero_crossings"] == 2
 
 
+def test_audio_features_zero_at_channel_boundary(spark):
+    """A channel whose FIRST sample is zero must not inherit the
+    previous channel's trailing sign: L=[5,-5,-5] has 1 crossing,
+    R=[0,7,7] has 0 (leading zero carries no sign) — total 1, not the
+    2 a concatenated-run inheritance would manufacture."""
+    from timeseriesfuser_spark.ops.multimodal import audio_features, encode_wav
+
+    left = np.array([5, -5, -5], dtype=np.int16)
+    right = np.array([0, 7, 7], dtype=np.int16)
+    st = np.stack([left, right], axis=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(st, 8000)))],
+        "media_id long, content binary",
+    )
+    r = audio_features(df).collect()[0]
+    assert r["n_channels"] == 2 and r["zero_crossings"] == 1
+    # and mid-channel zeros still inherit within the channel:
+    # L=[3,0,-3] → 1 crossing; R=[-2,0,2] → 1 crossing
+    df2 = spark.createDataFrame(
+        [(1, bytearray(encode_wav(np.array(
+            [[3, -2], [0, 0], [-3, 2]], dtype=np.int16), 8000)))],
+        "media_id long, content binary",
+    )
+    r2 = audio_features(df2).collect()[0]
+    assert r2["zero_crossings"] == 2
+
+
 # ----------------------------------------------------- AVI (video)
 
 

@@ -139,6 +139,21 @@ def test_storage_budget_local_mode_positive(spark):
     assert b is not None and b > 0
 
 
+def test_storage_budget_excludes_driver_with_executors():
+    """VERDICT r14 #3: on a real cluster the driver's block manager is
+    excluded — the budget models executor storage, where cached
+    partitions actually live — while local mode keeps the lone driver
+    entry (it IS the pool)."""
+    from timeseriesfuser_spark.ops.dedup import _budget_from_entries
+
+    cluster = [("driver", 100), ("1", 40), ("2", 60)]
+    assert _budget_from_entries(cluster) == (40 + 60) // 2
+    assert _budget_from_entries([("driver", 100)]) == 50
+    assert _budget_from_entries([]) is None
+    # a dead-executor-only sweep degenerating to zero → None, not 0
+    assert _budget_from_entries([("driver", 0)]) is None
+
+
 def test_rotation_floor_constant():
     """ADVICE r13: the empty-history floor is the documented convention
     constant, and history presence overrides it."""

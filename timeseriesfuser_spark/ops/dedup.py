@@ -117,12 +117,20 @@ def _storage_budget_bytes(spark) -> "int | None":
         entries = [
             (s.blockManagerId().executorId(), s.maxMem()) for s in statuses
         ]
-        if any(eid != "driver" for eid, _ in entries):
-            entries = [e for e in entries if e[0] != "driver"]
-        total = sum(mx for _, mx in entries)
-        return (total // 2) or None
+        return _budget_from_entries(entries)
     except Exception:
         return None
+
+
+def _budget_from_entries(entries) -> "int | None":
+    """Pure half-capacity rule over (executor_id, max_mem) block-manager
+    entries: executors only when any exist (cluster mode — cached
+    partitions never live on the driver), else the lone driver entry
+    (local mode, where the driver JVM IS the pool)."""
+    if any(eid != "driver" for eid, _ in entries):
+        entries = [e for e in entries if e[0] != "driver"]
+    total = sum(mx for _, mx in entries)
+    return (total // 2) or None
 
 
 def _maybe_cache(
@@ -1039,6 +1047,11 @@ def minhash_lsh_pairs(
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         )
 
+    if band_batches is not None and int(band_batches) < 1:
+        raise ValueError(
+            f"band_batches ({int(band_batches)}) must be >= 1 "
+            "(1 is the single-pass no-op; omit it for the default)"
+        )
     if band_batches is not None and int(band_batches) > 1:
         # BAND-BATCHED STAGING (VERDICT r13 #2) — bound PEAK shuffle disk.
         # Band groups are independent (a pair's emitting band is fixed by

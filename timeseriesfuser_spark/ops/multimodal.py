@@ -465,7 +465,8 @@ def audio_features(
     ``mapInPandas`` pass: sample/rate/channel counts, centered energy
     Σ(s−center)² (center 128 for 8-bit, 0 for 16-bit), peak |s−center|,
     and zero crossings (sign changes of the centered signal, zeros
-    carrying the previous sign; multichannel counts each channel). All
+    carrying the previous sign within their own channel — a channel's
+    leading zeros carry no sign; multichannel sums per-channel counts). All
     integers — engine-reproducible, hence DuckDB-oracle-able, the house
     determinism rule. The binary dies inside the UDF; downstream
     shuffles 7 longs per clip. Null content → null features."""
@@ -476,26 +477,30 @@ def audio_features(
         s, rate = decode_wav(bytes(b))
         center = 128 if s.dtype == np.uint8 else 0
         c = s.astype(np.int64) - center
-        flat = c if c.ndim == 1 else c.T.reshape(-1)  # per channel runs
-        if len(flat):
-            sgn = np.sign(flat)
-            # zeros inherit the previous sign (classic ZC convention)
-            for i in range(1, len(sgn)):
-                if sgn[i] == 0:
-                    sgn[i] = sgn[i - 1]
-            if c.ndim == 1:
-                zc = int((sgn[1:] * sgn[:-1] < 0).sum())
-            else:
-                n = c.shape[0]
-                per = sgn.reshape(c.shape[1], n)
-                zc = int(sum((p[1:] * p[:-1] < 0).sum() for p in per))
+        per = c.reshape(1, -1) if c.ndim == 1 else c.T  # (ch, n) runs
+        n_samp = c.shape[0]
+        ch = per.shape[0]
+        if n_samp:
+            # zeros inherit the previous sign WITHIN their channel
+            # (classic ZC convention); a channel's leading zeros carry
+            # no sign, and channel k's trailing sign never leaks into
+            # channel k+1 — vectorized forward-fill per channel row.
+            sgn = np.sign(per)
+            idx = np.where(
+                sgn != 0, np.arange(n_samp)[None, :], -1
+            )
+            np.maximum.accumulate(idx, axis=1, out=idx)
+            filled = np.where(
+                idx >= 0,
+                np.take_along_axis(sgn, np.maximum(idx, 0), axis=1),
+                0,
+            )
+            zc = int((filled[:, 1:] * filled[:, :-1] < 0).sum())
         else:
             zc = 0
-        n_samp = c.shape[0]
-        ch = 1 if c.ndim == 1 else c.shape[1]
         return (
             int(n_samp), int(rate), ch,
-            int((c * c).sum()), int(np.abs(c).max()) if len(flat) else 0,
+            int((c * c).sum()), int(np.abs(c).max()) if n_samp else 0,
             zc,
         )
 

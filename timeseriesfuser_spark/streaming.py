@@ -439,8 +439,15 @@ def sessionize_stream(
                 end = t
                 n += 1
         # barrier-gated flush: `end` is the key's event-time high mark
-        # (monotone while state exists), so the close applies exactly
-        # when every data row at/below the barrier has been ingested
+        # (monotone while state exists). The close is exact when data
+        # files are staged in nondecreasing event-time order (the
+        # close_stream staging pattern): then high-mark >= T implies
+        # every row <= T has been ingested. If the file holding the
+        # max-ts row is delivered BEFORE files holding mid-range rows,
+        # the high mark reaches T early and those stragglers land in a
+        # second session — the barrier defends against the sentinel
+        # arriving early, not against data files arriving out of
+        # event-time order.
         if close_at is not None and (
             close_at <= 0 or (end is not None and end >= close_at)
         ):
@@ -1182,7 +1189,11 @@ def close_stream(
     until the group's own event-time high mark reaches ``T``: a
     sentinel delivered BEFORE late-staged data files (the
     ``maxFilesPerTrigger`` split) simply parks the barrier in state and
-    the flush fires in the batch where the last data row lands. A
+    the flush fires in the batch where the last data row lands. The
+    guarantee is exact when data files are staged in nondecreasing
+    event-time order (this function's staging pattern); files delivered
+    out of event-time order can raise the high mark past ``T`` before
+    mid-range rows arrive, so order the data staging yourself. A
     hand-rolled plain ``FLUSH_SENTINEL_TS`` row carries ``T = 0`` and
     keeps the legacy flush-immediately behavior, as does an all-negative
     event-time stream (the clamp; barrier deferral needs the canonical
