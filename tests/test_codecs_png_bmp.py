@@ -166,8 +166,17 @@ def test_decode_image_sniffs_all_formats():
     ):
         out = decode_image(payload)
         assert out.shape == (6, 6) and (out == img).all()
-    with pytest.raises(NotImplementedError, match="codec"):
+    # JPEG now dispatches to the REAL baseline decoder (ops/jpeg.py);
+    # a JPEG-magic payload with garbage inside is malformed, not gated
+    from timeseriesfuser_spark.ops.jpeg import encode_jpeg
+
+    out = decode_image(encode_jpeg(img, quant=1))
+    assert out.shape == (6, 6)
+    assert np.abs(out - img.astype(np.float32)).max() <= 1.0
+    with pytest.raises(ValueError, match="marker|JPEG"):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_image(b"RIFF....WEBP not a known magic")
 
 
 def test_cross_format_reencode_collapses_pixel_hashes(spark):

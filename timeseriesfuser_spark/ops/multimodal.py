@@ -527,10 +527,12 @@ def decode_image(
 ) -> "np.ndarray":
     """Image decode. REAL for the netpbm family (P5/P6), PNG (8-bit
     gray/RGB/RGBA/palette, all five filters — stdlib zlib + numpy,
-    :func:`decode_png`) and uncompressed BMP (:func:`decode_bmp`);
-    formats needing an entropy codec this sandbox lacks (JPEG, WebP,
-    16-bit/interlaced PNG) raise ``NotImplementedError`` unless a
-    ``decode_fn`` is supplied — with Pillow installed,
+    :func:`decode_png`), uncompressed BMP (:func:`decode_bmp`) and
+    baseline sequential JPEG (gray + YCbCr 4:4:4/4:2:2/4:2:0, DHT from
+    the file, restart markers — :func:`.jpeg.decode_jpeg`, pure
+    stdlib/numpy); formats needing a codec this sandbox lacks (WebP,
+    progressive/arithmetic JPEG, 16-bit/interlaced PNG) raise
+    ``NotImplementedError`` unless a ``decode_fn`` is supplied — with Pillow installed,
     ``decode_fn=lambda b: np.asarray(PIL.Image.open(io.BytesIO(b)))``
     makes them a one-liner; the pipeline plumbing never changes.
 
@@ -555,9 +557,13 @@ def decode_image(
         return decode_png(data).astype(np.float32)
     if data[:2] == b"BM":
         return decode_bmp(data).astype(np.float32)
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data).astype(np.float32)
     raise NotImplementedError(
-        "image decode for formats beyond netpbm/PNG/uncompressed-BMP "
-        "requires a codec library (install Pillow and pass "
+        "image decode for formats beyond netpbm/PNG/uncompressed-BMP/"
+        "baseline-JPEG requires a codec library (install Pillow and pass "
         "decode_fn=...); pipeline plumbing is codec-agnostic"
     )
 
