@@ -871,3 +871,56 @@ def test_sessionize_native_parity_and_plan(spark):
     a = {tuple(r) for r in native.collect()}
     b = {tuple(r) for r in legacy.collect()}
     assert a == b and len(a) > 0
+
+
+def test_tpcds_q95_shares_the_cte_exchange(spark):
+    """Q95-shape gate (VERDICT r14 #7b): the multi-supplier CTE feeds
+    BOTH semi-join consumers from ONE materialized shuffle — the plan
+    must carry a ReusedExchange (Catalyst exchange reuse), exactly one
+    count-distinct aggregation tower for the CTE itself, and pushed
+    filters on both fact scans. Without the reuse the CTE's
+    (orderkey, suppkey) aggregation would run twice — the difference
+    between 2 and 3 fact-scan-equivalents at 100 TB."""
+    df = contract.QUERIES["tpcds_q95_two_supplier"](spark, SF)
+    df.collect()  # materialize so AQE finalizes the reuse decision
+    plan = formatted_plan(df)
+    assert "ReusedExchange" in plan
+    # pushed predicate on the returned-lineitem scan + date range on orders
+    assert "l_returnflag" in plan and "o_orderdate" in plan
+    # the CTE aggregates (orderkey, suppkey) — partial+final towers exist
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_streaming_attribution_join_state_is_horizon_bounded(spark):
+    """Stream-stream interval join gate (VERDICT r14 #7a): the batch
+    ANALOG of streaming_attribution_join (same predicate built by
+    join_streams' condition shape) must push the event_type filters to
+    the scan and keep the join keyed on user_id (a real equi-join with
+    a range residual — never a cartesian with post-filter)."""
+    from pyspark.sql import functions as F
+
+    from timeseriesfuser_spark.timeutils import ts_epoch_ms_col
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ts_ms = ts_epoch_ms_col(ev, "ts").cast("long")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        ts_ms.alias("purchase_ts"),
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        ts_ms.alias("click_ts"),
+    )
+    joined = left.join(
+        right,
+        (left["user_id"] == right["user_id"])
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + 86_400_000),
+        "inner",
+    )
+    plan = formatted_plan(joined)
+    assert "event_type" in plan  # pushed to the scan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -561,6 +561,102 @@ def q_streaming_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+@register(
+    "streaming_attribution_join",
+    oracle="""
+    SELECT l.user_id AS user_id,
+           l.event_id AS purchase_id,
+           CAST(l.t AS BIGINT) AS purchase_ts,
+           l.value AS purchase_value,
+           r.event_id AS click_id,
+           CAST(r.t AS BIGINT) AS click_ts
+    FROM (SELECT epoch_ms(ts) AS t, user_id, event_id, value
+          FROM events WHERE event_type = 'purchase') l
+    JOIN (SELECT epoch_ms(ts) AS t, user_id, event_id
+          FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id
+     AND r.t <= l.t AND l.t < r.t + 86400000
+    """,
+)
+def q_streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join under the driver gate (VERDICT r14
+    #7a — ``streaming.join_streams`` was the only §2.8-adjacent surface
+    without a registered twin): each purchase event matched to the same
+    user's click events in the PRECEDING 24 h — the classic attribution
+    join — as two watermarked file streams over the same events table
+    joined with the time-range predicate Structured Streaming needs to
+    expire buffered state (right rows drop once the left watermark
+    passes ``click_ts + 24h``, left rows once the right watermark passes
+    ``purchase_ts``; state is horizon-bounded on both sides, never the
+    stream). availableNow delivers the single events file in one
+    micro-batch, so the inner join emits every match and the plain-SQL
+    join is the exact oracle."""
+    import tempfile
+    import uuid
+
+    from timeseriesfuser_spark.streaming import join_streams
+
+    schema = _t(spark, sf_dir, "events").schema
+
+    def side(event_type: str, cols):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        ts_ms = ts_epoch_ms_col(stream, "ts")
+        return stream.filter(F.col("event_type") == event_type).select(
+            "user_id", *[expr.alias(name) for name, expr in cols(ts_ms)]
+        )
+
+    left = side(
+        "purchase",
+        lambda t: [
+            ("purchase_id", F.col("event_id")),
+            ("purchase_ts", t.cast("long")),
+            ("purchase_value", F.col("value")),
+        ],
+    )
+    right = side(
+        "click",
+        lambda t: [
+            ("click_id", F.col("event_id")),
+            ("click_ts", t.cast("long")),
+        ],
+    )
+    joined = join_streams(
+        left, right,
+        keys=["user_id"], left_ts="purchase_ts", right_ts="click_ts",
+        window_ms=86_400_000, watermark="1 hour",
+    ).select(
+        "user_id", "purchase_id", "purchase_ts", "purchase_value",
+        "click_id", "click_ts",
+    )
+    name = f"saj_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="tsf_ckpt_")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_attribution_join: query still running after 300s"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+        return spark.table(name)
+    finally:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------- #
 
 

@@ -1824,3 +1824,74 @@ def q_tpcds_q64_repeat_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_ret").cast("long").alias("n_returns"),
         (F.col("s4_next").cast("double") / 10000).alias("y2_sales"),
     )
+
+
+@register(
+    "tpcds_q95_two_supplier",
+    oracle="""
+    WITH multi AS (
+        SELECT DISTINCT l1.l_orderkey AS okey
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_suppkey <> l2.l_suppkey
+    )
+    SELECT CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS total_price
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND o.o_orderkey IN (SELECT okey FROM multi)
+      AND o.o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          WHERE l_returnflag = 'R'
+            AND l_orderkey IN (SELECT okey FROM multi))
+    """,
+)
+def q_tpcds_q95_two_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q95-shape (VERDICT r14 #7b): orders in a two-year window
+    whose lineitems ship from MORE THAN ONE supplier and that have at
+    least one returned lineitem also from a multi-supplier order — the
+    registry's first MULTI-CONSUMER CTE. The oracle states the
+    canonical shape (a fact self-join CTE referenced twice, Q95's
+    ``ws_wh``); the Spark side is the scale rewrite: the CTE is ONE
+    aggregation of (orderkey, suppkey) with a count-distinct HAVING —
+    never a fact self-join — and its subtree feeds BOTH semi-joins
+    unchanged, so Catalyst's exchange reuse materializes the shared
+    shuffle ONCE (a ReusedExchange under the second consumer — the plan
+    gate pins it). At 100 TB the CTE relation is order-grain (~1 row
+    per multi-supplier order), both consumers semi-join on the same
+    key, and the fact table is scanned twice with pushed filters
+    instead of three times self-joined."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("__ns"))
+        .filter(F.col("__ns") > 1)
+        .select("l_orderkey")
+    )
+    returned_multi = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .join(multi, "l_orderkey", "leftsemi")
+    )
+    ord_f = (
+        od.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            multi.select(F.col("l_orderkey").alias("o_orderkey")),
+            "o_orderkey", "leftsemi",
+        )
+        .join(
+            returned_multi.select(F.col("l_orderkey").alias("o_orderkey")),
+            "o_orderkey", "leftsemi",
+        )
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return ord_f.agg(
+        F.count_distinct("o_orderkey").cast("long").alias("n_orders"),
+        (F.sum(cents).cast("double") / 100).alias("total_price"),
+    )

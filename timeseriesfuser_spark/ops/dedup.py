@@ -1574,6 +1574,7 @@ def connected_components(
     dst_col: str = "id_b",
     all_ids: Optional[DataFrame] = None,
     max_iterations: int = 25,
+    _stats: Optional[dict] = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation:
     (id, cluster_id) where cluster_id = min id in the component.
@@ -1588,6 +1589,13 @@ def connected_components(
     is strictly monotone until fixpoint); near-dup components are shallow
     cliques, converging in a handful of rounds, and ``max_iterations``
     bounds adversarial chains.
+
+    Hitting ``max_iterations`` before the fixpoint logs a WARNING (the
+    labels are then an over-segmentation: every emitted cluster is a
+    SUBSET of a true component, never a merge of two) — raise the bound
+    or pre-shrink the graph. ``_stats`` (ops/diagnostics knob, not API):
+    a dict that receives ``{"iterations": k, "converged": bool}`` — the
+    50M-edge SCALE.md cell (tools/cc_cell.py) reads it.
     """
     from pyspark import StorageLevel
 
@@ -1610,7 +1618,10 @@ def connected_components(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
+    rounds_run = 0
     for _ in range(max_iterations):
+        rounds_run += 1
         nbr = (
             sym.join(
                 labels.select(F.col("id").alias("dst"), "lbl"), "dst"
@@ -1648,7 +1659,22 @@ def connected_components(
             )
         )
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components: fixpoint NOT reached after %d "
+            "iteration(s) — labels over-segment long-diameter components "
+            "(each emitted cluster is a subset of a true component). "
+            "Raise max_iterations (pointer doubling needs ~log2(diameter) "
+            "rounds) or pre-shrink the graph.",
+            max_iterations,
+        )
+    if _stats is not None:
+        _stats["iterations"] = rounds_run
+        _stats["converged"] = converged
     out = labels.select("id", F.col("lbl").alias("cluster_id"))
     if all_ids is not None:
         ids = all_ids.select(F.col(all_ids.columns[0]).alias("id"))

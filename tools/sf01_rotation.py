@@ -50,20 +50,45 @@ def history(root: str = REPO) -> dict:
     return hist
 
 
-#: Driver round in which the rotation convention started — the floor for
-#: artifact numbering when no ``SF01CERT_r*.json`` history is present
-#: (the first rotation artifact was SF01CERT_r13). A cleaned checkout
-#: restarts here by design; regenerated artifacts for rounds that already
-#: ran elsewhere should be restored from git history, not re-numbered.
+#: Driver round in which the rotation convention started (the first
+#: rotation artifact was SF01CERT_r13) — the LAST-RESORT floor, used
+#: only when neither the working tree nor git history has any
+#: ``SF01CERT_r*.json`` (a brand-new repo). Cadence: run ONE rotation
+#: per driver round (ADVICE r14 #3 asked that a cleaned checkout derive
+#: its floor from committed artifacts instead of restarting at 13 and
+#: renumbering rounds that already ran).
 FIRST_ROTATION_ROUND = 13
 
 
-def next_round(root: str = REPO) -> int:
+def _artifact_rounds(root: str) -> list:
+    """Rotation rounds present as artifacts — working tree PLUS git
+    history, so a cleaned checkout (artifacts deleted locally but
+    committed) never renumbers an already-run round."""
     rounds = [
         int(m.group(1))
         for p in glob.glob(os.path.join(root, "SF01CERT_r*.json"))
         if (m := re.search(r"SF01CERT_r(\d+)\.json$", p))
     ]
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            ["git", "-C", root, "log", "--all", "--name-only",
+             "--format=", "--", "SF01CERT_r*.json"],
+            capture_output=True, text=True, timeout=30,
+        ).stdout
+        rounds += [
+            int(m.group(1))
+            for line in out.splitlines()
+            if (m := re.fullmatch(r"SF01CERT_r(\d+)\.json", line.strip()))
+        ]
+    except Exception:
+        pass  # not a git checkout — working-tree artifacts only
+    return rounds
+
+
+def next_round(root: str = REPO) -> int:
+    rounds = _artifact_rounds(root)
     return (max(rounds) + 1) if rounds else FIRST_ROTATION_ROUND
 
 
