@@ -349,9 +349,17 @@ def test_pixel_ahash_null_and_codec_gate(spark):
     r = pixel_ahash(df).collect()
     assert [(x["ahash"], x["n_bits"]) for x in r] == [(None, None)]
 
+    # JPEG magic routes to the real baseline decoder since r15's codec
+    # landed: a malformed stream now raises a DECODE error from the
+    # parser, not the missing-codec gate.
     jpeg_ish = _pnm_media(spark, [b"\xff\xd8\xff\xe0 not decodable"])
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+    with pytest.raises(Exception, match="truncated|marker"):
         pixel_ahash(jpeg_ish).collect()
+
+    # formats with no in-repo codec still hit the NotImplementedError gate
+    gif_ish = _pnm_media(spark, [b"GIF89a not decodable"])
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        pixel_ahash(gif_ish).collect()
 
     with pytest.raises(ValueError, match="size"):
         pixel_ahash(jpeg_ish, size=9)

@@ -53,13 +53,27 @@ def tokens_array(text_col: str) -> Column:
 
 
 def shingle_array(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined)."""
+    """Distinct word n-gram shingles (space-joined).
+
+    The token array is BOUND through a single-element ``transform`` lambda
+    (the ``_band_keys_col`` idiom): a lambda variable is evaluated once per
+    row and then referenced. Referencing the ``tokens_array`` expression
+    directly inside the per-start lambda re-evaluates the full regex
+    tokenization once PER SHINGLE (interpreted higher-order-function eval
+    has no subexpression cache) — O(tokens) regex passes over the text per
+    row. Interleaved A/B at sf0.1 (r15): binding measured 0.70× on the
+    doc_fingerprint headline and 0.89× on dedup_minhash_lsh."""
     toks = tokens_array(text_col)
-    starts = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.array_distinct(grams)
+
+    def grams_of(tk: Column) -> Column:
+        starts = F.when(
+            F.size(tk) >= n, F.sequence(F.lit(1), F.size(tk) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(
+            F.transform(starts, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+        )
+
+    return F.element_at(F.transform(F.array(toks), grams_of), 1)
 
 
 def exact_duplicates(

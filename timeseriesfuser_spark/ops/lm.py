@@ -46,12 +46,20 @@ _PPM = 1_000_000
 
 
 def bigram_array(text: Column) -> Column:
-    """Ordered (non-distinct) word-bigram strings "w1 w2" of ``text``."""
-    tk = tokens_col(text)
-    starts = F.when(
-        F.size(tk) >= 2, F.sequence(F.lit(1), F.size(tk) - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(tk, i, 2)))
+    """Ordered (non-distinct) word-bigram strings "w1 w2" of ``text``.
+
+    Token array bound through a single-element ``transform`` lambda so the
+    regex tokenization runs once per row, not once per bigram (see
+    ``ops.dedup.shingle_array``)."""
+    toks = tokens_col(text)
+
+    def grams_of(tk: Column) -> Column:
+        starts = F.when(
+            F.size(tk) >= 2, F.sequence(F.lit(1), F.size(tk) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(tk, i, 2)))
+
+    return F.element_at(F.transform(F.array(toks), grams_of), 1)
 
 
 def bigram_lm_score(

@@ -62,35 +62,56 @@ def text_stats(
     df = spread_small_input(df)
     toks = _tokens(text_col)
     sw = F.array([F.lit(s) for s in stopwords])
-    n_tokens = F.size(toks).cast("long")
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("long")
-    n_alpha = F.size(
-        F.filter(toks, lambda t: t.rlike("^[a-z]+$"))
-    ).cast("long")
-    n_bpe = F.size(
-        F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), F.lit(0))
-    ).cast("long")
-    n_punct = F.size(
-        F.regexp_extract_all(F.col(text_col), F.lit("[^a-zA-Z0-9\\s]"), F.lit(0))
-    ).cast("long")
-    tok_chars = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+
+    # All counters computed ONCE inside a single-element transform lambda
+    # (the bind-once idiom, see ops.dedup.shingle_array): referencing the
+    # ``toks`` expression from several output columns re-evaluates the
+    # regex tokenization per column (fresh lambda-variable ids defeat
+    # Catalyst subexpression elimination — the r15-pre plan ran
+    # regexp_extract_all 15× per row), and GetStructField pushdown
+    # dissolves a plain struct, so the bind must be opaque to
+    # SimplifyExtractValueOps. The outer select only does integer/double
+    # arithmetic on the extracted counters.
+    def counters(tk: Column) -> Column:
+        return F.struct(
+            F.length(F.col(text_col)).cast("long").alias("nc"),
+            F.size(tk).cast("long").alias("nt"),
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), F.lit(0))
+            ).cast("long").alias("nbpe"),
+            F.size(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit("[^a-zA-Z0-9\\s]"), F.lit(0)
+                )
+            ).cast("long").alias("npunct"),
+            F.size(F.filter(tk, lambda t: F.array_contains(sw, t)))
+            .cast("long").alias("nstop"),
+            F.size(F.filter(tk, lambda t: t.rlike("^[a-z]+$")))
+            .cast("long").alias("nalpha"),
+            F.aggregate(
+                tk, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            ).alias("tokchars"),
+        )
+
+    bound = df.select(
+        *id_cols,
+        F.element_at(F.transform(F.array(toks), counters), 1).alias("__s"),
     )
-    n_chars = F.length(F.col(text_col)).cast("long")
+    s = F.col("__s")
     safe = lambda num, den: F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
         F.lit(0.0)
     )
-    return df.select(
+    return bound.select(
         *id_cols,
-        n_chars.alias("n_chars_actual"),
-        n_tokens.alias("n_tokens"),
-        n_bpe.alias("n_bpe_tokens"),
-        n_punct.alias("n_punct"),
-        n_stop.alias("n_stopwords"),
-        safe(tok_chars, n_tokens).alias("avg_token_len"),
-        safe(n_stop, n_tokens).alias("stopword_ratio"),
-        safe(n_punct, n_chars).alias("punct_ratio"),
-        safe(2 * n_stop + n_alpha, 3 * n_tokens).alias("quality_score"),
+        s["nc"].alias("n_chars_actual"),
+        s["nt"].alias("n_tokens"),
+        s["nbpe"].alias("n_bpe_tokens"),
+        s["npunct"].alias("n_punct"),
+        s["nstop"].alias("n_stopwords"),
+        safe(s["tokchars"], s["nt"]).alias("avg_token_len"),
+        safe(s["nstop"], s["nt"]).alias("stopword_ratio"),
+        safe(s["npunct"], s["nc"]).alias("punct_ratio"),
+        safe(2 * s["nstop"] + s["nalpha"], 3 * s["nt"]).alias("quality_score"),
     )
 
 
@@ -108,43 +129,76 @@ def language_id(
     InSet lookup) rather than ``array_contains`` over a literal array (a
     linear scan per token per language) — measured ~12% faster on the
     sf0.1 corpus; a single-pass map+zip_with accumulator variant was
-    measured SLOWER (per-token array allocation dominates), see NOTES."""
+    measured SLOWER (per-token array allocation dominates), see NOTES.
+
+    Tokenization and every vote are computed ONCE per row through the
+    two-level bind-once idiom (tokens bound first, then the vote array):
+    the r15-pre plan inlined the tokenize+filter chain into every node of
+    the argmax when-chain — 47 regexp_extract_all evaluations per row —
+    because each inlined copy gets fresh lambda-variable ids that defeat
+    Catalyst subexpression elimination. The argmax itself becomes
+    ``element_at(langs, array_position(v, array_max(v)))``: ties take the
+    first (alphabetically smallest) language, exactly the old chain's
+    strictly-greater tie-break."""
     df = spread_small_input(df)
     toks = _tokens(text_col)
     langs = sorted(stopword_sets)
 
-    def hits(words: Sequence[str]) -> Column:
-        return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+    def hits(tk: Column, words: Sequence[str]) -> Column:
+        return F.size(F.filter(tk, lambda t: t.isin(*words))).cast("long")
 
-    votes = {lang: hits(stopword_sets[lang]) for lang in langs}
-    # argmax with alphabetical tie-break: strictly-greater against all
-    # earlier languages, greater-or-equal against later ones.
-    pred = F.lit(langs[0])
-    best = votes[langs[0]]
-    for lang in langs[1:]:
-        cond = votes[lang] > best
-        pred = F.when(cond, F.lit(lang)).otherwise(pred)
-        best = F.when(cond, votes[lang]).otherwise(best)
-    # NULL text → NULL prediction (votes are already null): without this
-    # guard the when-chain's null conditions all fall through to the
-    # alphabetically-first language — a silently wrong label.
-    pred = F.when(F.col(text_col).isNotNull(), pred)
-    return df.select(
+    lang_lits = F.array(*[F.lit(lang) for lang in langs])
+
+    def out_struct(tk: Column) -> Column:
+        votes_arr = F.array(*[hits(tk, stopword_sets[lang]) for lang in langs])
+
+        def from_votes(v: Column) -> Column:
+            # NULL text → NULL prediction (votes are already null); the
+            # guard also keeps element_at from seeing position 0. Lazy
+            # CASE evaluation means the argmax only runs on non-null text,
+            # where every vote is a non-null count and a max exists.
+            pred = F.when(
+                F.col(text_col).isNotNull(),
+                F.element_at(
+                    lang_lits,
+                    F.array_position(v, F.array_max(v)).cast("int"),
+                ),
+            )
+            return F.struct(
+                *[v[i].alias(f"votes_{lang}") for i, lang in enumerate(langs)],
+                pred.alias("lang_pred"),
+            )
+
+        return F.element_at(F.transform(F.array(votes_arr), from_votes), 1)
+
+    bound = df.select(
         *id_cols,
-        *[votes[lang].alias(f"votes_{lang}") for lang in langs],
-        pred.alias("lang_pred"),
+        F.element_at(F.transform(F.array(toks), out_struct), 1).alias("__s"),
+    )
+    return bound.select(
+        *id_cols,
+        *[F.col("__s")[f"votes_{lang}"].alias(f"votes_{lang}") for lang in langs],
+        F.col("__s")["lang_pred"].alias("lang_pred"),
     )
 
 
 def ngram_all_col(text: Column, n: int) -> Column:
     """ALL word n-grams (space-joined), duplicates preserved — unlike
     ``ops.dedup.shingle_array`` which dedups for set semantics. Repetition
-    metrics need the multiplicities."""
+    metrics need the multiplicities.
+
+    Token array bound through a single-element ``transform`` lambda so the
+    regex tokenization runs once per row, not once per gram (see
+    ``ops.dedup.shingle_array``)."""
     toks = tokens_col(text)
-    starts = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+    def grams_of(tk: Column) -> Column:
+        starts = F.when(
+            F.size(tk) >= n, F.sequence(F.lit(1), F.size(tk) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+
+    return F.element_at(F.transform(F.array(toks), grams_of), 1)
 
 
 def repetition_stats(
