@@ -58,17 +58,92 @@ def _lit_of(value, dtype: T.DataType) -> Column:
     return F.lit(value).cast(dtype)
 
 
-def _bucket_col(first_order_col: str, bounds: List[float]) -> Column:
-    """#{b in bounds : b <= x} — a deterministic range-bucket id.
+def _sql_lit(value, dtype: T.DataType) -> Optional[str]:
+    """SQL literal text for a collected value, or ``None`` when the type
+    has no safe textual rendering (caller falls back to :func:`_lit_of`).
 
-    O(len(bounds)) per row but JVM-side and codegen'd; bounds is at most a
-    few hundred entries.
-    """
-    arr = F.array(*[F.lit(float(b)) for b in bounds])
-    x = F.col(first_order_col).cast("double")
-    return F.aggregate(
-        arr, F.lit(0), lambda acc, b: acc + F.when(x >= b, 1).otherwise(0)
-    )
+    Exactness notes: doubles/floats go through ``CAST('<repr>' AS ...)`` —
+    Python ``repr`` emits the shortest decimal that round-trips, and
+    Spark's string→double parse is correctly rounded, so the value is
+    bit-identical to the collected one. Strings are rendered only when
+    they contain no characters that interact with the SQL lexer's escape
+    handling (which itself depends on a session config)."""
+    if value is None:
+        return f"CAST(NULL AS {dtype.simpleString()})"
+    if isinstance(dtype, T.StructType):
+        parts = []
+        for f in dtype.fields:
+            if not f.name.replace("_", "").isalnum():
+                return None
+            s = _sql_lit(value[f.name], f.dataType)
+            if s is None:
+                return None
+            parts.append(f"'{f.name}', {s}")
+        return "named_struct(" + ", ".join(parts) + ")"
+    if isinstance(dtype, T.ArrayType):
+        items = [_sql_lit(v, dtype.elementType) for v in value]
+        if any(i is None for i in items):
+            return None
+        return f"CAST(array({', '.join(items)}) AS {dtype.simpleString()})"
+    if isinstance(dtype, T.BooleanType):
+        return "true" if value else "false"
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return f"CAST({int(value)} AS {dtype.simpleString()})"
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        ty = dtype.simpleString()
+        if value != value:
+            return f"CAST('NaN' AS {ty})"
+        if value == float("inf"):
+            return f"CAST('Infinity' AS {ty})"
+        if value == float("-inf"):
+            return f"CAST('-Infinity' AS {ty})"
+        return f"CAST('{value!r}' AS {ty})"
+    if isinstance(dtype, T.StringType):
+        if all(32 <= ord(ch) < 127 and ch not in "'\\" for ch in value):
+            return f"'{value}'"
+        return None
+    return None
+
+
+def _bucket_sql(first_order_col: str, bounds: List[float]) -> str:
+    """#{b in bounds : b <= x} as a binary-search CASE tree, one parsed
+    SQL expression.
+
+    Replaces the ``aggregate(array(<bounds>), ...)`` higher-order-function
+    formulation (r15): HOFs are interpreted per element — O(#bounds)
+    lambda evaluations per row, plus ~300 py4j round-trips to build the
+    Column tree — while the CASE tree is whole-stage-codegen'd at
+    O(log #bounds) comparisons per row and parses JVM-side in one call.
+    With thousands of bounds on a real cluster the per-row gap is ~100×.
+
+    NULL ordering values descend the ELSE branch at every level and land
+    in bucket 0, exactly like the old per-element ``when(x >= b, 1)``
+    (a NULL comparison contributes 0); NaN compares greater than every
+    bound in both formulations (Spark's NaN ordering), landing in the
+    last bucket."""
+    col_q = first_order_col.replace("`", "``")
+    x = f"CAST(`{col_q}` AS DOUBLE)"
+
+    def tree(lo: int, hi: int) -> str:
+        # counts bounds with index in [lo, hi) that are <= x
+        if lo >= hi:
+            return "0"
+        if hi - lo == 1:
+            return f"(CASE WHEN {x} >= CAST('{bounds[lo]!r}' AS DOUBLE) THEN 1 ELSE 0 END)"
+        mid = (lo + hi) // 2
+        return (
+            f"(CASE WHEN {x} >= CAST('{bounds[mid]!r}' AS DOUBLE) "
+            f"THEN {mid - lo + 1} + {tree(mid + 1, hi)} "
+            f"ELSE {tree(lo, mid)} END)"
+        )
+
+    return tree(0, len(bounds))
+
+
+def _bucket_col(first_order_col: str, bounds: List[float]) -> Column:
+    """Column form of :func:`_bucket_sql` (shared by the range-bucketed
+    schemes in ops.timeseries / ops.packing / ops.scale)."""
+    return F.expr(_bucket_sql(first_order_col, bounds))
 
 
 def forward_fill(
@@ -113,7 +188,9 @@ def forward_fill(
         bounds = sorted(set(df.stat.approxQuantile(order_by[0], qs, 1.0 / (4 * n))))
     else:
         bounds = []
-    part = df.withColumn(_PID, _bucket_col(order_by[0], bounds) if bounds else F.lit(0))
+    part = df.withColumn(
+        _PID, F.expr(_bucket_sql(order_by[0], bounds)) if bounds else F.lit(0)
+    )
 
     # Pass 1: within-bucket LOCF (parallel; partitionBy bounds each task).
     w = (
@@ -163,12 +240,23 @@ def forward_fill(
             out_cols.append(F.col(c))
             continue
         dtype = df.schema[c].dataType
-        lut = F.array(
-            *[
-                _lit_of(carry.get(pid, {}).get(c), dtype)
-                for pid in range(n_buckets)
-            ]
-        )
+        vals = [carry.get(pid, {}).get(c) for pid in range(n_buckets)]
+        # Render the lookup array as ONE SQL string when every value has a
+        # safe textual literal (r15): the per-element F.lit/.cast Column
+        # build cost ~20 py4j round-trips per entry (~650 for a 32-bucket
+        # LUT, pure driver latency on every call); the SQL text parses
+        # JVM-side in one call. Exotic element types (timestamps,
+        # decimals, non-ASCII strings) keep the proven Column path.
+        sql_lits = [_sql_lit(v, dtype) for v in vals]
+        if "`" not in c and all(s is not None for s in sql_lits):
+            lut_sql = f"array({', '.join(sql_lits)})"
+            out_cols.append(
+                F.expr(
+                    f"coalesce(`{c}`, element_at({lut_sql}, `{_PID}` + 1))"
+                ).alias(c)
+            )
+            continue
+        lut = F.array(*[_lit_of(v, dtype) for v in vals])
         out_cols.append(
             F.coalesce(F.col(c), F.element_at(lut, F.col(_PID) + 1)).alias(c)
         )
