@@ -152,6 +152,7 @@ def forward_fill(
     cols: Sequence[str],
     num_partitions: Optional[int] = None,
     bounds: Optional[List[float]] = None,
+    bucket_col: Optional[Column] = None,
 ) -> DataFrame:
     """LOCF-fill ``cols`` in global ``order_by`` order.
 
@@ -164,6 +165,14 @@ def forward_fill(
     caller that already knows the distribution (resample's uniform spine)
     passes them to skip the quantile pass — the boundaries only control
     task balance, not correctness, so any monotone cut list is valid.
+
+    ``bucket_col``: fully in-plan alternative to ``bounds`` — a Column
+    computing a non-negative bucket id that is MONOTONE in ``order_by[0]``
+    (rows tied on the first order column must map to one bucket). With it
+    this operator runs ZERO driver-side jobs at construction: no quantile
+    sketch, and the cross-bucket carry below is in-plan too. Used by
+    resample's uniform spine, whose bucket id is plain arithmetic over the
+    already-computed bounds relation.
     """
     cols = [c for c in cols if c in df.columns]
     if not cols:
@@ -171,26 +180,32 @@ def forward_fill(
     order_cols = [F.col(c) for c in order_by]
     n = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
 
-    # Two-to-three actions read ``df`` (optional quantile sketch,
-    # per-bucket seed collect, the caller's final plan). Deliberately NOT
-    # persisted here: for a cheap input (a parquet scan, a generated
-    # range) re-scanning beats paying cache serialization on the full
-    # relation — measured 21 s vs 90 s at 30M rows. A caller whose input
-    # is an EXPENSIVE subplan (e.g. resample's spine join) persists it
-    # before calling (see operators.resample._gap_fill_tail).
-
-    # Driver-side quantile sketch → bucket boundaries (one pass, embedded as
-    # literals so every plan branch sees identical bucket assignment).
-    if bounds is not None:
-        bounds = sorted(set(float(b) for b in bounds))
-    elif n > 1:
-        qs = [i / n for i in range(1, n)]
-        bounds = sorted(set(df.stat.approxQuantile(order_by[0], qs, 1.0 / (4 * n))))
+    # At most ONE action reads ``df`` at construction (the optional
+    # quantile sketch); the per-bucket carry is in-plan, so the caller's
+    # final action evaluates ``df`` twice (fill branch + seeds branch) in
+    # one job. Deliberately NOT persisted here: for a cheap input (a
+    # parquet scan, a generated range) re-scanning beats paying cache
+    # serialization on the full relation — measured 21 s vs 90 s at 30M
+    # rows. A caller whose input is an EXPENSIVE subplan (e.g. resample's
+    # spine join) persists it before calling (see
+    # operators.resample._gap_fill_tail) — both branches then share the
+    # cache build within the action.
+    if bucket_col is not None:
+        part = df.withColumn(_PID, bucket_col.cast("long"))
     else:
-        bounds = []
-    part = df.withColumn(
-        _PID, F.expr(_bucket_sql(order_by[0], bounds)) if bounds else F.lit(0)
-    )
+        # Driver-side quantile sketch → bucket boundaries (one pass,
+        # embedded as literals so every plan branch sees identical bucket
+        # assignment).
+        if bounds is not None:
+            bounds = sorted(set(float(b) for b in bounds))
+        elif n > 1:
+            qs = [i / n for i in range(1, n)]
+            bounds = sorted(set(df.stat.approxQuantile(order_by[0], qs, 1.0 / (4 * n))))
+        else:
+            bounds = []
+        part = df.withColumn(
+            _PID, F.expr(_bucket_sql(order_by[0], bounds)) if bounds else F.lit(0)
+        )
 
     # Pass 1: within-bucket LOCF (parallel; partitionBy bounds each task).
     w = (
@@ -203,15 +218,17 @@ def forward_fill(
         *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in cols],
     )
 
-    # Per-bucket last non-null of each col: max_by over rows where the col
-    # is non-null (null ordering key ⇒ row ignored by max_by). This is a
-    # separate tiny job (#buckets result rows); its prefix scan —
-    # carry(pid) = last non-null among buckets strictly before pid — runs
-    # driver-side in plain Python, the exact distributed analogue of the
-    # reference's last_row_vals carry dict (core.py:1043-1071). Collecting
-    # also severs plan lineage: the carry joins back as a LocalRelation,
-    # keeping the final plan a single chain (a window-over-shared-subplan
-    # formulation tripped an optimizer ATTRIBUTE_NOT_FOUND bug).
+    # Pass 2, fully in-plan (r15 — replaces a driver-side seeds.collect()
+    # + literal-LUT projection that cost one serial job of pure latency
+    # per call): per-bucket last non-null of each col via max_by (null
+    # ordering key ⇒ row ignored), then carry(pid) = last non-null among
+    # buckets strictly BEFORE pid as a prefix window over the
+    # bucket-count-sized seeds relation (single-partition by design —
+    # #buckets ≈ shuffle partitions rows, the distributed analogue of the
+    # reference's last_row_vals carry dict, core.py:1043-1071), broadcast-
+    # joined back to patch leading nulls. Carry columns get fresh names so
+    # the seeds branch cannot alias-collide with the fill branch (the
+    # historic window-over-shared-subplan ATTRIBUTE_NOT_FOUND hazard).
     order_struct = F.struct(*order_cols)
     seeds = part.groupBy(_PID).agg(
         *[
@@ -219,45 +236,24 @@ def forward_fill(
             for c in cols
         ]
     )
-    seed_rows = sorted(seeds.collect(), key=lambda r: r[_PID])
-    # carry[pid][c] = last non-null of c among buckets strictly before pid.
-    running = {c: None for c in cols}
-    carry: dict = {}
-    for r in seed_rows:
-        carry[r[_PID]] = dict(running)
-        for c in cols:
-            if r[c] is not None:
-                running[c] = r[c]
-
-    # Patch leading nulls via a literal lookup array indexed by bucket id —
-    # a pure projection: no join, no broadcast, no shared subplan. Bucket
-    # ids are contiguous 0..len(bounds), so the array has at most
-    # #buckets+1 entries.
-    n_buckets = len(bounds) + 1
+    wc = (
+        Window.orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = seeds.select(
+        F.col(_PID),
+        *[
+            F.last(F.col(c), ignorenulls=True).over(wc).alias(f"__ff_carry__{c}")
+            for c in cols
+        ],
+    )
+    joined = filled.join(F.broadcast(carry), _PID, "left")
     out_cols = []
     for c in df.columns:
         if c not in cols:
             out_cols.append(F.col(c))
-            continue
-        dtype = df.schema[c].dataType
-        vals = [carry.get(pid, {}).get(c) for pid in range(n_buckets)]
-        # Render the lookup array as ONE SQL string when every value has a
-        # safe textual literal (r15): the per-element F.lit/.cast Column
-        # build cost ~20 py4j round-trips per entry (~650 for a 32-bucket
-        # LUT, pure driver latency on every call); the SQL text parses
-        # JVM-side in one call. Exotic element types (timestamps,
-        # decimals, non-ASCII strings) keep the proven Column path.
-        sql_lits = [_sql_lit(v, dtype) for v in vals]
-        if "`" not in c and all(s is not None for s in sql_lits):
-            lut_sql = f"array({', '.join(sql_lits)})"
+        else:
             out_cols.append(
-                F.expr(
-                    f"coalesce(`{c}`, element_at({lut_sql}, `{_PID}` + 1))"
-                ).alias(c)
+                F.coalesce(F.col(c), F.col(f"__ff_carry__{c}")).alias(c)
             )
-            continue
-        lut = F.array(*[_lit_of(v, dtype) for v in vals])
-        out_cols.append(
-            F.coalesce(F.col(c), F.element_at(lut, F.col(_PID) + 1)).alias(c)
-        )
-    return filled.select(*out_cols)
+    return joined.select(*out_cols)

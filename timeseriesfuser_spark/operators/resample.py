@@ -221,25 +221,36 @@ def resample_last_interval(
         )
     else:
         joined = spine.join(buckets, on=[_BUCKET], how="left")
-    ffill_bounds = None
+    ffill_bucket = None
     if not keys and ffill_keys:
         # The ungrouped gap-filled spine is a UNIFORM grid over
         # [__bmin, __bmax]: equal-width cuts (step-aligned) are exact
-        # equal-depth range buckets, so forward_fill can skip its
-        # quantile pass entirely — one tiny collect of the 1-row bounds
-        # relation instead of a full pass over the joined spine.
-        row = bounds.select("__bmin", "__bmax").first()
-        if row is not None and row["__bmin"] is not None:
-            span = int(row["__bmax"]) - int(row["__bmin"])
-            width = max(step, (span // n // step + 1) * step)
-            ffill_bounds = [
-                float(int(row["__bmin"]) + i * width)
-                for i in range(1, n)
-                if int(row["__bmin"]) + i * width <= int(row["__bmax"])
-            ]
+        # equal-depth range buckets, so forward_fill skips its quantile
+        # pass entirely. The bucket id is plain integer arithmetic over
+        # the 1-row bounds relation, broadcast onto every spine row
+        # IN-PLAN (r15) — the previous bounds.first() was a serial
+        # driver job that also force-materialized the buckets cache at
+        # op-construction. Same cuts as the old driver-built list:
+        # width = max(step, (span // n // step + 1) * step),
+        # bucket(x) = min((x - bmin) // width, #cuts).
+        b1 = F.broadcast(
+            bounds.select(
+                F.col("__bmin").alias("__ffb_min"),
+                F.col("__bmax").alias("__ffb_max"),
+            )
+        )
+        joined = joined.crossJoin(b1)
+        width = (
+            f"greatest({step}L, ((__ffb_max - __ffb_min) div {n} "
+            f"div {step} + 1) * {step}L)"
+        )
+        ffill_bucket = F.expr(
+            f"least((`{_BUCKET}` - __ffb_min) div {width}, "
+            f"least({n - 1}L, (__ffb_max - __ffb_min) div {width}))"
+        )
     return _gap_fill_tail(
         joined, ts_col, keys, value_cols, ffill_keys,
-        ffill_bounds=ffill_bounds, cache=cache,
+        ffill_bucket=ffill_bucket, cache=cache,
     )
 
 
@@ -249,19 +260,20 @@ def _gap_fill_tail(
     keys: List[str],
     value_cols: Sequence[str],
     ffill_keys: Sequence[str],
-    ffill_bounds: Optional[List[float]] = None,
+    ffill_bucket: Optional[F.Column] = None,
     cache: bool = True,
 ) -> DataFrame:
     """Shared gap-fill projection: blank boundaries carry only the
     ``ffill_keys`` of the previous event (even a null value is carried —
     the carry struct marks event presence, not non-nullness).
 
-    ``ffill_bounds`` is ONLY valid when ``joined`` is a fully gap-filled
-    UNIFORM spine (one row per grid step): equal-width cuts are exact
-    equal-depth range buckets there. For any non-uniform ``joined``
-    (e.g. gap_fill=False output, or raw event rows) pass ``None`` so
-    ``forward_fill`` runs its quantile pass — equal-width cuts over a
-    skewed distribution silently degrade to unbalanced partitions."""
+    ``ffill_bucket`` (an in-plan bucket-id Column over ``joined``) is
+    ONLY valid when ``joined`` is a fully gap-filled UNIFORM spine (one
+    row per grid step): equal-width cuts are exact equal-depth range
+    buckets there. For any non-uniform ``joined`` (e.g. gap_fill=False
+    output, or raw event rows) pass ``None`` so ``forward_fill`` runs its
+    quantile pass — equal-width cuts over a skewed distribution silently
+    degrade to unbalanced partitions."""
     out_cols: List[F.Column] = [F.col(_BUCKET).alias(ts_col)] + [
         F.col(k) for k in keys
     ]
@@ -280,17 +292,18 @@ def _gap_fill_tail(
             )
             joined = joined.withColumn(_CARRY, F.last(_CARRY, ignorenulls=True).over(w))
         else:
-            # forward_fill runs THREE actions over its input (quantile
-            # sketch, seed collect, final plan). ``joined`` is the spine
-            # join — an expensive subplan — so persist it once here
-            # instead of computing it three times (measured 15 s -> ~4 s
-            # at 1M input rows; also pins pass-consistency: all three
-            # actions see the same rows). Lazy MEMORY_AND_DISK, same
-            # trade-off note as the buckets persist above.
+            # With the in-plan bucket id (r15) forward_fill runs NO
+            # construction-time actions; the final plan reads ``joined``
+            # twice (fill branch + per-bucket seeds branch). ``joined``
+            # is the spine join — an expensive subplan — so persist it
+            # once here: both branches share the cache build within the
+            # one action (also pins pass-consistency: both branches see
+            # the same rows). Lazy MEMORY_AND_DISK, same trade-off note
+            # as the buckets persist above.
             if cache:
                 joined = track_persist(joined.persist(StorageLevel.MEMORY_AND_DISK))
             joined = forward_fill(
-                joined, [_BUCKET], [_CARRY], bounds=ffill_bounds
+                joined, [_BUCKET], [_CARRY], bucket_col=ffill_bucket
             )
         for c in value_cols:
             if c in ffill_keys:
