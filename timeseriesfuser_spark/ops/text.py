@@ -42,6 +42,20 @@ def _tokens(text_col: str, pattern: str = WORD_RE) -> Column:
     return tokens_col(F.col(text_col), pattern)
 
 
+def _sql_str(s: str) -> str:
+    """SQL single-quoted string literal (backslashes and quotes escaped
+    for Spark's unescapeSQLString)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _tokens_sql(text_col: str, pattern: str = WORD_RE) -> str:
+    """SQL text of :func:`_tokens` (identical expression, parsed
+    JVM-side — the py4j-chatter-free construction path)."""
+    return (
+        f"regexp_extract_all(lower(`{text_col}`), {_sql_str(pattern)}, 0)"
+    )
+
+
 def text_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -60,42 +74,42 @@ def text_stats(
     Exactly one integer/integer division per ratio → oracle-exact.
     """
     df = spread_small_input(df)
-    toks = _tokens(text_col)
-    sw = F.array([F.lit(s) for s in stopwords])
 
     # All counters computed ONCE inside a single-element transform lambda
     # (the bind-once idiom, see ops.dedup.shingle_array): referencing the
-    # ``toks`` expression from several output columns re-evaluates the
+    # tokens expression from several output columns re-evaluates the
     # regex tokenization per column (fresh lambda-variable ids defeat
     # Catalyst subexpression elimination — the r15-pre plan ran
     # regexp_extract_all 15× per row), and GetStructField pushdown
     # dissolves a plain struct, so the bind must be opaque to
     # SimplifyExtractValueOps. The outer select only does integer/double
-    # arithmetic on the extracted counters.
-    def counters(tk: Column) -> Column:
-        return F.struct(
-            F.length(F.col(text_col)).cast("long").alias("nc"),
-            F.size(tk).cast("long").alias("nt"),
-            F.size(
-                F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), F.lit(0))
-            ).cast("long").alias("nbpe"),
-            F.size(
-                F.regexp_extract_all(
-                    F.col(text_col), F.lit("[^a-zA-Z0-9\\s]"), F.lit(0)
-                )
-            ).cast("long").alias("npunct"),
-            F.size(F.filter(tk, lambda t: F.array_contains(sw, t)))
-            .cast("long").alias("nstop"),
-            F.size(F.filter(tk, lambda t: t.rlike("^[a-z]+$")))
-            .cast("long").alias("nalpha"),
-            F.aggregate(
-                tk, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-            ).alias("tokchars"),
-        )
-
+    # arithmetic on the extracted counters. Built as ONE SQL string (r15):
+    # the Python-lambda Column composition of the filter/aggregate HOFs
+    # cost ~0.3 s of py4j round-trips per call; the textually identical
+    # expression parses JVM-side in one call.
+    sw_sql = "array(" + ", ".join(_sql_str(s) for s in stopwords) + ")"
+    punct_re_sql = _sql_str("[^a-zA-Z0-9\\s]")
+    counters_sql = (
+        "named_struct("
+        f"'nc', CAST(length(`{text_col}`) AS BIGINT), "
+        "'nt', CAST(size(tk) AS BIGINT), "
+        f"'nbpe', CAST(size(regexp_extract_all(`{text_col}`, "
+        f"{_sql_str(BPE_RE)}, 0)) AS BIGINT), "
+        f"'npunct', CAST(size(regexp_extract_all(`{text_col}`, "
+        f"{punct_re_sql}, 0)) AS BIGINT), "
+        f"'nstop', CAST(size(filter(tk, t -> array_contains({sw_sql}, t)))"
+        " AS BIGINT), "
+        "'nalpha', CAST(size(filter(tk, t -> t RLIKE '^[a-z]+$'))"
+        " AS BIGINT), "
+        "'tokchars', aggregate(tk, CAST(0 AS BIGINT), "
+        "(acc, t) -> acc + length(t)))"
+    )
     bound = df.select(
         *id_cols,
-        F.element_at(F.transform(F.array(toks), counters), 1).alias("__s"),
+        F.expr(
+            f"element_at(transform(array({_tokens_sql(text_col)}), "
+            f"tk -> {counters_sql}), 1)"
+        ).alias("__s"),
     )
     s = F.col("__s")
     safe = lambda num, den: F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
@@ -141,39 +155,38 @@ def language_id(
     first (alphabetically smallest) language, exactly the old chain's
     strictly-greater tie-break."""
     df = spread_small_input(df)
-    toks = _tokens(text_col)
     langs = sorted(stopword_sets)
 
-    def hits(tk: Column, words: Sequence[str]) -> Column:
-        return F.size(F.filter(tk, lambda t: t.isin(*words))).cast("long")
+    # Same two-level bind-once structure as before, rendered as ONE SQL
+    # string (r15): the Python-lambda filter per language plus the nested
+    # transform binds cost ~0.5 s of py4j round-trips per call; the
+    # textually identical expression parses JVM-side in one call.
+    def hits_sql(words: Sequence[str]) -> str:
+        in_list = ", ".join(_sql_str(w) for w in words)
+        return f"CAST(size(filter(tk, t -> t IN ({in_list}))) AS BIGINT)"
 
-    lang_lits = F.array(*[F.lit(lang) for lang in langs])
-
-    def out_struct(tk: Column) -> Column:
-        votes_arr = F.array(*[hits(tk, stopword_sets[lang]) for lang in langs])
-
-        def from_votes(v: Column) -> Column:
-            # NULL text → NULL prediction (votes are already null); the
-            # guard also keeps element_at from seeing position 0. Lazy
-            # CASE evaluation means the argmax only runs on non-null text,
-            # where every vote is a non-null count and a max exists.
-            pred = F.when(
-                F.col(text_col).isNotNull(),
-                F.element_at(
-                    lang_lits,
-                    F.array_position(v, F.array_max(v)).cast("int"),
-                ),
-            )
-            return F.struct(
-                *[v[i].alias(f"votes_{lang}") for i, lang in enumerate(langs)],
-                pred.alias("lang_pred"),
-            )
-
-        return F.element_at(F.transform(F.array(votes_arr), from_votes), 1)
-
+    lang_lits_sql = "array(" + ", ".join(_sql_str(la) for la in langs) + ")"
+    votes_sql = "array(" + ", ".join(
+        hits_sql(stopword_sets[lang]) for lang in langs
+    ) + ")"
+    # NULL text → NULL prediction (votes are already null); the guard
+    # also keeps element_at from seeing position 0. Lazy CASE evaluation
+    # means the argmax only runs on non-null text, where every vote is a
+    # non-null count and a max exists.
+    pred_sql = (
+        f"CASE WHEN `{text_col}` IS NOT NULL THEN element_at("
+        f"{lang_lits_sql}, CAST(array_position(v, array_max(v)) AS INT)) END"
+    )
+    struct_sql = "named_struct(" + ", ".join(
+        f"'votes_{lang}', v[{i}]" for i, lang in enumerate(langs)
+    ) + f", 'lang_pred', {pred_sql})"
     bound = df.select(
         *id_cols,
-        F.element_at(F.transform(F.array(toks), out_struct), 1).alias("__s"),
+        F.expr(
+            f"element_at(transform(array({_tokens_sql(text_col)}), tk -> "
+            f"element_at(transform(array({votes_sql}), v -> {struct_sql})"
+            ", 1)), 1)"
+        ).alias("__s"),
     )
     return bound.select(
         *id_cols,
