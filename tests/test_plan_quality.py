@@ -43,9 +43,17 @@ def test_fuse_window_filter_pushes_down(spark):
     assert "IsNotNull(ts)" in plan or "GreaterThanOrEqual(ts" in plan
 
 
-def test_similarity_topk_broadcasts_queries(spark):
+def test_similarity_topk_scores_in_arrow_kernel(spark):
+    """Brute-force scoring runs as ONE numpy matmul per Arrow batch: the
+    corpus crosses the Python boundary once (O(C·d) transfer for the
+    O(Q·C·d) compute); the former per-pair broadcast join evaluated an
+    interpreted zip_with/aggregate dot per (query, corpus) pair."""
     plan = formatted_plan(contract.QUERIES["similarity_topk"](spark, SF))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "MapInArrow" in plan
+    # no join remains — the collected query side rides inside the kernel
+    assert "Join" not in plan
+    # only the quantized vector + id are shipped to Python (pruned select)
+    assert "BatchEvalPython" not in plan
 
 
 def test_resample_no_global_single_partition_window(spark):
@@ -80,8 +88,10 @@ def test_simhash_no_distinct_shuffle(spark):
 
 def test_srp_signature_single_aggregate(spark):
     plan = formatted_plan(contract.QUERIES["srp_signatures"](spark, SF))
-    # one broadcast plane join + one two-phase aggregate, nothing else
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # one Arrow matmul kernel + one two-phase aggregate, nothing else
+    # (the former plane-relation broadcast join is gone)
+    assert "MapInArrow" in plan
+    assert "Join" not in plan
     # small-input spread repartition + the one aggregate exchange; a
     # second data shuffle (join re-partitioning etc.) must not appear
     assert plan.count("+- Exchange") <= 2

@@ -49,6 +49,110 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+# --------------------------------------------------------------------------- #
+# Arrow/numpy scoring kernels
+#
+# The JVM higher-order functions above are CodegenFallback: every array
+# element costs an interpreted lambda eval with boxed longs, and Catalyst's
+# projection collapse happily inlines `quantized`/`_sq_norm` into post-join
+# per-PAIR expressions (re-quantizing both vectors for every candidate pair).
+# Where the compute is a dense matrix product over MANY rows — brute-force
+# scoring (|corpus|·|queries|·dim) and SRP signatures (|corpus|·planes·dim)
+# — the work moves into one numpy matmul per Arrow batch (guide §4.2: hand
+# whole batches to vectorized native code). The Arrow transfer is one pass
+# of (id, vector) per row — far below the O(rows·planes·dim) compute — and
+# per-pair verify dots (transfer ≈ compute) deliberately stay in the JVM.
+#
+# Exactness contract (what keeps the SQL oracles byte-identical): inputs are
+# the ALREADY-QUANTIZED integer vectors (rounding semantics never leave the
+# JVM); the matmul fast path runs only under a provable no-overflow bound
+# (dim · max|a| · max|b| < 2^63 — every product AND every partial sum stays
+# in range), where int64 arithmetic is exact; otherwise the row-at-a-time
+# fallback replicates the JVM's ANSI semantics operation by operation,
+# raising on any overflowing product/sum exactly where the JVM would. The
+# final float steps replicate the JVM expression order — (double)dot /
+# (sqrt((double)qn) * sqrt((double)cn)) — all IEEE correctly-rounded ops.
+# --------------------------------------------------------------------------- #
+
+_I64_MIN = -(1 << 63)
+_I64_MAX = (1 << 63) - 1
+
+
+def _ansi_i64(x: int) -> int:
+    """Range-check an exact Python int against Java long, raising like the
+    JVM's ANSI arithmetic does on overflow (used by the row-at-a-time
+    fallback paths; the declared queries never overflow)."""
+    if x < _I64_MIN or x > _I64_MAX:
+        raise ArithmeticError(
+            "[ARITHMETIC_OVERFLOW] long overflow in similarity kernel "
+            "(twin of the JVM's ANSI integer arithmetic)"
+        )
+    return x
+
+
+def _i64_sq_norm(vec):
+    """Exact JVM twin of ``_sq_norm`` (aggregate(v, 0L, acc + x*x)) for one
+    collected vector: None when the vector is null or has a null element;
+    every element's square is still range-checked (the JVM evaluates x*x
+    for every element even after the accumulator went null)."""
+    if vec is None:
+        return None
+    acc = 0
+    for e in vec:
+        if e is None:
+            acc = None
+            continue
+        sq = _ansi_i64(e * e)
+        if acc is not None:
+            acc = _ansi_i64(acc + sq)
+    return acc
+
+
+def _i64_dot(a, b):
+    """Exact JVM twin of ``_dot`` (aggregate(zip_with(a, b, x*y), 0L,
+    acc + x)): zip_with pads the shorter side with nulls, a null operand
+    yields a null product without arithmetic, every non-null product and
+    partial sum is range-checked."""
+    if a is None or b is None:
+        return None
+    n = max(len(a), len(b))
+    acc = 0
+    for i in range(n):
+        x = a[i] if i < len(a) else None
+        y = b[i] if i < len(b) else None
+        p = None if x is None or y is None else _ansi_i64(x * y)
+        acc = None if p is None or acc is None else _ansi_i64(acc + p)
+    return acc
+
+
+def _abs_bound(mat) -> int:
+    """max(|mat|) as an exact Python int (np.abs would silently wrap on
+    int64 min)."""
+    return max(int(mat.max()), -int(mat.min()))
+
+
+def _list_matrix(lists):
+    """(n, d) int64 matrix view of an Arrow ListArray when every row is
+    non-null, null-element-free and of one uniform length d >= 1 — else
+    None (callers fall back to the exact row-at-a-time path)."""
+    import numpy as np
+
+    if lists.null_count:
+        return None
+    vals = lists.values
+    if vals.null_count:
+        return None
+    offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(offs) < 2:
+        return None
+    lens = np.diff(offs)
+    d = int(lens[0]) if len(lens) else 0
+    if d < 1 or not (lens == d).all():
+        return None
+    flat = vals.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    return flat[offs[0]: offs[-1]].reshape(len(lens), d)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -62,32 +166,141 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, cosine, rank). Self-matches (same id)
     excluded. Ties broken by neighbor id — fully deterministic.
-    The query side is broadcast: no shuffle of the corpus. The compute is
-    inherently O(Q·C) (exactness requires scoring every corpus vector),
-    but the SHUFFLE is not: Spark's rank-limit pushdown plans a partial
-    ``WindowGroupLimit`` before the exchange, so each task ships at most
-    k rows per query, not its whole score partition (plan-gated).
+    The query side is collected once (it is small by contract — the
+    previous formulation broadcast it) and scored against the corpus in
+    one numpy matmul per Arrow batch: the corpus crosses the Python
+    boundary once as (id, quantized vector), O(C·d) transfer for the
+    O(Q·C·d) compute (guide §4.2). Exactness: quantization, the final
+    rounding, the self-pair filter and the ranking window all stay in
+    the JVM; the kernel's wrapped-int64 dots/norms and fixed-order IEEE
+    division are bit-identical to the former JVM expressions (see the
+    kernel-helpers comment above). The compute is inherently O(Q·C)
+    (exactness requires scoring every corpus vector), but the SHUFFLE is
+    not: Spark's rank-limit pushdown plans a partial ``WindowGroupLimit``
+    before the exchange, so each task ships at most k rows per query,
+    not its whole score partition (plan-gated).
     """
+    from pyspark.sql.pandas.types import to_arrow_type
+
     c = spread_small_input(corpus).select(
         F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col), scale).alias("__cv")
-    ).withColumn("__cn", _sq_norm(F.col("__cv")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantized(F.col(vec_col), scale).alias("__qv")
-    ).withColumn("__qn", _sq_norm(F.col("__qv")))
-
-    dot = _dot(F.col("__qv"), F.col("__cv"))
-    cos = F.when(
-        (F.col("__qn") > 0) & (F.col("__cn") > 0),
-        dot.cast("double") / (F.sqrt(F.col("__qn")) * F.sqrt(F.col("__cn"))),
-    ).otherwise(F.lit(0.0))
-    if round_to is not None:
-        cos = F.round(cos, round_to)
-
-    pairs = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cos)
-        .select("query_id", "neighbor_id", "cosine")
     )
+    # The query side is small by this op's own contract (the old plan
+    # broadcast it); collecting it once replaces the per-pair interpreted
+    # zip_with/aggregate dot — O(Q·C·d) boxed lambda evals that Catalyst's
+    # projection collapse additionally made re-quantize BOTH vectors per
+    # pair — with one numpy matmul per Arrow batch (guide §4.2).
+    # Quantization and the query norms are still computed by the JVM.
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), quantized(F.col(vec_col), scale).alias("__qv")
+        )
+        .withColumn("__qn", _sq_norm(F.col("__qv")))
+        .collect()
+    )
+    qids = [r["query_id"] for r in q_rows]
+    qvecs = [r["__qv"] for r in q_rows]
+    qns = [r["__qn"] for r in q_rows]
+    qid_pa = to_arrow_type(queries.schema[id_col].dataType)
+    pair_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType, True),
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType, True),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
+    )
+
+    def score(batches):
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+
+        nq = len(qids)
+        if nq == 0:
+            return
+        # Query matrix fast path: every query vector non-null, no null
+        # elements, one uniform dimension.
+        qd = len(qvecs[0]) if qvecs[0] is not None else -1
+        q_uniform = qd >= 1 and all(
+            v is not None and len(v) == qd and all(e is not None for e in v)
+            for v in qvecs
+        )
+        if q_uniform:
+            qmat = np.array(qvecs, dtype=np.int64)                 # (nq, qd)
+            q_bound = _abs_bound(qmat)
+            q_ok = np.array([qn is not None and qn > 0 for qn in qns])
+            sq = np.sqrt(np.array([qn or 0 for qn in qns], dtype=np.int64).astype(np.float64))
+        for batch in batches:
+            nc = batch.num_rows
+            if nc == 0:
+                continue
+            names = batch.schema.names
+            nid_arr = batch.column(names.index("neighbor_id"))
+            cv_arr = batch.column(names.index("__cv"))
+            cmat = _list_matrix(cv_arr) if q_uniform else None
+            if cmat is not None and (
+                cmat.shape[1] != qd
+                # No-overflow proof: every product and partial sum of the
+                # dots and corpus norms stays inside int64, so the numpy
+                # arithmetic is exact (else: ANSI-faithful fallback).
+                or qd * _abs_bound(cmat) * max(q_bound, _abs_bound(cmat)) > _I64_MAX
+            ):
+                cmat = None
+            if cmat is not None:
+                # (dot, cn) in wrapped int64 — bit-identical to the JVM's
+                # sequential long arithmetic (mod-2^64 sums are order-free).
+                cn = (cmat * cmat).sum(axis=1)                     # (nc,)
+                dots = cmat @ qmat.T                               # (nc, nq)
+                sc = np.sqrt(cn.astype(np.float64))
+                # JVM expression order: (double)dot / (sqrt(qn)*sqrt(cn))
+                denom = sq[None, :] * sc[:, None]                  # (nc, nq)
+                mask = q_ok[None, :] & (cn > 0)[:, None]
+                cos = np.zeros((nc, nq), dtype=np.float64)
+                np.divide(dots.astype(np.float64), denom, out=cos, where=mask)
+                for j in range(nq):
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array([qids[j]] * nc, type=qid_pa),
+                            nid_arr,
+                            pa.array(cos[:, j], type=pa.float64()),
+                        ],
+                        names=["query_id", "neighbor_id", "cosine"],
+                    )
+                continue
+            # Exact row-at-a-time fallback (nulls, ragged dims, dim
+            # mismatch): the _i64_* helpers replicate the JVM expressions.
+            cvs = cv_arr.to_pylist()
+            cns = [_i64_sq_norm(v) for v in cvs]
+            for j in range(nq):
+                qv, qn = qvecs[j], qns[j]
+                vals = []
+                for i in range(nc):
+                    cn_i = cns[i]
+                    if qn is None or cn_i is None or qn <= 0 or cn_i <= 0:
+                        vals.append(0.0)
+                        continue
+                    dot = _i64_dot(qv, cvs[i])
+                    if dot is None:
+                        vals.append(None)
+                        continue
+                    vals.append(
+                        float(dot) / (math.sqrt(float(qn)) * math.sqrt(float(cn_i)))
+                    )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([qids[j]] * nc, type=qid_pa),
+                        nid_arr,
+                        pa.array(vals, type=pa.float64()),
+                    ],
+                    names=["query_id", "neighbor_id", "cosine"],
+                )
+
+    pairs = c.mapInArrow(score, schema=pair_schema).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    if round_to is not None:
+        pairs = pairs.withColumn("cosine", F.round(F.col("cosine"), round_to))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -109,32 +322,96 @@ def srp_plane_component(p: Column, i: Column) -> Column:
     return h % 2001 - 1000
 
 
+def _srp_plane_matrix(planes: int, dim: int):
+    """(planes, dim) int64 matrix of :func:`srp_plane_component` values,
+    computed on the driver with hashlib (bit-identical to the JVM
+    expression: md5 of "p:i" utf-8, first 15 hex chars parsed base-16 —
+    a non-negative value < 2^60 — then % 2001 − 1000; Java's ``%`` on
+    non-negative operands equals Python's)."""
+    import hashlib
+
+    import numpy as np
+
+    mat = np.empty((planes, dim), dtype=np.int64)
+    for p in range(planes):
+        for i in range(dim):
+            h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16)
+            mat[p, i] = h % 2001 - 1000
+    return mat
+
+
 def _srp_signatures_from(v: DataFrame, planes: int, dim: int) -> DataFrame:
     """(id, sh): ``planes``-bit SRP signature from a (id, v array<long>)
-    relation — one broadcast plane join + one groupBy (map-side partial)."""
-    spark = v.sparkSession
-    plane_df = spark.range(planes).select(
-        F.col("id").cast("int").alias("p"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: srp_plane_component(F.col("id"), i),
-        ).alias("parr"),
+    relation — one Arrow/numpy matmul pass + one groupBy (map-side
+    partial).
+
+    The former formulation exploded every row against a broadcast plane
+    relation and evaluated the dot as an interpreted zip_with/aggregate
+    HOF: O(rows·planes·dim) boxed lambda evals. The kernel moves the
+    identical arithmetic into one int64 matmul per Arrow batch (guide
+    §4.2); wrapped mod-2^64 sums are order-free, so the per-row ``sh``
+    is bit-identical (the fast path runs only under a provable
+    no-overflow bound; plane components are in [-1000, 1000]). Row
+    semantics preserved exactly: a null vector, a null element, or a
+    length ≠ ``dim`` made every per-plane dot NULL, i.e. every bit 0 —
+    sh = 0 (the ANSI-faithful fallback still range-checks the products
+    the JVM would have evaluated). The groupBy(sum) stays so duplicate
+    ids still combine across rows exactly as the exploded aggregate did.
+    """
+    plane_mat = _srp_plane_matrix(planes, dim)
+    id_type = v.schema["id"].dataType
+    sig_schema = T.StructType(
+        [
+            T.StructField("id", id_type, True),
+            T.StructField("sh", T.LongType(), True),
+        ]
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("v"), F.col("parr"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        pmat = plane_mat  # (planes, dim)
+        # shiftleft(1L, p) in Java masks the shift to p & 63
+        bitvals = (np.int64(1) << (np.arange(planes, dtype=np.int64) & 63))[None, :]
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            names = batch.schema.names
+            id_arr = batch.column(names.index("id"))
+            v_arr = batch.column(names.index("v"))
+            mat = _list_matrix(v_arr)
+            if mat is not None and (
+                mat.shape[1] != pmat.shape[1]
+                or mat.shape[1] * 1000 * _abs_bound(mat) > _I64_MAX
+            ):
+                mat = None
+            if mat is not None:
+                dots = mat @ pmat.T                                # (n, planes)
+                sh = np.where(dots >= 0, bitvals, np.int64(0)).sum(
+                    axis=1, dtype=np.int64
+                )
+            else:
+                plane_lists = [[int(x) for x in pmat[p]] for p in range(pmat.shape[0])]
+                sh = np.zeros(batch.num_rows, dtype=np.int64)
+                for i, vec in enumerate(v_arr.to_pylist()):
+                    if vec is None:
+                        continue                                   # dot NULL → sh 0
+                    acc = 0
+                    for p, parr in enumerate(plane_lists):
+                        dot = _i64_dot(vec, parr)
+                        if dot is not None and dot >= 0:
+                            acc += _I64_MIN if (p & 63) == 63 else 1 << (p & 63)
+                    sh[i] = acc
+            yield pa.RecordBatch.from_arrays(
+                [id_arr, pa.array(sh, type=pa.int64())], names=["id", "sh"]
+            )
+
     return (
-        v.join(F.broadcast(plane_df))
-        .select(
-            "id",
-            F.when(dot >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)"))
-            .otherwise(F.lit(0).cast("long"))
-            .alias("bit"),
-        )
+        v.select("id", "v")
+        .mapInArrow(kernel, schema=sig_schema)
         .groupBy("id")
-        .agg(F.sum("bit").alias("sh"))
+        .agg(F.sum("sh").alias("sh"))
     )
 
 
