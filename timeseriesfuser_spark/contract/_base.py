@@ -58,13 +58,34 @@ def register(name: str, oracle: Optional[str] = None):
     return deco
 
 
+# Inferred-schema memo keyed on file identity (realpath, size, mtime_ns).
+# `spark.read.parquet` runs a footer-inference pass per CALL (~60-90 ms of
+# driver latency each, measured sf0.1); with the schema declared the read
+# plans with no inference job. Metadata only — never rows or results — and
+# the mtime/size key makes a rewritten file re-infer, so results can never
+# be served from a stale schema of different data.
+_SCHEMA_MEMO: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import os
+
     # Session TZ must be UTC for unix_millis to agree with DuckDB epoch_ms.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects
     # unless mapped to a long (of nanoseconds).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        key = (os.path.realpath(path), st.st_size, st.st_mtime_ns)
+    except OSError:
+        return spark.read.parquet(path)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[key] = schema
+    return spark.read.schema(schema).parquet(path)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
