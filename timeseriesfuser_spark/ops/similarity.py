@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from timeseriesfuser_spark.ops.util import spread_small_input
+from timeseriesfuser_spark.ops.util import spread_kernel_input, spread_small_input
 
 
 def quantized(vec: Column, scale: int = 1000) -> Column:
@@ -182,7 +182,7 @@ def cosine_topk(
     """
     from pyspark.sql.pandas.types import to_arrow_type
 
-    c = spread_small_input(corpus).select(
+    c = spread_kernel_input(corpus).select(
         F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col), scale).alias("__cv")
     )
     # The query side is small by this op's own contract (the old plan
@@ -491,7 +491,7 @@ def srp_neardup_pairs(
     # separate full count was a redundant pass (the minhash darr lesson,
     # r10).
     v = _maybe_cache(
-        spread_small_input(df).select(
+        spread_kernel_input(df).select(
             F.col(id_col).alias("id"), quantized(F.col(vec_col), scale).alias("v")
         ).withColumn("n", _sq_norm(F.col("v"))),
         cache,

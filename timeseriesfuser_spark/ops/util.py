@@ -99,6 +99,32 @@ def spread_small_input(df: DataFrame) -> DataFrame:
 SMALL_INPUT_BYTES = 64 << 20
 
 
+def spread_kernel_input(df: DataFrame, bytes_per_slice: int = 8 << 20) -> DataFrame:
+    """Partitioning for Arrow/numpy KERNEL stages (``mapInArrow`` matmuls):
+    enough slices to saturate the vectorized compute, never far more.
+
+    Each kernel slice pays a fixed Python-worker round trip (worker
+    handshake + Arrow stream setup, ~10-15 ms) that the JVM-expression
+    paths :func:`spread_small_input` serves don't; and the kernel's
+    per-byte cost is matmul-cheap, so a tiny input spread across every
+    core is pure fixed cost (measured sf0.1: the 2000-row SRP signature
+    relation runs 2.6x faster on its single scan split than spread to 32
+    slices). Known input bytes → ceil(bytes / bytes_per_slice) slices
+    capped at default parallelism, so mid-size inputs still fan out and
+    at real scale the scan already has >= cores splits (no-op, same
+    guarantee as spread_small_input). Unknown size (derived frames) →
+    full parallelism, the conservative large-input default. Partitioning
+    only — per-row results are unaffected.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    est = estimated_input_bytes(df)
+    if est is not None:
+        target = max(1, min(target, -(-est // bytes_per_slice)))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def estimated_input_bytes(df: DataFrame):
     """Best-effort input size: driver-side ``os.stat`` of the scan's file
     list (no data IO; capped at 10k files). Returns ``None`` when the
