@@ -88,6 +88,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(schema).parquet(path)
 
 
+def _events_ts_cuts(spark: SparkSession, sf_dir: str):
+    """Range-bucket cut points (epoch-ms floats) for events.ts, derived
+    ONLY from parquet footer min/max stats — a metadata read, replacing
+    forward_fill's driver-side approxQuantile input pass (a full scan at
+    100 TB). Balance-only by forward_fill's ``bounds`` contract; ``None``
+    (no stats) falls back to the sketch."""
+    from timeseriesfuser_spark.sources.readers import parquet_footer_cuts
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return parquet_footer_cuts(f"{sf_dir}/events.parquet", "ts", n, to_ms=True)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with `ts` normalized to epoch-ms long (DuckDB epoch_ms twin).
 

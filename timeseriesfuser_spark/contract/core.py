@@ -35,6 +35,7 @@ from timeseriesfuser_spark.contract._base import (  # noqa: F401
     register,
     _t,
     _events,
+    _events_ts_cuts,
     _sql_hash64,
     _TOKS,
     _SHINGLES,
@@ -236,7 +237,12 @@ def q_forward_fill_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("value"))
         .alias("value_filled"),
     )
-    filled = forward_fill(ev, ["__timestamp", "event_id"], ["value_filled"])
+    filled = forward_fill(
+        ev,
+        ["__timestamp", "event_id"],
+        ["value_filled"],
+        bounds=_events_ts_cuts(spark, sf_dir),
+    )
     return filled.select("event_id", "value_filled")
 
 

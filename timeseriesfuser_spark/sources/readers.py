@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 import re
 from dataclasses import replace
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -403,3 +403,97 @@ def iso_string_to_epoch_ms(col):
     (examples/demo_spread_trades_memecoin.py:21-27:
     str.strptime(Datetime).dt.epoch('ms'))."""
     return F.unix_millis(F.to_timestamp(col))
+
+
+def parquet_footer_cuts(
+    path: str, col: str, n: int, *, to_ms: bool = False
+) -> Optional[List[float]]:
+    """Range-bucket cut points for ``col`` interpolated from parquet FOOTER
+    row-group ``(min, max, rows)`` statistics — a metadata-only read, no
+    data pass. Replaces a driver-side ``approxQuantile`` job when the input
+    is a parquet table on disk: at 100 TB the quantile sketch is a full
+    input scan serialized on the driver before the real job starts, while
+    footers are O(#files) kilobyte reads the scan planner touches anyway.
+
+    Each row group's rows are modeled as uniform on ``[min, max]`` and the
+    returned cuts are the ``n``-quantile points of that mixture. Cuts feed
+    :func:`operators.fill.forward_fill`'s ``bounds`` parameter, which by
+    contract controls TASK BALANCE only, never results — so the uniform
+    model being approximate is harmless, and for time-ordered event data it
+    is a close proxy for the true quantiles.
+
+    ``to_ms=True`` converts timestamp columns to epoch-ms floats (matching
+    ``ts_epoch_ms_col``; naive timestamps are interpreted as UTC, same as
+    the UTC-pinned session). Returns ``None`` when the path has no local
+    parquet files, the column is absent or lacks stats in every row group,
+    or pyarrow is unavailable — callers then fall back to the sketch.
+    """
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as patypes
+    except ImportError:
+        return None
+    if os.path.isfile(path):
+        files = [path]
+    elif os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    else:
+        return None
+    if not files or n < 2:
+        return None
+
+    segments: List[Tuple[float, float, int]] = []  # (lo, hi, rows)
+    divisor = 1.0
+    try:
+        for fp in files:
+            pf = pq.ParquetFile(fp)
+            names = pf.metadata.schema.names
+            if col not in names:
+                return None
+            field_type = pf.schema_arrow.field(col).type
+            if patypes.is_timestamp(field_type):
+                divisor = {"s": 1e-3, "ms": 1.0, "us": 1e3, "ns": 1e6}[
+                    field_type.unit
+                ]
+            elif not (
+                patypes.is_integer(field_type) or patypes.is_floating(field_type)
+            ):
+                return None
+            idx = names.index(col)
+            md = pf.metadata
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                st = rg.column(idx).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo = float(st.min_raw) / divisor
+                hi = float(st.max_raw) / divisor
+                if hi < lo:
+                    lo, hi = hi, lo
+                segments.append((lo, hi, rg.num_rows))
+    except (OSError, ValueError, KeyError):
+        return None
+    if not segments:
+        return None
+
+    segments.sort()
+    total = sum(rows for _, _, rows in segments)
+    if total <= 0:
+        return None
+    cuts: List[float] = []
+    seg_i, cum = 0, 0.0
+    for k in range(1, n):
+        target = total * k / n
+        while seg_i < len(segments) and cum + segments[seg_i][2] < target:
+            cum += segments[seg_i][2]
+            seg_i += 1
+        if seg_i >= len(segments):
+            break
+        lo, hi, rows = segments[seg_i]
+        frac = (target - cum) / rows if rows else 0.0
+        cuts.append(lo + (hi - lo) * frac)
+    return sorted(set(cuts)) or None
