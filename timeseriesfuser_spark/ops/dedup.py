@@ -925,8 +925,22 @@ def _banded_relation(
                 ]
             ).alias("__bk"),
         )
+    # posexplode_OUTER, deliberately: the non-outer Generate makes
+    # Catalyst's InferFiltersFromGenerate synthesize
+    # ``size(__bk) > 0 AND isnotnull(__bk)`` below the Generate, and
+    # projection collapse substitutes the FULL band-key expression (one
+    # md5 + num_hashes min-hash evaluations per shingle) into that
+    # predicate — the entire signature computation ran twice per row
+    # (seen as the doubled count-stage CPU in the r15 profile; guide
+    # §4.4's duplicated-evaluation trap, JVM-expression edition). The
+    # outer variant blocks the rule and is row-identical here: __bk is
+    # an array() of exactly ``bands`` non-null md5 strings built from a
+    # relation already filtered to size(shs) > 0, so it is never null
+    # and never empty — the outer null-row branch is unreachable.
     buckets = _maybe_cache(
-        keyed.select("id", "__bk", F.posexplode("__bk").alias("band", "bkey")),
+        keyed.select(
+            "id", "__bk", F.posexplode_outer("__bk").alias("band", "bkey")
+        ),
         cache,
         materialize=materialize_buckets,
         footprint_bytes=footprint_bytes,
@@ -1335,7 +1349,12 @@ def simhash_pairs(
         # projection-collapse blocker), and the expression is LINEAR in
         # bits (the parser-OOM hazard is per-level multiplication, not
         # flat sums). Bit-identity with the old Column build is pinned
-        # in tests/test_round16_additions.py.
+        # in tests/test_round16_additions.py. (r15 note: a SWAR
+        # lane-packed vote — 16 array passes instead of 48 — measured
+        # NEUTRAL here and 1.23× worse in-query: at the ~23 distinct
+        # tokens/doc of real corpora the passes are too short for the
+        # pass-count saving to beat its per-row scalar overhead, and
+        # this path only ever serves <64 MB inputs; reverted.)
         from timeseriesfuser_spark.ops import text as _text
 
         word_re = _text.WORD_RE.replace("'", "''")

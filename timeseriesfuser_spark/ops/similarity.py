@@ -1123,6 +1123,52 @@ def blocked_cosine_pairs(
         rel, ["__b"], "id", max_block, "blocked_cosine_pairs",
         size_hint=size_hint,
     )
+    # Gram-kernel path (guide §4.2/§8): the block self-join evaluates the
+    # dot as an interpreted zip_with/aggregate per CANDIDATE pair —
+    # O(Σ|block|²·dim) boxed lambda evals. Grouping by the join key
+    # instead moves each vector across the Python boundary ONCE (O(N·d)
+    # transfer for the same O(Σ|block|²·d) compute, now one numpy int64
+    # gram matrix per block) and emits (id_a, id_b, dot, n_a, n_b);
+    # quantization, norms, the cosine division/rounding and the threshold
+    # stay in the JVM exactly as before. Exactness mirrors cosine_topk's
+    # kernel: the matmul runs only under the provable no-overflow bound,
+    # else exact per-pair Python-int dots that raise where the JVM's ANSI
+    # arithmetic would; ragged-dim pairs (JVM: zip_with null-pads → null
+    # cosine → dropped by the filter) are skipped. Same shuffle count as
+    # the join (one exchange on the block key); per-group memory is
+    # |block|·d·8 B — bounded by ``max_block`` on the default path, and
+    # under ``max_block=None`` a block big enough to matter is already
+    # quadratic-dead in the join formulation too.
+    #
+    # ADAPTIVE, same statistics call as _use_perrow_signatures: a
+    # provably SMALL input keeps the join formulation — the kernel's
+    # fixed costs (group exchange + sort + Python worker round trip)
+    # exceed its entire win there (measured 1.34× slower on the 1 MB
+    # sf0.1 headline, while a 100k-vector/128-dim cell runs 8.5× faster
+    # in the kernel, tools/gram_cell.py) — LARGE or unknown-size inputs take the
+    # kernel, whose advantage grows with Σ|block|²·d. Restricted to
+    # integral ids so the kernel's id ordering is exactly the JVM's;
+    # other id types always use the join formulation.
+    from timeseriesfuser_spark.ops.dedup import _use_perrow_signatures
+    from timeseriesfuser_spark.ops.util import SMALL_INPUT_BYTES
+
+    if not _use_perrow_signatures(df, SMALL_INPUT_BYTES) and isinstance(
+        rel.schema["id"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        grouped = _blocked_pair_dots(rel, jkeys)
+        cos = F.col("__dot").cast("double") / (
+            F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb"))
+        )
+        if round_to is not None:
+            cos = F.round(cos, round_to)
+        return (
+            grouped.withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select(
+                "id_a", "id_b", F.col("__b").alias(block_col), "cosine"
+            )
+        )
     x, y = rel.alias("x"), rel.alias("y")
     dot = _dot(F.col("x.__v"), F.col("y.__v"))
     cos = dot.cast("double") / (F.sqrt(F.col("x.__n")) * F.sqrt(F.col("y.__n")))
@@ -1141,6 +1187,182 @@ def blocked_cosine_pairs(
             F.col("x.__b").alias(block_col),
             "cosine",
         )
+    )
+
+
+def _blocked_pair_dots(rel: DataFrame, jkeys: list) -> DataFrame:
+    """(id_a, id_b, __b, __dot, __na, __nb) for every within-group ordered
+    pair of ``rel`` — the grouped-kernel replacement for the block-key
+    self-join's per-pair interpreted dot.
+
+    ``rel`` must carry (id integral, __b, __v array<long> fully non-null,
+    __n long > 0) — :func:`blocked_cosine_pairs` guarantees this by
+    filtering ``__n > 0`` (a null vector or element nulls the norm).
+    Pair semantics replicate the join exactly: only rows with non-null
+    group keys and id pair up (null keys never equi-match; a null id
+    fails ``x.id < y.id``), equal ids never pair, ``id_a < id_b``, and
+    ragged-dim pairs are skipped (the JVM zip_with null-pads them into a
+    null cosine that the threshold filter drops). Dots are exact: numpy
+    int64 gram under the proven bound dim·max|a|·max|b| ≤ i64 max, else
+    per-pair Python-int arithmetic that raises on overflow exactly like
+    the JVM's ANSI longs.
+
+    Memory: STREAMING by construction — one exchange on the group key,
+    blocks arrive contiguously (sortWithinPartitions), the kernel buffers
+    only the current block's vectors (|block|·d·8 B, cap-bounded on the
+    default ``max_block`` path) and emits pair batches in ≤2^18-row
+    chunks, never the |block|² pair set at once (an applyInPandas grouped
+    map would materialize all C(n,2) rows of a group in one pandas frame
+    — 50M rows for a cap-sized 10k block)."""
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    id_dt = rel.schema["id"].dataType
+    b_dt = rel.schema["__b"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_dt, True),
+            T.StructField("id_b", id_dt, True),
+            T.StructField("__b", b_dt, True),
+            T.StructField("__dot", T.LongType(), True),
+            T.StructField("__na", T.LongType(), True),
+            T.StructField("__nb", T.LongType(), True),
+        ]
+    )
+    id_pa = to_arrow_type(id_dt)
+    b_pa = to_arrow_type(b_dt)
+    CHUNK = 1 << 18
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        # current-group buffer: per-batch slices, concatenated at flush
+        cur_key = None
+        ids_parts: list = []
+        ns_parts: list = []
+        vec_slices: list = []
+
+        def flush():
+            nonlocal ids_parts, ns_parts, vec_slices, cur_key
+            if cur_key is None:
+                return
+            ids_np = np.concatenate(ids_parts) if ids_parts else np.array([], dtype=np.int64)
+            n = len(ids_np)
+            blk = cur_key[0]
+            ids_parts, ns_parts_l, vec_slices_l = [], ns_parts, vec_slices
+            ns_parts, vec_slices = [], []
+            if n < 2:
+                return
+            ns_np = np.concatenate(ns_parts_l)
+            mats = [_list_matrix(s) for s in vec_slices_l]
+            mat = None
+            if all(m is not None for m in mats):
+                d0 = mats[0].shape[1]
+                if all(m.shape[1] == d0 for m in mats):
+                    mat = np.vstack(mats) if len(mats) > 1 else mats[0]
+                    bound = _abs_bound(mat)
+                    # every product and partial sum stays inside int64
+                    if d0 * bound * bound > _I64_MAX:
+                        mat = None
+            pyv = None
+            if mat is None:
+                pyv = [v for s in vec_slices_l for v in s.to_pylist()]
+            # chunked emission: anchor rows i against j > i
+            oa: list = []
+            ob: list = []
+            od: list = []
+            ona: list = []
+            onb: list = []
+            pending = 0
+            for i in range(n - 1):
+                jj = np.arange(i + 1, n)
+                if mat is not None:
+                    drow = mat[i + 1:] @ mat[i]
+                else:
+                    a = pyv[i]
+                    drow = np.zeros(n - i - 1, dtype=np.int64)
+                    ok = np.zeros(n - i - 1, dtype=bool)
+                    if a is not None:
+                        la = len(a)
+                        av = [int(e) for e in a]
+                        for t, jdx in enumerate(range(i + 1, n)):
+                            b = pyv[jdx]
+                            if b is None or len(b) != la:
+                                continue
+                            acc = 0
+                            for xa, xb in zip(av, b):
+                                acc = _ansi_i64(acc + _ansi_i64(xa * int(xb)))
+                            drow[t] = acc
+                            ok[t] = True
+                    jj = jj[ok]
+                    drow = drow[ok]
+                ii = np.full(len(jj), i)
+                keep = ids_np[ii] != ids_np[jj]
+                swap = ids_np[ii] > ids_np[jj]
+                ai = np.where(swap, jj, ii)[keep]
+                bi = np.where(swap, ii, jj)[keep]
+                oa.append(ids_np[ai])
+                ob.append(ids_np[bi])
+                od.append(drow[keep])
+                ona.append(ns_np[ai])
+                onb.append(ns_np[bi])
+                pending += len(ai)
+                if pending >= CHUNK or i == n - 2:
+                    if pending:
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                pa.array(np.concatenate(oa)).cast(id_pa),
+                                pa.array(np.concatenate(ob)).cast(id_pa),
+                                pa.array([blk] * pending, type=b_pa),
+                                pa.array(np.concatenate(od), type=pa.int64()),
+                                pa.array(np.concatenate(ona), type=pa.int64()),
+                                pa.array(np.concatenate(onb), type=pa.int64()),
+                            ],
+                            names=["id_a", "id_b", "__b", "__dot", "__na", "__nb"],
+                        )
+                    oa, ob, od, ona, onb = [], [], [], [], []
+                    pending = 0
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            names = batch.schema.names
+            kvals = list(
+                zip(*[batch.column(names.index(k)).to_pylist() for k in jkeys])
+            )
+            ids_col = batch.column(names.index("id"))
+            ns_col = batch.column(names.index("__n"))
+            v_col = batch.column(names.index("__v"))
+            # contiguous runs of the (sorted-within-partition) group key
+            start = 0
+            for r in range(1, batch.num_rows + 1):
+                if r < batch.num_rows and kvals[r] == kvals[start]:
+                    continue
+                if cur_key is not None and kvals[start] != cur_key:
+                    yield from flush()
+                cur_key = kvals[start]
+                ln = r - start
+                ids_parts.append(
+                    ids_col.slice(start, ln)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                ns_parts.append(
+                    ns_col.slice(start, ln)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                vec_slices.append(v_col.slice(start, ln))
+                start = r
+        yield from flush()
+
+    clean = rel.filter(F.col("id").isNotNull())
+    for k in jkeys:
+        clean = clean.filter(F.col(k).isNotNull())
+    return (
+        clean.repartition(*[F.col(k) for k in jkeys])
+        .sortWithinPartitions(*jkeys)
+        .mapInArrow(gen, schema=out_schema)
     )
 
 
