@@ -305,8 +305,12 @@ def test_interleaved_ab_structure_and_interleaving(spark):
         spark, {"a": arm_a, "b": arm_b}, rounds=2, warmup=1,
         control_rounds=1,
     )
-    # interleaved: a,b,a,b,a,b (3 rounds incl. warmup), never a,a,a,b,b,b
-    assert calls == ["a", "b"] * 3
+    # Interleaved AND counterbalanced: the within-round order alternates
+    # (a,b / b,a / a,b), never block-style (a,a,a,b,b,b) and never the
+    # same order every round — a null A/B (identical arms, r15) measured
+    # the slot right after a query's own previous run 0.65-0.87× faster,
+    # so a fixed order systematically flatters the last-listed arm.
+    assert calls == ["a", "b", "b", "a", "a", "b"]
     assert set(out["arms"]) == {"a", "b"}
     for st in out["arms"].values():
         assert len(st["times"]) == 2  # warmup round discarded

@@ -1,10 +1,16 @@
 """Interleaved A/B benchmark harness (VERDICT r10 #8) — the measurement
 discipline SCALE.md's perf claims are built on, as one command:
 
-- **Interleaved arms.** Block-style A/B (all A, then all B) lies by
-  ~10% from same-JVM warming — the arm measured last wins (SCALE.md
-  round-16, the simhash cap regression hunt). Arms here run
-  A,B,…,A,B,… per round, so warming distributes evenly.
+- **Interleaved arms, COUNTERBALANCED order.** Block-style A/B (all A,
+  then all B) lies by ~10% from same-JVM warming — the arm measured
+  last wins (SCALE.md round-16, the simhash cap regression hunt). And
+  a FIXED within-round order (A,B every round) lies even harder: a
+  null A/B (identical arms, r15) measured the second arm 0.65-0.87×
+  the first on both min and median — the immediate-repeat run of the
+  same query is systematically faster (JIT/codegen/page warmth that
+  clearCache does not reset). Arms here alternate order per round
+  (A,B / B,A / …), so position bias cancels instead of crediting the
+  arm that happens to be listed second.
 - **Warm-up rounds discarded.** The first round pays codegen/reader
   warm-up for everyone; it is run and thrown away.
 - **Min-of-k per arm.** Wall-clock minimum over the measured rounds —
@@ -99,7 +105,11 @@ def interleaved_ab(
     names = list(arms)
     times: Dict[str, list] = {n: [] for n in names}
     for rnd in range(warmup + rounds):
-        for n in names:
+        # Counterbalance within-round order (see module docstring): the
+        # slot right after a query's own previous run is systematically
+        # fast, so a fixed order gifts the last-listed arm ~15-35%.
+        order = names if rnd % 2 == 0 else list(reversed(names))
+        for n in order:
             t = _run_arm(spark, arms[n])
             if rnd >= warmup:
                 times[n].append(t)
