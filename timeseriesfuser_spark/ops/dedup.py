@@ -1637,19 +1637,60 @@ def connected_components(
     # NULL out string ids — the bug class fixed for leakage_safe_split.
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = track_persist(sym.persist(StorageLevel.MEMORY_AND_DISK))
+    # Partition AND sort the edge relation by the per-round join key ONCE
+    # before persisting: every iteration's neighbor join then reuses the
+    # cached layout (hash-partitioned + sorted on ``dst``), so the loop
+    # never re-shuffles or re-sorts its largest relation (guide §2.4 —
+    # at k rounds this removes k-1 edge-relation exchanges; only the
+    # label relations, which change every round, still move).
+    sym = track_persist(
+        sym.repartition("dst")
+        .sortWithinPartitions("dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # Each round MUST cut lineage (eager localCheckpoint): carrying the
-    # plan forward nests one join+aggregate deeper per round, and
-    # re-optimizing that tower OOMs the driver after ~10 rounds (GraphX
-    # uses periodic checkpointing for exactly this). localCheckpoint is
-    # executor-local — on a cluster that can't tolerate executor loss
-    # mid-loop, switch to reliable checkpoint(dir); the relations are
-    # edge-subgraph-sized either way.
-    labels = (
+    # plan forward nests one join+aggregate deeper per round — and the
+    # label relation is consumed TWICE per round, so the un-checkpointed
+    # tree doubles every round and re-analyzing it OOMs the driver after
+    # ~10 rounds (GraphX uses periodic checkpointing for exactly this).
+    # localCheckpoint is executor-local — on a cluster that can't
+    # tolerate executor loss mid-loop, switch to reliable
+    # checkpoint(dir); the relations are edge-subgraph-sized either way.
+    #
+    # Two measured OOM/ENOSPC guards (tools/cc_cell.py, 57M edges, 16 g —
+    # the unguarded loop died with a heap OOM in round ~3):
+    # - checkpoint SERIALIZED (PySpark's MEMORY_AND_DISK has
+    #   deserialized=False): the JVM default stores deserialized
+    #   InternalRows at ~100 B+/row, so a few 68M-row rounds fill a 16 g
+    #   heap; serialized blocks are UnsafeRow-compact and spill cleanly;
+    # - free each round's blocks the moment no later query can read
+    #   them (the count and the next checkpoint are both synchronous, so
+    #   liveness is provable), otherwise ~k rounds of checkpoints
+    #   accumulate k× the label relation on heap+disk.
+    _ckpt_level = StorageLevel.MEMORY_AND_DISK
+
+    def _ckpt(df):
+        ck = df.localCheckpoint(eager=True, storageLevel=_ckpt_level)
+        try:
+            # the checkpointed plan is a LogicalRDD leaf; keep a handle
+            # to its RDD so dead rounds can be unpersisted eagerly
+            # instead of waiting for driver GC + ContextCleaner.
+            handle = ck._jdf.queryExecution().analyzed().rdd()
+        except Exception:  # pragma: no cover — cleanup is best-effort
+            handle = None
+        return ck, handle
+
+    def _free(handle):
+        if handle is not None:
+            try:
+                handle.unpersist(False)
+            except Exception:  # pragma: no cover — cleanup is best-effort
+                pass
+
+    labels, labels_rdd = _ckpt(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     converged = False
     rounds_run = 0
@@ -1664,9 +1705,15 @@ def connected_components(
         )
         # joined feeds both the convergence count and the next labels —
         # checkpoint once so neither consumer recomputes the round.
-        joined = labels.join(
-            nbr.withColumnRenamed("src", "id"), "id", "left"
-        ).localCheckpoint(eager=True)
+        pre_joined = labels.join(nbr.withColumnRenamed("src", "id"), "id", "left")
+        if _stats is not None and rounds_run == 1 and "round1_plan" in _stats:
+            # diagnostics only, opt-in (pre-seed the key to request it):
+            # the physical plan of one propagation round — the
+            # per-iteration cost the SCALE.md cell measures.
+            _stats["round1_plan"] = (
+                pre_joined._jdf.queryExecution().executedPlan().toString()
+            )
+        joined, joined_rdd = _ckpt(pre_joined)
         # type-generic convergence: labels only decrease, so the fixpoint
         # is "no neighbor offers a strictly smaller label" (works for any
         # ordered id type — the old decimal-sum check was numeric-only).
@@ -1674,6 +1721,14 @@ def connected_components(
         # (symmetric) edge, hence constant per component = the component
         # min — so stopping here is exact regardless of the shortcut.
         changed = joined.filter(F.col("__nbr") < F.col("lbl")).count()
+        if changed == 0:
+            # At the fixpoint labels are constant per component, so the
+            # pointer-doubling step below would be the identity — skip
+            # it (saves the output query a no-op self-join); `labels`
+            # (still persisted) is the result.
+            _free(joined_rdd)
+            converged = True
+            break
         stepped = joined.select(
             "id", F.least(F.col("lbl"), F.coalesce("__nbr", "lbl")).alias("lbl")
         )
@@ -1684,16 +1739,21 @@ def connected_components(
         lut = stepped.select(
             F.col("id").alias("lbl"), F.col("lbl").alias("__ll")
         )
-        labels = (
+        # the old labels' last readers (nbr + pre_joined) ran inside the
+        # joined checkpoint; the new labels below read only `joined`.
+        _free(labels_rdd)
+        # Checkpoint the doubled labels: the next round consumes `labels`
+        # in TWO queries (the neighbor join and the outer join), so
+        # without this the doubling self-join is evaluated once per
+        # consumer — checkpointing halves the per-round join work.
+        labels, labels_rdd = _ckpt(
             stepped.join(lut, "lbl", "left")
             .select(
                 "id",
                 F.least(F.col("lbl"), F.coalesce("__ll", "lbl")).alias("lbl"),
             )
         )
-        if changed == 0:
-            converged = True
-            break
+        _free(joined_rdd)
     if not converged:
         import logging
 

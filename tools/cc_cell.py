@@ -56,6 +56,12 @@ def main():
     ap.add_argument("--max-iterations", type=int, default=30)
     ap.add_argument("--driver-mem", default="16g")
     ap.add_argument("--cpus", default="32")
+    ap.add_argument(
+        "--plan-out",
+        default=None,
+        help="write the round-1 propagation plan (from the _stats "
+        "diagnostics hook) to this file",
+    )
     args = ap.parse_args()
 
     giants = [int(x) for x in args.giants.split(",") if x]
@@ -126,7 +132,8 @@ def main():
     th = threading.Thread(target=sampler, daemon=True)
     th.start()
 
-    stats: dict = {}
+    # pre-seeding round1_plan opts in to the plan-capture diagnostic
+    stats: dict = {"round1_plan": None} if args.plan_out else {}
     t0 = time.perf_counter()
     comp = connected_components(
         edges, max_iterations=args.max_iterations, _stats=stats
@@ -140,6 +147,14 @@ def main():
     stop.set()
     th.join(timeout=5)
     peak["bytes"] = max(peak["bytes"], _du(scratch))
+
+    if args.plan_out and "round1_plan" in stats:
+        with open(args.plan_out, "w") as f:
+            f.write(
+                "connected_components round-1 propagation relation at "
+                f"{n_edges} edges / {n_nodes} nodes, executedPlan:\n\n"
+            )
+            f.write(stats["round1_plan"])
 
     ok = (
         row["n"] == n_nodes
