@@ -1672,6 +1672,10 @@ def connected_components(
     def _ckpt(df):
         ck = df.localCheckpoint(eager=True, storageLevel=_ckpt_level)
         try:
+            # memoize the checkpoint's (lazy) stats NOW, while its origin
+            # plan is live/materialized — consumers planned after the
+            # origin is released must not fall back to estimate products
+            ck._jdf.queryExecution().optimizedPlan().stats()
             # the checkpointed plan is a LogicalRDD leaf; keep a handle
             # to its RDD so dead rounds can be unpersisted eagerly
             # instead of waiting for driver GC + ContextCleaner.
@@ -1713,22 +1717,35 @@ def connected_components(
             _stats["round1_plan"] = (
                 pre_joined._jdf.queryExecution().executedPlan().toString()
             )
-        joined, joined_rdd = _ckpt(pre_joined)
+        # Materialize the round ONCE in a columnar cache and checkpoint
+        # FROM the cache: localCheckpoint preserves its origin plan's
+        # ESTIMATED stats, and join-stat products otherwise compound
+        # across rounds — the doubling self-join squares sizeInBytes
+        # every round, so its digit count doubles and by round ~20 the
+        # planner burns whole minutes in BigInteger multiplication
+        # inside SizeInBytesOnlyStatsPlanVisitor (thread-dump forensics,
+        # SCALE.md r23). A materialized cache reports its REAL size, so
+        # every round's stats are re-grounded to the truth.
+        round_cache = pre_joined.persist(StorageLevel.MEMORY_AND_DISK)
         # type-generic convergence: labels only decrease, so the fixpoint
         # is "no neighbor offers a strictly smaller label" (works for any
         # ordered id type — the old decimal-sum check was numeric-only).
         # Correctness: at neighbor fixpoint labels are equal across every
         # (symmetric) edge, hence constant per component = the component
         # min — so stopping here is exact regardless of the shortcut.
-        changed = joined.filter(F.col("__nbr") < F.col("lbl")).count()
+        # (This count is also the action that builds the cache.)
+        changed = round_cache.filter(F.col("__nbr") < F.col("lbl")).count()
         if changed == 0:
             # At the fixpoint labels are constant per component, so the
             # pointer-doubling step below would be the identity — skip
             # it (saves the output query a no-op self-join); `labels`
-            # (still persisted) is the result.
-            _free(joined_rdd)
+            # (still persisted) is the result, and this round needs no
+            # checkpoint at all.
+            round_cache.unpersist()
             converged = True
             break
+        joined, joined_rdd = _ckpt(round_cache)
+        round_cache.unpersist()
         stepped = joined.select(
             "id", F.least(F.col("lbl"), F.coalesce("__nbr", "lbl")).alias("lbl")
         )

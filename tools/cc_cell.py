@@ -62,6 +62,18 @@ def main():
         help="write the round-1 propagation plan (from the _stats "
         "diagnostics hook) to this file",
     )
+    ap.add_argument(
+        "--event-log-dir",
+        default=None,
+        help="enable Spark event logging into this directory (guide §1: "
+        "per-stage attribution without the live UI)",
+    )
+    ap.add_argument(
+        "--driver-java-opts",
+        default=None,
+        help="extra JVM options for the local-mode driver (e.g. "
+        "'-Xlog:gc' to attribute inter-job stalls to GC)",
+    )
     args = ap.parse_args()
 
     giants = [int(x) for x in args.giants.split(",") if x]
@@ -70,15 +82,24 @@ def main():
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{args.cpus}]")
         .config("spark.sql.shuffle.partitions", args.cpus)
         .config("spark.driver.memory", args.driver_mem)
         .config("spark.local.dir", scratch)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if args.event_log_dir:
+        os.makedirs(args.event_log_dir, exist_ok=True)
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", args.event_log_dir
+        )
+    if args.driver_java_opts:
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", args.driver_java_opts
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     from timeseriesfuser_spark.ops.dedup import connected_components
 
