@@ -1658,38 +1658,14 @@ def connected_components(
     # checkpoint(dir); the relations are edge-subgraph-sized either way.
     #
     # Two measured OOM/ENOSPC guards (tools/cc_cell.py, 57M edges, 16 g —
-    # the unguarded loop died with a heap OOM in round ~3):
-    # - checkpoint SERIALIZED (PySpark's MEMORY_AND_DISK has
-    #   deserialized=False): the JVM default stores deserialized
-    #   InternalRows at ~100 B+/row, so a few 68M-row rounds fill a 16 g
-    #   heap; serialized blocks are UnsafeRow-compact and spill cleanly;
-    # - free each round's blocks the moment no later query can read
-    #   them (the count and the next checkpoint are both synchronous, so
-    #   liveness is provable), otherwise ~k rounds of checkpoints
-    #   accumulate k× the label relation on heap+disk.
-    _ckpt_level = StorageLevel.MEMORY_AND_DISK
-
-    def _ckpt(df):
-        ck = df.localCheckpoint(eager=True, storageLevel=_ckpt_level)
-        try:
-            # memoize the checkpoint's (lazy) stats NOW, while its origin
-            # plan is live/materialized — consumers planned after the
-            # origin is released must not fall back to estimate products
-            ck._jdf.queryExecution().optimizedPlan().stats()
-            # the checkpointed plan is a LogicalRDD leaf; keep a handle
-            # to its RDD so dead rounds can be unpersisted eagerly
-            # instead of waiting for driver GC + ContextCleaner.
-            handle = ck._jdf.queryExecution().analyzed().rdd()
-        except Exception:  # pragma: no cover — cleanup is best-effort
-            handle = None
-        return ck, handle
-
-    def _free(handle):
-        if handle is not None:
-            try:
-                handle.unpersist(False)
-            except Exception:  # pragma: no cover — cleanup is best-effort
-                pass
+    # the unguarded loop died with a heap OOM in round ~3): checkpoint
+    # SERIALIZED, and free each round's blocks the moment no later query
+    # can read them (the count and the next checkpoint are both
+    # synchronous, so liveness is provable). Both live in the shared
+    # ``iter_ckpt``/``free_ckpt`` helpers (ops.util) since r16, when the
+    # recipe was propagated to ops.graph's loops.
+    from timeseriesfuser_spark.ops.util import free_ckpt as _free
+    from timeseriesfuser_spark.ops.util import iter_ckpt as _ckpt
 
     labels, labels_rdd = _ckpt(
         sym.select(F.col("src").alias("id"))

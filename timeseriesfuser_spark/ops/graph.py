@@ -90,6 +90,7 @@ def pagerank(
     damping_ppm: int = 850_000,
     all_ids: Optional[DataFrame] = None,
     checkpoint: bool = True,
+    _stats: Optional[dict] = None,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank → (id, rank) with rank in ppm
     (1e6 = the uniform starting rank).
@@ -97,19 +98,31 @@ def pagerank(
     Scale design: per iteration, one equi-join of the rank relation onto
     the (persisted) degree-annotated edge list plus one hash aggregation
     on the destination — the canonical distributed PageRank shape; no
-    windows, no driver-side graph. ``checkpoint`` cuts lineage per round
-    (executor-local; switch to reliable checkpointing on a cluster that
-    must survive executor loss mid-loop, as with connected components).
+    windows, no driver-side graph. The loop runs the connected-components
+    scale recipe (r16, proven by tools/graph_cell.py at 55M edges / 16 g;
+    the pre-recipe loop OOMed): the loop-invariant edge relation is
+    repartitioned+sorted by the per-iteration join key ONCE before
+    persist (no re-shuffle of the largest relation per round, guide
+    §2.4), every round's iterate is an eager SERIALIZED localCheckpoint
+    (``ops.util.iter_ckpt``), and dead rounds' blocks are freed the
+    moment their last reader has run. ``checkpoint=False`` keeps the
+    plain plan-chained variant (tiny graphs / plan-inspection). Switch to
+    reliable checkpointing on a cluster that must survive executor loss
+    mid-loop, as with connected components.
 
     ``all_ids``: one-column relation of every node to score; defaults to
     the nodes present in ``edges``. Isolated nodes converge to the base
-    rank ``1e6 - damping_ppm``.
+    rank ``1e6 - damping_ppm``. ``_stats`` (ops/diagnostics knob, not
+    API): a dict; pre-seed ``round1_plan`` to receive the round-1
+    iterate's executedPlan string.
     """
     if not 0 <= damping_ppm <= PPM:
         raise ValueError(f"damping_ppm must be in [0, 1e6]: {damping_ppm}")
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0: {iterations}")
     from pyspark import StorageLevel
+
+    from timeseriesfuser_spark.ops.util import free_ckpt, iter_ckpt
 
     # ids keep their own type (long, string, ...): rank arithmetic never
     # touches the id value, and a cast("long") would crash (ANSI) or NULL
@@ -118,7 +131,17 @@ def pagerank(
     if not directed:
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    ed = track_persist(e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK))
+    # Partition AND sort by the per-iteration join key before persisting:
+    # every round's contribution join then reuses the cached layout
+    # (hash-partitioned + sorted on ``src``), so the loop never
+    # re-shuffles or re-sorts its largest relation — at k iterations this
+    # removes k-1 edge-relation exchanges (the CC recipe, guide §2.4).
+    ed = track_persist(
+        e.join(deg, "src")
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     if all_ids is not None:
         nodes = all_ids.select(
@@ -132,17 +155,33 @@ def pagerank(
             .union(e.select(F.col("dst").alias("id")))
             .distinct()
         )
-    nodes = track_persist(nodes.persist(StorageLevel.MEMORY_AND_DISK))
+    # same layout argument for the per-round left join on ``id``
+    nodes = track_persist(
+        nodes.repartition("id")
+        .sortWithinPartitions("id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     base = PPM - damping_ppm
+    if checkpoint and iterations > 0:
+        # Materialize both loop-invariant caches BEFORE the first round is
+        # planned: a lazily-persisted relation is an AdaptiveSparkPlan
+        # with isFinalPlan=false whose output partitioning is unknown, so
+        # round 1 would re-Exchange the edge relation despite the cached
+        # layout (observed in the 55M-edge cell's round-1 plan). One scan
+        # each — the loop materializes them round 1 anyway; with
+        # ``checkpoint=False`` the op stays a pure lazy plan.
+        ed.count()
+        nodes.count()
     r = nodes.withColumn("rank", F.lit(PPM).cast("long"))
-    for _ in range(int(iterations)):
+    prev_handle = None
+    for it in range(int(iterations)):
         contrib = (
             ed.join(r.select(F.col("id").alias("src"), "rank"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.expr("rank DIV __deg")).alias("__c"))
         )
-        r = nodes.join(contrib, "id", "left").select(
+        r_new = nodes.join(contrib, "id", "left").select(
             "id",
             # damping_ppm * __c can exceed int64 once a hub accumulates
             # ~1e13 ppm of contribution (~10M high-rank in-edges); the
@@ -156,8 +195,20 @@ def pagerank(
                 )
             ).cast("long").alias("rank"),
         )
+        if _stats is not None and it == 0 and "round1_plan" in _stats:
+            # diagnostics only, opt-in (pre-seed the key to request it)
+            _stats["round1_plan"] = (
+                r_new._jdf.queryExecution().executedPlan().toString()
+            )
         if checkpoint:
-            r = r.localCheckpoint(eager=True)
+            # eager: materializes NOW, reading the previous round — which
+            # afterwards has no live reader (r rebinds), so its blocks
+            # can be freed immediately. The final round's checkpoint IS
+            # the result and stays live.
+            r_new, handle = iter_ckpt(r_new)
+            free_ckpt(prev_handle)
+            prev_handle = handle
+        r = r_new
     out = r.select("id", "rank")
     ed.unpersist()
     nodes.unpersist()
@@ -319,6 +370,7 @@ def shortest_hops(
     dst_col: str = "id_b",
     directed: bool = False,
     max_hops: int = 3,
+    _stats: Optional[dict] = None,
 ) -> DataFrame:
     """Multi-source BFS: every node reachable from ``seeds`` within
     ``max_hops`` edges → (id, hops) with ``hops`` = the exact shortest
@@ -332,19 +384,28 @@ def shortest_hops(
     frontier onto the edge relation + a hash-distinct of the next
     frontier + an anti-join against the visited set — no windows, no
     driver-side graph; the loop is driver-orchestrated but every step is
-    distributed. Each level is eagerly ``localCheckpoint``-ed: lineage
-    is cut per round (the iterative-algorithm house rule — an uncut BFS
-    plan doubles per level) and the empty-frontier early exit is a
-    count() on the materialized level, not a recompute. The visited set
-    is bounded by |V|; at billion-node scale swap the exact anti-join
-    for a ``bloom_prefilter`` pass (ops.sketches) and keep the exact
-    anti-join on the survivors. Dense-frontier graphs (frontier ~ |V|)
-    should switch to the connected-components pointer-doubling idiom
-    instead; BFS is the sparse-frontier/top-k-hops tool.
+    distributed. Each level is an eager SERIALIZED ``localCheckpoint``
+    (``ops.util.iter_ckpt`` — the connected-components scale recipe,
+    r16): lineage is cut per round (the iterative-algorithm house rule —
+    an uncut BFS plan doubles per level), the empty-frontier early exit
+    is a count() on the materialized level, not a recompute, and the
+    edge relation is repartitioned+sorted by the per-level join key ONCE
+    before persist so no level re-shuffles it (guide §2.4). Levels are
+    never freed mid-loop — every one stays a live member of the visited
+    union (unlike pagerank/CC, whose dead rounds are released eagerly).
+    The visited set is bounded by |V|; at billion-node scale swap the
+    exact anti-join for a ``bloom_prefilter`` pass (ops.sketches) and
+    keep the exact anti-join on the survivors. Dense-frontier graphs
+    (frontier ~ |V|) should switch to the connected-components
+    pointer-doubling idiom instead; BFS is the sparse-frontier/
+    top-k-hops tool. ``_stats`` (ops/diagnostics knob, not API): pre-seed
+    ``round1_plan`` to receive the level-1 frontier's executedPlan.
     """
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0: {max_hops}")
     from pyspark import StorageLevel
+
+    from timeseriesfuser_spark.ops.util import iter_ckpt
 
     e = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
@@ -353,25 +414,39 @@ def shortest_hops(
         e = e.unionAll(
             e.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
         )
-    e = track_persist(e.distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    e = track_persist(
+        e.distinct()
+        .repartition("__src")
+        .sortWithinPartitions("__src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # materialize before the first level is planned, so the cached
+    # hash(__src) layout is visible to every level's join (a lazy persist
+    # is an unfinished AdaptiveSparkPlan — unknown partitioning — and
+    # level 1 would re-shuffle the edges; see pagerank)
+    e.count()
 
-    level = (
+    level, _ = iter_ckpt(
         seeds.select(F.col(seeds.columns[0]).alias("id"))
         .filter(F.col("id").isNotNull())
         .distinct()
         .withColumn("hops", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
     )
     visited = level
     for h in range(1, int(max_hops) + 1):
-        nxt = (
+        frontier = (
             level.join(e, level["id"] == e["__src"])
             .select(F.col("__dst").alias("id"))
             .distinct()
             .join(visited, "id", "left_anti")
             .withColumn("hops", F.lit(h).cast("long"))
-            .localCheckpoint(eager=True)
         )
+        if _stats is not None and h == 1 and "round1_plan" in _stats:
+            # diagnostics only, opt-in (pre-seed the key to request it)
+            _stats["round1_plan"] = (
+                frontier._jdf.queryExecution().executedPlan().toString()
+            )
+        nxt, _ = iter_ckpt(frontier)
         if nxt.count() == 0:
             break
         visited = visited.unionAll(nxt)
@@ -432,25 +507,30 @@ def kcore_peel(
     unrolls the same rounds as a CTE chain.
 
     Scale: per round one degree hash-agg + two semi joins on the node
-    set, with an eager ``localCheckpoint`` lineage cut (the pagerank/CC
-    convention — without it the plan doubles per round) and an
+    set, with an eager SERIALIZED ``localCheckpoint`` lineage cut and
+    eager stale-round block release (``ops.util.iter_ckpt``/``free_ckpt``
+    — the CC scale recipe, r16; without the cut the plan doubles per
+    round, without the release k rounds hold k× the edge set) and an
     early-exit when a round removes no edge (a fixpoint is the true
     k-core, so stopping early is result-identical to running all
-    rounds). Input edges are symmetrized and de-duplicated first.
+    rounds). Input edges are symmetrized and de-duplicated first. No
+    loop-invariant relation exists to pre-partition: the surviving edge
+    set itself shrinks every round.
     """
     if k < 1 or rounds < 1:
         raise ValueError("k and rounds must be >= 1")
+    from timeseriesfuser_spark.ops.util import free_ckpt, iter_ckpt
+
     fwd = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
     rev = edges.select(
         F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
     )
-    cur = (
+    cur, cur_handle = iter_ckpt(
         fwd.unionByName(rev)
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n_edges = cur.count()
     for _ in range(rounds):
@@ -458,17 +538,20 @@ def kcore_peel(
             break
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
         keep = deg.filter(F.col("__d") >= k).select(F.col("src").alias("n"))
-        nxt = (
+        # eager: the new round materializes NOW, reading `cur` — which
+        # afterwards has no live reader (cur rebinds), so its blocks are
+        # freed immediately; the final round stays live for the output.
+        nxt, nxt_handle = iter_ckpt(
             cur.join(keep, cur["src"] == keep["n"], "left_semi")
             .join(
                 keep.withColumnRenamed("n", "n2"),
                 F.col("dst") == F.col("n2"),
                 "left_semi",
             )
-            .localCheckpoint(eager=True)
         )
+        free_ckpt(cur_handle)
         n_next = nxt.count()
-        cur = nxt
+        cur, cur_handle = nxt, nxt_handle
         if n_next == n_edges:
             break  # fixpoint: further rounds are identity
         n_edges = n_next
@@ -603,16 +686,35 @@ def hits_scores(
     Scale: per half-iteration one equi-join of the #src- or #dst-sized
     score relation onto the persisted edge list + one hash aggregation —
     the pagerank shape; the 1-row max joins via broadcast; lineage cut
-    per round.
+    per half-round with the CC scale recipe (r16, ``ops.util.iter_ckpt``:
+    serialized checkpoint storage, stale half-rounds' blocks freed as
+    soon as their last reader has run). The edge relation is persisted
+    partitioned+sorted on ``dst`` — the hub half-update's join key — so
+    half of the per-iteration edge re-shuffles disappear; the authority
+    half-update joins on ``src``, and one cached layout cannot serve
+    both (the alternation is inherent to HITS). Each half-round's raw
+    sum relation is round-cached (serialized) before MAX-normalization:
+    the normalizer consumes it twice (the 1-row max + the rescale), and
+    without the cache each checkpoint evaluated the edge join twice.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1: {iterations}")
     from pyspark import StorageLevel
 
+    from timeseriesfuser_spark.ops.util import free_ckpt, iter_ckpt
+
     e = track_persist(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .repartition("dst")
+        .sortWithinPartitions("dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if checkpoint:
+        # materialize before the first half-round is planned, so the
+        # cached hash(dst) layout is visible to every hub join (a lazy
+        # persist is an unfinished AdaptiveSparkPlan — unknown
+        # partitioning; see pagerank)
+        e.count()
     auth = e.select(F.col("dst").alias("id")).distinct().withColumn(
         "a", F.lit(PPM).cast("long")
     )
@@ -628,23 +730,38 @@ def hits_scores(
         )
 
     hub = None
+    prev_hub_handle = prev_auth_handle = None
     for _ in range(int(iterations)):
         hraw = (
             e.join(auth.select(F.col("id").alias("dst"), "a"), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum(F.expr("CAST(a AS DECIMAL(38,0))")).alias("h"))
         )
-        hub = _norm(hraw, "h")
         if checkpoint:
-            hub = hub.localCheckpoint(eager=True)
+            hraw_c = hraw.persist(StorageLevel.MEMORY_AND_DISK)
+            hub, h_handle = iter_ckpt(_norm(hraw_c, "h"))
+            hraw_c.unpersist()
+            # the previous auth's last reader was hraw (just ran); the
+            # previous hub's last reader was the previous araw (ran when
+            # the previous auth checkpointed)
+            free_ckpt(prev_auth_handle)
+            free_ckpt(prev_hub_handle)
+            prev_hub_handle = None
+        else:
+            hub = _norm(hraw, "h")
         araw = (
             e.join(hub.select(F.col("id").alias("src"), "h"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.expr("CAST(h AS DECIMAL(38,0))")).alias("a"))
         )
-        auth = _norm(araw, "a")
         if checkpoint:
-            auth = auth.localCheckpoint(eager=True)
+            araw_c = araw.persist(StorageLevel.MEMORY_AND_DISK)
+            auth, a_handle = iter_ckpt(_norm(araw_c, "a"))
+            araw_c.unpersist()
+            prev_auth_handle = a_handle
+            prev_hub_handle = h_handle
+        else:
+            auth = _norm(araw, "a")
     out = hub.select(
         F.lit("hub").alias("role"), "id", F.col("h").alias("score_ppm")
     ).unionByName(

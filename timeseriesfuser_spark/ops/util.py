@@ -78,6 +78,51 @@ def track_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def iter_ckpt(df: DataFrame):
+    """Eager **serialized** local checkpoint for iterative loops — the
+    connected-components scale recipe (SCALE.md r23, 57M-edge cell),
+    shared by every driver-orchestrated fixed-point loop (CC, pagerank,
+    BFS, k-core, HITS). Returns ``(checkpointed_df, rdd_handle)``.
+
+    Three deliberate behaviors, each measured load-bearing at 16 g:
+
+    - the checkpoint stores SERIALIZED (PySpark's MEMORY_AND_DISK has
+      deserialized=False): the JVM-default deserialized level holds
+      InternalRows at ~100 B+/row, so a few 50M+-row rounds fill the
+      heap; serialized blocks are UnsafeRow-compact and spill cleanly;
+    - the checkpoint's (lazy) stats are memoized NOW, while its origin
+      plan is live — consumers planned after the origin is released must
+      not fall back to compounding size-estimate products (the
+      BigInteger-stats planner pathology);
+    - the returned ``rdd_handle`` lets the caller free the round's
+      blocks the moment no later query can read them
+      (:func:`free_ckpt`) instead of waiting for driver GC +
+      ContextCleaner — without it ~k rounds of checkpoints accumulate
+      k× the iterate on heap+disk.
+    """
+    from pyspark import StorageLevel
+
+    ck = df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    try:
+        ck._jdf.queryExecution().optimizedPlan().stats()
+        handle = ck._jdf.queryExecution().analyzed().rdd()
+    except Exception:  # pragma: no cover — diagnostics/cleanup best-effort
+        handle = None
+    return ck, handle
+
+
+def free_ckpt(handle) -> None:
+    """Eagerly unpersist an :func:`iter_ckpt` handle's blocks (async, no
+    job). Safe to call only once every reader of the checkpointed round
+    has RUN (eager checkpoints and counts are synchronous, so liveness
+    is provable at the call site)."""
+    if handle is not None:
+        try:
+            handle.unpersist(False)
+        except Exception:  # pragma: no cover — cleanup is best-effort
+            pass
+
+
 def spread_small_input(df: DataFrame) -> DataFrame:
     """Ensure at least default-parallelism partitions for expression-heavy
     per-row work (hashing, shingling, vector math).

@@ -169,7 +169,7 @@ def main():
     th.join(timeout=5)
     peak["bytes"] = max(peak["bytes"], _du(scratch))
 
-    if args.plan_out and "round1_plan" in stats:
+    if args.plan_out and stats.get("round1_plan"):
         with open(args.plan_out, "w") as f:
             f.write(
                 "connected_components round-1 propagation relation at "
